@@ -1,0 +1,38 @@
+from movie_genre_data_pipeline_spark.operators.enrich import with_audit_columns
+from movie_genre_data_pipeline_spark.operators.nested import (
+    explode_array,
+    expand_struct,
+    extract_array_field,
+    flatten_exploded_struct,
+)
+from movie_genre_data_pipeline_spark.operators.cleanse import (
+    cast_columns,
+    conditional_floor,
+    abs_repair,
+    quarantine_split,
+    drop_empty,
+    fix_dimension,
+)
+from movie_genre_data_pipeline_spark.operators.upsert import (
+    upsert_update,
+    upsert_insert_missing,
+)
+from movie_genre_data_pipeline_spark.operators.writers import batch_writer, write_partitioned
+
+__all__ = [
+    "with_audit_columns",
+    "explode_array",
+    "expand_struct",
+    "extract_array_field",
+    "flatten_exploded_struct",
+    "cast_columns",
+    "conditional_floor",
+    "abs_repair",
+    "quarantine_split",
+    "drop_empty",
+    "fix_dimension",
+    "upsert_update",
+    "upsert_insert_missing",
+    "batch_writer",
+    "write_partitioned",
+]

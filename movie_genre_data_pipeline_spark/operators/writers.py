@@ -1,0 +1,48 @@
+"""Batch writers (SURVEY.md §2.2 W1-W3).
+
+Reference parity: `batch_writer` (operations/operations.py:36-44) drops excluded
+columns then returns a configured partitioned Delta writer; here the format is
+Parquet (no delta-spark in this environment) and the default mode stays "append".
+
+Scale notes:
+- Partition column choice is a first-class knob: the reference partitions genres/
+  language by `Id` (Batch_notebook/main.py:34-42) — one directory per key value,
+  an anti-pattern at scale (millions of tiny dirs/files). We therefore make
+  partitioning OPT-IN per call and callers of high-cardinality dims just don't.
+- `mode="overwrite"` + spark.sql.sources.partitionOverwriteMode=dynamic (set in
+  session.py) rewrites only the partitions present in the frame — idempotent
+  re-runs without the reference's rm -r (Batch_notebook/rawToBronze.py:7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.readwriter import DataFrameWriter
+
+
+def batch_writer(
+    dataframe: DataFrame,
+    partition_column: str | Sequence[str] | None = None,
+    exclude_columns: Sequence[str] = (),
+    mode: str = "append",
+    fmt: str = "parquet",
+) -> DataFrameWriter:
+    """Configured writer (reference: operations/operations.py:36-44)."""
+    writer = dataframe.drop(*exclude_columns).write.format(fmt).mode(mode)
+    if partition_column:
+        cols = [partition_column] if isinstance(partition_column, str) else list(partition_column)
+        writer = writer.partitionBy(*cols)
+    return writer
+
+
+def write_partitioned(
+    dataframe: DataFrame,
+    path: str,
+    partition_column: str | Sequence[str] | None = None,
+    exclude_columns: Sequence[str] = (),
+    mode: str = "append",
+) -> None:
+    """W1/W3: partitioned Parquet write to a layer path."""
+    batch_writer(dataframe, partition_column, exclude_columns, mode).save(path)

@@ -1,0 +1,154 @@
+"""Batch medallion pipeline — the reference's three stages as a reusable class
+(SURVEY.md §2.9 raw_to_bronze / bronze_to_silver / silver_update,
+Batch_notebook/main.py:10-65).
+
+Differences from the reference (all deliberate; SURVEY.md §4 "missed optimizations"
+and §8):
+- The thrice-consumed bronze frame is read once per stage from the materialized
+  bronze table — bronze IS the cache; no re-derivation from raw JSON.
+- The clean/quarantine split dedups ONCE (§8.7) and the deduped projection is
+  `.cache()`d across the two writes + two status merges (§4: the reference re-ran
+  the scan for all 5 downstream actions).
+- Status merges key on the `value` struct for reference parity (J1,
+  operations/operations.py:119), via join-based upsert + staged rewrite instead of
+  Delta MERGE.
+- Partitioning: bronze by p_ingestdate, movie_silver by p_CreatedDate (same as the
+  reference); genres/language are written UNpartitioned — the reference's
+  partitionBy("Id") is one-directory-per-key, an anti-pattern at scale
+  (SURVEY.md §4 row 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark import fsutil
+from movie_genre_data_pipeline_spark.config import PipelineConfig
+from movie_genre_data_pipeline_spark.operators.cleanse import quarantine_split
+from movie_genre_data_pipeline_spark.operators.enrich import (
+    STATUS_LOADED,
+    STATUS_NEW,
+    STATUS_QUARANTINED,
+    with_audit_columns,
+)
+from movie_genre_data_pipeline_spark.operators.nested import expand_struct, explode_array
+from movie_genre_data_pipeline_spark.operators.upsert import (
+    upsert_insert_missing,
+    upsert_update,
+)
+from movie_genre_data_pipeline_spark.operators.writers import write_partitioned
+from movie_genre_data_pipeline_spark.plans.movie_transforms import (
+    genres_projection,
+    language_projection,
+    movie_projection,
+)
+from movie_genre_data_pipeline_spark.sources.batch import read_multiline_json, read_parquet
+
+
+class MedallionPipeline:
+    """raw JSON → bronze → {movie, genres, language} silver, with quarantine/repair.
+
+    Status state machine on bronze rows: new → loaded | quarantined → loaded
+    (SURVEY.md §1.1).
+    """
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.config = config
+
+    # -- stage 1 ------------------------------------------------------------
+    def raw_to_bronze(self, raw_path: str | None = None, mode: str = "overwrite") -> None:
+        """Batch_notebook/main.py:10-17: read multiline JSON, explode the `movie`
+        array, wrap in the bronze envelope, write partitioned by p_ingestdate."""
+        raw = read_multiline_json(self.spark, raw_path or self.config.raw_path)
+        exploded = explode_array(raw.select("movie"), "movie", alias="value")
+        bronze = with_audit_columns(
+            exploded, self.config.datasource_name, self.config.clock, "value"
+        )
+        write_partitioned(bronze, self.config.bronze_path, "p_ingestdate", mode=mode)
+
+    # -- stage 2 ------------------------------------------------------------
+    def bronze_to_silver(self) -> dict[str, int]:
+        """Batch_notebook/main.py:21-46: status=="new" → three silver branches +
+        two status merges. Returns row counts per branch (the reference printed
+        them interactively)."""
+        cfg = self.config
+        bronze_new = read_parquet(self.spark, cfg.bronze_path).filter(
+            F.col("status") == STATUS_NEW
+        )
+        augmented = expand_struct(bronze_new, "value")
+
+        movie = movie_projection(augmented, cfg.budget_floor)
+        clean, quarantined = quarantine_split(movie, F.col("RunTime") >= 0)
+        clean = clean.cache()
+        quarantined = quarantined.cache()
+
+        write_partitioned(
+            clean, cfg.silver_path("movie"), "p_CreatedDate",
+            exclude_columns=["value"], mode="overwrite",
+        )
+        genres = genres_projection(augmented)
+        write_partitioned(genres, cfg.silver_path("genres"), mode="overwrite")
+        language = language_projection(augmented)
+        write_partitioned(language, cfg.silver_path("language"), mode="overwrite")
+
+        counts = {
+            "clean": clean.count(),
+            "quarantined": quarantined.count(),
+            "genres": genres.count(),
+        }
+        self._update_bronze_status(clean.select("value"), STATUS_LOADED)
+        self._update_bronze_status(quarantined.select("value"), STATUS_QUARANTINED)
+        clean.unpersist()
+        quarantined.unpersist()
+        return counts
+
+    # -- stage 3 ------------------------------------------------------------
+    def silver_update(self) -> int:
+        """Batch_notebook/main.py:50-59: repair loop — quarantined rows get
+        RunTime=abs(RunTime), are inserted into movie_silver if their Id is absent
+        (J2), and their bronze status flips to loaded."""
+        cfg = self.config
+        quarantined = read_parquet(self.spark, cfg.bronze_path).filter(
+            F.col("status") == STATUS_QUARANTINED
+        )
+        augmented = expand_struct(quarantined, "value").distinct()
+        repaired = augmented.withColumn("RunTime", F.abs(F.col("RunTime")))
+        silver_ready = movie_projection(repaired, cfg.budget_floor).cache()
+
+        target = read_parquet(self.spark, cfg.silver_path("movie"))
+        new_rows = upsert_insert_missing(
+            target, silver_ready.drop("value"), on="Id"
+        )
+        write_partitioned(
+            new_rows, cfg.silver_path("movie"), "p_CreatedDate", mode="append"
+        )
+        n = silver_ready.count()
+        self._update_bronze_status(silver_ready.select("value"), STATUS_LOADED)
+        silver_ready.unpersist()
+        return n
+
+    # -- shared -------------------------------------------------------------
+    def _update_bronze_status(self, matched_values: DataFrame, status: str) -> None:
+        """J1 status flip (operations/operations.py:112-129): MERGE bronze ON
+        bronze.value = df.value WHEN MATCHED UPDATE SET status. Emulated as a
+        broadcast left join + coalesce + staged table rewrite."""
+        source = matched_values.distinct().withColumn("status", F.lit(status))
+        bronze = read_parquet(self.spark, self.config.bronze_path)
+        updated = upsert_update(
+            bronze, source, on="value",
+            set_columns={"status": "status"},
+            verify_unique=False,  # source deduped on the full struct key above
+        )
+        fsutil.rewrite_parquet(
+            self.spark, updated, self.config.bronze_path, "p_ingestdate"
+        )
+
+    # -- convenience --------------------------------------------------------
+    def run(self, raw_path: str | None = None) -> dict[str, int]:
+        """Full pipeline (Batch_notebook/main.py:63-65)."""
+        self.raw_to_bronze(raw_path)
+        counts = self.bronze_to_silver()
+        counts["repaired"] = self.silver_update()
+        return counts

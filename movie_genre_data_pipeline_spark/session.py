@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference configures nothing (Databricks runtime defaults). We make the
+scale-relevant knobs explicit so the same code runs on local[32] for tests and on a
+1000-executor cluster unchanged:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic broadcast) — at 100 TB the
+  static plan is always wrong somewhere; AQE re-plans from real shuffle stats.
+- shuffle partitions sized by caller (local: ~cores; cluster: ~2-3x total cores).
+- dynamic partition overwrite: idempotent re-runs rewrite only touched partitions
+  instead of the reference's rm+overwrite (SURVEY.md §4 "Idempotency").
+- UTC session timezone: deterministic timestamp semantics (and DuckDB-oracle parity).
+- Arrow enabled: Pandas-UDF extensions (functions/) move data in columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "movie_genre_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` so tests and bench share
+    one entry point; on a real cluster pass ``master=None`` with ``--master`` given
+    to spark-submit instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # local mode: shuffle data goes through driver disk; keep codegen on.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
