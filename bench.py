@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (collect-to-driver of the, typically small,
+result set) and timed wall-clock. First query pays JVM/session warmup; a warmup
+no-op runs first so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "flagship_revenue_by_flag_status",
+    "tpch_q1",
+    "star_join",
+    "window_topk_per_group",
+    "quarantine_clean",
+    "merge_status_update",
+    "explode_array",
+    "from_json_props",
+    "sessionize",
+    "tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from movie_genre_data_pipeline_spark.session import build_session
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    spark = build_session(app_name="mgdp-bench")
+    specs = all_queries()
+
+    # warmup: touch the biggest table so JVM/codegen/file-listing costs are paid
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        t0 = time.time()
+        df = specs[name].fn(spark, sf_dir)
+        # noop sink: computes every row/column of the result (a bare count() would
+        # let Catalyst prune the projections away and under-measure)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,9 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # micros, not legacy INT96: smaller, predicate-pushdown-friendly, and
+        # readable by every modern engine without special-casing
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # local mode: shuffle data goes through driver disk; keep codegen on.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -10,8 +10,10 @@ Scale notes:
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -29,9 +31,58 @@ def read_multiline_json(
     return reader.json(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Partitioned-Parquet scan — our stand-in for the reference's Delta scans."""
-    return spark.read.parquet(path)
+def read_parquet(spark: SparkSession, path: str, coerce_nanos: bool = True) -> DataFrame:
+    """Partitioned-Parquet scan — our stand-in for the reference's Delta scans.
+
+    `coerce_nanos=True` transparently handles TIMESTAMP(NANOS) parquet columns,
+    which Spark cannot read natively (PARQUET_TYPE_ILLEGAL): they are read as
+    int64 via `spark.sql.legacy.parquet.nanosAsLong` and truncated to microsecond
+    timestamps (`ts div 1000` — integer division; double math would lose precision
+    at 2^63 nanos). DuckDB and pyarrow do the same ns→us truncation, so semantics
+    agree across engines. Footer inspection reads one file's metadata only.
+    """
+    if not coerce_nanos:
+        return spark.read.parquet(path)
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as timestamp[ns] in the parquet footer (first file wins —
+    uniform schema assumed, as Spark itself assumes without mergeSchema)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return []
+    p = Path(path)
+    if p.is_dir():
+        candidates = sorted(p.rglob("*.parquet"))
+        if not candidates:
+            return []
+        p = candidates[0]
+    try:
+        pf = pq.ParquetFile(p)
+        arrow_schema = pf.schema_arrow
+        phys = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
+    except Exception:
+        return []
+    # INT96 (Spark's legacy timestamp encoding) also surfaces as timestamp[ns] in
+    # arrow, but Spark reads INT96 natively — only true INT64-NANOS columns need
+    # the long round-trip.
+    return [
+        f.name
+        for f in arrow_schema
+        if str(f.type) == "timestamp[ns]" and phys.get(f.name) == "INT64"
+    ]
 
 
 def read_table(spark: SparkSession, name: str) -> DataFrame:

@@ -1,0 +1,361 @@
+"""Reference-parity operators (SURVEY.md §2) mapped onto the driver's synthetic
+tables: `lineitem` plays raw movies (quarantine on quantity, floor on totalprice),
+`nation`/`region` play the genre/language dims (FIXTURES.md §4).
+
+Every query exercises the corresponding engine operator from
+movie_genre_data_pipeline_spark.operators — these are the correctness gate for the
+operator inventory, not ad-hoc SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.operators.cleanse import (
+    cast_columns,
+    conditional_floor,
+    drop_empty,
+    fix_dimension,
+    quarantine_split,
+)
+from movie_genre_data_pipeline_spark.operators.nested import (
+    expand_struct,
+    extract_array_field,
+    flatten_exploded_struct,
+)
+from movie_genre_data_pipeline_spark.operators.upsert import (
+    upsert_insert_missing,
+    upsert_update,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+
+# -- flagship -----------------------------------------------------------------
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion spine over lineitem: audit-enrich → rule-based clean/quarantine
+    split → revenue aggregate per (returnflag, status). Exercises P6/P9/F3/A-agg in
+    one plan (SURVEY.md §7.2 step 1)."""
+    li = load(spark, sf_dir, "lineitem")
+    enriched = li.withColumn(
+        "status",
+        F.when(F.col("l_quantity") >= 48, F.lit("quarantined")).otherwise(
+            F.lit("loaded")
+        ),
+    )
+    return (
+        enriched.groupBy("l_returnflag", "status")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "status")
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT l_returnflag,
+       CASE WHEN l_quantity >= 48 THEN 'quarantined' ELSE 'loaded' END AS status,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# -- P1/P8: projection + rename + casts ----------------------------------------
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    projected = li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_shipdate").alias("ship_ts"),
+    )
+    casted = cast_columns(projected, {"qty": "INTEGER", "ship_ts": "DATE"})
+    # date → string for the oracle hash: pandas renders Spark dates and DuckDB
+    # dates differently (date vs datetime64); a canonical string sidesteps it.
+    return casted.select(
+        "order_id", "qty", F.col("ship_ts").cast("STRING").alias("ship_date")
+    )
+
+
+Q_PROJECT_CAST_ORACLE = """
+SELECT l_orderkey AS order_id,
+       CAST(l_quantity AS INTEGER) AS qty,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
+FROM lineitem
+"""
+
+
+# -- P2: struct star-expansion ---------------------------------------------------
+def q_struct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack rows into a `value` struct (the bronze envelope shape) and expand with
+    select("value.*") — reference operations/operations.py:60."""
+    li = load(spark, sf_dir, "lineitem")
+    enveloped = li.select(
+        F.struct(
+            F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity")
+        ).alias("value")
+    )
+    return expand_struct(enveloped, "value", keep_struct=False)
+
+
+Q_STRUCT_EXPAND_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+
+# -- P5: explode (array → rows) ---------------------------------------------------
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild the reference's explode surface: per-order array of part keys,
+    re-exploded to rows (operations/operations.py:21,87-89)."""
+    li = load(spark, sf_dir, "lineitem")
+    arrays = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("parts"))
+    return arrays.select(
+        "l_orderkey", F.explode("parts").alias("part_id")
+    )
+
+
+Q_EXPLODE_ORACLE = """
+SELECT l_orderkey, UNNEST(LIST(l_partkey)) AS part_id
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# -- P3: field extraction over array<struct> -------------------------------------
+def q_array_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genres_Id shape: collect array<struct>, extract one field element-wise,
+    emit per-order item count + distinct-part count from the extracted array."""
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_partkey"))).alias("items")
+    )
+    parts = extract_array_field("items", "l_partkey")
+    return nested.select(
+        "l_orderkey",
+        F.size(parts).alias("n_items"),
+        F.size(F.array_distinct(parts)).alias("n_parts"),
+    )
+
+
+Q_ARRAY_FIELD_EXTRACT_ORACLE = """
+SELECT l_orderkey,
+       CAST(COUNT(*) AS INTEGER) AS n_items,
+       CAST(COUNT(DISTINCT l_partkey) AS INTEGER) AS n_parts
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# -- P4: flatten exploded struct --------------------------------------------------
+def q_flatten_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fix_genres plumbing (operations/operations.py:54): explode array<struct> then
+    col("col.*")."""
+    n = load(spark, sf_dir, "nation")
+    nested = n.groupBy("n_regionkey").agg(
+        F.collect_list(F.struct(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name"))).alias("arr")
+    )
+    exploded = nested.select(F.explode("arr").alias("col"))
+    return flatten_exploded_struct(exploded, "col")
+
+
+Q_FLATTEN_EXPLODED_ORACLE = """
+SELECT n_nationkey AS id, n_name AS name FROM nation
+"""
+
+
+# -- P9: conditional floor ---------------------------------------------------------
+def q_conditional_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(conditional_floor("o_totalprice", 50_000.0), 2).alias("floored_price"),
+    )
+
+
+Q_CONDITIONAL_FLOOR_ORACLE = """
+SELECT o_orderkey,
+       ROUND(CASE WHEN o_totalprice < 50000 THEN 50000 ELSE o_totalprice END, 2)
+         AS floored_price
+FROM orders
+"""
+
+
+# -- P10: abs repair ---------------------------------------------------------------
+def q_abs_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(F.abs(F.col("value") - F.lit(50.0)), 4).alias("deviation")
+    )
+
+
+Q_ABS_REPAIR_ORACLE = """
+SELECT event_id, ROUND(ABS(value - 50.0), 4) AS deviation FROM events
+"""
+
+
+# -- P6/P12: literal audit enrichment ----------------------------------------------
+def q_lit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_raw minus the clock (P7 current_timestamp is non-deterministic and
+    excluded from hashed queries; Clock injection is tested in pytest instead)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey").withColumn(
+        "datasource", F.lit("orders.parquet")
+    ).withColumn("status", F.lit("new"))
+
+
+Q_LIT_ENRICH_ORACLE = """
+SELECT o_orderkey, 'orders.parquet' AS datasource, 'new' AS status FROM orders
+"""
+
+
+# -- F1/F2: equality + SQL-string predicates ----------------------------------------
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+Q_FILTER_EQ_ORACLE = """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_filter_sql_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: predicate given as a SQL string (reference operations/operations.py:136)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter("event_type = 'error'").select("event_id", "user_id")
+
+
+Q_FILTER_SQL_STRING_ORACLE = """
+SELECT event_id, user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# -- F3+A1: dedup-once quarantine split ----------------------------------------------
+def q_quarantine_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    clean, _ = quarantine_split(li, F.col("l_quantity") < 48)
+    return clean
+
+
+Q_QUARANTINE_CLEAN_ORACLE = """
+SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_quantity < 48
+"""
+
+
+def q_quarantine_quarantined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    _, quarantined = quarantine_split(li, F.col("l_quantity") < 48)
+    return quarantined
+
+
+Q_QUARANTINE_QUARANTINED_ORACLE = """
+SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE NOT (l_quantity < 48)
+"""
+
+
+# -- F4+A1+O1: dimension fix ----------------------------------------------------------
+def q_dim_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("Id"), F.col("n_name").alias("name")
+    )
+    return fix_dimension(n, "Id", "name")
+
+
+Q_DIM_FIX_ORACLE = """
+SELECT DISTINCT n_nationkey AS Id, n_name AS name
+FROM nation WHERE n_name <> ''
+"""
+
+
+# -- A2: filtered count ----------------------------------------------------------------
+def q_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 10).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+Q_COUNT_FILTERED_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity < 10
+"""
+
+
+# -- J1: MERGE WHEN MATCHED UPDATE (status flip) -----------------------------------------
+def q_merge_status_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based whenMatchedUpdate: orders start status='new'; customers with a
+    negative account balance mark their orders 'quarantined'
+    (operators.upsert.upsert_update ≙ operations/operations.py:112-129)."""
+    o = load(spark, sf_dir, "orders").withColumn("status", F.lit("new"))
+    src = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("status", F.lit("quarantined"))
+    )
+    updated = upsert_update(
+        o, src, on="o_custkey", set_columns={"status": "status"}, verify_unique=False
+    )
+    return updated.select("o_orderkey", "o_custkey", "status")
+
+
+Q_MERGE_STATUS_UPDATE_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN 'quarantined' ELSE 'new' END AS status
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0) s
+  ON o.o_custkey = s.c_custkey
+"""
+
+
+# -- J2: MERGE WHEN NOT MATCHED INSERT ----------------------------------------------------
+def q_merge_insert_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join insert set: customers absent from the finished-orders target (the
+    repair-insert shape, Autoloader_notebook/Silver_update.py:50-60)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    target = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return upsert_insert_missing(target, c, on="c_custkey")
+
+
+Q_MERGE_INSERT_MISSING_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "flagship_revenue_by_flag_status": QuerySpec(flagship, FLAGSHIP_ORACLE),
+    "project_cast": QuerySpec(q_project_cast, Q_PROJECT_CAST_ORACLE),
+    "struct_expand": QuerySpec(q_struct_expand, Q_STRUCT_EXPAND_ORACLE),
+    "explode_array": QuerySpec(q_explode, Q_EXPLODE_ORACLE),
+    "array_field_extract": QuerySpec(q_array_field_extract, Q_ARRAY_FIELD_EXTRACT_ORACLE),
+    "flatten_exploded_struct": QuerySpec(q_flatten_exploded, Q_FLATTEN_EXPLODED_ORACLE),
+    "conditional_floor": QuerySpec(q_conditional_floor, Q_CONDITIONAL_FLOOR_ORACLE),
+    "abs_repair": QuerySpec(q_abs_repair, Q_ABS_REPAIR_ORACLE),
+    "lit_enrich": QuerySpec(q_lit_enrich, Q_LIT_ENRICH_ORACLE),
+    "filter_eq": QuerySpec(q_filter_eq, Q_FILTER_EQ_ORACLE),
+    "filter_sql_string": QuerySpec(q_filter_sql_string, Q_FILTER_SQL_STRING_ORACLE),
+    "quarantine_clean": QuerySpec(q_quarantine_clean, Q_QUARANTINE_CLEAN_ORACLE),
+    "quarantine_quarantined": QuerySpec(
+        q_quarantine_quarantined, Q_QUARANTINE_QUARANTINED_ORACLE
+    ),
+    "dim_fix": QuerySpec(q_dim_fix, Q_DIM_FIX_ORACLE),
+    "count_filtered": QuerySpec(q_count_filtered, Q_COUNT_FILTERED_ORACLE),
+    "merge_status_update": QuerySpec(q_merge_status_update, Q_MERGE_STATUS_UPDATE_ORACLE),
+    "merge_insert_missing": QuerySpec(q_merge_insert_missing, Q_MERGE_INSERT_MISSING_ORACLE),
+}

@@ -1,0 +1,397 @@
+"""Relational extensions beyond the reference's surface (SURVEY.md §2.5/§2.7 notes:
+the reference has no groupBy/window/join/top-k — the driver contract and north star
+require them). All idiomatic DataFrame API; dims go through broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+
+# -- TPC-H Q1-style aggregate -------------------------------------------------
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- star join over broadcast dims ---------------------------------------------
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region, revenue per region/nation. nation and
+    region are broadcast explicitly (small dims; SURVEY.md §4 join strategy)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q_STAR_JOIN_ORACLE = """
+SELECT r_name, n_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# -- semi / anti joins -----------------------------------------------------------
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+Q_SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# -- top-k (global sort + limit) ----------------------------------------------------
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-25 (total tiebreak on the key) — O1 + the limit the
+    reference lacks."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(25)
+    )
+
+
+Q_TOPK_ORDERS_ORACLE = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# -- window: top-k per group ----------------------------------------------------------
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+Q_WINDOW_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+  FROM orders
+) t WHERE rnk <= 2
+"""
+
+
+# -- window: running sum ----------------------------------------------------------------
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+Q_WINDOW_RUNNING_SUM_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# -- window: lag/lead delta ----------------------------------------------------------------
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+    )
+
+
+Q_WINDOW_LAG_DELTA_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC), 4) AS delta
+FROM events
+"""
+
+
+# -- pivot ------------------------------------------------------------------------------
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+Q_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# -- rollup / cube ---------------------------------------------------------------------
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+Q_ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "total",
+        )
+    )
+
+
+Q_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# -- set operations -----------------------------------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(big spenders UNION negative balances) EXCEPT auto segment."""
+    c = load(spark, sf_dir, "customer")
+    big = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return big.union(neg).distinct().exceptAll(auto.distinct())
+
+
+Q_SET_OPS_ORACLE = """
+(SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ UNION
+ SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+EXCEPT ALL
+SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+# -- intersect ------------------------------------------------------------------------------
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.select(F.col("l_orderkey").alias("okey")).intersect(
+        o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderkey").alias("okey"))
+    )
+
+
+Q_INTERSECT_ORACLE = """
+SELECT l_orderkey AS okey FROM lineitem
+INTERSECT
+SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# -- exact distinct counts ----------------------------------------------------------------
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+Q_COUNT_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# -- from_json over events.props -------------------------------------------------------------
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column processing (SURVEY.md §2.3 note: ships from_json for events.props)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k INT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+Q_FROM_JSON_ORACLE = """
+SELECT event_type,
+       ROUND(AVG(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+       CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# -- sessionization (gap > 30 min) -------------------------------------------------------------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag + cumulative gap counter (pyspark_guide 'common
+    OLAP patterns'); the streaming variant uses session_window (streaming_queries)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # fractional epoch seconds (micros/1e6 as double) — matches DuckDB's EPOCH()
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn("session_seq", F.sum(new_session).over(w))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_SESSIONIZE_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+# -- tumbling window (batch form; streaming twin in streaming_queries) ------------------------
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "6 hours")
+    return (
+        ev.groupBy(
+            F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+Q_TUMBLING_WINDOW_ORACLE = """
+SELECT strftime(to_timestamp(FLOOR(EPOCH(ts) / 21600) * 21600), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
+    "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
+    "semi_join": QuerySpec(q_semi_join, Q_SEMI_JOIN_ORACLE),
+    "topk_orders": QuerySpec(q_topk_orders, Q_TOPK_ORDERS_ORACLE),
+    "window_topk_per_group": QuerySpec(q_window_topk_per_group, Q_WINDOW_TOPK_ORACLE),
+    "window_running_sum": QuerySpec(q_window_running_sum, Q_WINDOW_RUNNING_SUM_ORACLE),
+    "window_lag_delta": QuerySpec(q_window_lag_delta, Q_WINDOW_LAG_DELTA_ORACLE),
+    "pivot": QuerySpec(q_pivot, Q_PIVOT_ORACLE),
+    "rollup": QuerySpec(q_rollup, Q_ROLLUP_ORACLE),
+    "cube": QuerySpec(q_cube, Q_CUBE_ORACLE),
+    "set_ops": QuerySpec(q_set_ops, Q_SET_OPS_ORACLE),
+    "intersect": QuerySpec(q_intersect, Q_INTERSECT_ORACLE),
+    "count_distinct": QuerySpec(q_count_distinct, Q_COUNT_DISTINCT_ORACLE),
+    "from_json_props": QuerySpec(q_from_json, Q_FROM_JSON_ORACLE),
+    "sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_ORACLE),
+    "tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_WINDOW_ORACLE),
+}
