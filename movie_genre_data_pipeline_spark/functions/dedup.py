@@ -1,0 +1,247 @@
+"""Deduplication operators for training-data pipelines (north star): exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design (the whole point of these):
+- Exact dedup = hash-groupBy on a digest of normalized text — one shuffle keyed by
+  a 128-bit hash, perfectly balanced.
+- MinHash+LSH never compares all pairs: signatures are computed per-row with JVM
+  higher-order functions (zero shuffle), then candidates come from ONE shuffle on
+  (band, band_key) — docs only meet if they collide in a band bucket. This is the
+  standard shingle→minhash→band→bucket-join pipeline; complexity O(n·H) + bucket
+  joins, never O(n²).
+- SimHash: one explode + one groupBy(doc) — linear; near-dup lookup then groups by
+  simhash prefix.
+- n-gram Jaccard is exact pairwise similarity, so it MUST be candidate-limited:
+  callers pass blocking columns (e.g. lang + length bucket); the self-join runs
+  inside blocks only.
+
+Hash discipline: md5 everywhere (not xxhash64/murmur) — every engine computes the
+identical digest, so signatures/fingerprints are portable and the DuckDB oracle can
+reproduce them bit-for-bit. MinHash "hash family" = md5 salted with the hash index;
+min is taken over the hex-string ordering (well-defined and identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.text import fingerprint, tokens
+
+
+# -- exact ----------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (lowest id) per normalized-text fingerprint."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-fingerprint keeper + duplicate count: (fp, keeper_id, n_copies)."""
+    return df.groupBy(fingerprint(text_col).alias("fp")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# -- shingling -------------------------------------------------------------------
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """Array of word k-grams (space-joined). Documents shorter than k words get an
+    empty array (sequence() would count DOWN for n<k, hence the guard)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+# -- MinHash + LSH -----------------------------------------------------------------
+def minhash_signature(col: str | Column, num_hashes: int = 12, k: int = 3) -> Column:
+    """MinHash signature as array<string> of length `num_hashes`:
+    sig[h] = min over shingles of md5(h || ':' || shingle). Empty-shingle docs get
+    the sentinel 'z' * 32 (> any hex digest) so they never collide with real text.
+    """
+    shingles = word_shingles(col, k)
+    hash_ids = F.array(*[F.lit(h) for h in range(num_hashes)])
+    sig = F.transform(
+        hash_ids,
+        lambda h: F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s))
+            )
+        ),
+    )
+    sentinel = F.array(*[F.lit("z" * 32) for _ in range(num_hashes)])
+    return F.when(F.size(shingles) > 0, sig).otherwise(sentinel)
+
+
+def lsh_band_keys(
+    col: str | Column, bands: int = 4, rows_per_band: int = 3, k: int = 3
+) -> Column:
+    """Array of `bands` bucket keys; two docs are candidates iff any key matches.
+    key[b] = md5(b || '|' || sig[b*r] || '|' || ... || sig[b*r+r-1])."""
+    sig = minhash_signature(col, bands * rows_per_band, k)
+    band_ids = F.array(*[F.lit(b) for b in range(bands)])
+    return F.transform(
+        band_ids,
+        lambda b: F.md5(
+            F.concat_ws(
+                "|",
+                b.cast("string"),
+                # slice is 1-based; band b covers sig[b*r+1 .. b*r+r]
+                F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+            )
+        ),
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, k: int = 3
+) -> DataFrame:
+    """(doc, m0..m{H-1}) MinHash signature table via explode + hash-aggregate.
+
+    This is the scale plan: shingles explode to rows, then `min` aggregates get
+    map-side partial aggregation (each input partition reduces to one row per doc
+    before the shuffle). Documents with fewer than k tokens produce no shingles
+    and drop out — they have no text signature.
+
+    (A pure column-expression variant — `minhash_signature` — exists, but keeping
+    giant nested HOF expressions out of Generate/joins matters: Spark re-evaluates
+    generator input per output row, measured 7× slower on this exact operator.)
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    return sh.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(h)), F.lit(":"), F.col("s")))).alias(f"m{h}")
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, distinct) via banded MinHash.
+
+    Plan shape at scale: explode to shingle rows → partial-aggregated min-hash
+    signatures (one shuffle on doc id) → band keys from plain columns → ONE hash
+    shuffle on band_key → per-bucket pairing. No all-pairs comparison ever
+    happens; docs only meet if a full band (rows_per_band mins) collides.
+    """
+    sig = minhash_signature_table(df, id_col, text_col, bands * rows_per_band, k)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ),
+            )
+        )
+        for b in range(bands)
+    ]
+    keyed = sig.select("doc", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+# -- SimHash -----------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) with a `bits`-bit SimHash (bits ≤ 32; uses one md5 hex nibble's
+    high bit per position, so up to 32 positions).
+
+    bit i of the hash is 1 iff sum over token occurrences of ±1 (sign = high bit of
+    md5(token) nibble i) is positive. Linear: explode + one groupBy(id).
+    """
+    if not 1 <= bits <= 32:
+        raise ValueError("bits must be in [1, 32]")
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    value = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        value = bit if value is None else value + bit
+    out = sums.select("doc", value.cast("bigint").alias("simhash"))
+    # docs with no tokens never explode — give them simhash 0
+    ids = df.select(F.col(id_col).alias("doc")).distinct()
+    return ids.join(out, "doc", "left").select(
+        "doc", F.coalesce("simhash", F.lit(0)).cast("bigint").alias("simhash")
+    )
+
+
+# -- n-gram Jaccard -------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    blocking: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-k-gram sets, for pairs that share a blocking
+    key (pass e.g. ["lang"] — NEVER run unblocked at scale: exact Jaccard is the
+    verification stage after LSH, not a discovery scan).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    blocking = blocking or []
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in blocking],
+        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    join_cond = [F.col("a.sh") == F.col("b.sh")] + [
+        F.col(f"a.{c}") == F.col(f"b.{c}") for c in blocking
+    ]
+    inter = (
+        a.join(b, join_cond)
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

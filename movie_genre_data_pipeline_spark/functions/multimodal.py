@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column plumbing for a training-data pipeline.
+
+Design: media payloads are opaque `binary` columns travelling next to typed
+metadata (a struct with modality/mime/width/…), exactly how large-scale training
+pipelines ship media through Parquet. All Spark-side machinery here — schemas,
+partition-friendly layout, Arrow-batched `mapInPandas` operators with bounded batch
+sizes — is real and tested; ONLY the codec inner loop is stubbed because this
+container has no image/audio libraries (see `decode_image_stub`): it raises
+NotImplementedError unless `fake=True`, in which case it produces a deterministic
+fake decode so the plumbing can be exercised end-to-end.
+
+Scale notes:
+- Binary columns make rows wide: `spark.sql.files.maxPartitionBytes` governs scan
+  partition sizing, and mapInPandas streams Arrow batches so executor memory is
+  bounded by batch size, not partition size.
+- Feature extraction is embarrassingly parallel; the expensive part is shuffle of
+  raw bytes — so extract features FIRST, drop the payload, THEN join/aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType(), False),
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, payload_md5 string, mean_byte double, "
+    "width int, height int"
+)
+
+
+def attach_media_meta(
+    df: DataFrame, payload_col: str, modality: str, mime: str | None = None
+) -> DataFrame:
+    """Wrap a raw binary column into the (payload, meta) convention."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    ).withColumnRenamed(payload_col, "payload")
+
+
+def decode_image_stub(payload: bytes, fake: bool) -> tuple[int, int]:
+    """The codec boundary. Real deployments: PIL/opencv/ffmpeg here.
+    This container has none of them, so the real path raises (clearly marked);
+    fake=True derives deterministic dimensions from the payload hash."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library (PIL/opencv) not present "
+            "in this environment; pass fake=True for the deterministic stand-in"
+        )
+    h = int.from_bytes(payload[:4].ljust(4, b"\0"), "big") if payload else 0
+    return (64 + h % 192, 64 + (h >> 8) % 192)
+
+
+def image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extractor over (media_id, payload): byte stats + md5 +
+    stubbed decode dims. Arrow-batched; payload dropped from the output so
+    downstream stages never shuffle raw bytes."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [
+                decode_image_stub(p if p is not None else b"", fake_decode)
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "payload_md5": [
+                        hashlib.md5(p if p is not None else b"").hexdigest()
+                        for p in payloads
+                    ],
+                    "mean_byte": [
+                        (sum(p) / len(p)) if p else 0.0 for p in payloads
+                    ],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: emits (media_id, frame_ts_ms) rows from the
+    metadata duration — the downstream decode would read only those offsets.
+    Pure column math (sequence+explode), no payload touched."""
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

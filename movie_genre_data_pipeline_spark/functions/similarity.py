@@ -1,0 +1,157 @@
+"""Embedding similarity search (north star): brute-force cosine top-k as the exact
+baseline, bucketed variants (IVF-style partition pruning, and sign-LSH) as the
+scale path.
+
+Scale design:
+- Brute force is O(n²·d) — correct but only viable as the rerank/verification
+  stage or on small n. It broadcasts the smaller side; the dot products run as
+  JVM higher-order functions (zip_with + aggregate), no Python in the loop.
+- IVF-style: vectors are pre-assigned to coarse cells (here: the fixture's
+  `label` column stands in for a k-means assignment); top-k only scans the query's
+  cell → the cross-product shrinks by ~n_cells× and the join is an equi-join on
+  the cell id — a plain shuffle-hash join Catalyst handles.
+- Sign-LSH: b deterministic hyperplanes (seeded from md5, reproducible everywhere)
+  → b-bit bucket signature; only same-bucket vectors are compared. Recall is
+  tunable by b; multiplying tables (multiple hash tables) trades compute for
+  recall as usual.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product over array columns (JVM-side fold in array order —
+    deterministic, and bit-identical to DuckDB's sequential list fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 1,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector (excluding self), with rounded-score
+    + id tie-breaking so results are total-order deterministic.
+
+    `partition_col` turns this into the IVF-style variant: neighbors are only
+    sought within the same partition value (coarse cell), which is the 100 TB
+    shape — an equi-join on the cell instead of a full cross join.
+    """
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        _as_double(vec_col).alias("v"),
+        *( [F.col(partition_col).alias("cell")] if partition_col else [] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.vid") != F.col("b.vid")
+    if partition_col:
+        joined = a.join(b, on=[F.col("a.cell") == F.col("b.cell"), cond])
+    else:
+        joined = a.join(b, on=cond)
+    scored = joined.select(
+        F.col("a.vid").alias("vid"),
+        F.col("b.vid").alias("neighbor"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vid", "neighbor", "cos_sim", "rnk")
+    )
+
+
+def similar_pair_counts(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Per-cell count of vector pairs with cosine >= threshold (embedding-cosine
+    near-dup detection, aggregated — the dedup-decision statistic)."""
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        _as_double(vec_col).alias("v"),
+        F.col(label_col).alias("cell"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a.cell") == F.col("b.cell"), F.col("a.vid") < F.col("b.vid")]
+    )
+    return (
+        pairs.select(
+            F.col("a.cell").alias("cell"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_similar_pairs"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "mgdp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)^dim, seeded via md5 —
+    reproducible across engines and sessions (no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(2**32) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id (0 .. 2^b - 1) from `planes` (int). Vectors with the same
+    bucket are candidate neighbors."""
+    v = _as_double(vec_col)
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, lit_plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_top_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 1,
+    n_planes: int = 4,
+) -> DataFrame:
+    """ANN top-k: sign-LSH bucketing then exact cosine within buckets. The bucket
+    column is just a partition key — at scale this is brute_force_top_k with
+    partition_col=bucket, i.e. one equi-join shuffle instead of a cross join."""
+    planes = hyperplanes(dim, n_planes)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
+    )
+    return brute_force_top_k(bucketed, id_col, vec_col, k, partition_col="bucket")

@@ -1,0 +1,136 @@
+"""Text-analysis column functions for a training-data pipeline (north star:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Everything here is built-in `pyspark.sql.functions` expressions — JVM-side,
+whole-stage-codegen'd, no Python UDFs in the hot path. Each helper returns a
+Column so callers compose them into any projection; at 100 TB these are narrow
+per-row transforms that scan-pipeline with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lexicons for the language-ID heuristic. Real
+# pipelines swap in fastText/CLD3 behind the same column contract; the heuristic
+# is the dependency-free baseline and is exactly reproducible in ANSI SQL (the
+# correctness oracle runs the same lexicons).
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "des", "un", "une"),
+    "es": ("el", "los", "las", "es", "y", "un", "una", "que"),
+}
+
+# Stopwords for the quality score's stopword-ratio feature (English baseline).
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_LEXICONS["en"]
+
+# BPE-ish word/number/punct segmentation (token counting without a tokenizer dep).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization → array<string>; empty/blank text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Token count under the BPE-ish regex segmentation (long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast("bigint")
+
+
+def stopword_hits(col: str | Column, lexicon: tuple[str, ...]) -> Column:
+    """Number of tokens that are in `lexicon` (long). filter() is a JVM
+    higher-order function — no UDF."""
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(
+        F.filter(tokens(col), lambda t: F.array_contains(lex, F.lower(t)))
+    ).cast("bigint")
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    return {lang: stopword_hits(col, lex) for lang, lex in LANG_LEXICONS.items()}
+
+
+def lang_id(col: str | Column) -> Column:
+    """Heuristic language-ID: argmax of stopword hits with fixed precedence
+    en > de > fr > es on ties; 'und' (undetermined) when no lexicon matches."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build the CASE in reverse precedence so earlier langs win ties
+    for lang in reversed(list(LANG_LEXICONS)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """punctuation chars / total chars (double; 0.0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    """English-stopword tokens / total tokens (double; 0.0 for empty)."""
+    total = token_count(col)
+    hits = stopword_hits(col, QUALITY_STOPWORDS)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / total.cast("double")
+    )
+
+
+def mean_token_length(col: str | Column) -> Column:
+    """Average token length in chars (double; 0.0 for empty)."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality heuristic in [0, 1] (double):
+    rewards mid-length docs, plausible word lengths, and some stopword density;
+    penalizes punctuation soup. Deterministic + SQL-reproducible.
+    """
+    n_tok = token_count(col).cast("double")
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    wordlen = mean_token_length(col)
+    wordlen_score = F.when((wordlen >= 3.0) & (wordlen <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    stop_score = F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * F.lit(2.0), F.lit(1.0))
+    return F.round(
+        (length_score * 0.4 + wordlen_score * 0.3 + stop_score * 0.3)
+        * (F.lit(1.0) - punct_penalty * F.lit(0.5)),
+        6,
+    )
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase + whitespace collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of the normalized text.
+    (md5 chosen over xxhash64 because every engine — Spark, DuckDB, Trino —
+    computes the identical digest, so fingerprints are portable across systems.)"""
+    return F.md5(normalize_text(col))

@@ -1,3 +1,161 @@
-from movie_genre_data_pipeline_spark.suite import QuerySpec
+"""Dedup queries over `documents` (north star: exact, MinHash+LSH, SimHash,
+n-gram Jaccard). The oracles rebuild the exact same md5-based signatures in DuckDB
+— both engines produce bit-identical digests, so even the LSH candidate sets must
+match exactly.
+"""
 
-QUERIES: dict[str, QuerySpec] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+from movie_genre_data_pipeline_spark.suite.text_queries import _TOKS
+
+SHINGLE_K = 3
+BANDS = 4
+ROWS_PER_BAND = 3
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.2
+
+# shared SQL CTEs mirroring functions/dedup.py ------------------------------------
+_SHINGLES_CTE = f"""
+docs AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= {SHINGLE_K}
+              THEN list_transform(generate_series(1, len(toks) - {SHINGLE_K - 1}),
+                                  i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+              ELSE []::VARCHAR[] END AS shingles
+  FROM docs
+)"""
+
+# docs with no shingles (< k tokens) have no signature and never pair up
+_SIG_CTE = f"""
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {BANDS * ROWS_PER_BAND - 1}),
+           h -> list_aggregate(
+                  list_transform(shingles, s -> md5(h || ':' || s)), 'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+)"""
+
+
+# -- exact dedup --------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = exact_dedup(d, "doc_id", "text")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+Q_DEDUP_EXACT_ORACLE = """
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+GROUP BY d.lang
+"""
+
+
+# -- MinHash LSH candidates ------------------------------------------------------------
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", bands=BANDS, rows_per_band=ROWS_PER_BAND, k=SHINGLE_K
+    )
+
+
+Q_MINHASH_LSH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_SIG_CTE},
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {BANDS - 1}),
+                b -> md5(b || '|' || array_to_string(
+                       sig[b*{ROWS_PER_BAND}+1 : b*{ROWS_PER_BAND}+{ROWS_PER_BAND}], '|'))))
+           AS band_key
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# -- SimHash ------------------------------------------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+_BIT_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(SIMHASH_BITS)
+)
+_BIT_VALUE = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+Q_SIMHASH_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, md5(unnest(toks)) AS h FROM docs),
+sums AS (
+  SELECT doc_id,
+         {_BIT_SUMS}
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id AS doc,
+       CAST(COALESCE({_BIT_VALUE}, 0) AS BIGINT) AS simhash
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN sums USING (doc_id)
+"""
+
+
+# -- n-gram Jaccard (lang-blocked) -----------------------------------------------------------
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", k=SHINGLE_K, blocking=["lang"], threshold=JACCARD_THRESHOLD
+    )
+
+
+Q_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+shrows AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_distinct(shingles)) AS s FROM sh
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shrows GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shrows a JOIN shrows b ON a.s = b.s AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(q_dedup_exact, Q_DEDUP_EXACT_ORACLE),
+    "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, Q_MINHASH_LSH_ORACLE),
+    "dedup_simhash": QuerySpec(q_simhash, Q_SIMHASH_ORACLE),
+    "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, Q_NGRAM_JACCARD_ORACLE),
+}

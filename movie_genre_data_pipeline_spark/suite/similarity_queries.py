@@ -1,3 +1,144 @@
-from movie_genre_data_pipeline_spark.suite import QuerySpec
+"""Embedding similarity-search queries over `embeddings` (north star: ANN /
+near-dup by cosine). The oracle rebuilds the identical double-precision fold
+(sequential sum over the array in index order) so scores match bit-for-bit before
+rounding; both sides then round to 6 decimals and tie-break on neighbor id.
+"""
 
-QUERIES: dict[str, QuerySpec] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.similarity import (
+    brute_force_top_k,
+    hyperplanes,
+    lsh_top_k,
+    similar_pair_counts,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+PAIR_THRESHOLD = 0.35
+DIM = 64
+N_PLANES = 4
+
+# DuckDB cosine mirroring functions/similarity.py (generate_series fold, NOT
+# list_cosine_similarity — its internal accumulation order is unspecified).
+_DOT = (
+    "list_aggregate(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), 'sum')"
+)
+_NORM = "sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}), 6)"
+    )
+
+
+# -- IVF-style exact top-1 within coarse cell -------------------------------------
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return brute_force_top_k(e, "vec_id", "embedding", k=1, partition_col="label")
+
+
+Q_TOPK_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vid, b.vec_id AS neighbor,
+         {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vid, neighbor, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vid
+              ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
+"""
+
+
+# -- near-dup pair counts by cell ---------------------------------------------------
+def q_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similar_pair_counts(
+        e, "vec_id", "embedding", "label", threshold=PAIR_THRESHOLD
+    )
+
+
+Q_PAIR_COUNTS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+pairs AS (
+  SELECT a.label AS cell, {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_similar_pairs
+FROM pairs WHERE cos_sim >= {PAIR_THRESHOLD}
+GROUP BY cell
+"""
+
+
+# -- sign-LSH ANN top-1 ----------------------------------------------------------------
+def q_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_top_k(e, "vec_id", "embedding", dim=DIM, k=1, n_planes=N_PLANES)
+
+
+def _plane_literal(plane: list[float]) -> str:
+    # parenthesized so it can be indexed: ([..]::DOUBLE[])[i]
+    return "([" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[])"
+
+
+_PLANES = hyperplanes(DIM, N_PLANES)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_DOT.format(a='v', b=_plane_literal(_PLANES[j]))} >= 0 "
+    f"THEN {2 ** j} ELSE 0 END)"
+    for j in range(N_PLANES)
+)
+Q_LSH_TOP1_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM e),
+scored AS (
+  SELECT a.vec_id AS vid, b.vec_id AS neighbor,
+         {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vid, neighbor, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vid
+              ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
+"""
+
+
+# -- embedding stats ----------------------------------------------------------------------
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.similarity import norm, _as_double
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(norm(_as_double("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+Q_EMBEDDING_STATS_ORACLE = f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG({_NORM.format(a="v")}), 6) AS avg_norm
+FROM e GROUP BY label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sim_topk_ivf": QuerySpec(q_topk_ivf, Q_TOPK_IVF_ORACLE),
+    "sim_pair_counts": QuerySpec(q_pair_counts, Q_PAIR_COUNTS_ORACLE),
+    "sim_lsh_top1": QuerySpec(q_lsh_top1, Q_LSH_TOP1_ORACLE),
+    "sim_embedding_stats": QuerySpec(q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
+}

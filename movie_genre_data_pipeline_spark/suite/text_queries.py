@@ -1,3 +1,165 @@
-from movie_genre_data_pipeline_spark.suite import QuerySpec
+"""Text-analysis queries over `documents` (north star: language-ID, quality
+scoring, token counting, fingerprinting). Oracles are generated from the SAME
+lexicon/formula constants as the Spark implementations so they cannot drift.
 
-QUERIES: dict[str, QuerySpec] = {}
+DuckDB parity notes: regexp_replace needs the explicit 'g' flag (Spark's is global
+by default); list lambdas mirror Spark's higher-order functions 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.dedup import exact_dedup_stats
+from movie_genre_data_pipeline_spark.functions.text import (
+    LANG_LEXICONS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+# shared SQL fragments ---------------------------------------------------------
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _lex_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"len(list_filter(toks, t -> lower(t) IN ({words})))"
+
+
+# -- token counting --------------------------------------------------------------
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+Q_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+# -- language-ID histogram ----------------------------------------------------------
+def q_lang_id_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LANG_CASE = " ".join(
+    f"WHEN s_{lang} = g AND g > 0 THEN '{lang}'" for lang in LANG_LEXICONS
+)
+Q_LANG_ID_HIST_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+scores AS (
+  SELECT doc_id,
+         {", ".join(f"{_lex_sql(lang)} AS s_{lang}" for lang in LANG_LEXICONS)}
+  FROM toks
+),
+pick AS (
+  SELECT CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+  FROM (SELECT *, greatest({", ".join("s_" + lang for lang in LANG_LEXICONS)}) AS g
+        FROM scores)
+)
+SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM pick GROUP BY lang_pred
+"""
+
+
+# -- quality score ---------------------------------------------------------------------
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+Q_QUALITY_SCORES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS wordlen,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, t -> lower(t) IN ({_EN}))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS punct_ratio
+  FROM base
+)
+SELECT doc_id,
+       ROUND(
+         (LEAST(n_tok / 50.0, 1.0) * 0.4
+          + (CASE WHEN wordlen >= 3.0 AND wordlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+          + LEAST(stop_ratio * 5.0, 1.0) * 0.3)
+         * (1.0 - LEAST(punct_ratio * 2.0, 1.0) * 0.5),
+       6) AS quality
+FROM feat
+"""
+
+
+# -- fingerprint / exact-dup stats ---------------------------------------------------------
+def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup_stats(d, "doc_id", "text")
+
+
+Q_FINGERPRINT_STATS_ORACLE = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# -- per-source rollup of text metrics --------------------------------------------------------
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        )
+    )
+
+
+Q_SOURCE_QUALITY_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(length(text)), 4) AS avg_chars,
+       ROUND(AVG(len({_TOKS})), 4) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(q_token_stats, Q_TOKEN_STATS_ORACLE),
+    "text_lang_id_hist": QuerySpec(q_lang_id_hist, Q_LANG_ID_HIST_ORACLE),
+    "text_quality_scores": QuerySpec(q_quality_scores, Q_QUALITY_SCORES_ORACLE),
+    "text_fingerprint_stats": QuerySpec(q_fingerprint_stats, Q_FINGERPRINT_STATS_ORACLE),
+    "text_source_quality": QuerySpec(q_source_quality, Q_SOURCE_QUALITY_ORACLE),
+}
