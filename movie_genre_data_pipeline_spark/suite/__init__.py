@@ -36,6 +36,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def all_queries() -> dict[str, QuerySpec]:
     from movie_genre_data_pipeline_spark.suite import (
         dedup_queries,
+        multimodal_queries,
         pipeline_queries,
         relational,
         similarity_queries,
@@ -51,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         similarity_queries,
         streaming_queries,
+        multimodal_queries,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

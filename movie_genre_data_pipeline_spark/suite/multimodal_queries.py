@@ -1,0 +1,80 @@
+"""Multimodal-column queries (north star): binary payload plumbing through
+Arrow-batched mapInPandas. The testdata has no media table, so payloads are
+synthesized in-query from document text (UTF-8 bytes as the opaque binary) — the
+Spark-side machinery (binary columns, mapInPandas batch shapes, metadata structs,
+frame-sample plans) is the thing under test; the codec itself is the documented
+stub (functions/multimodal.decode_image_stub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.multimodal import (
+    attach_media_meta,
+    frame_sample_plan,
+    image_features,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        "n_chars",
+    )
+
+
+# -- byte features via mapInPandas (Arrow batches over binary column) ---------------
+def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir)
+    feats = image_features(media, fake_decode=True)
+    return feats.select("media_id", "n_bytes", "payload_md5")
+
+
+Q_MEDIA_BYTE_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# -- full feature row incl. stubbed decode (no SQL equivalent → rows-only) -----------
+def q_media_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir)
+    return image_features(media, fake_decode=True)
+
+
+# -- frame-sample plan (video-style metadata → per-frame rows) -------------------------
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media_meta(_media_df(spark, sf_dir), "payload", "video")
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.modality").alias("modality"),
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+Q_FRAME_SAMPLE_PLAN_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(UNNEST(generate_series(0, CAST(n_chars * 10 AS BIGINT), 1000)) AS BIGINT)
+         AS frame_ts_ms
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "media_byte_features": QuerySpec(q_media_byte_features, Q_MEDIA_BYTE_FEATURES_ORACLE),
+    "media_features_full": QuerySpec(q_media_features_full, None),
+    "media_frame_sample_plan": QuerySpec(q_frame_sample_plan, Q_FRAME_SAMPLE_PLAN_ORACLE),
+}

@@ -1,3 +1,148 @@
+"""Structured Streaming queries over `events` (north star: watermarks + event-time
+windows; absent from the reference, which only uses Trigger.Once file streams —
+SURVEY.md §2.8).
+
+Each query runs a REAL streaming job (file-source stream over the events parquet,
+availableNow trigger, memory sink) to completion, then returns the sink as a batch
+DataFrame — so the driver's oracle check covers actual streaming execution, not a
+batch re-phrasing. The batch twins (relational.q_tumbling_window / q_sessionize)
+share the same oracles' semantics.
+
+events.ts is TIMESTAMP(NANOS) in the parquet footer: the stream schema declares it
+LONG (with spark.sql.legacy.parquet.nanosAsLong set) and converts to a microsecond
+timestamp in-stream — same truncation DuckDB applies.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
 from movie_genre_data_pipeline_spark.suite import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+_EVENTS_LONG_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet is a single FILE; the streaming file source requires a
+    # directory (its per-batch relation rejects file-valued basePaths). Expose it
+    # through a temp directory containing a symlink — zero-copy, read-only-safe.
+    link_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{link_dir}/events.parquet")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_LONG_TS_SCHEMA)
+        .load(link_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+# -- tumbling window (streaming, complete mode) -----------------------------------
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+Q_STREAM_TUMBLING_ORACLE = """
+SELECT strftime(to_timestamp(FLOOR(EPOCH(ts) / 21600) * 21600), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- session windows (streaming) ------------------------------------------------------
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user — the streaming-native form of
+    relational.q_sessionize (lag+cumsum). Same session definition; the oracle is
+    the lag-based SQL."""
+    ev = _event_stream(spark, sf_dir)
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    out = _run_to_memory(sessions, "complete")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+    )
+
+
+Q_STREAM_SESSIONIZE_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+# -- watermarked append-mode window (late-data semantics; rows-only) --------------------
+def q_stream_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append mode: only windows the watermark has passed are emitted,
+    so the trailing window(s) stay open — correct streaming behavior that has no
+    batch-SQL equivalent, hence no oracle (driver records rows-only)."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n",
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
+    "stream_sessionize": QuerySpec(q_stream_sessionize, Q_STREAM_SESSIONIZE_ORACLE),
+    "stream_watermarked_append": QuerySpec(q_stream_watermarked, None),
+}
