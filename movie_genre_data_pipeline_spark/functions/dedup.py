@@ -245,3 +245,46 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# -- embedding-cosine near-dup ---------------------------------------------------------
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(vid, cell, is_dup): a vector is a duplicate iff some SMALLER-id vector in
+    the same cell has cosine >= threshold — the standard keep-first near-dup rule,
+    over embeddings instead of text.
+
+    Scale shape: candidate pairs come from an equi-join on the cell (IVF cell or
+    LSH bucket — callers at 100 TB pass `lsh_bucket(...)` as cell_col), never a
+    full cross join; the final flag is a left join against the distinct dup set.
+    Cosine is rounded to 6dp BEFORE thresholding so the decision is reproducible
+    bit-for-bit across engines.
+    """
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        _as_double(vec_col).alias("v"),
+        F.col(cell_col).alias("cell"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dups = (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                      F.col("b.vid") < F.col("a.vid")])
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return base.join(dups, "vid", "left").select(
+        "vid", "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )

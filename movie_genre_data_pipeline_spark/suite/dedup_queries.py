@@ -153,9 +153,39 @@ WHERE ROUND(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= {JACCARD_TH
 """
 
 
+# -- embedding-cosine near-dup (cell-blocked) ------------------------------------------
+EMB_DUP_THRESHOLD = 0.40  # sf0.01 max pairwise cosine is 0.513; 0.40 ≈ 0.01% tail
+
+
+def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import embedding_near_dup
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        e, "vec_id", "embedding", "label", threshold=EMB_DUP_THRESHOLD
+    )
+
+
+def _emb_dup_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.similarity_queries import _cos_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE {_cos_sql("a.v", "b.v")} >= {EMB_DUP_THRESHOLD}
+)
+SELECT e.vec_id AS vid, e.label AS cell,
+       (e.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+FROM e
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, Q_DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, Q_MINHASH_LSH_ORACLE),
     "dedup_simhash": QuerySpec(q_simhash, Q_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, Q_NGRAM_JACCARD_ORACLE),
+    "dedup_embedding_cosine": QuerySpec(q_embedding_cosine, _emb_dup_oracle()),
 }

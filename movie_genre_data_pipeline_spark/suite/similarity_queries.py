@@ -60,6 +60,32 @@ SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
 """
 
 
+# -- exact brute-force top-k (the correctness baseline for both bucketed variants) --
+def q_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact top-1 by cosine — O(n²·d) full self-join; the baseline the
+    IVF/LSH plans are judged against (they may only differ where the true
+    neighbor falls outside the probed cell/bucket)."""
+    e = load(spark, sf_dir, "embeddings")
+    return brute_force_top_k(e, "vec_id", "embedding", k=1, partition_col=None)
+
+
+Q_TOPK_BRUTEFORCE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vid, b.vec_id AS neighbor,
+         {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vid, neighbor, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vid
+              ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
+"""
+
+
 # -- near-dup pair counts by cell ---------------------------------------------------
 def q_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -137,6 +163,7 @@ FROM e GROUP BY label
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "sim_topk_bruteforce": QuerySpec(q_topk_bruteforce, Q_TOPK_BRUTEFORCE_ORACLE),
     "sim_topk_ivf": QuerySpec(q_topk_ivf, Q_TOPK_IVF_ORACLE),
     "sim_pair_counts": QuerySpec(q_pair_counts, Q_PAIR_COUNTS_ORACLE),
     "sim_lsh_top1": QuerySpec(q_lsh_top1, Q_LSH_TOP1_ORACLE),
