@@ -377,7 +377,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- SQL surface: catalog DDL + multi-table SQL (SURVEY.md §3 entry point 3, §2.2
+# W6/W7). The reference registers path-backed tables in a `Movie` database and
+# queries them with spark.sql; the OSS equivalents are a catalog database + temp
+# views, exercised here end-to-end with one ANSI statement both engines run.
+_SQL_SURFACE_STMT = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 0
+GROUP BY n.n_name
+"""
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql("CREATE DATABASE IF NOT EXISTS movie_pipeline")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SQL_SURFACE_STMT)
+
+
+Q_SQL_SURFACE_ORACLE = _SQL_SURFACE_STMT
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
     "semi_join": QuerySpec(q_semi_join, Q_SEMI_JOIN_ORACLE),

@@ -141,8 +141,62 @@ def q_stream_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- custom stateful operator (applyInPandasWithState) -------------------------------
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via an arbitrary-stateful operator
+    (`applyInPandasWithState`): state = (n_events, max_value) per user, updated
+    per micro-batch with Arrow-batched pandas. The emitted running values depend
+    on micro-batch boundaries, but the FINAL per-user row (max over emissions)
+    is batch-deterministic — count and max are accumulation-order-free — so the
+    result is oracle-checkable even though the operator itself has no SQL form."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mx = state.get
+        else:
+            n, mx = 0, None
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            n += int(len(pdf))
+            if len(vals):
+                m = float(vals.max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n_events long, max_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, "update")
+    return mem.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+Q_STREAM_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
     "stream_sessionize": QuerySpec(q_stream_sessionize, Q_STREAM_SESSIONIZE_ORACLE),
     "stream_watermarked_append": QuerySpec(q_stream_watermarked, None),
+    "stream_stateful_user_stats": QuerySpec(
+        q_stream_stateful_user_stats, Q_STREAM_STATEFUL_ORACLE
+    ),
 }
