@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) for the invariants the reference never wrote
+down (SURVEY.md §5: the test strategy is reconstructed, so pin the algebraic laws,
+not just examples). Each property runs few examples on tiny DataFrames — the laws,
+not the scale, are under test here.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.dedup import (
+    exact_dedup,
+    minhash_signature_table,
+    simhash,
+)
+from movie_genre_data_pipeline_spark.functions.similarity import cosine
+from movie_genre_data_pipeline_spark.operators.cleanse import quarantine_split
+from movie_genre_data_pipeline_spark.operators.upsert import (
+    upsert_insert_missing,
+    upsert_update,
+)
+
+FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.sampled_from("ab c\tD!"), min_size=0, max_size=30
+)
+
+
+# -- exact dedup: keep-lowest-id, idempotence ---------------------------------------
+@FAST
+@given(rows=st.lists(st.tuples(st.integers(0, 50), texts), min_size=1, max_size=20))
+def test_exact_dedup_laws(spark, rows):
+    # unique ids: hypothesis may repeat, make them unique by position
+    rows = [(i, t) for i, (_, t) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = exact_dedup(df, "id", "text").collect()
+    # keep-lowest-id per normalized fingerprint, computed independently in Python
+    import hashlib
+    import re
+
+    def fp(t):
+        return hashlib.md5(re.sub(r"\s+", " ", t.strip().lower()).encode()).hexdigest()
+
+    expected = {}
+    for i, t in rows:
+        k = fp(t)
+        if k not in expected or i < expected[k]:
+            expected[k] = i
+    assert sorted(r.id for r in out) == sorted(expected.values())
+    # idempotence: dedup(dedup(x)) == dedup(x)
+    again = exact_dedup(
+        spark.createDataFrame([(r.id, r.text) for r in out], "id long, text string"),
+        "id",
+        "text",
+    ).collect()
+    assert sorted(r.id for r in again) == sorted(r.id for r in out)
+
+
+# -- quarantine split: partition of distinct input -----------------------------------
+@FAST
+@given(
+    vals=st.lists(
+        st.integers(-100, 100).filter(lambda v: v is not None),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_quarantine_split_partitions_input(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    clean, quarantined = quarantine_split(df, F.col("x") >= 0)
+    c = sorted(r.x for r in clean.collect())
+    q = sorted(r.x for r in quarantined.collect())
+    assert set(c) | set(q) == set(vals)  # union == distinct input
+    assert not (set(c) & set(q))  # disjoint
+    assert all(v >= 0 for v in c) and all(v < 0 for v in q)
+
+
+# -- upsert_update: J1 (whenMatchedUpdate-only) laws ----------------------------------
+@FAST
+@given(
+    tgt=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=10),
+    src=st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True),
+)
+def test_upsert_update_laws(spark, tgt, src):
+    tgt = [(i, v) for i, (_, v) in enumerate(tgt)]  # unique target keys
+    target = spark.createDataFrame(tgt, "k long, v long")
+    source = spark.createDataFrame(
+        [(k, 1000 + k) for k in src], "k long, nv long"
+    )
+    out = {r.k: r.v for r in upsert_update(
+        target, source, "k", {"v": "nv"}
+    ).collect()}
+    assert len(out) == len(tgt)  # row count preserved
+    for k, v in tgt:
+        assert out[k] == (1000 + k if k in src else v)
+
+
+# -- upsert_insert_missing: J2 (anti-join delta) laws ---------------------------------
+@FAST
+@given(
+    tgt_keys=st.lists(st.integers(0, 15), min_size=0, max_size=10, unique=True),
+    src_keys=st.lists(st.integers(0, 15), min_size=0, max_size=10, unique=True),
+)
+def test_upsert_insert_missing_laws(spark, tgt_keys, src_keys):
+    target = spark.createDataFrame([(k, 0) for k in tgt_keys] or [], "k long, v long")
+    source = spark.createDataFrame([(k, 1) for k in src_keys] or [], "k long, v long")
+    delta = sorted(r.k for r in upsert_insert_missing(target, source, "k").collect())
+    assert delta == sorted(set(src_keys) - set(tgt_keys))
+
+
+# -- simhash: range + word-order invariance ------------------------------------------
+@FAST
+@given(words=st.lists(st.sampled_from(["ab", "cd", "ef", "gh"]), min_size=0, max_size=12))
+def test_simhash_range_and_order_invariance(spark, words):
+    bits = 16
+    fwd = " ".join(words)
+    rev = " ".join(reversed(words))
+    df = spark.createDataFrame([(1, fwd), (2, rev)], "id long, text string")
+    out = {r.doc: r.simhash for r in simhash(df, "id", "text", bits=bits).collect()}
+    assert 0 <= out[1] < 2**bits
+    # simhash sums over the token multiset; order can't matter
+    assert out[1] == out[2]
+
+
+# -- minhash: equal texts → equal signatures, signature length fixed -------------------
+@FAST
+@given(t=texts.filter(lambda s: len(s.split()) >= 3))
+def test_minhash_signature_laws(spark, t):
+    df = spark.createDataFrame([(1, t), (2, t)], "id long, text string")
+    rows = minhash_signature_table(df, "id", "text", num_hashes=6, k=3).collect()
+    sigs = {r["doc"]: tuple(r[f"m{i}"] for i in range(6)) for r in rows}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 6
+
+
+# -- cosine: self-similarity == 1 for non-zero vectors ---------------------------------
+@FAST
+@given(
+    v=st.lists(
+        st.floats(-10, 10, allow_nan=False).filter(lambda x: abs(x) > 1e-3),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_cosine_self_is_one(spark, v):
+    df = spark.createDataFrame([(v,)], "v array<double>")
+    got = df.select(cosine(F.col("v"), F.col("v")).alias("c")).collect()[0].c
+    assert math.isclose(got, 1.0, rel_tol=1e-9)
