@@ -377,6 +377,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- as-of join: most recent prior click per purchase, per user -----------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every purchase event, the latest click
+    by the same user at-or-before the purchase. Union+window plan — one shuffle
+    on user_id, no range join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from movie_genre_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(purchases, clicks, "user_id", right_cols=["event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_asof").alias("click_id"),
+        (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("ms_since_click"),
+    )
+
+
+Q_ASOF_JOIN_ORACLE = """
+SELECT l.user_id,
+       l.event_id AS purchase_id,
+       r.event_id AS click_id,
+       epoch_ms(l.ts::TIMESTAMP) - epoch_ms(r.ts::TIMESTAMP) AS ms_since_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # -- SQL surface: catalog DDL + multi-table SQL (SURVEY.md §3 entry point 3, §2.2
 # W6/W7). The reference registers path-backed tables in a `Movie` database and
 # queries them with spark.sql; the OSS equivalents are a catalog database + temp
@@ -402,6 +436,7 @@ Q_SQL_SURFACE_ORACLE = _SQL_SURFACE_STMT
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "asof_join": QuerySpec(q_asof_join, Q_ASOF_JOIN_ORACLE),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),

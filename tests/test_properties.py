@@ -142,6 +142,34 @@ def test_minhash_signature_laws(spark, t):
     assert len(sigs[1]) == 6
 
 
+# -- asof_join: equals the brute-force most-recent-prior lookup -----------------------
+@FAST
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=12),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 9)),
+                    min_size=0, max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from movie_genre_data_pipeline_spark.operators.asof import asof_join
+
+    # unique (key, t) on the right so the expected match is unambiguous
+    rights = list({(k, t): v for k, t, v in rights}.items())
+    rights = [(k, t, v) for (k, t), v in rights]
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(rights or [], "k long, t long, v long")
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(left, right, "k", left_ts="t", right_ts="t",
+                           right_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        prior = [(rt, v) for rk, rt, v in rights if rk == k and rt <= t]
+        expected = max(prior)[1] if prior else None
+        assert got[i] == expected, (i, k, t, prior)
+
+
 # -- cosine: self-similarity == 1 for non-zero vectors ---------------------------------
 @FAST
 @given(
