@@ -46,3 +46,31 @@ def write_partitioned(
 ) -> None:
     """W1/W3: partitioned Parquet write to a layer path."""
     batch_writer(dataframe, partition_column, exclude_columns, mode).save(path)
+
+
+def write_bucketed_table(
+    dataframe: DataFrame,
+    table: str,
+    bucket_columns: Sequence[str],
+    n_buckets: int,
+    sort_columns: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed catalog table: co-locates rows by hash(bucket_columns) at
+    WRITE time, so later equi-joins/aggregations on those columns need NO
+    exchange — the 100 TB play for fact⋈fact joins repeated across a pipeline
+    (pay one shuffle at ingest, reuse the layout forever). `sort_columns` adds
+    within-bucket ordering (sort-merge join without the sort).
+
+    Bucketing requires the catalog (`saveAsTable`) — plain `.save(path)` writes
+    no bucket metadata. Use a database with an explicit LOCATION to control the
+    physical path.
+    """
+    writer = (
+        dataframe.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_columns)
+    )
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table)

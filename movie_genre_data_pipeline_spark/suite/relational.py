@@ -377,6 +377,29 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- skew-resistant salted aggregation ------------------------------------------------
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregate (operators/skew.py) over lineitem's 3 giant
+    l_returnflag groups — the skewed-agg shape at 100 TB. l_quantity is
+    integral-valued, so the salted re-ordering of the double sum is FP-exact and
+    the result matches the single-stage oracle bit-for-bit."""
+    from movie_genre_data_pipeline_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_agg(li, ["l_returnflag"], "l_quantity", n_salts=16)
+
+
+Q_SKEW_SALTED_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(l_quantity) AS total,
+       MIN(l_quantity) AS minimum,
+       MAX(l_quantity) AS maximum,
+       SUM(l_quantity) / COUNT(*) AS mean
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # -- as-of join: most recent prior click per purchase, per user -----------------------
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every purchase event, the latest click
@@ -437,6 +460,7 @@ Q_SQL_SURFACE_ORACLE = _SQL_SURFACE_STMT
 
 QUERIES: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(q_asof_join, Q_ASOF_JOIN_ORACLE),
+    "skew_salted_agg": QuerySpec(q_skew_salted_agg, Q_SKEW_SALTED_AGG_ORACLE),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
