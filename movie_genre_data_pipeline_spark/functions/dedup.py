@@ -288,3 +288,62 @@ def embedding_near_dup(
     return base.join(dups, "vid", "left").select(
         "vid", "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
     )
+
+
+# -- duplicate clustering (connected components) ---------------------------------------
+def duplicate_clusters(
+    all_docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup candidate pairs
+    (e.g. `minhash_lsh_candidates` output with columns id_a < id_b), so an entire
+    chain a~b~c collapses to ONE cluster keyed by its minimum doc id. Singleton
+    docs are their own cluster.
+
+    Iterative min-label propagation: per round every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter) rounds.
+    Each round is one equi-join + one aggregate (shuffles on node id), and the
+    frame is localCheckpoint'ed to truncate lineage — the standard Spark shape
+    for iterative algorithms (no exponential plan growth, spill-safe). This is a
+    genuinely non-SQL-expressible operator batch-side; the DuckDB oracle uses a
+    recursive CTE instead.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = all_docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

@@ -182,8 +182,53 @@ FROM e
 """
 
 
+# -- duplicate clustering: connected components over LSH candidate pairs ----------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation (functions/dedup.py:duplicate_clusters)
+    over the MinHash-LSH candidate graph — chains a~b~c collapse into one
+    cluster. Oracle: recursive CTE computing the same components."""
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", bands=BANDS, rows_per_band=ROWS_PER_BAND, k=SHINGLE_K
+    )
+    return duplicate_clusters(d, pairs, "doc_id")
+
+
+Q_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_SIG_CTE},
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {BANDS - 1}),
+                b -> md5(b || '|' || array_to_string(
+                       sig[b*{ROWS_PER_BAND}+1 : b*{ROWS_PER_BAND}+{ROWS_PER_BAND}], '|'))))
+           AS band_key
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, Q_DEDUP_EXACT_ORACLE),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, Q_DEDUP_CLUSTERS_ORACLE),
     "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, Q_MINHASH_LSH_ORACLE),
     "dedup_simhash": QuerySpec(q_simhash, Q_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, Q_NGRAM_JACCARD_ORACLE),

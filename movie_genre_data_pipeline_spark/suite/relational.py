@@ -377,6 +377,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- interval (range) join: purchases inside post-error windows -----------------------
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via interval bucketing (operators/interval.py): every purchase
+    within 30 minutes after an error by the same user. Equi-join on
+    (user, time-bucket) + residual filter — no nested-loop non-equi join."""
+    from movie_genre_data_pipeline_spark.operators.interval import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.timestamp_millis(F.unix_millis("ts") + 30 * 60 * 1000)).alias("w_end"),
+        F.col("event_id").alias("error_id"),
+    )
+    out = interval_join(
+        purchases, windows, ["user_id"], "p_ts", "w_start", "w_end",
+        granularity_ms=30 * 60 * 1000,
+    )
+    return out.select("user_id", "purchase_id", "error_id")
+
+
+Q_INTERVAL_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND epoch_ms(p.ts::TIMESTAMP) BETWEEN epoch_ms(e.ts::TIMESTAMP)
+                                   AND epoch_ms(e.ts::TIMESTAMP) + 1800000
+"""
+
+
 # -- skew-resistant salted aggregation ------------------------------------------------
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregate (operators/skew.py) over lineitem's 3 giant
@@ -461,6 +495,7 @@ Q_SQL_SURFACE_ORACLE = _SQL_SURFACE_STMT
 QUERIES: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(q_asof_join, Q_ASOF_JOIN_ORACLE),
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, Q_SKEW_SALTED_AGG_ORACLE),
+    "interval_join": QuerySpec(q_interval_join, Q_INTERVAL_JOIN_ORACLE),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
