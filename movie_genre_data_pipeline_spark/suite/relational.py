@@ -377,6 +377,25 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- sketches: approximate distinct + quantiles ---------------------------------------
+def q_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: DataSketches HLL distinct-count,
+    HLL-merge via approx_count_distinct, and approx_percentile (KLL-style
+    quantiles). Sketch internals differ engine-to-engine so there is no exact
+    DuckDB oracle — the driver records a rows-only check; correctness of the
+    EXACT twins is covered by count_distinct / tpch_q1."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").alias(
+            "approx_orders"
+        ),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias(
+            "approx_median_price"
+        ),
+    )
+
+
 # -- interval (range) join: purchases inside post-error windows -----------------------
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via interval bucketing (operators/interval.py): every purchase
@@ -496,6 +515,7 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(q_asof_join, Q_ASOF_JOIN_ORACLE),
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, Q_SKEW_SALTED_AGG_ORACLE),
     "interval_join": QuerySpec(q_interval_join, Q_INTERVAL_JOIN_ORACLE),
+    "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, None),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),

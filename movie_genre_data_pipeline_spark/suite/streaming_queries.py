@@ -192,11 +192,66 @@ FROM events GROUP BY user_id
 """
 
 
+# -- foreachBatch + join-based upsert (W5: the OSS Delta-MERGE stream) ----------------
+def q_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `foreachBatch(upsertToDelta)` stream
+    (Autoloader_notebook/Bronze_to_Silver.py:257-276) rebuilt over Parquet: a
+    file-source stream of customers feeds per-micro-batch join-based upserts
+    into a materialized target table (negative-balance customers flip status
+    new→flagged). Ping-pong target dirs keep each batch's read/write disjoint;
+    the final table is returned and oracle-checked — streaming execution, exact
+    batch-SQL answer."""
+    from movie_genre_data_pipeline_spark.operators.upsert import upsert_update
+    from movie_genre_data_pipeline_spark.suite import load
+
+    base = tempfile.mkdtemp(prefix="febatch_merge_")
+    target0 = f"{base}/t0"
+    cust = load(spark, sf_dir, "customer")
+    cust.select("c_custkey").withColumn("status", F.lit("new")).write.parquet(target0)
+
+    link_dir = f"{base}/stream_src"
+    os.mkdir(link_dir)
+    os.symlink(f"{sf_dir}/customer.parquet", f"{link_dir}/customer.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    stream = spark.readStream.format("parquet").schema(schema).load(link_dir)
+    updates = (
+        stream.filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+        .withColumn("new_status", F.lit("flagged"))
+    )
+
+    state = {"cur": target0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tgt = spark.read.parquet(state["cur"])
+        nxt = f"{base}/t{batch_id + 1}"
+        upsert_update(tgt, batch_df, "c_custkey", {"status": "new_status"}).write.parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["cur"])
+
+
+Q_STREAM_FOREACHBATCH_MERGE_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'flagged' ELSE 'new' END AS status
+FROM customer
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
     "stream_sessionize": QuerySpec(q_stream_sessionize, Q_STREAM_SESSIONIZE_ORACLE),
     "stream_watermarked_append": QuerySpec(q_stream_watermarked, None),
     "stream_stateful_user_stats": QuerySpec(
         q_stream_stateful_user_stats, Q_STREAM_STATEFUL_ORACLE
+    ),
+    "stream_foreachbatch_merge": QuerySpec(
+        q_stream_foreachbatch_merge, Q_STREAM_FOREACHBATCH_MERGE_ORACLE
     ),
 }
