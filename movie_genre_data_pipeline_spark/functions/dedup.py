@@ -267,20 +267,26 @@ def embedding_near_dup(
     """
     from movie_genre_data_pipeline_spark.functions.similarity import (
         _as_double,
-        cosine,
+        dot,
+        norm,
     )
 
     base = df.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
         F.col(cell_col).alias("cell"),
-    )
+    ).withColumn("n", norm(F.col("v")))  # once per vector, not per pair
     a = base.alias("a")
     b = base.alias("b")
     dups = (
         a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
                       F.col("b.vid") < F.col("a.vid")])
-        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            )
+            >= threshold
+        )
         .select(F.col("a.vid").alias("vid"))
         .distinct()
         .withColumn("is_dup", F.lit(True))

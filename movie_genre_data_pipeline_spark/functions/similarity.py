@@ -61,22 +61,38 @@ def brute_force_top_k(
     sought within the same partition value (coarse cell), which is the 100 TB
     shape — an equi-join on the cell instead of a full cross join.
     """
+    # Precompute each vector's norm ONCE (outside the join): cosine-per-pair
+    # would otherwise re-fold both norms for every pair — 3 array folds per pair
+    # instead of 1. The norm value is the identical fold either way, so scores
+    # stay bit-for-bit equal to the per-pair formulation (and the oracle).
     base = df.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
         *( [F.col(partition_col).alias("cell")] if partition_col else [] ),
-    )
+    ).withColumn("n", norm(F.col("v")))
     a = base.alias("a")
     b = base.alias("b")
-    cond = F.col("a.vid") != F.col("b.vid")
+    # score each UNORDERED pair once (vid < neighbor) and mirror it: x*y == y*x
+    # elementwise and the fold order over i is unchanged, so the mirrored score
+    # is bit-identical — half the dot-product work of the naive vid != vid join.
+    cond = F.col("a.vid") < F.col("b.vid")
     if partition_col:
         joined = a.join(b, on=[F.col("a.cell") == F.col("b.cell"), cond])
     else:
         joined = a.join(b, on=cond)
-    scored = joined.select(
+    half = joined.select(
         F.col("a.vid").alias("vid"),
         F.col("b.vid").alias("neighbor"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+        ).alias("cos_sim"),
+    )
+    scored = half.unionByName(
+        half.select(
+            F.col("neighbor").alias("vid"),
+            F.col("vid").alias("neighbor"),
+            "cos_sim",
+        )
     )
     w = Window.partitionBy("vid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
@@ -97,7 +113,7 @@ def similar_pair_counts(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
         F.col(label_col).alias("cell"),
-    )
+    ).withColumn("n", norm(F.col("v")))  # once per vector, not per pair
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(
@@ -106,7 +122,9 @@ def similar_pair_counts(
     return (
         pairs.select(
             F.col("a.cell").alias("cell"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .groupBy("cell")
