@@ -30,6 +30,11 @@ class QuerySpec(NamedTuple):
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.sources.batch import read_parquet
 
+    # The driver runs these on ITS OWN session; timestamp rendering
+    # (date_format/window starts) must match the tz-naive DuckDB oracle
+    # regardless of that session's locale, so pin UTC at query time
+    # (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_parquet(spark, f"{sf_dir}/{table}.parquet")
 
 

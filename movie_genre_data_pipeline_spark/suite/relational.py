@@ -369,7 +369,8 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_TUMBLING_WINDOW_ORACLE = """
-SELECT strftime(to_timestamp(FLOOR(EPOCH(ts) / 21600) * 21600), '%Y-%m-%d %H:%M:%S') AS w_start,
+SELECT strftime(make_timestamp(CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 2) AS total_value

@@ -39,6 +39,7 @@ _EVENTS_LONG_TS_SCHEMA = T.StructType(
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match tz-naive oracle
     # events.parquet is a single FILE; the streaming file source requires a
     # directory (its per-batch relation rejects file-valued basePaths). Expose it
     # through a temp directory containing a symlink — zero-copy, read-only-safe.
@@ -82,7 +83,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_STREAM_TUMBLING_ORACLE = """
-SELECT strftime(to_timestamp(FLOOR(EPOCH(ts) / 21600) * 21600), '%Y-%m-%d %H:%M:%S') AS w_start,
+SELECT strftime(make_timestamp(CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 2) AS total_value
