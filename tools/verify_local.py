@@ -62,13 +62,23 @@ def values_match(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from movie_genre_data_pipeline_spark.session import build_session
     from movie_genre_data_pipeline_spark.suite import all_queries
 
-    spark = build_session(app_name="verify-local")
+    if vanilla:
+        # simulate the external driver: a bare SparkSession with NO engine
+        # configs — queries must self-configure anything they depend on
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from movie_genre_data_pipeline_spark.session import build_session
+
+        spark = build_session(app_name="verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
