@@ -194,6 +194,56 @@ FROM events GROUP BY user_id
 """
 
 
+# -- stream-stream join (watermarked, time-range condition) ---------------------------
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to clicks by
+    the same user within the preceding 30 minutes. Both sides carry watermarks
+    so Spark can bound the join state (the 100 TB requirement — unbounded
+    stream-stream joins otherwise keep every row forever). With availableNow
+    over a finite input the emitted matches are exactly the batch answer, so
+    the time-range-join SQL is the oracle."""
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )
+
+
+Q_STREAM_STREAM_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_ms(c.ts::TIMESTAMP) BETWEEN epoch_ms(p.ts::TIMESTAMP) - 1800000
+                                   AND epoch_ms(p.ts::TIMESTAMP)
+"""
+
+
 # -- foreachBatch + join-based upsert (W5: the OSS Delta-MERGE stream) ----------------
 def q_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `foreachBatch(upsertToDelta)` stream
@@ -256,4 +306,5 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_foreachbatch_merge": QuerySpec(
         q_stream_foreachbatch_merge, Q_STREAM_FOREACHBATCH_MERGE_ORACLE
     ),
+    "stream_stream_join": QuerySpec(q_stream_stream_join, Q_STREAM_STREAM_JOIN_ORACLE),
 }
