@@ -40,6 +40,9 @@ _EVENTS_LONG_TS_SCHEMA = T.StructType(
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # match tz-naive oracle
+    # stateful streaming ops can't use AQE; on a default driver session the 200
+    # shuffle partitions are pure overhead at suite scale — pin a sane count
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     # events.parquet is a single FILE; the streaming file source requires a
     # directory (its per-batch relation rejects file-valued basePaths). Expose it
     # through a temp directory containing a symlink — zero-copy, read-only-safe.
