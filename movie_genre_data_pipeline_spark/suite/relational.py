@@ -378,6 +378,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- applyInPandas grouped-map: per-group min-max normalization ------------------------
+def q_grouped_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInPandas`: per-user min-max normalization of event
+    values — the custom-per-group-transform escape hatch (Arrow batches, one
+    shuffle on the group key). (v - min) / (max - min) uses the exact same two
+    doubles in every engine, so results round-trip bit-for-bit at 6dp."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        rng = hi - lo
+        pdf["value_norm"] = (
+            ((pdf["value"] - lo) / rng) if rng > 0 else 0.0
+        )
+        return pdf[["user_id", "event_id", "value_norm"]]
+
+    out = ev.groupBy("user_id").applyInPandas(
+        norm_group, "user_id long, event_id long, value_norm double"
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value_norm", 6).alias("value_norm")
+    )
+
+
+Q_GROUPED_PANDAS_NORM_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+                  ELSE (value - MIN(value) OVER w)
+                       / (MAX(value) OVER w - MIN(value) OVER w) END,
+             6) AS value_norm
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 # -- sketches: approximate distinct + quantiles ---------------------------------------
 def q_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: DataSketches HLL distinct-count,
@@ -517,6 +554,7 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, Q_SKEW_SALTED_AGG_ORACLE),
     "interval_join": QuerySpec(q_interval_join, Q_INTERVAL_JOIN_ORACLE),
     "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, None),
+    "grouped_pandas_norm": QuerySpec(q_grouped_pandas_norm, Q_GROUPED_PANDAS_NORM_ORACLE),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
