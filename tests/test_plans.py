@@ -54,3 +54,25 @@ def test_interval_join_no_nested_loop(spark):
 def test_quarantine_filter_pushed(spark):
     plan = _plan(spark, "quarantine_clean")
     assert "PushedFilters" in plan and "l_quantity" in plan, plan
+
+
+def test_partition_pruning_on_p_ingestdate(spark, tmp_path):
+    """The medallion p_* partition convention must actually prune: a filtered
+    scan of a date-partitioned table reads only matching partitions."""
+    from pyspark.sql import functions as F
+
+    ev = all_queries()["lit_enrich"].fn(spark, SF_DIR).limit(0)  # warm import
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", F.to_date("o_orderdate").alias("p_date")
+    )
+    path = str(tmp_path / "part_orders")
+    src.write.partitionBy("p_date").parquet(path)
+    one_day = src.select(F.max("p_date")).collect()[0][0]
+
+    df = spark.read.parquet(path).filter(F.col("p_date") == F.lit(one_day))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_filters and "p_date" in part_filters[0], plan
