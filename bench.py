@@ -39,8 +39,10 @@ def main() -> None:
     spark = build_session(app_name="mgdp-bench")
     specs = all_queries()
 
-    # warmup: touch the biggest table so JVM/codegen/file-listing costs are paid
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: exercise scan + hash-agg + shuffle + codegen paths so the first
+    # timed query reflects steady state, not one-time JIT/classloading
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
