@@ -170,6 +170,47 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         assert got[i] == expected, (i, k, t, prior)
 
 
+# -- interval_join: equals the brute-force range filter --------------------------------
+@FAST
+@given(
+    points=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+                    min_size=1, max_size=10),
+    ivs=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10_000), st.integers(0, 5_000)),
+                 min_size=0, max_size=10),
+)
+def test_interval_join_matches_bruteforce(spark, points, ivs):
+    from pyspark.sql import functions as F2
+
+    from movie_genre_data_pipeline_spark.operators.interval import interval_join
+
+    # seconds → timestamps; intervals are [start, start+len]
+    p = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)], "k long, tsec long, pid long"
+    ).select("k", F2.timestamp_seconds("tsec").alias("pt"), "pid")
+    iv = spark.createDataFrame(
+        [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(ivs)] or [],
+        "k long, ssec long, esec long, ivid long",
+    ).select(
+        "k",
+        F2.timestamp_seconds("ssec").alias("istart"),
+        F2.timestamp_seconds("esec").alias("iend"),
+        "ivid",
+    )
+    got = sorted(
+        (r.pid, r.ivid)
+        for r in interval_join(
+            p, iv, ["k"], "pt", "istart", "iend", granularity_ms=7_000
+        ).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, (pk, t) in enumerate(points)
+        for j, (ik, s, ln) in enumerate(ivs)
+        if pk == ik and s <= t <= s + ln
+    )
+    assert got == expected
+
+
 # -- cosine: self-similarity == 1 for non-zero vectors ---------------------------------
 @FAST
 @given(
