@@ -48,7 +48,11 @@ def test_exact_dedup_laws(spark, rows):
     import re
 
     def fp(t):
-        return hashlib.md5(re.sub(r"\s+", " ", t.strip().lower()).encode()).hexdigest()
+        # mirror functions/text.normalize_text exactly: Spark/DuckDB trim()
+        # strips SPACES only (not \t), then lower, then \s+ collapse
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t.strip(" ").lower()).encode()
+        ).hexdigest()
 
     expected = {}
     for i, t in rows:
