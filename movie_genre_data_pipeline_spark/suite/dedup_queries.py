@@ -226,9 +226,47 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# -- materialize the deduplicated corpus (one keeper per cluster) -----------------------
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data dedup: cluster near-dups (LSH candidates →
+    connected components), keep the minimum doc id per cluster, return the
+    surviving corpus profile per (lang, source). This is the query a 100 TB
+    pipeline actually materializes; everything upstream is its plumbing."""
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", bands=BANDS, rows_per_band=ROWS_PER_BAND, k=SHINGLE_K
+    )
+    clusters = duplicate_clusters(d, pairs, "doc_id")
+    keepers = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    kept = d.join(keepers, "doc_id")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+def _dedup_corpus_oracle() -> str:
+    # reuse the cluster CTE chain; keepers are nodes whose component min == self
+    body = Q_DEDUP_CLUSTERS_ORACLE.strip().rstrip('"')
+    return f"""
+WITH RECURSIVE {body.split("WITH RECURSIVE", 1)[1].rsplit("SELECT node", 1)[0]}
+, comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.lang, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+GROUP BY d.lang, d.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, Q_DEDUP_EXACT_ORACLE),
     "dedup_clusters": QuerySpec(q_dedup_clusters, Q_DEDUP_CLUSTERS_ORACLE),
+    "dedup_corpus": QuerySpec(q_dedup_corpus, _dedup_corpus_oracle()),
     "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, Q_MINHASH_LSH_ORACLE),
     "dedup_simhash": QuerySpec(q_simhash, Q_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, Q_NGRAM_JACCARD_ORACLE),

@@ -197,6 +197,43 @@ FROM events GROUP BY user_id
 """
 
 
+# -- streaming dedup (dropDuplicatesWithinWatermark) -----------------------------------
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the same events file is delivered TWICE
+    (double symlink — simulating at-least-once redelivery), and
+    `dropDuplicatesWithinWatermark` on event_id collapses the duplicates with
+    state bounded by the watermark (the 100 TB requirement: dedup state must
+    expire, not grow forever). Oracle: each event counted exactly once."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    link_dir = tempfile.mkdtemp(prefix="events_dup_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{link_dir}/events_copy1.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{link_dir}/events_copy2.parquet")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_LONG_TS_SCHEMA)
+        .load(link_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+Q_STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 # -- stream-stream join (watermarked, time-range condition) ---------------------------
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: each purchase joined to clicks by
@@ -310,4 +347,5 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_foreachbatch_merge, Q_STREAM_FOREACHBATCH_MERGE_ORACLE
     ),
     "stream_stream_join": QuerySpec(q_stream_stream_join, Q_STREAM_STREAM_JOIN_ORACLE),
+    "stream_dedup": QuerySpec(q_stream_dedup, Q_STREAM_DEDUP_ORACLE),
 }
