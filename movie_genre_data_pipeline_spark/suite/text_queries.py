@@ -163,3 +163,48 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint_stats": QuerySpec(q_fingerprint_stats, Q_FINGERPRINT_STATS_ORACLE),
     "text_source_quality": QuerySpec(q_source_quality, Q_SOURCE_QUALITY_ORACLE),
 }
+
+
+# -- n-gram frequency profile: top bigrams per language --------------------------------
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram profiling: top-3 word bigrams per language (count desc,
+    bigram asc tie-break) — explode + partial-aggregated count + windowed top-k,
+    the linear/one-shuffle shape that holds at corpus scale."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select("lang", F.explode(word_shingles("text", 2)).alias("bigram"))
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "bigram", "n", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q_NGRAM_TOPK_ORACLE = f"""
+WITH docs AS (SELECT lang, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT lang,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+1], ' '))
+                     ELSE []::VARCHAR[] END) AS bigram
+  FROM docs
+),
+counts AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, bigram, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY n DESC, bigram ASC) AS INTEGER) AS rnk
+  FROM counts
+)
+SELECT lang, bigram, n, rnk FROM ranked WHERE rnk <= 3
+"""
+
+QUERIES["text_ngram_topk"] = QuerySpec(q_ngram_topk, Q_NGRAM_TOPK_ORACLE)
