@@ -215,6 +215,64 @@ def test_interval_join_matches_bruteforce(spark, points, ivs):
     assert got == expected
 
 
+# -- duplicate_clusters: matches union-find on random graphs ---------------------------
+@FAST
+@given(
+    n=st.integers(1, 12),
+    edges=st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=15),
+)
+def test_duplicate_clusters_matches_union_find(spark, n, edges):
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_clusters
+
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b and a < n and b < n]
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges or [], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(docs, pairs, "doc_id").collect()
+    }
+
+    # reference model: union-find with min-label canonicalization
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+    assert got == expected
+
+
+# -- salted_agg: identical to single-stage aggregation ---------------------------------
+@FAST
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+                  min_size=1, max_size=30)
+)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    from movie_genre_data_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: (r.n_rows, r.total, r.minimum, r.maximum, r.mean)
+        for r in salted_agg(df, ["k"], "v", n_salts=4).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for k, v in rows:
+        groups[k].append(v)
+    for k, vs in groups.items():
+        n, tot = len(vs), sum(vs)
+        assert got[k] == (n, tot, min(vs), max(vs), tot / n)
+
+
 # -- cosine: self-similarity == 1 for non-zero vectors ---------------------------------
 @FAST
 @given(
