@@ -378,6 +378,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- data profiling: exact group percentiles ------------------------------------------
+def q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile profile per group (Spark `percentile` — sort-based,
+    linear interpolation; DuckDB `quantile_cont` computes the identical
+    statistic). The exact twin of the sketch path in sketch_approx_stats."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+    )
+
+
+Q_PROFILE_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # -- applyInPandas grouped-map: per-group min-max normalization ------------------------
 def q_grouped_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map `applyInPandas`: per-user min-max normalization of event
@@ -555,6 +579,7 @@ QUERIES: dict[str, QuerySpec] = {
     "interval_join": QuerySpec(q_interval_join, Q_INTERVAL_JOIN_ORACLE),
     "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, None),
     "grouped_pandas_norm": QuerySpec(q_grouped_pandas_norm, Q_GROUPED_PANDAS_NORM_ORACLE),
+    "profile_percentiles": QuerySpec(q_profile_percentiles, Q_PROFILE_PERCENTILES_ORACLE),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
