@@ -142,6 +142,47 @@ SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
 """
 
 
+# -- ANN quality: LSH recall@1 vs exact baseline --------------------------------------
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of the sign-LSH index against the exact brute-force answer —
+    the self-evaluation loop an ANN deployment needs (recall tunes via
+    n_planes / multi-table probing). A HIT is an LSH top-1 whose cosine equals
+    the exact top-1's cosine (ties count as hits); vectors with no same-bucket
+    neighbor are misses."""
+    e = load(spark, sf_dir, "embeddings")
+    exact = brute_force_top_k(e, "vec_id", "embedding", k=1).select(
+        "vid", F.col("cos_sim").alias("exact_cos")
+    )
+    approx = lsh_top_k(e, "vec_id", "embedding", dim=DIM, k=1, n_planes=N_PLANES).select(
+        "vid", F.col("cos_sim").alias("lsh_cos")
+    )
+    joined = exact.join(approx, "vid", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("lsh_cos") == F.col("exact_cos"), 1).otherwise(0)
+        ).cast("bigint").alias("n_hits"),
+        F.round(
+            F.avg(F.when(F.col("lsh_cos") == F.col("exact_cos"), 1.0).otherwise(0.0)),
+            6,
+        ).alias("recall_at_1"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    exact_body = Q_TOPK_BRUTEFORCE_ORACLE.strip()
+    lsh_body = Q_LSH_TOP1_ORACLE.strip()
+    # both oracles are WITH ... SELECT; inline them as subqueries
+    return f"""
+WITH exact AS ({exact_body}),
+approx AS ({lsh_body})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN a.cos_sim = e.cos_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(AVG(CASE WHEN a.cos_sim = e.cos_sim THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1
+FROM exact e LEFT JOIN approx a USING (vid)
+"""
+
+
 # -- embedding stats ----------------------------------------------------------------------
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.functions.similarity import norm, _as_double
@@ -168,4 +209,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_pair_counts": QuerySpec(q_pair_counts, Q_PAIR_COUNTS_ORACLE),
     "sim_lsh_top1": QuerySpec(q_lsh_top1, Q_LSH_TOP1_ORACLE),
     "sim_embedding_stats": QuerySpec(q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
+    "sim_lsh_recall": QuerySpec(q_lsh_recall, _lsh_recall_oracle()),
 }
