@@ -173,3 +173,65 @@ def lsh_top_k(
         F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
     )
     return brute_force_top_k(bucketed, id_col, vec_col, k, partition_col="bucket")
+
+
+def lsh_top_k_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 1,
+    n_planes: int = 4,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN top-k: T independent hash tables (different
+    seeded hyperplane sets), candidate pairs unioned across tables, then ONE
+    exact rerank over the distinct candidates. Recall rises with T (a vector
+    pair collides if it shares a bucket in ANY table) at T× bucketing cost —
+    the standard recall/compute dial. Each table's pairing is an equi-join on
+    its bucket id; the union/distinct is one extra shuffle on the pair key."""
+    cands = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=f"mgdp:{t}")
+        bucketed = df.select(
+            F.col(id_col).alias("vid"), lsh_bucket(vec_col, planes).alias("bucket")
+        )
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        pairs_t = a.join(
+            b,
+            on=[F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vid") != F.col("b.vid")],
+        ).select(F.col("a.vid").alias("vid"), F.col("b.vid").alias("neighbor"))
+        cands = pairs_t if cands is None else cands.unionByName(pairs_t)
+    cands = cands.distinct()
+
+    vecs = df.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    scored = (
+        cands.join(vecs, "vid")
+        .join(
+            vecs.select(
+                F.col("vid").alias("neighbor"),
+                F.col("v").alias("nv"),
+                F.col("n").alias("nn"),
+            ),
+            "neighbor",
+        )
+        .select(
+            "vid",
+            "neighbor",
+            F.round(dot(F.col("v"), F.col("nv")) / (F.col("n") * F.col("nn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vid", "neighbor", "cos_sim", "rnk")
+    )

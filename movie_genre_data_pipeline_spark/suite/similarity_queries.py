@@ -142,6 +142,55 @@ SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
 """
 
 
+# -- multi-table LSH ANN top-1 ---------------------------------------------------------
+N_TABLES = 3
+
+
+def q_lsh_multi_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.similarity import lsh_top_k_multi
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_top_k_multi(
+        e, "vec_id", "embedding", dim=DIM, k=1, n_planes=N_PLANES, n_tables=N_TABLES
+    )
+
+
+def _bucket_sql_for_seed(seed: str) -> str:
+    planes = hyperplanes(DIM, N_PLANES, seed=seed)
+    return " + ".join(
+        f"(CASE WHEN {_DOT.format(a='v', b=_plane_literal(planes[j]))} >= 0 "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
+def _lsh_multi_oracle() -> str:
+    per_table = [
+        f"""
+t{t} AS (SELECT vec_id, v, CAST({_bucket_sql_for_seed(f"mgdp:{t}")} AS INTEGER) AS bucket FROM e),
+p{t} AS (SELECT a.vec_id AS vid, b.vec_id AS neighbor
+         FROM t{t} a JOIN t{t} b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)"""
+        for t in range(N_TABLES)
+    ]
+    union = " UNION ".join(f"SELECT vid, neighbor FROM p{t}" for t in range(N_TABLES))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{",".join(per_table)},
+cands AS ({union}),
+scored AS (
+  SELECT c.vid, c.neighbor, {_cos_sql("ea.v", "eb.v")} AS cos_sim
+  FROM cands c JOIN e ea ON ea.vec_id = c.vid JOIN e eb ON eb.vec_id = c.neighbor
+),
+ranked AS (
+  SELECT vid, neighbor, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vid
+              ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
+"""
+
+
 # -- ANN quality: LSH recall@1 vs exact baseline --------------------------------------
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@1 of the sign-LSH index against the exact brute-force answer —
@@ -210,4 +259,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_top1": QuerySpec(q_lsh_top1, Q_LSH_TOP1_ORACLE),
     "sim_embedding_stats": QuerySpec(q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
     "sim_lsh_recall": QuerySpec(q_lsh_recall, _lsh_recall_oracle()),
+    "sim_lsh_multi_top1": QuerySpec(q_lsh_multi_top1, _lsh_multi_oracle()),
 }
