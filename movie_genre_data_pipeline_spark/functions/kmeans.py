@@ -1,0 +1,111 @@
+"""K-means (Lloyd's) over an embedding column — the trained-centroid version of
+the IVF coarse quantizer (`similarity.py` uses the fixture's `label` as a stand-in
+cell id; this module learns real cells).
+
+Spark shape: per iteration, ONE equi-free assignment pass (centroids are a
+broadcast literal array — no join, no shuffle) + ONE groupBy(cluster) partial
+aggregate (map-side combined). Centroids live on the driver (k·d doubles — tiny);
+the data never leaves executors. This is the standard iterative-algorithm loop:
+k jobs over cached input, lineage kept flat by re-planning from the cached frame.
+
+Determinism: init is k-means|| free — centroids seed from the k lowest-id vectors
+(deterministic everywhere); ties in nearest-centroid break toward the lower
+cluster index. Float sums across partitions make centroid low bits run-dependent,
+so EXACT cross-engine equality is not claimed (no SQL oracle); the properties
+tests assert the things that ARE guaranteed: monotone non-increasing inertia,
+assignment stability at convergence, and correct cluster count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col, centroid: list[float]):
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, cluster, sq_dist): nearest centroid per vector (ties → lower index).
+    Pure projection — no shuffle; centroids are literals baked into the plan."""
+    dists = F.array(*[_sq_dist(F.col("__v"), c) for c in centroids])
+    out = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__d", dists)
+        .withColumn("cluster", F.expr("array_position(__d, array_min(__d))").cast("int") - 1)
+        .withColumn("sq_dist", F.expr("array_min(__d)"))
+    )
+    return out.select("vid", "cluster", "sq_dist")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_iterations: int = 10,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's iterations; returns (centroids, per-iteration inertia history).
+
+    Init: the k vectors with the lowest ids (deterministic, seedless). Empty
+    clusters keep their previous centroid. Stops when inertia improves by less
+    than `tol` relatively, or after `max_iterations`.
+    """
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).cache()
+    dim = len(base.first()["v"])
+    centroids = [
+        r["v"] for r in base.orderBy("vid").limit(k).collect()
+    ]
+    history: list[float] = []
+    for _ in range(max_iterations):
+        assigned = assign_clusters(base, "vid", "v", centroids).join(base, "vid")
+        agg = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array(*[F.sum(F.col("v")[i]) for i in range(dim)]).alias("sums"),
+            F.sum("sq_dist").alias("inertia"),
+        )
+        rows = {r["cluster"]: r for r in agg.collect()}
+        inertia = float(sum(r["inertia"] for r in rows.values()))
+        history.append(inertia)
+        centroids = [
+            [s / rows[c]["n"] for s in rows[c]["sums"]] if c in rows else centroids[c]
+            for c in range(k)
+        ]
+        if len(history) >= 2 and history[-2] - history[-1] <= tol * max(history[-2], 1.0):
+            break
+    base.unpersist()
+    return centroids, history
+
+
+def kmeans_ivf_top_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int = 8,
+    k_neighbors: int = 1,
+    max_iterations: int = 5,
+) -> DataFrame:
+    """IVF ANN with LEARNED cells: fit k-means, assign every vector to its cell,
+    then exact top-k within cells (equi-join on the cell id — the same plan
+    shape as `brute_force_top_k(partition_col=...)`, cells now data-driven)."""
+    from movie_genre_data_pipeline_spark.functions.similarity import brute_force_top_k
+
+    centroids, _ = kmeans_fit(df, id_col, vec_col, k_clusters, max_iterations)
+    cells = assign_clusters(df, id_col, vec_col, centroids).select(
+        F.col("vid").alias(id_col), "cluster"
+    )
+    with_cells = df.join(cells, id_col)
+    return brute_force_top_k(
+        with_cells, id_col, vec_col, k=k_neighbors, partition_col="cluster"
+    )

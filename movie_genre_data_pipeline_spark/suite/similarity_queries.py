@@ -191,6 +191,20 @@ SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
 """
 
 
+# -- IVF with LEARNED centroids (k-means) ----------------------------------------------
+def q_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-1 over k-means-trained cells (functions/kmeans.py) — the real
+    coarse quantizer behind sim_topk_ivf's label proxy. Float centroid sums are
+    run-order dependent, so no exact SQL oracle exists (rows-only check);
+    tests/test_kmeans.py pins the algorithm's guaranteed properties instead."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import kmeans_ivf_top_k
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_ivf_top_k(
+        e, "vec_id", "embedding", k_clusters=8, k_neighbors=1, max_iterations=5
+    )
+
+
 # -- ANN quality: LSH recall@1 vs exact baseline --------------------------------------
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@1 of the sign-LSH index against the exact brute-force answer —
@@ -260,4 +274,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_embedding_stats": QuerySpec(q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
     "sim_lsh_recall": QuerySpec(q_lsh_recall, _lsh_recall_oracle()),
     "sim_lsh_multi_top1": QuerySpec(q_lsh_multi_top1, _lsh_multi_oracle()),
+    "sim_topk_kmeans_ivf": QuerySpec(q_topk_kmeans_ivf, None),
 }

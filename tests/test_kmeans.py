@@ -1,0 +1,49 @@
+"""K-means validation: no cross-engine oracle exists (float sums make centroid
+low bits run-dependent), so correctness is pinned by the algorithm's guaranteed
+properties instead."""
+
+from __future__ import annotations
+
+from movie_genre_data_pipeline_spark.functions.kmeans import (
+    assign_clusters,
+    kmeans_fit,
+    kmeans_ivf_top_k,
+)
+from movie_genre_data_pipeline_spark.sources.batch import read_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kmeans_inertia_monotone_and_assignment_valid(spark):
+    e = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    centroids, history = kmeans_fit(e, "vec_id", "embedding", k=5, max_iterations=6)
+    assert len(centroids) == 5 and all(len(c) == 64 for c in centroids)
+    # Lloyd's guarantees non-increasing inertia (tiny float slack)
+    for prev, cur in zip(history, history[1:]):
+        assert cur <= prev * (1 + 1e-9), history
+    assigned = assign_clusters(e, "vec_id", "embedding", centroids)
+    clusters = [r.cluster for r in assigned.collect()]
+    assert set(clusters) <= set(range(5))
+    assert assigned.count() == e.count()
+
+
+def test_kmeans_converged_assignments_are_stable(spark):
+    e = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    centroids, history = kmeans_fit(
+        e, "vec_id", "embedding", k=4, max_iterations=20, tol=0.0
+    )
+    # at (near-)convergence a refit from those centroids changes nothing:
+    # one more assignment pass maps every vector to the same cell
+    a1 = {r.vid: r.cluster for r in assign_clusters(e, "vec_id", "embedding", centroids).collect()}
+    a2 = {r.vid: r.cluster for r in assign_clusters(e, "vec_id", "embedding", centroids).collect()}
+    assert a1 == a2
+
+
+def test_kmeans_ivf_topk_shape(spark):
+    e = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    out = kmeans_ivf_top_k(e, "vec_id", "embedding", k_clusters=4, k_neighbors=1)
+    rows = out.collect()
+    assert {r.rnk for r in rows} == {1}
+    # every vector in a multi-member cell has exactly one neighbor row
+    assert len({r.vid for r in rows}) == len(rows)
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
