@@ -130,3 +130,52 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, fake_decode: bool = True
+) -> DataFrame:
+    """mapInPandas resize: (media_id, payload) → resized payload + final dims.
+    The codec inner loop is the documented stub (no image libs in this
+    container): the fake path re-emits a deterministic payload scaled to the
+    target pixel count (md5-keyed bytes, length ∝ target_w·target_h/64) so batch
+    shapes, memory behavior, and downstream schemas are exercised for real.
+    Binary in AND out — this is the one operator class where payload must ride
+    the Arrow batches both ways; bound executor memory via
+    spark.sql.execution.arrow.maxRecordsPerBatch, not partition size."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                decode_image_stub(p, fake_decode)  # the decode boundary
+                seed = hashlib.md5(p).digest()
+                n = max(1, target_w * target_h // 64)
+                out_payloads.append((seed * (n // 16 + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payloads,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": [len(p) for p in out_payloads],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )

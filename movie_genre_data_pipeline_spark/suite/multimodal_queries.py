@@ -73,8 +73,38 @@ FROM documents
 """
 
 
+# -- resize (binary in AND out through Arrow batches) ---------------------------------
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize with the stubbed codec: payload→payload. The fake
+    resized payload is deterministic (md5-seeded), so the oracle can check the
+    output BYTES: the first 16 bytes of every resized payload are exactly
+    md5(input payload)."""
+    from movie_genre_data_pipeline_spark.functions.multimodal import resize_images
+
+    media = _media_df(spark, sf_dir)
+    resized = resize_images(media, target_w=128, target_h=96, fake_decode=True)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.lower(F.hex(F.substring("payload", 1, 16))).alias("head16"),
+    )
+
+
+Q_MEDIA_RESIZE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(128 AS INTEGER) AS width,
+       CAST(96 AS INTEGER) AS height,
+       CAST(192 AS BIGINT) AS n_bytes,
+       md5(text) AS head16
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "media_byte_features": QuerySpec(q_media_byte_features, Q_MEDIA_BYTE_FEATURES_ORACLE),
     "media_features_full": QuerySpec(q_media_features_full, None),
     "media_frame_sample_plan": QuerySpec(q_frame_sample_plan, Q_FRAME_SAMPLE_PLAN_ORACLE),
+    "media_resize": QuerySpec(q_media_resize, Q_MEDIA_RESIZE_ORACLE),
 }
