@@ -1,3 +1,9 @@
-from movie_genre_data_pipeline_spark.functions import text, dedup, similarity, multimodal
+from movie_genre_data_pipeline_spark.functions import (
+    dedup,
+    kmeans,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "kmeans"]

@@ -17,9 +17,20 @@ from movie_genre_data_pipeline_spark.operators.upsert import (
     upsert_update,
     upsert_insert_missing,
 )
-from movie_genre_data_pipeline_spark.operators.writers import batch_writer, write_partitioned
+from movie_genre_data_pipeline_spark.operators.writers import (
+    batch_writer,
+    write_partitioned,
+    write_bucketed_table,
+)
+from movie_genre_data_pipeline_spark.operators.asof import asof_join
+from movie_genre_data_pipeline_spark.operators.interval import interval_join
+from movie_genre_data_pipeline_spark.operators.skew import salted_agg
 
 __all__ = [
+    "asof_join",
+    "interval_join",
+    "salted_agg",
+    "write_bucketed_table",
     "with_audit_columns",
     "explode_array",
     "expand_struct",
