@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from movie_genre_data_pipeline_spark.operators.cleanse import (
     cast_columns,
     conditional_floor,
-    drop_empty,
     fix_dimension,
     quarantine_split,
 )

@@ -15,7 +15,6 @@ from movie_genre_data_pipeline_spark.functions.dedup import exact_dedup_stats
 from movie_genre_data_pipeline_spark.functions.text import (
     LANG_LEXICONS,
     bpe_ish_token_count,
-    fingerprint,
     lang_id,
     quality_score,
     token_count,

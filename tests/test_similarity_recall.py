@@ -1,0 +1,39 @@
+"""ANN quality invariants on the fixed sf0.001 embeddings: multi-table LSH must
+dominate single-table recall (its candidate set is a superset by construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.similarity import (
+    brute_force_top_k,
+    lsh_top_k,
+    lsh_top_k_multi,
+)
+from movie_genre_data_pipeline_spark.sources.batch import read_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _recall(exact, approx) -> float:
+    joined = exact.select("vid", F.col("cos_sim").alias("ec")).join(
+        approx.select("vid", F.col("cos_sim").alias("ac")), "vid", "left"
+    )
+    row = joined.agg(
+        F.avg(F.when(F.col("ac") == F.col("ec"), 1.0).otherwise(0.0)).alias("r")
+    ).collect()[0]
+    return float(row.r)
+
+
+def test_multi_table_recall_dominates_single(spark):
+    e = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    exact = brute_force_top_k(e, "vec_id", "embedding", k=1)
+    single = lsh_top_k(e, "vec_id", "embedding", dim=64, k=1, n_planes=4)
+    multi = lsh_top_k_multi(
+        e, "vec_id", "embedding", dim=64, k=1, n_planes=4, n_tables=3
+    )
+    r1, r3 = _recall(exact, single), _recall(exact, multi)
+    # superset candidates → recall can only improve (equality possible)
+    assert r3 >= r1, (r1, r3)
+    # and the extra tables must actually find additional neighbors on this data
+    assert r3 > 0, (r1, r3)
