@@ -378,6 +378,77 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- ranking-function suite -------------------------------------------------------------
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile / cume_dist in one window —
+    the full ranking-function family over (nation, acctbal)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+Q_WINDOW_RANK_SUITE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# -- scalar function families: dates and strings ----------------------------------------
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + string functions the reference never needed
+    (SURVEY.md §2.3 'no string functions, no date arithmetic') but any
+    engine-switcher will: trunc/extract/datediff/add_months, upper/substr/
+    concat/lpad/regexp_extract/like."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_eoy"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)-", 1).alias("prio_num"),
+        F.col("o_orderpriority").like("%URGENT%").alias("is_urgent"),
+    )
+
+
+Q_SCALAR_FUNCTIONS_ORACLE = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate::TIMESTAMP), '%Y-%m-%d') AS month_start,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(date_diff('day', o_orderdate::DATE, DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+       upper(substring(o_orderpriority, 1, 3)) AS prio3,
+       concat_ws('#', o_orderstatus, o_orderpriority) AS status_prio,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+       COALESCE(regexp_extract(o_orderpriority, '^(\\d+)-', 1), '') AS prio_num,
+       (o_orderpriority LIKE '%URGENT%') AS is_urgent
+FROM orders
+"""
+
+
 # -- data profiling: exact group percentiles ------------------------------------------
 def q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile profile per group (Spark `percentile` — sort-based,
@@ -580,6 +651,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, None),
     "grouped_pandas_norm": QuerySpec(q_grouped_pandas_norm, Q_GROUPED_PANDAS_NORM_ORACLE),
     "profile_percentiles": QuerySpec(q_profile_percentiles, Q_PROFILE_PERCENTILES_ORACLE),
+    "window_rank_suite": QuerySpec(q_window_rank_suite, Q_WINDOW_RANK_SUITE_ORACLE),
+    "scalar_functions": QuerySpec(q_scalar_functions, Q_SCALAR_FUNCTIONS_ORACLE),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
