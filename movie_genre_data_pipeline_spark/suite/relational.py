@@ -449,6 +449,71 @@ FROM orders
 """
 
 
+# -- array higher-order functions -------------------------------------------------------
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / exists / aggregate / slice / sort over the embedding
+    arrays — the JVM higher-order-function family (these are what keep array
+    logic out of Python UDFs at scale)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.exists(v, lambda x: x > 0.5).alias("has_large"),
+        F.round(F.element_at(F.array_sort(v), -1), 6).alias("max_component"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+    )
+
+
+Q_ARRAY_FUNCTIONS_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS INTEGER) AS dim,
+       ROUND(list_aggregate(v, 'sum'), 6) AS vec_sum,
+       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
+       (len(list_filter(v, x -> x > 0.5)) > 0) AS has_large,
+       ROUND(list_aggregate(v, 'max'), 6) AS max_component,
+       ROUND(list_aggregate(v[1:8], 'sum'), 6) AS head8_sum
+FROM e
+"""
+
+
+# -- null handling: nullif / coalesce / fillna ------------------------------------------
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleansing null family the reference never needed: nullif to mint
+    nulls, coalesce/fillna to repair them, plus per-column null accounting."""
+    c = load(spark, sf_dir, "customer")
+    nulled = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_or_null"),
+    )
+    repaired = nulled.fillna({"seg_or_null": "UNKNOWN"}).withColumn(
+        "bal_filled", F.coalesce("bal_or_null", F.lit(0.0))
+    )
+    return repaired.groupBy("seg_or_null").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("bal_or_null").isNull().cast("bigint")).alias("n_null_bal"),
+        F.round(F.sum("bal_filled"), 2).alias("total_bal_filled"),
+    )
+
+
+Q_NULL_HANDLING_ORACLE = """
+SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg_or_null,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bal,
+       ROUND(SUM(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END), 2) AS total_bal_filled
+FROM customer
+GROUP BY 1
+"""
+
+
 # -- data profiling: exact group percentiles ------------------------------------------
 def q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile profile per group (Spark `percentile` — sort-based,
@@ -653,6 +718,8 @@ QUERIES: dict[str, QuerySpec] = {
     "profile_percentiles": QuerySpec(q_profile_percentiles, Q_PROFILE_PERCENTILES_ORACLE),
     "window_rank_suite": QuerySpec(q_window_rank_suite, Q_WINDOW_RANK_SUITE_ORACLE),
     "scalar_functions": QuerySpec(q_scalar_functions, Q_SCALAR_FUNCTIONS_ORACLE),
+    "array_functions": QuerySpec(q_array_functions, Q_ARRAY_FUNCTIONS_ORACLE),
+    "null_handling": QuerySpec(q_null_handling, Q_NULL_HANDLING_ORACLE),
     "sql_surface": QuerySpec(q_sql_surface, Q_SQL_SURFACE_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, Q_TPCH_Q1_ORACLE),
     "star_join": QuerySpec(q_star_join, Q_STAR_JOIN_ORACLE),
