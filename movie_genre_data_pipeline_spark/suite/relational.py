@@ -709,8 +709,224 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SQL_SURFACE_ORACLE = _SQL_SURFACE_STMT
 
 
+# -- TPC-H Q3: shipping priority (3-way join + top-k) ---------------------------------
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered fact-fact-dim join → grouped revenue → deterministic top-10.
+    Filters sit directly on each scan (pushed to parquet); the two big tables
+    shuffle on the join key and AQE picks the strategy. Ordering is on the
+    ROUNDED revenue with a key tiebreak so the top-10 cutoff is engine-stable."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+Q_TPCH_Q3_ORACLE = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- TPC-H Q5: local supplier volume (6-way join w/ extra equality) -------------------
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join with the classic "customer and supplier in the same nation"
+    cross-constraint. nation/region are broadcast (constant-size dims); the
+    fact-side joins shuffle on their keys. The n_nationkey == s_nationkey
+    predicate rides the supplier join, so no extra shuffle stage."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q_TPCH_Q5_ORACLE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# -- TPC-H Q6: pure filter + global aggregate (pushdown showcase) ---------------------
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table scan-filter-agg: every predicate reaches the parquet reader
+    (PushedFilters in the plan) and the aggregate is a two-phase partial/final
+    with no other shuffle — the minimal-IO shape at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q_TPCH_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- TPC-H Q17-style: correlated scalar subquery (decorrelated to agg+join) -----------
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Lines well below the part's average quantity' — the correlated scalar
+    subquery decorrelated the way Catalyst would: one per-part aggregate, then a
+    same-key join back to the fact (one shuffle each side, co-partitioned). The
+    threshold is rounded to 6dp on BOTH engines before comparing so avg()
+    accumulation-order noise can't flip a borderline row."""
+    part_keys = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        part_keys, F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        F.round(F.lit(0.5) * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q_TPCH_Q17_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT ROUND(0.5 * AVG(l2.l_quantity), 6)
+      FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+# -- TPC-H Q18-style: group-having then join back (large-volume orders) ---------------
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total line quantity exceeds 200: aggregate-then-filter
+    (HAVING) on the fact, then join the survivors back to orders/customer. The
+    having-filtered side is tiny relative to the fact, so AQE broadcasts it into
+    the join at runtime. l_quantity is integral-valued → the sum is FP-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+Q_TPCH_Q18_ORACLE = """
+SELECT c_name, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS totalprice, sum_qty
+FROM (
+    SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 200
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(q_asof_join, Q_ASOF_JOIN_ORACLE),
+    "tpch_q3": QuerySpec(q_tpch_q3, Q_TPCH_Q3_ORACLE),
+    "tpch_q5": QuerySpec(q_tpch_q5, Q_TPCH_Q5_ORACLE),
+    "tpch_q6": QuerySpec(q_tpch_q6, Q_TPCH_Q6_ORACLE),
+    "tpch_q17": QuerySpec(q_tpch_q17, Q_TPCH_Q17_ORACLE),
+    "tpch_q18": QuerySpec(q_tpch_q18, Q_TPCH_Q18_ORACLE),
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, Q_SKEW_SALTED_AGG_ORACLE),
     "interval_join": QuerySpec(q_interval_join, Q_INTERVAL_JOIN_ORACLE),
     "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, None),
