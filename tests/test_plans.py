@@ -56,6 +56,38 @@ def test_quarantine_filter_pushed(spark):
     assert "PushedFilters" in plan and "l_quantity" in plan, plan
 
 
+def test_tpch_q6_all_filters_pushed(spark):
+    """Q6 is the minimal-IO shape: every predicate must reach the parquet reader
+    and the plan must contain exactly one scan, no join, no extra shuffle."""
+    plan = _plan(spark, "tpch_q6")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+    assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine
+
+
+def test_tpch_q5_broadcasts_constant_dims_no_cartesian(spark):
+    """nation/region are hint-broadcast (constant size at any SF); the
+    cross-constraint c_nationkey = s_nationkey must ride an equi-join — no
+    nested-loop/cartesian anywhere."""
+    plan = _plan(spark, "tpch_q5")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # date range reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_tpch_q17_copartitioned_self_join(spark):
+    """The decorrelated threshold join keys both sides on l_partkey — it must be
+    an equi-join (SMJ or broadcast after AQE), never nested-loop, and the brand
+    filter must be pushed to the part scan on both branches."""
+    plan = _plan(spark, "tpch_q17")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("EqualTo(p_brand,Brand#23)") == 2, plan
+
+
 def test_partition_pruning_on_p_ingestdate(spark, tmp_path):
     """The medallion p_* partition convention must actually prune: a filtered
     scan of a date-partitioned table reads only matching partitions."""
