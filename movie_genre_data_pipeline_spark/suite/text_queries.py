@@ -207,3 +207,72 @@ SELECT lang, bigram, n, rnk FROM ranked WHERE rnk <= 3
 """
 
 QUERIES["text_ngram_topk"] = QuerySpec(q_ngram_topk, Q_NGRAM_TOPK_ORACLE)
+
+
+# -- TF-IDF: top discriminative terms per document -------------------------------------
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the canonical keyword-extraction pass a
+    training-data pipeline runs over a corpus. Fully declarative: tokenize →
+    explode → (doc,term) counts → term document-frequency → broadcast the scalar
+    corpus size in — two shuffles total (both on term-ish keys), no driver-side
+    loop. Ranking compares the ROUNDED score (6dp) with a term tiebreak so libm
+    ln() ulp differences between engines cannot reorder the cutoff."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q_TFIDF_TOPK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                          x -> x != '')) AS u(t)
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+QUERIES["text_tfidf_topk"] = QuerySpec(q_tfidf_topk, Q_TFIDF_TOPK_ORACLE)
