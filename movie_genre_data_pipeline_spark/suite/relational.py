@@ -378,6 +378,86 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- sliding window (overlapping event-time buckets) ----------------------------------
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every 3 hours: each event lands in exactly two
+    overlapping buckets. Spark's window() duplicates rows window-side before the
+    partial agg, so it stays one shuffle; the oracle expands the same two buckets
+    with UNNEST."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "6 hours", "3 hours")
+    return (
+        ev.groupBy(
+            F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+Q_SLIDING_WINDOW_ORACLE = """
+SELECT strftime(make_timestamp((CAST(FLOOR(EPOCH(ts) / 10800) AS BIGINT) - k) * 10800 * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+"""
+
+
+# -- anti join: customers with no orders ----------------------------------------------
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — the NOT EXISTS shape (and the core of the upsert insert path):
+    customers who never placed a big-ticket order. The price filter is pushed to
+    the orders scan BEFORE the anti-join; one shuffle on the key, and AQE
+    broadcasts the filtered side when it fits."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+Q_ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+# -- statistical aggregates: stddev / variance / correlation / covariance -------------
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate family per group. Columns are chosen small-
+    magnitude (quantity 1-50, discount 0-0.1) so cross-engine accumulation-order
+    noise (~1e-12 relative) stays far below the 6dp rounding; corr is
+    dimensionless and safe by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+Q_STATS_AGGREGATES_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # -- ranking-function suite -------------------------------------------------------------
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile / cume_dist in one window —
@@ -953,4 +1033,7 @@ QUERIES: dict[str, QuerySpec] = {
     "from_json_props": QuerySpec(q_from_json, Q_FROM_JSON_ORACLE),
     "sessionize": QuerySpec(q_sessionize, Q_SESSIONIZE_ORACLE),
     "tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_WINDOW_ORACLE),
+    "sliding_window": QuerySpec(q_sliding_window, Q_SLIDING_WINDOW_ORACLE),
+    "anti_join": QuerySpec(q_anti_join, Q_ANTI_JOIN_ORACLE),
+    "stats_aggregates": QuerySpec(q_stats_aggregates, Q_STATS_AGGREGATES_ORACLE),
 }
