@@ -458,6 +458,33 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# -- Arrow-vectorized scalar Pandas UDF ------------------------------------------------
+def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar @pandas_udf feature transforms (functions/vectorized.py): whole
+    Arrow batches per call, NumPy math inside — the fast Python path when an
+    expression can't stay JVM-side. Per-row outputs are rounded to 6dp so libm
+    ulp differences vs DuckDB vanish."""
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        log_damped_value,
+        signed_sqrt,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(log_damped_value("value"), 6).alias("log_damped"),
+        F.round(signed_sqrt(F.col("value") - F.lit(100.0)), 6).alias("ssqrt_centered"),
+    )
+
+
+Q_PANDAS_SCALAR_UDF_ORACLE = """
+SELECT event_id,
+       ROUND(LN(1.0 + value), 6) AS log_damped,
+       ROUND(SIGN(value - 100.0) * SQRT(ABS(value - 100.0)), 6) AS ssqrt_centered
+FROM events
+"""
+
+
 # -- ranking-function suite -------------------------------------------------------------
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile / cume_dist in one window —
@@ -1035,5 +1062,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tumbling_window": QuerySpec(q_tumbling_window, Q_TUMBLING_WINDOW_ORACLE),
     "sliding_window": QuerySpec(q_sliding_window, Q_SLIDING_WINDOW_ORACLE),
     "anti_join": QuerySpec(q_anti_join, Q_ANTI_JOIN_ORACLE),
+    "pandas_scalar_udf": QuerySpec(q_pandas_scalar_udf, Q_PANDAS_SCALAR_UDF_ORACLE),
     "stats_aggregates": QuerySpec(q_stats_aggregates, Q_STATS_AGGREGATES_ORACLE),
 }
