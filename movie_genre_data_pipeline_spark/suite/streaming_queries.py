@@ -95,6 +95,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- sliding windows (streaming) ------------------------------------------------------
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of relational.q_sliding_window: 6h windows every 3h, each
+    event feeding two overlapping buckets. Streaming state is per-(window,type)
+    partial aggregates — row duplication happens map-side before the shuffle,
+    identical to the batch plan."""
+    ev = _event_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+Q_STREAM_SLIDING_ORACLE = """
+SELECT strftime(make_timestamp((CAST(FLOOR(EPOCH(ts) / 10800) AS BIGINT) - k) * 10800 * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 # -- session windows (streaming) ------------------------------------------------------
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(ts, 30 min) per user — the streaming-native form of
@@ -338,6 +369,7 @@ FROM customer
 
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
+    "stream_sliding_window": QuerySpec(q_stream_sliding, Q_STREAM_SLIDING_ORACLE),
     "stream_sessionize": QuerySpec(q_stream_sessionize, Q_STREAM_SESSIONIZE_ORACLE),
     "stream_watermarked_append": QuerySpec(q_stream_watermarked, None),
     "stream_stateful_user_stats": QuerySpec(
