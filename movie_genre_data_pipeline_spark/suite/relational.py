@@ -485,6 +485,55 @@ FROM events
 """
 
 
+# -- posexplode: position-aware un-nesting --------------------------------------------
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — the position-preserving UDTF the reference's explode family
+    lacks (SURVEY.md §2.3 P5): token position matters for n-gram/window features
+    downstream. Narrow op, scan-pipelined, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    return d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+
+
+Q_POSEXPLODE_TOKENS_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+FROM docs, UNNEST(generate_series(1, len(toks))) AS t(i)
+"""
+
+
+# -- generated range source -----------------------------------------------------------
+def q_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.range — the parallel generated source (no files): each executor
+    synthesizes its id sub-range, so construction is O(n/parallelism) with zero
+    I/O; one partial-agg shuffle on the 7 residue groups."""
+    r = spark.range(0, 1_000_000)
+    return (
+        r.groupBy((F.col("id") % 7).alias("residue"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("total"),
+            F.sum(F.col("id") * F.col("id")).alias("total_sq"),
+        )
+    )
+
+
+Q_RANGE_SOURCE_ORACLE = """
+SELECT i % 7 AS residue,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(i) AS BIGINT) AS total,
+       CAST(SUM(i * i) AS BIGINT) AS total_sq
+FROM generate_series(0, 999999) t(i)
+GROUP BY 1
+"""
+
+
 # -- ranking-function suite -------------------------------------------------------------
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile / cume_dist in one window —
@@ -1063,5 +1112,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sliding_window": QuerySpec(q_sliding_window, Q_SLIDING_WINDOW_ORACLE),
     "anti_join": QuerySpec(q_anti_join, Q_ANTI_JOIN_ORACLE),
     "pandas_scalar_udf": QuerySpec(q_pandas_scalar_udf, Q_PANDAS_SCALAR_UDF_ORACLE),
+    "posexplode_tokens": QuerySpec(q_posexplode_tokens, Q_POSEXPLODE_TOKENS_ORACLE),
+    "range_source": QuerySpec(q_range_source, Q_RANGE_SOURCE_ORACLE),
     "stats_aggregates": QuerySpec(q_stats_aggregates, Q_STATS_AGGREGATES_ORACLE),
 }
