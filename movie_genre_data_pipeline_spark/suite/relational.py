@@ -534,6 +534,51 @@ GROUP BY 1
 """
 
 
+# -- column profiling (data-quality summary pass) -------------------------------------
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.py:profile_columns over orders — nulls, cardinality,
+    numeric ranges in ONE scan + unpivot, the pre-ingest trust check."""
+    from movie_genre_data_pipeline_spark.operators.profile import profile_columns
+
+    o = load(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"]
+    ).select(
+        "col_name",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_num", 2).alias("min_num"),
+        F.round("max_num", 2).alias("max_num"),
+    )
+
+
+Q_PROFILE_TABLE_ORACLE = """
+SELECT 'o_orderstatus' AS col_name,
+       CAST(COUNT(*) FILTER (o_orderstatus IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       NULL::DOUBLE, NULL::DOUBLE
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       ROUND(CAST(MIN(o_custkey) AS DOUBLE), 2), ROUND(CAST(MAX(o_custkey) AS DOUBLE), 2)
+FROM orders
+"""
+
+
 # -- ranking-function suite -------------------------------------------------------------
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile / cume_dist in one window —
@@ -1114,5 +1159,6 @@ QUERIES: dict[str, QuerySpec] = {
     "pandas_scalar_udf": QuerySpec(q_pandas_scalar_udf, Q_PANDAS_SCALAR_UDF_ORACLE),
     "posexplode_tokens": QuerySpec(q_posexplode_tokens, Q_POSEXPLODE_TOKENS_ORACLE),
     "range_source": QuerySpec(q_range_source, Q_RANGE_SOURCE_ORACLE),
+    "profile_table": QuerySpec(q_profile_table, Q_PROFILE_TABLE_ORACLE),
     "stats_aggregates": QuerySpec(q_stats_aggregates, Q_STATS_AGGREGATES_ORACLE),
 }
