@@ -579,6 +579,35 @@ FROM orders
 """
 
 
+# -- map-typed columns: build, filter, explode ----------------------------------------
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip — the one complex type the reference never touches
+    (SURVEY.md §1.3: 'boolean/map/decimal/interval not used'): per-user
+    event_type→count map via map_from_entries(collect_list(struct)), pruned
+    with map_filter (counts > 3), exploded back to rows. Maps never leave the
+    executor as opaque blobs — the comparison surface is plain rows."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    pruned = maps.select(
+        "user_id",
+        F.map_filter("type_counts", lambda k, v: v > 3).alias("type_counts"),
+    )
+    return pruned.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n")
+    )
+
+
+Q_MAP_FUNCTIONS_ORACLE = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 3
+"""
+
+
 # -- ranking-function suite -------------------------------------------------------------
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile / cume_dist in one window —
@@ -1160,5 +1189,6 @@ QUERIES: dict[str, QuerySpec] = {
     "posexplode_tokens": QuerySpec(q_posexplode_tokens, Q_POSEXPLODE_TOKENS_ORACLE),
     "range_source": QuerySpec(q_range_source, Q_RANGE_SOURCE_ORACLE),
     "profile_table": QuerySpec(q_profile_table, Q_PROFILE_TABLE_ORACLE),
+    "map_functions": QuerySpec(q_map_functions, Q_MAP_FUNCTIONS_ORACLE),
     "stats_aggregates": QuerySpec(q_stats_aggregates, Q_STATS_AGGREGATES_ORACLE),
 }
