@@ -266,6 +266,36 @@ SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
 """
 
 
+# -- union by name (schema-evolution union) -------------------------------------------
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) — the schema-drift union a medallion
+    bronze layer needs when a new batch gains/loses columns: positions differ,
+    one side lacks a column (null-filled), names align the rest."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_totalprice", "o_orderkey")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+Q_UNION_BY_NAME_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL BY NAME
+  SELECT o_totalprice, o_orderkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM u GROUP BY o_orderpriority
+"""
+
+
 # -- intersect ------------------------------------------------------------------------------
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1190,5 +1220,6 @@ QUERIES: dict[str, QuerySpec] = {
     "range_source": QuerySpec(q_range_source, Q_RANGE_SOURCE_ORACLE),
     "profile_table": QuerySpec(q_profile_table, Q_PROFILE_TABLE_ORACLE),
     "map_functions": QuerySpec(q_map_functions, Q_MAP_FUNCTIONS_ORACLE),
+    "union_by_name": QuerySpec(q_union_by_name, Q_UNION_BY_NAME_ORACLE),
     "stats_aggregates": QuerySpec(q_stats_aggregates, Q_STATS_AGGREGATES_ORACLE),
 }
