@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_queries,
         pipeline_queries,
         relational,
+        relational_extra,
         similarity_queries,
         streaming_queries,
         text_queries,
@@ -53,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod in (
         pipeline_queries,
         relational,
+        relational_extra,
         text_queries,
         dedup_queries,
         similarity_queries,

@@ -1,0 +1,602 @@
+"""Second wave of relational extensions (SURVEY.md §2.5/§2.7 north-star note).
+
+More TPC-H-class shapes (existential join, two-sided nation volume, disjunctive
+predicate joins, global-threshold anti-join) adapted to the reduced testdata
+schemas (no l_commitdate / l_receiptdate / partsupp / c_phone — TESTDATA.md),
+plus the aggregate and scalar-function families a reference user would expect
+from a general engine: GROUPING SETS, min_by/max_by, string_agg, boolean and
+bitwise aggregates, JSON / hash / math / regexp scalar functions.
+
+All queries follow the suite discipline (suite/__init__.py): identical aliases
+both sides, explicit BIGINT casts for counts, fixed-scale rounding for floating
+aggregates, and total orderings wherever top-k cutoffs or arg-max tiebreaks
+could differ between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+
+# -- TPC-H Q4-style: order-priority checking (EXISTS → semi join) ---------------------
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in one quarter with at least one late-shipping line (adapted
+    existential predicate: l_shipdate > o_orderdate stands in for the missing
+    l_commitdate < l_receiptdate). left_semi join carries the equi key plus the
+    non-equi residual, so it stays a single shuffled hash semi-join — no
+    decorrelation pass, no duplicate-then-distinct."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q_TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# -- TPC-H Q7-style: volume shipping between two nations ------------------------------
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flowing between supplier-nation and customer-nation pairs in both
+    directions, per ship year. The two nation dims are broadcast; the fact-side
+    joins shuffle on their keys; the pair filter rides the joined row (no
+    post-join cross product)."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q_TPCH_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1.0 - l_discount) AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# -- TPC-H Q10-style: returned-item reporting (top 20 customers) ----------------------
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer over one quarter, top 20. Ordering is
+    on the ROUNDED revenue with a key tiebreak so the cutoff is engine-stable."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q_TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# -- TPC-H Q12-style: priority class counts per line status ---------------------------
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregation over a fact-fact join (the Q12 shape with
+    l_linestatus standing in for the missing l_shipmode): high- vs low-priority
+    order counts per status for one ship year."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q_TPCH_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# -- TPC-H Q14-style: promotion revenue share -----------------------------------------
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from PROMO parts in one ship month — a ratio of two
+    conditional sums over a fact⋈dim join. Both sums ride one aggregate; the
+    ratio is rounded to 4dp so accumulation-order noise can't flip the hash."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q_TPCH_Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+# -- TPC-H Q19-style: disjunctive multi-predicate join --------------------------------
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate spanning both join sides — the shape that defeats
+    naive pushdown. The equi key still drives the join; the disjunction becomes
+    a residual filter on joined rows (Catalyst also infers the partkey IN
+    prefilter from the brand terms on the broadcast side)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(clause).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q_TPCH_Q19_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# -- TPC-H Q22-style: global-average threshold + anti join ----------------------------
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wealthy-but-inactive customers per nation (c_nationkey stands in for the
+    missing phone country code): acctbal above the global positive average AND
+    no big-ticket order (>300k — the unfiltered variant is degenerate on this
+    data: every wealthy customer has some order). The scalar average is a
+    one-row broadcast cross join (what
+    Catalyst builds for an uncorrelated scalar subquery); the threshold is
+    rounded to 6dp on BOTH sides so avg() accumulation-order noise can't flip a
+    borderline customer."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q_TPCH_Q22_ORACLE = """
+SELECT c_nationkey AS cntry,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_nationkey
+"""
+
+
+# -- GROUPING SETS with grouping() markers --------------------------------------------
+_GROUPING_SETS_STMT = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube, SURVEY.md §2.5
+    'no grouping sets' note) with GROUPING() disambiguation markers — one ANSI
+    statement both engines run. Spark executes it as a single Expand + hash
+    aggregate: one scan, one shuffle for all four groupings."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_STMT)
+
+
+# -- min_by / max_by (deterministic arg-extremum per group) ---------------------------
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest/poorest customer per nation via max/min over (balance, key)
+    structs — the deterministic form of max_by/min_by (struct ordering embeds
+    the tiebreak, so ties can't flip across engines). Oracle: two ROW_NUMBER
+    windows with matching tiebreaks."""
+    c = load(spark, sf_dir, "customer")
+    top = F.max(F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias("t")
+    bot = F.min(F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias("b")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(top, bot)
+        .select(
+            "c_nationkey",
+            F.col("t.c_custkey").alias("top_custkey"),
+            F.round(F.col("t.c_acctbal"), 2).alias("top_bal"),
+            F.col("b.c_custkey").alias("bottom_custkey"),
+            F.round(F.col("b.c_acctbal"), 2).alias("bottom_bal"),
+        )
+    )
+
+
+Q_AGG_MINMAX_BY_ORACLE = """
+WITH ranked AS (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+    FROM customer
+)
+SELECT c_nationkey,
+       MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS top_custkey,
+       ROUND(MAX(CASE WHEN rmax = 1 THEN c_acctbal END), 2) AS top_bal,
+       MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS bottom_custkey,
+       ROUND(MAX(CASE WHEN rmin = 1 THEN c_acctbal END), 2) AS bottom_bal
+FROM ranked GROUP BY c_nationkey
+"""
+
+
+# -- string aggregation (sorted, deterministic) ---------------------------------------
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg/string_agg equivalent: distinct order priorities per status,
+    sorted before concatenation so the string is engine-independent."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_AGG_STRING_CONCAT_ORACLE = """
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# -- boolean / conditional aggregates -------------------------------------------------
+def q_agg_conditional_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_or / bool_and — the predicate-aggregate family (FILTER
+    clause equivalents)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("count_if(o_totalprice > 200000)").alias("n_big"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_AGG_CONDITIONAL_BOOL_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       bool_and(o_totalprice > 0) AS all_positive,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# -- bitwise aggregates ---------------------------------------------------------------
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and / bit_or / bit_xor over the key space per status — exact integer
+    aggregates, order-insensitive by construction."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("bit_and(o_orderkey)").alias("keys_and"),
+        F.expr("bit_or(o_orderkey)").alias("keys_or"),
+        F.expr("bit_xor(o_orderkey)").alias("keys_xor"),
+    )
+
+
+Q_AGG_BITWISE_ORACLE = """
+SELECT o_orderstatus,
+       bit_and(o_orderkey) AS keys_and,
+       bit_or(o_orderkey) AS keys_or,
+       bit_xor(o_orderkey) AS keys_xor
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# -- JSON scalar-function family ------------------------------------------------------
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object path extraction + typed from_json + to_json round-trip
+    over events.props (SURVEY.md §2.3: the reference parses JSON only at the
+    source; these are the column-level JSON functions). The round-trip is
+    null-guarded because Spark's to_json omits null fields while DuckDB keeps
+    them."""
+    ev = load(spark, sf_dir, "events")
+    k_int = F.from_json("props", "k INT").getField("k")
+    parsed = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.when(
+            k_int.isNotNull(),
+            F.to_json(F.struct(k_int.alias("k"))),
+        ).alias("k_json"),
+    )
+    return parsed.select(
+        "event_id",
+        "k_str",
+        "k_int",
+        "k_json",
+        (F.length("k_str") + F.lit(8)).cast("bigint").alias("json_len"),
+    )
+
+
+Q_JSON_FUNCTIONS_ORACLE = """
+SELECT event_id,
+       props->>'k' AS k_str,
+       CAST(props->>'k' AS INTEGER) AS k_int,
+       CASE WHEN props->>'k' IS NOT NULL
+            THEN '{"k":' || (props->>'k') || '}' END AS k_json,
+       CAST(length(props->>'k') + 8 AS BIGINT) AS json_len
+FROM events
+"""
+
+
+# -- hash / digest functions ----------------------------------------------------------
+def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + sha2-256 digests (the cross-engine-reproducible hash family the
+    dedup/fingerprint operators build on — memory note: never xxhash64/murmur
+    for oracle-checked signatures)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring(F.md5("c_name"), 1, 4).alias("md5_prefix"),
+    )
+
+
+Q_HASH_FUNCTIONS_ORACLE = """
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substring(md5(c_name), 1, 4) AS md5_prefix
+FROM customer
+"""
+
+
+# -- math scalar-function family ------------------------------------------------------
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exp/ln/log10/sqrt/pow/ceil/floor/sign/mod/greatest/least — the numeric
+    scalar family over the part dim. Transcendentals are rounded to 6dp so libm
+    ulp differences vanish (suite discipline)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.exp(F.col("p_size") / F.lit(10.0)), 6).alias("exp_size"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
+        F.round(F.log10(F.col("p_retailprice")), 6).alias("log10_price"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("sqrt_price"),
+        F.round(F.pow(F.col("p_size"), 2.0), 1).alias("size_sq"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.signum(F.col("p_size") - F.lit(25.0)).cast("bigint").alias("size_sign"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("key_mod7"),
+        F.greatest(F.col("p_size"), F.lit(25)).cast("bigint").alias("size_hi"),
+        F.least(F.col("p_size"), F.lit(25)).cast("bigint").alias("size_lo"),
+    )
+
+
+Q_MATH_FUNCTIONS_ORACLE = """
+SELECT p_partkey,
+       ROUND(EXP(p_size / 10.0), 6) AS exp_size,
+       ROUND(LN(p_retailprice), 6) AS ln_price,
+       ROUND(LOG10(p_retailprice), 6) AS log10_price,
+       ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+       ROUND(POW(p_size, 2.0), 1) AS size_sq,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(SIGN(p_size - 25.0) AS BIGINT) AS size_sign,
+       CAST(p_partkey % 7 AS BIGINT) AS key_mod7,
+       CAST(GREATEST(p_size, 25) AS BIGINT) AS size_hi,
+       CAST(LEAST(p_size, 25) AS BIGINT) AS size_lo
+FROM part
+"""
+
+
+# -- regexp / string-manipulation family ----------------------------------------------
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace (global), regexp_count, split_part, translate, right —
+    the pattern-manipulation family over documents.text. DuckDB needs the 'g'
+    flag for global replace; Spark replaces all matches by default."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.regexp_replace(F.lower("text"), "[aeiou]", ""), 1, 40).alias(
+            "devoweled40"
+        ),
+        F.expr("regexp_count(lower(text), '[aeiou]')").cast("bigint").alias("n_vowels"),
+        F.expr("split_part(text, ' ', 1)").alias("first_token"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "AEIOU").alias("shouted20"),
+        F.expr("right(text, 3)").alias("tail3"),
+    )
+
+
+Q_REGEXP_FUNCTIONS_ORACLE = """
+SELECT doc_id,
+       substring(regexp_replace(lower(text), '[aeiou]', '', 'g'), 1, 40) AS devoweled40,
+       CAST(length(regexp_extract_all(lower(text), '[aeiou]')) AS BIGINT) AS n_vowels,
+       split_part(text, ' ', 1) AS first_token,
+       translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS shouted20,
+       right(text, 3) AS tail3
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q4": QuerySpec(q_tpch_q4, Q_TPCH_Q4_ORACLE),
+    "tpch_q7": QuerySpec(q_tpch_q7, Q_TPCH_Q7_ORACLE),
+    "tpch_q10": QuerySpec(q_tpch_q10, Q_TPCH_Q10_ORACLE),
+    "tpch_q12": QuerySpec(q_tpch_q12, Q_TPCH_Q12_ORACLE),
+    "tpch_q14": QuerySpec(q_tpch_q14, Q_TPCH_Q14_ORACLE),
+    "tpch_q19": QuerySpec(q_tpch_q19, Q_TPCH_Q19_ORACLE),
+    "tpch_q22": QuerySpec(q_tpch_q22, Q_TPCH_Q22_ORACLE),
+    "grouping_sets": QuerySpec(q_grouping_sets, _GROUPING_SETS_STMT),
+    "agg_minmax_by": QuerySpec(q_agg_minmax_by, Q_AGG_MINMAX_BY_ORACLE),
+    "agg_string_concat": QuerySpec(q_agg_string_concat, Q_AGG_STRING_CONCAT_ORACLE),
+    "agg_conditional_bool": QuerySpec(
+        q_agg_conditional_bool, Q_AGG_CONDITIONAL_BOOL_ORACLE
+    ),
+    "agg_bitwise": QuerySpec(q_agg_bitwise, Q_AGG_BITWISE_ORACLE),
+    "json_functions": QuerySpec(q_json_functions, Q_JSON_FUNCTIONS_ORACLE),
+    "hash_functions": QuerySpec(q_hash_functions, Q_HASH_FUNCTIONS_ORACLE),
+    "math_functions": QuerySpec(q_math_functions, Q_MATH_FUNCTIONS_ORACLE),
+    "regexp_functions": QuerySpec(q_regexp_functions, Q_REGEXP_FUNCTIONS_ORACLE),
+}
