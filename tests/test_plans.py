@@ -108,3 +108,42 @@ def test_partition_pruning_on_p_ingestdate(spark, tmp_path):
     plan = buf.getvalue()
     part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_filters and "p_date" in part_filters[0], plan
+
+
+def test_tpch_q4_semi_join_with_residual(spark):
+    """The EXISTS becomes ONE semi-join carrying the equi key plus the non-equi
+    residual — no duplicate-producing inner join + distinct, no nested loop."""
+    plan = _plan(spark, "tpch_q4")
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # date range reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_tpch_q19_broadcast_and_residual_disjunction(spark):
+    """part is hint-broadcast; the OR-of-ANDs is a residual on the joined row
+    (never a nested-loop join), and lineitem's scan reads only needed columns."""
+    plan = _plan(spark, "tpch_q19")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_schema = [l for l in read_schemas if "l_partkey" in l][0]
+    assert "l_extendedprice" in li_schema and "l_shipdate" not in li_schema, li_schema
+
+
+def test_tpch_q22_scalar_broadcast_no_cartesian_blowup(spark):
+    """The scalar-average threshold rides a broadcast nested loop over ONE row
+    (that is the correct plan for an uncorrelated scalar), and the big-side
+    anti join is a hash/sort join on the key, never a nested loop."""
+    plan = _plan(spark, "tpch_q22")
+    assert "LeftAnti" in plan, plan
+    # the >300000 prefilter reaches the orders scan before the anti join
+    assert "GreaterThan(o_totalprice,300000" in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS compiles to one Expand + one aggregate exchange — one scan
+    total for all four groupings, not a union of four scans."""
+    plan = _plan(spark, "grouping_sets")
+    assert "Expand" in plan, plan
+    assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 1, plan
