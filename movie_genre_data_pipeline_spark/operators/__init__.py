@@ -25,9 +25,11 @@ from movie_genre_data_pipeline_spark.operators.writers import (
 from movie_genre_data_pipeline_spark.operators.asof import asof_join
 from movie_genre_data_pipeline_spark.operators.interval import interval_join
 from movie_genre_data_pipeline_spark.operators.skew import salted_agg
+from movie_genre_data_pipeline_spark.operators.compact import compact_parquet_dir
 
 __all__ = [
     "asof_join",
+    "compact_parquet_dir",
     "interval_join",
     "salted_agg",
     "write_bucketed_table",

