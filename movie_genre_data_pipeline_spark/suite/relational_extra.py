@@ -580,7 +580,76 @@ FROM documents
 """
 
 
+# -- window frames: first/last/nth_value + RANGE frame --------------------------------
+def q_window_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame clauses: unbounded ROWS frame for first/last/nth_value
+    (the default frame stops at CURRENT ROW — last_value needs the full frame),
+    and a numeric RANGE frame (peers included by value, so ties are
+    deterministic cross-engine by construction)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w1 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w2 = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").asc())
+        .rangeBetween(-10000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first_value(F.col("o_orderkey")).over(w1).alias("first_key"),
+        F.last_value(F.col("o_orderkey")).over(w1).alias("last_key"),
+        F.nth_value(F.col("o_orderkey"), 2).over(w1).alias("second_key"),
+        F.count(F.lit(1)).over(w2).alias("n_within_10k"),
+    )
+
+
+Q_WINDOW_FRAME_STATS_ORACLE = """
+SELECT o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w1 AS first_key,
+       LAST_VALUE(o_orderkey) OVER w1 AS last_key,
+       NTH_VALUE(o_orderkey, 2) OVER w1 AS second_key,
+       CAST(COUNT(*) OVER w2 AS BIGINT) AS n_within_10k
+FROM orders
+WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# -- explicit cross join (dims only) --------------------------------------------------
+def q_cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — legitimate ONLY between constant-size dims (nation ×
+    region grid, 125 rows); the fact-side scalar case is tpch_q22's one-row
+    broadcast. Never cross-join two fact tables at scale."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        n.crossJoin(r)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_nationkey").alias("key_total"),
+        )
+    )
+
+
+Q_CROSS_JOIN_DIMS_ORACLE = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_total
+FROM nation CROSS JOIN region
+GROUP BY r_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_frame_stats": QuerySpec(q_window_frame_stats, Q_WINDOW_FRAME_STATS_ORACLE),
+    "cross_join_dims": QuerySpec(q_cross_join_dims, Q_CROSS_JOIN_DIMS_ORACLE),
     "tpch_q4": QuerySpec(q_tpch_q4, Q_TPCH_Q4_ORACLE),
     "tpch_q7": QuerySpec(q_tpch_q7, Q_TPCH_Q7_ORACLE),
     "tpch_q10": QuerySpec(q_tpch_q10, Q_TPCH_Q10_ORACLE),
