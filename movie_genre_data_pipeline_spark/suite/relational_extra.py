@@ -647,8 +647,108 @@ GROUP BY r_name
 """
 
 
+# -- unpivot (wide → long) ------------------------------------------------------------
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.unpivot — the official wide→long melt (the hand-rolled twin lives in
+    operators/profile.py's one-row unpivot). Narrow op: each input row emits one
+    row per value column, no shuffle."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+Q_UNPIVOT_LONG_ORACLE = """
+UNPIVOT (SELECT o_orderkey,
+                ROUND(o_totalprice, 2) AS totalprice,
+                CAST(o_custkey AS DOUBLE) AS custkey
+         FROM orders)
+ON totalprice, custkey INTO NAME metric VALUE val
+"""
+
+
+# -- map transformation higher-order functions ----------------------------------------
+def q_map_transform_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_keys / transform_values — the map HOFs completing the MapType
+    family (map_functions covers build/filter/explode). Maps stay executor-side;
+    the comparison surface is exploded rows."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    doubled = maps.select(
+        "user_id",
+        F.transform_keys("m", lambda k, v: F.upper(k)).alias("mk"),
+    ).select(
+        "user_id",
+        F.transform_values("mk", lambda k, v: v * 2).alias("mkv"),
+    )
+    return doubled.select(
+        "user_id", F.explode("mkv").alias("event_type_uc", "n_doubled")
+    )
+
+
+Q_MAP_TRANSFORM_FUNCTIONS_ORACLE = """
+SELECT user_id, upper(event_type) AS event_type_uc,
+       CAST(COUNT(*) * 2 AS BIGINT) AS n_doubled
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# -- array generation: sequence / array_repeat / flatten / zip_with -------------------
+def q_sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array GENERATION functions (the consumption side lives in
+    array_functions): sequence for per-row ranges, array_repeat + flatten for
+    replication, zip_with over generated pairs — all JVM-side, no UDF."""
+    p = load(spark, sf_dir, "part")
+    seq = F.sequence(F.lit(1), F.col("p_size"))
+    return p.select(
+        "p_partkey",
+        F.size(seq).cast("bigint").alias("seq_len"),
+        F.aggregate(
+            seq, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("seq_sum"),
+        F.size(F.flatten(F.array_repeat(seq, 3))).cast("bigint").alias("rep3_len"),
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(1), F.lit(3)),
+                F.array_repeat(F.col("p_size").cast("bigint"), 3),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("tri_dot"),
+    )
+
+
+Q_SEQUENCE_ARRAYS_ORACLE = """
+SELECT p_partkey,
+       CAST(len(generate_series(1, p_size)) AS BIGINT) AS seq_len,
+       CAST(list_aggregate(generate_series(1, p_size), 'sum') AS BIGINT) AS seq_sum,
+       CAST(3 * len(generate_series(1, p_size)) AS BIGINT) AS rep3_len,
+       CAST(list_aggregate(list_transform(generate_series(1, 3), x -> x * p_size),
+                           'sum') AS BIGINT) AS tri_dot
+FROM part
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_frame_stats": QuerySpec(q_window_frame_stats, Q_WINDOW_FRAME_STATS_ORACLE),
+    "unpivot_long": QuerySpec(q_unpivot_long, Q_UNPIVOT_LONG_ORACLE),
+    "map_transform_functions": QuerySpec(
+        q_map_transform_functions, Q_MAP_TRANSFORM_FUNCTIONS_ORACLE
+    ),
+    "sequence_arrays": QuerySpec(q_sequence_arrays, Q_SEQUENCE_ARRAYS_ORACLE),
     "cross_join_dims": QuerySpec(q_cross_join_dims, Q_CROSS_JOIN_DIMS_ORACLE),
     "tpch_q4": QuerySpec(q_tpch_q4, Q_TPCH_Q4_ORACLE),
     "tpch_q7": QuerySpec(q_tpch_q7, Q_TPCH_Q7_ORACLE),
