@@ -21,6 +21,7 @@ from movie_genre_data_pipeline_spark.operators.writers import (
     batch_writer,
     write_partitioned,
     write_bucketed_table,
+    write_clustered,
 )
 from movie_genre_data_pipeline_spark.operators.asof import asof_join
 from movie_genre_data_pipeline_spark.operators.interval import interval_join
@@ -48,4 +49,5 @@ __all__ = [
     "upsert_insert_missing",
     "batch_writer",
     "write_partitioned",
+    "write_clustered",
 ]

@@ -74,3 +74,32 @@ def write_bucketed_table(
     if sort_columns:
         writer = writer.sortBy(*sort_columns)
     writer.saveAsTable(table)
+
+
+def write_clustered(
+    dataframe: DataFrame,
+    path: str,
+    cluster_column: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered Parquet write: `repartitionByRange` assigns each output
+    file a DISJOINT value range of `cluster_column` (sampled range bounds →
+    one range-partitioning shuffle), and `sortWithinPartitions` orders rows
+    inside each file so row groups carry tight min/max stats.
+
+    This is the single-key analogue of Delta's OPTIMIZE ZORDER: a later range
+    or point predicate on the cluster column skips entire files (footer min/max
+    never overlaps), and row-group pruning inside surviving files cuts further.
+    At 100 TB, clustering the fact table by its hottest filter column turns
+    full scans into touched-range scans — complementary to hive partitioning
+    (coarse, low-cardinality dirs) and hash bucketing (join co-location):
+    clustering serves RANGE selectivity on high-cardinality columns.
+    """
+    (
+        dataframe.repartitionByRange(n_files, cluster_column)
+        .sortWithinPartitions(cluster_column)
+        .write.format("parquet")
+        .mode(mode)
+        .save(path)
+    )
