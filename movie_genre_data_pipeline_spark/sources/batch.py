@@ -98,3 +98,21 @@ def freeze_schema(df: DataFrame) -> StructType:
     round-trips through JSON. Identical mechanism here.
     """
     return StructType.fromJson(json.loads(df.schema.json()))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+) -> DataFrame:
+    """CSV batch scan with a DECLARED schema — never inference (inference reads
+    the data twice and guesses types per-run; at 100 TB both are disqualifying).
+    The reference is JSON-only (SURVEY.md §2.1 S1); CSV is the interchange
+    format an engine-switcher will bring."""
+    return (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .schema(schema)
+        .load(path)
+    )

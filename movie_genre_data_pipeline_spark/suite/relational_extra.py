@@ -742,7 +742,45 @@ FROM part
 """
 
 
+# -- CSV sink + source round-trip -----------------------------------------------------
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → declared-schema CSV read → aggregate (sources/batch.py:
+    read_csv). The round-trip is lossless (Spark prints doubles with
+    round-trip-exact precision), so the aggregate over the re-read CSV must
+    hash-match the oracle computed straight from parquet — that IS the check
+    that both the sink and the source are faithful."""
+    import tempfile
+
+    from movie_genre_data_pipeline_spark.sources.batch import read_csv
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path = f"{tempfile.mkdtemp(prefix='mgdp_csv_')}/customer_csv"
+    c.write.format("csv").option("header", "true").mode("overwrite").save(path)
+    back = read_csv(
+        spark,
+        path,
+        "c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+Q_CSV_ROUNDTRIP_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(c_acctbal), 2) AS total_bal,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "csv_roundtrip": QuerySpec(q_csv_roundtrip, Q_CSV_ROUNDTRIP_ORACLE),
     "window_frame_stats": QuerySpec(q_window_frame_stats, Q_WINDOW_FRAME_STATS_ORACLE),
     "unpivot_long": QuerySpec(q_unpivot_long, Q_UNPIVOT_LONG_ORACLE),
     "map_transform_functions": QuerySpec(
