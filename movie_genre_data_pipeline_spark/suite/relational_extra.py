@@ -322,6 +322,181 @@ GROUP BY c_nationkey
 """
 
 
+# -- TPC-H Q8-style: national market share --------------------------------------------
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of one supplier nation within one region, per order year —
+    the deepest reference-class join (6 tables + self-referencing nation dim
+    used twice). A conditional-sum / sum ratio per group; both sums ride one
+    aggregate. Region/nation dims broadcast; the ratio is rounded to 6dp."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n_cust = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q_TPCH_Q8_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+# -- TPC-H Q13-style: customer order-count distribution -------------------------------
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer INCLUDING zero-order customers — the
+    left-outer-join + double-aggregation shape (count per customer, then count
+    per count). The outer join preserves customers with no orders as count 0."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q_TPCH_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+# -- TPC-H Q15-style: top supplier(s) by quarterly revenue ----------------------------
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue view per supplier over one quarter, then the supplier(s) whose
+    revenue equals the maximum — the create-view + scalar-max-subquery shape.
+    The per-supplier revenue is rounded to 2dp BEFORE the max comparison on
+    both sides, so accumulation-order noise can't make the engines disagree on
+    who is top."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q_TPCH_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# -- TPC-H Q21-style: sole returning supplier in multi-supplier orders ----------------
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY supplier with returned lines in orders
+    involving 2+ suppliers (adapted: l_returnflag='R' stands in for the missing
+    receipt-after-commit delay). Q21's EXISTS / NOT EXISTS double correlation is
+    decorrelated into ONE per-order aggregate computing both distinct-supplier
+    counts, then a filter — a single shuffle on the order key instead of two
+    correlated re-scans of the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supps"),
+        F.min(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("sole_ret_supp"),
+    )
+    culprit_orders = per_order.filter(
+        (F.col("n_supps") >= 2) & (F.col("n_ret_supps") == 1)
+    )
+    return (
+        culprit_orders.join(s, F.col("sole_ret_supp") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q_TPCH_Q21_ORACLE = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+             AS n_ret_supps,
+           MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS sole_ret_supp
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON sole_ret_supp = s_suppkey
+WHERE n_supps >= 2 AND n_ret_supps = 1
+GROUP BY s_suppkey, s_name
+"""
+
+
 # -- GROUPING SETS with grouping() markers --------------------------------------------
 _GROUPING_SETS_STMT = """
 SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
@@ -790,6 +965,10 @@ QUERIES: dict[str, QuerySpec] = {
     "cross_join_dims": QuerySpec(q_cross_join_dims, Q_CROSS_JOIN_DIMS_ORACLE),
     "tpch_q4": QuerySpec(q_tpch_q4, Q_TPCH_Q4_ORACLE),
     "tpch_q7": QuerySpec(q_tpch_q7, Q_TPCH_Q7_ORACLE),
+    "tpch_q8": QuerySpec(q_tpch_q8, Q_TPCH_Q8_ORACLE),
+    "tpch_q13": QuerySpec(q_tpch_q13, Q_TPCH_Q13_ORACLE),
+    "tpch_q15": QuerySpec(q_tpch_q15, Q_TPCH_Q15_ORACLE),
+    "tpch_q21": QuerySpec(q_tpch_q21, Q_TPCH_Q21_ORACLE),
     "tpch_q10": QuerySpec(q_tpch_q10, Q_TPCH_Q10_ORACLE),
     "tpch_q12": QuerySpec(q_tpch_q12, Q_TPCH_Q12_ORACLE),
     "tpch_q14": QuerySpec(q_tpch_q14, Q_TPCH_Q14_ORACLE),
