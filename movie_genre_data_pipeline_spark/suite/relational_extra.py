@@ -415,9 +415,14 @@ GROUP BY c_count
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue view per supplier over one quarter, then the supplier(s) whose
     revenue equals the maximum — the create-view + scalar-max-subquery shape.
-    The per-supplier revenue is rounded to 2dp BEFORE the max comparison on
-    both sides, so accumulation-order noise can't make the engines disagree on
-    who is top."""
+    The scalar max is a global window over the ALREADY-AGGREGATED view
+    (|suppliers| rows, not |lineitem|), so the fact table is scanned exactly
+    ONCE — referencing the view twice (subquery form) would re-derive it and
+    re-scan the fact (pinned in tests/test_plans.py). The per-supplier revenue
+    is rounded to 2dp BEFORE the max comparison on both sides, so
+    accumulation-order noise can't make the engines disagree on who is top."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
@@ -428,10 +433,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
         ).alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    ranked = revenue.withColumn(
+        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    )
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        ranked.filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -147,3 +147,26 @@ def test_grouping_sets_single_expand_single_shuffle(spark):
     plan = _plan(spark, "grouping_sets")
     assert "Expand" in plan, plan
     assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 1, plan
+
+
+def test_tpch_q15_single_fact_scan(spark):
+    """The scalar-max comparison rides a window over the aggregated view —
+    lineitem must appear exactly once in the plan (the subquery form would
+    scan it twice)."""
+    plan = _plan(spark, "tpch_q15")
+    li_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "l_suppkey" in l
+    ]
+    assert len(li_scans) == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_tpch_q21_single_pass_decorrelation(spark):
+    """Q21's EXISTS / NOT EXISTS double correlation is ONE per-order aggregate:
+    lineitem appears exactly once, no correlated re-scan, no nested loop."""
+    plan = _plan(spark, "tpch_q21")
+    li_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "l_returnflag" in l
+    ]
+    assert len(li_scans) == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
