@@ -170,3 +170,13 @@ def test_tpch_q21_single_pass_decorrelation(spark):
     ]
     assert len(li_scans) == 1, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_tpch_q8_broadcasts_dims_no_cartesian(spark):
+    """Deepest reference-class join (6 tables, nation used twice): all three
+    constant-size dims broadcast, the two fact-fact joins shuffle on keys,
+    and nothing degenerates into a nested loop."""
+    plan = _plan(spark, "tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
