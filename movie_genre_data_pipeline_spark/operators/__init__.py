@@ -27,6 +27,7 @@ from movie_genre_data_pipeline_spark.operators.asof import asof_join
 from movie_genre_data_pipeline_spark.operators.interval import interval_join
 from movie_genre_data_pipeline_spark.operators.skew import salted_agg
 from movie_genre_data_pipeline_spark.operators.compact import compact_parquet_dir
+from movie_genre_data_pipeline_spark.operators.observe import write_with_metrics
 
 __all__ = [
     "asof_join",
@@ -50,4 +51,5 @@ __all__ = [
     "batch_writer",
     "write_partitioned",
     "write_clustered",
+    "write_with_metrics",
 ]

@@ -1,0 +1,54 @@
+"""Observed writes (operators/observe.py): audit counters must come from the
+write job itself — exact, and with no second scan — replacing the reference's
+post-write COUNT(*) queries (SURVEY.md §2.5 A2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.operators.observe import write_with_metrics
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_write_with_metrics_matches_recomputation(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_observed")
+
+    got = write_with_metrics(
+        src,
+        path,
+        metrics=[
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ],
+    )
+
+    expect = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).collect()[0]
+    assert got["n_rows"] == expect["n_rows"]
+    assert got["n_big"] == expect["n_big"]
+    assert abs(got["total_price"] - expect["total_price"]) < 1e-6
+
+    # the written table is complete
+    assert spark.read.parquet(path).count() == got["n_rows"]
+
+
+def test_write_with_metrics_partitioned(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "p_status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_observed_part")
+    got = write_with_metrics(
+        src,
+        path,
+        metrics=[F.count(F.lit(1)).alias("n_rows")],
+        partition_column="p_status",
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == got["n_rows"]
+    assert "p_status" in back.columns
