@@ -503,6 +503,257 @@ GROUP BY s_suppkey, s_name
 """
 
 
+# -- TPC-H Q2-style: groupwise-min supplier per part ----------------------------------
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (adapted: the supplier-part relation comes
+    from DISTINCT lineitem (partkey, suppkey) pairs — no partsupp table — and
+    s_acctbal stands in for ps_supplycost). Q2's correlated min subquery is the
+    groupwise-extremum shape: one distinct-pair aggregate, one min-struct
+    aggregate with embedded unique tiebreak (suppkey), no join-back needed —
+    the struct carries the payload columns out of the min."""
+    pairs = (
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    best = (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(s, pairs.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.min(
+                F.struct(F.col("s_acctbal"), F.col("s_suppkey"), F.col("n_name"))
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("b.s_acctbal"), 2).alias("supp_acctbal"),
+        F.col("b.s_suppkey").alias("s_suppkey"),
+        F.col("b.n_name").alias("n_name"),
+    )
+
+
+Q_TPCH_Q2_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ranked AS (
+    SELECT p_partkey, p_name, s_acctbal, s_suppkey, n_name,
+           ROW_NUMBER() OVER (PARTITION BY p_partkey
+                              ORDER BY s_acctbal ASC, s_suppkey ASC) AS rk
+    FROM pairs
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, ROUND(s_acctbal, 2) AS supp_acctbal, s_suppkey, n_name
+FROM ranked WHERE rk = 1
+"""
+
+
+# -- TPC-H Q9-style: product-type profit per nation and year --------------------------
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per supplier nation per order year for one product family
+    (adapted: supply cost proxied by 0.5 * p_retailprice * quantity — no
+    partsupp). Five-table join; the part filter (name LIKE) prunes the
+    broadcast side before the fact join.
+
+    FP discipline: the naive SUM(price*(1-disc) - 0.5*retail*qty) landed a
+    group exactly on a half-cent rounding boundary, where accumulation-order
+    noise flips the 2dp hash. So the summand is rebuilt from INTEGER-VALUED
+    doubles (prices ROUNDed to cents ×100, discount to whole percent): every
+    product and the running sum stay exactly representable (< 2^53), the sum
+    is order-independent, and only one final division is inexact — identically
+    so in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    e = F.round(F.col("l_extendedprice") * 100, 0)
+    d = F.round((F.lit(1.0) - F.col("l_discount")) * 100, 0)
+    r = F.round(F.col("p_retailprice") * 100, 0)
+    profit_scaled = e * d - F.lit(50.0) * r * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_scaled) / 10000, 2).alias("sum_profit"))
+    )
+
+
+Q_TPCH_Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(ROUND(l_extendedprice * 100, 0) * ROUND((1.0 - l_discount) * 100, 0)
+                 - 50.0 * ROUND(p_retailprice * 100, 0) * l_quantity) / 10000,
+             2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# -- TPC-H Q11-style: important-stock share -------------------------------------------
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value from one nation's suppliers exceeds 2.5× the
+    average per-part value (adapted: value = quantity * retailprice over
+    lineitem — no ps_availqty; the threshold is a multiple of the AVERAGE
+    rather than TPC-H's fixed fraction of the total, so it stays non-degenerate
+    at every scale factor — a fixed fraction selects nothing once the part
+    count outgrows 1/fraction). The global average is a one-row broadcast
+    (uncorrelated scalar); the threshold is rounded to 6dp on both sides so
+    accumulation-order noise can't flip a borderline part."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    val = F.col("l_quantity") * F.col("p_retailprice")
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_partkey")
+        .agg(F.round(F.sum(val), 2).alias("part_value"))
+    )
+    total = per_part.agg(
+        F.round(F.avg("part_value") * 2.5, 6).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("p_partkey", "part_value")
+    )
+
+
+Q_TPCH_Q11_ORACLE = """
+WITH per_part AS (
+    SELECT p_partkey, ROUND(SUM(l_quantity * p_retailprice), 2) AS part_value
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+    GROUP BY p_partkey
+)
+SELECT p_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT ROUND(AVG(part_value) * 2.5, 6) FROM per_part)
+"""
+
+
+# -- TPC-H Q16-style: supplier counts per part descriptor -----------------------------
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) descriptor, excluding one
+    brand and a supplier blocklist (adapted: the supplier-part relation comes
+    from distinct lineitem pairs; the 'complaints' exclusion is a name-pattern
+    anti-join — s_acctbal is never negative in this data). Shape: anti-join on
+    a tiny excluded set + distinct-pair aggregate + count distinct."""
+    pairs = (
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supps = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%0"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        pairs.join(bad_supps, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q_TPCH_Q16_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_name LIKE '%0')
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# -- TPC-H Q20-style: concentrated-shipment suppliers ---------------------------------
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in one nation who shipped more than half of their all-time
+    quantity of some PROMO part during 1997 alone (adapted: the correlated
+    availqty comparison becomes one per-(supplier, part) aggregate computing
+    both the 1997 and all-time sums — single shuffle, no correlated re-scan).
+    Quantities are integral-valued, so the halving comparison is FP-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01")
+    )
+    per_sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1997"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+    )
+    concentrated = per_sp.filter(
+        F.col("qty_1997") > F.lit(0.5) * F.col("qty_total")
+    ).select("l_suppkey").distinct()
+    return (
+        s.join(concentrated, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q_TPCH_Q20_ORACLE = """
+WITH per_sp AS (
+    SELECT l_suppkey, l_partkey,
+           SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN l_quantity ELSE 0.0 END) AS qty_1997,
+           SUM(l_quantity) AS qty_total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM per_sp
+              WHERE l_suppkey = s_suppkey AND qty_1997 > 0.5 * qty_total)
+"""
+
+
 # -- GROUPING SETS with grouping() markers --------------------------------------------
 _GROUPING_SETS_STMT = """
 SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
@@ -971,7 +1222,12 @@ QUERIES: dict[str, QuerySpec] = {
     "cross_join_dims": QuerySpec(q_cross_join_dims, Q_CROSS_JOIN_DIMS_ORACLE),
     "tpch_q4": QuerySpec(q_tpch_q4, Q_TPCH_Q4_ORACLE),
     "tpch_q7": QuerySpec(q_tpch_q7, Q_TPCH_Q7_ORACLE),
+    "tpch_q2": QuerySpec(q_tpch_q2, Q_TPCH_Q2_ORACLE),
     "tpch_q8": QuerySpec(q_tpch_q8, Q_TPCH_Q8_ORACLE),
+    "tpch_q9": QuerySpec(q_tpch_q9, Q_TPCH_Q9_ORACLE),
+    "tpch_q11": QuerySpec(q_tpch_q11, Q_TPCH_Q11_ORACLE),
+    "tpch_q16": QuerySpec(q_tpch_q16, Q_TPCH_Q16_ORACLE),
+    "tpch_q20": QuerySpec(q_tpch_q20, Q_TPCH_Q20_ORACLE),
     "tpch_q13": QuerySpec(q_tpch_q13, Q_TPCH_Q13_ORACLE),
     "tpch_q15": QuerySpec(q_tpch_q15, Q_TPCH_Q15_ORACLE),
     "tpch_q21": QuerySpec(q_tpch_q21, Q_TPCH_Q21_ORACLE),
