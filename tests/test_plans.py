@@ -180,3 +180,25 @@ def test_tpch_q8_broadcasts_dims_no_cartesian(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_tpch_q2_groupwise_min_no_join_back(spark):
+    """The min-struct aggregate carries the payload columns out of the min, so
+    there is no second join back to suppliers and the part/nation/region dims
+    are broadcast. Exactly one supplier scan, no nested loop."""
+    plan = _plan(spark, "tpch_q2")
+    s_scans = [l for l in plan.splitlines() if "ReadSchema" in l and "s_acctbal" in l]
+    assert len(s_scans) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_tpch_q20_single_aggregate_decorrelation(spark):
+    """The correlated quantity comparison is ONE per-(supplier, part) aggregate
+    computing both sums — lineitem scanned exactly once, PROMO filter pushed to
+    the broadcast part scan."""
+    plan = _plan(spark, "tpch_q20")
+    li_scans = [l for l in plan.splitlines() if "ReadSchema" in l and "l_shipdate" in l]
+    assert len(li_scans) == 1, plan
+    assert "EqualTo(p_type,PROMO)" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
