@@ -1,0 +1,46 @@
+"""Registry-order contract: the driver's correctness gate samples the first 50
+entries of ``queries()``, so declaration order is load-bearing (VERDICT r01 #1).
+
+No SparkSession needed — these pin pure-Python registry invariants.
+"""
+
+from movie_genre_data_pipeline_spark.suite import DRIVER_WINDOW, all_queries
+
+
+def test_driver_window_is_first_50():
+    names = list(all_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+
+
+def test_driver_window_all_oracled():
+    q = all_queries()
+    unoracled = [n for n in DRIVER_WINDOW if q[n].oracle is None]
+    assert unoracled == []
+
+
+def test_rows_only_queries_sorted_last():
+    q = all_queries()
+    names = list(q)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if q[n].oracle is None), len(names)
+    )
+    # every entry after the first rows-only query is also rows-only
+    assert all(q[n].oracle is None for n in names[first_rows_only:])
+    assert first_rows_only >= 50
+
+
+def test_driver_window_samples_every_family():
+    prefixes = {
+        "dedup_": 0,
+        "sim_": 0,
+        "text_": 0,
+        "media_": 0,
+        "stream_": 0,
+        "tpch_": 0,
+    }
+    for name in DRIVER_WINDOW:
+        for p in prefixes:
+            if name.startswith(p):
+                prefixes[p] += 1
+    assert all(v >= 2 for v in prefixes.values()), prefixes
