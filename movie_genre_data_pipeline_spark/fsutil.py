@@ -14,9 +14,11 @@ from __future__ import annotations
 
 import shutil
 import uuid
+from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def remove_dir(path: str) -> None:
@@ -36,6 +38,7 @@ def rewrite_parquet(
     df: DataFrame,
     path: str,
     partition_column: str | None = None,
+    touched_values: Sequence[object] | None = None,
 ) -> None:
     """Replace the Parquet table at `path` with `df`'s contents, where `df` may
     read from `path` itself (the MERGE-rewrite shape, SURVEY.md §2.6 J1).
@@ -43,7 +46,46 @@ def rewrite_parquet(
     Stage → swap: write df to a staging dir (forces full materialization from the
     OLD files), then swap directories. Never leaves a window where readers see a
     half-written table on a posix FS.
+
+    When `partition_column` AND `touched_values` are given, ONLY those partition
+    directories are staged and swapped — the filter on the partition column prunes
+    the staged scan to the touched directories and untouched partitions keep their
+    original files untouched. This is the 100 TB path: a status flip over one
+    ingest-date's files rewrites that date's partition, not the table. The
+    whole-table swap remains the fallback for unpartitioned tables or full
+    rewrites.
     """
+    if partition_column and touched_values is not None:
+        values = sorted({str(v) for v in touched_values})
+        if not values:
+            return
+        scoped = df.filter(
+            F.col(partition_column).cast("string").isin(values)
+        )
+        staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+        (
+            scoped.write.format("parquet")
+            .mode("overwrite")
+            .partitionBy(partition_column)
+            .save(staging)
+        )
+        target = Path(path)
+        target.mkdir(parents=True, exist_ok=True)
+        for v in values:
+            subdir = f"{partition_column}={v}"
+            staged_part = Path(staging) / subdir
+            live_part = target / subdir
+            backup = target / f"__old_{uuid.uuid4().hex[:8]}_{subdir}"
+            if live_part.exists():
+                live_part.rename(backup)
+            if staged_part.exists():
+                staged_part.rename(live_part)
+            # staged partition absent ⇒ every row of that value was dropped by
+            # df — the rename above already removed the live copy.
+            shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     writer = df.write.format("parquet").mode("overwrite")
     if partition_column:

@@ -66,9 +66,21 @@ def compact_parquet_dir(
 
     df = spark.read.parquet(path)
     if partition_column:
-        # re-bucket within each partition value; repartition (one shuffle) gives
-        # even output sizes per partition dir
-        df = df.repartition(n_target, partition_column)
+        # Re-bucket within each partition value. Hashing on the partition column
+        # ALONE would map every row of one value to a single task → one output
+        # file per value no matter its size; a uniform splitter key fans large
+        # values out over ~files_per_value tasks so file sizes track the target.
+        from pyspark.sql import functions as F
+
+        part_dirs = [
+            d for d in Path(path).iterdir() if d.is_dir() and "=" in d.name
+        ]
+        files_per_value = max(1, math.ceil(n_target / max(1, len(part_dirs))))
+        df = df.repartition(
+            n_target,
+            partition_column,
+            F.floor(F.rand(seed=42) * files_per_value).cast("int"),
+        )
     else:
         # pure shrink: coalesce is narrow — each output task concatenates input
         # splits, zero shuffle

@@ -34,6 +34,7 @@ def salted_agg(
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count(F.lit(1)).alias("__n"),
+        F.count(value_col).alias("__nv"),  # non-null count: avg() ignores NULLs
         F.sum(value_col).alias("__sum"),
         F.min(value_col).alias("__min"),
         F.max(value_col).alias("__max"),
@@ -43,5 +44,6 @@ def salted_agg(
         F.sum("__sum").alias("total"),
         F.min("__min").alias("minimum"),
         F.max("__max").alias("maximum"),
-        (F.sum("__sum") / F.sum("__n")).alias("mean"),
+        # sum/non-null-count == single-stage avg() even with NULLs in value_col
+        (F.sum("__sum") / F.sum("__nv")).alias("mean"),
     )

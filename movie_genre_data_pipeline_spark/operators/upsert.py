@@ -64,6 +64,13 @@ def upsert_update(
     `set_columns` maps target column → source column. Unmatched target rows pass
     through unchanged; source rows without a target match are ignored (exactly
     Delta's whenMatchedUpdate-only behavior).
+
+    NULL semantics match Delta MERGE: a matched row takes the source value even
+    when that value is NULL (match is detected via a non-null marker column, not
+    coalesce, so "update to NULL" works). NULL key values match via eqNullSafe —
+    Delta's `ON t.k = s.k` would NOT match NULL keys; we document the stricter
+    null-safe contract because the reference merges on a struct key whose fields
+    may contain NULLs (operations/operations.py:119).
     """
     keys = _key_cols(on)
     if verify_unique:
@@ -76,6 +83,7 @@ def upsert_update(
             F.col(s).alias(f"__src_set_{t}")
             for t, s in set_columns.items()
         ],
+        F.lit(True).alias("__src_matched"),
     )
     if broadcast_source:
         renamed = F.broadcast(renamed)
@@ -88,7 +96,9 @@ def upsert_update(
     for c in target.columns:
         if c in set_columns:
             out_cols.append(
-                F.coalesce(F.col(f"__src_set_{c}"), target[c]).alias(c)
+                F.when(F.col("__src_matched"), F.col(f"__src_set_{c}"))
+                .otherwise(target[c])
+                .alias(c)
             )
         else:
             out_cols.append(target[c])

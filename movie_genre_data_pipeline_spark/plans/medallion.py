@@ -72,7 +72,16 @@ class MedallionPipeline:
     def bronze_to_silver(self) -> dict[str, int]:
         """Batch_notebook/main.py:21-46: status=="new" → three silver branches +
         two status merges. Returns row counts per branch (the reference printed
-        them interactively)."""
+        them interactively).
+
+        Writes are APPEND + insert-missing, like the reference's append writers
+        (main.py:29-43) but idempotent: the status machine guarantees each bronze
+        row is processed once, and the anti-join delta guarantees a re-ingested
+        payload can't duplicate silver keys. Safe when bronze accrues rows across
+        runs (raw_to_bronze(mode="append")) — an overwrite here would drop
+        previously loaded silver rows from any touched partition. Full reset =
+        fsutil.remove_dir on the layer paths (reference: rawToBronze.py:7 rm -r).
+        """
         cfg = self.config
         bronze_new = read_parquet(self.spark, cfg.bronze_path).filter(
             F.col("status") == STATUS_NEW
@@ -84,14 +93,18 @@ class MedallionPipeline:
         clean = clean.cache()
         quarantined = quarantined.cache()
 
-        write_partitioned(
-            clean, cfg.silver_path("movie"), "p_CreatedDate",
-            exclude_columns=["value"], mode="overwrite",
+        self._append_new_rows(
+            clean.drop("value"), cfg.silver_path("movie"),
+            on=["Id"], partition_column="p_CreatedDate",
         )
         genres = genres_projection(augmented)
-        write_partitioned(genres, cfg.silver_path("genres"), mode="overwrite")
+        self._append_new_rows(
+            genres, cfg.silver_path("genres"), on=list(genres.columns)
+        )
         language = language_projection(augmented)
-        write_partitioned(language, cfg.silver_path("language"), mode="overwrite")
+        self._append_new_rows(
+            language, cfg.silver_path("language"), on=list(language.columns)
+        )
 
         counts = {
             "clean": clean.count(),
@@ -130,19 +143,52 @@ class MedallionPipeline:
         return n
 
     # -- shared -------------------------------------------------------------
+    def _append_new_rows(
+        self,
+        df: DataFrame,
+        path: str,
+        on: list[str],
+        partition_column: str | None = None,
+    ) -> None:
+        """J2-style incremental load: append only the rows whose key is absent
+        from the existing table (anti-join delta — no target rewrite). First
+        write (no table yet) appends everything."""
+        from pathlib import Path
+
+        delta = df
+        if Path(path).exists():
+            target = read_parquet(self.spark, path)
+            delta = upsert_insert_missing(target, df, on=on)
+        write_partitioned(delta, path, partition_column, mode="append")
+
     def _update_bronze_status(self, matched_values: DataFrame, status: str) -> None:
         """J1 status flip (operations/operations.py:112-129): MERGE bronze ON
         bronze.value = df.value WHEN MATCHED UPDATE SET status. Emulated as a
-        broadcast left join + coalesce + staged table rewrite."""
+        broadcast left join + matched-marker update + staged PARTITION-scoped
+        rewrite: only p_ingestdate partitions containing matched rows are
+        rewritten (at 100 TB a full-table rewrite per status flip is the
+        difference between minutes and days)."""
         source = matched_values.distinct().withColumn("status", F.lit(status))
         bronze = read_parquet(self.spark, self.config.bronze_path)
+        touched = [
+            r[0]
+            for r in bronze.join(
+                F.broadcast(source.select("value")), on="value", how="left_semi"
+            )
+            .select("p_ingestdate")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return
         updated = upsert_update(
             bronze, source, on="value",
             set_columns={"status": "status"},
             verify_unique=False,  # source deduped on the full struct key above
         )
         fsutil.rewrite_parquet(
-            self.spark, updated, self.config.bronze_path, "p_ingestdate"
+            self.spark, updated, self.config.bronze_path, "p_ingestdate",
+            touched_values=touched,
         )
 
     # -- convenience --------------------------------------------------------

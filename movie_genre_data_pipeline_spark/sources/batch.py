@@ -40,6 +40,16 @@ def read_parquet(spark: SparkSession, path: str, coerce_nanos: bool = True) -> D
     timestamps (`ts div 1000` — integer division; double math would lose precision
     at 2^63 nanos). DuckDB and pyarrow do the same ns→us truncation, so semantics
     agree across engines. Footer inspection reads one file's metadata only.
+
+    Session-wide side effect (deliberate, ADVICE r01): `nanosAsLong` stays set for
+    the session once a nanos table has been read. It CANNOT be save/restored around
+    the read — the returned DataFrame is lazy and the parquet reader re-checks the
+    conf at EXECUTION time, so restoring it would make a later `.collect()` fail
+    with PARQUET_TYPE_ILLEGAL. The conf only changes behavior for TIMESTAMP(NANOS)
+    columns, which vanilla Spark cannot read at all (it errors), so the only
+    observable delta is: direct `spark.read.parquet` of a nanos table later in the
+    session yields int64 columns instead of an error. Route reads through this
+    helper and they are converted properly.
     """
     if not coerce_nanos:
         return spark.read.parquet(path)

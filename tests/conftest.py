@@ -86,6 +86,37 @@ def raw_movie_dir(tmp_path: Path) -> str:
 
 
 @pytest.fixture()
+def second_raw_movie_dir(tmp_path: Path) -> str:
+    """A later ingest batch: one brand-new movie landing in the SAME
+    p_CreatedDate partition as the first batch (regression for the
+    overwrite-drops-prior-silver bug) plus a re-send of an already-loaded Id."""
+    batch = {
+        "movie": [
+            _movie(6, "Zeta", genres=[(6, "SciFi")]),
+            _movie(3, "Gamma", genres=[(1, "Action")]),  # already loaded in run 1
+        ]
+    }
+    raw = tmp_path / "raw2"
+    raw.mkdir()
+    (raw / "movies_part3.json").write_text(json.dumps(batch))
+    return str(raw)
+
+
+@pytest.fixture()
+def null_runtime_raw_dir(tmp_path: Path) -> str:
+    """One clean movie + one with RunTime=null (JSON null): the reference's
+    two-filter split (RunTime>=0 / NOT(RunTime>=0), operations.py:105-106) puts a
+    NULL row in NEITHER branch — pinned so nobody 'fixes' it into double-counting."""
+    movie = _movie(7, "Eta")
+    null_rt = _movie(8, "Theta")
+    null_rt["RunTime"] = None
+    raw = tmp_path / "raw_null"
+    raw.mkdir()
+    (raw / "movies_null.json").write_text(json.dumps({"movie": [movie, null_rt]}))
+    return str(raw)
+
+
+@pytest.fixture()
 def pipeline_config(tmp_path: Path) -> PipelineConfig:
     return PipelineConfig(
         root=str(tmp_path / "lake"),

@@ -107,3 +107,32 @@ def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
 
     # content intact
     assert spark.read.parquet(path).count() == src.count()
+
+
+def test_compact_partitioned_splits_large_partition_values(spark, tmp_path):
+    """ADVICE r01: hashing on the partition column alone gave exactly one output
+    file per value regardless of size. With the splitter key, a dominant
+    partition value must fan out across multiple files when the byte target
+    demands more files than there are values."""
+    import pathlib
+
+    path = _fragmented_copy(spark, tmp_path, n_files=24, partition_column="p_status")
+    before_rows = sorted(spark.read.parquet(path).drop("p_status").collect())
+    _, total_bytes = dir_parquet_stats(path)
+    part_dirs = [d for d in pathlib.Path(path).iterdir() if d.is_dir()]
+    n_values = len(part_dirs)
+
+    # demand ~3 files per partition value
+    stats = compact_parquet_dir(
+        spark, path,
+        target_file_bytes=max(1, total_bytes // (3 * n_values)),
+        partition_column="p_status",
+    )
+    assert stats["files_after"] < stats["files_before"]
+    # the biggest partition value (O's dominate o_orderstatus) got >1 file
+    sizes = {
+        d.name: len(list(d.glob("*.parquet")))
+        for d in pathlib.Path(path).iterdir() if d.is_dir()
+    }
+    assert max(sizes.values()) > 1, sizes
+    assert sorted(spark.read.parquet(path).drop("p_status").collect()) == before_rows
