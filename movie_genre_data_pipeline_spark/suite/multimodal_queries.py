@@ -43,10 +43,39 @@ FROM documents
 """
 
 
-# -- full feature row incl. stubbed decode (no SQL equivalent → rows-only) -----------
+# -- full feature row incl. stubbed decode -------------------------------------------
 def q_media_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mapInPandas feature row. Oracle-able after all (VERDICT r01 #4): the
+    fake decode is deterministic integer math over the payload's first 4 bytes
+    (multimodal.decode_image_stub), the payloads are ASCII document text (byte ==
+    ascii(char), verified min length 47 ≥ 4), and mean_byte divides the same two
+    exact integers in both engines — so every column is SQL-expressible."""
     media = _media_df(spark, sf_dir)
     return image_features(media, fake_decode=True)
+
+
+Q_MEDIA_FEATURES_FULL_ORACLE = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS payload_md5,
+         list_aggregate(
+           list_transform(generate_series(1, length(text)),
+                          i -> ascii(substring(text, i, 1))),
+           'sum') AS byte_sum,
+         CAST(ascii(substring(text, 1, 1)) AS BIGINT) * 16777216
+           + CAST(ascii(substring(text, 2, 1)) AS BIGINT) * 65536
+           + CAST(ascii(substring(text, 3, 1)) AS BIGINT) * 256
+           + CAST(ascii(substring(text, 4, 1)) AS BIGINT) AS h,
+         length(text) AS len
+  FROM documents
+)
+SELECT media_id, n_bytes, payload_md5,
+       byte_sum / CAST(len AS DOUBLE) AS mean_byte,
+       CAST(64 + h % 192 AS INTEGER) AS width,
+       CAST(64 + (h // 256) % 192 AS INTEGER) AS height
+FROM b
+"""
 
 
 # -- frame-sample plan (video-style metadata → per-frame rows) -------------------------
@@ -104,7 +133,7 @@ FROM documents
 
 QUERIES: dict[str, QuerySpec] = {
     "media_byte_features": QuerySpec(q_media_byte_features, Q_MEDIA_BYTE_FEATURES_ORACLE),
-    "media_features_full": QuerySpec(q_media_features_full, None),
+    "media_features_full": QuerySpec(q_media_features_full, Q_MEDIA_FEATURES_FULL_ORACLE),
     "media_frame_sample_plan": QuerySpec(q_frame_sample_plan, Q_FRAME_SAMPLE_PLAN_ORACLE),
     "media_resize": QuerySpec(q_media_resize, Q_MEDIA_RESIZE_ORACLE),
 }

@@ -839,19 +839,48 @@ WINDOW w AS (PARTITION BY user_id)
 def q_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: DataSketches HLL distinct-count,
     HLL-merge via approx_count_distinct, and approx_percentile (KLL-style
-    quantiles). Sketch internals differ engine-to-engine so there is no exact
-    DuckDB oracle — the driver records a rows-only check; correctness of the
-    EXACT twins is covered by count_distinct / tpch_q1."""
+    quantiles). Sketch internals differ engine-to-engine, so the ORACLE is a
+    bounds check (VERDICT r01 #4): the query emits the exact values plus
+    within-error booleans (HLL ±5%, approx_count_distinct ±10% at rsd=0.05,
+    approx median between the exact 48th and 52nd percentiles — all far looser
+    than the sketches' documented error), and DuckDB asserts the exact values
+    and that every flag is TRUE. Sketches are hash-deterministic (no RNG), so
+    the flags are stable run-to-run."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").alias(
-            "approx_orders"
-        ),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias(
-            "approx_median_price"
-        ),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("__exact_parts"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").alias("__hll"),
+        F.approx_count_distinct("l_partkey").alias("__acd"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("__amed"),
+        F.expr("percentile(l_extendedprice, 0.48)").alias("__p48"),
+        F.expr("percentile(l_extendedprice, 0.52)").alias("__p52"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("__hll") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("__acd") - F.col("__exact_parts"))
+            <= 0.10 * F.col("__exact_parts")
+        ).alias("acd_within_10pct"),
+        (
+            (F.col("__amed") >= F.col("__p48")) & (F.col("__amed") <= F.col("__p52"))
+        ).alias("median_within_rank_2pct"),
+    )
+
+
+Q_SKETCH_APPROX_STATS_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_within_5pct,
+       TRUE AS acd_within_10pct,
+       TRUE AS median_within_rank_2pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # -- interval (range) join: purchases inside post-error windows -----------------------
@@ -1189,7 +1218,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q18": QuerySpec(q_tpch_q18, Q_TPCH_Q18_ORACLE),
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, Q_SKEW_SALTED_AGG_ORACLE),
     "interval_join": QuerySpec(q_interval_join, Q_INTERVAL_JOIN_ORACLE),
-    "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, None),
+    "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, Q_SKETCH_APPROX_STATS_ORACLE),
     "grouped_pandas_norm": QuerySpec(q_grouped_pandas_norm, Q_GROUPED_PANDAS_NORM_ORACLE),
     "profile_percentiles": QuerySpec(q_profile_percentiles, Q_PROFILE_PERCENTILES_ORACLE),
     "window_rank_suite": QuerySpec(q_window_rank_suite, Q_WINDOW_RANK_SUITE_ORACLE),
