@@ -28,6 +28,12 @@ HEADLINE = [
     "from_json_props",
     "sessionize",
     "tumbling_window",
+    # north-star extension hot paths (VERDICT r01 #5): one representative per
+    # family so regressions in dedup/similarity/text/streaming get caught
+    "dedup_minhash_lsh",
+    "sim_topk_ivf",
+    "text_tfidf_topk",
+    "stream_tumbling_window",
 ]
 
 

@@ -202,3 +202,13 @@ def test_tpch_q20_single_aggregate_decorrelation(spark):
     assert len(li_scans) == 1, plan
     assert "EqualTo(p_type,PROMO)" in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_topk_orders_take_ordered_no_global_sort(spark):
+    """VERDICT r01 #6: a global orderBy().limit(k) must plan as
+    TakeOrderedAndProject (per-partition top-k + single merge of k·P rows), NOT
+    a full range-partitioned sort — the difference between shuffling k rows per
+    partition and shuffling the whole table at 100 TB."""
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
