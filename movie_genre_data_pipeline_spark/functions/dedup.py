@@ -40,6 +40,34 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def keep_best_dedup(
+    df: DataFrame, id_col: str, text_col: str, score: Column
+) -> DataFrame:
+    """Quality-aware exact dedup for training corpora: per normalized-text
+    fingerprint keep the row with the HIGHEST `score` (ties → lowest id), and
+    report cluster size. Plain hash-groupBy window — one shuffle on the 128-bit
+    fingerprint, balanced at any scale. `score` must be a deterministic column
+    expression (rank on ROUNDED scores so float noise can't flip keepers across
+    engines — pass e.g. quality_score(), which rounds to 6dp)."""
+    w = Window.partitionBy("fp").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    scored = df.select(
+        F.col(id_col), fingerprint(text_col).alias("fp"), score.alias("__score")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "fp",
+            F.col(id_col).alias("keeper_id"),
+            F.col("__score").alias("keeper_score"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
 def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-fingerprint keeper + duplicate count: (fp, keeper_id, n_copies)."""
     return df.groupBy(fingerprint(text_col).alias("fp")).agg(

@@ -71,6 +71,68 @@ GROUP BY d.lang
 """
 
 
+# -- quality-aware keeper selection ---------------------------------------------------
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per duplicate cluster keep the highest-
+    quality_score doc (rank on the 6dp-ROUNDED score, doc_id tiebreak, so libm
+    noise can't flip keepers across engines)."""
+    from movie_genre_data_pipeline_spark.functions.dedup import keep_best_dedup
+    from movie_genre_data_pipeline_spark.functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    return keep_best_dedup(d, "doc_id", "text", quality_score("text")).select(
+        "fp",
+        "keeper_id",
+        F.col("keeper_score").alias("keeper_quality"),
+        "n_copies",
+    )
+
+
+def _keep_best_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.text import LANG_LEXICONS
+
+    en = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS wordlen,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, t -> lower(t) IN ({en}))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS punct_ratio
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         ROUND(
+           (LEAST(n_tok / 50.0, 1.0) * 0.4
+            + (CASE WHEN wordlen >= 3.0 AND wordlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+            + LEAST(stop_ratio * 5.0, 1.0) * 0.3)
+           * (1.0 - LEAST(punct_ratio * 2.0, 1.0) * 0.5),
+         6) AS quality
+  FROM feat
+),
+ranked AS (
+  SELECT fp, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n
+  FROM scored
+)
+SELECT fp, doc_id AS keeper_id, quality AS keeper_quality,
+       CAST(n AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
 # -- MinHash LSH candidates ------------------------------------------------------------
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -267,6 +329,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, Q_DEDUP_EXACT_ORACLE),
     "dedup_clusters": QuerySpec(q_dedup_clusters, Q_DEDUP_CLUSTERS_ORACLE),
     "dedup_corpus": QuerySpec(q_dedup_corpus, _dedup_corpus_oracle()),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, _keep_best_oracle()),
     "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, Q_MINHASH_LSH_ORACLE),
     "dedup_simhash": QuerySpec(q_simhash, Q_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, Q_NGRAM_JACCARD_ORACLE),

@@ -1012,6 +1012,45 @@ FROM documents
 """
 
 
+# -- URL parsing family ----------------------------------------------------------------
+def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url HOST/PATH/QUERY/REF + per-key query extraction over a URL
+    constructed from order columns. The oracle re-derives each part from the
+    same base columns, so this pins Spark's parse_url semantics against the
+    URL's known construction."""
+    o = load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.col("o_orderstatus"),
+        F.lit("/order?id="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&priority="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("-")),
+        F.lit("#sec-"),
+        F.col("o_orderstatus"),
+    )
+    d = o.select("o_orderkey", url.alias("u"))
+    return d.select(
+        "o_orderkey",
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY")).alias("query"),
+        F.parse_url("u", F.lit("REF")).alias("ref"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("priority")).alias("priority_param"),
+    )
+
+
+Q_URL_FUNCTIONS_ORACLE = """
+SELECT o_orderkey,
+       'shop.example.com' AS host,
+       '/' || o_orderstatus || '/order' AS path,
+       'id=' || o_orderkey || '&priority=' || replace(o_orderpriority, ' ', '-') AS query,
+       'sec-' || o_orderstatus AS ref,
+       replace(o_orderpriority, ' ', '-') AS priority_param
+FROM orders
+"""
+
+
 # -- window frames: first/last/nth_value + RANGE frame --------------------------------
 def q_window_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit frame clauses: unbounded ROWS frame for first/last/nth_value
@@ -1247,4 +1286,5 @@ QUERIES: dict[str, QuerySpec] = {
     "hash_functions": QuerySpec(q_hash_functions, Q_HASH_FUNCTIONS_ORACLE),
     "math_functions": QuerySpec(q_math_functions, Q_MATH_FUNCTIONS_ORACLE),
     "regexp_functions": QuerySpec(q_regexp_functions, Q_REGEXP_FUNCTIONS_ORACLE),
+    "url_functions": QuerySpec(q_url_functions, Q_URL_FUNCTIONS_ORACLE),
 }

@@ -315,6 +315,41 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# -- stream ⋈ static dimension (broadcast enrich) -------------------------------------
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — THE streaming-enrichment pattern: an unbounded event
+    stream joined to a bounded dimension table. The static side is broadcast
+    (no state store, no watermark needed on the dim; Spark re-plans the static
+    side per micro-batch), then windowed-aggregated per market segment."""
+    from movie_genre_data_pipeline_spark.suite import load
+
+    ev = _event_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+    agg = joined.groupBy(F.window("ts", "12 hours").alias("w"), "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "c_mktsegment",
+        "n",
+        "total_value",
+    )
+
+
+Q_STREAM_STATIC_JOIN_ORACLE = """
+SELECT strftime(make_timestamp(CAST(FLOOR(EPOCH(ts) / 43200) * 43200 AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 # -- foreachBatch + join-based upsert (W5: the OSS Delta-MERGE stream) ----------------
 def q_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `foreachBatch(upsertToDelta)` stream
@@ -375,6 +410,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_stateful_user_stats": QuerySpec(
         q_stream_stateful_user_stats, Q_STREAM_STATEFUL_ORACLE
     ),
+    "stream_static_join": QuerySpec(q_stream_static_join, Q_STREAM_STATIC_JOIN_ORACLE),
     "stream_foreachbatch_merge": QuerySpec(
         q_stream_foreachbatch_merge, Q_STREAM_FOREACHBATCH_MERGE_ORACLE
     ),
