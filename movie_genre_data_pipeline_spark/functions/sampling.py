@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting for training-data curation (north star).
+
+`df.sample()` / `sampleBy()` are partition-order-dependent: the same seed gives
+different rows after a repartition, which is disqualifying for reproducible
+training corpora. These operators decide membership from a content hash instead —
+`md5(key ':' salt) < hex_threshold(fraction)` — so:
+
+- membership is a pure function of the row key (stable across partitioning,
+  cluster size, engine — DuckDB computes the identical md5 and compares the same
+  hex strings lexicographically);
+- different salts give independent samples (sample vs. split decisions don't
+  correlate);
+- at 100 TB it's a scan-local filter: no shuffle, no state, pushdown-friendly.
+
+The md5 hex string is compared as a STRING against the 32-hex-digit threshold of
+`fraction * 16^32` — avoiding any hex→int conversion, which engines disagree on
+far more often than they disagree on md5.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hex_threshold(fraction: float) -> str:
+    """32-hex-digit threshold t such that P[md5_hex < t] == fraction (md5 is
+    uniform over [0, 16^32))."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        # any hex digit < 'g': keeps everything without a 2^128 edge case
+        return "g"
+    return format(int(fraction * (1 << 128)), "032x")
+
+
+def sample_tag(key: str | Column, salt: str) -> Column:
+    """The decision hash: md5 of "key:salt". Distinct salts ⇒ independent draws."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(c.cast("string"), F.lit(":" + salt)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically by key.
+    Strata absent from `fractions` are dropped (fraction 0)."""
+    tag = sample_tag(key_col, salt)
+    cond = None
+    for stratum, frac in fractions.items():
+        c = (F.col(strata_col) == stratum) & (tag < F.lit(hex_threshold(frac)))
+        cond = c if cond is None else (cond | c)
+    return df.filter(cond if cond is not None else F.lit(False))
+
+
+def assign_split(
+    key: str | Column,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "split",
+) -> Column:
+    """Label column partitioning rows into named splits by cumulative weight.
+    Weights must sum to 1; the last split takes the remainder (no float-edge
+    rows can fall through)."""
+    tag = sample_tag(key, salt)
+    expr = None
+    cum = 0.0
+    for name, w in list(weights)[:-1]:
+        cum += w
+        c = F.when(tag < F.lit(hex_threshold(cum)), F.lit(name))
+        expr = c if expr is None else expr.when(
+            tag < F.lit(hex_threshold(cum)), F.lit(name)
+        )
+    last = list(weights)[-1][0]
+    return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)).alias(
+        "split"
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    part_col: str,
+    budget: int,
+) -> DataFrame:
+    """Shard an ordered corpus into ~budget-token chunks per partition value
+    (the "pack documents into context windows / training shards" op).
+
+    chunk_id = floor((running_tokens - own_tokens) / budget) over a window
+    ordered by `id_col` — a doc starts a new chunk when the PRIOR docs already
+    fill the budget. One shuffle on `part_col`; the running sum is the standard
+    ever-increasing-frame window (no full materialization per group)."""
+    w = F.sum(token_count_col).over(
+        Window.partitionBy(part_col).orderBy(F.col(id_col).asc())
+    )
+    return df.select(
+        F.col(part_col),
+        F.col(id_col),
+        token_count_col.alias("n_tokens"),
+        F.floor((w - token_count_col) / F.lit(budget)).cast("bigint").alias("chunk_id"),
+    )

@@ -114,6 +114,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         relational,
         relational_extra,
+        sampling_queries,
         similarity_queries,
         streaming_queries,
         text_queries,
@@ -126,6 +127,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_extra,
         text_queries,
         dedup_queries,
+        sampling_queries,
         similarity_queries,
         streaming_queries,
         multimodal_queries,

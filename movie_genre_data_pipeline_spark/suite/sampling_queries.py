@@ -1,0 +1,107 @@
+"""Deterministic sampling / splitting / packing queries over `documents`
+(north star: reproducible training-data curation). Membership decisions are
+md5-hash thresholds (functions/sampling.py), so the DuckDB oracle reproduces the
+EXACT same sample — something seed-based `df.sample()` can never guarantee across
+engines or even across repartitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.sampling import (
+    assign_split,
+    hex_threshold,
+    pack_token_budget,
+    stratified_sample,
+)
+from movie_genre_data_pipeline_spark.functions.text import token_count
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+from movie_genre_data_pipeline_spark.suite.text_queries import _TOKS
+
+# per-language sampling rates: downsample dominant langs, keep the tail
+_FRACTIONS = {"en": 0.5, "de": 0.8, "fr": 0.25, "es": 0.6, "zh": 1.0}
+_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_TOKEN_BUDGET = 2000
+
+
+def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample by language, then train/val/test assignment —
+    both decisions pure functions of doc_id (independent salts), aggregated to
+    (lang, split) counts + token totals."""
+    d = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(d, "doc_id", "lang", _FRACTIONS)
+    labeled = sampled.withColumn("split", assign_split("doc_id", _SPLITS))
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
+def _stratified_split_oracle() -> str:
+    keep = " OR ".join(
+        f"(lang = '{lang}' AND md5(doc_id || ':sample') < '{hex_threshold(f)}')"
+        for lang, f in _FRACTIONS.items()
+    )
+    t_train = hex_threshold(0.8)
+    t_val = hex_threshold(0.9)
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, lang, {_TOKS} AS toks
+  FROM documents
+  WHERE {keep}
+),
+labeled AS (
+  SELECT lang,
+         CASE WHEN md5(doc_id || ':split') < '{t_train}' THEN 'train'
+              WHEN md5(doc_id || ':split') < '{t_val}' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM sampled
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM labeled GROUP BY 1, 2
+"""
+
+
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sharding: per-language running token sum chops the doc sequence
+    into ~2000-token training chunks; aggregated to per-chunk stats."""
+    d = load(spark, sf_dir, "documents")
+    packed = pack_token_budget(
+        d, "doc_id", token_count("text"), "lang", _TOKEN_BUDGET
+    )
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
+Q_PACK_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR(
+           (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens)
+           / {float(_TOKEN_BUDGET)}
+         ) AS BIGINT) AS chunk_id
+  FROM t
+)
+SELECT lang, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(n_tokens) AS chunk_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sample_stratified_split": QuerySpec(
+        q_sample_stratified_split, _stratified_split_oracle()
+    ),
+    "pack_token_budget": QuerySpec(q_pack_token_budget, Q_PACK_TOKEN_BUDGET_ORACLE),
+}
