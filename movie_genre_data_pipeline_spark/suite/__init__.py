@@ -78,7 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "skew_salted_agg",
     "interval_join",
     "grouped_pandas_norm",
-    "pivot",
+    "sample_stratified_split",
     # text analysis
     "text_token_stats",
     "text_tfidf_topk",

@@ -1,0 +1,81 @@
+"""Deterministic sampling (functions/sampling.py): membership must be a pure
+function of the row key — invariant under repartitioning, which seed-based
+df.sample() does NOT guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.sampling import (
+    assign_split,
+    hex_threshold,
+    pack_token_budget,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hex_threshold_edges():
+    assert hex_threshold(0.0) == "0" * 32
+    assert hex_threshold(1.0) == "g"  # sorts after every hex digest
+    t = hex_threshold(0.5)
+    assert len(t) == 32 and t.startswith("8")
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_stratified_sample_invariant_under_repartition(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    frac = {"en": 0.5, "de": 0.8, "fr": 0.25, "es": 0.6, "zh": 1.0}
+    ids1 = {r[0] for r in stratified_sample(d, "doc_id", "lang", frac).select("doc_id").collect()}
+    ids2 = {
+        r[0]
+        for r in stratified_sample(d.repartition(13, "lang"), "doc_id", "lang", frac)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2 and 0 < len(ids1) < d.count()
+    # zh has fraction 1.0: every zh doc kept
+    zh_total = d.filter(F.col("lang") == "zh").count()
+    zh_kept = (
+        stratified_sample(d, "doc_id", "lang", frac)
+        .filter(F.col("lang") == "zh")
+        .count()
+    )
+    assert zh_kept == zh_total
+
+
+def test_assign_split_total_and_stability(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    labeled = d.withColumn("split", assign_split("doc_id"))
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == d.count()  # every row gets exactly one split
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)  # 80/10/10 shape
+    # independent salts: the sample decision and split decision are uncorrelated
+    relabeled = d.repartition(7).withColumn("split", assign_split("doc_id"))
+    assert (
+        labeled.select("doc_id", "split")
+        .exceptAll(relabeled.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_pack_token_budget_chunks_bounded(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from movie_genre_data_pipeline_spark.functions.text import token_count
+
+    packed = pack_token_budget(d, "doc_id", token_count("text"), "lang", 500)
+    stats = packed.groupBy("lang", "chunk_id").agg(
+        F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx")
+    )
+    # every chunk except possibly where a single doc exceeds the budget starts
+    # below budget + its last doc's size; chunk ids are dense from 0
+    first = stats.groupBy("lang").agg(F.min("chunk_id").alias("m")).collect()
+    assert all(r["m"] == 0 for r in first)
+    # a chunk's tokens never exceed budget + one document (the straddler)
+    bad = stats.filter(F.col("tok") > 500 + F.col("mx")).count()
+    assert bad == 0
