@@ -17,8 +17,11 @@ Scale design (the whole point of these):
 
 Hash discipline: md5 everywhere (not xxhash64/murmur) — every engine computes the
 identical digest, so signatures/fingerprints are portable and the DuckDB oracle can
-reproduce them bit-for-bit. MinHash "hash family" = md5 salted with the hash index;
-min is taken over the hex-string ordering (well-defined and identical everywhere).
+reproduce them bit-for-bit. MinHash "hash family" = ONE md5 per shingle + affine
+combinations (a + h·b) mod P over the digest's two 48-bit halves — the textbook
+universal family, and 12× cheaper than salting md5 per hash index (r2: cut the
+dominant bench cost of dedup_minhash_lsh). 48-bit halves keep a + 11·b < 2^52,
+exactly representable in BIGINT (and even in a double) on every engine.
 """
 
 from __future__ import annotations
@@ -88,23 +91,34 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
 
 
 # -- MinHash + LSH -----------------------------------------------------------------
+# Largest prime below 2^48: the affine family (a + h*b) % MINHASH_P over the two
+# 48-bit halves of md5(shingle). One md5 per shingle, H cheap arithmetic ops.
+MINHASH_P = 281474976710597
+
+
+def _affine_hash(digest: Column, h: Column | int) -> Column:
+    """(a + h*b) mod P where a/b are the md5 hex digest's 48-bit halves."""
+    a = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+    b = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+    h_col = F.lit(h) if isinstance(h, int) else h.cast("long")
+    return (a + h_col * b) % F.lit(MINHASH_P)
+
+
 def minhash_signature(col: str | Column, num_hashes: int = 12, k: int = 3) -> Column:
-    """MinHash signature as array<string> of length `num_hashes`:
-    sig[h] = min over shingles of md5(h || ':' || shingle). Empty-shingle docs get
-    the sentinel 'z' * 32 (> any hex digest) so they never collide with real text.
-    """
-    shingles = word_shingles(col, k)
+    """MinHash signature as array<long> of length `num_hashes`:
+    sig[h] = min over shingles of (a + h*b) mod P, a/b = halves of md5(shingle).
+    Empty-shingle docs get the sentinel P (> any residue) so they never collide
+    with real text."""
+    digests = F.transform(word_shingles(col, k), lambda s: F.md5(s))
     hash_ids = F.array(*[F.lit(h) for h in range(num_hashes)])
     sig = F.transform(
         hash_ids,
         lambda h: F.array_min(
-            F.transform(
-                shingles, lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s))
-            )
+            F.transform(digests, lambda d: _affine_hash(d, h))
         ),
     )
-    sentinel = F.array(*[F.lit("z" * 32) for _ in range(num_hashes)])
-    return F.when(F.size(shingles) > 0, sig).otherwise(sentinel)
+    sentinel = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_hashes)])
+    return F.when(F.size(digests) > 0, sig).otherwise(sentinel)
 
 
 def lsh_band_keys(
@@ -144,9 +158,18 @@ def minhash_signature_table(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
     )
-    return sh.groupBy("doc").agg(
+    # one md5 per shingle ROW; the H family members are cheap arithmetic on its
+    # halves (r2: was md5 × H per shingle — 12× the hashing cost for H=12)
+    hashed = sh.select(
+        "doc",
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("long").alias("__a"),
+        F.conv(F.substring(F.md5("s"), 13, 12), 16, 10).cast("long").alias("__b"),
+    )
+    return hashed.groupBy("doc").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(str(h)), F.lit(":"), F.col("s")))).alias(f"m{h}")
+            F.min(
+                (F.col("__a") + F.lit(h) * F.col("__b")) % F.lit(MINHASH_P)
+            ).alias(f"m{h}")
             for h in range(num_hashes)
         ]
     )

@@ -36,13 +36,20 @@ sh AS (
   FROM docs
 )"""
 
-# docs with no shingles (< k tokens) have no signature and never pair up
+# docs with no shingles (< k tokens) have no signature and never pair up.
+# Hash family mirrors functions/dedup.py exactly: one md5 per shingle, then
+# (a + h*b) mod P over its 48-bit hex halves.
+_MINHASH_P = 281474976710597
 _SIG_CTE = f"""
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, {BANDS * ROWS_PER_BAND - 1}),
            h -> list_aggregate(
-                  list_transform(shingles, s -> md5(h || ':' || s)), 'min')) AS sig
+                  list_transform(shingles,
+                    s -> (CAST(concat('0x', substring(md5(s), 1, 12)) AS BIGINT)
+                          + h * CAST(concat('0x', substring(md5(s), 13, 12)) AS BIGINT))
+                         % {_MINHASH_P}),
+                  'min')) AS sig
   FROM sh WHERE len(shingles) > 0
 )"""
 
