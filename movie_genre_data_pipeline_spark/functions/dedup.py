@@ -141,23 +141,62 @@ def lsh_band_keys(
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    distinct: bool = False,
+) -> DataFrame:
+    """(doc, s) word-k-gram rows via POSITION explode: the generator input is a
+    cheap `sequence(1, n_tokens-k+1)` and the shingle string is sliced AFTER the
+    explode from the carried tokens array. Exploding `word_shingles(...)`
+    directly re-evaluates the whole nested slice/concat HOF per output row —
+    O(n_tokens²) per doc; measured 10× slower than this shape on the sf0.1
+    corpus. Docs with < k tokens are filtered out (they have no shingles; the
+    filter also guards Spark's sequence(), which counts DOWN for n < k)."""
+    extras = [F.col(c) for c in extra_cols]
+    toks = df.select(
+        F.col(id_col).alias("doc"), *extras, tokens(text_col).alias("__toks")
+    )
+    rows = (
+        toks.filter(F.size("__toks") >= k)
+        .select(
+            "doc",
+            *extra_cols,
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(k - 1))
+            ).alias("__i"),
+        )
+        .select(
+            "doc",
+            *extra_cols,
+            F.concat_ws(" ", F.slice("__toks", F.col("__i"), k)).alias("s"),
+        )
+    )
+    # per-doc set semantics (== exploding array_distinct, but without the
+    # generator re-evaluation); extra_cols are functionally dependent on doc
+    return rows.dropDuplicates(["doc", "s"]) if distinct else rows
+
+
 def minhash_signature_table(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, k: int = 3
 ) -> DataFrame:
     """(doc, m0..m{H-1}) MinHash signature table via explode + hash-aggregate.
 
-    This is the scale plan: shingles explode to rows, then `min` aggregates get
-    map-side partial aggregation (each input partition reduces to one row per doc
-    before the shuffle). Documents with fewer than k tokens produce no shingles
-    and drop out — they have no text signature.
+    This is the scale plan: shingles explode to rows (position-explode — see
+    `shingle_rows`), then `min` aggregates get map-side partial aggregation
+    (each input partition reduces to one row per doc before the shuffle).
+    Documents with fewer than k tokens produce no shingles and drop out — they
+    have no text signature.
 
     (A pure column-expression variant — `minhash_signature` — exists, but keeping
     giant nested HOF expressions out of Generate/joins matters: Spark re-evaluates
     generator input per output row, measured 7× slower on this exact operator.)
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
-    )
+    sh = shingle_rows(df, id_col, text_col, k)
     # one md5 per shingle ROW; the H family members are cheap arithmetic on its
     # halves (r2: was md5 × H per shingle — 12× the hashing cost for H=12)
     hashed = sh.select(
@@ -263,11 +302,9 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     blocking = blocking or []
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        *[F.col(c) for c in blocking],
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("sh"),
-    )
+    sh = shingle_rows(
+        df, id_col, text_col, k, extra_cols=tuple(blocking), distinct=True
+    ).withColumnRenamed("s", "sh")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
