@@ -171,10 +171,14 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the linear/one-shuffle shape that holds at corpus scale."""
     from pyspark.sql import Window
 
-    from movie_genre_data_pipeline_spark.functions.dedup import word_shingles
+    from movie_genre_data_pipeline_spark.functions.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    grams = d.select("lang", F.explode(word_shingles("text", 2)).alias("bigram"))
+    # position-explode (see shingle_rows): exploding word_shingles directly
+    # re-evaluates the slice/concat HOF per output row — O(n_tokens²) per doc
+    grams = shingle_rows(d, "doc_id", "text", k=2, extra_cols=("lang",)).select(
+        "lang", F.col("s").alias("bigram")
+    )
     counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return (
