@@ -86,6 +86,55 @@ def assign_split(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: Mapping[str, float],
+    target_total: int,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Rebalance a corpus toward target mixture weights (the domain-mixing /
+    language-rebalancing pass of a training pipeline): stratum s is kept at rate
+    min(1, weights[s] * target_total / n_s), so over-represented strata are
+    downsampled toward their target share and under-represented ones are kept
+    whole (rates cap at 1; this operator never upsamples).
+
+    Unlike `stratified_sample`, the rates are DATA-DEPENDENT (computed from the
+    observed stratum counts), so the membership decision compares a numeric hash
+    fraction instead of a precomputed hex threshold: the first 48 bits of
+    md5(key:salt) divided by 2^48 — exactly representable as a double on every
+    engine, so Spark and the SQL oracle agree bit-for-bit.
+
+    Scale: one count aggregation (|strata| rows), broadcast back, then a
+    scan-local filter. No shuffle of the data itself. Strata absent from
+    `weights` get rate 0 (dropped)."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    weight = F.lit(None).cast("double")
+    for stratum, w in weights.items():
+        weight = F.when(F.col(strata_col) == stratum, F.lit(float(w))).otherwise(
+            weight
+        )
+    rates = counts.select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.coalesce(weight, F.lit(0.0))
+            * F.lit(float(target_total))
+            / F.col("__n"),
+        ).alias("__rate"),
+    )
+    frac48 = (
+        F.conv(F.substring(sample_tag(key_col, salt), 1, 12), 16, 10).cast("long")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(frac48 < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def pack_token_budget(
     df: DataFrame,
     id_col: str,

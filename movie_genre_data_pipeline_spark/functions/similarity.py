@@ -235,3 +235,40 @@ def lsh_top_k_multi(
         .filter(F.col("rnk") <= k)
         .select("vid", "neighbor", "cos_sim", "rnk")
     )
+
+
+# -- scalar quantization -----------------------------------------------------------
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str, levels: int = 255
+) -> DataFrame:
+    """Per-vector min-max scalar quantization to `levels` integer codes (the
+    int8-compression pass that cuts an embedding store's footprint ~4x before
+    ANN serving): code_i = round((x_i - mn) / scale), scale = (mx - mn)/(levels-1).
+
+    Output per vector: mn/mx (6dp), the md5 digest of the code sequence (pins the
+    exact codes portably), and the mean absolute reconstruction error (6dp) of
+    dequantize(code) = code*scale + mn — the quality metric that decides whether
+    int8 is safe for the downstream ANN index.
+
+    Scale: pure per-row higher-order functions — zero shuffle, scan-pipelined;
+    constant vectors (mx == mn) get scale 1 so codes are all 0 and error 0.
+    Numeric discipline: inputs are cast to double, round() operands are
+    non-negative (so HALF_UP == half-away-from-zero on every engine), and the
+    error is a sequential array-order fold — bit-identical to the SQL oracle's
+    list fold."""
+    v = _as_double(vec_col)
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / F.lit(float(levels - 1))).otherwise(F.lit(1.0))
+    codes = F.transform(v, lambda x: F.round((x - mn) / scale).cast("bigint"))
+    recon_err = F.aggregate(
+        F.zip_with(v, codes, lambda x, q: F.abs(x - (q * scale + mn))),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    ) / F.size(v)
+    return df.select(
+        F.col(id_col),
+        F.round(mn, 6).alias("v_min"),
+        F.round(mx, 6).alias("v_max"),
+        F.md5(F.concat_ws(",", codes.cast("array<string>"))).alias("codes_digest"),
+        F.round(recon_err, 6).alias("mean_abs_err"),
+    )

@@ -45,20 +45,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # reference-parity pipeline core
+    # reference-parity pipeline core (project_cast/struct_expand/explode_array/
+    # merge_insert_missing earned driver-pass rows in r1 and rotated out for the
+    # r2 curation family; they remain oracled just past the window)
     "flagship_revenue_by_flag_status",
-    "project_cast",
-    "struct_expand",
-    "explode_array",
     "quarantine_clean",
     "merge_status_update",
-    "merge_insert_missing",
     "dim_fix",
-    # relational spine
+    # relational spine (q3/q18 driver-passed in r1, rotated out)
     "tpch_q1",
-    "tpch_q3",
     "tpch_q6",
-    "tpch_q18",
     "star_join",
     "topk_orders",
     "window_topk_per_group",
@@ -96,6 +92,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_lsh_top1",
     "sim_lsh_multi_top1",
     "sim_topk_bruteforce",
+    "sim_quantize_int8",
+    # corpus curation (r2 family)
+    "curate_chunk_documents",
+    "curate_pii_redaction",
+    "curate_gopher_flags",
+    "curate_decontaminate",
+    "sample_mixture_rebalance",
     # structured streaming
     "stream_tumbling_window",
     "stream_foreachbatch_merge",
@@ -109,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 def all_queries() -> dict[str, QuerySpec]:
     from movie_genre_data_pipeline_spark.suite import (
+        curation_queries,
         dedup_queries,
         multimodal_queries,
         pipeline_queries,
@@ -128,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_queries,
         dedup_queries,
         sampling_queries,
+        curation_queries,
         similarity_queries,
         streaming_queries,
         multimodal_queries,

@@ -1,0 +1,290 @@
+"""Corpus-curation queries over `documents` / `embeddings` (north star:
+benchmark decontamination, context-window chunking, PII redaction, Gopher-style
+repetition rules, mixture rebalancing, embedding quantization).
+
+Oracles are generated from the SAME constants (window/stride, thresholds, PII
+patterns, mixture weights) as the Spark implementations so they cannot drift.
+Long text columns are pinned by md5 digest instead of shipped verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.curation import (
+    GOPHER_MAX_TOKENS,
+    GOPHER_MAX_TOP_TOKEN_FRAC,
+    GOPHER_MIN_TOKENS,
+    GOPHER_MIN_TTR,
+    GOPHER_WORDLEN_RANGE,
+    PII_PATTERNS,
+    PII_REPLACEMENT,
+    chunk_documents,
+    decontaminate,
+    gopher_flags,
+    pii_counts,
+    redact_pii,
+    repetition_profile,
+)
+from movie_genre_data_pipeline_spark.functions.sampling import mixture_resample
+from movie_genre_data_pipeline_spark.functions.similarity import quantize_int8
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+# -- context-window chunking -------------------------------------------------------
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", CHUNK_WINDOW, CHUNK_STRIDE)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_digest"),
+    )
+
+
+Q_CHUNK_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(list_filter(
+           generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE}),
+           s -> s = 1 OR s + {CHUNK_WINDOW - CHUNK_STRIDE} <= len(toks))) AS s
+  FROM docs WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(LEAST({CHUNK_WINDOW}, n - s + 1) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[s:s + {CHUNK_WINDOW - 1}], ' ')) AS chunk_digest
+FROM st
+"""
+
+
+# -- PII redaction -----------------------------------------------------------------
+# The synthetic corpus carries no PII, so the query plants deterministic PII
+# derived from doc_id (one email, one phone, one IPv4 per doc) and then runs the
+# redaction pass — exercising counts, replacement order, and the full redacted
+# string (pinned by digest) with non-degenerate data.
+def _pii_text(spark_side: bool):
+    if spark_side:
+        return F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        )
+    return (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com call 555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("pii_text", _pii_text(True))
+    counts = pii_counts("pii_text")
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        F.md5(redact_pii("pii_text")).alias("redacted_digest"),
+    )
+
+
+def _pii_oracle() -> str:
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    redacted = "pii_text"
+    for pat in PII_PATTERNS.values():
+        redacted = f"regexp_replace({redacted}, '{pat}', '{PII_REPLACEMENT}', 'g')"
+    return f"""
+WITH base AS (SELECT doc_id, {_pii_text(False)} AS pii_text FROM documents)
+SELECT doc_id,
+       {count_cols},
+       md5({redacted}) AS redacted_digest
+FROM base
+"""
+
+
+# -- Gopher-style repetition / quality flags ---------------------------------------
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return gopher_flags(repetition_profile(d, "doc_id", "text"))
+
+
+Q_GOPHER_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, lower(t) AS tok
+  FROM (SELECT * FROM docs WHERE len(toks) > 0), unnest(toks) AS u(t)
+),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+prof AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_unique_tokens,
+         ROUND(COUNT(*) / SUM(cnt), 6) AS type_token_ratio,
+         ROUND(MAX(cnt) / SUM(cnt), 6) AS top_token_frac,
+         ROUND(SUM(length(tok) * cnt) / SUM(cnt), 6) AS mean_token_len
+  FROM per_tok GROUP BY doc_id
+)
+SELECT *,
+       n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS ok_length,
+       mean_token_len BETWEEN {GOPHER_WORDLEN_RANGE[0]} AND {GOPHER_WORDLEN_RANGE[1]}
+         AS ok_wordlen,
+       type_token_ratio >= {GOPHER_MIN_TTR} AS ok_ttr,
+       top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC} AS ok_top_token,
+       (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+         AND (mean_token_len BETWEEN {GOPHER_WORDLEN_RANGE[0]}
+              AND {GOPHER_WORDLEN_RANGE[1]})
+         AND type_token_ratio >= {GOPHER_MIN_TTR}
+         AND top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC} AS keep
+FROM prof
+"""
+
+
+# -- benchmark decontamination ------------------------------------------------------
+DECON_K = 5
+DECON_THRESHOLD = 0.5
+BENCH_SOURCES = ("src0", "src1")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bench_pred = F.col("source").isin(*BENCH_SOURCES)
+    return decontaminate(
+        d.filter(~bench_pred),
+        d.filter(bench_pred),
+        "doc_id",
+        "text",
+        k=DECON_K,
+        threshold=DECON_THRESHOLD,
+    )
+
+
+_BENCH_IN = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
+Q_DECON_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+csh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i + {DECON_K - 1}], ' ')) AS sh
+  FROM (SELECT * FROM toks
+        WHERE source NOT IN ({_BENCH_IN}) AND len(toks) >= {DECON_K}) t,
+       unnest(generate_series(1, len(toks) - {DECON_K - 1})) AS g(i)
+),
+bsh AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i + {DECON_K - 1}], ' ')) AS sh
+  FROM (SELECT * FROM toks
+        WHERE source IN ({_BENCH_IN}) AND len(toks) >= {DECON_K}) t,
+       unnest(generate_series(1, len(toks) - {DECON_K - 1})) AS g(i)
+),
+ov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(b.sh) AS BIGINT) AS n_contaminated
+  FROM csh LEFT JOIN bsh b USING (sh) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(n_shingles, 0) AS n_shingles,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       ROUND(COALESCE(CAST(n_contaminated AS DOUBLE) / n_shingles, 0.0), 6)
+         AS contamination,
+       ROUND(COALESCE(CAST(n_contaminated AS DOUBLE) / n_shingles, 0.0), 6)
+         >= {DECON_THRESHOLD} AS contaminated
+FROM (SELECT doc_id FROM toks WHERE source NOT IN ({_BENCH_IN})) t
+LEFT JOIN ov USING (doc_id)
+"""
+
+
+# -- mixture rebalance --------------------------------------------------------------
+MIXTURE_WEIGHTS = {"en": 0.2, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.2}
+MIXTURE_TARGET = 250
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = mixture_resample(
+        d, "doc_id", "lang", MIXTURE_WEIGHTS, MIXTURE_TARGET, salt="mixture"
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+
+
+_W_CASE = " ".join(f"WHEN '{s}' THEN {w!r}" for s, w in MIXTURE_WEIGHTS.items())
+Q_MIXTURE_ORACLE = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang,
+         LEAST(1.0, (CASE lang {_W_CASE} ELSE 0.0 END) * {float(MIXTURE_TARGET)!r}
+                    / n) AS rate
+  FROM counts
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN rates r USING (lang)
+  WHERE CAST(concat('0x', substring(
+          md5(concat(CAST(doc_id AS VARCHAR), ':mixture')), 1, 12)) AS BIGINT)
+        / {float(1 << 48)!r} < r.rate
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang
+"""
+
+
+# -- embedding scalar quantization ---------------------------------------------------
+QUANT_LEVELS = 255
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return quantize_int8(e, "vec_id", "embedding", levels=QUANT_LEVELS)
+
+
+Q_QUANTIZE_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN (list_max(v) - list_min(v)) / {float(QUANT_LEVELS - 1)!r}
+              ELSE 1.0 END AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, mn, mx, scale,
+         list_transform(v, x -> CAST(round((x - mn) / scale) AS BIGINT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       ROUND(mn, 6) AS v_min,
+       ROUND(mx, 6) AS v_max,
+       md5(array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ','))
+         AS codes_digest,
+       ROUND(list_aggregate(
+               list_transform(generate_series(1, len(v)),
+                 i -> abs(v[i] - (codes[i] * scale + mn))), 'sum') / len(v), 6)
+         AS mean_abs_err
+FROM q
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "curate_chunk_documents": QuerySpec(q_chunk_documents, Q_CHUNK_ORACLE),
+    "curate_pii_redaction": QuerySpec(q_pii_redaction, _pii_oracle()),
+    "curate_gopher_flags": QuerySpec(q_gopher_flags, Q_GOPHER_ORACLE),
+    "curate_decontaminate": QuerySpec(q_decontaminate, Q_DECON_ORACLE),
+    "sample_mixture_rebalance": QuerySpec(q_mixture_rebalance, Q_MIXTURE_ORACLE),
+    "sim_quantize_int8": QuerySpec(q_quantize_int8, Q_QUANTIZE_ORACLE),
+}

@@ -1,0 +1,158 @@
+"""Property tests for the corpus-curation operators (functions/curation.py,
+sampling.mixture_resample, similarity.quantize_int8): chunk coverage/overlap
+algebra, decontamination self-consistency, redaction determinism, mixture-rate
+caps, and quantization error bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.curation import (
+    chunk_documents,
+    decontaminate,
+    gopher_flags,
+    pii_counts,
+    redact_pii,
+    repetition_profile,
+)
+from movie_genre_data_pipeline_spark.functions.sampling import mixture_resample
+from movie_genre_data_pipeline_spark.functions.similarity import quantize_int8
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- chunking ---------------------------------------------------------------------
+def test_chunks_cover_every_token_exactly(spark):
+    """Every token position of every doc is inside >= 1 chunk; consecutive
+    chunks overlap by exactly window-stride (except a shorter final chunk)."""
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # multi-chunk
+            (2, " ".join(f"t{i}" for i in range(33))),  # boundary: n = W+1
+            (3, " ".join(f"t{i}" for i in range(30))),  # tail inside chunk 1
+            (4, "solo"),  # single token
+        ],
+    )
+    ch = chunk_documents(docs, "doc_id", "text", window=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_tokens = {1: 100, 2: 33, 3: 30, 4: 1}
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_start)
+        covered = set()
+        for r in rows:
+            covered |= set(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+            assert len(r.chunk_text.split(" ")) == r.n_chunk_tokens
+        assert covered == set(range(1, n_tokens[doc] + 1)), doc
+    # doc 3: second chunk would be fully contained -> dropped
+    assert len(by_doc[3]) == 1
+    # doc 2: needs a second chunk for token 33
+    assert len(by_doc[2]) == 2
+
+
+def test_chunk_ids_are_dense_and_start_derived(spark):
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(80)))])
+    ch = chunk_documents(docs, "doc_id", "text", window=32, stride=24).collect()
+    for r in ch:
+        assert r.chunk_id == (r.chunk_start - 1) // 24
+
+
+# -- decontamination --------------------------------------------------------------
+def test_decontaminate_flags_exact_copy_and_spares_disjoint(spark):
+    text_a = " ".join(f"w{i}" for i in range(20))
+    text_b = " ".join(f"x{i}" for i in range(20))
+    corpus = _docs(spark, [(1, text_a), (2, text_b), (3, "too short")])
+    bench = _docs(spark, [(100, text_a)])
+    out = {
+        r.doc_id: r
+        for r in decontaminate(corpus, bench, "doc_id", "text", k=5).collect()
+    }
+    assert out[1].contamination == 1.0 and out[1].contaminated
+    assert out[2].contamination == 0.0 and not out[2].contaminated
+    # < k tokens: no shingles, reported clean with zero counts
+    assert out[3].n_shingles == 0 and not out[3].contaminated
+
+
+def test_decontaminate_partial_overlap_fraction(spark):
+    # corpus doc = 10 tokens (6 5-shingles); first 5 tokens shared with bench
+    shared = "a b c d e"
+    corpus = _docs(spark, [(1, shared + " f g h i j")])
+    bench = _docs(spark, [(100, shared)])
+    row = decontaminate(corpus, bench, "doc_id", "text", k=5).collect()[0]
+    assert row.n_shingles == 6 and row.n_contaminated == 1
+    assert row.contamination == round(1 / 6, 6)
+
+
+# -- redaction --------------------------------------------------------------------
+def test_redaction_counts_and_replaces_all_pii(spark):
+    docs = _docs(
+        spark,
+        [(1, "mail a.b@x.co or c@y.org call 555-1234 ip 10.0.0.1 clean words")],
+    )
+    counts = pii_counts("text")
+    row = docs.select(
+        *[c.alias(k) for k, c in counts.items()],
+        redact_pii("text").alias("red"),
+    ).collect()[0]
+    assert (row.email, row.phone, row.ipv4) == (2, 1, 1)
+    assert row.red == "mail [PII] or [PII] call [PII] ip [PII] clean words"
+
+
+# -- gopher flags ------------------------------------------------------------------
+def test_gopher_flags_reject_repetitive_and_short(spark):
+    good = " ".join(f"word{i}" for i in range(30))
+    docs = _docs(
+        spark,
+        [
+            (1, good),
+            (2, "spam " * 40),  # one token repeated -> ttr/top-frac fail
+            (3, "tiny doc"),  # below min token count
+        ],
+    )
+    out = {
+        r.doc_id: r for r in gopher_flags(repetition_profile(docs, "doc_id", "text")).collect()
+    }
+    assert out[1].keep
+    assert not out[2].ok_ttr and not out[2].ok_top_token and not out[2].keep
+    assert not out[3].ok_length and not out[3].keep
+
+
+# -- mixture resample --------------------------------------------------------------
+def test_mixture_resample_caps_and_repartition_invariance(spark):
+    rows = [(i, "big" if i < 400 else "small") for i in range(450)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"big": 0.5, "small": 0.5}
+    kept = mixture_resample(df, "doc_id", "lang", weights, target_total=100)
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small stratum: rate = min(1, 50/50) = 1 -> kept whole
+    assert counts["small"] == 50
+    # big stratum: rate 50/400 = 0.125 -> expect ~50, loose bounds
+    assert 20 <= counts["big"] <= 90
+    ids = sorted(r.doc_id for r in kept.collect())
+    ids_repart = sorted(
+        r.doc_id
+        for r in mixture_resample(
+            df.repartition(7, "doc_id"), "doc_id", "lang", weights, target_total=100
+        ).collect()
+    )
+    assert ids == ids_repart
+    # stratum absent from weights is dropped entirely
+    none_kept = mixture_resample(df, "doc_id", "lang", {"small": 1.0}, 100)
+    assert none_kept.filter(F.col("lang") == "big").count() == 0
+
+
+# -- quantization ------------------------------------------------------------------
+def test_quantize_error_bounded_by_half_step(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.25, 0.7]), (2, [3.0, 3.0, 3.0])],  # constant vector
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    # max abs error of min-max quantization is scale/2 = (mx-mn)/254/2
+    assert out[1].mean_abs_err <= (1.0 - 0.0) / 254 / 2 + 1e-9
+    assert out[2].mean_abs_err == 0.0 and out[2].v_min == 3.0
