@@ -212,3 +212,32 @@ def test_topk_orders_take_ordered_no_global_sort(spark):
     plan = _plan(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+# -- r2 curation family -------------------------------------------------------------
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set is tiny next to the corpus: the probe MUST be a
+    broadcast-hash join (an SMJ here would shuffle the full corpus's shingles)."""
+    plan = _plan(spark, "curate_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking is a per-row explode: no exchange anywhere in the plan."""
+    plan = _plan(spark, "curate_chunk_documents")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # the position explode
+
+
+def test_quantize_is_shuffle_free(spark):
+    plan = _plan(spark, "sim_quantize_int8")
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_resample_broadcasts_rates(spark):
+    """Rates are |strata| rows: must broadcast back onto the scan; the only
+    exchange feeds the tiny count aggregation, never the corpus side."""
+    plan = _plan(spark, "sample_mixture_rebalance")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
