@@ -67,6 +67,7 @@ def chunk_documents(
     text_col: str,
     window: int = 32,
     stride: int = 24,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into overlapping token windows (the context-window
     chunking op): chunks start at token 1, 1+stride, 1+2*stride, ...
@@ -83,8 +84,9 @@ def chunk_documents(
     dedup.shingle_rows for why — O(n) not O(n^2) per doc)."""
     if stride <= 0 or window <= 0 or stride > window:
         raise ValueError(f"need 0 < stride <= window, got {stride=} {window=}")
+    extras = [F.col(c) for c in extra_cols]
     toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+        F.col(id_col).alias("doc_id"), *extras, tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
     starts = F.filter(
         F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1)), F.lit(stride)),
@@ -92,9 +94,10 @@ def chunk_documents(
     )
     return (
         toks.filter(F.col("__n") > 0)
-        .select("doc_id", "__toks", "__n", F.explode(starts).alias("__s"))
+        .select("doc_id", *extra_cols, "__toks", "__n", F.explode(starts).alias("__s"))
         .select(
             "doc_id",
+            *extra_cols,
             ((F.col("__s") - 1) / F.lit(stride)).cast("bigint").alias("chunk_id"),
             F.col("__s").cast("bigint").alias("chunk_start"),
             F.least(F.lit(window), F.col("__n") - F.col("__s") + 1)

@@ -288,3 +288,136 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_mixture_rebalance": QuerySpec(q_mixture_rebalance, Q_MIXTURE_ORACLE),
     "sim_quantize_int8": QuerySpec(q_quantize_int8, Q_QUANTIZE_ORACLE),
 }
+
+
+# -- end-to-end corpus curation pipeline --------------------------------------------
+# The flagship LLM-data composition: quality-filter (Gopher rules) -> exact dedup
+# -> benchmark decontamination -> mixture rebalance -> context-window chunking ->
+# per-language corpus stats. Each stage is the library operator; the oracle
+# composes the same stages as CTEs from the same constants, so the whole pipeline
+# is cross-engine verified end to end, not just stage by stage.
+PIPE_TARGET = 150
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    bench_pred = F.col("source").isin(*BENCH_SOURCES)
+    corpus, bench = d.filter(~bench_pred), d.filter(bench_pred)
+    # 1. Gopher quality rules
+    keep_ids = (
+        gopher_flags(repetition_profile(corpus, "doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = corpus.join(keep_ids, "doc_id")
+    # 2. exact dedup (lowest doc_id per normalized-text fingerprint)
+    kept = exact_dedup(kept, "doc_id", "text")
+    # 3. benchmark decontamination
+    clean_ids = (
+        decontaminate(kept, bench, "doc_id", "text", k=DECON_K, threshold=DECON_THRESHOLD)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = kept.join(clean_ids, "doc_id")
+    # 4. rebalance the language mixture
+    kept = mixture_resample(
+        kept, "doc_id", "lang", MIXTURE_WEIGHTS, PIPE_TARGET, salt="mixture"
+    )
+    # 5. chunk into context windows (lang carried through the explode)
+    ch = chunk_documents(
+        kept, "doc_id", "text", CHUNK_WINDOW, CHUNK_STRIDE, extra_cols=("lang",)
+    )
+    # 6. corpus report
+    return ch.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+Q_CORPUS_PIPELINE_ORACLE = f"""
+WITH corpus AS (SELECT * FROM documents WHERE source NOT IN ({_BENCH_IN})),
+ctoks AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM corpus),
+tok AS (
+  SELECT doc_id, lower(t) AS tok
+  FROM (SELECT * FROM ctoks WHERE len(toks) > 0), unnest(toks) AS u(t)
+),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+prof AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         ROUND(COUNT(*) / SUM(cnt), 6) AS type_token_ratio,
+         ROUND(MAX(cnt) / SUM(cnt), 6) AS top_token_frac,
+         ROUND(SUM(length(tok) * cnt) / SUM(cnt), 6) AS mean_token_len
+  FROM per_tok GROUP BY doc_id
+),
+gopher AS (
+  SELECT doc_id FROM prof
+  WHERE n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+    AND mean_token_len BETWEEN {GOPHER_WORDLEN_RANGE[0]} AND {GOPHER_WORDLEN_RANGE[1]}
+    AND type_token_ratio >= {GOPHER_MIN_TTR}
+    AND top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC}
+),
+dd AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g'))
+             ORDER BY c.doc_id) AS rn
+    FROM corpus c JOIN gopher USING (doc_id))
+  WHERE rn = 1
+),
+csh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i + {DECON_K - 1}], ' ')) AS sh
+  FROM (SELECT t.* FROM ctoks t JOIN dd USING (doc_id)
+        WHERE len(toks) >= {DECON_K}) t,
+       unnest(generate_series(1, len(toks) - {DECON_K - 1})) AS g(i)
+),
+bsh AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i + {DECON_K - 1}], ' ')) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE source IN ({_BENCH_IN})) t,
+       unnest(generate_series(1, len(toks) - {DECON_K - 1})) AS g(i)
+  WHERE len(toks) >= {DECON_K}
+),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_sh, COUNT(b.sh) AS n_cont
+  FROM csh LEFT JOIN bsh b USING (sh) GROUP BY doc_id
+),
+decon_keep AS (
+  SELECT d.doc_id FROM dd d LEFT JOIN ov USING (doc_id)
+  WHERE ROUND(COALESCE(CAST(n_cont AS DOUBLE) / n_sh, 0.0), 6) < {DECON_THRESHOLD}
+),
+surv AS (SELECT c.* FROM corpus c JOIN decon_keep USING (doc_id)),
+counts AS (SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang),
+rates AS (
+  SELECT lang,
+         LEAST(1.0, (CASE lang {_W_CASE} ELSE 0.0 END) * {float(PIPE_TARGET)!r}
+                    / n) AS rate
+  FROM counts
+),
+kept AS (
+  SELECT s.doc_id, s.lang, s.text
+  FROM surv s JOIN rates r USING (lang)
+  WHERE CAST(concat('0x', substring(
+          md5(concat(CAST(doc_id AS VARCHAR), ':mixture')), 1, 12)) AS BIGINT)
+        / {float(1 << 48)!r} < r.rate
+),
+ktoks AS (SELECT doc_id, lang, {_TOKS} AS toks FROM kept),
+st AS (
+  SELECT doc_id, lang, len(toks) AS n,
+         unnest(list_filter(
+           generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE}),
+           s -> s = 1 OR s + {CHUNK_WINDOW - CHUNK_STRIDE} <= len(toks))) AS s
+  FROM ktoks WHERE len(toks) > 0
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(LEAST({CHUNK_WINDOW}, n - s + 1)) AS BIGINT) AS n_tokens
+FROM st GROUP BY lang
+"""
+
+QUERIES["curate_corpus_pipeline"] = QuerySpec(q_corpus_pipeline, Q_CORPUS_PIPELINE_ORACLE)
