@@ -34,6 +34,9 @@ HEADLINE = [
     "sim_topk_ivf",
     "text_tfidf_topk",
     "stream_tumbling_window",
+    # r2: the composed curation pipeline (Gopher filter -> dedup -> decontam ->
+    # mixture -> chunking) — guards the whole curation family's hot path at once
+    "curate_corpus_pipeline",
 ]
 
 
