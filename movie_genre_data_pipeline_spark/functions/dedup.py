@@ -441,3 +441,24 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame, history: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental corpus ingestion dedup: drop new-batch docs whose normalized
+    fingerprint already exists in the historical corpus, then exact-dedup within
+    the batch itself (lowest id wins). The day-2 operation of every training
+    corpus: "only keep documents we have never seen".
+
+    Scale: the history side reduces to DISTINCT fingerprints — at 100 TB this is
+    a co-keyed LEFT ANTI shuffle join on the 128-bit fingerprint (balanced by
+    construction). In steady state you'd bucket/persist the history fingerprint
+    table on fp so the daily batch join is shuffle-free on the history side; the
+    within-batch pass is the usual one-shuffle window."""
+    hist_fp = history.select(fingerprint(text_col).alias("fp")).distinct()
+    fresh = (
+        new_batch.withColumn("fp", fingerprint(text_col))
+        .join(hist_fp, "fp", "left_anti")
+    )
+    return exact_dedup(fresh, id_col, text_col)

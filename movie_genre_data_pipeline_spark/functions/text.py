@@ -134,3 +134,47 @@ def fingerprint(col: str | Column) -> Column:
     (md5 chosen over xxhash64 because every engine — Spark, DuckDB, Trino —
     computes the identical digest, so fingerprints are portable across systems.)"""
     return F.md5(normalize_text(col))
+
+
+def unigram_surprisal(df, id_col: str, text_col: str):
+    """Per-document mean unigram surprisal -avg(ln p(token)) under the corpus's
+    own unigram distribution — the dependency-free stand-in for an LM-based
+    quality score (high surprisal = unusual/noisy text; real pipelines swap in a
+    trained LM behind the same column contract).
+
+    Declarative and linear: tokenize → explode → (doc,term) counts → corpus
+    term counts → broadcast scalar total — the same two key-partitioned
+    shuffles as TF-IDF, no driver-side vocabulary.
+
+    Cross-engine exactness: per-term ln p is scaled to an integer
+    (round(ln(p)·1e6) as BIGINT) and the per-doc sum runs in exact integer
+    arithmetic, so accumulation order cannot move the result (the same
+    integer-scaling trick as tpch_q9's profit sum); the division back to a
+    double happens once, at the end."""
+    from pyspark.sql import DataFrame  # noqa: F401  (signature documented above)
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(text_col), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    scaled = cnt.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt") / F.col("total")) * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("s_term"),
+    )
+    return (
+        tf.join(scaled, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.col("s_term")) / F.lit(1e6) / F.sum("tf"), 6
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -342,3 +342,36 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, Q_NGRAM_JACCARD_ORACLE),
     "dedup_embedding_cosine": QuerySpec(q_embedding_cosine, _emb_dup_oracle()),
 }
+
+
+# -- incremental ingestion dedup (r2) ------------------------------------------------
+# New batch = doc_id % 4 == 0, history = the rest: drop batch docs already in the
+# history (by normalized fingerprint), then exact-dedup within the batch.
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    history = d.filter(F.col("doc_id") % 4 != 0)
+    return incremental_dedup(batch, history, "doc_id", "text").select(
+        "doc_id", "lang", "fp"
+    )
+
+
+Q_DEDUP_INCREMENTAL_ORACLE = """
+WITH fps AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+fresh AS (
+  SELECT b.* FROM (SELECT * FROM fps WHERE doc_id % 4 = 0) b
+  WHERE NOT EXISTS (SELECT 1 FROM fps h
+                    WHERE h.doc_id % 4 != 0 AND h.fp = b.fp)
+)
+SELECT doc_id, lang, fp FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh)
+WHERE rn = 1
+"""
+
+QUERIES["dedup_incremental"] = QuerySpec(q_dedup_incremental, Q_DEDUP_INCREMENTAL_ORACLE)

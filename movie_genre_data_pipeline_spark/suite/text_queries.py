@@ -280,3 +280,35 @@ SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
 """
 
 QUERIES["text_tfidf_topk"] = QuerySpec(q_tfidf_topk, Q_TFIDF_TOPK_ORACLE)
+
+
+# -- unigram surprisal: LM-score quality proxy (r2) -----------------------------------
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.text import unigram_surprisal
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_surprisal(d, "doc_id", "text")
+
+
+Q_UNIGRAM_SURPRISAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                          x -> x != '')) AS u(t)
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+cnt AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM cnt),
+scaled AS (
+  SELECT term,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS s_term
+  FROM cnt CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(tf * s_term) / 1e6 / SUM(tf), 6) AS avg_surprisal
+FROM tf JOIN scaled USING (term) GROUP BY doc_id
+"""
+
+QUERIES["text_unigram_surprisal"] = QuerySpec(q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_ORACLE)

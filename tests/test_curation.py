@@ -156,3 +156,38 @@ def test_quantize_error_bounded_by_half_step(spark):
     # max abs error of min-max quantization is scale/2 = (mx-mn)/254/2
     assert out[1].mean_abs_err <= (1.0 - 0.0) / 254 / 2 + 1e-9
     assert out[2].mean_abs_err == 0.0 and out[2].v_min == 3.0
+
+
+# -- incremental dedup --------------------------------------------------------------
+def test_incremental_dedup_drops_seen_and_within_batch_dups(spark):
+    from movie_genre_data_pipeline_spark.functions.dedup import incremental_dedup
+
+    history = _docs(spark, [(1, "seen before"), (2, "also seen")])
+    batch = _docs(
+        spark,
+        [
+            (10, "seen  BEFORE "),  # dup of history doc 1 after normalization
+            (11, "brand new"),
+            (12, "brand new"),  # within-batch dup -> keep lowest id only
+            (13, "another fresh"),
+        ],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, history, "doc_id", "text").collect()
+    )
+    assert kept == [11, 13]
+
+
+# -- unigram surprisal --------------------------------------------------------------
+def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
+    from movie_genre_data_pipeline_spark.functions.text import unigram_surprisal
+
+    docs = _docs(
+        spark,
+        [(1, "common common common common"), (2, "common rareword"), (3, "common common")],
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(docs, "doc_id", "text").collect()}
+    # doc 2 contains the corpus's only rare token -> strictly higher surprisal
+    assert out[2].avg_surprisal > out[1].avg_surprisal
+    assert out[1].n_tokens == 4
