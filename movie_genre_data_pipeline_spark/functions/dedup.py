@@ -444,7 +444,11 @@ def duplicate_clusters(
 
 
 def incremental_dedup(
-    new_batch: DataFrame, history: DataFrame, id_col: str, text_col: str
+    new_batch: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    history_fp_col: str | None = None,
 ) -> DataFrame:
     """Incremental corpus ingestion dedup: drop new-batch docs whose normalized
     fingerprint already exists in the historical corpus, then exact-dedup within
@@ -455,8 +459,16 @@ def incremental_dedup(
     a co-keyed LEFT ANTI shuffle join on the 128-bit fingerprint (balanced by
     construction). In steady state you'd bucket/persist the history fingerprint
     table on fp so the daily batch join is shuffle-free on the history side; the
-    within-batch pass is the usual one-shuffle window."""
-    hist_fp = history.select(fingerprint(text_col).alias("fp")).distinct()
+    within-batch pass is the usual one-shuffle window.
+
+    `history_fp_col` names an already-materialized fingerprint column on the
+    history side (the ledger pattern: history persists fingerprints, not text,
+    so re-ingestion never re-hashes the whole corpus); None re-derives
+    fingerprints from the history's text column."""
+    if history_fp_col is not None:
+        hist_fp = history.select(F.col(history_fp_col).alias("fp")).distinct()
+    else:
+        hist_fp = history.select(fingerprint(text_col).alias("fp")).distinct()
     fresh = (
         new_batch.withColumn("fp", fingerprint(text_col))
         .join(hist_fp, "fp", "left_anti")

@@ -179,3 +179,38 @@ def resize_images(
     return df.select("media_id", "payload").mapInPandas(
         resize, schema=RESIZED_SCHEMA
     )
+
+
+def block_chunks(df: DataFrame, block_bytes: int = 64) -> DataFrame:
+    """Split binary payloads into fixed-size blocks with per-block digests — the
+    blob-sharding op for moving/storing large media through block-oriented
+    systems (content-addressed caches, chunked uploads, dedup-friendly storage).
+
+    Pure column expressions over the BINARY type (sequence + explode + substring
+    + md5): zero Python, zero shuffle, linear in payload bytes. Same
+    position-explode shape as text chunking — the generator is a cheap integer
+    sequence, the byte slice happens after the explode. Empty payloads emit no
+    blocks."""
+    if block_bytes <= 0:
+        raise ValueError(f"block_bytes must be positive, got {block_bytes}")
+    n = F.length("payload")  # octet length for binary
+    return (
+        df.select("media_id", "payload")
+        .filter(F.length("payload") > 0)
+        .select(
+            "media_id",
+            "payload",
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(1), n, F.lit(block_bytes))).alias("__s"),
+        )
+        .select(
+            "media_id",
+            ((F.col("__s") - 1) / F.lit(block_bytes)).cast("bigint").alias("block_id"),
+            F.least(F.lit(block_bytes), F.col("__n") - F.col("__s") + 1)
+            .cast("bigint")
+            .alias("block_bytes"),
+            F.md5(F.col("payload").substr(F.col("__s"), F.lit(block_bytes))).alias(
+                "block_digest"
+            ),
+        )
+    )

@@ -137,3 +137,35 @@ QUERIES: dict[str, QuerySpec] = {
     "media_frame_sample_plan": QuerySpec(q_frame_sample_plan, Q_FRAME_SAMPLE_PLAN_ORACLE),
     "media_resize": QuerySpec(q_media_resize, Q_MEDIA_RESIZE_ORACLE),
 }
+
+
+# -- binary block sharding (r2) ------------------------------------------------------
+BLOCK_BYTES = 64
+
+
+def q_media_block_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob sharding over the binary payload column. Oracle equivalence: the
+    payloads are ASCII document text (1 byte == 1 char, same property
+    media_features_full pins), so DuckDB's VARCHAR substring/md5 reproduce the
+    byte-level blocks exactly."""
+    from movie_genre_data_pipeline_spark.functions.multimodal import block_chunks
+
+    media = _media_df(spark, sf_dir)
+    return block_chunks(media, BLOCK_BYTES)
+
+
+Q_MEDIA_BLOCK_CHUNKS_ORACLE = f"""
+WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+st AS (
+  SELECT media_id, text, n,
+         unnest(generate_series(1, n, {BLOCK_BYTES})) AS s
+  FROM b WHERE n > 0
+)
+SELECT media_id,
+       CAST((s - 1) // {BLOCK_BYTES} AS BIGINT) AS block_id,
+       CAST(LEAST({BLOCK_BYTES}, n - s + 1) AS BIGINT) AS block_bytes,
+       md5(substring(text, s, {BLOCK_BYTES})) AS block_digest
+FROM st
+"""
+
+QUERIES["media_block_chunks"] = QuerySpec(q_media_block_chunks, Q_MEDIA_BLOCK_CHUNKS_ORACLE)

@@ -402,6 +402,74 @@ FROM customer
 """
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with cross-batch dedup: a file-source stream of
+    documents feeds foreachBatch(incremental_dedup) against an accumulating
+    fingerprint LEDGER — each micro-batch drops docs whose normalized fingerprint
+    is already in the ledger (or duplicated within the batch) and appends only
+    the fresh ones. The ledger is seeded with a historical corpus (doc_id % 4
+    != 0), and the stream replays ALL documents — so every historical doc is
+    dropped as already-seen and only genuinely new content lands. This is the
+    streaming twin of `dedup_incremental`; the final ledger is returned and
+    oracle-checked, so the correctness gate covers real streaming execution.
+
+    Scale: the per-batch work is the `incremental_dedup` anti-join keyed on the
+    128-bit fingerprint; the ledger grows append-only (the same status-ledger
+    pattern as streaming/incremental.py, never rewritten)."""
+    from movie_genre_data_pipeline_spark.functions.dedup import incremental_dedup
+    from movie_genre_data_pipeline_spark.functions.text import fingerprint
+    from movie_genre_data_pipeline_spark.suite import load
+
+    base = tempfile.mkdtemp(prefix="stream_inc_dedup_")
+    ledger = f"{base}/ledger"
+    docs = load(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", "lang", fingerprint("text").alias("fp")
+    ).write.parquet(ledger)
+
+    link_dir = f"{base}/stream_src"
+    os.mkdir(link_dir)
+    os.symlink(f"{sf_dir}/documents.parquet", f"{link_dir}/documents.parquet")
+    schema = docs.schema
+    stream = spark.readStream.format("parquet").schema(schema).load(link_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        history = spark.read.parquet(ledger)
+        fresh = incremental_dedup(
+            batch_df, history, "doc_id", "text", history_fp_col="fp"
+        )
+        fresh.select("doc_id", "lang", "fp").write.mode("append").parquet(ledger)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(ledger)
+
+
+# history rows ∪ the fresh keepers (same derivation as Q_DEDUP_INCREMENTAL_ORACLE:
+# batch docs not fingerprint-matched in history, lowest doc_id per batch fp).
+Q_STREAM_INCREMENTAL_DEDUP_ORACLE = """
+WITH fps AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+fresh AS (
+  SELECT b.* FROM (SELECT * FROM fps WHERE doc_id % 4 = 0) b
+  WHERE NOT EXISTS (SELECT 1 FROM fps h
+                    WHERE h.doc_id % 4 != 0 AND h.fp = b.fp)
+)
+SELECT doc_id, lang, fp FROM fps WHERE doc_id % 4 != 0
+UNION ALL
+SELECT doc_id, lang, fp FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh)
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
     "stream_sliding_window": QuerySpec(q_stream_sliding, Q_STREAM_SLIDING_ORACLE),
@@ -413,6 +481,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_static_join": QuerySpec(q_stream_static_join, Q_STREAM_STATIC_JOIN_ORACLE),
     "stream_foreachbatch_merge": QuerySpec(
         q_stream_foreachbatch_merge, Q_STREAM_FOREACHBATCH_MERGE_ORACLE
+    ),
+    "stream_incremental_dedup": QuerySpec(
+        q_stream_incremental_dedup, Q_STREAM_INCREMENTAL_DEDUP_ORACLE
     ),
     "stream_stream_join": QuerySpec(q_stream_stream_join, Q_STREAM_STREAM_JOIN_ORACLE),
     "stream_dedup": QuerySpec(q_stream_dedup, Q_STREAM_DEDUP_ORACLE),

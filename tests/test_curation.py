@@ -177,6 +177,17 @@ def test_incremental_dedup_drops_seen_and_within_batch_dups(spark):
         for r in incremental_dedup(batch, history, "doc_id", "text").collect()
     )
     assert kept == [11, 13]
+    # ledger path: history carries materialized fingerprints, no text column
+    from movie_genre_data_pipeline_spark.functions.text import fingerprint
+
+    ledger = history.select(fingerprint("text").alias("fp"))
+    kept_via_ledger = sorted(
+        r.doc_id
+        for r in incremental_dedup(
+            batch, ledger, "doc_id", "text", history_fp_col="fp"
+        ).collect()
+    )
+    assert kept_via_ledger == kept
 
 
 # -- unigram surprisal --------------------------------------------------------------

@@ -241,3 +241,8 @@ def test_mixture_resample_broadcasts_rates(spark):
     plan = _plan(spark, "sample_mixture_rebalance")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_media_block_chunks_shuffle_free(spark):
+    plan = _plan(spark, "media_block_chunks")
+    assert "Exchange" not in plan, plan
