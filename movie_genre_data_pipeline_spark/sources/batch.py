@@ -126,3 +126,19 @@ def read_csv(
         .schema(schema)
         .load(path)
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-Lines source with a DECLARED schema (one JSON object per line — the
+    de-facto interchange format for LLM training corpora). Schema declaration
+    skips the eager inference scan (the one place Spark's laziness breaks, see
+    read_multiline_json) and pins column types against drift across shards; at
+    100 TB an inference pass over the corpus is a full extra read."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark; columnar, predicate-pushdown-capable like
+    Parquet). Included for format breadth — warehouse interchange commonly
+    lands ORC from Hive/Trino ecosystems."""
+    return spark.read.orc(path)

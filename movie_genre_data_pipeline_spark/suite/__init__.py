@@ -114,6 +114,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from movie_genre_data_pipeline_spark.suite import (
         curation_queries,
         dedup_queries,
+        format_queries,
         multimodal_queries,
         pipeline_queries,
         relational,
@@ -133,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         sampling_queries,
         curation_queries,
+        format_queries,
         similarity_queries,
         streaming_queries,
         multimodal_queries,
