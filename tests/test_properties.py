@@ -286,3 +286,54 @@ def test_cosine_self_is_one(spark, v):
     df = spark.createDataFrame([(v,)], "v array<double>")
     got = df.select(cosine(F.col("v"), F.col("v")).alias("c")).collect()[0].c
     assert math.isclose(got, 1.0, rel_tol=1e-9)
+
+
+# -- chunking: coverage / containment laws (r2) -------------------------------------
+@FAST
+@given(
+    n_tokens=st.integers(1, 120),
+    window=st.integers(1, 40),
+    overlap=st.integers(0, 39),
+)
+def test_chunking_laws(spark, n_tokens, window, overlap):
+    """For any (n, W, S) with 0 < S <= W: chunks cover [1, n] exactly, every
+    chunk has 1..W tokens, chunk_starts strictly increase by S, and no chunk is
+    fully contained in its predecessor (the tail-drop rule)."""
+    from movie_genre_data_pipeline_spark.functions.curation import chunk_documents
+
+    stride = max(1, window - min(overlap, window - 1))
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(n_tokens)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", window, stride).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    assert rows, (n_tokens, window, stride)
+    covered = set()
+    prev_end = 0
+    for r in rows:
+        end = r.chunk_start + r.n_chunk_tokens - 1
+        assert 1 <= r.n_chunk_tokens <= window
+        assert end > prev_end  # strictly new content (no contained tails)
+        covered |= set(range(r.chunk_start, end + 1))
+        prev_end = end
+    assert covered == set(range(1, n_tokens + 1))
+
+
+# -- quantization: codes bounded, reconstruction error bounded ----------------------
+@FAST
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=16
+    )
+)
+def test_quantize_laws(spark, vec):
+    from movie_genre_data_pipeline_spark.functions.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    row = quantize_int8(df, "vec_id", "embedding").collect()[0]
+    mn, mx = min(vec), max(vec)
+    # mean abs reconstruction error is bounded by half a quantization step
+    step = (mx - mn) / 254 if mx > mn else 0.0
+    assert row.mean_abs_err <= step / 2 + 1e-6
