@@ -312,15 +312,21 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = corpus.join(keep_ids, "doc_id")
-    # 2. exact dedup (lowest doc_id per normalized-text fingerprint)
-    kept = exact_dedup(kept, "doc_id", "text")
+    # 2. exact dedup (lowest doc_id per normalized-text fingerprint).
+    # Each stage's output feeds MULTIPLE downstream subtrees (the decon probe
+    # AND the join-back; mixture's count agg AND its filter join): without a
+    # materialization barrier Catalyst re-derives the whole upstream per
+    # reference — the unchecked plan re-scanned the corpus 14x. localCheckpoint
+    # is the in-memory stand-in for the stage boundary a real pipeline writes
+    # to storage (bronze→silver): each stage's lineage is computed exactly once.
+    kept = exact_dedup(kept, "doc_id", "text").localCheckpoint(eager=True)
     # 3. benchmark decontamination
     clean_ids = (
         decontaminate(kept, bench, "doc_id", "text", k=DECON_K, threshold=DECON_THRESHOLD)
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    kept = kept.join(clean_ids, "doc_id")
+    kept = kept.join(clean_ids, "doc_id").localCheckpoint(eager=True)
     # 4. rebalance the language mixture
     kept = mixture_resample(
         kept, "doc_id", "lang", MIXTURE_WEIGHTS, PIPE_TARGET, salt="mixture"
