@@ -246,3 +246,14 @@ def test_mixture_resample_broadcasts_rates(spark):
 def test_media_block_chunks_shuffle_free(spark):
     plan = _plan(spark, "media_block_chunks")
     assert "Exchange" not in plan, plan
+
+
+def test_corpus_pipeline_stage_barriers_hold(spark):
+    """The composed pipeline materializes stage boundaries (localCheckpoint):
+    its final plan must not re-derive upstream stages — no parquet scans of
+    documents (only checkpointed RDD scans) and single-digit exchanges.
+    Regression guard for the 14-scan/80-exchange plan Catalyst builds without
+    the barriers."""
+    plan = _plan(spark, "curate_corpus_pipeline")
+    assert "documents.parquet" not in plan, plan
+    assert plan.count("Exchange") <= 10, plan
