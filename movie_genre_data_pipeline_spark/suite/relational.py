@@ -641,19 +641,31 @@ FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 3
 # -- ranking-function suite -------------------------------------------------------------
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile / cume_dist in one window —
-    the full ranking-function family over (nation, acctbal)."""
+    the full ranking-function family over (nation, acctbal).
+
+    percent_rank/cume_dist are k/(n-1) and k/n ratios: rounding them to a fixed
+    scale hits EXACT decimal-half boundaries whenever the partition size divides
+    2·10^scale (sf0.1's nation partitions are 640 rows: k/640·1e6 = k·1562.5 —
+    exact halves for odd k, where Spark's HALF_UP and DuckDB's rounding diverge).
+    So the suite recovers the integer numerators instead — multiplying back by
+    (n-1)/n gives values within 1e-10 of an integer at any SF, making the check
+    EXACT and boundary-free."""
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     )
+    part = Window.partitionBy("c_nationkey")
+    n = F.count(F.lit(1)).over(part)
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.percent_rank().over(w) * (n - F.lit(1)))
+        .cast("bigint")
+        .alias("prnk_num"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.cume_dist().over(w) * n).cast("bigint").alias("cume_n"),
     )
 
 
@@ -661,11 +673,12 @@ Q_WINDOW_RANK_SUITE_ORACLE = """
 SELECT c_custkey, c_nationkey,
        CAST(RANK() OVER w AS BIGINT) AS rnk,
        CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       CAST(ROUND(PERCENT_RANK() OVER w * (COUNT(*) OVER p - 1)) AS BIGINT) AS prnk_num,
        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-       ROUND(CUME_DIST() OVER w, 6) AS cdist
+       CAST(ROUND(CUME_DIST() OVER w * COUNT(*) OVER p) AS BIGINT) AS cume_n
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC),
+       p AS (PARTITION BY c_nationkey)
 """
 
 
