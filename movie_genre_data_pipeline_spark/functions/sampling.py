@@ -158,3 +158,32 @@ def pack_token_budget(
         token_count_col.alias("n_tokens"),
         F.floor((w - token_count_col) / F.lit(budget)).cast("bigint").alias("chunk_id"),
     )
+
+
+def per_stratum_quota(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Take EXACTLY min(k, n_s) rows per stratum, chosen reproducibly: rank rows
+    within each stratum by the content hash md5(key:salt) (a uniform, engine-
+    portable shuffle order) and keep the first k. The fixed-size per-domain cap
+    of a training mix ("at most k docs per source") — unlike rate-based
+    sampling, output size is deterministic, not probabilistic.
+
+    One shuffle on the stratum key; the rank is a plain window over the hash —
+    no data-dependent thresholds, no floats anywhere. Ties are impossible
+    (md5 collisions aside), so the selection is total-order stable across
+    engines, partitionings, and cluster sizes."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_tag(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__qrn", F.row_number().over(w))
+        .filter(F.col("__qrn") <= k)
+        .drop("__qrn")
+    )

@@ -427,3 +427,29 @@ FROM st GROUP BY lang
 """
 
 QUERIES["curate_corpus_pipeline"] = QuerySpec(q_corpus_pipeline, Q_CORPUS_PIPELINE_ORACLE)
+
+
+# -- fixed-size per-source quota ----------------------------------------------------
+QUOTA_K = 10
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import per_stratum_quota
+
+    d = load(spark, sf_dir, "documents")
+    kept = per_stratum_quota(d, "doc_id", "source", QUOTA_K, salt="quota")
+    return kept.select("doc_id", "source")
+
+
+Q_SOURCE_QUOTA_ORACLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':quota')) ASC,
+                    doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= {QUOTA_K}
+"""
+
+QUERIES["sample_source_quota"] = QuerySpec(q_source_quota, Q_SOURCE_QUOTA_ORACLE)
