@@ -153,6 +153,8 @@ def unigram_surprisal(df, id_col: str, text_col: str):
     double happens once, at the end."""
     from pyspark.sql import DataFrame  # noqa: F401  (signature documented above)
 
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -160,17 +162,25 @@ def unigram_surprisal(df, id_col: str, text_col: str):
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    total = cnt.agg(F.sum("cnt").alias("total"))
-    scaled = cnt.crossJoin(F.broadcast(total)).select(
-        "term",
-        F.round(F.log(F.col("cnt") / F.col("total")) * F.lit(1e6), 0)
+    # corpus term count as a SUM window over tf (one shuffle on term), not a
+    # groupBy+join-back, which would re-derive the tokenize+agg subtree twice.
+    # The corpus total comes from a separate NARROW scan (size of the filtered
+    # token array per row, no explode) — cheap, and broadcast as one row.
+    cnt = F.sum("tf").over(Window.partitionBy("term"))
+    total = df.agg(
+        F.sum(
+            F.size(F.filter(F.split(F.lower(text_col), "[^a-z]+"), lambda t: t != ""))
+        ).alias("total")
+    )
+    scaled = tf.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "tf",
+        F.round(F.log(cnt / F.col("total")) * F.lit(1e6), 0)
         .cast("bigint")
         .alias("s_term"),
     )
     return (
-        tf.join(scaled, "term")
-        .groupBy("doc_id")
+        scaled.groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("n_tokens"),
             F.round(

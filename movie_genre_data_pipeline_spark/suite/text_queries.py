@@ -231,10 +231,14 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a COUNT window over tf, not a groupBy+join-back:
+    # the join formulation makes Catalyst re-derive the whole explode+agg
+    # subtree for the build side — the corpus would be tokenized twice at any
+    # scale. The window costs one shuffle on term and computes tf exactly once.
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(dfc, "term")
+        tf.withColumn("df", dfw)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
