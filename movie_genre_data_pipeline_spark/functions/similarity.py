@@ -80,20 +80,26 @@ def brute_force_top_k(
         joined = a.join(b, on=[F.col("a.cell") == F.col("b.cell"), cond])
     else:
         joined = a.join(b, on=cond)
+    # Mirror each unordered pair into both directions with ONE explode, not a
+    # self-union: union's two references to the scored frame make Catalyst
+    # re-derive the whole join (the dot products — the dominant cost — ran
+    # twice; plan audit showed the base scanned 4x).
     half = joined.select(
-        F.col("a.vid").alias("vid"),
-        F.col("b.vid").alias("neighbor"),
+        F.col("a.vid").alias("va"),
+        F.col("b.vid").alias("vb"),
         F.round(
             dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
         ).alias("cos_sim"),
     )
-    scored = half.unionByName(
-        half.select(
-            F.col("neighbor").alias("vid"),
-            F.col("vid").alias("neighbor"),
-            "cos_sim",
-        )
-    )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("va").alias("vid"), F.col("vb").alias("neighbor")),
+                F.struct(F.col("vb").alias("vid"), F.col("va").alias("neighbor")),
+            )
+        ).alias("e"),
+        "cos_sim",
+    ).select("e.vid", "e.neighbor", "cos_sim")
     w = Window.partitionBy("vid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
     )
