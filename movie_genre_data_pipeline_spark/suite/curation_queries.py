@@ -211,6 +211,122 @@ LEFT JOIN ov USING (doc_id)
 """
 
 
+# -- Bloom-filter decontamination ---------------------------------------------------
+# Same contamination question as curate_decontaminate, but the membership probe
+# is a fixed-size Bloom bitmap instead of broadcasting the benchmark's digest
+# set — the shape that still works when the "benchmark" is a billion-key
+# blocklist. The bitmap build and the k probe joins are deterministic md5 math,
+# so the oracle rebuilds the identical bitmap and reproduces even the false
+# positives bit-for-bit (n_false_pos is part of the checked result).
+BLOOM_M = 65536
+BLOOM_K = 3
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.bloom import (
+        bloom_probe,
+        build_bloom,
+    )
+    from movie_genre_data_pipeline_spark.functions.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    bench_pred = F.col("source").isin(*BENCH_SOURCES)
+    corpus, bench = d.filter(~bench_pred), d.filter(bench_pred)
+    bench_sh = (
+        shingle_rows(bench, "doc_id", "text", k=DECON_K)
+        .select(F.md5("s").alias("sh"))
+        .distinct()
+    )
+    # The probe references the bitmap k times (one join per hash); checkpoint the
+    # (≤ m/32-row) bitmap so Catalyst doesn't re-derive the whole benchmark
+    # shingle scan per reference — same stage-barrier pattern as the corpus
+    # pipeline. At scale this is "persist the bitmap table once, probe forever".
+    bloom = build_bloom(bench_sh, "sh", BLOOM_M, BLOOM_K).localCheckpoint()
+    corpus_sh = (
+        shingle_rows(corpus, "doc_id", "text", k=DECON_K)
+        .select("doc", F.md5("s").alias("sh"))
+        .distinct()
+    )
+    probed = bloom_probe(corpus_sh, "sh", bloom, BLOOM_M, BLOOM_K)
+    per_doc = (
+        probed.join(
+            F.broadcast(bench_sh.withColumn("__hit", F.lit(True))), "sh", "left"
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bloom_hits"),
+            F.count("__hit").cast("bigint").alias("n_exact_hits"),
+        )
+    )
+    ids = corpus.select(F.col("doc_id").alias("doc"))
+    return ids.join(per_doc, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_bloom_hits", F.lit(0)).cast("bigint").alias("n_bloom_hits"),
+        F.coalesce("n_exact_hits", F.lit(0)).cast("bigint").alias("n_exact_hits"),
+        (F.coalesce("n_bloom_hits", F.lit(0)) - F.coalesce("n_exact_hits", F.lit(0)))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("bloom_flagged"),
+    )
+
+
+_BLOOM_I = ", ".join(f"({i})" for i in range(BLOOM_K))
+_BLOOM_POS = (
+    "CAST(concat('0x', substring(md5(sh || ':' || i), 1, 12)) AS BIGINT)"
+    f" % {BLOOM_M}"
+)
+Q_BLOOM_DECON_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+bsh AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i + {DECON_K - 1}], ' ')) AS sh
+  FROM (SELECT * FROM toks
+        WHERE source IN ({_BENCH_IN}) AND len(toks) >= {DECON_K}) t,
+       unnest(generate_series(1, len(toks) - {DECON_K - 1})) AS g(i)
+),
+bloom AS (
+  SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+  FROM (SELECT {_BLOOM_POS} AS pos
+        FROM bsh CROSS JOIN (VALUES {_BLOOM_I}) h(i))
+  GROUP BY 1
+),
+csh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i + {DECON_K - 1}], ' ')) AS sh
+  FROM (SELECT * FROM toks
+        WHERE source NOT IN ({_BENCH_IN}) AND len(toks) >= {DECON_K}) t,
+       unnest(generate_series(1, len(toks) - {DECON_K - 1})) AS g(i)
+),
+probe AS (
+  SELECT doc_id, sh,
+         bool_and((COALESCE(word, 0) & (1::BIGINT << CAST(pos % 32 AS INTEGER)))
+                  <> 0) AS bloom_hit
+  FROM (SELECT doc_id, sh, {_BLOOM_POS} AS pos
+        FROM csh CROSS JOIN (VALUES {_BLOOM_I}) h(i)) p
+  LEFT JOIN bloom ON p.pos // 32 = bloom.word_idx
+  GROUP BY doc_id, sh
+),
+per AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+         CAST(COUNT(b.sh) AS BIGINT) AS n_exact_hits
+  FROM probe p LEFT JOIN bsh b USING (sh)
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(n_shingles, 0) AS n_shingles,
+       COALESCE(n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(n_exact_hits, 0) AS n_exact_hits,
+       COALESCE(n_bloom_hits, 0) - COALESCE(n_exact_hits, 0) AS n_false_pos,
+       COALESCE(n_bloom_hits, 0) > 0 AS bloom_flagged
+FROM (SELECT doc_id FROM toks WHERE source NOT IN ({_BENCH_IN})) t
+LEFT JOIN per USING (doc_id)
+"""
+
+
 # -- mixture rebalance --------------------------------------------------------------
 MIXTURE_WEIGHTS = {"en": 0.2, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.2}
 MIXTURE_TARGET = 250
@@ -285,6 +401,9 @@ QUERIES: dict[str, QuerySpec] = {
     "curate_pii_redaction": QuerySpec(q_pii_redaction, _pii_oracle()),
     "curate_gopher_flags": QuerySpec(q_gopher_flags, Q_GOPHER_ORACLE),
     "curate_decontaminate": QuerySpec(q_decontaminate, Q_DECON_ORACLE),
+    "curate_bloom_decontaminate": QuerySpec(
+        q_bloom_decontaminate, Q_BLOOM_DECON_ORACLE
+    ),
     "sample_mixture_rebalance": QuerySpec(q_mixture_rebalance, Q_MIXTURE_ORACLE),
     "sim_quantize_int8": QuerySpec(q_quantize_int8, Q_QUANTIZE_ORACLE),
 }
