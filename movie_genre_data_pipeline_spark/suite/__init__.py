@@ -115,6 +115,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_queries,
         dedup_queries,
         format_queries,
+        layout_queries,
         multimodal_queries,
         pipeline_queries,
         relational,
@@ -135,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling_queries,
         curation_queries,
         format_queries,
+        layout_queries,
         similarity_queries,
         streaming_queries,
         multimodal_queries,

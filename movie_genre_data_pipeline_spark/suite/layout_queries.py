@@ -1,0 +1,108 @@
+"""Data-layout queries: Morton/Z-order clustering stats over `lineitem`.
+
+`layout_zorder_stats` ranks (l_partkey, l_suppkey) onto a 2^16 grid, Morton-
+interleaves the bits, splits the z-ordered table into equal buckets (the files
+`write_zordered` would produce), and reports each bucket's min/max on BOTH
+dimensions — the exact statistics parquet would expose for pruning. Narrow
+per-bucket ranges on both columns are the measurable payoff of the layout.
+
+The oracle rebuilds the identical z-values in SQL: the grid ranking is
+integer-exact ((v-min)*65535 // (max-min)) and the bit-spreading chain uses the
+same shift/mask constants as `operators/layout.py`, so every z matches
+bit-for-bit and the bucket split (ntile over a unique total order) is
+engine-deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.operators.layout import (
+    _SPREAD_STEPS,
+    with_zvalue,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+N_BUCKETS = 64
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    z = with_zvalue(li, "l_partkey", "l_suppkey", out_col="z")
+    # Bucket assignment = which output file a z-ordered writer would place the
+    # row in. ntile over the unique total order (z, orderkey, linenumber) is
+    # deterministic; at scale the same split is repartitionByRange's job.
+    w = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    return (
+        z.withColumn("bucket", F.ntile(N_BUCKETS).over(w).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("pk_min"),
+            F.max("l_partkey").cast("bigint").alias("pk_max"),
+            F.min("l_suppkey").cast("bigint").alias("sk_min"),
+            F.max("l_suppkey").cast("bigint").alias("sk_max"),
+            F.min("z").cast("bigint").alias("z_min"),
+            F.max("z").cast("bigint").alias("z_max"),
+        )
+    )
+
+
+def _spread_ctes() -> tuple[str, str, int]:
+    """CTE chain applying the shift/mask spreading steps to gx/gy columns."""
+    steps = []
+    prev = "g"
+    for n, (shift, mask) in enumerate(_SPREAD_STEPS):
+        src_x = "(gx & 65535)" if n == 0 else f"x{n - 1}"
+        src_y = "(gy & 65535)" if n == 0 else f"y{n - 1}"
+        steps.append(
+            f"s{n} AS (SELECT *,"
+            f" (({src_x} | ({src_x} << {shift})) & {mask}) AS x{n},"
+            f" (({src_y} | ({src_y} << {shift})) & {mask}) AS y{n}"
+            f" FROM {prev})"
+        )
+        prev = f"s{n}"
+    return ",\n".join(steps), prev, len(_SPREAD_STEPS) - 1
+
+
+_CTES, _LAST, _N = _spread_ctes()
+Q_ZORDER_ORACLE = f"""
+WITH stats AS (
+  SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+         MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
+  FROM lineitem
+),
+g AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CASE WHEN xmax <= xmin THEN 0
+              ELSE ((l_partkey - xmin) * 65535) // (xmax - xmin) END AS gx,
+         CASE WHEN ymax <= ymin THEN 0
+              ELSE ((l_suppkey - ymin) * 65535) // (ymax - ymin) END AS gy
+  FROM lineitem CROSS JOIN stats
+),
+{_CTES},
+z AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         (x{_N} | (y{_N} << 1)) AS z
+  FROM {_LAST}
+),
+b AS (
+  SELECT *, CAST(ntile({N_BUCKETS})
+             OVER (ORDER BY z, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+  FROM z
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+       CAST(MAX(l_partkey) AS BIGINT) AS pk_max,
+       CAST(MIN(l_suppkey) AS BIGINT) AS sk_min,
+       CAST(MAX(l_suppkey) AS BIGINT) AS sk_max,
+       CAST(MIN(z) AS BIGINT) AS z_min,
+       CAST(MAX(z) AS BIGINT) AS z_max
+FROM b GROUP BY bucket
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "layout_zorder_stats": QuerySpec(q_zorder_stats, Q_ZORDER_ORACLE),
+}
