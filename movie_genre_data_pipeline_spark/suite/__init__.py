@@ -48,15 +48,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reference-parity pipeline core (project_cast/struct_expand/explode_array/
     # merge_insert_missing earned driver-pass rows in r1 and rotated out for the
     # r2 curation family; they remain oracled just past the window)
+    # (dim_fix/topk_orders also driver-passed in r1 and rotated out for the
+    # bloom/layout additions this round)
     "flagship_revenue_by_flag_status",
     "quarantine_clean",
     "merge_status_update",
-    "dim_fix",
     # relational spine (q3/q18 driver-passed in r1, rotated out)
     "tpch_q1",
     "tpch_q6",
     "star_join",
-    "topk_orders",
     "window_topk_per_group",
     "sessionize",
     "from_json_props",
@@ -98,7 +98,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curate_pii_redaction",
     "curate_gopher_flags",
     "curate_decontaminate",
+    "curate_bloom_decontaminate",
     "sample_mixture_rebalance",
+    # data layout (r2)
+    "layout_zorder_stats",
     # structured streaming
     "stream_tumbling_window",
     "stream_foreachbatch_merge",
