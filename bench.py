@@ -37,6 +37,8 @@ HEADLINE = [
     # r2: the composed curation pipeline (Gopher filter -> dedup -> decontam ->
     # mixture -> chunking) — guards the whole curation family's hot path at once
     "curate_corpus_pipeline",
+    # r2: data-layout representative (Morton bit math + hash agg, no sort)
+    "layout_zorder_stats",
 ]
 
 

@@ -1,20 +1,27 @@
 """Data-layout queries: Morton/Z-order clustering stats over `lineitem`.
 
 `layout_zorder_stats` ranks (l_partkey, l_suppkey) onto a 2^16 grid, Morton-
-interleaves the bits, splits the z-ordered table into equal buckets (the files
-`write_zordered` would produce), and reports each bucket's min/max on BOTH
+interleaves the bits, splits z-space into equal-width ranges (the file
+boundaries a z-order layout exposes), and reports each range's min/max on BOTH
 dimensions — the exact statistics parquet would expose for pruning. Narrow
 per-bucket ranges on both columns are the measurable payoff of the layout.
 
+Bucketing is equi-WIDTH in z-space (bucket = z * N // 2^32) rather than
+equi-count (ntile): equal-count needs a global total order — a single-task
+window sort at any scale — while the equi-width split is a pure per-row integer
+expression, keeping the whole query scan → project → hash-aggregate with
+map-side combine. Equal-COUNT files are still produced by `write_zordered`,
+whose repartitionByRange does the same job with sampled bounds instead of a
+global sort.
+
 The oracle rebuilds the identical z-values in SQL: the grid ranking is
 integer-exact ((v-min)*65535 // (max-min)) and the bit-spreading chain uses the
-same shift/mask constants as `operators/layout.py`, so every z matches
-bit-for-bit and the bucket split (ntile over a unique total order) is
-engine-deterministic."""
+same shift/mask constants as `operators/layout.py`, so every z and every bucket
+matches bit-for-bit."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_genre_data_pipeline_spark.operators.layout import (
@@ -29,12 +36,13 @@ N_BUCKETS = 64
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     z = with_zvalue(li, "l_partkey", "l_suppkey", out_col="z")
-    # Bucket assignment = which output file a z-ordered writer would place the
-    # row in. ntile over the unique total order (z, orderkey, linenumber) is
-    # deterministic; at scale the same split is repartitionByRange's job.
-    w = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    # Equi-width z-range id: pure per-row integer math (z < 2^32, so the
+    # product stays far below 2^63). Empty ranges simply produce no row.
+    bucket = ((F.col("z") * N_BUCKETS) - (F.col("z") * N_BUCKETS) % (1 << 32)) / (
+        1 << 32
+    )
     return (
-        z.withColumn("bucket", F.ntile(N_BUCKETS).over(w).cast("bigint"))
+        z.withColumn("bucket", bucket.cast("bigint"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -87,9 +95,7 @@ z AS (
   FROM {_LAST}
 ),
 b AS (
-  SELECT *, CAST(ntile({N_BUCKETS})
-             OVER (ORDER BY z, l_orderkey, l_linenumber) AS BIGINT) AS bucket
-  FROM z
+  SELECT *, CAST((z * {N_BUCKETS}) // {1 << 32} AS BIGINT) AS bucket FROM z
 )
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
