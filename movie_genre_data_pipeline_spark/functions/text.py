@@ -26,17 +26,38 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 # Stopwords for the quality score's stopword-ratio feature (English baseline).
 QUALITY_STOPWORDS: tuple[str, ...] = LANG_LEXICONS["en"]
 
+# Engine-proof whitespace. Java regex \s is [ \t\n\x0B\f\r] but RE2 (DuckDB's
+# engine) \s lacks \x0B (vertical tab), so any pattern spelling `\s` silently
+# diverges between the engine and its SQL oracle on text containing \x0B.
+# Every whitespace pattern here spells the class out explicitly: the Spark side
+# embeds the literal control characters (identical meaning inside a character
+# class in any engine); the SQL side renders the same class with RE2 escapes
+# (`\v` is \x0B in RE2) so the oracle text stays printable.
+WS_CHARS = " \t\n\r\f\x0b"
+WS_RE = f"[{WS_CHARS}]+"
+WS_RE_SQL = r"[ \t\n\r\f\v]+"
+
 # BPE-ish word/number/punct segmentation (token counting without a tokenizer dep).
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
+BPE_ISH_PATTERN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]"
+
+# DuckDB rendering of tokens(): split on the explicit class, drop empties
+# (which also makes blank/whitespace-only text an empty array — no CASE needed).
+TOKS_SQL = f"list_filter(regexp_split_to_array(text, '{WS_RE_SQL}'), t -> t <> '')"
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    """DuckDB rendering of fingerprint(): md5 of the normalized text."""
+    return f"md5(regexp_replace(lower(trim({col})), '{WS_RE_SQL}', ' ', 'g'))"
 
 
 def tokens(col: str | Column) -> Column:
-    """Whitespace tokenization → array<string>; empty/blank text → empty array."""
+    """Whitespace tokenization → array<string>; empty/blank text → empty array.
+    Split on the explicit whitespace class then drop empty strings — robust to
+    leading/trailing whitespace of any kind without relying on trim() semantics
+    (trim strips only 0x20 in both Spark and DuckDB)."""
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.filter(F.split(c, WS_RE), lambda t: t != "")
 
 
 def token_count(col: str | Column) -> Column:
@@ -126,7 +147,7 @@ def quality_score(col: str | Column) -> Column:
 def normalize_text(col: str | Column) -> Column:
     """Canonical form for fingerprinting: lowercase + whitespace collapsed."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), WS_RE, " ")
 
 
 def fingerprint(col: str | Column) -> Column:

@@ -29,12 +29,10 @@ from movie_genre_data_pipeline_spark.functions.curation import (
 )
 from movie_genre_data_pipeline_spark.functions.sampling import mixture_resample
 from movie_genre_data_pipeline_spark.functions.similarity import quantize_int8
+from movie_genre_data_pipeline_spark.functions.text import TOKS_SQL, fingerprint_sql
 from movie_genre_data_pipeline_spark.suite import QuerySpec, load
 
-_TOKS = (
-    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
-)
+_TOKS = TOKS_SQL  # engine-proof whitespace class — see functions/text.py
 
 # -- context-window chunking -------------------------------------------------------
 CHUNK_WINDOW = 32
@@ -489,7 +487,7 @@ dd AS (
   SELECT doc_id FROM (
     SELECT c.doc_id,
            ROW_NUMBER() OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g'))
+             PARTITION BY {fingerprint_sql("c.text")}
              ORDER BY c.doc_id) AS rn
     FROM corpus c JOIN gopher USING (doc_id))
   WHERE rn = 1

@@ -68,7 +68,7 @@ Q_DEDUP_EXACT_ORACLE = """
 WITH keepers AS (
   SELECT MIN(doc_id) AS doc_id
   FROM documents
-  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  GROUP BY md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\v]+', ' ', 'g'))
 )
 SELECT d.lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -119,7 +119,7 @@ feat AS (
 ),
 scored AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\v]+', ' ', 'g')) AS fp,
          ROUND(
            (LEAST(n_tok / 50.0, 1.0) * 0.4
             + (CASE WHEN wordlen >= 3.0 AND wordlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
@@ -361,7 +361,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_DEDUP_INCREMENTAL_ORACLE = """
 WITH fps AS (
   SELECT doc_id, lang,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\v]+', ' ', 'g')) AS fp
   FROM documents
 ),
 fresh AS (

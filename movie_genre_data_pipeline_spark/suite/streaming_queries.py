@@ -454,7 +454,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_STREAM_INCREMENTAL_DEDUP_ORACLE = """
 WITH fps AS (
   SELECT doc_id, lang,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\v]+', ' ', 'g')) AS fp
   FROM documents
 ),
 fresh AS (

@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 
 from movie_genre_data_pipeline_spark.functions.dedup import exact_dedup_stats
 from movie_genre_data_pipeline_spark.functions.text import (
+    BPE_ISH_PATTERN_SQL,
     LANG_LEXICONS,
+    TOKS_SQL,
     bpe_ish_token_count,
+    fingerprint_sql,
     lang_id,
     quality_score,
     token_count,
@@ -22,10 +25,10 @@ from movie_genre_data_pipeline_spark.functions.text import (
 from movie_genre_data_pipeline_spark.suite import QuerySpec, load
 
 # shared SQL fragments ---------------------------------------------------------
-_TOKS = (
-    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
-)
+# tokens()'s DuckDB rendering lives next to the Spark implementation so the
+# whitespace class can never drift between engine and oracle (Java \s vs RE2 \s
+# disagree on \x0B — see functions/text.py).
+_TOKS = TOKS_SQL
 
 
 def _lex_sql(lang: str) -> str:
@@ -47,7 +50,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TOKEN_STATS_ORACLE = f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN_SQL}')) AS BIGINT)
          AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents
@@ -125,8 +128,8 @@ def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(d, "doc_id", "text")
 
 
-Q_FINGERPRINT_STATS_ORACLE = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+Q_FINGERPRINT_STATS_ORACLE = f"""
+SELECT {fingerprint_sql()} AS fp,
        CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY 1

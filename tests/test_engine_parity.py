@@ -1,0 +1,112 @@
+"""Cross-engine tokenizer/fingerprint parity on HOSTILE whitespace.
+
+The driver generates its own documents table, which (unlike the local testdata)
+can contain exotic whitespace. Java regex \\s includes \\x0B (vertical tab);
+DuckDB's RE2 \\s does not — a `\\s`-spelled tokenizer silently diverges between
+the engine and its oracle on such text (this cost `sample_stratified_split` its
+driver-green row in round 2). functions/text.py now spells the whitespace class
+explicitly on both sides; this test pins that parity on a corpus built to break
+it: vertical tabs, form feeds, CRLF, leading/trailing whitespace of every kind,
+NBSP (which is NOT whitespace in either engine), empty and whitespace-only text.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from movie_genre_data_pipeline_spark.suite import all_queries
+
+# Every whitespace-divergence trap we know: each row is (text, lang, source).
+_HOSTILE = [
+    ("hello\x0bworld and the", "en", "web"),  # vtab INSIDE — the r2 killer
+    ("\x0bder und die das", "de", "web"),  # leading vtab
+    ("le la forme\x0c", "fr", "books"),  # trailing form feed
+    ("el\tlos\tlas\tes", "es", "books"),  # tabs as separators
+    ("  the quick brown fox  ", "en", "web"),  # leading/trailing spaces
+    ("line1\r\nline2\rline3\nline4", "en", "code"),  # CR/LF/CRLF soup
+    ("", "zh", "web"),  # empty text
+    ("   ", "zh", "web"),  # spaces only
+    ("\t\n\x0b\x0c\r", "en", "code"),  # every class member, nothing else
+    ("non breaking space", "en", "web"),  # NBSP is NOT whitespace
+    ("dup one\ttwo", "en", "web"),  # same fingerprint as the next row
+    ("dup one two", "en", "web"),  # (whitespace-collapsed twins)
+    ("the and of to is in that it " * 8, "en", "wiki"),  # clean baseline doc
+    ("mixed 123 tokens!! with, punct; and\x0bvtab", "en", "wiki"),
+]
+
+# documents-only suite queries exercising tokens()/fingerprint()/BPE and the
+# md5 sampling thresholds — the full surface the whitespace class feeds.
+_QUERIES = [
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id_hist",
+    "text_fingerprint_stats",
+    "sample_stratified_split",
+    "pack_token_budget",
+    "dedup_exact",
+    "curate_gopher_flags",
+    "curate_chunk_documents",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("hostile_sf")
+    rows = [
+        {"doc_id": i + 1, "text": t, "lang": lang, "source": src,
+         "n_chars": len(t)}
+        for i, (t, lang, src) in enumerate(_HOSTILE)
+    ]
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+             ("source", pa.string()), ("n_chars", pa.int64())]
+        ),
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else round(v, 9)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm(x) for x in v)
+    try:
+        import pandas as pd
+
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _rows(df) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return sorted(
+        (tuple(_norm(v) for v in t) for t in df.itertuples(index=False)), key=repr
+    )
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_hostile_whitespace_parity(spark, hostile_dir, name):
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, hostile_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{hostile_dir}/documents.parquet'"
+    )
+    odf = con.sql(spec.oracle).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
+    for i, (sr, orow) in enumerate(zip(_rows(sdf), _rows(odf))):
+        assert sr == orow, f"{name}: first diff at sorted row {i}: {sr} != {orow}"
