@@ -12,6 +12,7 @@ at scale instead of the whole table.
 
 from __future__ import annotations
 
+import re
 import shutil
 import uuid
 from collections.abc import Sequence
@@ -31,6 +32,15 @@ def list_dir(path: str) -> list[str]:
     """`dbutils.fs.ls` equivalent (reference: Batch_notebook/rawToBronze.py:6)."""
     p = Path(path)
     return sorted(str(c) for c in p.iterdir()) if p.exists() else []
+
+
+# Characters Hive/Spark URL-escape in partition directory names
+# (ExternalCatalogUtils.escapePathName's char set, plus all control chars).
+_HIVE_UNSAFE = re.compile(r'["#%\'*/:=?\\\x00-\x1f\x7f{\[\]^]')
+
+
+def _needs_hive_escaping(value: str) -> bool:
+    return bool(_HIVE_UNSAFE.search(value))
 
 
 def rewrite_parquet(
@@ -54,11 +64,34 @@ def rewrite_parquet(
     ingest-date's files rewrites that date's partition, not the table. The
     whole-table swap remains the fallback for unpartitioned tables or full
     rewrites.
+
+    Visibility contract: the WHOLE-TABLE swap is a single directory rename — a
+    reader sees either the old table or the new one, never a gap. The
+    partition-scoped path swaps each touched partition with two consecutive
+    renames (staged→tmp-in-target happens up front, so the gap is rename+rename,
+    no copy in between); a concurrent lister can still observe one partition
+    absent for that instant. Delta/Iceberg close this with a metadata pointer —
+    on plain Parquet directories per-partition atomicity is the best available,
+    and callers that need stronger isolation should swap the whole table.
+
+    Partition values are matched to directory names as `col=str(value)`. Spark
+    URL-escapes special characters when writing partition dirs (e.g. ':' →
+    '%3A'), which this matcher does not replicate — values needing escaping are
+    rejected up front rather than silently backed up and never replaced. Date /
+    int / plain-string partition values (the `p_ingestdate` convention) are the
+    supported domain.
     """
     if partition_column and touched_values is not None:
         values = sorted({str(v) for v in touched_values})
         if not values:
             return
+        unsafe = [v for v in values if _needs_hive_escaping(v)]
+        if unsafe:
+            raise ValueError(
+                "partition values needing Hive path-escaping are unsupported by "
+                f"the partition-scoped rewrite: {unsafe!r}; rewrite the whole "
+                "table (touched_values=None) instead"
+            )
         scoped = df.filter(
             F.col(partition_column).cast("string").isin(values)
         )
@@ -75,11 +108,19 @@ def rewrite_parquet(
             subdir = f"{partition_column}={v}"
             staged_part = Path(staging) / subdir
             live_part = target / subdir
-            backup = target / f"__old_{uuid.uuid4().hex[:8]}_{subdir}"
+            token = uuid.uuid4().hex[:8]
+            backup = target / f"__old_{token}_{subdir}"
+            # Move the staged copy into the target dir FIRST (same filesystem —
+            # staging is a sibling), so the live→backup→new window is two bare
+            # renames with no write in between.
+            incoming = None
+            if staged_part.exists():
+                incoming = target / f"__new_{token}_{subdir}"
+                staged_part.rename(incoming)
             if live_part.exists():
                 live_part.rename(backup)
-            if staged_part.exists():
-                staged_part.rename(live_part)
+            if incoming is not None:
+                incoming.rename(live_part)
             # staged partition absent ⇒ every row of that value was dropped by
             # df — the rename above already removed the live copy.
             shutil.rmtree(backup, ignore_errors=True)

@@ -78,7 +78,7 @@ def build_bloom(
     pos = F.explode(
         F.array(*[_position(key, i, m_bits) for i in range(k)])
     ).alias("__pos")
-    return (
+    bitmap = (
         keys.select(pos)
         .select(
             F.floor(F.col("__pos") / WORD_BITS).cast("bigint").alias("word_idx"),
@@ -86,6 +86,12 @@ def build_bloom(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("__mask").alias("word"))
+    )
+    # Stamp the build parameters into the schema (zero runtime cost) so a probe
+    # with mismatched m_bits/k fails loudly instead of returning plausible
+    # nonsense. Metadata survives parquet round-trips via the schema footer.
+    return bitmap.withColumn(
+        "word", F.col("word").alias("word", metadata={"m_bits": m_bits, "k": k})
     )
 
 
@@ -103,29 +109,48 @@ def bloom_probe(
 
     k broadcast-hash left joins against the tiny bitmap: the probed frame is
     scanned once and never shuffled; each hit test is (word & mask) != 0 inside
-    codegen. A missing word row means those 32 bits are all zero -> miss."""
+    codegen. A missing word row means those 32 bits are all zero -> miss.
+
+    If the bitmap carries build-parameter metadata (build_bloom stamps m_bits/k
+    onto the `word` column, preserved through parquet), a probe with different
+    parameters raises instead of returning wrong membership bits."""
     if m_bits % WORD_BITS != 0 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of {WORD_BITS}")
     if k < 1:
         raise ValueError("k must be >= 1")
+    try:
+        meta = bloom.schema["word"].metadata or {}
+    except KeyError:
+        meta = {}
+    built = (meta.get("m_bits"), meta.get("k"))
+    if built != (None, None) and built != (m_bits, k):
+        raise ValueError(
+            f"bloom bitmap was built with m_bits={built[0]}, k={built[1]} but "
+            f"probed with m_bits={m_bits}, k={k} — a mismatched probe returns "
+            "wrong membership bits"
+        )
     key = F.col(key_col)
     out = df
+    generated: set[str] = set()
     hits: list[Column] = []
     for i in range(k):
         pos = _position(key, i, m_bits)
+        widx, wval = f"__bloom_idx{i}", f"__bloom_word{i}"
+        generated.update((widx, wval))
         b = F.broadcast(
             bloom.select(
-                F.col("word_idx").alias(f"__w{i}"), F.col("word").alias(f"__word{i}")
+                F.col("word_idx").alias(widx), F.col("word").alias(wval)
             )
         )
         out = out.join(
-            b, F.floor(pos / WORD_BITS).cast("bigint") == F.col(f"__w{i}"), "left"
+            b, F.floor(pos / WORD_BITS).cast("bigint") == F.col(widx), "left"
         )
         mask = _mask(pos % WORD_BITS)
         hits.append(
-            F.coalesce(F.col(f"__word{i}"), F.lit(0)).bitwiseAND(mask) != F.lit(0)
+            F.coalesce(F.col(wval), F.lit(0)).bitwiseAND(mask) != F.lit(0)
         )
-    keep = [c for c in out.columns if not c.startswith("__w")]
+    # drop ONLY the exact generated join columns — user columns keep any name
+    keep = [c for c in out.columns if c not in generated]
     hit_all = hits[0]
     for h in hits[1:]:
         hit_all = hit_all & h

@@ -70,17 +70,21 @@ def compact_parquet_dir(
         # ALONE would map every row of one value to a single task → one output
         # file per value no matter its size; a uniform splitter key fans large
         # values out over ~files_per_value tasks so file sizes track the target.
+        # The splitter is derived from ROW CONTENT (xxhash64 of every column),
+        # never from rand(): an expression-repartition on a random column is
+        # retry-unsafe — a recomputed task can re-draw and route rows to a
+        # different shuffle partition, silently duplicating or dropping them.
+        # A content hash re-executes to the identical partition every time.
         from pyspark.sql import functions as F
 
         part_dirs = [
             d for d in Path(path).iterdir() if d.is_dir() and "=" in d.name
         ]
         files_per_value = max(1, math.ceil(n_target / max(1, len(part_dirs))))
-        df = df.repartition(
-            n_target,
-            partition_column,
-            F.floor(F.rand(seed=42) * files_per_value).cast("int"),
-        )
+        splitter = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_value)
+        ).cast("int")
+        df = df.repartition(n_target, partition_column, splitter)
     else:
         # pure shrink: coalesce is narrow — each output task concatenates input
         # splits, zero shuffle

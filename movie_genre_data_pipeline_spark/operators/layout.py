@@ -56,15 +56,35 @@ def zvalue(x: Column, y: Column) -> Column:
     return spread_bits16(x).bitwiseOR(F.shiftleft(spread_bits16(y), 1))
 
 
+# (c - min) * (2^16 - 1) must stay inside BIGINT: ranges above 2^47 would
+# overflow the numerator, so they are rejected at runtime (raise_error), not
+# silently wrapped. Nanosecond-epoch timestamps exceed this — bucket them to
+# micro/milliseconds (or rebase to the column min) before z-ordering.
+MAX_GRID_RANGE = 1 << 47
+
+
 def scale_to_grid(c: Column, cmin: Column, cmax: Column, bits: int = 16) -> Column:
     """Affine-rank a value onto the integer grid [0, 2^bits) given its column
-    min/max. Integer-exact: ((c-min)*(2^bits-1)) div (max-min) computed as
-    (num - num%den)/den — no floating rounding anywhere, so any engine gets the
-    identical grid cell. Degenerate (min == max) maps everything to cell 0."""
+    min/max. Integer-exact: ((c-min)*(2^bits-1)) div (max-min) with TRUE integer
+    division (SQL `div`, not `/` — Spark's `/` is double division, exact only
+    while the numerator ≤ 2^53) — no floating rounding anywhere, so any engine
+    gets the identical grid cell. Degenerate (min == max) maps everything to
+    cell 0; ranges wider than MAX_GRID_RANGE raise rather than overflow."""
     num = (c.cast("bigint") - cmin.cast("bigint")) * F.lit((1 << bits) - 1)
     den = (cmax.cast("bigint") - cmin.cast("bigint"))
-    return F.when(den <= 0, F.lit(0)).otherwise(
-        ((num - num % den) / den).cast("bigint")
+    return (
+        F.when(
+            den > F.lit(MAX_GRID_RANGE),
+            F.raise_error(
+                F.lit(
+                    "scale_to_grid: column range exceeds 2^47 — the grid "
+                    "numerator would overflow BIGINT; rebase or coarsen the "
+                    "column first"
+                )
+            ),
+        )
+        .when(den <= 0, F.lit(0).cast("bigint"))
+        .otherwise(F.call_function("div", num, den))
     )
 
 

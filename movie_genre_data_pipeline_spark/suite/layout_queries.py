@@ -37,10 +37,9 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     z = with_zvalue(li, "l_partkey", "l_suppkey", out_col="z")
     # Equi-width z-range id: pure per-row integer math (z < 2^32, so the
-    # product stays far below 2^63). Empty ranges simply produce no row.
-    bucket = ((F.col("z") * N_BUCKETS) - (F.col("z") * N_BUCKETS) % (1 << 32)) / (
-        1 << 32
-    )
+    # product stays far below 2^63). True integer division (`div`) keeps the
+    # whole computation in BIGINT. Empty ranges simply produce no row.
+    bucket = F.call_function("div", F.col("z") * N_BUCKETS, F.lit(1 << 32))
     return (
         z.withColumn("bucket", bucket.cast("bigint"))
         .groupBy("bucket")

@@ -62,3 +62,41 @@ def test_build_validates_params(spark):
         build_bloom(keys, "key", m_bits=100, k=3)  # not a multiple of 32
     with pytest.raises(ValueError):
         build_bloom(keys, "key", m_bits=4096, k=0)
+
+
+def test_probe_param_mismatch_raises(spark):
+    """A probe with different m_bits/k than the build returns plausible but
+    WRONG membership bits — the bitmap carries its build params in schema
+    metadata so the mismatch fails loudly (ADVICE r2)."""
+    import pytest
+
+    members = _keys(spark, 50, "in-")
+    bloom = build_bloom(members, "key", M_BITS, K).localCheckpoint()
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(members, "key", bloom, M_BITS * 2, K)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(members, "key", bloom, M_BITS, K + 1)
+
+
+def test_probe_params_survive_parquet_roundtrip(spark, tmp_path):
+    members = _keys(spark, 50, "in-")
+    path = str(tmp_path / "bloom")
+    build_bloom(members, "key", M_BITS, K).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    import pytest
+
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(members, "key", reloaded, M_BITS // 2, K)
+    probed = bloom_probe(members, "key", reloaded, M_BITS, K)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+
+
+def test_probe_keeps_user_columns_with_internal_like_names(spark):
+    """User columns named like the old '__w' prefix must survive probe's
+    internal-column cleanup (ADVICE r2: only exact generated names drop)."""
+    members = _keys(spark, 20, "in-")
+    bloom = build_bloom(members, "key", M_BITS, K).localCheckpoint()
+    probed = bloom_probe(
+        members.withColumn("__weird", F.lit(1)), "key", bloom, M_BITS, K
+    )
+    assert "__weird" in probed.columns

@@ -71,3 +71,22 @@ def test_upsert_update_null_key_matches_null_safe(spark):
     source = spark.createDataFrame([(None, "updated")], "k int, v string")
     out = upsert_update(target, source, on="k", set_columns={"v": "v"})
     assert {(r.k, r.v) for r in out.collect()} == {(None, "updated"), (2, "y")}
+
+
+def test_partition_scoped_rewrite_rejects_escapable_values(spark, tmp_path):
+    """Spark URL-escapes special chars in partition dir names; the dir matcher
+    doesn't replicate that, so such values must raise instead of silently
+    backing up a partition and never replacing it (ADVICE r2)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", "p1")], "id int, v string, p string")
+    df.write.partitionBy("p").parquet(path)
+    with pytest.raises(ValueError, match="escap"):
+        rewrite_parquet(
+            spark,
+            spark.read.parquet(path),
+            path,
+            "p",
+            touched_values=["a:b"],
+        )

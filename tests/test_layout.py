@@ -81,3 +81,27 @@ def test_zorder_stats_plan_has_no_shuffle_join(spark):
     # stats row joins via broadcast; no shuffle join anywhere
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_scale_to_grid_rejects_overflowing_range(spark):
+    """Ranges wider than 2^47 would overflow the BIGINT grid numerator; the
+    expression raises instead of silently wrapping (ADVICE r2)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(0,), (1 << 48,)], "v long")
+    expr = scale_to_grid(F.col("v"), F.lit(0), F.lit(1 << 48))
+    with pytest.raises(SparkRuntimeException):
+        df.select(expr.alias("g")).collect()
+
+
+def test_scale_to_grid_exact_beyond_double_precision(spark):
+    """True integer division: exact even where double division rounds wrong
+    (numerators above 2^53). Range just under the 2^47 guard."""
+    lo, hi = 0, (1 << 47) - 1
+    v = hi - 3
+    df = spark.createDataFrame([(v,)], "v long")
+    [r] = df.select(
+        scale_to_grid(F.col("v"), F.lit(lo), F.lit(hi)).alias("g")
+    ).collect()
+    assert r.g == (v * 65535) // hi
