@@ -160,6 +160,37 @@ def pack_token_budget(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a shard
+    and a position within that shard, both pure functions of the row key.
+
+    Training pipelines need the corpus in a reproducible pseudorandom order
+    (shard files read sequentially by the data loader). `orderBy(rand())` is
+    neither reproducible across retries nor cheap (a full global sort);
+    hash-ordering is both: shard = 48-bit md5 prefix mod n_shards (uniform),
+    position = rank of md5(key:salt) within the shard. One shuffle on the shard
+    id; each shard sorts independently (no global sort barrier), which is the
+    partitioned-write order a loader consumes.
+
+    Adds `shard` (bigint) and `pos` (bigint, 1-based within shard)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    tag = sample_tag(key_col, salt)
+    shard = (
+        F.conv(F.substring(tag, 1, 12), 16, 10).cast("bigint") % F.lit(n_shards)
+    ).alias("shard")
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(
+        sample_tag(key_col, salt + ":order").asc(), F.col(key_col).asc()
+    )
+    return out.withColumn("pos", F.row_number().over(w).cast("bigint"))
+
+
 def per_stratum_quota(
     df: DataFrame,
     key_col: str,

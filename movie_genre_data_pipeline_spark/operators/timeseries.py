@@ -1,0 +1,89 @@
+"""Time-series operators: dense time-bucket gap-filling (the hypertable /
+`time_bucket_gapfill` shape TimescaleDB and continuous-aggregate systems expose).
+
+Why: a sparse event stream aggregated by time bucket silently omits empty
+buckets, which breaks downstream rate math, charting, and windowed models that
+assume a dense axis. Gap-filling = aggregate + synthesize the missing buckets
+with identity values (0 counts, 0 sums).
+
+Spark-first design, scale notes:
+- The aggregation is the ordinary one-shuffle hash aggregate on
+  (bucket, group) — partial map-side combine, nothing custom.
+- The dense spine is NOT a shuffle of the data: the bucket range comes from one
+  min/max aggregate reduced to two scalars, and `sequence()` + `explode`
+  generates the spine rows from those scalars — O(n_buckets × n_groups) rows
+  built from a 1-row frame, broadcast into the final join. At 100 TB the spine
+  (e.g. 5 years of hours × 1000 groups ≈ 4.4M rows) is dimension-sized while
+  the fact side has already been reduced by the aggregation, so the join is a
+  broadcast of whichever side is smaller — never a shuffle of raw events.
+- Buckets are epoch-integer floors (`epoch div step * step`), not calendar
+  windows: integer math, engine-portable, and exactly what `F.window()` computes
+  for fixed durations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: str | Column, bucket_seconds: int) -> Column:
+    """Tumbling-bucket start timestamp: floor(epoch/step)*step, in integer
+    seconds (exact on every engine; `F.window()` agrees for fixed durations)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    step = F.lit(int(bucket_seconds)).cast("bigint")
+    epoch = c.cast("bigint")  # timestamp → epoch seconds (truncating)
+    return F.timestamp_seconds(
+        F.call_function("div", epoch, step) * step
+    )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    aggs: Mapping[str, Column],
+    fill: Mapping[str, Column],
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Aggregate `df` into tumbling `bucket_seconds` buckets per `group_cols`,
+    then fill every missing (bucket, group) combination with the `fill`
+    identity values, producing a DENSE series from the observed min bucket to
+    the observed max bucket.
+
+    `aggs` maps output column name → aggregate expression; `fill` maps the same
+    names → the value an empty bucket reports (0 for counts/sums). Output:
+    (bucket timestamp, *group_cols, *aggs keys).
+    """
+    if set(aggs) != set(fill):
+        raise ValueError(
+            f"fill must cover exactly the agg columns: {set(aggs) ^ set(fill)}"
+        )
+    bucket = time_bucket(ts_col, bucket_seconds)
+    facts = (
+        df.groupBy(bucket.alias("bucket"), *group_cols)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    # dense spine from two scalars — no data shuffle
+    bounds = df.agg(
+        F.min(bucket).alias("__b0"), F.max(bucket).alias("__b1")
+    )
+    step_expr = f"INTERVAL {int(bucket_seconds)} SECONDS"
+    spine = bounds.select(
+        F.explode(
+            F.expr(f"sequence(__b0, __b1, {step_expr})")
+        ).alias("bucket")
+    )
+    if group_cols:
+        spine = spine.crossJoin(df.select(*group_cols).distinct())
+    filled = spine.join(facts, ["bucket", *group_cols], "left")
+    return filled.select(
+        "bucket",
+        *group_cols,
+        *[
+            F.coalesce(F.col(name), fill[name]).alias(name)
+            for name in aggs
+        ],
+    )

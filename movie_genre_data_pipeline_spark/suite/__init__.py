@@ -61,12 +61,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize",
     "from_json_props",
     "asof_join",
-    # late TPC-H shapes + grouping
+    # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, rotated out
+    # for the r4 sketch/timeseries families)
     "tpch_q2",
     "tpch_q7",
     "tpch_q9",
-    "tpch_q13",
-    "tpch_q16",
     "tpch_q21",
     "tpch_q22",
     "grouping_sets",
@@ -75,22 +74,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "interval_join",
     "grouped_pandas_norm",
     "sample_stratified_split",
+    "sample_corpus_shuffle",
+    # time series + sketches (r4)
+    "time_bucket_gapfill",
+    "funnel_conversion",
+    "sketch_cms_heavy_hitters",
     # text analysis
     "text_token_stats",
     "text_tfidf_topk",
     "text_lang_id_hist",
     "text_quality_scores",
-    # deduplication
+    # deduplication (ngram_jaccard driver-passed in r2, rotated out)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_corpus",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    # similarity search
+    # similarity search (lsh_multi_top1 driver-passed in r2, rotated out)
     "sim_topk_ivf",
     "sim_lsh_top1",
-    "sim_lsh_multi_top1",
     "sim_topk_bruteforce",
     "sim_quantize_int8",
     # corpus curation (r2 family)
@@ -125,8 +127,10 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_extra,
         sampling_queries,
         similarity_queries,
+        sketch_queries,
         streaming_queries,
         text_queries,
+        timeseries_queries,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -140,6 +144,8 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_queries,
         format_queries,
         layout_queries,
+        sketch_queries,
+        timeseries_queries,
         similarity_queries,
         streaming_queries,
         multimodal_queries,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from movie_genre_data_pipeline_spark.functions.sampling import (
     assign_split,
+    corpus_shuffle,
     hex_threshold,
     pack_token_budget,
     stratified_sample,
@@ -99,9 +100,38 @@ FROM c GROUP BY 1, 2
 """
 
 
+N_SHARDS = 8
+
+
+def q_sample_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a (shard, pos)
+    that is a pure function of doc_id — reproducible across engines, retries,
+    and partitionings, unlike orderBy(rand())."""
+    d = load(spark, sf_dir, "documents")
+    return corpus_shuffle(d, "doc_id", N_SHARDS).select("doc_id", "shard", "pos")
+
+
+Q_CORPUS_SHUFFLE_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(doc_id || ':shuffle'), 1, 12)) AS BIGINT)
+           % {N_SHARDS} AS shard,
+         md5(doc_id || ':shuffle:order') AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC)
+            AS BIGINT) AS pos
+FROM tagged
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sample_stratified_split": QuerySpec(
         q_sample_stratified_split, _stratified_split_oracle()
     ),
     "pack_token_budget": QuerySpec(q_pack_token_budget, Q_PACK_TOKEN_BUDGET_ORACLE),
+    "sample_corpus_shuffle": QuerySpec(
+        q_sample_corpus_shuffle, Q_CORPUS_SHUFFLE_ORACLE
+    ),
 }

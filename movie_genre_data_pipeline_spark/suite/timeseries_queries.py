@@ -1,0 +1,123 @@
+"""Time-series queries over `events`: dense gap-filled bucket rollups
+(operators/timeseries.py) and staged funnel conversion — the continuous-
+aggregate / behavioral-analytics shapes a warehouse layered on this engine
+serves constantly.
+
+Both are single-scan, one-shuffle plans: the gapfill spine is generated from
+two scalars (never a shuffle of events), and the funnel is one conditional-min
+hash aggregate per user followed by a scalar reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.operators.timeseries import time_bucket_gapfill
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+BUCKET_S = 3600  # hourly
+
+
+def q_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dense = time_bucket_gapfill(
+        ev,
+        "ts",
+        BUCKET_S,
+        aggs={
+            "n": F.count(F.lit(1)).cast("bigint"),
+            "total_value": F.round(F.sum("value"), 2),
+        },
+        fill={"n": F.lit(0).cast("bigint"), "total_value": F.lit(0.0)},
+        group_cols=("event_type",),
+    )
+    return dense.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+Q_TIME_BUCKET_GAPFILL_ORACLE = f"""
+WITH b AS (
+  SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / {BUCKET_S}) AS BIGINT)
+                        * {BUCKET_S} * 1000000) AS bucket,
+         event_type, value
+  FROM events
+),
+bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b),
+spine AS (
+  SELECT unnest(generate_series(b0, b1, INTERVAL {BUCKET_S} SECONDS)) AS bucket
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(value), 2) AS total_value
+  FROM b GROUP BY 1, 2
+)
+SELECT strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS w_start,
+       t.event_type,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.total_value, 0.0) AS total_value
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+"""
+
+
+# -- staged funnel: view -> click -> purchase, ordered by each user's FIRST
+#    occurrence of each stage. One hash aggregate on user_id (conditional mins
+#    — no per-event window), then a scalar reduce. ---------------------------------
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stage2 = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_viewed"),
+        F.sum(F.when(stage2, 1).otherwise(0)).cast("bigint").alias("n_clicked_after"),
+        F.sum(F.when(stage3, 1).otherwise(0)).cast("bigint").alias("n_purchased_after"),
+    )
+
+
+Q_FUNNEL_CONVERSION_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after
+FROM per_user
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "time_bucket_gapfill": QuerySpec(
+        q_time_bucket_gapfill, Q_TIME_BUCKET_GAPFILL_ORACLE
+    ),
+    "funnel_conversion": QuerySpec(q_funnel_conversion, Q_FUNNEL_CONVERSION_ORACLE),
+}

@@ -1,0 +1,94 @@
+"""time_bucket_gapfill contract: the output is a DENSE axis (every bucket from
+min to max present for every group), observed buckets keep their aggregates,
+gaps carry the fill identities, and the spine join never becomes a shuffle of
+the fact side."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.sampling import corpus_shuffle
+from movie_genre_data_pipeline_spark.operators.timeseries import (
+    time_bucket,
+    time_bucket_gapfill,
+)
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(hours=h), g, float(v))
+        # hour 2 missing entirely; hour 1 missing for group "b"
+        for h, g, v in [(0, "a", 1.0), (0, "b", 2.0), (1, "a", 3.0), (3, "a", 4.0), (3, "b", 5.0)]
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, g string, value double")
+
+
+def test_dense_axis_with_fill_identities(spark):
+    out = time_bucket_gapfill(
+        _events(spark),
+        "ts",
+        3600,
+        aggs={"n": F.count(F.lit(1)).cast("bigint"), "s": F.sum("value")},
+        fill={"n": F.lit(0).cast("bigint"), "s": F.lit(0.0)},
+        group_cols=("g",),
+    ).collect()
+    # 4 hourly buckets × 2 groups = 8 dense rows
+    assert len(out) == 8
+    by_key = {(r.bucket.hour, r.g): (r.n, r.s) for r in out}
+    assert by_key[(0, "a")] == (1, 1.0)
+    assert by_key[(2, "a")] == (0, 0.0)  # fully missing bucket
+    assert by_key[(2, "b")] == (0, 0.0)
+    assert by_key[(1, "b")] == (0, 0.0)  # group-local gap
+    assert by_key[(3, "b")] == (1, 5.0)
+
+
+def test_no_groups_variant(spark):
+    out = time_bucket_gapfill(
+        _events(spark),
+        "ts",
+        3600,
+        aggs={"n": F.count(F.lit(1)).cast("bigint")},
+        fill={"n": F.lit(0).cast("bigint")},
+    ).collect()
+    assert len(out) == 4
+    assert {r.bucket.hour: r.n for r in out} == {0: 2, 1: 1, 2: 0, 3: 2}
+
+
+def test_fill_must_cover_aggs(spark):
+    with pytest.raises(ValueError, match="fill"):
+        time_bucket_gapfill(
+            _events(spark),
+            "ts",
+            3600,
+            aggs={"n": F.count(F.lit(1))},
+            fill={},
+        )
+
+
+def test_time_bucket_floor_semantics(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5, 59, 59),)], "ts timestamp"
+    )
+    [r] = df.select(time_bucket("ts", 3600).alias("b")).collect()
+    assert r.b == dt.datetime(2024, 1, 1, 5, 0, 0)
+
+
+def test_corpus_shuffle_is_partition_invariant(spark):
+    """(shard, pos) must be a pure function of the key — identical after any
+    repartitioning, which seed-based orderBy(rand()) cannot promise."""
+    df = spark.range(200).select(F.col("id").cast("string").alias("k"))
+    a = corpus_shuffle(df, "k", 8)
+    b = corpus_shuffle(df.repartition(13), "k", 8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every shard's positions are 1..n contiguous
+    import collections
+
+    pos = collections.defaultdict(list)
+    for r in a.collect():
+        pos[r.shard].append(r.pos)
+    for shard, ps in pos.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
