@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from movie_genre_data_pipeline_spark.operators.timeseries import epoch_millis
+
 
 def interval_join(
     points: DataFrame,
@@ -31,15 +33,15 @@ def interval_join(
     Returns all columns from both sides (non-key column names must not collide).
     """
     p = points.withColumn(
-        "__bucket", F.floor(F.unix_millis(F.col(point_ts)) / granularity_ms)
+        "__bucket", F.floor(epoch_millis(point_ts) / granularity_ms)
     )
     iv = (
         intervals.withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
-                    F.floor(F.unix_millis(F.col(start_ts)) / granularity_ms),
-                    F.floor(F.unix_millis(F.col(end_ts)) / granularity_ms),
+                    F.floor(epoch_millis(start_ts) / granularity_ms),
+                    F.floor(epoch_millis(end_ts) / granularity_ms),
                 )
             ),
         )

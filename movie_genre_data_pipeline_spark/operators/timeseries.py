@@ -29,12 +29,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def to_instant(ts: str | Column) -> Column:
+    """NTZ/LTZ-agnostic timestamp: no-op on TIMESTAMP, interprets TIMESTAMP_NTZ
+    in the session timezone (pin UTC to match tz-naive engines — session.py does).
+    TIMESTAMP_NTZ forbids every numeric cast (`CAST_WITHOUT_SUGGESTION`,
+    VERDICT r03 #1), so ALL epoch math in this engine routes through here —
+    never cast a timestamp column to a number directly."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return c.cast("timestamp")
+
+
+def epoch_micros(ts: str | Column) -> Column:
+    """Microseconds since epoch (BIGINT), NTZ/LTZ-agnostic."""
+    return F.unix_micros(to_instant(ts))
+
+
+def epoch_millis(ts: str | Column) -> Column:
+    """Milliseconds since epoch (BIGINT), NTZ/LTZ-agnostic."""
+    return F.unix_millis(to_instant(ts))
+
+
+def epoch_seconds(ts: str | Column) -> Column:
+    """Fractional epoch seconds (DOUBLE, micros/1e6) — matches DuckDB EPOCH()."""
+    return epoch_micros(ts) / F.lit(1_000_000.0)
+
+
 def time_bucket(ts: str | Column, bucket_seconds: int) -> Column:
     """Tumbling-bucket start timestamp: floor(epoch/step)*step, in integer
     seconds (exact on every engine; `F.window()` agrees for fixed durations)."""
-    c = F.col(ts) if isinstance(ts, str) else ts
     step = F.lit(int(bucket_seconds)).cast("bigint")
-    epoch = c.cast("bigint")  # timestamp → epoch seconds (truncating)
+    epoch = to_instant(ts).cast("bigint")  # timestamp → epoch seconds (truncating)
     return F.timestamp_seconds(
         F.call_function("div", epoch, step) * step
     )

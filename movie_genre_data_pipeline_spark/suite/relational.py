@@ -354,10 +354,12 @@ FROM events GROUP BY event_type
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: lag + cumulative gap counter (pyspark_guide 'common
     OLAP patterns'); the streaming variant uses session_window (streaming_queries)."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_seconds
+
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # fractional epoch seconds (micros/1e6 as double) — matches DuckDB's EPOCH()
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts"), 1).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sessions = ev.withColumn("session_seq", F.sum(new_session).over(w))
     return sessions.groupBy("user_id").agg(
@@ -902,6 +904,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 30 minutes after an error by the same user. Equi-join on
     (user, time-bucket) + residual filter — no nested-loop non-equi join."""
     from movie_genre_data_pipeline_spark.operators.interval import interval_join
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_millis
 
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -910,7 +913,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows = ev.filter(F.col("event_type") == "error").select(
         "user_id",
         F.col("ts").alias("w_start"),
-        (F.timestamp_millis(F.unix_millis("ts") + 30 * 60 * 1000)).alias("w_end"),
+        (F.timestamp_millis(epoch_millis("ts") + 30 * 60 * 1000)).alias("w_end"),
         F.col("event_id").alias("error_id"),
     )
     out = interval_join(
@@ -959,6 +962,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same user at-or-before the purchase. Union+window plan — one shuffle
     on user_id, no range join. Oracle: DuckDB's native ASOF LEFT JOIN."""
     from movie_genre_data_pipeline_spark.operators.asof import asof_join
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_millis
 
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -972,7 +976,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id").alias("purchase_id"),
         F.col("event_id_asof").alias("click_id"),
-        (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("ms_since_click"),
+        (epoch_millis("ts") - epoch_millis("ts_asof")).alias("ms_since_click"),
     )
 
 
