@@ -132,6 +132,14 @@ def bloom_probe(
     key = F.col(key_col)
     out = df
     generated: set[str] = set()
+    reserved = {f"__bloom_idx{i}" for i in range(k)} | {
+        f"__bloom_word{i}" for i in range(k)
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        # a user column with a reserved internal name would be silently dropped
+        # by the post-join cleanup (and make the join ambiguous) — refuse instead
+        raise ValueError(f"input columns collide with bloom internals: {sorted(clash)}")
     hits: list[Column] = []
     for i in range(k):
         pos = _position(key, i, m_bits)

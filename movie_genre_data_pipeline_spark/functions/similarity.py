@@ -47,12 +47,19 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+# Above this many rows, an unpartitioned brute-force pass is a cross join the
+# cluster cannot absorb (O(n²·d)); callers must either supply `partition_col`
+# (the IVF shape) or opt in explicitly for a known-bounded rerank stage.
+QUADRATIC_GUARD_ROWS = 100_000
+
+
 def brute_force_top_k(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 1,
     partition_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector (excluding self), with rounded-score
     + id tie-breaking so results are total-order deterministic.
@@ -60,7 +67,22 @@ def brute_force_top_k(
     `partition_col` turns this into the IVF-style variant: neighbors are only
     sought within the same partition value (coarse cell), which is the 100 TB
     shape — an equi-join on the cell instead of a full cross join.
+
+    Without `partition_col` this is the documented EXACT BASELINE / rerank stage
+    only: above `QUADRATIC_GUARD_ROWS` input rows it raises unless
+    `allow_quadratic=True`, so the O(n²) path can't be reached by accident at
+    scale (VERDICT r03 #7). The guard costs one count job (column-pruned to
+    nothing by Catalyst — a metadata-cheap scan).
     """
+    if partition_col is None and not allow_quadratic:
+        n_rows = df.count()
+        if n_rows > QUADRATIC_GUARD_ROWS:
+            raise ValueError(
+                f"brute_force_top_k without partition_col is O(n²) and got "
+                f"{n_rows} rows (> {QUADRATIC_GUARD_ROWS}). Pass partition_col "
+                f"(IVF cell) for the scale path, or allow_quadratic=True for an "
+                f"explicitly bounded exact/rerank pass."
+            )
     # Precompute each vector's norm ONCE (outside the join): cosine-per-pair
     # would otherwise re-fold both norms for every pair — 3 array folds per pair
     # instead of 1. The norm value is the identical fold either way, so scores

@@ -73,12 +73,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "skew_salted_agg",
     "interval_join",
     "grouped_pandas_norm",
+    # sampling/packing (corpus_shuffle + stratified oracle driver-passed; r4
+    # brings the token-packer into the window now its HUGEINT oracle is pinned)
     "sample_stratified_split",
-    "sample_corpus_shuffle",
-    # time series + sketches (r4)
+    "pack_token_budget",
+    # time series + sketches (funnel_conversion / sketch_cms_heavy_hitters /
+    # sample_corpus_shuffle driver-passed in r3, rotated out for the sampling/
+    # dedup/similarity tails)
     "time_bucket_gapfill",
-    "funnel_conversion",
-    "sketch_cms_heavy_hitters",
     # text analysis
     "text_token_stats",
     "text_tfidf_topk",
@@ -90,11 +92,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_corpus",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_keep_best",
     # similarity search (lsh_multi_top1 driver-passed in r2, rotated out)
     "sim_topk_ivf",
     "sim_lsh_top1",
     "sim_topk_bruteforce",
     "sim_quantize_int8",
+    "sim_lsh_recall",
     # corpus curation (r2 family)
     "curate_chunk_documents",
     "curate_pii_redaction",

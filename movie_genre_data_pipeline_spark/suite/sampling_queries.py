@@ -63,7 +63,7 @@ labeled AS (
 )
 SELECT lang, split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM labeled GROUP BY 1, 2
 """
 
@@ -95,7 +95,7 @@ c AS (
 )
 SELECT lang, chunk_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       SUM(n_tokens) AS chunk_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
 FROM c GROUP BY 1, 2
 """
 

@@ -8,9 +8,15 @@ DataFrame — so the driver's oracle check covers actual streaming execution, no
 batch re-phrasing. The batch twins (relational.q_tumbling_window / q_sessionize)
 share the same oracles' semantics.
 
-events.ts is TIMESTAMP(NANOS) in the parquet footer: the stream schema declares it
-LONG (with spark.sql.legacy.parquet.nanosAsLong set) and converts to a microsecond
-timestamp in-stream — same truncation DuckDB applies.
+The stream's declared `ts` type is FOOTER-DRIVEN (VERDICT r03 #2 — the fixture
+drifted nanos→micros and a hardcoded nanos-as-long schema silently compressed
+time 1000×): INT64-nanos files are declared LONG (with
+spark.sql.legacy.parquet.nanosAsLong set) and converted `div 1000` in-stream —
+the same truncation DuckDB applies; micros/millis/INT96 files are declared
+TIMESTAMP directly (the declared schema overrides NTZ inference, and with the
+session pinned UTC the values match the tz-naive oracle). This is the
+reference's own infer-once/freeze pattern (Autoloader_notebook/
+Raw_to_Bronze.py:21-23) applied per physical encoding.
 """
 
 from __future__ import annotations
@@ -25,35 +31,52 @@ from pyspark.sql import types as T
 
 from movie_genre_data_pipeline_spark.suite import QuerySpec
 
-_EVENTS_LONG_TS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    from movie_genre_data_pipeline_spark.sources.batch import _nanos_timestamp_columns
+
+    return "ts" in _nanos_timestamp_columns(f"{sf_dir}/events.parquet")
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def _events_stream_schema(nanos: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _open_event_stream(spark: SparkSession, sf_dir: str, link_dir: str) -> DataFrame:
+    """File-source stream over `link_dir` with the footer-appropriate ts schema."""
+    nanos = _events_ts_is_nanos(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # match tz-naive oracle
     # stateful streaming ops can't use AQE; on a default driver session the 200
     # shuffle partitions are pure overhead at suite scale — pin a sane count
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_events_stream_schema(nanos))
+        .load(link_dir)
+    )
+    if nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.parquet is a single FILE; the streaming file source requires a
     # directory (its per-batch relation rejects file-valued basePaths). Expose it
     # through a temp directory containing a symlink — zero-copy, read-only-safe.
     link_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{link_dir}/events.parquet")
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(_EVENTS_LONG_TS_SCHEMA)
-        .load(link_dir)
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _open_event_stream(spark, sf_dir, link_dir)
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -235,18 +258,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dropDuplicatesWithinWatermark` on event_id collapses the duplicates with
     state bounded by the watermark (the 100 TB requirement: dedup state must
     expire, not grow forever). Oracle: each event counted exactly once."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     link_dir = tempfile.mkdtemp(prefix="events_dup_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{link_dir}/events_copy1.parquet")
     os.symlink(f"{sf_dir}/events.parquet", f"{link_dir}/events_copy2.parquet")
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(_EVENTS_LONG_TS_SCHEMA)
-        .load(link_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _open_event_stream(spark, sf_dir, link_dir)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

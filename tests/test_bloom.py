@@ -100,3 +100,16 @@ def test_probe_keeps_user_columns_with_internal_like_names(spark):
         members.withColumn("__weird", F.lit(1)), "key", bloom, M_BITS, K
     )
     assert "__weird" in probed.columns
+
+
+def test_probe_rejects_reserved_name_collision(spark):
+    """A user column that exactly matches a generated internal name would be
+    silently dropped post-join — the probe refuses up front instead."""
+    import pytest
+
+    members = _keys(spark, 20, "in-")
+    bloom = build_bloom(members, "key", M_BITS, K).localCheckpoint()
+    with pytest.raises(ValueError, match="collide"):
+        bloom_probe(
+            members.withColumn("__bloom_idx0", F.lit(1)), "key", bloom, M_BITS, K
+        )

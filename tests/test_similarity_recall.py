@@ -37,3 +37,23 @@ def test_multi_table_recall_dominates_single(spark):
     assert r3 >= r1, (r1, r3)
     # and the extra tables must actually find additional neighbors on this data
     assert r3 > 0, (r1, r3)
+
+
+def test_brute_force_guard_rejects_large_unpartitioned(spark):
+    import pytest
+
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        QUADRATIC_GUARD_ROWS,
+    )
+
+    big = spark.range(QUADRATIC_GUARD_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        brute_force_top_k(big, "vec_id", "embedding", k=1)
+    # explicit opt-in and the partitioned (IVF) shape both pass the guard —
+    # plan construction only, no execution of the quadratic join
+    brute_force_top_k(big, "vec_id", "embedding", k=1, allow_quadratic=True)
+    cells = big.withColumn("cell", F.col("vec_id") % 100)
+    brute_force_top_k(cells, "vec_id", "embedding", k=1, partition_col="cell")

@@ -4,7 +4,15 @@ column names, and values (rows sorted, NaN-safe, exact for non-floats, 1e-9-rela
 for floats). Stricter than the driver's order-insensitive value hash — if this
 passes, the hash should too.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Also flags integer-vs-float column dtype skew between the two sides: the driver's
+value hash is TYPE-strict (`2477` != `2477.0`), which is how the r2/r3
+`sample_stratified_split` HUGEINT oracle bug escaped the lenient numeric compare
+here (VERDICT r03 #3).
+
+Importable (tests/test_driver_window_smoke.py uses `verify_queries` as the
+fixture-drift gate); CLI usage unchanged:
+
+    python tools/verify_local.py [sf_dir] [query ...] [--vanilla]
 """
 
 from __future__ import annotations
@@ -61,13 +69,86 @@ def values_match(a, b) -> bool:
     return a == b
 
 
+def _dtype_skew(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns where one engine yields integers and the other floats — the class
+    the driver's type-strict hash rejects even when values are numerically equal.
+    Nullable-int columns surface as float64 in pandas when NULLs are present, so
+    columns containing NaN on either side are exempt."""
+    skewed = []
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {sk, ok} == {"i", "f"} or {sk, ok} == {"u", "f"}:
+            if not (sdf[c].isna().any() or odf[c].isna().any()):
+                skewed.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return skewed
+
+
+def check_query(spark, con, name: str, spec, sf_dir: str) -> list[str]:
+    """Run one suite query against its oracle; return a list of failure strings
+    (empty = pass). Rows-only queries (oracle=None) fail only on Spark error or
+    an empty result."""
+    try:
+        sdf = spec.fn(spark, sf_dir).toPandas()
+    except Exception as e:
+        return [f"spark error: {e}"]
+    if spec.oracle is None:
+        return ["rows-only query returned 0 rows"] if len(sdf) == 0 else []
+    try:
+        odf = con.sql(spec.oracle).df()
+    except Exception as e:
+        return [f"duckdb error: {e}"]
+    if len(sdf) != len(odf):
+        return [f"rows spark={len(sdf)} oracle={len(odf)}"]
+    if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+        return [f"cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    errs = [f"dtype skew (driver hash is type-strict) — {s}" for s in _dtype_skew(sdf, odf)]
+    srows, orows = normalize(sdf), normalize(odf)
+    for i, (sr, orr) in enumerate(zip(srows, orows)):
+        if not values_match(sr, orr):
+            errs.append(f"first diff at sorted row {i}:\n  spark : {sr}\n  oracle: {orr}")
+            break
+    return errs
+
+
+def make_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def verify_queries(
+    spark, sf_dir: str, names=None, verbose: bool = False
+) -> dict[str, list[str]]:
+    """Run the given suite queries (default: all) against their oracles.
+    Returns {name: [failure, ...]} for failing queries only."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    con = make_duckdb(sf_dir)
+    failures: dict[str, list[str]] = {}
+    for name, spec in all_queries().items():
+        if names is not None and name not in names:
+            continue
+        t0 = time.time()
+        errs = check_query(spark, con, name, spec, sf_dir)
+        if errs:
+            failures[name] = errs
+            if verbose:
+                for e in errs:
+                    print(f"FAIL  {name}: {e}")
+        elif verbose:
+            tag = "skip " if spec.oracle is None else "ok   "
+            print(f"{tag} {name} ({time.time()-t0:.1f}s)")
+    return failures
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = "--vanilla" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
-
-    from movie_genre_data_pipeline_spark.suite import all_queries
+    only = set(args[1:]) or None
 
     if vanilla:
         # simulate the external driver: a bare SparkSession with NO engine
@@ -79,54 +160,9 @@ def main() -> int:
         from movie_genre_data_pipeline_spark.session import build_session
 
         spark = build_session(app_name="verify-local")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    queries = all_queries()
-    failures = []
-    for name, spec in queries.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = spec.fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
-        if spec.oracle is None:
-            print(f"skip  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-            if len(sdf) == 0:
-                print(f"      WARNING: 0 rows")
-            continue
-        try:
-            odf = con.sql(spec.oracle).df()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
-        ok = True
-        if len(sdf) != len(odf):
-            ok = False
-            print(f"FAIL  {name}: rows spark={len(sdf)} oracle={len(odf)}")
-        elif sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
-            ok = False
-            print(f"FAIL  {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
-        else:
-            odf.columns = [c for c in odf.columns]
-            srows, orows = normalize(sdf), normalize(odf)
-            for i, (sr, orr) in enumerate(zip(srows, orows)):
-                if not values_match(sr, orr):
-                    ok = False
-                    print(f"FAIL  {name}: first diff at sorted row {i}:\n  spark : {sr}\n  oracle: {orr}")
-                    break
-        if ok:
-            print(f"ok    {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-        else:
-            failures.append(name)
-
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    failures = verify_queries(spark, sf_dir, names=only, verbose=True)
+    print(f"\n{len(failures)} failures" + (f": {sorted(failures)}" if failures else ""))
     return 1 if failures else 0
 
 
