@@ -218,3 +218,50 @@ def per_stratum_quota(
         .filter(F.col("__qrn") <= k)
         .drop("__qrn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    strata_col: str | None = None,
+    salt: str = "priority",
+) -> DataFrame:
+    """Weighted sampling without replacement: keep the k rows with the highest
+    priority q_i = w_i / u_i, where u_i ∈ (0, 1] is a uniform draw that is a
+    pure function of the row key (Duffield/Lund/Thorup priority sampling;
+    identical inclusion marginals to the exponential-key A-ES scheme but with a
+    single exact IEEE division instead of pow/log, so engines cannot disagree).
+    High-weight rows are proportionally more likely to survive — the
+    "importance-weighted corpus subset" op (sample long documents / high-quality
+    docs preferentially, yet reproducibly).
+
+    u_i = (first 48 bits of md5(key:salt) + 1) / 2^48 — exactly representable
+    as a double, strictly positive, engine-portable (same idiom as
+    `mixture_resample`). With `strata_col`, takes k per stratum (one shuffle on
+    the stratum); otherwise a global top-k, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows — no
+    global sort) when the caller follows with a limit-style consumption.
+
+    Adds ``priority`` (double). Ties are impossible modulo md5 collisions;
+    `key_col` breaks even those deterministically."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        (F.conv(F.substring(sample_tag(key_col, salt), 1, 12), 16, 10)
+         .cast("bigint") + F.lit(1))
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+    tagged = df.withColumn("priority", wcol.cast("double") / u)
+    parts = [strata_col] if strata_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("priority").desc(), F.col(key_col).asc()
+    )
+    return (
+        tagged.withColumn("__prn", F.row_number().over(w))
+        .filter(F.col("__prn") <= k)
+        .drop("__prn")
+    )

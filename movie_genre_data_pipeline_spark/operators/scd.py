@@ -1,0 +1,85 @@
+"""Slowly-Changing-Dimension Type 2 — MERGE with validity intervals, as one
+windowed pass over plain DataFrames (SURVEY.md §2.6 extension).
+
+The reference's bronze `status` state machine (new → loaded|quarantined →
+loaded; operations/operations.py:112-129, Batch_notebook/main.py:58) is SCD
+Type 1: each MERGE overwrites the attribute and the history is gone. The
+standard warehouse pattern the reference's Silver dimensions would need next is
+Type 2 — keep every version with an [eff_from, eff_to) validity interval and an
+`is_current` flag. Delta implements this as a multi-clause MERGE that updates
+the old version's eff_to and inserts the new one; without Delta (and more
+Spark-idiomatically) the whole history is a WINDOW computation, not a
+row-by-row merge:
+
+    union(current versions, updates) per key, ordered by eff_from
+      → drop no-op updates (attrs unchanged vs. the previous version — lag())
+      → eff_to = lead(eff_from); is_current = eff_to IS NULL
+
+Scale shape: ONE shuffle on the dimension key; both window functions share the
+same partitioning+ordering, so Catalyst evaluates them in a single Window node
+chain without a second exchange. No joins, no driver-side state, no rewrite of
+untouched keys' history beyond the scan — at 100 TB the dimension is tiny next
+to facts, and even a billion-key dimension is one hash partition pass.
+
+Determinism contract (drives the DuckDB oracle): ordering is
+(eff_from, *attrs) so equal-timestamp edge cases resolve identically on every
+engine; attribute comparison is null-safe struct equality, so NULL→value and
+value→NULL transitions are real versions while NULL→NULL is a no-op.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    eff_from_col: str = "eff_from",
+) -> DataFrame:
+    """Build the full Type-2 version history from `current` (the existing
+    dimension: one or more versions per key) and `updates` (the change stream),
+    both carrying `key_cols + attr_cols + eff_from_col`.
+
+    Returns key_cols + attr_cols + eff_from + eff_to + is_current:
+    half-open validity [eff_from, eff_to), eff_to NULL on the live version.
+
+    - New keys appearing only in `updates` start their history there.
+    - Keys without updates keep their current version(s) untouched.
+    - Consecutive versions with identical attrs collapse to the earlier one
+      (a re-delivered unchanged record must not close and reopen a version —
+      the idempotence a MERGE-based SCD2 needs retry logic for).
+    - Out-of-order updates (eff_from before an existing version) splice into
+      history by timestamp — the windowed formulation re-derives every
+      interval, which is exactly the "recompute from bitemporal log" fallback
+      Delta users reach for when late data corrupts a merge-maintained SCD2.
+
+    Rows with equal (key, eff_from) are ordered by attrs for determinism;
+    callers should dedup true duplicates upstream (cf. upsert._check_unique).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    if not keys or not attrs:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    cols = [*keys, *attrs, eff_from_col]
+    u = current.select(*cols).unionByName(updates.select(*cols))
+    order = [F.col(eff_from_col).asc(), *[F.col(a).asc_nulls_first() for a in attrs]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    attr_struct = F.struct(*[F.col(a) for a in attrs])
+    versions = (
+        u.withColumn("__prev_attrs", F.lag(attr_struct).over(w))
+        .filter(
+            F.col("__prev_attrs").isNull()
+            | ~attr_struct.eqNullSafe(F.col("__prev_attrs"))
+        )
+        .drop("__prev_attrs")
+    )
+    out = versions.withColumn(
+        "eff_to", F.lead(F.col(eff_from_col)).over(w)
+    )
+    return out.withColumn("is_current", F.col("eff_to").isNull())

@@ -53,9 +53,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_revenue_by_flag_status",
     "quarantine_clean",
     "merge_status_update",
-    # relational spine (q3/q18 driver-passed in r1, rotated out)
+    # r4: SCD Type-2 merge joins the merge family (Type-1 status flips
+    # driver-passed r1/r3)
+    "merge_scd2",
+    # relational spine (q3/q18 driver-passed in r1, q6 in r1-r3; rotated out)
     "tpch_q1",
-    "tpch_q6",
     "star_join",
     "window_topk_per_group",
     "sessionize",
@@ -77,27 +79,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # brings the token-packer into the window now its HUGEINT oracle is pinned)
     "sample_stratified_split",
     "pack_token_budget",
+    # r4: deterministic weighted (priority) sampling
+    "sample_weighted_reservoir",
     # time series + sketches (funnel_conversion / sketch_cms_heavy_hitters /
     # sample_corpus_shuffle driver-passed in r3, rotated out for the sampling/
-    # dedup/similarity tails)
+    # dedup/similarity tails; r4 re-seats the sketch family with HLL)
     "time_bucket_gapfill",
+    "sketch_hll_distinct",
     # text analysis
     "text_token_stats",
     "text_tfidf_topk",
     "text_lang_id_hist",
     "text_quality_scores",
     # deduplication (ngram_jaccard driver-passed in r2, rotated out)
+    # (simhash driver-passed r3, rotated out; still oracled past the window)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_corpus",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_keep_best",
-    # similarity search (lsh_multi_top1 driver-passed in r2, rotated out)
+    # similarity search (lsh_multi_top1 driver-passed in r2, quantize_int8 in
+    # r3; rotated out)
     "sim_topk_ivf",
     "sim_lsh_top1",
     "sim_topk_bruteforce",
-    "sim_quantize_int8",
     "sim_lsh_recall",
     # corpus curation (r2 family)
     "curate_chunk_documents",

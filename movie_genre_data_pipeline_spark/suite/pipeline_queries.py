@@ -337,6 +337,74 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+# -- J3 (extension): SCD Type-2 merge — validity-interval dimension history --------------
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history for a customer 'tier' dimension: every customer starts at
+    BASE (eff_from 1990-01-01); each order day with a >350k order upgrades the
+    tier (amount-based), and operators.scd.scd2_apply derives the full
+    [eff_from, eff_to) version chain — the history-keeping successor of the
+    reference's Type-1 status MERGE (operations/operations.py:112-129)."""
+    from movie_genre_data_pipeline_spark.operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    ups = (
+        orders.filter(F.col("o_totalprice") > 350000)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("eff_from"),
+        )
+        .agg(F.max("o_totalprice").alias("amt"))
+        .select(
+            "c_custkey",
+            "eff_from",
+            F.when(F.col("amt") > 450000, "PLATINUM")
+            .when(F.col("amt") > 400000, "GOLD")
+            .otherwise("SILVER")
+            .alias("tier"),
+        )
+    )
+    base = cust.select(
+        "c_custkey",
+        F.lit("1990-01-01").cast("timestamp").alias("eff_from"),
+        F.lit("BASE").alias("tier"),
+    )
+    hist = scd2_apply(base, ups, ["c_custkey"], ["tier"], "eff_from")
+    return hist.select("c_custkey", "tier", "eff_from", "eff_to", "is_current")
+
+
+Q_MERGE_SCD2_ORACLE = """
+WITH ups AS (
+  SELECT o_custkey AS c_custkey, o_orderdate AS eff_from,
+         CASE WHEN MAX(o_totalprice) > 450000 THEN 'PLATINUM'
+              WHEN MAX(o_totalprice) > 400000 THEN 'GOLD'
+              ELSE 'SILVER' END AS tier
+  FROM orders WHERE o_totalprice > 350000 GROUP BY 1, 2
+),
+hist AS (
+  SELECT c_custkey, TIMESTAMP '1990-01-01' AS eff_from, 'BASE' AS tier FROM customer
+  UNION ALL SELECT c_custkey, eff_from, tier FROM ups
+),
+collapsed AS (
+  SELECT c_custkey, eff_from, tier,
+         LAG(tier) OVER (PARTITION BY c_custkey ORDER BY eff_from ASC, tier ASC)
+           AS prev_tier
+  FROM hist
+),
+versions AS (
+  SELECT c_custkey, eff_from, tier FROM collapsed
+  WHERE prev_tier IS NULL OR tier <> prev_tier
+),
+final AS (
+  SELECT c_custkey, tier, eff_from,
+         LEAD(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from ASC, tier ASC)
+           AS eff_to
+  FROM versions
+)
+SELECT c_custkey, tier, eff_from, eff_to, (eff_to IS NULL) AS is_current FROM final
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue_by_flag_status": QuerySpec(flagship, FLAGSHIP_ORACLE),
     "project_cast": QuerySpec(q_project_cast, Q_PROJECT_CAST_ORACLE),
@@ -357,4 +425,5 @@ QUERIES: dict[str, QuerySpec] = {
     "count_filtered": QuerySpec(q_count_filtered, Q_COUNT_FILTERED_ORACLE),
     "merge_status_update": QuerySpec(q_merge_status_update, Q_MERGE_STATUS_UPDATE_ORACLE),
     "merge_insert_missing": QuerySpec(q_merge_insert_missing, Q_MERGE_INSERT_MISSING_ORACLE),
+    "merge_scd2": QuerySpec(q_merge_scd2, Q_MERGE_SCD2_ORACLE),
 }

@@ -126,9 +126,46 @@ FROM tagged
 """
 
 
+RESERVOIR_K = 25
+
+
+def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus subset: per language, keep the 25 docs with
+    the highest priority n_chars/u (Duffield et al. priority sampling) — longer
+    docs are proportionally likelier, yet the draw is a pure function of doc_id
+    (u = 48-bit md5 fraction), so the oracle reproduces the exact sample AND
+    the priority values bit-for-bit (single IEEE division, no pow/log)."""
+    from movie_genre_data_pipeline_spark.functions.sampling import priority_sample
+
+    d = load(spark, sf_dir, "documents")
+    picked = priority_sample(
+        d, "doc_id", "n_chars", RESERVOIR_K, strata_col="lang"
+    )
+    return picked.select("lang", "doc_id", "n_chars", "priority")
+
+
+Q_WEIGHTED_RESERVOIR_ORACLE = f"""
+WITH tagged AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(n_chars AS DOUBLE) /
+           ((CAST(concat('0x', substring(md5(doc_id || ':priority'), 1, 12))
+                  AS BIGINT) + 1) / {float(1 << 48)!r}) AS priority
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, priority FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM tagged
+) t WHERE rn <= {RESERVOIR_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sample_stratified_split": QuerySpec(
         q_sample_stratified_split, _stratified_split_oracle()
+    ),
+    "sample_weighted_reservoir": QuerySpec(
+        q_sample_weighted_reservoir, Q_WEIGHTED_RESERVOIR_ORACLE
     ),
     "pack_token_budget": QuerySpec(q_pack_token_budget, Q_PACK_TOKEN_BUDGET_ORACLE),
     "sample_corpus_shuffle": QuerySpec(

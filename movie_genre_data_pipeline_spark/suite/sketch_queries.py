@@ -86,8 +86,98 @@ LIMIT {TOP_N}
 """
 
 
+HLL_P = 8
+_HLL_M = 1 << HLL_P
+_HLL_REST_BITS = 48 - HLL_P
+_HLL_SCALE = _HLL_REST_BITS + 1  # empty-bucket term exponent
+_HLL_REST_MOD = 1 << _HLL_REST_BITS
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user count via a 256-register HyperLogLog next to
+    the exact COUNT(DISTINCT): the sketch's register table and estimate are
+    deterministic (md5-hashed), so the oracle reproduces estimate AND error
+    bit-for-bit — same contract as the CMS overcount column."""
+    from movie_genre_data_pipeline_spark.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"], p=HLL_P)
+    est = hll_estimate(regs, ["event_type"], p=HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_zero",
+        "register_sum",
+        "hll_est",
+        F.round(
+            (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def _hll_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.hll import hll_alpha
+
+    alpha_num = hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h48
+  FROM events
+),
+r AS (
+  SELECT event_type, h48 // {_HLL_REST_MOD} AS bucket,
+         CASE WHEN h48 % {_HLL_REST_MOD} = 0 THEN {_HLL_SCALE}
+              ELSE {_HLL_SCALE} - length(format('{{:b}}', h48 % {_HLL_REST_MOD}))
+         END AS rho
+  FROM h
+),
+regs AS (SELECT event_type, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, g.b AS bucket
+  FROM (SELECT DISTINCT event_type FROM events)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS b) g
+),
+full_regs AS (
+  SELECT s.event_type, COALESCE(regs.rho, 0) AS rho
+  FROM spine s LEFT JOIN regs ON s.event_type = regs.event_type
+                             AND s.bucket = regs.bucket
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(SUM(CAST(power(2.0, {_HLL_SCALE} - rho) AS BIGINT)) AS BIGINT)
+           AS register_sum
+  FROM full_regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_zero, register_sum,
+         CASE WHEN {alpha_num!r} / register_sum <= {2.5 * _HLL_M!r}
+                   AND n_zero > 0
+              THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / n_zero), 2)
+              ELSE round({alpha_num!r} / register_sum, 2) END AS hll_est
+  FROM agg
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, n_exact, n_zero, register_sum, hll_est,
+       round((hll_est - n_exact) / n_exact, 4) AS rel_err
+FROM est JOIN ex ON est.event_type = ex.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_ORACLE
     ),
+    "sketch_hll_distinct": QuerySpec(q_hll_distinct, _hll_oracle()),
 }

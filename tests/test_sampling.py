@@ -79,3 +79,28 @@ def test_pack_token_budget_chunks_bounded(spark):
     # a chunk's tokens never exceed budget + one document (the straddler)
     bad = stats.filter(F.col("tok") > 500 + F.col("mx")).count()
     assert bad == 0
+
+
+def test_priority_sample_weighted_and_repartition_invariant(spark):
+    from movie_genre_data_pipeline_spark.functions.sampling import priority_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    k = 10
+    a = priority_sample(d, "doc_id", "n_chars", k, strata_col="lang")
+    b = priority_sample(d.repartition(13), "doc_id", "n_chars", k, strata_col="lang")
+    rows_a = sorted((r["lang"], r["doc_id"]) for r in a.collect())
+    rows_b = sorted((r["lang"], r["doc_id"]) for r in b.collect())
+    assert rows_a == rows_b
+    # exactly min(k, n_lang) rows per stratum
+    per = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {lang: min(k, n) for lang, n in totals.items()}
+    # weighting works: the sample's mean doc length must exceed the corpus mean
+    # (weights = n_chars; a uniform sample would match it in expectation)
+    mean_sample = a.agg(F.avg("n_chars")).collect()[0][0]
+    mean_all = d.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_sample > mean_all
+    with pytest.raises(ValueError):
+        priority_sample(d, "doc_id", "n_chars", 0)

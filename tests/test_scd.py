@@ -1,0 +1,108 @@
+"""SCD Type-2 semantics pins: interval chaining, no-op collapse, new-key /
+no-update keys, NULL attribute transitions, out-of-order splice, and the
+single-shuffle plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from movie_genre_data_pipeline_spark.operators.scd import scd2_apply
+
+
+def _df(spark, rows, ts_cols=("eff_from",)):
+    df = spark.createDataFrame(rows)
+    for c in ts_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _hist(spark, current_rows, update_rows):
+    cur = _df(spark, current_rows)
+    ups = _df(spark, update_rows)
+    out = scd2_apply(cur, ups, ["k"], ["attr"], "eff_from")
+    return sorted(
+        (r["k"], r["attr"], str(r["eff_from"]), str(r["eff_to"]), r["is_current"])
+        for r in out.collect()
+    )
+
+
+def test_scd2_chains_intervals_and_collapses_noops(spark):
+    cur = [Row(k=1, attr="A", eff_from="2020-01-01")]
+    ups = [
+        Row(k=1, attr="B", eff_from="2020-02-01"),
+        Row(k=1, attr="B", eff_from="2020-03-01"),  # no-op: collapses away
+        Row(k=1, attr="C", eff_from="2020-04-01"),
+    ]
+    got = _hist(spark, cur, ups)
+    assert got == [
+        (1, "A", "2020-01-01 00:00:00", "2020-02-01 00:00:00", False),
+        (1, "B", "2020-02-01 00:00:00", "2020-04-01 00:00:00", False),
+        (1, "C", "2020-04-01 00:00:00", "None", True),
+    ]
+
+
+def test_scd2_new_key_and_untouched_key(spark):
+    cur = [Row(k=1, attr="A", eff_from="2020-01-01")]
+    ups = [Row(k=2, attr="X", eff_from="2021-06-01")]
+    got = _hist(spark, cur, ups)
+    assert got == [
+        (1, "A", "2020-01-01 00:00:00", "None", True),
+        (2, "X", "2021-06-01 00:00:00", "None", True),
+    ]
+
+
+def test_scd2_null_transitions_are_versions_null_to_null_is_noop(spark):
+    schema = "k int, attr string, eff_from string"
+    cur = _df(spark, [Row(k=1, attr="A", eff_from="2020-01-01")])
+    ups = spark.createDataFrame(
+        [(1, None, "2020-02-01"), (1, None, "2020-03-01"), (1, "B", "2020-04-01")],
+        schema,
+    ).withColumn("eff_from", F.col("eff_from").cast("timestamp"))
+    out = scd2_apply(cur, ups, ["k"], ["attr"], "eff_from")
+    got = sorted(
+        (str(r["eff_from"]), r["attr"], r["is_current"]) for r in out.collect()
+    )
+    # A -> NULL (real version) -> (NULL no-op dropped) -> B
+    assert got == [
+        ("2020-01-01 00:00:00", "A", False),
+        ("2020-02-01 00:00:00", None, False),
+        ("2020-04-01 00:00:00", "B", True),
+    ]
+
+
+def test_scd2_out_of_order_update_splices(spark):
+    cur = [Row(k=1, attr="A", eff_from="2020-01-01")]
+    ups = [
+        Row(k=1, attr="C", eff_from="2020-06-01"),
+        Row(k=1, attr="B", eff_from="2020-03-01"),  # late-arriving middle version
+    ]
+    got = _hist(spark, cur, ups)
+    assert got == [
+        (1, "A", "2020-01-01 00:00:00", "2020-03-01 00:00:00", False),
+        (1, "B", "2020-03-01 00:00:00", "2020-06-01 00:00:00", False),
+        (1, "C", "2020-06-01 00:00:00", "None", True),
+    ]
+
+
+def test_scd2_single_key_exchange(spark):
+    """Both windows (lag collapse + lead interval) must share one shuffle."""
+    cur = _df(spark, [Row(k=1, attr="A", eff_from="2020-01-01")])
+    ups = _df(spark, [Row(k=1, attr="B", eff_from="2020-02-01")])
+    plan = (
+        scd2_apply(cur, ups, ["k"], ["attr"], "eff_from")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_scd2_empty_cols_raise(spark):
+    df = _df(spark, [Row(k=1, attr="A", eff_from="2020-01-01")])
+    with pytest.raises(ValueError):
+        scd2_apply(df, df, [], ["attr"])
+    with pytest.raises(ValueError):
+        scd2_apply(df, df, ["k"], [])
