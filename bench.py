@@ -39,6 +39,11 @@ HEADLINE = [
     "curate_corpus_pipeline",
     # r2: data-layout representative (Morton bit math + hash agg, no sort)
     "layout_zorder_stats",
+    # r4: sketch (HLL grid agg), weighted sampling (window top-k), and the
+    # windowed SCD2 history builder
+    "sketch_hll_distinct",
+    "sample_weighted_reservoir",
+    "merge_scd2",
 ]
 
 

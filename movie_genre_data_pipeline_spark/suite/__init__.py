@@ -86,6 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup/similarity tails; r4 re-seats the sketch family with HLL)
     "time_bucket_gapfill",
     "sketch_hll_distinct",
+    "sketch_kmv_vocab_overlap",
     # text analysis
     "text_token_stats",
     "text_tfidf_topk",
@@ -104,10 +105,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_lsh_top1",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
-    # corpus curation (r2 family)
+    # corpus curation (r2 family; gopher_flags driver-passed r3, rotated out)
     "curate_chunk_documents",
     "curate_pii_redaction",
-    "curate_gopher_flags",
     "curate_decontaminate",
     "curate_bloom_decontaminate",
     "sample_mixture_rebalance",

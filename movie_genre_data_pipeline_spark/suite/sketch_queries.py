@@ -175,9 +175,138 @@ FROM est JOIN ex ON est.event_type = ex.event_type
 """
 
 
+KMV_K = 256
+
+
+def q_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which language corpora share phrasing, and how much: KMV bottom-k
+    sketches per language estimate every pairwise word-3-gram-set
+    Jaccard/overlap from 256 hashes per language, next to the exact self-join
+    baseline (the sketch error is part of the output — CMS/HLL contract).
+    3-grams, not unigrams: the fixture's languages share one small token pool
+    (unigram Jaccard is 1.0 everywhere), while their 3k-9k distinct 3-grams
+    overlap partially — the estimator's real regime. At 100 TB the exact join
+    is the disqualifying path and the sketch columns are the product."""
+    from movie_genre_data_pipeline_spark.functions.dedup import shingle_rows
+    from movie_genre_data_pipeline_spark.functions.kmv import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        shingle_rows(d, "doc_id", "text", k=GRAM_K, extra_cols=("lang",))
+        .select("lang", F.col("s").alias("tok"))
+        .distinct()
+    )
+    est = kmv_pair_estimates(
+        kmv_sketch(vocab, "tok", ["lang"], k=KMV_K), "lang", k=KMV_K
+    )
+    counts = vocab.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(F.col("a.lang").alias("ga"), F.col("b.lang").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter_exact"))
+    )
+    out = (
+        est.join(inter, ["ga", "gb"], "left")
+        .join(F.broadcast(counts.withColumnRenamed("lang", "ga").withColumnRenamed("n", "na")), "ga")
+        .join(F.broadcast(counts.withColumnRenamed("lang", "gb").withColumnRenamed("n", "nb")), "gb")
+    )
+    n_inter = F.coalesce(F.col("n_inter_exact"), F.lit(0)).cast("bigint")
+    return out.select(
+        F.col("ga").alias("lang_a"),
+        F.col("gb").alias("lang_b"),
+        "k_common",
+        "jaccard_est",
+        "union_est",
+        "inter_est",
+        n_inter.alias("n_inter_exact"),
+        F.round(
+            n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter), 4
+        ).alias("jaccard_exact"),
+    )
+
+
+def _kmv_oracle() -> str:
+    union_num = float(KMV_K - 1) * float(1 << 48)
+    return f"""
+WITH toks AS (SELECT lang, {_TOKS} AS toks FROM documents),
+vocab AS (
+  SELECT DISTINCT lang, array_to_string(toks[i:i + {GRAM_K - 1}], ' ') AS tok
+  FROM (SELECT * FROM toks WHERE len(toks) >= {GRAM_K}) t,
+       unnest(generate_series(1, len(toks) - {GRAM_K - 1})) AS g(i)
+),
+hashed AS (
+  SELECT DISTINCT lang,
+         CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT) AS h48
+  FROM vocab
+),
+sk AS (
+  SELECT lang, h48 FROM (
+    SELECT lang, h48,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h48 ASC) AS rn
+    FROM hashed) t
+  WHERE rn <= {KMV_K}
+),
+langs AS (SELECT DISTINCT lang FROM sk),
+pairs AS (SELECT a.lang AS ga, b.lang AS gb FROM langs a, langs b
+          WHERE a.lang < b.lang),
+sides AS (
+  SELECT p.ga, p.gb, s.h48, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN sk s ON s.lang = p.ga
+  UNION ALL
+  SELECT p.ga, p.gb, s.h48, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN sk s ON s.lang = p.gb
+),
+merged AS (SELECT ga, gb, h48, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+           FROM sides GROUP BY 1, 2, 3),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h48 ASC) AS rn
+    FROM merged) t
+  WHERE rn <= {KMV_K}
+),
+agg AS (
+  SELECT ga, gb, CAST(SUM(in_a * in_b) AS BIGINT) AS k_common,
+         MAX(h48) AS h_k, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM topk GROUP BY 1, 2
+),
+est AS (
+  SELECT ga, gb, k_common,
+         k_common / CAST(n_kept AS DOUBLE) AS jac_raw,
+         CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+              ELSE {union_num!r} / h_k END AS union_raw
+  FROM agg
+),
+counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY 1),
+inter AS (
+  SELECT va.lang AS ga, vb.lang AS gb, CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+  FROM vocab va JOIN vocab vb ON va.tok = vb.tok AND va.lang < vb.lang
+  GROUP BY 1, 2
+)
+SELECT est.ga AS lang_a, est.gb AS lang_b, k_common,
+       round(jac_raw, 4) AS jaccard_est,
+       round(union_raw, 2) AS union_est,
+       round(jac_raw * union_raw, 2) AS inter_est,
+       COALESCE(n_inter_exact, 0) AS n_inter_exact,
+       round(COALESCE(n_inter_exact, 0) / CAST(ca.n + cb.n - COALESCE(n_inter_exact, 0) AS DOUBLE), 4)
+         AS jaccard_exact
+FROM est
+LEFT JOIN inter ON est.ga = inter.ga AND est.gb = inter.gb
+JOIN counts ca ON ca.lang = est.ga
+JOIN counts cb ON cb.lang = est.gb
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_ORACLE
     ),
     "sketch_hll_distinct": QuerySpec(q_hll_distinct, _hll_oracle()),
+    "sketch_kmv_vocab_overlap": QuerySpec(q_kmv_vocab_overlap, _kmv_oracle()),
 }

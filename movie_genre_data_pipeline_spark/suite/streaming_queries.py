@@ -57,9 +57,13 @@ def _open_event_stream(spark: SparkSession, sf_dir: str, link_dir: str) -> DataF
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # match tz-naive oracle
-    # stateful streaming ops can't use AQE; on a default driver session the 200
-    # shuffle partitions are pure overhead at suite scale — pin a sane count
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # stateful streaming ops can't use AQE, and every shuffle partition carries
+    # a state store whose per-batch open/commit cost dominates at suite scale
+    # (measured: 32 partitions 1.5s vs 8 partitions 0.8s on the sf0.1 tumbling
+    # window — state is only thousands of keys). Pin low here; a production
+    # deployment sizes this to state volume / cluster cores instead (state
+    # repartitioning requires a checkpoint reset, so pick it per workload).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.format("parquet")
         .schema(_events_stream_schema(nanos))
