@@ -47,3 +47,58 @@ def salted_agg(
         # sum/non-null-count == single-stage avg() even with NULLs in value_col
         (F.sum("__sum") / F.sum("__nv")).alias("mean"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    hot_keys: list | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: fan the big side's rows over `n_salts`
+    sub-partitions per key and replicate the small side's rows once per salt,
+    joining on (key, salt) — so a hot key's rows spread across n_salts reducers
+    instead of funneling through one.
+
+    When to reach for this instead of AQE: AQE's runtime skew-join splitting
+    (enabled in session.py) already fixes most skewed sort-merge joins, but it
+    can't help (a) streaming joins (AQE is disabled in stateful workloads),
+    (b) the first shuffle of a freshly-read stage where no runtime stats exist
+    yet, or (c) engines/pipelines that must pin a deterministic physical plan.
+    Salting is the static-plan answer; results are salt-invariant by algebra.
+
+    `hot_keys` (optional): salt ONLY these key values (the usual case — a
+    handful of whales identified by a prior count or a sketch like
+    functions/cms.py heavy-hitters); other keys keep salt 0 and the small side
+    is NOT replicated for them, so the replication cost is
+    |small ∩ hot| × n_salts rows, not |small| × n_salts. With hot_keys=None
+    every key is salted (fine when the small side is dimension-sized).
+
+    Only inner and left joins are supported: replicating the small side would
+    duplicate its unmatched rows under right/full semantics."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r} — a replicated "
+            "right side would duplicate unmatched rows under right/full joins"
+        )
+    hot_big = F.lit(True) if hot_keys is None else F.col(on).isin(hot_keys)
+    big_salted = big.withColumn(
+        "__salt",
+        F.when(hot_big, F.floor(F.rand(seed=7) * n_salts).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+    small_salted = small.withColumn(
+        "__salt",
+        F.explode(
+            F.when(
+                F.lit(True) if hot_keys is None else F.col(on).isin(hot_keys),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return big_salted.join(small_salted, [on, "__salt"], how).drop("__salt")

@@ -113,9 +113,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_mixture_rebalance",
     # data layout (r2)
     "layout_zorder_stats",
-    # structured streaming
+    # structured streaming (foreachbatch_merge driver-passed r3, rotated out;
+    # stream_hll_distinct keeps foreachBatch covered and adds the incremental
+    # sketch-merge path)
     "stream_tumbling_window",
-    "stream_foreachbatch_merge",
+    "stream_hll_distinct",
     "stream_stream_join",
     "stream_stateful_user_stats",
     # multimodal

@@ -956,6 +956,41 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# -- skew-resistant salted join -------------------------------------------------------
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.salted_join): lineitem fans out over
+    8 salt sub-partitions per supplier key, supplier replicated once per salt —
+    the static-plan skew fix for where AQE can't act (streaming joins, first
+    shuffles, pinned plans). Result is salt-invariant; revenue rounded per the
+    suite's float discipline. (At suite scale Catalyst may still broadcast the
+    replicated dim — the salting is a no-op then, which is exactly the
+    graceful-degradation property we want.)"""
+    from movie_genre_data_pipeline_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, on="l_suppkey", n_salts=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+Q_SKEW_SALTED_JOIN_ORACLE = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 # -- as-of join: most recent prior click per purchase, per user -----------------------
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every purchase event, the latest click
@@ -1234,6 +1269,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q17": QuerySpec(q_tpch_q17, Q_TPCH_Q17_ORACLE),
     "tpch_q18": QuerySpec(q_tpch_q18, Q_TPCH_Q18_ORACLE),
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, Q_SKEW_SALTED_AGG_ORACLE),
+    "skew_salted_join": QuerySpec(q_skew_salted_join, Q_SKEW_SALTED_JOIN_ORACLE),
     "interval_join": QuerySpec(q_interval_join, Q_INTERVAL_JOIN_ORACLE),
     "sketch_approx_stats": QuerySpec(q_sketch_approx_stats, Q_SKETCH_APPROX_STATS_ORACLE),
     "grouped_pandas_norm": QuerySpec(q_grouped_pandas_norm, Q_GROUPED_PANDAS_NORM_ORACLE),

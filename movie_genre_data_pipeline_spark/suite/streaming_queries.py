@@ -489,8 +489,79 @@ WHERE rn = 1
 """
 
 
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count at sketch size: four real micro-batches
+    (maxFilesPerTrigger=1 over a 4-file copy of events) each append their HLL
+    register table to a ledger; the final union + re-max + estimate EXACTLY
+    equals the batch sketch — the mergeability contract from functions/hll.py
+    under genuine incremental execution, so this shares the batch HLL oracle
+    verbatim. The ledger is the production shape: per-batch register
+    deltas land append-only (at most groups × 2^p rows per batch, independent
+    of batch row count), and any reader folds them on demand — continuous
+    cardinality monitoring without any stateful-streaming state store."""
+    from movie_genre_data_pipeline_spark.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import HLL_P
+
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    ev = load(spark, sf_dir, "events")
+    ev.select("event_type", "user_id").repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df, "user_id", ["event_type"], p=HLL_P).write.mode(
+            "append"
+        ).parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate(folded, ["event_type"], p=HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_zero",
+        "register_sum",
+        "hll_est",
+        F.round(
+            (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import _hll_oracle
+
+    return _hll_oracle()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
+    "stream_hll_distinct": QuerySpec(q_stream_hll_distinct, _stream_hll_oracle()),
     "stream_sliding_window": QuerySpec(q_stream_sliding, Q_STREAM_SLIDING_ORACLE),
     "stream_sessionize": QuerySpec(q_stream_sessionize, Q_STREAM_SESSIONIZE_ORACLE),
     "stream_watermarked_append": QuerySpec(q_stream_watermarked, None),
