@@ -115,9 +115,77 @@ FROM per_user
 """
 
 
+# -- cascading rollup: 1h tier feeds the 1d tier ----------------------------------
+DAY_S = 86400
+
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate: the daily tier is derived
+    ENTIRELY from the hourly aggregate (sums of sums, sums of counts, min/max
+    of extrema) — raw events are scanned exactly once, for the finest tier.
+    This is the re-aggregation contract that keeps a 5-year dashboard
+    O(buckets) instead of O(events) at 100 TB: each coarser tier reads the
+    previous tier's (persisted) output. `n_hour_buckets` certifies the
+    cascade — it can only come from counting hourly rows. The oracle mirrors
+    the two-level cascade so even the float accumulation path is identical."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import time_bucket
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        time_bucket("ts", BUCKET_S).alias("h_bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    daily = hourly.groupBy(
+        time_bucket("h_bucket", DAY_S).alias("d_bucket"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.round(F.sum("sum_value"), 2).alias("total_value"),
+        F.round(F.max("max_value"), 2).alias("max_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hour_buckets"),
+    )
+    return daily.select(
+        F.date_format("d_bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "total_value",
+        "max_value",
+        "n_hour_buckets",
+    )
+
+
+Q_ROLLUP_CASCADE_ORACLE = f"""
+WITH hourly AS (
+  SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / {BUCKET_S}) AS BIGINT)
+                        * {BUCKET_S} * 1000000) AS h_bucket,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(value) AS sum_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT make_timestamp(CAST(FLOOR(EPOCH(h_bucket) / {DAY_S}) AS BIGINT)
+                        * {DAY_S} * 1000000) AS d_bucket,
+         event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         ROUND(SUM(sum_value), 2) AS total_value,
+         ROUND(MAX(max_value), 2) AS max_value,
+         CAST(COUNT(*) AS BIGINT) AS n_hour_buckets
+  FROM hourly GROUP BY 1, 2
+)
+SELECT strftime(d_bucket, '%Y-%m-%d') AS day, event_type,
+       n, total_value, max_value, n_hour_buckets
+FROM daily
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "time_bucket_gapfill": QuerySpec(
         q_time_bucket_gapfill, Q_TIME_BUCKET_GAPFILL_ORACLE
     ),
     "funnel_conversion": QuerySpec(q_funnel_conversion, Q_FUNNEL_CONVERSION_ORACLE),
+    "rollup_cascade": QuerySpec(q_rollup_cascade, Q_ROLLUP_CASCADE_ORACLE),
 }
