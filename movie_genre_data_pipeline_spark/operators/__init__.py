@@ -25,15 +25,23 @@ from movie_genre_data_pipeline_spark.operators.writers import (
 )
 from movie_genre_data_pipeline_spark.operators.asof import asof_join
 from movie_genre_data_pipeline_spark.operators.interval import interval_join
-from movie_genre_data_pipeline_spark.operators.skew import salted_agg
+from movie_genre_data_pipeline_spark.operators.scd import scd2_apply
+from movie_genre_data_pipeline_spark.operators.skew import (
+    detect_hot_keys,
+    salted_agg,
+    salted_join,
+)
 from movie_genre_data_pipeline_spark.operators.compact import compact_parquet_dir
 from movie_genre_data_pipeline_spark.operators.observe import write_with_metrics
 
 __all__ = [
     "asof_join",
     "compact_parquet_dir",
+    "detect_hot_keys",
     "interval_join",
     "salted_agg",
+    "salted_join",
+    "scd2_apply",
     "write_bucketed_table",
     "with_audit_columns",
     "explode_array",

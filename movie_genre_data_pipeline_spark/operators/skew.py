@@ -49,6 +49,29 @@ def salted_agg(
     )
 
 
+def detect_hot_keys(df: DataFrame, key_col: str, min_count: int) -> list:
+    """Key values occurring >= min_count times — the whale list `salted_join`'s
+    `hot_keys` mode wants.
+
+    One count aggregation (map-side combine: the shuffle carries one row per
+    task × distinct-key-in-task, which is exactly cheap in the skewed case
+    this exists for), then a driver-side collect that is SAFE BY ARITHMETIC:
+    at most n_rows / min_count keys can clear the threshold, so a meaningful
+    threshold (say 10M rows at 100 TB) bounds the list at thousands of values
+    regardless of key cardinality. For repeated use, persist the result next
+    to the table instead of re-detecting per query."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    rows = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select(key_col)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

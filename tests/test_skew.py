@@ -52,3 +52,21 @@ def test_salted_join_rejects_right_and_full(spark):
             salted_join(df, df, on="k", how=how)
     with pytest.raises(ValueError):
         salted_join(df, df, on="k", n_salts=0)
+
+
+def test_detect_hot_keys_threshold_and_bound(spark):
+    from movie_genre_data_pipeline_spark.operators.skew import detect_hot_keys
+
+    big = spark.createDataFrame(
+        [Row(k=0)] * 50 + [Row(k=1)] * 10 + [Row(k=2)] * 3
+    )
+    assert sorted(detect_hot_keys(big, "k", 10)) == [0, 1]
+    assert detect_hot_keys(big, "k", 51) == []
+    with pytest.raises(ValueError):
+        detect_hot_keys(big, "k", 0)
+    # end-to-end: detected whales feed salted_join and the result still
+    # matches the plain join
+    small = spark.createDataFrame([Row(k=0, d="x"), Row(k=1, d="y"), Row(k=2, d="z")])
+    hot = detect_hot_keys(big, "k", 10)
+    out = salted_join(big, small, on="k", n_salts=4, hot_keys=hot)
+    assert _norm(out.select("k", "d")) == _norm(big.join(small, "k").select("k", "d"))
