@@ -87,10 +87,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "time_bucket_gapfill",
     "sketch_hll_distinct",
     "sketch_kmv_vocab_overlap",
-    # text analysis
+    "sketch_histogram_quantiles",
+    # text analysis (lang_id_hist driver-passed r3, rotated out)
     "text_token_stats",
     "text_tfidf_topk",
-    "text_lang_id_hist",
     "text_quality_scores",
     # deduplication (ngram_jaccard driver-passed in r2, rotated out)
     # (simhash driver-passed r3, rotated out; still oracled past the window)

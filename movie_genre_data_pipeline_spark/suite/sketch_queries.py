@@ -303,10 +303,96 @@ JOIN counts cb ON cb.lang = est.gb
 """
 
 
+HISTO_LO, HISTO_HI, HISTO_BINS = 0.0, 500.0, 200
+_HISTO_W = (HISTO_HI - HISTO_LO) / HISTO_BINS
+HISTO_QS = (0.5, 0.9, 0.99)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 from a 200-bin mergeable counting histogram
+    (shuffle O(groups×bins), values scanned once) next to the exact sort-based
+    percentile — the estimation error (bounded by one bin width = 2.5) is part
+    of the output, per the sketch-family contract."""
+    from movie_genre_data_pipeline_spark.functions.quantiles import (
+        build_histogram,
+        histogram_quantiles,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    hist = build_histogram(
+        ev, "value", HISTO_LO, HISTO_HI, HISTO_BINS, ["event_type"]
+    )
+    est = histogram_quantiles(
+        hist, HISTO_QS, HISTO_LO, HISTO_HI, HISTO_BINS, ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_exact"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        "hq50",
+        "hq90",
+        "hq99",
+        "p50_exact",
+        "p99_exact",
+        F.round(F.col("hq50") - F.col("p50_exact"), 6).alias("err50"),
+        F.round(F.col("hq99") - F.col("p99_exact"), 6).alias("err99"),
+    )
+
+
+def _histo_q_sql(q: float) -> str:
+    return (
+        f"ROUND(MIN(CASE WHEN cum >= {q!r}*n AND cum_prev < {q!r}*n "
+        f"THEN {HISTO_LO!r} + (bin + ({q!r}*n - cum_prev)/cnt) * {_HISTO_W!r} "
+        f"END), 6) AS hq{q * 100:g}"
+    )
+
+
+Q_HISTOGRAM_QUANTILES_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(LEAST({HISTO_BINS - 1}, GREATEST(0,
+              FLOOR((value - {HISTO_LO!r}) / {_HISTO_W!r}))) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin ASC) AS cum
+  FROM h
+),
+r AS (SELECT *, cum - cnt AS cum_prev FROM c),
+t AS (SELECT event_type, MAX(cum) AS n FROM r GROUP BY 1),
+j AS (SELECT r.*, t.n FROM r JOIN t USING (event_type)),
+est AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         {_histo_q_sql(0.5)},
+         {_histo_q_sql(0.9)},
+         {_histo_q_sql(0.99)}
+  FROM j GROUP BY 1
+),
+ex AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.50), 6) AS p50_exact,
+         ROUND(quantile_cont(value, 0.99), 6) AS p99_exact
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, n, hq50, hq90, hq99, p50_exact, p99_exact,
+       ROUND(hq50 - p50_exact, 6) AS err50,
+       ROUND(hq99 - p99_exact, 6) AS err99
+FROM est JOIN ex USING (event_type)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_ORACLE
     ),
     "sketch_hll_distinct": QuerySpec(q_hll_distinct, _hll_oracle()),
     "sketch_kmv_vocab_overlap": QuerySpec(q_kmv_vocab_overlap, _kmv_oracle()),
+    "sketch_histogram_quantiles": QuerySpec(
+        q_histogram_quantiles, Q_HISTOGRAM_QUANTILES_ORACLE
+    ),
 }
