@@ -1,0 +1,120 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) — a
+deterministic synthetic event-log generator.
+
+Why this exists: the reference's only sources are files and catalog tables
+(SURVEY.md §2.1); real pipelines also read from systems Spark has no built-in
+connector for, and Spark 4's Python DataSource API is the idiomatic way to
+bring one up without JVM code. This module exercises the full surface a
+production connector needs — registration (`spark.dataSource.register`),
+options, a declared schema, and PARTITIONED parallel reads (one
+`InputPartition` per generator shard; each executor task generates its slice
+independently, so the source scales out like any file scan instead of
+funneling through the driver).
+
+The generated stream is a pure function of the row index via a classic LCG
+(x -> (1103515245·x + 12345) mod 2^31 — constants from ISO C's rand()), chosen
+over Python's `random` because every engine can replay exact 64-bit integer
+arithmetic: the DuckDB oracle regenerates the IDENTICAL dataset from
+generate_series, making a custom-source read fully correctness-gated — the
+same portability discipline as the md5 idiom in functions/{cms,hll,kmv}.py.
+
+Determinism contract: rows depend only on (row index), never on partition
+count or task scheduling — repartition-invariant like everything else here.
+
+Packaging note: the classes are built INSIDE `_build_datasource_class` with
+no references to this module's globals, so cloudpickle serializes them BY
+VALUE. Spark ships the pickled class to its Python workers, whose sys.path
+does not necessarily contain this repo (the driver-contract session adds it
+at runtime); a module-level class would be pickled by reference and die with
+ModuleNotFoundError on the worker.
+"""
+
+from __future__ import annotations
+
+LCG_A = 1103515245  # ISO C rand() multiplier
+LCG_C = 12345
+LCG_M = 1 << 31
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+EPOCH_START = 1_700_000_000  # 2023-11-14T22:13:20Z
+
+FORMAT_NAME = "synthetic_events"
+
+
+def _build_datasource_class():
+    """Self-contained class factory — see the packaging note above."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    lcg_a, lcg_c, lcg_m = LCG_A, LCG_C, LCG_M
+    event_types = EVENT_TYPES
+    epoch_start = EPOCH_START
+    fmt = FORMAT_NAME
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class SyntheticEventsReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", 10000))
+            self.n_users = int(options.get("n_users", 500))
+            self.n_partitions = int(options.get("partitions", 8))
+            if self.n_rows < 0 or self.n_users < 1 or self.n_partitions < 1:
+                raise ValueError(
+                    f"invalid options: n_rows={self.n_rows} "
+                    f"n_users={self.n_users} partitions={self.n_partitions}"
+                )
+
+        def partitions(self):
+            step = -(-self.n_rows // self.n_partitions) or 1  # ceil div
+            return [
+                _RangePartition(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ] or [_RangePartition(0, 0)]
+
+        def read(self, partition):
+            from datetime import datetime, timezone
+
+            for i in range(partition.start, partition.end):
+                h1 = (lcg_a * i + lcg_c) % lcg_m
+                h2 = (lcg_a * h1 + lcg_c) % lcg_m
+                h3 = (lcg_a * h2 + lcg_c) % lcg_m
+                ts = datetime.fromtimestamp(
+                    epoch_start + i, tz=timezone.utc
+                ).replace(tzinfo=None)  # session is pinned UTC
+                yield (
+                    i,
+                    ts,
+                    h1 % self.n_users,
+                    event_types[h2 % len(event_types)],
+                    (h3 % 10000) / 100.0,
+                )
+
+    class SyntheticEventsDataSource(DataSource):
+        """`spark.read.format("synthetic_events")` source.
+
+        Options: n_rows (default 10000), n_users (500), partitions (8)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return fmt
+
+        def schema(self) -> str:
+            return (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type STRING, value DOUBLE"
+            )
+
+        def reader(self, schema):
+            return SyntheticEventsReader(self.options)
+
+    return SyntheticEventsDataSource
+
+
+def register(spark) -> None:
+    """Register the synthetic_events format on this session (idempotent —
+    re-registration simply replaces the entry)."""
+    spark.dataSource.register(_build_datasource_class())

@@ -120,9 +120,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_hll_distinct",
     "stream_stream_join",
     "stream_stateful_user_stats",
-    # multimodal
+    # multimodal (media_resize driver-passed r3, rotated out)
     "media_byte_features",
-    "media_resize",
+    # custom Python DataSource (Spark 4 connector API, r4)
+    "pysource_synthetic_events",
 )
 
 

@@ -69,7 +69,74 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+PYSOURCE_N = 20000
+PYSOURCE_USERS = 500
+
+
+def q_pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource read (Spark 4 API): register the
+    `synthetic_events` connector, read 20k LCG-generated rows across 8
+    parallel InputPartitions, aggregate per event type. The DuckDB oracle
+    regenerates the identical dataset from generate_series + the same integer
+    arithmetic — a custom-connector read under the full correctness gate."""
+    from movie_genre_data_pipeline_spark.sources.pydatasource import register
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", PYSOURCE_N)
+        .option("n_users", PYSOURCE_USERS)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def _pysource_oracle() -> str:
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        EPOCH_START,
+        EVENT_TYPES,
+        LCG_A,
+        LCG_C,
+        LCG_M,
+    )
+
+    type_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(EVENT_TYPES)
+    )
+    return f"""
+WITH g AS (SELECT unnest(generate_series(0, {PYSOURCE_N - 1})) AS i),
+h1 AS (SELECT i, ({LCG_A} * i + {LCG_C}) % {LCG_M} AS h1 FROM g),
+h2 AS (SELECT i, h1, ({LCG_A} * h1 + {LCG_C}) % {LCG_M} AS h2 FROM h1),
+rows_ AS (
+  SELECT i AS event_id,
+         make_timestamp(({EPOCH_START} + i) * 1000000) AS ts,
+         h1 % {PYSOURCE_USERS} AS user_id,
+         CASE h2 % {len(EVENT_TYPES)} {type_case} END AS event_type,
+         ((({LCG_A} * h2 + {LCG_C}) % {LCG_M}) % 10000) / 100.0 AS value
+  FROM h2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 2) AS total_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       CAST(MAX(event_id) AS BIGINT) AS last_event_id
+FROM rows_ GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "jsonl_roundtrip": QuerySpec(q_jsonl_roundtrip, Q_JSONL_ROUNDTRIP_ORACLE),
     "orc_roundtrip": QuerySpec(q_orc_roundtrip, Q_ORC_ROUNDTRIP_ORACLE),
+    "pysource_synthetic_events": QuerySpec(
+        q_pysource_synthetic_events, _pysource_oracle()
+    ),
 }

@@ -1,0 +1,54 @@
+"""Custom Python DataSource (sources/pydatasource.py): schema, partitioned
+parallel read, determinism vs partition count, option validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.sources.pydatasource import register
+
+
+def _read(spark, **opts):
+    register(spark)
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_pydatasource_schema_and_rowcount(spark):
+    df = _read(spark, n_rows=1000, n_users=50, partitions=4)
+    assert df.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 4
+    ids = df.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    assert tuple(ids) == (0, 999)
+
+
+def test_pydatasource_partition_count_does_not_change_data(spark):
+    a = _read(spark, n_rows=500, n_users=20, partitions=2)
+    b = _read(spark, n_rows=500, n_users=20, partitions=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pydatasource_bounds(spark):
+    df = _read(spark, n_rows=300, n_users=7, partitions=3)
+    stats = df.agg(
+        F.max("user_id").alias("mx"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count_distinct("event_type").alias("nt"),
+    ).collect()[0]
+    assert stats["mx"] < 7
+    assert 0.0 <= stats["vmin"] and stats["vmax"] < 100.0
+    assert stats["nt"] == 5
+
+
+def test_pydatasource_invalid_options_raise(spark):
+    with pytest.raises(Exception):
+        _read(spark, n_rows=10, n_users=0).count()
+
+
+def test_pydatasource_zero_rows(spark):
+    assert _read(spark, n_rows=0).count() == 0
