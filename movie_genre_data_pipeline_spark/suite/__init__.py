@@ -93,11 +93,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_topk",
     "text_quality_scores",
     # deduplication (ngram_jaccard driver-passed in r2, rotated out)
-    # (simhash driver-passed r3, rotated out; still oracled past the window)
+    # (simhash + embedding_cosine driver-passed r3, rotated out; still oracled
+    # past the window)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_corpus",
-    "dedup_embedding_cosine",
     "dedup_keep_best",
     # similarity search (lsh_multi_top1 driver-passed in r2, quantize_int8 in
     # r3; rotated out)
@@ -120,8 +120,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_hll_distinct",
     "stream_stream_join",
     "stream_stateful_user_stats",
-    # multimodal (media_resize driver-passed r3, rotated out)
+    # multimodal
     "media_byte_features",
+    "media_resize",
     # custom Python DataSource (Spark 4 connector API, r4)
     "pysource_synthetic_events",
 )
