@@ -358,3 +358,135 @@ def test_upsert_update_null_key_and_null_value(spark):
     assert out[1] == 10           # unmatched row untouched
     assert out[None] == 99        # NULL key matched null-safely
     assert out[3] is None         # NULL source value overwrites (Delta-exact)
+
+
+# -- r4 sketch merge laws: order/partition-free algebra ------------------------------
+@FAST
+@given(
+    a=st.lists(st.integers(0, 200), min_size=0, max_size=30),
+    b=st.lists(st.integers(0, 200), min_size=0, max_size=30),
+)
+def test_hll_register_merge_law(spark, a, b):
+    """registers(A ∪ B) == merge(registers(A), registers(B)) for arbitrary
+    overlapping multisets — the union/re-max algebra hll.py promises."""
+    from movie_genre_data_pipeline_spark.functions.hll import hll_registers
+
+    if not a and not b:
+        return
+    mk = lambda xs: spark.createDataFrame(
+        [(str(x),) for x in xs], "key string"
+    ).withColumn("grp", F.lit("g"))
+    union_df = mk(a + b)
+    direct = hll_registers(union_df, "key", ["grp"]).collect()
+    parts = [mk(xs) for xs in (a, b) if xs]
+    merged_df = parts[0] if len(parts) == 1 else None
+    if merged_df is not None:
+        merged = hll_registers(merged_df, "key", ["grp"]).collect()
+    else:
+        merged = (
+            hll_registers(parts[0], "key", ["grp"])
+            .unionByName(hll_registers(parts[1], "key", ["grp"]))
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        )
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, merged))
+
+
+@FAST
+@given(
+    a=st.lists(st.integers(0, 500), min_size=0, max_size=40),
+    b=st.lists(st.integers(0, 500), min_size=0, max_size=40),
+    k=st.sampled_from([2, 5, 16]),
+)
+def test_kmv_sketch_merge_law(spark, a, b, k):
+    """sketch_k(A ∪ B) == bottom-k(sketch_k(A) ∪ sketch_k(B)) — including when
+    either side is smaller than k."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmv import kmv_sketch
+
+    if not a and not b:
+        return
+    mk = lambda xs: spark.createDataFrame(
+        [(str(x),) for x in xs], "key string"
+    ).withColumn("grp", F.lit("g"))
+    direct = kmv_sketch(mk(a + b), "key", ["grp"], k=k).collect()
+    parts = [kmv_sketch(mk(xs), "key", ["grp"], k=k) for xs in (a, b) if xs]
+    u = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    w = Window.partitionBy("grp").orderBy(F.col("h48").asc())
+    merged = (
+        u.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .collect()
+    )
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, merged))
+
+
+@FAST
+@given(
+    a=st.lists(
+        st.floats(-50.0, 150.0, allow_nan=False, allow_infinity=False),
+        min_size=0,
+        max_size=30,
+    ),
+    b=st.lists(
+        st.floats(-50.0, 150.0, allow_nan=False, allow_infinity=False),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_histogram_merge_law(spark, a, b):
+    """hist(A ∪ B) == cellwise-sum(hist(A), hist(B)), out-of-range clamping
+    included."""
+    from movie_genre_data_pipeline_spark.functions.quantiles import build_histogram
+
+    if not a and not b:
+        return
+    mk = lambda xs: spark.createDataFrame([(float(x),) for x in xs], "v double")
+    direct = build_histogram(mk(a + b), "v", 0.0, 100.0, 10).collect()
+    parts = [build_histogram(mk(xs), "v", 0.0, 100.0, 10) for xs in (a, b) if xs]
+    u = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    merged = (
+        u.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt")).collect()
+    )
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, merged))
+
+
+@FAST
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+def test_priority_sample_matches_python_reference(spark, rows, k):
+    """priority_sample == a Python reimplementation of Duffield priorities —
+    same u derivation, same top-k per stratum, same tie-break."""
+    import hashlib
+
+    from movie_genre_data_pipeline_spark.functions.sampling import priority_sample
+
+    data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, stratum int, w long")
+    got = sorted(
+        (r["stratum"], r["id"])
+        for r in priority_sample(df, "id", "w", k, strata_col="stratum").collect()
+    )
+
+    def u(i):
+        h = hashlib.md5(f"{i}:priority".encode()).hexdigest()[:12]
+        return (int(h, 16) + 1) / float(1 << 48)
+
+    expect = []
+    by_s = {}
+    for i, s, w in data:
+        by_s.setdefault(s, []).append((w / u(i), -i))
+    for s, items in by_s.items():
+        for _, negi in sorted(items, reverse=True)[:k]:
+            expect.append((s, -negi))
+    assert got == sorted(expect)
