@@ -209,3 +209,74 @@ def unigram_surprisal(df, id_col: str, text_col: str):
             ).alias("avg_surprisal"),
         )
     )
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every word-k-gram, slide a w-gram window over
+    consecutive hashes, keep each window's minimum; the DISTINCT selected
+    hashes are the document's fingerprint set.
+
+    Guarantee (the reason this beats whole-doc md5, `fingerprint()` above):
+    any shared run of >= w+k-1 tokens between two documents shares at least
+    one selected fingerprint, while only ~2/(w+1) of gram hashes are kept —
+    local similarity detection at a fraction of the index size. The whole-doc
+    digest catches exact duplicates only.
+
+    Returns (doc, h48 bigint) distinct fingerprint rows — the compact posting
+    table an overlap index joins on, same idiom as kmv_sketch's output.
+
+    Scale shape: position-explode (the shingle_rows discipline — no O(n²)
+    generator re-evaluation), ONE shuffle on the doc key for the ordered
+    window, distinct within the same partitioning. Hashes are the 48-bit md5
+    prefix, so a SQL oracle selects the identical fingerprints. Documents with
+    fewer than k tokens have no grams and drop out (no text, no fingerprint);
+    documents with fewer than w grams contribute their single global minimum
+    (the window at position 1 sees all grams)."""
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
+    grams = (
+        toks.filter(F.size("__toks") >= k)
+        .select(
+            "doc",
+            (F.size("__toks") - F.lit(k - 1)).alias("__n_grams"),
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(k - 1))
+            ).alias("__i"),
+        )
+        .select(
+            "doc",
+            "__n_grams",
+            "__i",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("__toks", F.col("__i"), k))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("__h48"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc").orderBy(F.col("__i").asc()).rowsBetween(0, w - 1)
+    )
+    windows = grams.withColumn("__wmin", F.min("__h48").over(frame)).filter(
+        # only windows fully inside the gram sequence select fingerprints;
+        # short docs (< w grams) keep the single all-grams window at __i = 1
+        F.col("__i") <= F.greatest(F.lit(1), F.col("__n_grams") - F.lit(w - 1))
+    )
+    return windows.select("doc", F.col("__wmin").alias("h48")).distinct()

@@ -158,11 +158,65 @@ FROM documents GROUP BY source
 """
 
 
+
+WINNOW_K, WINNOW_W = 3, 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection per document: every shared run
+    of >= w+k-1 tokens between two docs shares a selected fingerprint while
+    only ~2/(w+1) of gram hashes are kept — the local-similarity index
+    `text_fingerprint_stats`'s whole-doc digest cannot provide. Output is the
+    per-doc fingerprint count + an order-independent digest of the selected
+    set, which the oracle reproduces hash-for-hash."""
+    from movie_genre_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
+    return fps.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_list(F.col("h48").cast("string")))
+            )
+        ).alias("fp_digest"),
+    )
+
+
+Q_WINNOW_FINGERPRINTS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) - {WINNOW_K - 1} AS n_grams, i,
+         CAST(concat('0x', substring(md5(
+              array_to_string(toks[i:i + {WINNOW_K - 1}], ' ')), 1, 12))
+           AS BIGINT) AS h48
+  FROM (SELECT * FROM toks WHERE len(toks) >= {WINNOW_K}) t,
+       unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS s(i)
+),
+m AS (
+  SELECT doc_id, n_grams, i,
+         MIN(h48) OVER (PARTITION BY doc_id ORDER BY i ASC
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wmin
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, wmin FROM m
+        WHERE i <= GREATEST(1, n_grams - {WINNOW_W - 1}))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(list(CAST(wmin AS VARCHAR))), '|'))
+         AS fp_digest
+FROM sel GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(q_token_stats, Q_TOKEN_STATS_ORACLE),
     "text_lang_id_hist": QuerySpec(q_lang_id_hist, Q_LANG_ID_HIST_ORACLE),
     "text_quality_scores": QuerySpec(q_quality_scores, Q_QUALITY_SCORES_ORACLE),
     "text_fingerprint_stats": QuerySpec(q_fingerprint_stats, Q_FINGERPRINT_STATS_ORACLE),
+    "text_winnow_fingerprints": QuerySpec(
+        q_winnow_fingerprints, Q_WINNOW_FINGERPRINTS_ORACLE
+    ),
     "text_source_quality": QuerySpec(q_source_quality, Q_SOURCE_QUALITY_ORACLE),
 }
 

@@ -202,3 +202,37 @@ def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
     # doc 2 contains the corpus's only rare token -> strictly higher surprisal
     assert out[2].avg_surprisal > out[1].avg_surprisal
     assert out[1].n_tokens == 4
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al. guarantee: docs sharing a token run of length
+    >= w+k-1 (here 6) share at least one selected fingerprint."""
+    from pyspark.sql import Row
+
+    from movie_genre_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two three {shared} four five"),
+            Row(doc_id=2, text=f"{shared} completely different tail here"),
+            Row(doc_id=3, text="nothing in common with the others at all"),
+        ]
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    sets = {
+        r["doc"]: {x["h48"] for x in rows}
+        for r, rows in [
+            (r, [x for x in fps.collect() if x["doc"] == r["doc"]])
+            for r in fps.select("doc").distinct().collect()
+        ]
+    }
+    assert sets[1] & sets[2], "shared 6-token run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    # short doc (< w grams but >= k tokens): exactly its global-min fingerprint
+    short = spark.createDataFrame([Row(doc_id=9, text="just three tokens")])
+    got = winnow_fingerprints(short, "doc_id", "text", k=3, w=4).collect()
+    assert len(got) == 1
+    # sub-k doc: no grams, no fingerprints
+    tiny = spark.createDataFrame([Row(doc_id=8, text="two words")])
+    assert winnow_fingerprints(tiny, "doc_id", "text", k=3, w=4).count() == 0
