@@ -63,16 +63,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize",
     "from_json_props",
     "asof_join",
-    # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, rotated out
-    # for the r4 sketch/timeseries families)
-    "tpch_q2",
-    "tpch_q7",
+    # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, q2/q7 in r4;
+    # rotated out for the r4 operators that had never earned a driver row)
     "tpch_q9",
     "tpch_q21",
     "tpch_q22",
     "grouping_sets",
-    # scale / custom operators
+    # scale / custom operators (r5: skew_salted_join joins its agg sibling in
+    # the window — the hot-key-replicated join plan gets its own driver row)
     "skew_salted_agg",
+    "skew_salted_join",
     "interval_join",
     "grouped_pandas_norm",
     # sampling/packing (corpus_shuffle + stratified oracle driver-passed; r4
@@ -83,15 +83,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_weighted_reservoir",
     # time series + sketches (funnel_conversion / sketch_cms_heavy_hitters /
     # sample_corpus_shuffle driver-passed in r3, rotated out for the sampling/
-    # dedup/similarity tails; r4 re-seats the sketch family with HLL)
+    # dedup/similarity tails; r4 re-seats the sketch family with HLL; r5 adds
+    # the hourly→daily rollup cascade)
     "time_bucket_gapfill",
+    "rollup_cascade",
     "sketch_hll_distinct",
     "sketch_kmv_vocab_overlap",
     "sketch_histogram_quantiles",
-    # text analysis (lang_id_hist driver-passed r3, rotated out)
+    # text analysis (lang_id_hist driver-passed r3, rotated out; r5 seats the
+    # winnowing fingerprint index — the MOSS local-overlap primitive)
     "text_token_stats",
     "text_tfidf_topk",
     "text_quality_scores",
+    "text_winnow_fingerprints",
     # deduplication (ngram_jaccard driver-passed in r2, rotated out)
     # (simhash + embedding_cosine driver-passed r3, rotated out; still oracled
     # past the window)
@@ -120,8 +124,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_hll_distinct",
     "stream_stream_join",
     "stream_stateful_user_stats",
-    # multimodal
-    "media_byte_features",
+    # multimodal (media_byte_features driver-passed r2-r4, rotated out r5;
+    # media_resize keeps the mapInPandas/Arrow family in-window)
     "media_resize",
     # custom Python DataSource (Spark 4 connector API, r4)
     "pysource_synthetic_events",
