@@ -474,3 +474,70 @@ def incremental_dedup(
         .join(hist_fp, "fp", "left_anti")
     )
     return exact_dedup(fresh, id_col, text_col)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_df: int | None = None,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints (the MOSS
+    index consumer, Schleimer/Wilkerson/Aiken SIGMOD'03): two documents pair
+    up iff they share >= `min_shared` selected fingerprints, i.e. iff they
+    share runs of >= w+k-1 tokens. This catches partial plagiarism/quotation
+    that whole-document digests (`exact_dedup`) miss entirely and that
+    MinHash (`minhash_lsh_candidates`) only approximates at whole-document
+    Jaccard granularity.
+
+    Output: (id_a, id_b, n_shared, share_ratio) with id_a < id_b;
+    share_ratio = n_shared / min(|fp(a)|, |fp(b)|) — the containment-style
+    ratio, so a short quote embedded in a long document still scores high.
+
+    Scale shape: the index is the ~2/(w+1)-density posting table from
+    `winnow_fingerprints` (one doc-key shuffle); pair generation is ONE
+    equi-join on the 48-bit fingerprint — docs only meet inside a posting
+    list. `max_df` drops stop-fingerprints (boilerplate shared by more than
+    max_df docs) BEFORE the self-join, bounding every posting list and hence
+    the candidate count at n_fingerprints * max_df^2 — the same discipline as
+    LSH band buckets. Denominators use the PRE-cap per-doc fingerprint counts
+    so the ratio stays a true share of each document's index."""
+    from movie_genre_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    post = fps
+    if max_df is not None:
+        keep = (
+            fps.groupBy("h48")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("h48")
+        )
+        post = fps.join(keep, "h48")
+    a = post.select(F.col("doc").alias("id_a"), "h48")
+    b = post.select(F.col("doc").alias("id_b"), "h48")
+    inter = (
+        a.join(b, "h48")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
+        .withColumnRenamed("n_fp", "__na")
+        .join(sizes.withColumnRenamed("doc", "id_b"), "id_b")
+        .withColumnRenamed("n_fp", "__nb")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("__na", "__nb").cast("double"), 6
+            ).alias("share_ratio"),
+        )
+    )

@@ -375,3 +375,54 @@ WHERE rn = 1
 """
 
 QUERIES["dedup_incremental"] = QuerySpec(q_dedup_incremental, Q_DEDUP_INCREMENTAL_ORACLE)
+
+
+# -- winnowing local-overlap pairs (r5) ----------------------------------------------
+# The MOSS-index consumer: pairs sharing >= WINNOW_MIN_SHARED selected
+# fingerprints, i.e. sharing token runs of >= w+k-1 — catches partial
+# quotation/plagiarism that dedup_exact's whole-doc digest misses and MinHash
+# only approximates at whole-doc Jaccard granularity. max_df drops
+# stop-fingerprints before the posting self-join (LSH-bucket-style bound).
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 2
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import winnow_overlap_pairs
+    from movie_genre_data_pipeline_spark.suite.text_queries import WINNOW_K, WINNOW_W
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d,
+        "doc_id",
+        "text",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        max_df=WINNOW_MAX_DF,
+        min_shared=WINNOW_MIN_SHARED,
+    )
+
+
+def _dedup_winnow_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import WINNOW_SEL_CTE
+
+    return f"""
+WITH {WINNOW_SEL_CTE},
+keep AS (SELECT wmin FROM sel GROUP BY wmin HAVING COUNT(*) <= {WINNOW_MAX_DF}),
+post AS (SELECT s.doc_id, s.wmin FROM sel s JOIN keep USING (wmin)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM sel GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM post a JOIN post b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT id_a, id_b, n_shared,
+       ROUND(n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS share_ratio
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+QUERIES["dedup_winnow"] = QuerySpec(q_dedup_winnow, _dedup_winnow_oracle())

@@ -183,8 +183,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_WINNOW_FINGERPRINTS_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# shared winnowing CTE chain (ends at `sel(doc_id, wmin)` = the selected
+# fingerprint posting table) — dedup_queries' local-overlap oracle reuses it.
+WINNOW_SEL_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
   SELECT doc_id, len(toks) - {WINNOW_K - 1} AS n_grams, i,
          CAST(concat('0x', substring(md5(
@@ -201,7 +203,10 @@ m AS (
   FROM g
 ),
 sel AS (SELECT DISTINCT doc_id, wmin FROM m
-        WHERE i <= GREATEST(1, n_grams - {WINNOW_W - 1}))
+        WHERE i <= GREATEST(1, n_grams - {WINNOW_W - 1}))"""
+
+Q_WINNOW_FINGERPRINTS_ORACLE = f"""
+WITH {WINNOW_SEL_CTE}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
        md5(array_to_string(list_sort(list(CAST(wmin AS VARCHAR))), '|'))
          AS fp_digest

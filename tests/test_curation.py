@@ -236,3 +236,34 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     # sub-k doc: no grams, no fingerprints
     tiny = spark.createDataFrame([Row(doc_id=8, text="two words")])
     assert winnow_fingerprints(tiny, "doc_id", "text", k=3, w=4).count() == 0
+
+
+def test_winnow_overlap_pairs(spark):
+    """The MOSS-index consumer: a shared >= w+k-1 token run pairs two docs;
+    unrelated docs never pair; max_df drops boilerplate fingerprints."""
+    from pyspark.sql import Row
+
+    from movie_genre_data_pipeline_spark.functions.dedup import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two three {shared} four five six seven"),
+            Row(doc_id=2, text=f"{shared} completely different tail here now"),
+            Row(doc_id=3, text="nothing in common with the others at all today"),
+        ]
+    )
+    pairs = winnow_overlap_pairs(df, "doc_id", "text", k=3, w=4, min_shared=1)
+    got = {(r.id_a, r.id_b): r for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in pair for pair in got)
+    r = got[(1, 2)]
+    assert r.n_shared >= 1 and 0.0 < r.share_ratio <= 1.0
+
+    # a fingerprint present in EVERY doc is boilerplate: max_df=1 kills all pairs
+    boiler = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{shared} unique{i} tail{i} words{i}") for i in range(4)]
+    )
+    assert (
+        winnow_overlap_pairs(boiler, "doc_id", "text", k=3, w=4, max_df=1).count() == 0
+    )
