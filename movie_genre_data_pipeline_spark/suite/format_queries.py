@@ -133,10 +133,69 @@ FROM rows_ GROUP BY event_type
 """
 
 
+# -- bulk connector throughput (r5) ---------------------------------------------------
+# 1M rows through the Arrow-batch read path (read() yields pyarrow.RecordBatch,
+# sources/pydatasource.py) — the volume tier where per-row tuple yielding was
+# the bottleneck. Money math in exact cents (value*100 is integral by
+# construction) so a million-term sum cannot pick up accumulation-order noise.
+PYSOURCE_BULK_N = 1_000_000
+PYSOURCE_BULK_USERS = 5000
+
+
+def q_pysource_bulk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.sources.pydatasource import register
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", PYSOURCE_BULK_N)
+        .option("n_users", PYSOURCE_BULK_USERS)
+        .option("partitions", 32)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def _pysource_bulk_oracle() -> str:
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        EVENT_TYPES,
+        LCG_A,
+        LCG_C,
+        LCG_M,
+    )
+
+    type_case = " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(EVENT_TYPES))
+    return f"""
+WITH g AS (SELECT unnest(generate_series(0, {PYSOURCE_BULK_N - 1})) AS i),
+h1 AS (SELECT i, ({LCG_A} * i + {LCG_C}) % {LCG_M} AS h1 FROM g),
+h2 AS (SELECT i, h1, ({LCG_A} * h1 + {LCG_C}) % {LCG_M} AS h2 FROM h1),
+rows_ AS (
+  SELECT i AS event_id,
+         h1 % {PYSOURCE_BULK_USERS} AS user_id,
+         CASE h2 % {len(EVENT_TYPES)} {type_case} END AS event_type,
+         (({LCG_A} * h2 + {LCG_C}) % {LCG_M}) % 10000 AS cents
+  FROM h2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MAX(event_id) AS BIGINT) AS last_event_id
+FROM rows_ GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "jsonl_roundtrip": QuerySpec(q_jsonl_roundtrip, Q_JSONL_ROUNDTRIP_ORACLE),
     "orc_roundtrip": QuerySpec(q_orc_roundtrip, Q_ORC_ROUNDTRIP_ORACLE),
     "pysource_synthetic_events": QuerySpec(
         q_pysource_synthetic_events, _pysource_oracle()
     ),
+    "pysource_bulk_scan": QuerySpec(q_pysource_bulk_scan, _pysource_bulk_oracle()),
 }
