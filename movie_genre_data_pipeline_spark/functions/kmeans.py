@@ -109,3 +109,71 @@ def kmeans_ivf_top_k(
     return brute_force_top_k(
         with_cells, id_col, vec_col, k=k_neighbors, partition_col="cluster"
     )
+
+
+# -- cross-engine-exact variant (oracled) -----------------------------------------
+def quantize_vectors(df: DataFrame, id_col: str, vec_col: str, scale: float = 1e6):
+    """(vid, vq): components rounded to integral doubles round(x*scale).
+    Integral doubles < 2^53 sum EXACTLY in IEEE arithmetic regardless of
+    accumulation order — the property that makes `kmeans_fit_exact`'s centroid
+    sums run-order independent and therefore SQL-oracle-able."""
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>), x -> round(x * {scale}))"
+        ).alias("vq"),
+    )
+
+
+def kmeans_fit_exact(
+    quantized: DataFrame, k: int, iterations: int
+) -> list[list[float]]:
+    """Lloyd's over quantized integral vectors with run-order-independent
+    arithmetic — unlike `kmeans_fit`, every number here is reproducible
+    bit-for-bit by a SQL engine (see `suite/similarity_queries.py`'s
+    `sim_kmeans_recall` oracle, which unrolls these exact iterations in DuckDB):
+
+    - cluster sums: sums of integral doubles < 2^53 → exact, order-free;
+    - centroids: one IEEE division sum/n → deterministic;
+    - distances: sequential index-order fold of (x-c)^2 — the same fold
+      DuckDB's list_aggregate computes;
+    - init: the k lowest-vid vectors, cluster index in vid order;
+    - fixed iteration count (no float-threshold early stop), empty clusters
+      keep their previous centroid.
+
+    Input: `quantize_vectors` output, cached by the caller if reused."""
+    dim = len(quantized.first()["vq"])
+    centroids = [r["vq"] for r in quantized.orderBy("vid").limit(k).collect()]
+    for _ in range(iterations):
+        assigned = assign_clusters(quantized, "vid", "vq", centroids).join(
+            quantized, "vid"
+        )
+        agg = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array(*[F.sum(F.col("vq")[i]) for i in range(dim)]).alias("sums"),
+        )
+        rows = {r["cluster"]: r for r in agg.collect()}
+        centroids = [
+            [s / rows[c]["n"] for s in rows[c]["sums"]]
+            if c in rows
+            else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def kmeans_exact_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iterations: int,
+    scale: float = 1e6,
+) -> DataFrame:
+    """(vid, cluster): learned-cell assignment from the exact-arithmetic fit —
+    the coarse quantizer for an oracled IVF recall measurement."""
+    q = quantize_vectors(df, id_col, vec_col, scale=scale).cache()
+    centroids = kmeans_fit_exact(q, k, iterations)
+    cells = assign_clusters(q, "vid", "vq", centroids).select("vid", "cluster")
+    q.unpersist()
+    return cells

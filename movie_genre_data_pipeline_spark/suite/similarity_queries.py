@@ -246,6 +246,104 @@ FROM exact e LEFT JOIN approx a USING (vid)
 """
 
 
+# -- ANN quality: k-means-IVF recall@1 vs exact baseline (r5) -------------------------
+# Closes the one previously-unoracled similarity path. The cells come from the
+# EXACT-arithmetic k-means (functions/kmeans.py:kmeans_fit_exact): embeddings
+# quantized to integral doubles (round(x*1e6)), whose cluster sums are exact in
+# IEEE arithmetic regardless of accumulation order, centroids one deterministic
+# division, distances sequential index-order folds — so DuckDB can replay the
+# full Lloyd iteration bit-for-bit and the recall scalar is fully oracled.
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_SCALE = "1000000.0"
+
+
+def q_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.kmeans import kmeans_exact_cells
+
+    e = load(spark, sf_dir, "embeddings")
+    cells = kmeans_exact_cells(
+        e, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
+    ).withColumnRenamed("vid", "vec_id")
+    with_cells = e.join(cells, "vec_id")
+    approx = brute_force_top_k(
+        with_cells, "vec_id", "embedding", k=1, partition_col="cluster"
+    ).select("vid", F.col("cos_sim").alias("ivf_cos"))
+    exact = brute_force_top_k(e, "vec_id", "embedding", k=1).select(
+        "vid", F.col("cos_sim").alias("exact_cos")
+    )
+    joined = exact.join(approx, "vid", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("ivf_cos") == F.col("exact_cos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.avg(F.when(F.col("ivf_cos") == F.col("exact_cos"), 1.0).otherwise(0.0)),
+            6,
+        ).alias("recall_at_1"),
+    )
+
+
+def _kmeans_recall_oracle() -> str:
+    k, iters, dim = KMEANS_K, KMEANS_ITERS, DIM
+
+    def sqd(v: str, c: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {dim}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+        )
+
+    parts = [
+        f"""eq AS (SELECT vec_id AS vid,
+         list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_SCALE})) AS vq
+  FROM embeddings),
+c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cluster,
+              vq AS cv
+       FROM (SELECT vid, vq FROM eq ORDER BY vid LIMIT {k}))"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""d{t} AS (SELECT e.vid, e.vq, c.cluster, {sqd("e.vq", "c.cv")} AS dist
+       FROM eq e CROSS JOIN c{p} c),
+a{t} AS (SELECT vid, vq, cluster FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                    ORDER BY dist ASC, cluster ASC) AS rn FROM d{t}) WHERE rn = 1),
+s{t} AS (SELECT cluster, i, SUM(vq[i]) AS s, COUNT(*) AS n
+         FROM a{t}, generate_series(1, {dim}) t(i) GROUP BY 1, 2),
+n{t} AS (SELECT cluster, list(s / n ORDER BY i) AS cv FROM s{t} GROUP BY cluster),
+c{t} AS (SELECT p.cluster, COALESCE(w.cv, p.cv) AS cv
+         FROM c{p} p LEFT JOIN n{t} w USING (cluster))"""
+        )
+    parts.append(
+        f"""dfin AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv")} AS dist
+        FROM eq e CROSS JOIN c{iters} c),
+cells AS (SELECT vid, cluster FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                     ORDER BY dist ASC, cluster ASC) AS rn FROM dfin) WHERE rn = 1),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+iscored AS (
+  SELECT a.vec_id AS vid, {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM e a JOIN cells ca ON ca.vid = a.vec_id
+       JOIN cells cb ON ca.cluster = cb.cluster
+       JOIN e b ON b.vec_id = cb.vid AND a.vec_id <> b.vec_id
+),
+approx AS (SELECT vid, MAX(cos_sim) AS ivf_cos FROM iscored GROUP BY vid),
+exact AS ({Q_TOPK_BRUTEFORCE_ORACLE.strip()})"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN a.ivf_cos = x.cos_sim THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(AVG(CASE WHEN a.ivf_cos = x.cos_sim THEN 1.0 ELSE 0.0 END), 6)
+         AS recall_at_1
+FROM exact x LEFT JOIN approx a USING (vid)
+"""
+
+
 # -- embedding stats ----------------------------------------------------------------------
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.functions.similarity import norm, _as_double
@@ -274,5 +372,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_embedding_stats": QuerySpec(q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
     "sim_lsh_recall": QuerySpec(q_lsh_recall, _lsh_recall_oracle()),
     "sim_lsh_multi_top1": QuerySpec(q_lsh_multi_top1, _lsh_multi_oracle()),
+    "sim_kmeans_recall": QuerySpec(q_kmeans_recall, _kmeans_recall_oracle()),
     "sim_topk_kmeans_ivf": QuerySpec(q_topk_kmeans_ivf, None),
 }

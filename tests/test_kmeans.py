@@ -47,3 +47,30 @@ def test_kmeans_ivf_topk_shape(spark):
     # every vector in a multi-member cell has exactly one neighbor row
     assert len({r.vid for r in rows}) == len(rows)
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+
+
+def test_kmeans_exact_fit_is_run_order_independent(spark):
+    """The oracled variant's whole point: two fits over differently-partitioned
+    input produce BIT-IDENTICAL centroids (integral-double cluster sums are
+    exact, so accumulation order cannot move them)."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_fit_exact,
+        quantize_vectors,
+    )
+
+    e = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    q1 = quantize_vectors(e, "vec_id", "embedding")
+    q2 = quantize_vectors(e.repartition(13), "vec_id", "embedding")
+    c1 = kmeans_fit_exact(q1, k=4, iterations=3)
+    c2 = kmeans_fit_exact(q2, k=4, iterations=3)
+    assert c1 == c2  # exact float equality, not approx
+
+
+def test_kmeans_exact_cells_cover_all_vectors(spark):
+    from movie_genre_data_pipeline_spark.functions.kmeans import kmeans_exact_cells
+
+    e = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    cells = kmeans_exact_cells(e, "vec_id", "embedding", k=4, iterations=2)
+    rows = cells.collect()
+    assert len(rows) == e.count()
+    assert {r.cluster for r in rows} <= set(range(4))
