@@ -559,8 +559,122 @@ def _stream_hll_oracle() -> str:
     return _hll_oracle()
 
 
+STREAM_KMV_K = 128
+
+
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second instance of the streaming sketch-ledger pattern (after
+    `stream_hll_distinct`): four real micro-batches each append their KMV
+    bottom-k sketch of (event_type, user_id) to a ledger; the fold on read
+    (distinct ∪ re-bottom-k) EXACTLY equals the batch sketch — every one of
+    the global k smallest hashes appears in some batch and is necessarily in
+    that batch's bottom-k, so merge loses nothing. Proves mergeability under
+    incremental execution is a family property of the sketches
+    (functions/{hll,kmv}.py), not an HLL one-off. Ledger state is ≤ groups·k
+    rows per batch, independent of batch row count — no state store."""
+    from movie_genre_data_pipeline_spark.functions.kmv import HASH_SPACE, kmv_sketch
+    from movie_genre_data_pipeline_spark.suite import load
+
+    base = tempfile.mkdtemp(prefix="stream_kmv_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    ev = load(spark, sf_dir, "events")
+    ev.select("event_type", "user_id").repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_sketch(batch_df, "user_id", ["event_type"], k=STREAM_KMV_K).write.mode(
+            "append"
+        ).parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("h48").asc())
+    folded = (
+        spark.read.parquet(ledger)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= STREAM_KMV_K)
+        .drop("__rn")
+    )
+    agg = folded.groupBy("event_type").agg(
+        F.max("h48").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    est = F.when(
+        F.col("n_kept") < STREAM_KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(STREAM_KMV_K - 1) * HASH_SPACE) / F.col("h_k"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_kept",
+            "h_k",
+            F.round(est, 2).alias("kmv_est"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+        )
+    )
+
+
+def _stream_kmv_oracle() -> str:
+    k = STREAM_KMV_K
+    union_num = float(k - 1) * float(1 << 48)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+           AS BIGINT) AS h48
+  FROM events
+),
+sk AS (
+  SELECT event_type, h48 FROM (
+    SELECT event_type, h48,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h48 ASC) AS rn
+    FROM hashed) t
+  WHERE rn <= {k}
+),
+agg AS (
+  SELECT event_type, MAX(h48) AS h_k, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM sk GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+),
+est AS (
+  SELECT event_type, h_k, n_kept,
+         CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+              ELSE {union_num!r} / h_k END AS e
+  FROM agg
+)
+SELECT x.event_type, x.n_exact, a.n_kept, a.h_k,
+       ROUND(a.e, 2) AS kmv_est,
+       ROUND((a.e - x.n_exact) / x.n_exact, 4) AS rel_err
+FROM est a JOIN exact x USING (event_type)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
+    "stream_kmv_distinct": QuerySpec(q_stream_kmv_distinct, _stream_kmv_oracle()),
     "stream_hll_distinct": QuerySpec(q_stream_hll_distinct, _stream_hll_oracle()),
     "stream_sliding_window": QuerySpec(q_stream_sliding, Q_STREAM_SLIDING_ORACLE),
     "stream_sessionize": QuerySpec(q_stream_sessionize, Q_STREAM_SESSIONIZE_ORACLE),
