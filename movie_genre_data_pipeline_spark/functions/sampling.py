@@ -240,9 +240,10 @@ def priority_sample(
     u_i = (first 48 bits of md5(key:salt) + 1) / 2^48 — exactly representable
     as a double, strictly positive, engine-portable (same idiom as
     `mixture_resample`). With `strata_col`, takes k per stratum (one shuffle on
-    the stratum); otherwise a global top-k, which Spark executes as
-    TakeOrderedAndProject (per-partition heaps + driver merge of k rows — no
-    global sort) when the caller follows with a limit-style consumption.
+    the stratum key). Without it, the global top-k runs as
+    orderBy().limit(k), which Spark plans as TakeOrderedAndProject —
+    per-partition k-row heaps merged on the driver, no global sort and no
+    single-partition window funnel.
 
     Adds ``priority`` (double). Ties are impossible modulo md5 collisions;
     `key_col` breaks even those deterministically."""
@@ -256,8 +257,11 @@ def priority_sample(
         / F.lit(float(1 << 48))
     )
     tagged = df.withColumn("priority", wcol.cast("double") / u)
-    parts = [strata_col] if strata_col else []
-    w = Window.partitionBy(*parts).orderBy(
+    if strata_col is None:
+        return tagged.orderBy(
+            F.col("priority").desc(), F.col(key_col).asc()
+        ).limit(k)
+    w = Window.partitionBy(strata_col).orderBy(
         F.col("priority").desc(), F.col(key_col).asc()
     )
     return (

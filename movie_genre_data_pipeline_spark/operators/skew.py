@@ -109,11 +109,22 @@ def salted_join(
             "right side would duplicate unmatched rows under right/full joins"
         )
     hot_big = F.lit(True) if hot_keys is None else F.col(on).isin(hot_keys)
+    # Salt derives deterministically from FULL row content (hash of every
+    # column, pmod n_salts) rather than F.rand: rows of one hot key still
+    # spread across salts (their non-key columns differ), but the plan and
+    # every intermediate dataset are now reproducible run-to-run and
+    # layout-to-layout — the "pinned deterministic physical plan" this
+    # operator exists for (non-deterministic exprs also inhibit some
+    # optimizer rewrites). Identical full-row duplicates share a salt, which
+    # only matters if one hot key's rows are ALSO byte-identical copies.
     big_salted = big.withColumn(
         "__salt",
-        F.when(hot_big, F.floor(F.rand(seed=7) * n_salts).cast("int")).otherwise(
-            F.lit(0)
-        ),
+        F.when(
+            hot_big,
+            F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
+                "int"
+            ),
+        ).otherwise(F.lit(0)),
     )
     small_salted = small.withColumn(
         "__salt",
