@@ -490,3 +490,90 @@ def test_priority_sample_matches_python_reference(spark, rows, k):
         for _, negi in sorted(items, reverse=True)[:k]:
             expect.append((s, -negi))
     assert got == sorted(expect)
+
+
+# -- SCD2: pure-function-of-union, split-invariance, re-delivery idempotence --------
+@FAST
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6), st.integers(0, 2)),
+        min_size=1,
+        max_size=18,
+    ),
+    split=st.integers(0, 18),
+)
+def test_scd2_laws(spark, rows, split):
+    """scd2_apply == a Python reimplementation (sort by (eff_from, attr),
+    collapse consecutive identical attrs, eff_to = next eff_from); the result
+    is a pure function of current ∪ updates (any current/updates split of the
+    same rows gives the identical history — out-of-order delivery included);
+    and re-delivering every update over the produced history is a no-op."""
+    from movie_genre_data_pipeline_spark.operators.scd import scd2_apply
+
+    data = sorted({(k, f"v{a}", f) for (k, f, a) in rows})  # dedup true dups
+    schema = "k long, attr string, eff_from long"
+    split = min(split, len(data))
+    cur = spark.createDataFrame(data[:split], schema)
+    upd = spark.createDataFrame(data[split:], schema)
+    got = sorted(
+        (r.k, r.attr, r.eff_from, r.eff_to, r.is_current)
+        for r in scd2_apply(cur, upd, ["k"], ["attr"]).collect()
+    )
+
+    # python mirror
+    byk = {}
+    for k, a, f in data:
+        byk.setdefault(k, []).append((f, a))
+    expect = []
+    for k, items in byk.items():
+        items.sort()
+        versions = []
+        for f, a in items:
+            if versions and versions[-1][1] == a:
+                continue
+            versions.append((f, a))
+        for i, (f, a) in enumerate(versions):
+            eff_to = versions[i + 1][0] if i + 1 < len(versions) else None
+            expect.append((k, a, f, eff_to, eff_to is None))
+    assert got == sorted(expect)
+
+    # split-invariance: all rows as updates over an empty current
+    empty = spark.createDataFrame([], schema)
+    alt = sorted(
+        (r.k, r.attr, r.eff_from, r.eff_to, r.is_current)
+        for r in scd2_apply(empty, spark.createDataFrame(data, schema), ["k"], ["attr"]).collect()
+    )
+    assert alt == got
+
+    # re-delivery idempotence: history ∪ the same updates re-applied == history
+    hist = scd2_apply(cur, upd, ["k"], ["attr"]).select("k", "attr", "eff_from")
+    redo = sorted(
+        (r.k, r.attr, r.eff_from, r.eff_to, r.is_current)
+        for r in scd2_apply(hist, upd, ["k"], ["attr"]).collect()
+    )
+    assert redo == got
+
+
+# -- winnowing: the Schleimer/Wilkerson/Aiken shared-run guarantee -------------------
+@FAST
+@given(
+    pre_a=st.lists(st.sampled_from("aa bb cc dd ee".split()), max_size=8),
+    suf_a=st.lists(st.sampled_from("aa bb cc dd ee".split()), max_size=8),
+    pre_b=st.lists(st.sampled_from("ff gg hh ii jj".split()), max_size=8),
+    suf_b=st.lists(st.sampled_from("ff gg hh ii jj".split()), max_size=8),
+    run=st.lists(st.sampled_from("pp qq rr ss tt uu".split()), min_size=6, max_size=6),
+)
+def test_winnow_shared_run_guarantee(spark, pre_a, suf_a, pre_b, suf_b, run):
+    """Any shared contiguous run of >= w+k-1 tokens (= 6 for k=3, w=4), at ANY
+    position in each document and with ANY surrounding tokens, forces at least
+    one shared selected fingerprint: the run contains one full window of w
+    shared grams, and every full window's minimum is selected in both docs."""
+    from movie_genre_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    doc_a = " ".join(pre_a + run + suf_a)
+    doc_b = " ".join(pre_b + run + suf_b)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    set_a = {r.h48 for r in fps if r.doc == 1}
+    set_b = {r.h48 for r in fps if r.doc == 2}
+    assert set_a & set_b, (doc_a, doc_b)
