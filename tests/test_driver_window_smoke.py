@@ -4,8 +4,11 @@ parquet fixture (schema drift, timestamp encoding change, value refresh) fails C
 before a snapshot ships — round 3 shipped 6 red driver rows that one local run
 would have caught.
 
-Runs at sf0.001 to keep CI time bounded; the encodings/schemas are identical
-across SF dirs, so any drift the driver would see at sf0.01 appears here too.
+Parameterized over BOTH fixture tiers the gate protects (VERDICT r04 #8):
+sf0.001 (CI-cheap) and sf0.01 (the tier the driver actually scores), so a
+regeneration of either is caught pre-snapshot — encodings have drifted
+per-tier before (events.ts nanos→micros hit all tiers, but nothing forces a
+future regeneration to be uniform).
 """
 
 from __future__ import annotations
@@ -21,14 +24,14 @@ from verify_local import verify_queries  # noqa: E402
 
 from movie_genre_data_pipeline_spark.suite import DRIVER_WINDOW  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
 
-
-@pytest.mark.skipif(
-    not Path(SF_DIR).is_dir(), reason="driver fixtures not present"
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
-def test_driver_window_green_on_fixtures(spark):
-    failures = verify_queries(spark, SF_DIR, names=set(DRIVER_WINDOW))
+def test_driver_window_green_on_fixtures(spark, sf_dir):
+    if not Path(sf_dir).is_dir():
+        pytest.skip("driver fixtures not present")
+    failures = verify_queries(spark, sf_dir, names=set(DRIVER_WINDOW))
     assert not failures, "\n".join(
         f"{name}: {'; '.join(errs)}" for name, errs in sorted(failures.items())
     )
