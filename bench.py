@@ -44,6 +44,10 @@ HEADLINE = [
     "sketch_hll_distinct",
     "sample_weighted_reservoir",
     "merge_scd2",
+    # r5 (VERDICT r04 #6): regression-track the hot-key-replicated join and
+    # the KMV pairwise-overlap estimator
+    "skew_salted_join",
+    "sketch_kmv_vocab_overlap",
 ]
 
 

@@ -63,11 +63,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize",
     "from_json_props",
     "asof_join",
-    # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, q2/q7 in r4;
-    # rotated out for the r4 operators that had never earned a driver row)
+    # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, q2/q7/q22 in
+    # r2-r4; rotated out for the r4/r5 operators that had never earned a row)
     "tpch_q9",
     "tpch_q21",
-    "tpch_q22",
     "grouping_sets",
     # scale / custom operators (r5: skew_salted_join joins its agg sibling in
     # the window — the hot-key-replicated join plan gets its own driver row)
@@ -125,8 +124,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stream_join",
     "stream_stateful_user_stats",
     # multimodal (media_byte_features driver-passed r2-r4, rotated out r5;
-    # media_resize keeps the mapInPandas/Arrow family in-window)
+    # media_resize keeps the mapInPandas/Arrow family in-window and
+    # media_frame_sample_plan — never driver-verified before — takes the
+    # slot tpch_q22 vacated)
     "media_resize",
+    "media_frame_sample_plan",
     # custom Python DataSource (Spark 4 connector API, r4)
     "pysource_synthetic_events",
 )
