@@ -111,3 +111,68 @@ def time_bucket_gapfill(
             for name in aggs
         ],
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    partition_cols: tuple[str, ...] = (),
+    lookback: int = 24,
+    min_periods: int = 12,
+) -> DataFrame:
+    """Trailing-window z-score anomaly signal: for each row, how many standard
+    deviations `value_col` sits from the mean of the `lookback` PRECEDING rows
+    (the row itself excluded, so a spike can't mask itself).
+
+    The shape anomaly detectors over continuous aggregates use (Prometheus-style
+    `(x - avg_over_time) / stddev_over_time`, TimescaleDB's rolling stats):
+    feed it the dense per-bucket series from `time_bucket_gapfill` so gaps read
+    as 0-count buckets instead of silently shrinking the baseline window.
+
+    Spark shape: ONE shuffle on `partition_cols` (none if the series count is
+    the partition count), then a running-frame window — Spark evaluates
+    rowsBetween frames with incremental add/remove, O(n) per partition, no
+    per-row rescan. At 100 TB the input here is already bucket-grain (buckets ×
+    groups, dimension-sized vs raw events), so the window state is tiny.
+
+    Determinism contract: mean and variance derive from SUM(x) / SUM(x*x) over
+    the frame. When x is integral-valued (counts), those sums are exact IEEE
+    integers (< 2^53) regardless of accumulation order, the mean is one
+    division, and the variance one subtraction+division — bit-reproducible by
+    any SQL engine computing the same formula, which is what lets the suite
+    oracle this query exactly. Non-integral inputs still work; exact
+    cross-engine equality is then not claimed.
+
+    `zscore` is NULL while the baseline holds fewer than `min_periods` rows or
+    has zero variance.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col).cast("double")
+    n = F.count(x).over(w).cast("double")
+    s = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    # try_divide: empty frames have n = 0 and ANSI mode (Spark 4 default)
+    # would throw on s/n even though the min_periods guard discards the row
+    mean = F.try_divide(s, n)
+    var = F.try_divide(s2 - F.try_divide(s * s, n), n - F.lit(1.0))
+    return (
+        df.withColumn("__n", n)
+        .withColumn("__mean", mean)
+        .withColumn("__var", var)
+        .withColumn(
+            "zscore",
+            F.when(
+                (F.col("__n") >= min_periods) & (F.col("__var") > 0),
+                (x - F.col("__mean")) / F.sqrt(F.col("__var")),
+            ),
+        )
+        .withColumn("baseline_n", F.col("__n").cast("bigint"))
+        .drop("__n", "__mean", "__var")
+    )

@@ -182,10 +182,108 @@ FROM daily
 """
 
 
+# -- trailing-window z-score anomaly flags over the dense hourly series -----------
+ZS_LOOKBACK = 24
+ZS_MIN_PERIODS = 12
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection over a continuous aggregate: hourly event counts per
+    type (gap-filled so empty hours read as 0, not missing baseline), each
+    scored against the trailing 24h mean/stddev (operators/timeseries.py:
+    rolling_zscore). The Prometheus/TimescaleDB rolling-stats shape.
+
+    Exactly oracle-able because the scored series is INTEGER counts: frame sums
+    of x and x*x are exact IEEE integers regardless of accumulation order, and
+    mean/var/z are then single correctly-rounded IEEE ops DuckDB reproduces
+    bit-for-bit — so even the `is_anomaly` threshold comparison is stable."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import (
+        rolling_zscore,
+        time_bucket_gapfill,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    dense = time_bucket_gapfill(
+        ev,
+        "ts",
+        BUCKET_S,
+        aggs={"n": F.count(F.lit(1)).cast("bigint")},
+        fill={"n": F.lit(0).cast("bigint")},
+        group_cols=("event_type",),
+    )
+    scored = rolling_zscore(
+        dense,
+        order_col="bucket",
+        value_col="n",
+        partition_cols=("event_type",),
+        lookback=ZS_LOOKBACK,
+        min_periods=ZS_MIN_PERIODS,
+    )
+    return scored.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n",
+        "baseline_n",
+        F.round("zscore", 6).alias("zscore"),
+        F.when(F.abs("zscore") >= 2.0, 1).otherwise(0).cast("int").alias("is_anomaly"),
+    )
+
+
+Q_ANOMALY_ZSCORE_ORACLE = f"""
+WITH b AS (
+  SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / {BUCKET_S}) AS BIGINT)
+                        * {BUCKET_S} * 1000000) AS bucket,
+         event_type
+  FROM events
+),
+bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b),
+spine AS (
+  SELECT unnest(generate_series(b0, b1, INTERVAL {BUCKET_S} SECONDS)) AS bucket
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+),
+dense AS (
+  SELECT s.bucket, t.event_type, COALESCE(a.n, 0) AS n
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+),
+frames AS (
+  SELECT bucket, event_type, n,
+         CAST(n AS DOUBLE) AS x,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS fn,
+         SUM(CAST(n AS DOUBLE)) OVER w AS fs,
+         SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS fs2
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT bucket, event_type, n,
+         CAST(fn AS BIGINT) AS baseline_n,
+         CASE WHEN fn >= {ZS_MIN_PERIODS}
+                   AND (fs2 - fs * fs / fn) / (fn - 1.0) > 0
+              THEN (x - fs / fn)
+                   / SQRT((fs2 - fs * fs / fn) / (fn - 1.0))
+         END AS z
+  FROM frames
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, n,
+       baseline_n,
+       ROUND(z, 6) AS zscore,
+       CAST(CASE WHEN ABS(z) >= 2.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "time_bucket_gapfill": QuerySpec(
         q_time_bucket_gapfill, Q_TIME_BUCKET_GAPFILL_ORACLE
     ),
     "funnel_conversion": QuerySpec(q_funnel_conversion, Q_FUNNEL_CONVERSION_ORACLE),
     "rollup_cascade": QuerySpec(q_rollup_cascade, Q_ROLLUP_CASCADE_ORACLE),
+    "ts_anomaly_zscore": QuerySpec(q_anomaly_zscore, Q_ANOMALY_ZSCORE_ORACLE),
 }

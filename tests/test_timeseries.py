@@ -92,3 +92,50 @@ def test_corpus_shuffle_is_partition_invariant(spark):
         pos[r.shard].append(r.pos)
     for shard, ps in pos.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+# -- rolling_zscore ---------------------------------------------------------------
+def test_rolling_zscore_matches_hand_computation(spark):
+    from movie_genre_data_pipeline_spark.operators.timeseries import rolling_zscore
+
+    # series: 5 stable values then a spike; lookback 5, min_periods 3
+    vals = [10, 10, 10, 10, 12, 40]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "t int, g string, x int"
+    )
+    out = {
+        r["t"]: r
+        for r in rolling_zscore(
+            df, "t", "x", ("g",), lookback=5, min_periods=3
+        ).collect()
+    }
+    # first rows: baseline too small -> NULL
+    assert out[0]["zscore"] is None and out[0]["baseline_n"] == 0
+    assert out[2]["zscore"] is None and out[2]["baseline_n"] == 2
+    # t=3 baseline [10,10,10]: zero variance -> NULL
+    assert out[3]["zscore"] is None and out[3]["baseline_n"] == 3
+    # t=5 baseline [10,10,10,10,12]: mean 10.4, var 0.8; z=(40-10.4)/sqrt(.8)
+    import math
+
+    assert out[5]["baseline_n"] == 5
+    assert out[5]["zscore"] == pytest.approx((40 - 10.4) / math.sqrt(0.8))
+
+
+def test_rolling_zscore_excludes_current_row(spark):
+    from movie_genre_data_pipeline_spark.operators.timeseries import rolling_zscore
+
+    # the spike itself must not contaminate its own baseline: with [5]*6 + [50],
+    # the spike's baseline stats are those of the stable prefix only
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(6)] + [(6, 50)], "t int, x int"
+    )
+    rows = {r["t"]: r for r in rolling_zscore(df, "t", "x", (), 6, 3).collect()}
+    # baseline of t=6 is six 5s: zero variance -> NULL despite the huge jump?
+    # no — zero variance yields NULL by contract (no denominator); assert that
+    assert rows[6]["zscore"] is None and rows[6]["baseline_n"] == 6
+    # perturb one baseline point -> finite, large z
+    df2 = spark.createDataFrame(
+        [(i, 5) for i in range(5)] + [(5, 7), (6, 50)], "t int, x int"
+    )
+    rows2 = {r["t"]: r for r in rolling_zscore(df2, "t", "x", (), 6, 3).collect()}
+    assert rows2[6]["zscore"] is not None and rows2[6]["zscore"] > 10
