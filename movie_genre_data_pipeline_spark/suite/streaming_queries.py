@@ -672,8 +672,92 @@ FROM est a JOIN exact x USING (event_type)
 """
 
 
+def q_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third instance of the streaming sketch-ledger pattern (after
+    `stream_hll_distinct` / `stream_kmv_distinct`), covering the last sketch
+    family member with additive merge: four real micro-batches each append
+    their 200-bin counting histogram of `value` to a ledger; the fold on read
+    is cell-wise re-SUM (integer addition — exact, order-free), so the folded
+    histogram EXACTLY equals the batch build and the quantile interpolation
+    shares the batch oracle verbatim. Ledger state is ≤ groups × bins rows per
+    batch, independent of batch row count — continuous latency/size
+    percentile monitoring with no state store."""
+    from movie_genre_data_pipeline_spark.functions.quantiles import (
+        build_histogram,
+        histogram_quantiles,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import (
+        HISTO_BINS,
+        HISTO_HI,
+        HISTO_LO,
+        HISTO_QS,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_histo_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    ev = load(spark, sf_dir, "events")
+    ev.select("event_type", "value").repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        build_histogram(
+            batch_df, "value", HISTO_LO, HISTO_HI, HISTO_BINS, ["event_type"]
+        ).write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    est = histogram_quantiles(
+        folded, HISTO_QS, HISTO_LO, HISTO_HI, HISTO_BINS, ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_exact"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        "hq50",
+        "hq90",
+        "hq99",
+        "p50_exact",
+        "p99_exact",
+        F.round(F.col("hq50") - F.col("p50_exact"), 6).alias("err50"),
+        F.round(F.col("hq99") - F.col("p99_exact"), 6).alias("err99"),
+    )
+
+
+def _stream_histo_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import (
+        Q_HISTOGRAM_QUANTILES_ORACLE,
+    )
+
+    return Q_HISTOGRAM_QUANTILES_ORACLE
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
+    "stream_histogram_quantiles": QuerySpec(
+        q_stream_histogram_quantiles, _stream_histo_oracle()
+    ),
     "stream_kmv_distinct": QuerySpec(q_stream_kmv_distinct, _stream_kmv_oracle()),
     "stream_hll_distinct": QuerySpec(q_stream_hll_distinct, _stream_hll_oracle()),
     "stream_sliding_window": QuerySpec(q_stream_sliding, Q_STREAM_SLIDING_ORACLE),
