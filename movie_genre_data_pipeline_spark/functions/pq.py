@@ -1,0 +1,129 @@
+"""Product quantization (PQ) for approximate nearest neighbor — the memory-side
+scale path of the similarity family (Jégou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011).
+
+Where IVF (functions/kmeans.py) prunes WHICH vectors a query compares against,
+PQ compresses WHAT is stored and HOW MUCH each comparison costs: each d-dim
+vector is split into m subvectors, each subvector replaced by the id of its
+nearest centroid from a per-subspace codebook of k codes — m·log2(k) bits per
+vector instead of 4·d bytes (64-dim float32 → 1.5 bytes at m=4,k=8; production
+shapes like m=16,k=256 give 16 bytes for 768-dim, a 192× compression). Search
+uses ASYMMETRIC DISTANCE (ADC): the query stays exact, a per-query m×k distance
+table is computed once, and each candidate's distance is m table lookups — no
+per-pair float folds over d dims.
+
+Spark shape / 100 TB notes:
+- Training runs the exact-arithmetic Lloyd loop (kmeans.kmeans_fit_exact) once
+  per subspace on quantized integral subvectors; codebooks are m·k·(d/m)
+  doubles on the driver (tiny, broadcast as plan literals). At 100 TB you train
+  on a sample (codebooks need ~100k vectors, not the corpus) and encode the
+  full corpus with the frozen codebooks — encoding is a pure projection, no
+  shuffle, and the encoded table is ~100-200× smaller than the vectors.
+- `pq_encode` output is the thing you persist: the corpus compressed to
+  (id, m small ints). Re-ranking / scans read THIS, not the raw vectors.
+- `pq_adc_scores` scans every code row per query (that is PQ's contract: cheap
+  exhaustive scan of a compressed corpus, each pair costing m lookups instead
+  of d multiplies). For sub-linear candidate counts compose with IVF: restrict
+  the pair join to the query's coarse cell (IVFADC) exactly as
+  `brute_force_top_k(partition_col=...)` does for exact vectors.
+
+Determinism contract (what makes the suite's `sim_pq_recall` fully
+SQL-oracle-able, mirroring kmeans_fit_exact): inputs are quantized to integral
+doubles (round(x·scale)) whose cluster sums are exact in IEEE arithmetic
+regardless of accumulation order; centroids are one division each; every
+distance is a sequential index-order fold over identical operands; argmin ties
+break toward the lower code / lower neighbor id; the ADC sum over subspaces is
+a fixed left-to-right chain d_0 + d_1 + ... + d_{m-1}. DuckDB replays all of it
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.kmeans import (
+    _sq_dist,
+    kmeans_fit_exact,
+)
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim: dim={dim}, m={m}")
+    return dim // m
+
+
+def subvector(vec_col, j: int, dsub: int):
+    """1-based slice of subspace j: elements j*dsub+1 .. (j+1)*dsub."""
+    return F.slice(vec_col, j * dsub + 1, dsub)
+
+
+def pq_train_exact(
+    quantized: DataFrame, dim: int, m: int, k: int, iterations: int
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks from the exact-arithmetic Lloyd loop.
+
+    `quantized` is kmeans.quantize_vectors output (vid, vq) — integral-double
+    vectors. Returns m codebooks of k centroids of d/m doubles each. Train on a
+    sample at scale; the loop collects only k·(d/m) doubles per iteration.
+    """
+    dsub = _check_geometry(dim, m)
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = quantized.select(
+            "vid", subvector(F.col("vq"), j, dsub).alias("vq")
+        )
+        codebooks.append(kmeans_fit_exact(sub, k, iterations))
+    return codebooks
+
+
+def pq_encode(
+    quantized: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """(vid, codes): each vector compressed to m small ints — codes[j] is the
+    nearest centroid of subspace j (ties → lower code). Pure projection:
+    codebooks are plan literals, no join, no shuffle; this is the table you
+    persist as the compressed corpus."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sub = subvector(F.col("vq"), j, dsub)
+        dists = F.array(*[_sq_dist(sub, c) for c in book])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+        )
+    return quantized.select("vid", F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_scores(
+    queries: DataFrame, codes: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """(vid, neighbor, adc): asymmetric distance from every query to every
+    encoded vector. The per-query m×k distance table is computed ONCE as array
+    columns (m·k folds per query row); each pair then costs m element_at
+    lookups + a fixed-order sum — the PQ speedup over a d-dim fold per pair.
+
+    Exhaustive over `codes` by contract (compressed-corpus scan); compose with
+    an IVF cell equi-join for sub-linear candidate sets at scale.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = queries.select(
+        F.col("vid").alias("q_vid"),
+        *[
+            F.array(
+                *[_sq_dist(subvector(F.col("vq"), j, dsub), c) for c in book]
+            ).alias(f"dtab{j}")
+            for j, book in enumerate(codebooks)
+        ],
+    )
+    b = codes.select(F.col("vid").alias("neighbor"), "codes")
+    pairs = q.join(b, q["q_vid"] != b["neighbor"])
+    adc = F.element_at(F.col("dtab0"), F.col("codes")[0] + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"dtab{j}"), F.col("codes")[j] + 1)
+    return pairs.select(
+        F.col("q_vid").alias("vid"), "neighbor", adc.alias("adc")
+    )

@@ -344,6 +344,156 @@ FROM exact x LEFT JOIN approx a USING (vid)
 """
 
 
+# -- ANN quality: product-quantization ADC recall@1 vs exact L2 (r5) -----------------
+# PQ (functions/pq.py): vectors split into PQ_M subspaces, each encoded to one of
+# PQ_K codes from per-subspace exact-arithmetic k-means codebooks; search is
+# asymmetric distance (per-query m×k table, m lookups per pair). Everything —
+# codebook training, encoding, ADC, the exact-L2 baseline, the hit test — is
+# integral-double / fixed-fold-order arithmetic, so DuckDB replays the WHOLE
+# pipeline bit-for-bit and the recall scalar is fully oracled.
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 3
+_PQ_DSUB = DIM // PQ_M
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.pq import (
+        pq_adc_scores,
+        pq_encode,
+        pq_train_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    books = pq_train_exact(q, DIM, PQ_M, PQ_K, PQ_ITERS)
+    codes = pq_encode(q, books)
+    adc = pq_adc_scores(q, codes, books)
+    w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
+    chosen = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "neighbor")
+    )
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = q.select(F.col("vid"), F.col("vq").alias("va"))
+    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
+    exact_pairs = a.join(b, F.col("vid") != F.col("neighbor")).select(
+        "vid", "neighbor", sqd(F.col("va"), F.col("vb")).alias("d")
+    )
+    exact_best = exact_pairs.groupBy("vid").agg(F.min("d").alias("d_min"))
+    d_chosen = (
+        chosen.join(a, "vid")
+        .join(b, "neighbor")
+        .select("vid", sqd(F.col("va"), F.col("vb")).alias("d_chosen"))
+    )
+    joined = exact_best.join(d_chosen, "vid", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("d_chosen") == F.col("d_min"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.avg(F.when(F.col("d_chosen") == F.col("d_min"), 1.0).otherwise(0.0)), 6
+        ).alias("recall_at_1"),
+    )
+
+
+def _pq_recall_oracle() -> str:
+    m, k, iters, dsub = PQ_M, PQ_K, PQ_ITERS, _PQ_DSUB
+
+    def sqd(v: str, c: str, d: int) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {d}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+        )
+
+    parts = [
+        f"""eq AS (SELECT vec_id AS vid,
+         list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_SCALE})) AS vq
+  FROM embeddings)"""
+    ]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(
+            f"""sub{j} AS (SELECT vid, vq[{lo}:{hi}] AS v FROM eq),
+c{j}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cluster,
+                  v AS cv
+           FROM (SELECT vid, v FROM sub{j} ORDER BY vid LIMIT {k}))"""
+        )
+        for t in range(1, iters + 1):
+            p = t - 1
+            parts.append(
+                f"""d{j}_{t} AS (SELECT e.vid, e.v, c.cluster, {sqd("e.v", "c.cv", dsub)} AS dist
+           FROM sub{j} e CROSS JOIN c{j}_{p} c),
+a{j}_{t} AS (SELECT vid, v, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                        ORDER BY dist ASC, cluster ASC) AS rn FROM d{j}_{t})
+             WHERE rn = 1),
+s{j}_{t} AS (SELECT cluster, i, SUM(v[i]) AS s, COUNT(*) AS n
+             FROM a{j}_{t}, generate_series(1, {dsub}) t(i) GROUP BY 1, 2),
+n{j}_{t} AS (SELECT cluster, list(s / n ORDER BY i) AS cv FROM s{j}_{t}
+             GROUP BY cluster),
+c{j}_{t} AS (SELECT p.cluster, COALESCE(w.cv, p.cv) AS cv
+             FROM c{j}_{p} p LEFT JOIN n{j}_{t} w USING (cluster))"""
+            )
+        parts.append(
+            f"""de{j} AS (SELECT e.vid, c.cluster, {sqd("e.v", "c.cv", dsub)} AS dist
+         FROM sub{j} e CROSS JOIN c{j}_{iters} c),
+bc{j} AS (SELECT d.vid, c.cv FROM
+          (SELECT vid, cluster FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY dist ASC, cluster ASC) AS rn FROM de{j})
+           WHERE rn = 1) d
+          JOIN c{j}_{iters} c USING (cluster))"""
+        )
+    adc_terms = " + ".join(
+        sqd(f"a{j}.v", f"b{j}.cv", dsub) for j in range(m)
+    )
+    sub_joins = "\n  ".join(
+        f"JOIN sub{j} a{j} ON a{j}.vid = a.vid JOIN bc{j} b{j} ON b{j}.vid = b.vid"
+        for j in range(m)
+    )
+    parts.append(
+        f"""pairs AS (
+  SELECT a.vid AS vid, b.vid AS neighbor, {adc_terms} AS adc
+  FROM eq a JOIN eq b ON a.vid <> b.vid
+  {sub_joins}
+),
+approx AS (SELECT vid, neighbor FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY adc ASC, neighbor ASC) AS rn FROM pairs)
+           WHERE rn = 1),
+exactp AS (SELECT a.vid AS vid, b.vid AS neighbor,
+                  {sqd("a.vq", "b.vq", DIM)} AS d
+           FROM eq a JOIN eq b ON a.vid <> b.vid),
+exbest AS (SELECT vid, MIN(d) AS d_min FROM exactp GROUP BY vid),
+dch AS (SELECT ap.vid, ep.d AS d_chosen
+        FROM approx ap JOIN exactp ep
+             ON ep.vid = ap.vid AND ep.neighbor = ap.neighbor)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN d.d_chosen = x.d_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(AVG(CASE WHEN d.d_chosen = x.d_min THEN 1.0 ELSE 0.0 END), 6)
+         AS recall_at_1
+FROM exbest x LEFT JOIN dch d USING (vid)
+"""
+
+
 # -- embedding stats ----------------------------------------------------------------------
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.functions.similarity import norm, _as_double
@@ -373,5 +523,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_recall": QuerySpec(q_lsh_recall, _lsh_recall_oracle()),
     "sim_lsh_multi_top1": QuerySpec(q_lsh_multi_top1, _lsh_multi_oracle()),
     "sim_kmeans_recall": QuerySpec(q_kmeans_recall, _kmeans_recall_oracle()),
+    "sim_pq_recall": QuerySpec(q_pq_recall, _pq_recall_oracle()),
     "sim_topk_kmeans_ivf": QuerySpec(q_topk_kmeans_ivf, None),
 }

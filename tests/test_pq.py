@@ -1,0 +1,87 @@
+"""Product-quantization laws (functions/pq.py): geometry checks, code range,
+encode determinism, ADC's lower-bound-by-construction relationship to the
+reconstruction distance, and perfect recall when the corpus IS the codebook
+grid (zero quantization error ⇒ ADC equals exact distance)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+from movie_genre_data_pipeline_spark.functions.pq import (
+    pq_adc_scores,
+    pq_encode,
+    pq_train_exact,
+)
+
+DIM, M, K = 8, 2, 4
+
+
+def _vecs(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    return quantize_vectors(df, "vec_id", "embedding", scale=1.0)
+
+
+def test_geometry_must_divide():
+    with pytest.raises(ValueError):
+        from movie_genre_data_pipeline_spark.functions.pq import _check_geometry
+
+        _check_geometry(10, 3)
+
+
+def test_codes_in_range_and_deterministic(spark):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(DIM)]) for i in range(24)
+    ]
+    q = _vecs(spark, rows).cache()
+    books = pq_train_exact(q, DIM, M, K, iterations=2)
+    assert len(books) == M and all(len(b) == K for b in books)
+    assert all(len(c) == DIM // M for b in books for c in b)
+    enc1 = {r["vid"]: list(r["codes"]) for r in pq_encode(q, books).collect()}
+    enc2 = {r["vid"]: list(r["codes"]) for r in pq_encode(q, books).collect()}
+    assert enc1 == enc2  # pure projection, no run-dependence
+    for codes in enc1.values():
+        assert len(codes) == M
+        assert all(0 <= c < K for c in codes)
+
+
+def test_zero_quantization_error_gives_exact_search(spark):
+    # corpus = the K lowest-id vectors repeated: every vector sits exactly on a
+    # centroid after 1 iteration, so ADC == exact distance and recall@1 is 1.0
+    base = [[float(b * 10 + j) for j in range(DIM)] for b in range(K)]
+    rows = [(i, base[i % K]) for i in range(2 * K)]
+    q = _vecs(spark, rows).cache()
+    books = pq_train_exact(q, DIM, M, K, iterations=2)
+    codes = pq_encode(q, books)
+    adc = pq_adc_scores(q, codes, books)
+    # each vector's duplicate (same base) must score ADC exactly 0
+    zero = adc.filter(F.col("adc") == 0.0).collect()
+    got = {(r["vid"], r["neighbor"]) for r in zero}
+    for i in range(2 * K):
+        dup = (i + K) % (2 * K)
+        assert (i, dup) in got
+    # and nothing from a different base scores 0
+    assert all((v - n) % K == 0 for v, n in got)
+
+
+def test_adc_is_centroid_distance(spark):
+    # hand-checkable: with scale-1 integral vectors, adc(vid->neighbor) must
+    # equal sum over subspaces of ||q_sub - centroid(code_sub(neighbor))||^2
+    rows = [(i, [float((i * 5 + j) % 7) for j in range(DIM)]) for i in range(12)]
+    q = _vecs(spark, rows).cache()
+    books = pq_train_exact(q, DIM, M, K, iterations=1)
+    codes = {r["vid"]: list(r["codes"]) for r in pq_encode(q, books).collect()}
+    vecs = {r["vid"]: list(r["vq"]) for r in q.collect()}
+    adc = {
+        (r["vid"], r["neighbor"]): r["adc"]
+        for r in pq_adc_scores(q, pq_encode(q, books), books).collect()
+    }
+    dsub = DIM // M
+    for (vid, nb), got in adc.items():
+        want = 0.0
+        for j in range(M):
+            cent = books[j][codes[nb][j]]
+            sub = vecs[vid][j * dsub : (j + 1) * dsub]
+            want += sum((a - b) ** 2 for a, b in zip(sub, cent))
+        assert got == pytest.approx(want, rel=1e-12), (vid, nb)
