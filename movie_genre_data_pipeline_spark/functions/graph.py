@@ -1,0 +1,135 @@
+"""Distributed graph analytics as DataFrame joins: fixed-point PageRank and
+triangle counting. Third member of the graph toolkit next to the iterative
+min-label connected components in functions/dedup.py (corpus dedup) — these are
+the link-analysis shapes web-corpus curation uses for source quality weighting
+(PageRank over the host graph; Common Crawl-scale pipelines weight documents by
+host rank) and for community/spam structure signals (triangle density).
+
+Spark shape / 100 TB notes:
+- PageRank iteration = ONE join of the rank vector with the edge list on src +
+  ONE groupBy(dst) sum — both shuffle on the node key, and co-partitioning the
+  edge list by src (bucketing) makes the join exchange-free after the first
+  iteration. Rank state is one row per node (vertices ≪ edges); the edge list
+  is scanned once per iteration, never mutated. Fixed iteration count keeps
+  the plan static (no driver-side convergence test over the data).
+- Triangle counting uses the degree-ordered adjacency trick: orienting every
+  undirected edge from the lexicographically smaller to the larger endpoint
+  makes each triangle countable exactly once as wedge(a<b<c) + closing edge —
+  two self-joins of the oriented edge list, no per-node neighborhood
+  materialization.
+
+Determinism contract (PageRank): ranks are FIXED-POINT integral doubles
+(rank_fp ∈ [0, scale]); each iteration does
+    contrib(u)  = floor(rank_fp(u) / outdeg(u))          -- one division+floor
+    rank_fp(v)  = base + floor(d_num * sum(contrib) / d_den)
+with sum over integral doubles (< 2^53 — exact, order-free) and
+base = floor((d_den - d_num) * scale / d_den / n_nodes) computed once. Every
+step is a correctly-rounded IEEE op on identical operands, so a SQL engine
+replays the trajectory bit-for-bit — same idiom as kmeans_fit_exact. Dangling
+mass (nodes with no out-edges) is dropped, not redistributed — declared
+contract, mirrored by the oracle; ranks then sum to < scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: float = 1e12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """(node, rank_fp, rank): fixed-point PageRank after `iterations` rounds.
+
+    `edges` is a directed edge list; duplicate edges should be de-duplicated
+    by the caller if multiplicity is not intended. `rank = rank_fp / scale` is
+    the float view; `rank_fp` is the exact integral trajectory value.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank over an empty graph")
+    # explicit left-to-right division chain + floor — the exact expression the
+    # SQL oracle computes, so both engines derive identical constants
+    import math
+
+    base = float(math.floor((d_den - d_num) * scale / d_den / n_nodes))
+    init = float(math.floor(scale / n_nodes))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.withColumn("rank_fp", F.lit(init))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"])
+            .select(
+                "src",
+                F.floor(F.col("rank_fp") / F.col("outdeg"))
+                .cast("double")
+                .alias("contrib"),
+            )
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(float(d_num))
+                        * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        / F.lit(float(d_den))
+                    ).cast("double")
+                ).alias("rank_fp"),
+            )
+        )
+    return ranks.select(
+        "node", "rank_fp", (F.col("rank_fp") / F.lit(scale)).alias("rank")
+    )
+
+
+def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonical undirected edge set: (lo, hi) with lo < hi, distinct,
+    self-loops dropped — the degree-ordered form triangle counting joins on."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    return e.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One row: (n_nodes, n_edges, n_triangles) of the undirected simple graph.
+
+    wedge(a<b<c) from two joins of the oriented edge list, closed by a third
+    equi-join — each triangle counted exactly once. All three joins are on
+    node keys (shuffle- or broadcast-joinable); no neighborhood arrays, so
+    skewed high-degree nodes cost |N(v)|² join rows, not driver memory."""
+    und = orient_edges(edges, src, dst).cache()
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    nodes = und.select(F.col("lo").alias("n")).union(
+        und.select(F.col("hi").alias("n"))
+    )
+    return tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")).crossJoin(
+        und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    ).crossJoin(
+        nodes.distinct().agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ).select("n_nodes", "n_edges", "n_triangles")

@@ -139,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_queries,
         dedup_queries,
         format_queries,
+        graph_queries,
         layout_queries,
         multimodal_queries,
         pipeline_queries,
@@ -162,6 +163,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling_queries,
         curation_queries,
         format_queries,
+        graph_queries,
         layout_queries,
         sketch_queries,
         timeseries_queries,

@@ -1,0 +1,146 @@
+"""Graph-analytics queries over the TPC-H nation trade graph (functions/graph.py):
+fixed-point PageRank and triangle counting.
+
+The graph: a directed edge (supplier nation → customer nation) exists when any
+lineitem ships between them (self-trade excluded). Building it is itself a
+scale-shaped workload — a 5-way join over lineitem/orders/customer/supplier/
+nation that DISTINCT-reduces to at most |nations|² rows, with partial
+aggregation collapsing the fact-side volume map-side before any shuffle; the
+graph algorithms then run on the dimension-sized edge list. The same operators
+run unchanged on a 100 TB host-link graph — rank state is one row per node and
+each PageRank iteration is one join + one groupBy on the node key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.graph import (
+    pagerank_fixed_point,
+    triangle_count,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+PR_ITERS = 5
+PR_SCALE = 1e12
+
+_EDGES_SQL = """
+  SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE ns.n_name <> nc.n_name
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over nation trade flows — the source-quality-weighting shape
+    (rank hosts by link structure, weight their documents). Fixed-point
+    integral arithmetic end to end (functions/graph.py determinism contract),
+    so the DuckDB oracle replays all 5 iterations bit-for-bit, including the
+    integral rank_fp trajectory values themselves."""
+    edges = _trade_edges(spark, sf_dir)
+    pr = pagerank_fixed_point(edges, "src", "dst", iterations=PR_ITERS, scale=PR_SCALE)
+    return pr.select(
+        F.col("node").alias("nation"),
+        F.col("rank_fp").cast("bigint").alias("rank_fp"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    d_num, d_den = 85, 100
+    parts = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY src)",
+        f"""r0 AS (SELECT node, FLOOR({PR_SCALE!r} / n) AS rank_fp
+       FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        p = t - 1
+        parts.append(
+            f"""c{t} AS (SELECT e.dst, SUM(FLOOR(r.rank_fp / o.od)) AS in_sum
+       FROM r{p} r JOIN outdeg o ON o.src = r.node
+       JOIN edges e ON e.src = r.node
+       GROUP BY e.dst),
+r{t} AS (SELECT n.node,
+                FLOOR({d_den - d_num} * {PR_SCALE!r} / {d_den} / nn.n)
+                + FLOOR({d_num}.0 * COALESCE(c.in_sum, 0.0) / {d_den}.0)
+                  AS rank_fp
+         FROM nodes n CROSS JOIN nn LEFT JOIN c{t} c ON c.dst = n.node)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT node AS nation,
+       CAST(rank_fp AS BIGINT) AS rank_fp,
+       ROUND(rank_fp / {PR_SCALE!r}, 6) AS rank
+FROM r{PR_ITERS}
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected trade graph — the degree-ordered
+    two-join wedge-close plan; community/spam density structure at any edge
+    cardinality (each triangle counted exactly once, no neighborhood
+    materialization)."""
+    return triangle_count(_trade_edges(spark, sf_dir), "src", "dst")
+
+
+Q_TRIANGLE_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM edges
+),
+nodes AS (SELECT lo AS n FROM und UNION SELECT hi FROM und),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "graph_pagerank_trade": QuerySpec(q_pagerank_trade, _pagerank_oracle()),
+    "graph_triangle_count": QuerySpec(q_triangle_count, Q_TRIANGLE_ORACLE),
+}
