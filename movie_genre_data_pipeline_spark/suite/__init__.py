@@ -57,11 +57,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-passed r1/r3)
     "merge_scd2",
     # relational spine (q3/q18 driver-passed in r1, q6 in r1-r3; rotated out)
+    # (window_topk_per_group / from_json_props / interval_join driver-passed
+    # r1-r4 — rotated out r5 for the new graph family + PQ, still oracled just
+    # past the window)
     "tpch_q1",
     "star_join",
-    "window_topk_per_group",
     "sessionize",
-    "from_json_props",
     "asof_join",
     # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, q2/q7/q22 in
     # r2-r4; rotated out for the r4/r5 operators that had never earned a row)
@@ -72,8 +73,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the window — the hot-key-replicated join plan gets its own driver row)
     "skew_salted_agg",
     "skew_salted_join",
-    "interval_join",
     "grouped_pandas_norm",
+    # r5: graph analytics (exact fixed-point PageRank + triangle census over
+    # the nation trade graph) — a brand-new family, seated immediately
+    "graph_pagerank_trade",
+    "graph_triangle_count",
     # sampling/packing (corpus_shuffle + stratified oracle driver-passed; r4
     # brings the token-packer into the window now its HUGEINT oracle is pinned)
     "sample_stratified_split",
@@ -108,6 +112,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_lsh_top1",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
+    # r5: product-quantization ADC recall, fully oracled (codebooks, encode,
+    # search, and baseline all exact-arithmetic)
+    "sim_pq_recall",
     # corpus curation (r2 family; gopher_flags driver-passed r3, rotated out)
     "curate_chunk_documents",
     "curate_pii_redaction",
