@@ -51,11 +51,19 @@ def pagerank_fixed_point(
     by the caller if multiplicity is not intended. `rank = rank_fp / scale` is
     the float view; `rank_fp` is the exact integral trajectory value.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge list ONCE: the graph is usually derived by an
+    # expensive fact-side reduction (the suite's 5-way TPC-H join), and every
+    # iteration references it — without a stage barrier each of the
+    # `iterations` plans would re-execute that derivation. localCheckpoint
+    # truncates the lineage so iterations replan only dimension-sized joins.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -95,6 +103,10 @@ def pagerank_fixed_point(
                     ).cast("double")
                 ).alias("rank_fp"),
             )
+            # flat lineage per iteration: without this, iteration t's plan
+            # re-executes iterations 1..t-1 (O(iter²) shuffles). Rank state is
+            # one row per node — the checkpoint is vertex-sized.
+            .localCheckpoint(eager=True)
         )
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp") / F.lit(scale)).alias("rank")
