@@ -426,3 +426,70 @@ JOIN sizes sb ON sb.doc_id = id_b
 
 
 QUERIES["dedup_winnow"] = QuerySpec(q_dedup_winnow, _dedup_winnow_oracle())
+
+
+# -- semantic dedup over LEARNED clusters (SemDeDup, r5) --------------------------------
+# Abbas et al., "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication" (2023): cluster the embedding space, then drop near-identical
+# vectors WITHIN each cluster — O(n²/k) candidate pairs instead of O(n²), the
+# trick that made semantic dedup tractable on LAION-scale corpora. This is the
+# learned-cell composition of two existing oracled parts: kmeans_exact_cells
+# (bit-replayable Lloyd iterations) + embedding_near_dup's keep-first rule
+# (cosine rounded to 6dp BEFORE thresholding). The oracle replays clustering,
+# pairing, and the removal decision exactly.
+SEMDEDUP_THRESHOLD = 0.30
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import embedding_near_dup
+    from movie_genre_data_pipeline_spark.functions.kmeans import kmeans_exact_cells
+    from movie_genre_data_pipeline_spark.suite.similarity_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cells = kmeans_exact_cells(
+        e, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
+    ).withColumnRenamed("vid", "vec_id")
+    with_cells = e.join(cells, "vec_id")
+    flagged = embedding_near_dup(
+        with_cells, "vec_id", "embedding", "cluster", threshold=SEMDEDUP_THRESHOLD
+    )
+    return flagged.groupBy(F.col("cell").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+def _dedup_semantic_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.similarity_queries import (
+        _cos_sql,
+        kmeans_cells_cte,
+    )
+
+    return f"""
+WITH {kmeans_cells_cte()},
+ev AS (SELECT c.vid, c.cluster, e.embedding::DOUBLE[] AS v
+       FROM embeddings e JOIN cells c ON c.vid = e.vec_id),
+dups AS (
+  SELECT DISTINCT a.vid
+  FROM ev a JOIN ev b ON a.cluster = b.cluster AND b.vid < a.vid
+  WHERE {_cos_sql("a.v", "b.v")} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN vid IN (SELECT vid FROM dups) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN vid IN (SELECT vid FROM dups) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_kept
+FROM ev GROUP BY cluster
+"""
+
+
+QUERIES["dedup_semantic"] = QuerySpec(q_dedup_semantic, _dedup_semantic_oracle())

@@ -285,8 +285,13 @@ def q_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_recall_oracle() -> str:
-    k, iters, dim = KMEANS_K, KMEANS_ITERS, DIM
+def kmeans_cells_cte(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """SQL CTE chain replaying functions/kmeans.py:kmeans_exact_cells
+    bit-for-bit: quantized vectors `eq(vid, vq)`, `iters` unrolled Lloyd
+    iterations, final assignment `cells(vid, cluster)`. Shared by every oracle
+    that consumes learned cells (`sim_kmeans_recall`, `dedup_semantic`).
+    Embed as: `WITH {kmeans_cells_cte()}, <your CTEs...>`."""
+    dim = DIM
 
     def sqd(v: str, c: str) -> str:
         return (
@@ -321,8 +326,15 @@ c{t} AS (SELECT p.cluster, COALESCE(w.cv, p.cv) AS cv
         FROM eq e CROSS JOIN c{iters} c),
 cells AS (SELECT vid, cluster FROM
           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
-                     ORDER BY dist ASC, cluster ASC) AS rn FROM dfin) WHERE rn = 1),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                     ORDER BY dist ASC, cluster ASC) AS rn FROM dfin) WHERE rn = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def _kmeans_recall_oracle() -> str:
+    parts = [
+        kmeans_cells_cte(),
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 iscored AS (
   SELECT a.vec_id AS vid, {_cos_sql("a.v", "b.v")} AS cos_sim
   FROM e a JOIN cells ca ON ca.vid = a.vec_id
@@ -330,8 +342,8 @@ iscored AS (
        JOIN e b ON b.vec_id = cb.vid AND a.vec_id <> b.vec_id
 ),
 approx AS (SELECT vid, MAX(cos_sim) AS ivf_cos FROM iscored GROUP BY vid),
-exact AS ({Q_TOPK_BRUTEFORCE_ORACLE.strip()})"""
-    )
+exact AS ({Q_TOPK_BRUTEFORCE_ORACLE.strip()})""",
+    ]
     body = ",\n".join(parts)
     return f"""
 WITH {body}
