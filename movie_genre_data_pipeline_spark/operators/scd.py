@@ -83,3 +83,42 @@ def scd2_apply(
         "eff_to", F.lead(F.col(eff_from_col)).over(w)
     )
     return out.withColumn("is_current", F.col("eff_to").isNull())
+
+
+def scd2_apply_incremental(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    eff_from_col: str = "eff_from",
+) -> DataFrame:
+    """Incremental Type-2 maintenance: rebuild history ONLY for keys present in
+    `updates`; untouched keys' rows pass through byte-identical.
+
+    `history` is an existing full SCD2 table (an `scd2_apply` output:
+    key_cols + attr_cols + eff_from + eff_to + is_current). Because every
+    key's interval chain in `scd2_apply` derives solely from that key's own
+    rows (the window is partitioned by key), recomputing the touched partition
+    and passing the rest through is EXACTLY equal to the full-batch
+    `scd2_apply` over all keys — the law `tests/test_scd.py` pins and the
+    `merge_scd2_incremental` suite query proves against the batch oracle.
+
+    Scale shape: the nightly reality at 100 TB — a billion-key dimension where
+    a batch touches thousands of keys. Two key-joins against the (tiny) touched
+    key set (semi + anti; Spark broadcasts it automatically) and the windowed
+    rebuild runs over |touched| keys' rows only, not the dimension.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    out_cols = [*keys, *attrs, eff_from_col, "eff_to", "is_current"]
+    touched = updates.select(*keys).distinct()
+    untouched = history.join(touched, keys, "left_anti").select(*out_cols)
+    touched_hist = history.join(touched, keys, "left_semi")
+    rebuilt = scd2_apply(
+        touched_hist.select(*keys, *attrs, eff_from_col),
+        updates,
+        keys,
+        attrs,
+        eff_from_col,
+    ).select(*out_cols)
+    return untouched.unionByName(rebuilt)

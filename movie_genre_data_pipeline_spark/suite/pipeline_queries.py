@@ -405,6 +405,57 @@ SELECT c_custkey, tier, eff_from, eff_to, (eff_to IS NULL) AS is_current FROM fi
 """
 
 
+# -- J3b (extension): INCREMENTAL SCD2 — touched-keys-only rebuild -----------------------
+SCD2_SPLIT = "1996-01-01"
+
+
+def q_merge_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-batch shape of merge_scd2: the pre-1996 tier history is the
+    persisted dimension; post-1996 upgrades arrive as the update batch and
+    scd2_apply_incremental rebuilds ONLY the touched keys (two joins against
+    the broadcast-sized touched set + a window over their rows — never a
+    rewrite of the billion-key dimension). Per-key locality of the window
+    makes the result EXACTLY the full-batch history, so this query shares
+    merge_scd2's oracle verbatim — incremental == batch is itself the
+    driver-checked contract."""
+    from movie_genre_data_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_apply_incremental,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    ups = (
+        orders.filter(F.col("o_totalprice") > 350000)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("eff_from"),
+        )
+        .agg(F.max("o_totalprice").alias("amt"))
+        .select(
+            "c_custkey",
+            "eff_from",
+            F.when(F.col("amt") > 450000, "PLATINUM")
+            .when(F.col("amt") > 400000, "GOLD")
+            .otherwise("SILVER")
+            .alias("tier"),
+        )
+    )
+    base = cust.select(
+        "c_custkey",
+        F.lit("1990-01-01").cast("timestamp").alias("eff_from"),
+        F.lit("BASE").alias("tier"),
+    )
+    split = F.lit(SCD2_SPLIT).cast("timestamp")
+    history = scd2_apply(
+        base, ups.filter(F.col("eff_from") < split), ["c_custkey"], ["tier"], "eff_from"
+    )
+    hist2 = scd2_apply_incremental(
+        history, ups.filter(F.col("eff_from") >= split), ["c_custkey"], ["tier"], "eff_from"
+    )
+    return hist2.select("c_custkey", "tier", "eff_from", "eff_to", "is_current")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue_by_flag_status": QuerySpec(flagship, FLAGSHIP_ORACLE),
     "project_cast": QuerySpec(q_project_cast, Q_PROJECT_CAST_ORACLE),
@@ -426,4 +477,6 @@ QUERIES: dict[str, QuerySpec] = {
     "merge_status_update": QuerySpec(q_merge_status_update, Q_MERGE_STATUS_UPDATE_ORACLE),
     "merge_insert_missing": QuerySpec(q_merge_insert_missing, Q_MERGE_INSERT_MISSING_ORACLE),
     "merge_scd2": QuerySpec(q_merge_scd2, Q_MERGE_SCD2_ORACLE),
+    # shares the batch oracle: incremental == batch IS the checked contract
+    "merge_scd2_incremental": QuerySpec(q_merge_scd2_incremental, Q_MERGE_SCD2_ORACLE),
 }

@@ -753,8 +753,88 @@ def _stream_histo_oracle() -> str:
     return Q_HISTOGRAM_QUANTILES_ORACLE
 
 
+def q_stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth streaming sketch ledger — Count-Min under incremental execution:
+    four real micro-batches of documents each shingle their own text and
+    append their d×w grid delta to a ledger; the fold on read is cell-wise
+    re-SUM (like the histogram — CMS is a linear sketch), so the folded grid
+    EXACTLY equals the batch build and the heavy-hitter probe shares the batch
+    oracle verbatim. EVERY sketch family member now has an incremental path
+    proven under its own merge algebra (max / bottom-k / sum / sum). Ledger
+    state ≤ d·w rows per batch regardless of batch size."""
+    from movie_genre_data_pipeline_spark.functions.cms import build_cms, cms_estimate
+    from movie_genre_data_pipeline_spark.functions.dedup import shingle_rows
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import (
+        CMS_D,
+        CMS_W,
+        GRAM_K,
+        TOP_N,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_cms_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        grams = shingle_rows(batch_df, "doc_id", "text", k=GRAM_K).select(
+            F.col("s").alias("gram")
+        )
+        build_cms(grams, "gram", CMS_W, CMS_D).write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    grams = shingle_rows(d, "doc_id", "text", k=GRAM_K).select(
+        F.col("s").alias("gram")
+    )
+    vocab = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = cms_estimate(vocab, "gram", folded, CMS_W, CMS_D)
+    return (
+        est.select(
+            "gram",
+            "n_exact",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("cms_est").desc(), F.col("gram").asc())
+        .limit(TOP_N)
+    )
+
+
+def _stream_cms_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import (
+        Q_CMS_HEAVY_HITTERS_ORACLE,
+    )
+
+    return Q_CMS_HEAVY_HITTERS_ORACLE
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
+    "stream_cms_heavy": QuerySpec(q_stream_cms_heavy, _stream_cms_oracle()),
     "stream_histogram_quantiles": QuerySpec(
         q_stream_histogram_quantiles, _stream_histo_oracle()
     ),

@@ -106,3 +106,55 @@ def test_scd2_empty_cols_raise(spark):
         scd2_apply(df, df, [], ["attr"])
     with pytest.raises(ValueError):
         scd2_apply(df, df, ["k"], [])
+
+
+# -- incremental maintenance ------------------------------------------------------------
+def _rows_set(df):
+    return sorted(
+        (r["k"], r["attr"], str(r["eff_from"]), str(r["eff_to"]), r["is_current"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_incremental_equals_batch(spark):
+    """Splitting the update stream at ANY point and applying the tail
+    incrementally must reproduce the full-batch history exactly — including
+    late updates that splice into already-persisted intervals, untouched keys
+    passing through, and brand-new keys arriving in the increment."""
+    from movie_genre_data_pipeline_spark.operators.scd import scd2_apply_incremental
+
+    cur = _df(
+        spark,
+        [
+            Row(k=1, attr="A", eff_from="2020-01-01"),
+            Row(k=2, attr="X", eff_from="2020-01-01"),
+            Row(k=3, attr="Q", eff_from="2020-01-01"),  # untouched key
+        ],
+    )
+    ups_rows = [
+        Row(k=1, attr="B", eff_from="2020-04-01"),
+        Row(k=1, attr="B", eff_from="2020-05-01"),  # no-op redelivery
+        Row(k=2, attr="Y", eff_from="2020-02-01"),
+        Row(k=1, attr="C", eff_from="2020-06-01"),
+        Row(k=1, attr="A2", eff_from="2020-02-15"),  # late splice (pre-split era)
+        Row(k=4, attr="N", eff_from="2020-07-01"),  # new key in the increment
+    ]
+    batch = scd2_apply(cur, _df(spark, ups_rows), ["k"], ["attr"], "eff_from")
+    for split in ("2020-03-01", "2020-05-15", "2021-01-01"):
+        early = [r for r in ups_rows if r.eff_from < split]
+        late = [r for r in ups_rows if r.eff_from >= split]
+        hist = scd2_apply(
+            cur,
+            _df(spark, early) if early else _df(spark, ups_rows).limit(0),
+            ["k"],
+            ["attr"],
+            "eff_from",
+        )
+        inc = scd2_apply_incremental(
+            hist,
+            _df(spark, late) if late else _df(spark, ups_rows).limit(0),
+            ["k"],
+            ["attr"],
+            "eff_from",
+        )
+        assert _rows_set(inc) == _rows_set(batch), split
