@@ -229,6 +229,22 @@ def minhash_lsh_candidates(
     shuffle on band_key → per-bucket pairing. No all-pairs comparison ever
     happens; docs only meet if a full band (rows_per_band mins) collides.
     """
+    keyed = _band_keyed(df, id_col, text_col, bands, rows_per_band, k)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def _band_keyed(
+    df: DataFrame, id_col: str, text_col: str, bands: int, rows_per_band: int, k: int
+) -> DataFrame:
+    """(doc, band_key) rows — the bucketing half of minhash_lsh_candidates,
+    shared by the self-join and cross-dataset variants."""
     sig = minhash_signature_table(df, id_col, text_col, bands * rows_per_band, k)
     band_cols = [
         F.md5(
@@ -236,19 +252,37 @@ def minhash_lsh_candidates(
                 "|",
                 F.lit(str(b)),
                 F.concat_ws(
-                    "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    "|",
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
                 ),
             )
         )
         for b in range(bands)
     ]
-    keyed = sig.select("doc", F.explode(F.array(*band_cols)).alias("band_key"))
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    return sig.select("doc", F.explode(F.array(*band_cols)).alias("band_key"))
+
+
+def minhash_lsh_candidates_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-DATASET candidate pairs (left_id, right_id, distinct): a left doc
+    meets a right doc iff a full MinHash band collides — the fuzzy-membership
+    join behind near-duplicate benchmark decontamination (the D4/Dolma-style
+    step that catches paraphrased/templated eval leakage exact n-gram digests
+    miss). Same plan shape as the self-join variant: band keys from partial-
+    aggregated signatures, ONE equi-shuffle on band_key; the (usually tiny)
+    right side's keyed rows broadcast when they fit."""
+    a = _band_keyed(left, id_col, text_col, bands, rows_per_band, k)
+    b = _band_keyed(right, id_col, text_col, bands, rows_per_band, k)
     return (
-        a.join(b, on="band_key")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        a.join(b.withColumnRenamed("doc", "right_id"), "band_key")
+        .select(F.col("doc").alias("left_id"), "right_id")
         .distinct()
     )
 

@@ -570,3 +570,127 @@ WHERE rn <= {QUOTA_K}
 """
 
 QUERIES["sample_source_quota"] = QuerySpec(q_source_quota, Q_SOURCE_QUOTA_ORACLE)
+
+
+# -- fuzzy decontamination: cross-dataset MinHash-LSH + exact-Jaccard verify (r5) -------
+# Exact digest decontamination (curate_decontaminate) and Bloom membership
+# (curate_bloom_decontaminate) only catch verbatim n-gram leakage; paraphrased /
+# templated benchmark text slips through. The D4/Dolma-style fuzzy step: LSH
+# band collision between corpus and benchmark (one equi-shuffle, no all-pairs),
+# then exact Jaccard verification of ONLY the candidates — the sketch→exact
+# handoff discipline (SCALE.md §9e) applied cross-dataset.
+FUZZY_BENCH_MOD = 3  # fixture-derived split: every 3rd doc plays the held-out eval set
+FUZZY_JACCARD_T = 0.2
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import (
+        minhash_lsh_candidates_cross,
+        shingle_rows,
+    )
+    from movie_genre_data_pipeline_spark.suite.dedup_queries import (
+        BANDS,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0)
+    cands = minhash_lsh_candidates_cross(
+        corpus, bench, "doc_id", "text", bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        k=SHINGLE_K,
+    ).select(F.col("left_id").alias("corpus_id"), F.col("right_id").alias("bench_id"))
+
+    shc = shingle_rows(corpus, "doc_id", "text", SHINGLE_K, distinct=True).select(
+        F.col("doc").alias("corpus_id"), F.col("s").alias("sh")
+    )
+    shb = shingle_rows(bench, "doc_id", "text", SHINGLE_K, distinct=True).select(
+        F.col("doc").alias("bench_id"), F.col("s").alias("sh")
+    )
+    sizes_c = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("n_c"))
+    sizes_b = shb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    # intersection restricted to LSH candidates — the corpus is never
+    # all-pairs-joined against the benchmark's shingles
+    inter = (
+        cands.join(shc, "corpus_id")
+        .join(shb, ["bench_id", "sh"])
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(sizes_c, "corpus_id")
+        .join(F.broadcast(sizes_b), "bench_id")
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.round(
+                F.col("inter")
+                / (F.col("n_c") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_JACCARD_T)
+    )
+    return verified.select("corpus_id", "bench_id", "jaccard")
+
+
+def _fuzzy_decon_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.dedup_queries import (
+        _MINHASH_P,
+        _SHINGLES_CTE,
+        BANDS,
+        ROWS_PER_BAND,
+    )
+
+    h = BANDS * ROWS_PER_BAND
+    r = ROWS_PER_BAND
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {h - 1}),
+           h -> list_aggregate(
+                  list_transform(shingles,
+                    s -> (CAST(concat('0x', substring(md5(s), 1, 12)) AS BIGINT)
+                          + h * CAST(concat('0x', substring(md5(s), 13, 12)) AS BIGINT))
+                         % {_MINHASH_P}),
+                  'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {BANDS - 1}),
+                b -> md5(b || '|' || array_to_string(
+                       sig[b*{r}+1 : b*{r}+{r}], '|')))) AS band_key
+  FROM sig
+),
+cands AS (
+  SELECT DISTINCT c.doc_id AS corpus_id, e.doc_id AS bench_id
+  FROM bands c JOIN bands e ON c.band_key = e.band_key
+  WHERE c.doc_id % {FUZZY_BENCH_MOD} != 0 AND e.doc_id % {FUZZY_BENCH_MOD} = 0
+),
+shrows AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shrows GROUP BY doc_id),
+inter AS (
+  SELECT k.corpus_id, k.bench_id, COUNT(*) AS inter
+  FROM cands k
+  JOIN shrows a ON a.doc_id = k.corpus_id
+  JOIN shrows b ON b.doc_id = k.bench_id AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT corpus_id, bench_id,
+       ROUND(inter / CAST(sc.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sc ON sc.doc_id = corpus_id
+JOIN sizes sb ON sb.doc_id = bench_id
+WHERE ROUND(inter / CAST(sc.n_sh + sb.n_sh - inter AS DOUBLE), 6)
+      >= {FUZZY_JACCARD_T}
+"""
+
+
+QUERIES["curate_fuzzy_decontaminate"] = QuerySpec(
+    q_fuzzy_decontaminate, _fuzzy_decon_oracle()
+)

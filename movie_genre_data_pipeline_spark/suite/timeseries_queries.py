@@ -279,10 +279,82 @@ FROM scored
 """
 
 
+# -- retention cohorts: first-seen week × activity-week offset --------------------------
+WEEK_S = 604800
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-retention matrix every product-analytics warehouse serves:
+    users grouped by first-seen week, and for each later week the fraction of
+    the cohort still active. Three hash aggregates, all shuffling on user_id
+    or the (cohort, offset) pair — per-user state is one min(); the matrix is
+    (weeks × weeks) rows, dimension-sized at any event volume. Integer counts
+    + one division keep every cell oracle-exact."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import (
+        epoch_seconds,
+        time_bucket,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", time_bucket("ts", WEEK_S).alias("week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        weekly.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                (epoch_seconds("week") - epoch_seconds("cohort_week"))
+                / F.lit(WEEK_S)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+Q_RETENTION_COHORTS_ORACLE = f"""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         make_timestamp(CAST(FLOOR(EPOCH(ts) / {WEEK_S}) AS BIGINT)
+                        * {WEEK_S} * 1000000) AS week
+  FROM events
+),
+cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id),
+sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM cohorts GROUP BY cohort_week),
+cells AS (
+  SELECT c.cohort_week,
+         CAST((EPOCH(w.week) - EPOCH(c.cohort_week)) / {WEEK_S} AS BIGINT)
+           AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM weekly w JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(ce.cohort_week, '%Y-%m-%d') AS cohort,
+       ce.week_offset, ce.n_active, s.cohort_size,
+       ROUND(ce.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM cells ce JOIN sizes s USING (cohort_week)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "time_bucket_gapfill": QuerySpec(
         q_time_bucket_gapfill, Q_TIME_BUCKET_GAPFILL_ORACLE
     ),
+    "ts_retention_cohorts": QuerySpec(q_retention_cohorts, Q_RETENTION_COHORTS_ORACLE),
     "funnel_conversion": QuerySpec(q_funnel_conversion, Q_FUNNEL_CONVERSION_ORACLE),
     "rollup_cascade": QuerySpec(q_rollup_cascade, Q_ROLLUP_CASCADE_ORACLE),
     "ts_anomaly_zscore": QuerySpec(q_anomaly_zscore, Q_ANOMALY_ZSCORE_ORACLE),
