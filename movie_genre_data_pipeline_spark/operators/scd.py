@@ -101,7 +101,14 @@ def scd2_apply_incremental(
     rows (the window is partitioned by key), recomputing the touched partition
     and passing the rest through is EXACTLY equal to the full-batch
     `scd2_apply` over all keys — the law `tests/test_scd.py` pins and the
-    `merge_scd2_incremental` suite query proves against the batch oracle.
+    `merge_scd2_incremental` suite query proves against the batch oracle —
+    PROVIDED batches are eff_from-monotone per key (each batch's updates are
+    not strictly older than an already-applied update of the same key, the
+    normal watermark contract). Under arbitrary delivery order the collapsed
+    history can have dropped a no-op version that a later, OLDER update would
+    have turned into a real attribute flip — unrecoverable from `history`
+    alone (counterexample pinned in tests/test_scd.py). For any-order
+    exactness rebuild from the event log: `scd2_apply_incremental_log`.
 
     Scale shape: the nightly reality at 100 TB — a billion-key dimension where
     a batch touches thousands of keys. Two key-joins against the (tiny) touched
@@ -120,5 +127,44 @@ def scd2_apply_incremental(
         keys,
         attrs,
         eff_from_col,
+    ).select(*out_cols)
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_apply_incremental_log(
+    history: DataFrame,
+    log: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    eff_from_col: str = "eff_from",
+) -> DataFrame:
+    """Incremental Type-2 maintenance that is exact under ANY delivery order.
+
+    `scd2_apply_incremental` rebuilds touched keys from the COLLAPSED history,
+    which is only exact when batches are eff_from-monotone per key: a no-op
+    version dropped by the collapse is unrecoverable, so an update that later
+    splices strictly BEFORE it cannot restore the attribute flip the batch
+    derivation would show (counterexample pinned in tests/test_scd.py).
+
+    This variant rebuilds touched keys from `log` — the append-only version-
+    EVENT log (each key's seed row + every update ever delivered, `updates`
+    included by the caller's append) — which retains exactly the information
+    collapse discards. The log is the bitemporal source of truth; `history` is
+    its incrementally-maintained materialized view. Same cost shape: two joins
+    against the broadcast-sized touched key set; the window runs over touched
+    keys' LOG rows (per-key event counts, not the dimension).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    out_cols = [*keys, *attrs, eff_from_col, "eff_to", "is_current"]
+    touched = updates.select(*keys).distinct()
+    untouched = history.join(touched, keys, "left_anti").select(*out_cols)
+    log_touched = log.join(touched, keys, "left_semi").select(
+        *keys, *attrs, eff_from_col
+    )
+    rebuilt = scd2_apply(
+        log_touched, updates.select(*keys, *attrs, eff_from_col).limit(0),
+        keys, attrs, eff_from_col,
     ).select(*out_cols)
     return untouched.unionByName(rebuilt)

@@ -832,8 +832,105 @@ def _stream_cms_oracle() -> str:
     return Q_CMS_HEAVY_HITTERS_ORACLE
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dimension maintenance: the customer-tier SCD2 history kept
+    current by foreachBatch + scd2_apply_incremental_log — each micro-batch
+    appends to the version-event LOG (the bitemporal source of truth), then
+    rebuilds ONLY its touched keys from their full log against the persisted
+    history (versioned parquet generations, read-previous/write-next, the
+    no-Delta equivalent of MERGE's snapshot isolation). Micro-batches here
+    arrive in ARBITRARY date order (round-robin file split), which is
+    exactly the case where collapsed-history incrementality loses no-op
+    restore points — the log-based rebuild is order-independent, so the
+    final history EXACTLY equals the batch derivation and this query shares
+    merge_scd2's oracle verbatim."""
+    from movie_genre_data_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_apply_incremental_log,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+
+    base_dir = tempfile.mkdtemp(prefix="stream_scd2_")
+    src = f"{base_dir}/src"
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    ups = (
+        orders.filter(F.col("o_totalprice") > 350000)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("eff_from"),
+        )
+        .agg(F.max("o_totalprice").alias("amt"))
+        .select(
+            "c_custkey",
+            "eff_from",
+            F.when(F.col("amt") > 450000, "PLATINUM")
+            .when(F.col("amt") > 400000, "GOLD")
+            .otherwise("SILVER")
+            .alias("tier"),
+        )
+    )
+    ups.repartition(4).write.parquet(src)
+
+    base = cust.select(
+        "c_custkey",
+        F.lit("1990-01-01").cast("timestamp").alias("eff_from"),
+        F.lit("BASE").alias("tier"),
+    )
+    # generation 0: every customer's BASE version; the log seeds with the
+    # same BASE rows (each key's first version event)
+    gen = {"n": 0}
+    log_dir = f"{base_dir}/log"
+    base.write.parquet(log_dir)
+    scd2_apply(base, base.limit(0), ["c_custkey"], ["tier"], "eff_from").write.parquet(
+        f"{base_dir}/hist_0"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("eff_from", T.TimestampType()),
+            T.StructField("tier", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # 1. the event log is the source of truth — append first
+        batch_df.select("c_custkey", "eff_from", "tier").write.mode(
+            "append"
+        ).parquet(log_dir)
+        # 2. rebuild touched keys from their full log; untouched pass through
+        prev = spark.read.parquet(f"{base_dir}/hist_{gen['n']}")
+        log = spark.read.parquet(log_dir)
+        nxt = scd2_apply_incremental_log(
+            prev, log, batch_df, ["c_custkey"], ["tier"], "eff_from"
+        )
+        gen["n"] += 1
+        nxt.write.parquet(f"{base_dir}/hist_{gen['n']}")
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    hist = spark.read.parquet(f"{base_dir}/hist_{gen['n']}")
+    return hist.select("c_custkey", "tier", "eff_from", "eff_to", "is_current")
+
+
+def _stream_scd2_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        Q_MERGE_SCD2_ORACLE,
+    )
+
+    return Q_MERGE_SCD2_ORACLE
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
+    "stream_scd2_incremental": QuerySpec(q_stream_scd2, _stream_scd2_oracle()),
     "stream_cms_heavy": QuerySpec(q_stream_cms_heavy, _stream_cms_oracle()),
     "stream_histogram_quantiles": QuerySpec(
         q_stream_histogram_quantiles, _stream_histo_oracle()

@@ -158,3 +158,50 @@ def test_scd2_incremental_equals_batch(spark):
             "eff_from",
         )
         assert _rows_set(inc) == _rows_set(batch), split
+
+
+def test_scd2_incremental_nonmonotone_counterexample_and_log_fix(spark):
+    """The collapse-splice hazard: a no-op version dropped from persisted
+    history is unrecoverable, so an OLDER update arriving in a later batch
+    diverges from the batch derivation — while the log-based rebuild
+    (scd2_apply_incremental_log) stays exact under any order."""
+    from movie_genre_data_pipeline_spark.operators.scd import (
+        scd2_apply_incremental,
+        scd2_apply_incremental_log,
+    )
+
+    cur = _df(spark, [Row(k=1, attr="A", eff_from="2020-01-01")])
+    # batch 1 delivers A@2020-06-01 (a no-op vs the BASE run -> collapsed away);
+    # batch 2 delivers B@2020-03-01, which splices BEFORE it and should make
+    # the 2020-06-01 A a REAL flip back
+    b1 = [Row(k=1, attr="A", eff_from="2020-06-01")]
+    b2 = [Row(k=1, attr="B", eff_from="2020-03-01")]
+    batch = scd2_apply(cur, _df(spark, b1 + b2), ["k"], ["attr"], "eff_from")
+    assert len(_rows_set(batch)) == 3  # A, B, A — the flip-back survives
+
+    hist1 = scd2_apply_incremental(
+        scd2_apply(cur, _df(spark, b1).limit(0), ["k"], ["attr"], "eff_from"),
+        _df(spark, b1),
+        ["k"],
+        ["attr"],
+        "eff_from",
+    )
+    plain = scd2_apply_incremental(hist1, _df(spark, b2), ["k"], ["attr"], "eff_from")
+    # documented divergence: the collapsed no-op cannot be restored
+    assert _rows_set(plain) != _rows_set(batch)
+
+    # log-based: seed log with the base version, append each batch before rebuild
+    log1 = _df(spark, [Row(k=1, attr="A", eff_from="2020-01-01")] + b1)
+    histL1 = scd2_apply_incremental_log(
+        scd2_apply(cur, _df(spark, b1).limit(0), ["k"], ["attr"], "eff_from"),
+        log1,
+        _df(spark, b1),
+        ["k"],
+        ["attr"],
+        "eff_from",
+    )
+    log2 = _df(spark, [Row(k=1, attr="A", eff_from="2020-01-01")] + b1 + b2)
+    histL2 = scd2_apply_incremental_log(
+        histL1, log2, _df(spark, b2), ["k"], ["attr"], "eff_from"
+    )
+    assert _rows_set(histL2) == _rows_set(batch)
