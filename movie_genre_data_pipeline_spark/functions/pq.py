@@ -98,20 +98,28 @@ def pq_encode(
 
 
 def pq_adc_scores(
-    queries: DataFrame, codes: DataFrame, codebooks: list[list[list[float]]]
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    join_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vid, neighbor, adc): asymmetric distance from every query to every
     encoded vector. The per-query m×k distance table is computed ONCE as array
     columns (m·k folds per query row); each pair then costs m element_at
     lookups + a fixed-order sum — the PQ speedup over a d-dim fold per pair.
 
-    Exhaustive over `codes` by contract (compressed-corpus scan); compose with
-    an IVF cell equi-join for sub-linear candidate sets at scale.
+    With `join_cols` empty the scan is exhaustive over `codes` by contract
+    (compressed-corpus scan). Passing a cell assignment column present on BOTH
+    frames (e.g. the kmeans coarse cell) restricts candidates to an equi-join
+    on it — IVFADC, the standard billion-scale composition: the coarse
+    quantizer prunes WHICH codes a query touches, PQ prices each touch at m
+    lookups.
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     q = queries.select(
         F.col("vid").alias("q_vid"),
+        *[F.col(c) for c in join_cols],
         *[
             F.array(
                 *[_sq_dist(subvector(F.col("vq"), j, dsub), c) for c in book]
@@ -119,8 +127,15 @@ def pq_adc_scores(
             for j, book in enumerate(codebooks)
         ],
     )
-    b = codes.select(F.col("vid").alias("neighbor"), "codes")
-    pairs = q.join(b, q["q_vid"] != b["neighbor"])
+    b = codes.select(
+        F.col("vid").alias("neighbor"),
+        *[F.col(c).alias(f"__b_{c}") for c in join_cols],
+        "codes",
+    )
+    cond = q["q_vid"] != b["neighbor"]
+    for c in join_cols:
+        cond = cond & (q[c] == b[f"__b_{c}"])
+    pairs = q.join(b, cond)
     adc = F.element_at(F.col("dtab0"), F.col("codes")[0] + 1)
     for j in range(1, m):
         adc = adc + F.element_at(F.col(f"dtab{j}"), F.col("codes")[j] + 1)

@@ -421,20 +421,26 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recall_oracle() -> str:
-    m, k, iters, dsub = PQ_M, PQ_K, PQ_ITERS, _PQ_DSUB
+def _pq_sqd(v: str, c: str, d: int) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {d}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+    )
 
-    def sqd(v: str, c: str, d: int) -> str:
-        return (
-            f"list_aggregate(list_transform(generate_series(1, {d}), "
-            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
-        )
 
-    parts = [
-        f"""eq AS (SELECT vec_id AS vid,
+_PQ_EQ_CTE = f"""eq AS (SELECT vec_id AS vid,
          list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_SCALE})) AS vq
   FROM embeddings)"""
-    ]
+
+
+def _pq_codes_cte() -> str:
+    """CTE chain replaying functions/pq.py codebook training + encoding
+    (assumes `eq` is already defined): per subspace j, sub{j} slices, the
+    unrolled exact Lloyd loop, and bc{j}(vid, cv) — each vector's assigned
+    centroid in subspace j. Shared by sim_pq_recall and sim_pq_ivfadc."""
+    m, k, iters, dsub = PQ_M, PQ_K, PQ_ITERS, _PQ_DSUB
+    sqd = _pq_sqd
+    parts: list[str] = []
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
         parts.append(
@@ -469,6 +475,15 @@ bc{j} AS (SELECT d.vid, c.cv FROM
            WHERE rn = 1) d
           JOIN c{j}_{iters} c USING (cluster))"""
         )
+    return ",\n".join(parts)
+
+
+def _pq_search_sql(head_ctes: str, cell_restrict: bool) -> str:
+    """ADC search + recall@1-vs-exact-L2 tail over the codebook CTEs.
+    `cell_restrict` adds the coarse-cell equi-join (needs `cells` from
+    kmeans_cells_cte in head_ctes) — the IVFADC candidate pruning."""
+    m, dsub = PQ_M, _PQ_DSUB
+    sqd = _pq_sqd
     adc_terms = " + ".join(
         sqd(f"a{j}.v", f"b{j}.cv", dsub) for j in range(m)
     )
@@ -476,10 +491,15 @@ bc{j} AS (SELECT d.vid, c.cv FROM
         f"JOIN sub{j} a{j} ON a{j}.vid = a.vid JOIN bc{j} b{j} ON b{j}.vid = b.vid"
         for j in range(m)
     )
-    parts.append(
-        f"""pairs AS (
+    cell_joins = (
+        "\n  JOIN cells ka ON ka.vid = a.vid"
+        "\n  JOIN cells kb ON kb.vid = b.vid AND kb.cluster = ka.cluster"
+        if cell_restrict
+        else ""
+    )
+    tail = f"""pairs AS (
   SELECT a.vid AS vid, b.vid AS neighbor, {adc_terms} AS adc
-  FROM eq a JOIN eq b ON a.vid <> b.vid
+  FROM eq a JOIN eq b ON a.vid <> b.vid{cell_joins}
   {sub_joins}
 ),
 approx AS (SELECT vid, neighbor FROM
@@ -493,10 +513,9 @@ exbest AS (SELECT vid, MIN(d) AS d_min FROM exactp GROUP BY vid),
 dch AS (SELECT ap.vid, ep.d AS d_chosen
         FROM approx ap JOIN exactp ep
              ON ep.vid = ap.vid AND ep.neighbor = ap.neighbor)"""
-    )
-    body = ",\n".join(parts)
     return f"""
-WITH {body}
+WITH {head_ctes},
+{tail}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(CASE WHEN d.d_chosen = x.d_min THEN 1 ELSE 0 END) AS BIGINT)
          AS n_hits,
@@ -504,6 +523,88 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          AS recall_at_1
 FROM exbest x LEFT JOIN dch d USING (vid)
 """
+
+
+def _pq_recall_oracle() -> str:
+    return _pq_search_sql(
+        f"{_PQ_EQ_CTE},\n{_pq_codes_cte()}", cell_restrict=False
+    )
+
+
+# -- IVFADC: the production composition — coarse cells prune, PQ prices (r5) ----------
+def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV; the FAISS IndexIVFPQ architecture):
+    coarse k-means cells restrict WHICH codes a query touches (candidate set
+    n/k per cell on average), PQ asymmetric distance prices each touch at m
+    lookups — together the billion-scale search plan. Recall@1 measures the
+    COMBINED cell-pruning + quantization loss against exact L2 over the
+    uncompressed vectors. Codebooks here encode raw vectors (IVF-Flat-PQ);
+    classic residual encoding is a per-cell recentering the exact-arithmetic
+    framework supports identically. Fully oracled: DuckDB replays coarse
+    clustering, per-subspace codebooks, encoding, the cell-restricted ADC
+    scan, and the baseline bit-for-bit."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_exact_cells,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.pq import (
+        pq_adc_scores,
+        pq_encode,
+        pq_train_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    cells = kmeans_exact_cells(
+        e, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
+    )
+    books = pq_train_exact(q, DIM, PQ_M, PQ_K, PQ_ITERS)
+    with_cells = q.join(cells, "vid")
+    codes = pq_encode(q, books).join(cells, "vid")
+    adc = pq_adc_scores(with_cells, codes, books, join_cols=("cluster",))
+    w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
+    chosen = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "neighbor")
+    )
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = q.select(F.col("vid"), F.col("vq").alias("va"))
+    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
+    exact_pairs = a.join(b, F.col("vid") != F.col("neighbor")).select(
+        "vid", "neighbor", sqd(F.col("va"), F.col("vb")).alias("d")
+    )
+    exact_best = exact_pairs.groupBy("vid").agg(F.min("d").alias("d_min"))
+    d_chosen = (
+        chosen.join(a, "vid")
+        .join(b, "neighbor")
+        .select("vid", sqd(F.col("va"), F.col("vb")).alias("d_chosen"))
+    )
+    joined = exact_best.join(d_chosen, "vid", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("d_chosen") == F.col("d_min"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.avg(F.when(F.col("d_chosen") == F.col("d_min"), 1.0).otherwise(0.0)), 6
+        ).alias("recall_at_1"),
+    )
+
+
+def _pq_ivfadc_oracle() -> str:
+    return _pq_search_sql(
+        f"{kmeans_cells_cte()},\n{_pq_codes_cte()}", cell_restrict=True
+    )
 
 
 # -- embedding stats ----------------------------------------------------------------------
@@ -536,5 +637,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_multi_top1": QuerySpec(q_lsh_multi_top1, _lsh_multi_oracle()),
     "sim_kmeans_recall": QuerySpec(q_kmeans_recall, _kmeans_recall_oracle()),
     "sim_pq_recall": QuerySpec(q_pq_recall, _pq_recall_oracle()),
+    "sim_pq_ivfadc": QuerySpec(q_pq_ivfadc, _pq_ivfadc_oracle()),
     "sim_topk_kmeans_ivf": QuerySpec(q_topk_kmeans_ivf, None),
 }

@@ -85,3 +85,21 @@ def test_adc_is_centroid_distance(spark):
             sub = vecs[vid][j * dsub : (j + 1) * dsub]
             want += sum((a - b) ** 2 for a, b in zip(sub, cent))
         assert got == pytest.approx(want, rel=1e-12), (vid, nb)
+
+
+def test_adc_cell_restriction(spark):
+    # join_cols must restrict candidates to same-cell pairs only
+    rows = [(i, [float((i * 5 + j) % 7) for j in range(DIM)]) for i in range(12)]
+    q = _vecs(spark, rows).cache()
+    books = pq_train_exact(q, DIM, M, K, iterations=1)
+    codes = pq_encode(q, books)
+    cell = F.col("vid") % 3
+    qc = q.withColumn("cell", cell)
+    cc = codes.withColumn("cell", cell)
+    pairs = pq_adc_scores(qc, cc, books, join_cols=("cell",)).collect()
+    assert pairs  # cells are non-trivial
+    for r in pairs:
+        assert r["vid"] % 3 == r["neighbor"] % 3 and r["vid"] != r["neighbor"]
+    # unrestricted scan strictly supersets the restricted one
+    full = pq_adc_scores(q, codes, books).count()
+    assert full > len(pairs)
