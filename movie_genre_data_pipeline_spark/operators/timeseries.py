@@ -155,24 +155,31 @@ def rolling_zscore(
         .rowsBetween(-lookback, -1)
     )
     x = F.col(value_col).cast("double")
-    n = F.count(x).over(w).cast("double")
-    s = F.sum(x).over(w)
-    s2 = F.sum(x * x).over(w)
+    # ONE select carrying all three frame stats: same window spec → Spark
+    # evaluates them in a single Window node / single pass over the sorted
+    # partition (pinned by tests/test_plans.py). Deriving mean/var inline
+    # would re-embed the window exprs per projection and stack Window nodes.
+    staged = df.select(
+        "*",
+        F.count(x).over(w).cast("double").alias("__n"),
+        F.sum(x).over(w).alias("__s"),
+        F.sum(x * x).over(w).alias("__s2"),
+    )
+    n, s, s2 = F.col("__n"), F.col("__s"), F.col("__s2")
     # try_divide: empty frames have n = 0 and ANSI mode (Spark 4 default)
     # would throw on s/n even though the min_periods guard discards the row
     mean = F.try_divide(s, n)
     var = F.try_divide(s2 - F.try_divide(s * s, n), n - F.lit(1.0))
     return (
-        df.withColumn("__n", n)
-        .withColumn("__mean", mean)
+        staged.withColumn("__mean", mean)
         .withColumn("__var", var)
         .withColumn(
             "zscore",
             F.when(
-                (F.col("__n") >= min_periods) & (F.col("__var") > 0),
+                (n >= min_periods) & (F.col("__var") > 0),
                 (x - F.col("__mean")) / F.sqrt(F.col("__var")),
             ),
         )
-        .withColumn("baseline_n", F.col("__n").cast("bigint"))
-        .drop("__n", "__mean", "__var")
+        .withColumn("baseline_n", n.cast("bigint"))
+        .drop("__n", "__s", "__s2", "__mean", "__var")
     )

@@ -257,3 +257,55 @@ def test_corpus_pipeline_stage_barriers_hold(spark):
     plan = _plan(spark, "curate_corpus_pipeline")
     assert "documents.parquet" not in plan, plan
     assert plan.count("Exchange") <= 10, plan
+
+
+# -- r5 operators -----------------------------------------------------------------------
+def test_dedup_semantic_pairs_are_equi_joined(spark):
+    """SemDeDup's candidate pairs must come from a hash-partitioned equi-join
+    on the learned cluster — never a nested-loop cross product."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_fuzzy_decontam_band_key_equi_join(spark):
+    """Cross-dataset LSH candidates join on band_key (one equi-shuffle), and
+    the shingle-intersection stage is equi-joined too — no cross joins."""
+    plan = _plan(spark, "curate_fuzzy_decontaminate")
+    assert "NestedLoop" not in plan, plan
+    assert "band_key" in plan, plan
+
+
+def test_pq_encode_is_pure_projection(spark):
+    """Encoding the corpus to PQ codes must not shuffle: codebooks are plan
+    literals, the encode is a projection over the scan."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.pq import pq_encode, pq_train_exact
+
+    spark_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize_vectors(spark_df, "vec_id", "embedding").cache()
+    books = pq_train_exact(q, 64, 4, 8, iterations=1)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pq_encode(q, books).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+
+
+def test_retention_cohort_sizes_broadcast(spark):
+    plan = _plan(spark, "ts_retention_cohorts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_anomaly_zscore_single_series_exchange(spark):
+    """The rolling stats and the z-score must evaluate in one window pass over
+    the (event_type)-partitioned series — no per-stat re-shuffle."""
+    plan = _plan(spark, "ts_anomaly_zscore")
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+    # dense spine build + one window partitioning on the series key; the frame
+    # stats (count/sum/sum2) must share a single Window node
+    assert plan.count("Window") <= 2, plan
