@@ -214,3 +214,101 @@ def block_chunks(df: DataFrame, block_bytes: int = 64) -> DataFrame:
             ),
         )
     )
+
+
+PHASH_TILES = 64
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def phash_fingerprints(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Perceptual difference-hash (dHash) fingerprints: (media_id, phash).
+
+    The real-deployment shape: decode → downsample to a tiny grid → hash the
+    GRADIENT (each bit = does tile i+1 outweigh tile i), which survives
+    re-encoding/rescaling that breaks byte digests. Codec stubbed as everywhere
+    in this module (decode_image_stub contract): the "grid" is PHASH_TILES
+    equal byte-range tiles of the payload, each reduced to its byte sum —
+    deterministic integer math a SQL engine replays exactly.
+
+    mapInPandas (Arrow-batched) like every payload-touching operator here; the
+    63-bit fingerprint rides downstream joins, the payload never does.
+    """
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                decode_image_stub(p, fake_decode)  # the codec boundary
+                n = len(p)
+                tiles = []
+                for j in range(PHASH_TILES):
+                    lo = j * n // PHASH_TILES
+                    hi = (j + 1) * n // PHASH_TILES
+                    tiles.append(sum(p[lo:hi]))
+                h = 0
+                for i in range(PHASH_TILES - 1):
+                    if tiles[i + 1] > tiles[i]:
+                        h |= 1 << i
+                out.append(h)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": out})
+
+    return df.select("media_id", "payload").mapInPandas(fp, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    fps: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming): fingerprint pairs within `max_hamming` bits.
+
+    Multi-index hamming search (the HmSearch / multi-index hashing plan): the
+    63-bit hash splits into `bands` disjoint 16-bit substrings; by pigeonhole,
+    any pair within max_hamming < bands bits agrees EXACTLY on ≥1 band — so
+    candidates come from `bands` equi-joins on (band_idx, band_value), never an
+    all-pairs hamming scan, and the true bit_count(xor) filter runs on
+    candidates only. Exact (no recall loss) for max_hamming < bands.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole exactness needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}"
+        )
+    width = 64 // bands
+    keyed = fps.select(
+        F.col("media_id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), k * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("media_id", "phash", "__b.band_idx", "__b.band_val")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

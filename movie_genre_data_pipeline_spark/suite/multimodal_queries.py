@@ -169,3 +169,75 @@ FROM st
 """
 
 QUERIES["media_block_chunks"] = QuerySpec(q_media_block_chunks, Q_MEDIA_BLOCK_CHUNKS_ORACLE)
+
+
+# -- perceptual-hash near-dup (r5): dHash over the fake decode + multi-index hamming ----
+PHASH_MAX_HAMMING = 3
+PHASH_BANDS = 4
+
+
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection, the multimodal member of the dedup
+    family: dHash gradient fingerprints (multimodal.phash_fingerprints — the
+    downsample-to-grid inner step rides the documented fake-decode contract,
+    byte==char ASCII payloads) searched by multi-index hamming — `bands`
+    equi-joins on 16-bit substrings, exact for hamming < bands by pigeonhole,
+    never an all-pairs scan. Deterministic integer math end-to-end, so the
+    oracle rebuilds fingerprints, bands, candidates, and distances exactly."""
+    from movie_genre_data_pipeline_spark.functions.multimodal import (
+        phash_fingerprints,
+        phash_near_dup_pairs,
+    )
+
+    media = _media_df(spark, sf_dir)
+    fps = phash_fingerprints(media, fake_decode=True)
+    pairs = phash_near_dup_pairs(
+        fps, max_hamming=PHASH_MAX_HAMMING, bands=PHASH_BANDS
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _phash_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.multimodal import PHASH_TILES
+
+    nt = PHASH_TILES
+    width = 64 // PHASH_BANDS
+    mask = (1 << width) - 1
+    return f"""
+WITH tiles AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {nt - 1}), j ->
+           COALESCE(list_aggregate(
+             list_transform(
+               generate_series((j * length(text)) // {nt} + 1,
+                               ((j + 1) * length(text)) // {nt}),
+               i -> ord(substring(text, i, 1))),
+             'sum'), 0)) AS t
+  FROM documents
+),
+fps AS (
+  SELECT doc_id AS media_id,
+         CAST(COALESCE(list_aggregate(
+           list_transform(generate_series(0, {nt - 2}),
+             i -> CASE WHEN t[i + 2] > t[i + 1]
+                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END),
+           'sum'), 0) AS BIGINT) AS phash
+  FROM tiles
+),
+keyed AS (
+  SELECT media_id, phash, k AS band_idx,
+         (phash >> (k * {width})) & {mask} AS band_val
+  FROM fps, generate_series(0, {PHASH_BANDS - 1}) b(k)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM keyed a
+  JOIN keyed b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {PHASH_MAX_HAMMING}
+"""
+
+
+QUERIES["media_phash_dedup"] = QuerySpec(q_media_phash_dedup, _phash_oracle())

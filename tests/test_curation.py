@@ -267,3 +267,35 @@ def test_winnow_overlap_pairs(spark):
     assert (
         winnow_overlap_pairs(boiler, "doc_id", "text", k=3, w=4, max_df=1).count() == 0
     )
+
+
+# -- perceptual hash (functions/multimodal.py, r5) --------------------------------------
+def test_phash_laws(spark):
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.multimodal import (
+        phash_fingerprints,
+        phash_near_dup_pairs,
+    )
+
+    rows = [
+        (1, b"a" * 100),
+        (2, b"a" * 100),            # identical -> hamming 0
+        (3, b"a" * 99 + b"z"),      # tail perturbation -> small hamming
+        (4, bytes(range(64)) * 4),  # monotone ramp -> different gradient
+        (5, None),                  # null payload -> phash 0, still a row
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r["media_id"]: r["phash"] for r in phash_fingerprints(df).collect()}
+    assert fps[1] == fps[2] and fps[5] == 0
+    assert fps[1] != fps[4]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df.transform(phash_fingerprints)).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # pigeonhole guard: threshold must stay below the band count
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_near_dup_pairs(phash_fingerprints(df), max_hamming=4, bands=4)
