@@ -143,6 +143,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 def all_queries() -> dict[str, QuerySpec]:
     from movie_genre_data_pipeline_spark.suite import (
+        cdc_queries,
         curation_queries,
         dedup_queries,
         format_queries,
@@ -177,6 +178,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         streaming_queries,
         multimodal_queries,
+        cdc_queries,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

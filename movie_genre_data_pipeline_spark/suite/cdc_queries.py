@@ -1,0 +1,172 @@
+"""CDC / data-lifecycle queries (operators/cdc.py): snapshot diffing and
+right-to-be-forgotten cascade purging — the change-feed and privacy-deletion
+shapes a lakehouse serves, derived from plain snapshots with joins (no table
+format required).
+
+The "snapshots" are deterministic derivations of `orders` (a date-cut old
+snapshot; a later-cut new snapshot with simulated corrections and deletions),
+so both engines construct identical inputs and the classified diff is
+oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.operators.cdc import purge_keys, snapshot_diff
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+OLD_CUT = "1999-01-01"
+NEW_CUT = "2000-01-01"
+CORRECT_MOD = 13  # orderkeys getting a price correction in the new snapshot
+DELETE_MOD = 41  # old-snapshot orderkeys deleted in the new snapshot
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit(OLD_CUT).cast("timestamp")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter(F.col("o_orderdate") < F.lit(NEW_CUT).cast("timestamp"))
+        .filter(
+            ~(
+                (F.col("o_orderkey") % DELETE_MOD == 0)
+                & (F.col("o_orderdate") < F.lit(OLD_CUT).cast("timestamp"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % CORRECT_MOD == 0,
+                F.round(F.col("o_totalprice") * 2, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return old, new
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the change feed between two order snapshots: ONE full-outer join
+    on the key + null-safe struct comparison classifies every key as
+    inserted / deleted / updated / unchanged; the summary prices the feed
+    (row counts + total price drift per class)."""
+    old, new = _snapshots(spark, sf_dir)
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("new_o_totalprice"), F.lit(0.0))
+                - F.coalesce(F.col("old_o_totalprice"), F.lit(0.0))
+            ),
+            2,
+        ).alias("price_drift"),
+    )
+
+
+Q_CDC_SNAPSHOT_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '{OLD_CUT}'
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % {CORRECT_MOD} = 0
+              THEN ROUND(o_totalprice * 2, 2) ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{NEW_CUT}'
+    AND NOT (o_orderkey % {DELETE_MOD} = 0
+             AND o_orderdate < TIMESTAMP '{OLD_CUT}')
+),
+diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+              THEN 'unchanged'
+              ELSE 'updated' END AS change_type,
+         o.o_totalprice AS old_p, n.o_totalprice AS new_p
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(COALESCE(new_p, 0) - COALESCE(old_p, 0)), 2) AS price_drift
+FROM diff GROUP BY change_type
+"""
+
+
+# -- right-to-be-forgotten cascade ------------------------------------------------------
+PURGE_MOD = 53  # custkeys filing deletion requests
+
+
+def q_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy deletion propagation: a tombstone set of customers cascades
+    through orders (by custkey) into lineitem (by the purged orderkeys) —
+    one anti/semi join pair per table against broadcast-sized key sets,
+    surviving rows never rewritten. Output is the per-table purge audit."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    tomb = cust.filter(F.col("c_custkey") % PURGE_MOD == 0).select("c_custkey")
+
+    cust_kept, cust_purged = purge_keys(cust, tomb, ["c_custkey"])
+    ord_kept, ord_purged = purge_keys(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), tomb, ["c_custkey"]
+    )
+    dead_orders = ord_purged.select(F.col("o_orderkey").alias("l_orderkey"))
+    li_kept, li_purged = purge_keys(li, dead_orders, ["l_orderkey"])
+
+    def audit(name: str, kept: DataFrame, purged: DataFrame) -> DataFrame:
+        return kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_kept")).crossJoin(
+            purged.agg(F.count(F.lit(1)).cast("bigint").alias("n_purged"))
+        ).select(F.lit(name).alias("table_name"), "n_kept", "n_purged")
+
+    return (
+        audit("customer", cust_kept, cust_purged)
+        .unionByName(audit("orders", ord_kept, ord_purged))
+        .unionByName(audit("lineitem", li_kept, li_purged))
+    )
+
+
+Q_PURGE_CASCADE_ORACLE = f"""
+WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % {PURGE_MOD} = 0),
+dead_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT c_custkey FROM tomb)) AS BIGINT)
+         AS n_kept,
+       CAST((SELECT COUNT(*) FROM customer
+             WHERE c_custkey IN (SELECT c_custkey FROM tomb)) AS BIGINT)
+         AS n_purged
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM tomb)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_orders))
+         AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+         AS BIGINT)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "cdc_snapshot_diff": QuerySpec(q_cdc_snapshot_diff, Q_CDC_SNAPSHOT_DIFF_ORACLE),
+    "ops_purge_cascade": QuerySpec(q_purge_cascade, Q_PURGE_CASCADE_ORACLE),
+}
