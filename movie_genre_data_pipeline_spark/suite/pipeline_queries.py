@@ -480,3 +480,60 @@ QUERIES: dict[str, QuerySpec] = {
     # shares the batch oracle: incremental == batch IS the checked contract
     "merge_scd2_incremental": QuerySpec(q_merge_scd2_incremental, Q_MERGE_SCD2_ORACLE),
 }
+
+
+# -- F6 (extension): declarative data-quality expectations (r5) --------------------------
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DLT expect_* / dbt-test surface generalizing the reference's single
+    hard-coded quarantine rule (operations/operations.py:96-109): five rules
+    with per-rule dispositions evaluated in ONE scan — a single hash aggregate
+    of conditional counts, unpivoted to the per-rule report. Counts are
+    integers and the rate one division, so the whole report is oracle-exact."""
+    from movie_genre_data_pipeline_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        Expectation("qty_positive", F.col("l_quantity") > 0, "drop"),
+        Expectation("qty_in_range", F.col("l_quantity") <= 50, "warn"),
+        Expectation("price_nonnegative", F.col("l_extendedprice") >= 0, "drop"),
+        Expectation(
+            "discount_in_band",
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+            "warn",
+        ),
+        Expectation("shipdate_present", F.col("l_shipdate").isNotNull(), "fail"),
+    ]
+    return check_expectations(li, rules)
+
+
+Q_DQ_EXPECTATIONS_ORACLE = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+    CAST(SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS f1,
+    CAST(SUM(CASE WHEN COALESCE(l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+    CAST(SUM(CASE WHEN COALESCE(l_quantity <= 50, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS f2,
+    CAST(SUM(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+    CAST(SUM(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS f3,
+    CAST(SUM(CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+    CAST(SUM(CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 0.1, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS f4,
+    CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+    CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS f5
+  FROM lineitem
+)
+SELECT rule_name, action, n_pass, n_fail,
+       ROUND(n_fail / CAST(n_pass + n_fail AS DOUBLE), 6) AS fail_rate
+FROM (
+  SELECT 'qty_positive' AS rule_name, 'drop' AS action, p1 AS n_pass, f1 AS n_fail FROM agg
+  UNION ALL SELECT 'qty_in_range', 'warn', p2, f2 FROM agg
+  UNION ALL SELECT 'price_nonnegative', 'drop', p3, f3 FROM agg
+  UNION ALL SELECT 'discount_in_band', 'warn', p4, f4 FROM agg
+  UNION ALL SELECT 'shipdate_present', 'fail', p5, f5 FROM agg
+)
+"""
+
+
+QUERIES["dq_expectations"] = QuerySpec(q_dq_expectations, Q_DQ_EXPECTATIONS_ORACLE)

@@ -52,3 +52,42 @@ def test_write_with_metrics_partitioned(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == got["n_rows"]
     assert "p_status" in back.columns
+
+
+# -- declarative expectations (operators/quality.py, r5) --------------------------------
+def test_expectations_report_routing_and_fail(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.operators.quality import (
+        Expectation,
+        assert_expectations,
+        check_expectations,
+        enforce_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 200.0)], "id long, amount double"
+    )
+    rules = [
+        Expectation("amount_positive", F.col("amount") > 0, "drop"),
+        Expectation("amount_small", "amount < 100", "warn"),
+        Expectation("id_present", F.col("id").isNotNull(), "fail"),
+    ]
+    report = {r["rule_name"]: r for r in check_expectations(df, rules).collect()}
+    # NULL predicate results are violations (dlt semantics)
+    assert (report["amount_positive"]["n_pass"], report["amount_positive"]["n_fail"]) == (2, 2)
+    assert (report["amount_small"]["n_pass"], report["amount_small"]["n_fail"]) == (2, 2)
+    assert report["id_present"]["n_fail"] == 0
+    kept, dropped = enforce_expectations(df, rules)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4]   # warn doesn't gate
+    assert sorted(r["id"] for r in dropped.collect()) == [2, 3]
+    # fail rules with zero violations pass silently
+    assert_expectations(check_expectations(df, rules))
+    bad = rules + [Expectation("always", F.lit(False), "fail")]
+    with pytest.raises(ValueError, match="always"):
+        assert_expectations(check_expectations(df, bad))
+    with pytest.raises(ValueError):
+        check_expectations(df, [])
+    with pytest.raises(ValueError):
+        check_expectations(df, [Expectation("x", F.lit(True), "explode")])
