@@ -146,3 +146,106 @@ def register(spark) -> None:
     """Register the synthetic_events format on this session (idempotent —
     re-registration simply replaces the entry)."""
     spark.dataSource.register(_build_datasource_class())
+
+
+# -- writer side: jsonl_ledger sink (two-phase commit) ----------------------------------
+LEDGER_FORMAT_NAME = "jsonl_ledger"
+
+
+def _build_ledger_datasource_class():
+    """Writer-side counterpart of the connector API (same by-value packaging
+    contract as the reader factory): `df.write.format("jsonl_ledger")` lands
+    each partition as a JSON-lines shard and makes the write ATOMIC with the
+    two-phase protocol Spark drives — executors `write()` shards and return a
+    WriterCommitMessage each; the driver's `commit()` publishes the manifest
+    (`_MANIFEST.json`) listing exactly the committed shards; `abort()` removes
+    orphans. Readers resolve the manifest, so a half-failed write is invisible
+    — the same visibility rule Delta/Iceberg implement with their logs,
+    demonstrated over plain files.
+
+    Scale: shards stream row-by-row from the task iterator (bounded memory);
+    the only driver-side work is the manifest (one name per task)."""
+    import json
+    import os
+    import uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    fmt = LEDGER_FORMAT_NAME
+
+    @dataclass
+    class LedgerCommitMessage(WriterCommitMessage):
+        shard: str
+        n_rows: int
+
+    class LedgerWriter(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_ledger requires option 'path'")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            shard = f"part-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, shard), "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return LedgerCommitMessage(shard=shard, n_rows=n)
+
+        def commit(self, messages):
+            shards = [
+                {"shard": m.shard, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ]
+            manifest = os.path.join(self.path, "_MANIFEST.json")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"shards": shards}, f)
+            os.replace(tmp, manifest)  # atomic publish
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.shard))
+                    except FileNotFoundError:
+                        pass
+
+    class JsonlLedgerDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return fmt
+
+        def writer(self, schema, overwrite: bool):
+            return LedgerWriter(self.options, overwrite)
+
+    return JsonlLedgerDataSource
+
+
+def register_ledger(spark) -> None:
+    """Register the jsonl_ledger sink format on this session (idempotent)."""
+    spark.dataSource.register(_build_ledger_datasource_class())
+
+
+def read_ledger(spark, path: str, schema: str):
+    """Manifest-resolved read of a jsonl_ledger directory: ONLY shards the
+    committed manifest lists are visible (uncommitted/aborted orphans are
+    not). Declared schema — no inference scan."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    shards = [os.path.join(path, s["shard"]) for s in manifest["shards"]]
+    if not shards:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(shards)

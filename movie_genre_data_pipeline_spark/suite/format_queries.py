@@ -199,3 +199,57 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pysource_bulk_scan": QuerySpec(q_pysource_bulk_scan, _pysource_bulk_oracle()),
 }
+
+
+# -- custom sink: jsonl_ledger writer with two-phase commit (r5) ------------------------
+def q_pysource_jsonl_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the Python DataSource API (the reader half is
+    pysource_synthetic_events/bulk_scan): events written through the
+    jsonl_ledger sink — per-partition shards + WriterCommitMessages + a
+    driver-published manifest (the Delta/Iceberg visibility rule over plain
+    files) — then read back MANIFEST-RESOLVED and aggregated. A stray
+    uncommitted shard is planted before the read to prove atomic visibility:
+    it must not affect the committed aggregate, which the direct-over-events
+    oracle pins exactly."""
+    import os
+    import tempfile
+
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        read_ledger,
+        register_ledger,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+
+    register_ledger(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_ledger_"), "events")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.format("jsonl_ledger").option("path", path).mode("append").save()
+    # orphan shard from a "failed" concurrent writer: not in the manifest,
+    # must stay invisible to the manifest-resolved read
+    with open(os.path.join(path, "part-orphan.jsonl"), "w") as f:
+        f.write('{"event_id": -1, "user_id": -1, "event_type": "error", "value": 1e9}\n')
+    back = read_ledger(
+        spark, path,
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+Q_PYSOURCE_JSONL_COMMIT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES["pysource_jsonl_commit"] = QuerySpec(
+    q_pysource_jsonl_commit, Q_PYSOURCE_JSONL_COMMIT_ORACLE
+)

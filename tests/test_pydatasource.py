@@ -52,3 +52,44 @@ def test_pydatasource_invalid_options_raise(spark):
 
 def test_pydatasource_zero_rows(spark):
     assert _read(spark, n_rows=0).count() == 0
+
+
+# -- jsonl_ledger writer (r5) -----------------------------------------------------------
+def test_ledger_two_phase_commit_and_orphan_invisibility(spark, tmp_path):
+    import json
+    import os
+
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        read_ledger,
+        register_ledger,
+    )
+
+    register_ledger(spark)
+    path = str(tmp_path / "ledger")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(100)], "id long, user string"
+    ).repartition(4)
+    df.write.format("jsonl_ledger").option("path", path).mode("append").save()
+
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 100
+    assert len(manifest["shards"]) == 4  # one shard per partition
+
+    # orphan shard (uncommitted writer) must not be visible
+    with open(os.path.join(path, "part-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999, "user": "ghost"}\n')
+    back = read_ledger(spark, path, "id long, user string")
+    assert back.count() == 100
+    assert back.filter("user = 'ghost'").count() == 0
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def test_ledger_requires_path(spark):
+    import pytest
+
+    from movie_genre_data_pipeline_spark.sources.pydatasource import register_ledger
+
+    register_ledger(spark)
+    df = spark.range(3)
+    with pytest.raises(Exception, match="path"):
+        df.write.format("jsonl_ledger").mode("append").save()
