@@ -249,3 +249,72 @@ def read_ledger(spark, path: str, schema: str):
     if not shards:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(shards)
+
+
+# -- streaming reader: the third connector surface --------------------------------------
+STREAM_FORMAT_NAME = "synthetic_events_stream"
+
+
+def _build_stream_datasource_class():
+    """Streaming counterpart of the batch reader (same by-value packaging and
+    the same LCG row function): a `SimpleDataSourceStreamReader` whose offset
+    is the global row index — `initialOffset` starts at 0, each micro-batch
+    `read(start)` advances by `rows_per_batch` until `max_rows`, and
+    `readBetweenOffsets` replays any (start, end) range deterministically,
+    which is exactly the replayability contract Structured Streaming's
+    checkpoint recovery relies on. Offsets are data, not files — the shape of
+    a queue/CDC connector rather than a directory listing."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    lcg_a, lcg_c, lcg_m = LCG_A, LCG_C, LCG_M
+    event_types = EVENT_TYPES
+    fmt = STREAM_FORMAT_NAME
+
+    def _rows(start: int, end: int):
+        # a LIST, not a generator: the stream runner's prefetch cache
+        # copy.copy()s the returned iterator, and generators aren't copyable
+        out = []
+        for i in range(start, end):
+            h1 = (lcg_a * i + lcg_c) % lcg_m
+            h2 = (lcg_a * h1 + lcg_c) % lcg_m
+            out.append(
+                (i, h1 % 500, event_types[h1 % len(event_types)], float(h2 % 10000))
+            )
+        return out
+
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.max_rows = int(options.get("max_rows", 1000))
+            self.rows_per_batch = int(options.get("rows_per_batch", 250))
+
+        def initialOffset(self) -> dict:
+            return {"idx": 0}
+
+        def read(self, start: dict):
+            lo = start["idx"]
+            hi = min(lo + self.rows_per_batch, self.max_rows)
+            return iter(_rows(lo, hi)), {"idx": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(_rows(start["idx"], end["idx"]))
+
+        def commit(self, end: dict) -> None:
+            pass  # nothing to clean up: the generator is pure
+
+    class SyntheticEventsStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return fmt
+
+        def schema(self) -> str:
+            return "event_id BIGINT, user_id BIGINT, event_type STRING, cents DOUBLE"
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
+
+    return SyntheticEventsStreamDataSource
+
+
+def register_stream(spark) -> None:
+    """Register the synthetic_events_stream source (idempotent)."""
+    spark.dataSource.register(_build_stream_datasource_class())

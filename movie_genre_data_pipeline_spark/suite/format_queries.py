@@ -253,3 +253,90 @@ FROM events GROUP BY event_type
 QUERIES["pysource_jsonl_commit"] = QuerySpec(
     q_pysource_jsonl_commit, Q_PYSOURCE_JSONL_COMMIT_ORACLE
 )
+
+
+# -- streaming Python DataSource: offset-based micro-batches (r5) -----------------------
+STREAM_SRC_ROWS = 1000
+STREAM_SRC_BATCH = 250
+
+
+def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD connector surface (after batch read and two-phase write): a
+    SimpleDataSourceStreamReader whose offsets are row indices — the
+    queue/CDC connector shape, where progress is data positions, not files.
+    Four real micro-batches (rows_per_batch=250 of max_rows=1000) land in a
+    parquet ledger via foreachBatch; offsets make each range exactly-once and
+    `readBetweenOffsets` replayable, so the final aggregate equals the pure
+    LCG derivation the oracle computes from generate_series."""
+    import tempfile
+    import time
+
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        STREAM_FORMAT_NAME,
+        register_stream,
+    )
+
+    register_stream(spark)
+    out = tempfile.mkdtemp(prefix="pysource_stream_") + "/rows"
+    stream = (
+        spark.readStream.format(STREAM_FORMAT_NAME)
+        .option("max_rows", STREAM_SRC_ROWS)
+        .option("rows_per_batch", STREAM_SRC_BATCH)
+        .load()
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= STREAM_SRC_ROWS:
+                    break
+            except Exception:
+                pass  # first batch not landed yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+def _pysource_stream_oracle() -> str:
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        EVENT_TYPES,
+        LCG_A,
+        LCG_C,
+        LCG_M,
+    )
+
+    types_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(0, {STREAM_SRC_ROWS - 1})) AS i),
+h1 AS (SELECT i, ({LCG_A} * i + {LCG_C}) % {LCG_M} AS h1 FROM idx),
+rows_ AS (
+  SELECT i AS event_id,
+         h1 % 500 AS user_id,
+         [{types_list}][h1 % {len(EVENT_TYPES)} + 1] AS event_type,
+         CAST(({LCG_A} * h1 + {LCG_C}) % {LCG_M} % 10000 AS DOUBLE) AS cents
+  FROM h1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM rows_ GROUP BY event_type
+"""
+
+
+QUERIES["pysource_stream"] = QuerySpec(q_pysource_stream, _pysource_stream_oracle())

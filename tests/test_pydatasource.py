@@ -93,3 +93,26 @@ def test_ledger_requires_path(spark):
     df = spark.range(3)
     with pytest.raises(Exception, match="path"):
         df.write.format("jsonl_ledger").mode("append").save()
+
+
+def test_stream_source_offsets_and_replay(spark):
+    """Offsets advance by rows_per_batch and cap at max_rows; ranges replay
+    deterministically (the checkpoint-recovery contract)."""
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        _build_stream_datasource_class,
+    )
+
+    cls = _build_stream_datasource_class()
+    reader = cls(options={"max_rows": "10", "rows_per_batch": "4"}).simpleStreamReader(None)
+    off = reader.initialOffset()
+    assert off == {"idx": 0}
+    seen = []
+    for expect_hi in (4, 8, 10, 10):
+        it, off = reader.read(off)
+        rows = list(it)
+        seen.extend(rows)
+        assert off == {"idx": expect_hi}
+    assert [r[0] for r in seen] == list(range(10))
+    # replay any committed range -> identical rows
+    replay = list(reader.readBetweenOffsets({"idx": 2}, {"idx": 7}))
+    assert replay == seen[2:7]
