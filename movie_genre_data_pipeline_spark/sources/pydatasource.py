@@ -172,6 +172,7 @@ def _build_ledger_datasource_class():
 
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamWriter,
         DataSourceWriter,
         WriterCommitMessage,
     )
@@ -220,6 +221,59 @@ def _build_ledger_datasource_class():
                     except FileNotFoundError:
                         pass
 
+    class LedgerStreamWriter(DataSourceStreamWriter):
+        """Streaming sink (4th connector surface): same shard + manifest
+        protocol, but commit() is PER-EPOCH — each micro-batch's shards merge
+        into the manifest under their batchId, so readers see exactly the
+        committed prefix of the stream and a failed epoch's shards never
+        appear (abort removes them). Epoch-keyed manifests are how exactly-
+        once file sinks implement idempotent replay: re-committing a batchId
+        replaces, not duplicates, its shard set."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_ledger requires option 'path'")
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            shard = f"part-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, shard), "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return LedgerCommitMessage(shard=shard, n_rows=n)
+
+        def commit(self, messages, batchId: int) -> None:
+            manifest = os.path.join(self.path, "_MANIFEST.json")
+            state = {"epochs": {}}
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    state = json.load(f)
+                if "epochs" not in state:
+                    state = {"epochs": {}}
+            state["epochs"][str(batchId)] = [
+                {"shard": m.shard, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ]
+            state["shards"] = [
+                s for epoch in state["epochs"].values() for s in epoch
+            ]
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, manifest)
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.shard))
+                    except FileNotFoundError:
+                        pass
+
     class JsonlLedgerDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -227,6 +281,9 @@ def _build_ledger_datasource_class():
 
         def writer(self, schema, overwrite: bool):
             return LedgerWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return LedgerStreamWriter(self.options)
 
     return JsonlLedgerDataSource
 

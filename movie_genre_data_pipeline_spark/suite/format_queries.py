@@ -340,3 +340,63 @@ FROM rows_ GROUP BY event_type
 
 
 QUERIES["pysource_stream"] = QuerySpec(q_pysource_stream, _pysource_stream_oracle())
+
+
+def q_pysource_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector-to-connector capstone: the offset-based Python stream SOURCE
+    feeding the jsonl_ledger Python stream SINK — all four Python DataSource
+    surfaces (batch read, batch write, stream read, stream write) now run
+    under the correctness gate. The sink's per-epoch manifest commit gives
+    exactly-once visibility (a re-committed batchId replaces its shard set);
+    the manifest-resolved read-back must equal the pure LCG derivation."""
+    import os
+    import tempfile
+    import time
+
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        STREAM_FORMAT_NAME,
+        read_ledger,
+        register_ledger,
+        register_stream,
+    )
+
+    register_stream(spark)
+    register_ledger(spark)
+    base = tempfile.mkdtemp(prefix="pysource_ss_")
+    path, cp = f"{base}/ledger", f"{base}/cp"
+    stream = (
+        spark.readStream.format(STREAM_FORMAT_NAME)
+        .option("max_rows", STREAM_SRC_ROWS)
+        .option("rows_per_batch", STREAM_SRC_BATCH)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_ledger")
+        .option("path", path)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    schema = "event_id bigint, user_id bigint, event_type string, cents double"
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            try:
+                if read_ledger(spark, path, schema).count() >= STREAM_SRC_ROWS:
+                    break
+            except Exception:
+                pass  # manifest not published yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    back = read_ledger(spark, path, schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+QUERIES["pysource_stream_sink"] = QuerySpec(
+    q_pysource_stream_sink, _pysource_stream_oracle()
+)
