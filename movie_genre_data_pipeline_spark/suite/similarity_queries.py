@@ -640,3 +640,86 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_pq_ivfadc": QuerySpec(q_pq_ivfadc, _pq_ivfadc_oracle()),
     "sim_topk_kmeans_ivf": QuerySpec(q_topk_kmeans_ivf, None),
 }
+
+
+# -- per-group centroid representatives (r5) --------------------------------------------
+def q_centroid_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the 'medoid-per-group' shape curation uses
+    to pick one exemplar per cluster/domain (e.g. SemDeDup keeps the vector
+    closest to the centroid): per label, the exact integral-arithmetic mean
+    vector, then the member nearest to it (ties → lower vid). One groupBy for
+    the centroids (dimension-sized: labels × d sums), one broadcast-joined
+    distance projection, one min-window — the corpus is scanned twice, never
+    paired. Quantized sums are order-free and the distance fold index-ordered,
+    so rep choice and distance are oracle-exact."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").join(
+        e.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    )
+    sums = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(F.col("vq")[i]) for i in range(DIM)]).alias("sums"),
+    )
+    cents = sums.select(
+        "label",
+        "n",
+        F.expr("transform(sums, s -> s / n)").alias("cv"),
+    )
+    scored = q.join(F.broadcast(cents), "label").select(
+        "label",
+        "vid",
+        "n",
+        F.aggregate(
+            F.zip_with(F.col("vq"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d").asc(), F.col("vid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.col("vid").alias("rep_vid"),
+            F.round("d", 4).alias("rep_sq_dist"),
+        )
+    )
+
+
+Q_CENTROID_REPS_ORACLE = f"""
+WITH eq AS (SELECT vec_id AS vid, label,
+       list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_SCALE})) AS vq
+  FROM embeddings),
+isums AS (
+  SELECT label, i, SUM(vq[i]) AS s
+  FROM eq, generate_series(1, {DIM}) t(i) GROUP BY label, i
+),
+cnt AS (SELECT label, COUNT(*) AS n FROM eq GROUP BY label),
+cents AS (
+  SELECT j.label, c.n, list(j.s / c.n ORDER BY j.i) AS cv
+  FROM isums j JOIN cnt c USING (label)
+  GROUP BY j.label, c.n
+),
+scored AS (
+  SELECT e.label, e.vid, c.n,
+         list_aggregate(list_transform(generate_series(1, {DIM}),
+           i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i])), 'sum') AS d
+  FROM eq e JOIN cents c USING (label)
+)
+SELECT label, CAST(n AS BIGINT) AS n_vecs, vid AS rep_vid,
+       ROUND(d, 4) AS rep_sq_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY d ASC, vid ASC) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+QUERIES["sim_centroid_representatives"] = QuerySpec(
+    q_centroid_representatives, Q_CENTROID_REPS_ORACLE
+)
