@@ -48,6 +48,10 @@ HEADLINE = [
     # the KMV pairwise-overlap estimator
     "skew_salted_join",
     "sketch_kmv_vocab_overlap",
+    # r5: single-scan rule report and the snapshot-derived change feed —
+    # cheap aggregates guarding the quality/CDC families
+    "dq_expectations",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -400,3 +400,46 @@ def q_pysource_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["pysource_stream_sink"] = QuerySpec(
     q_pysource_stream_sink, _pysource_stream_oracle()
 )
+
+
+# -- schema evolution: mergeSchema over generationally-widened parquet (r5) -------------
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse schema-widening reality: generation 1 lands orders with
+    3 columns, generation 2 appends the same table WIDENED by a priority
+    column. mergeSchema reconciles the footers (schema union — per-file
+    footers only, no data rewrite) and v1 rows read back with NULL backfill
+    in the new column. The aggregate proves both generations' rows survive
+    with the right nullability split."""
+    import tempfile
+
+    from movie_genre_data_pipeline_spark.suite import load
+
+    out = tempfile.mkdtemp(prefix="schema_evo_") + "/orders"
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("append").parquet(out)
+    v2.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy(
+        F.col("o_orderpriority").isNull().alias("is_gen1"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_SCHEMA_EVOLUTION_ORACLE = """
+SELECT (o_orderkey % 2 = 0) AS is_gen1, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+QUERIES["schema_evolution"] = QuerySpec(q_schema_evolution, Q_SCHEMA_EVOLUTION_ORACLE)
