@@ -136,3 +136,34 @@ def test_compact_partitioned_splits_large_partition_values(spark, tmp_path):
     }
     assert max(sizes.values()) > 1, sizes
     assert sorted(spark.read.parquet(path).drop("p_status").collect()) == before_rows
+
+
+# -- CDC snapshot diff (operators/cdc.py, r5) -------------------------------------------
+def test_snapshot_diff_classification(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.operators.cdc import purge_keys, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # NULL->value and value->NULL are real updates; NULL==NULL is not
+    assert got == {1: "unchanged", 2: "updated", 3: "updated",
+                   4: "deleted", 5: "inserted"}
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [], ["v"])
+
+    tomb = spark.createDataFrame([(1,), (3,)], "k long")
+    kept, purged = purge_keys(old, tomb, ["k"])
+    assert sorted(r["k"] for r in kept.collect()) == [2, 4]
+    assert sorted(r["k"] for r in purged.collect()) == [1, 3]
