@@ -62,13 +62,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # past the window)
     "tpch_q1",
     "star_join",
-    "sessionize",
     "asof_join",
+    # r5: snapshot-derived change feed + declarative expectations — the CDC /
+    # data-quality families earn driver rows immediately (sessionize and
+    # grouping_sets, 3-4x passers, rotate out)
+    "cdc_snapshot_diff",
+    "dq_expectations",
     # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, q2/q7/q22 in
     # r2-r4; rotated out for the r4/r5 operators that had never earned a row)
     "tpch_q9",
     "tpch_q21",
-    "grouping_sets",
     # scale / custom operators (r5: skew_salted_join joins its agg sibling in
     # the window — the hot-key-replicated join plan gets its own driver row)
     "skew_salted_agg",
@@ -90,22 +93,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the hourly→daily rollup cascade)
     "time_bucket_gapfill",
     "rollup_cascade",
+    # r5: rolling z-score anomaly flags over the gap-filled series
+    "ts_anomaly_zscore",
     "sketch_hll_distinct",
     "sketch_kmv_vocab_overlap",
     "sketch_histogram_quantiles",
     # text analysis (lang_id_hist driver-passed r3, rotated out; r5 seats the
     # winnowing fingerprint index — the MOSS local-overlap primitive)
-    "text_token_stats",
     "text_tfidf_topk",
     "text_quality_scores",
     "text_winnow_fingerprints",
     # deduplication (ngram_jaccard driver-passed in r2, rotated out)
     # (simhash + embedding_cosine driver-passed r3, rotated out; still oracled
     # past the window)
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_corpus",
     "dedup_keep_best",
+    # r5: SemDeDup — learned-cluster semantic dedup (dedup_exact, a 3x passer,
+    # rotates out; the exact path stays covered by dedup_keep_best's digests)
+    "dedup_semantic",
     # similarity search (lsh_multi_top1 driver-passed in r2, quantize_int8 in
     # r3; rotated out)
     "sim_topk_ivf",
@@ -116,11 +122,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search, and baseline all exact-arithmetic)
     "sim_pq_recall",
     # corpus curation (r2 family; gopher_flags driver-passed r3, rotated out)
-    "curate_chunk_documents",
     "curate_pii_redaction",
     "curate_decontaminate",
     "curate_bloom_decontaminate",
-    "sample_mixture_rebalance",
+    # r5: near-duplicate benchmark decontamination — the fuzzy member of the
+    # decontam trio (chunk_documents and mixture_rebalance, 3x passers, out)
+    "curate_fuzzy_decontaminate",
     # data layout (r2)
     "layout_zorder_stats",
     # structured streaming (foreachbatch_merge driver-passed r3, rotated out;
@@ -136,6 +143,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # slot tpch_q22 vacated)
     "media_resize",
     "media_frame_sample_plan",
+    # r5: perceptual-hash image near-dup — the multimodal dedup crossover
+    "media_phash_dedup",
     # custom Python DataSource (Spark 4 connector API, r4)
     "pysource_synthetic_events",
 )
