@@ -194,10 +194,16 @@ def q_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
+    # the (lang, gram) vocab feeds four consumers (sketch build, counts, both
+    # sides of the exact self-join). Catalyst's ReusedExchange already shares
+    # the subtree (A/B-measured: warm times identical), so this barrier is a
+    # GUARD, not a win: it pins single-computation even if a future edit
+    # breaks subtree identity and silently disables reuse
     vocab = (
         shingle_rows(d, "doc_id", "text", k=GRAM_K, extra_cols=("lang",))
         .select("lang", F.col("s").alias("tok"))
         .distinct()
+        .localCheckpoint()
     )
     est = kmv_pair_estimates(
         kmv_sketch(vocab, "tok", ["lang"], k=KMV_K), "lang", k=KMV_K
