@@ -280,3 +280,46 @@ def winnow_fingerprints(
         F.col("__i") <= F.greatest(F.lit(1), F.col("__n_grams") - F.lit(w - 1))
     )
     return windows.select("doc", F.col("__wmin").alias("h48")).distinct()
+
+
+def hash_embed(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    embeddings: (doc, vec array<double>) with vec[b] = Σ over token
+    occurrences hashing to bucket b of ±1 (bucket = md5 48-bit prefix mod
+    n_buckets; sign = the next hex digit's high bit). The deterministic,
+    model-free text→vector bridge: unlike learned embeddings it needs no
+    inference pass, costs one explode + one (doc, bucket) hash aggregate
+    (≤ n_buckets rows per doc reach the doc-level regroup), and — because
+    bucket sums are exact integers — is bit-reproducible by any engine, so
+    downstream ANN/dedup over these vectors stays oracle-checkable.
+
+    Docs with no tokens produce no row (they have no signature) — same
+    contract as minhash_signature_table."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    )
+    digest = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+    sign = F.when(F.substring(digest, 13, 1) >= "8", 1.0).otherwise(-1.0)
+    cells = tok.groupBy("doc", bucket.alias("bucket")).agg(
+        F.sum(sign).alias("v")
+    )
+    return (
+        cells.groupBy("doc")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("v")))
+            ).alias("__m")
+        )
+        .select(
+            "doc",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0.0)),
+            ).alias("vec"),
+        )
+    )

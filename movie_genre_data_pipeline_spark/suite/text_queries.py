@@ -378,3 +378,86 @@ FROM tf JOIN scaled USING (term) GROUP BY doc_id
 """
 
 QUERIES["text_unigram_surprisal"] = QuerySpec(q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_ORACLE)
+
+
+# -- feature-hashing embeddings (r5) ----------------------------------------------------
+HASH_EMBED_BUCKETS = 64
+
+
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick text→vector bridge (functions/text.py:hash_embed):
+    model-free deterministic embeddings whose downstream ANN/dedup stays
+    oracle-checkable. Per doc: token count, vector sparsity, L2 norm, and the
+    dominant bucket — bucket sums are exact integers, so norm, argmax, and
+    ties (→ lower bucket) are all bit-reproducible."""
+    from movie_genre_data_pipeline_spark.functions.text import hash_embed
+
+    d = load(spark, sf_dir, "documents")
+    vecs = hash_embed(d, "doc_id", "text", n_buckets=HASH_EMBED_BUCKETS)
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("vec"), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    absvec = F.transform(F.col("vec"), lambda v: F.abs(v))
+    return vecs.select(
+        F.col("doc").alias("doc_id"),
+        F.aggregate(
+            F.col("vec"),
+            F.lit(0.0),
+            lambda acc, v: acc + F.abs(v),
+        ).cast("bigint").alias("l1_mass"),
+        F.size(F.filter(F.col("vec"), lambda v: v != 0.0)).alias("n_nonzero"),
+        F.round(l2, 6).alias("l2_norm"),
+        (F.array_position(absvec, F.array_max(absvec)).cast("int") - 1).alias(
+            "top_bucket"
+        ),
+        F.element_at(
+            F.col("vec"), F.array_position(absvec, F.array_max(absvec)).cast("int")
+        ).cast("bigint").alias("top_val"),
+    )
+
+
+Q_HASH_EMBED_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT)
+              % {HASH_EMBED_BUCKETS} AS INTEGER) AS bucket,
+         CASE WHEN substring(md5(tok), 13, 1) >= '8' THEN 1.0 ELSE -1.0 END AS s
+  FROM tok
+),
+cells AS (
+  SELECT doc_id, bucket, SUM(s) AS v FROM hashed GROUP BY doc_id, bucket
+),
+grid AS (
+  SELECT o.doc_id, i.i AS bucket
+  FROM (SELECT DISTINCT doc_id FROM cells) o,
+       generate_series(0, {HASH_EMBED_BUCKETS - 1}) i(i)
+),
+dense AS (
+  SELECT g.doc_id, g.bucket, COALESCE(c.v, 0.0) AS v
+  FROM grid g LEFT JOIN cells c USING (doc_id, bucket)
+),
+vecs AS (
+  SELECT doc_id, list(v ORDER BY bucket) AS vec FROM dense GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(list_aggregate(list_transform(vec, v -> abs(v)), 'sum') AS BIGINT)
+         AS l1_mass,
+       CAST(len(list_filter(vec, v -> v <> 0.0)) AS INTEGER) AS n_nonzero,
+       ROUND(sqrt(list_aggregate(list_transform(vec, v -> v * v), 'sum')), 6)
+         AS l2_norm,
+       CAST(list_position(list_transform(vec, v -> abs(v)),
+            list_aggregate(list_transform(vec, v -> abs(v)), 'max')) - 1
+         AS INTEGER) AS top_bucket,
+       CAST(vec[list_position(list_transform(vec, v -> abs(v)),
+            list_aggregate(list_transform(vec, v -> abs(v)), 'max'))]
+         AS BIGINT) AS top_val
+FROM vecs
+"""
+
+
+QUERIES["text_hash_embeddings"] = QuerySpec(q_hash_embeddings, Q_HASH_EMBED_ORACLE)
