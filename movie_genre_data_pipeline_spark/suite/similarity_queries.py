@@ -723,3 +723,61 @@ WHERE rn = 1
 QUERIES["sim_centroid_representatives"] = QuerySpec(
     q_centroid_representatives, Q_CENTROID_REPS_ORACLE
 )
+
+
+# -- ANN over DERIVED embeddings: hashing-trick vectors end-to-end (r5) -----------------
+def q_topk_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end bridge: documents → feature-hashed vectors
+    (functions/text.py:hash_embed) → exact cosine top-1 within language
+    (brute_force_top_k's cell plan). Proves the text→vector→ANN composition
+    stays oracle-exact when the embedding itself is derived, not given.
+    Zero-norm vectors (all signs cancel) are excluded — no cosine exists."""
+    from movie_genre_data_pipeline_spark.functions.text import hash_embed
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        HASH_EMBED_BUCKETS,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    vecs = hash_embed(d, "doc_id", "text", n_buckets=HASH_EMBED_BUCKETS)
+    nz = vecs.filter(
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda a, v: a + v * v) > 0
+    )
+    with_lang = nz.join(
+        d.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    ).select(F.col("doc").alias("doc_id"), "vec", "lang")
+    return brute_force_top_k(
+        with_lang, "doc_id", "vec", k=1, partition_col="lang"
+    )
+
+
+def _topk_hashed_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_HASH_EMBED_ORACLE,
+    )
+
+    # reuse the vec-building CTE chain (everything up to and including vecs)
+    vec_ctes = Q_HASH_EMBED_ORACLE.split("\nSELECT doc_id,")[0].strip()
+    assert vec_ctes.startswith("WITH ") and vec_ctes.endswith(")")
+    return f"""
+{vec_ctes},
+nz AS (
+  SELECT v.doc_id, v.vec, d.lang
+  FROM vecs v JOIN documents d USING (doc_id)
+  WHERE list_aggregate(list_transform(v.vec, x -> x * x), 'sum') > 0
+),
+scored AS (
+  SELECT a.doc_id AS vid, b.doc_id AS neighbor,
+         {_cos_sql("a.vec", "b.vec")} AS cos_sim
+  FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+),
+ranked AS (
+  SELECT vid, neighbor, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vid
+              ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
+"""
+
+
+QUERIES["sim_topk_hashed"] = QuerySpec(q_topk_hashed, _topk_hashed_oracle())
