@@ -577,3 +577,95 @@ def test_winnow_shared_run_guarantee(spark, pre_a, suf_a, pre_b, suf_b, run):
     set_a = {r.h48 for r in fps if r.doc == 1}
     set_b = {r.h48 for r in fps if r.doc == 2}
     assert set_a & set_b, (doc_a, doc_b)
+
+
+# -- r5 laws: snapshot diff, pagerank, hash embeddings ------------------------------
+@FAST
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.sampled_from("abc"), st.integers(0, 3)),
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.sampled_from("abc"), st.integers(0, 3)),
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_snapshot_diff_reconstructs_new(spark, old_rows, new_rows):
+    """old + diff ≡ new: applying the classified change feed to the old
+    snapshot (insert inserted, replace updated, drop deleted) must
+    reconstruct the new snapshot exactly — the CDC soundness law."""
+    from movie_genre_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(old_rows, "k long, s string, v long") if old_rows else \
+        spark.createDataFrame([], "k long, s string, v long")
+    new = spark.createDataFrame(new_rows, "k long, s string, v long") if new_rows else \
+        spark.createDataFrame([], "k long, s string, v long")
+    diff = snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    old_map = {r[0]: (r[1], r[2]) for r in old_rows}
+    rebuilt = dict(old_map)
+    for r in diff:
+        if r["change_type"] == "deleted":
+            rebuilt.pop(r["k"])
+        elif r["change_type"] in ("inserted", "updated"):
+            rebuilt[r["k"]] = (r["new_s"], r["new_v"])
+        else:
+            assert rebuilt[r["k"]] == (r["new_s"], r["new_v"])
+    assert rebuilt == {r[0]: (r[1], r[2]) for r in new_rows}
+    # every key present in either snapshot is classified exactly once
+    assert len(diff) == len(old_map.keys() | rebuilt.keys() | {r[0] for r in new_rows})
+
+
+@FAST
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    shift=st.integers(1, 100),
+)
+def test_pagerank_relabel_invariance_and_mass_bound(spark, edges, shift):
+    """Rank is a function of structure, not labels: shifting every node id by a
+    constant permutes nothing structurally, so the rank_fp multiset must be
+    identical. And dropped dangling mass means total rank never exceeds scale."""
+    from movie_genre_data_pipeline_spark.functions.graph import pagerank_fixed_point
+
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = spark.createDataFrame(
+        [(a + shift, b + shift) for a, b in edges], "src long, dst long"
+    )
+    r1 = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(e1, iterations=3).collect()}
+    r2 = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(e2, iterations=3).collect()}
+    assert {k + shift: v for k, v in r1.items()} == r2
+    assert sum(r1.values()) <= 1e12
+
+
+@FAST
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 20), texts), max_size=8, unique_by=lambda r: r[0]
+    )
+)
+def test_hash_embed_mass_laws(spark, docs):
+    """Σ|v| ≤ n_tokens with equal parity (each token contributes ±1 to one
+    bucket), and Σv = Σ signs — the conservation laws of the hashing trick."""
+    from movie_genre_data_pipeline_spark.functions.text import hash_embed, tokens
+
+    df = spark.createDataFrame(docs, "doc_id long, text string") if docs else \
+        spark.createDataFrame([], "doc_id long, text string")
+    vecs = {r["doc"]: list(r["vec"]) for r in hash_embed(df, "doc_id", "text", 16).collect()}
+    ntoks = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    for doc, vec in vecs.items():
+        n = ntoks[doc]
+        assert n > 0  # tokenless docs must not produce a row
+        l1 = sum(abs(v) for v in vec)
+        assert l1 <= n and (n - l1) % 2 == 0
+    for doc_id, n in ntoks.items():
+        assert (doc_id in vecs) == (n > 0)
