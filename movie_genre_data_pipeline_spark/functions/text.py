@@ -323,3 +323,36 @@ def hash_embed(
             ).alias("vec"),
         )
     )
+
+
+def token_runs_udtf():
+    """Python UDTF (Spark 4 `@udtf` API): run-length encoding of a document's
+    token stream — one input row explodes to one row per maximal run of a
+    repeated token. The per-doc sequential scan is a genuine TABLE-function
+    use: the output row count depends on the data and each row carries state
+    (run start ordinal) a per-row scalar UDF can't thread.
+
+    Registered per-session via `spark.udtf.register("token_runs", ...)` and
+    invoked with SQL LATERAL — the Spark-4 surface for custom row generators
+    beyond the explode/posexplode builtins. The whitespace tokenization
+    matches functions.text.tokens() so SQL engines replay the runs exactly.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, tok string, run_len int")
+    class TokenRuns:
+        def eval(self, text: str):
+            import re
+
+            toks = [t for t in re.split(r"[ \t\n\r\f\v]+", text or "") if t]
+            run_idx = 0
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                yield (run_idx, toks[i], j - i)
+                run_idx += 1
+                i = j
+
+    return TokenRuns

@@ -461,3 +461,55 @@ FROM vecs
 
 
 QUERIES["text_hash_embeddings"] = QuerySpec(q_hash_embeddings, Q_HASH_EMBED_ORACLE)
+
+
+# -- Python UDTF: repeated-token runs (r5) ----------------------------------------------
+def q_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (functions/text.py:token_runs_udtf): each
+    document LATERAL-explodes into its repeated-token runs (run-length
+    encoding of the token stream — the repetition signal Gopher's
+    duplicate-fraction rules summarize, here at full granularity). Only runs
+    of length ≥ 2 survive; the oracle replays the runs with a lag-flag
+    running-sum window over position-exploded tokens."""
+    from movie_genre_data_pipeline_spark.functions.text import token_runs_udtf
+
+    spark.udtf.register("token_runs", token_runs_udtf())
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_for_runs")
+    runs = spark.sql(
+        """
+        SELECT d.doc_id, t.run_idx, t.tok, t.run_len
+        FROM __docs_for_runs d, LATERAL token_runs(d.text) t
+        """
+    )
+    return runs.filter(F.col("run_len") >= 2).select(
+        "doc_id", "run_idx", "tok", F.col("run_len").cast("bigint").alias("run_len")
+    )
+
+
+Q_TOKEN_RUNS_ORACLE = f"""
+WITH toks0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, toks[i] AS tok, i AS pos
+  FROM toks0, unnest(generate_series(1, len(toks))) AS s(i)
+),
+flagged AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN LAG(tok) OVER w IS DISTINCT FROM tok THEN 1 ELSE 0 END AS new_run
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+runs AS (
+  SELECT doc_id, tok,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS run_idx
+  FROM flagged
+)
+SELECT doc_id, CAST(run_idx AS INTEGER) AS run_idx, tok,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM runs
+GROUP BY doc_id, run_idx, tok
+HAVING COUNT(*) >= 2
+"""
+
+
+QUERIES["text_token_runs"] = QuerySpec(q_token_runs, Q_TOKEN_RUNS_ORACLE)
