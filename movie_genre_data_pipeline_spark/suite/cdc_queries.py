@@ -110,30 +110,53 @@ PURGE_MOD = 53  # custkeys filing deletion requests
 
 def q_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy deletion propagation: a tombstone set of customers cascades
-    through orders (by custkey) into lineitem (by the purged orderkeys) —
-    one anti/semi join pair per table against broadcast-sized key sets,
-    surviving rows never rewritten. Output is the per-table purge audit."""
+    through orders (by custkey) into lineitem (by the purged orderkeys).
+    The rewrite path is operators/cdc.py:purge_keys (anti/semi splits —
+    pinned by pytest); the AUDIT here is the plan you'd run at 100 TB: each
+    table scanned ONCE with a broadcast membership flag, kept/purged counted
+    in the same hash aggregate (a kept-count + purged-count per table via
+    separate anti/semi frames would re-scan every table twice). The
+    tombstone and dead-order key sets are checkpointed once — request-sized
+    and bounded by the purged-order count respectively."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    tomb = cust.filter(F.col("c_custkey") % PURGE_MOD == 0).select("c_custkey")
-
-    cust_kept, cust_purged = purge_keys(cust, tomb, ["c_custkey"])
-    ord_kept, ord_purged = purge_keys(
-        orders.withColumnRenamed("o_custkey", "c_custkey"), tomb, ["c_custkey"]
+    tomb = (
+        cust.filter(F.col("c_custkey") % PURGE_MOD == 0)
+        .select("c_custkey")
+        .localCheckpoint()
     )
-    dead_orders = ord_purged.select(F.col("o_orderkey").alias("l_orderkey"))
-    li_kept, li_purged = purge_keys(li, dead_orders, ["l_orderkey"])
+    _, dead = purge_keys(
+        orders.select("o_orderkey", F.col("o_custkey").alias("c_custkey")),
+        tomb,
+        ["c_custkey"],
+    )
+    dead_orders = dead.select(F.col("o_orderkey").alias("l_orderkey")).localCheckpoint()
 
-    def audit(name: str, kept: DataFrame, purged: DataFrame) -> DataFrame:
-        return kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_kept")).crossJoin(
-            purged.agg(F.count(F.lit(1)).cast("bigint").alias("n_purged"))
+    def audit(name: str, df: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+        flagged = df.join(
+            F.broadcast(keys.withColumn("__dead", F.lit(1))), key, "left"
+        )
+        return flagged.agg(
+            F.sum(F.when(F.col("__dead").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("__dead").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purged"),
         ).select(F.lit(name).alias("table_name"), "n_kept", "n_purged")
 
     return (
-        audit("customer", cust_kept, cust_purged)
-        .unionByName(audit("orders", ord_kept, ord_purged))
-        .unionByName(audit("lineitem", li_kept, li_purged))
+        audit("customer", cust, tomb, "c_custkey")
+        .unionByName(
+            audit(
+                "orders",
+                orders.withColumnRenamed("o_custkey", "c_custkey"),
+                tomb,
+                "c_custkey",
+            )
+        )
+        .unionByName(audit("lineitem", li, dead_orders, "l_orderkey"))
     )
 
 
