@@ -447,9 +447,12 @@ def q_merge_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("BASE").alias("tier"),
     )
     split = F.lit(SCD2_SPLIT).cast("timestamp")
+    # in production `history` is a persisted dimension TABLE; deriving it
+    # inline here, the checkpoint stands in for that materialization so the
+    # incremental pass doesn't re-derive it per reference (untouched + touched)
     history = scd2_apply(
         base, ups.filter(F.col("eff_from") < split), ["c_custkey"], ["tier"], "eff_from"
-    )
+    ).localCheckpoint()
     hist2 = scd2_apply_incremental(
         history, ups.filter(F.col("eff_from") >= split), ["c_custkey"], ["tier"], "eff_from"
     )

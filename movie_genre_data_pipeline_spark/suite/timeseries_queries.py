@@ -296,9 +296,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load(spark, sf_dir, "events")
-    weekly = ev.select(
-        "user_id", time_bucket("ts", WEEK_S).alias("week")
-    ).distinct()
+    # weekly feeds three consumers (cohorts, sizes-via-cohorts, cells); the
+    # checkpoint pins ONE events scan — weekly is (user, week) grain, far
+    # smaller than raw events at any scale
+    weekly = (
+        ev.select("user_id", time_bucket("ts", WEEK_S).alias("week"))
+        .distinct()
+        .localCheckpoint()
+    )
     cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     sizes = cohorts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_size")
