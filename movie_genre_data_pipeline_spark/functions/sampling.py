@@ -269,3 +269,55 @@ def priority_sample(
         .filter(F.col("__prn") <= k)
         .drop("__prn")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_total: int,
+    salt: str = "temperature",
+) -> DataFrame:
+    """Temperature-based mixture sampling at α = 0.5: stratum s receives share
+    ∝ n_s^α of the target budget — the multilingual rebalancing formula
+    (mBERT/XLM-R style) that lifts low-resource strata relative to raw
+    proportions without the fixed weight table `mixture_resample` needs.
+    rate_s = min(1, (√n_s / Σ√n) · target_total / n_s); membership is the same
+    48-bit md5-fraction comparison as the other deterministic samplers.
+
+    α is FIXED at 0.5 deliberately: √ is an IEEE correctly-rounded operation,
+    so — with the normalizer Σ√n folded in stratum-sorted order on both
+    engines — every rate is bit-identical cross-engine and the sampling
+    decisions are oracle-exact. General α needs pow(), which libm does not
+    correctly round; a production variant would precompute rates driver-side
+    and treat them as config.
+
+    Scale: one count aggregation collected (|strata| rows — dimension-sized),
+    rates baked into the plan as literals, then a scan-local filter. The data
+    itself is never shuffled.
+    """
+    import math
+
+    rows = sorted(
+        df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n")).collect(),
+        key=lambda r: r[0],
+    )
+    if not rows:
+        return df.limit(0)
+    w_total = 0.0
+    weights = []
+    for r in rows:
+        w = math.sqrt(float(r["__n"]))
+        weights.append((r[0], w, float(r["__n"])))
+        w_total = w_total + w
+    rate_expr = F.lit(None).cast("double")
+    for stratum, w, n in weights:
+        rate = min(1.0, w / w_total * float(target_total) / n)
+        rate_expr = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(
+            rate_expr
+        )
+    frac48 = (
+        F.conv(F.substring(sample_tag(key_col, salt), 1, 12), 16, 10).cast("long")
+        / F.lit(float(1 << 48))
+    )
+    return df.filter(frac48 < F.coalesce(rate_expr, F.lit(0.0)))

@@ -172,3 +172,62 @@ QUERIES: dict[str, QuerySpec] = {
         q_sample_corpus_shuffle, Q_CORPUS_SHUFFLE_ORACLE
     ),
 }
+
+
+# -- temperature mixture sampling at alpha = 0.5 (r5) -----------------------------------
+TEMP_TARGET = 300  # < corpus size so the α-rebalancing actually bites (en downsampled hardest)
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing
+    (functions/sampling.py:temperature_resample): shares ∝ √n_s lift
+    low-resource languages relative to raw proportions — the mBERT/XLM-R
+    mixing formula, exact at α = 0.5 because √ is correctly rounded and the
+    normalizer folds in stratum-sorted order on both engines. The output
+    reports observed vs target per language so the rebalancing effect is the
+    checked value."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    kept = temperature_resample(d, "doc_id", "lang", TEMP_TARGET, salt="temp5")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    kept_counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return counts.join(kept_counts, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+Q_TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+norm AS (
+  SELECT list_aggregate(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang), 'sum') AS w
+  FROM counts
+),
+rates AS (
+  SELECT lang, n,
+         LEAST(1.0, sqrt(CAST(n AS DOUBLE)) / w * {float(TEMP_TARGET)!r}
+                    / CAST(n AS DOUBLE)) AS rate
+  FROM counts, norm
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN rates r USING (lang)
+  WHERE CAST(concat('0x', substring(
+          md5(concat(CAST(doc_id AS VARCHAR), ':temp5')), 1, 12)) AS BIGINT)
+        / {float(1 << 48)!r} < r.rate
+),
+kc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang)
+SELECT c.lang, c.n AS n_total, COALESCE(kc.n_kept, 0) AS n_kept
+FROM counts c LEFT JOIN kc USING (lang)
+"""
+
+
+QUERIES["sample_temperature_mixture"] = QuerySpec(
+    q_temperature_mixture, Q_TEMPERATURE_MIXTURE_ORACLE
+)
