@@ -104,3 +104,24 @@ def test_priority_sample_weighted_and_repartition_invariant(spark):
     assert mean_sample > mean_all
     with pytest.raises(ValueError):
         priority_sample(d, "doc_id", "n_chars", 0)
+
+
+# -- temperature mixture (r5) -----------------------------------------------------------
+def test_temperature_resample_lifts_low_resource(spark):
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_resample(df, "doc_id", "lang", target_total=400)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=0.5: shares prop. to sqrt(n) -> big keeps ~30/sqrt(9)... the KEPT
+    # FRACTION of the small stratum must exceed the big stratum's
+    assert counts["small"] / 100 > counts["big"] / 900
+    # deterministic: identical on re-run
+    again = {r["lang"]: r["n"] for r in temperature_resample(df, "doc_id", "lang", 400)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+    # empty input yields empty output, not an error
+    assert temperature_resample(df.limit(0), "doc_id", "lang", 400).count() == 0
