@@ -131,7 +131,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     equi-join — each triangle counted exactly once. All three joins are on
     node keys (shuffle- or broadcast-joinable); no neighborhood arrays, so
     skewed high-degree nodes cost |N(v)|² join rows, not driver memory."""
-    und = orient_edges(edges, src, dst).cache()
+    # localCheckpoint (not cache) so the shared oriented edge list is
+    # materialized once for the three joins below but its blocks are released
+    # by the ContextCleaner when the frame is GC'd — a plain cache() here
+    # leaked executor storage across repeated calls in a long-lived session.
+    und = orient_edges(edges, src, dst).localCheckpoint(eager=True)
     e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))

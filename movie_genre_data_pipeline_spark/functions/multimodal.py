@@ -274,6 +274,17 @@ def phash_near_dup_pairs(
             f"{max_hamming} >= {bands}"
         )
     width = 64 // bands
+    # The bands must TILE every used fingerprint bit (the hash occupies the
+    # low 63 bits): bands * (64 // bands) can fall short for bands that don't
+    # divide 64 (e.g. 5 covers only 60 bits), silently missing pairs that
+    # differ only in the uncovered high bits — which breaks the pigeonhole
+    # exactness claim. Power-of-two band counts always tile.
+    if bands * width < PHASH_TILES - 1:
+        raise ValueError(
+            f"bands={bands} covers only {bands * width} of the "
+            f"{PHASH_TILES - 1} fingerprint bits; use a bands value with "
+            f"bands * (64 // bands) >= {PHASH_TILES - 1} (e.g. 1, 2, 4, 8, 16)"
+        )
     keyed = fps.select(
         F.col("media_id"),
         "phash",

@@ -21,10 +21,16 @@ from __future__ import annotations
 from collections.abc import Sequence
 from typing import NamedTuple
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _ACTIONS = ("warn", "drop", "fail")
+# Rule names are interpolated into the stack() SQL string and the __p_/__f_
+# column aliases — restrict to identifier characters so a quote/space/backtick
+# can't break the generated expression or mangle the report.
+_IDENT = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 class Expectation(NamedTuple):
@@ -50,6 +56,11 @@ def check_expectations(
     for e in expectations:
         if e.action not in _ACTIONS:
             raise ValueError(f"unknown action {e.action!r} for rule {e.name!r}")
+        if not _IDENT.match(e.name):
+            raise ValueError(
+                f"rule name {e.name!r} must match [A-Za-z0-9_]+ (it is "
+                "interpolated into generated SQL and column aliases)"
+            )
     aggs = []
     for e in expectations:
         p = _pred(e)

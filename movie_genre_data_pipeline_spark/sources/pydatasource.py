@@ -208,6 +208,15 @@ def _build_ledger_datasource_class():
                 if m is not None
             ]
             manifest = os.path.join(self.path, "_MANIFEST.json")
+            # Append mode must MERGE into the existing manifest — publishing
+            # only this write's shards would make every previously committed
+            # row invisible to readers. Overwrite resets the shard list (the
+            # old shard files become unreferenced, i.e. logically deleted —
+            # the same visibility semantics as a Delta overwrite commit).
+            if not self.overwrite and os.path.exists(manifest):
+                with open(manifest) as f:
+                    prior = json.load(f)
+                shards = list(prior.get("shards", [])) + shards
             tmp = manifest + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"shards": shards}, f)

@@ -299,3 +299,7 @@ def test_phash_laws(spark):
 
     with _pytest.raises(ValueError):
         phash_near_dup_pairs(phash_fingerprints(df), max_hamming=4, bands=4)
+    # tiling guard: bands=5 covers only 60 of the 63 fingerprint bits — pairs
+    # differing only in the uncovered high bits would be silently missed
+    with _pytest.raises(ValueError, match="covers only"):
+        phash_near_dup_pairs(phash_fingerprints(df), max_hamming=3, bands=5)

@@ -91,3 +91,6 @@ def test_expectations_report_routing_and_fail(spark):
         check_expectations(df, [])
     with pytest.raises(ValueError):
         check_expectations(df, [Expectation("x", F.lit(True), "explode")])
+    # rule names reach generated SQL/aliases — non-identifier names rejected
+    with pytest.raises(ValueError, match="rule name"):
+        check_expectations(df, [Expectation("bad'name", F.lit(True), "warn")])

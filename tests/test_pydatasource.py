@@ -84,6 +84,29 @@ def test_ledger_two_phase_commit_and_orphan_invisibility(spark, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == list(range(100))
 
 
+def test_ledger_append_merges_manifest_overwrite_resets(spark, tmp_path):
+    """A second append must MERGE into the manifest (both writes visible);
+    overwrite must reset it (only the new write visible)."""
+    from movie_genre_data_pipeline_spark.sources.pydatasource import (
+        read_ledger,
+        register_ledger,
+    )
+
+    register_ledger(spark)
+    path = str(tmp_path / "ledger")
+    schema = "id long, user string"
+    first = spark.createDataFrame([(i, f"u{i}") for i in range(10)], schema)
+    second = spark.createDataFrame([(i, f"u{i}") for i in range(10, 25)], schema)
+    first.write.format("jsonl_ledger").option("path", path).mode("append").save()
+    second.write.format("jsonl_ledger").option("path", path).mode("append").save()
+    back = read_ledger(spark, path, schema)
+    assert sorted(r["id"] for r in back.collect()) == list(range(25))
+
+    third = spark.createDataFrame([(100, "fresh")], schema)
+    third.write.format("jsonl_ledger").option("path", path).mode("overwrite").save()
+    assert [r["id"] for r in read_ledger(spark, path, schema).collect()] == [100]
+
+
 def test_ledger_requires_path(spark):
     import pytest
 

@@ -30,6 +30,32 @@ def test_rows_only_queries_sorted_last():
     assert first_rows_only >= 50
 
 
+def test_documented_query_counts_match_registry():
+    """README/COVERAGE advertise the registry size; both rounds 4 and 5 shipped
+    stale counts, so pin the documented numbers to ``all_queries()`` — this
+    test fails the moment the docs and the registry diverge (VERDICT r05 #3)."""
+    import re
+    from pathlib import Path
+
+    q = all_queries()
+    total, oracled = len(q), sum(1 for s in q.values() if s.oracle is not None)
+    root = Path(__file__).resolve().parent.parent
+
+    readme = (root / "README.md").read_text()
+    m = re.search(r"(\d+) named queries.*?\((\d+) oracle-checked\)", readme, re.S)
+    assert m, "README.md no longer states the query counts"
+    assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+        f"README claims {m.group(1)}/{m.group(2)}, registry has {total}/{oracled}"
+    )
+
+    coverage = (root / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) queries total; (\d+) oracle-checked", coverage)
+    assert m, "COVERAGE.md no longer states the query counts"
+    assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+        f"COVERAGE claims {m.group(1)}/{m.group(2)}, registry has {total}/{oracled}"
+    )
+
+
 def test_driver_window_samples_every_family():
     prefixes = {
         "dedup_": 0,
