@@ -47,106 +47,94 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # reference-parity pipeline core (project_cast/struct_expand/explode_array/
     # merge_insert_missing earned driver-pass rows in r1 and rotated out for the
-    # r2 curation family; they remain oracled just past the window)
-    # (dim_fix/topk_orders also driver-passed in r1 and rotated out for the
-    # bloom/layout additions this round)
+    # r2 curation family; dim_fix/topk_orders likewise)
     "flagship_revenue_by_flag_status",
     "quarantine_clean",
     "merge_status_update",
-    # r4: SCD Type-2 merge joins the merge family (Type-1 status flips
-    # driver-passed r1/r3)
     "merge_scd2",
-    # relational spine (q3/q18 driver-passed in r1, q6 in r1-r3; rotated out)
-    # (window_topk_per_group / from_json_props / interval_join driver-passed
-    # r1-r4 — rotated out r5 for the new graph family + PQ, still oracled just
-    # past the window)
+    # relational spine (q3/q6/q18 passed r1-r3; window_topk_per_group /
+    # from_json_props / interval_join passed r1-r4; asof_join and
+    # grouped_pandas_norm, both multi-round passers, rotate out r6 for the
+    # never-verified r5 surfaces — all remain oracled just past the window)
     "tpch_q1",
     "star_join",
-    "asof_join",
-    # r5: snapshot-derived change feed + declarative expectations — the CDC /
-    # data-quality families earn driver rows immediately (sessionize and
-    # grouping_sets, 3-4x passers, rotate out)
+    "tpch_q9",
+    # r5 families that earned rows immediately and stay seated
     "cdc_snapshot_diff",
     "dq_expectations",
-    # late TPC-H shapes + grouping (q13/q16 driver-passed in r2, q2/q7/q22 in
-    # r2-r4; rotated out for the r4/r5 operators that had never earned a row)
-    "tpch_q9",
-    "tpch_q21",
-    # scale / custom operators (r5: skew_salted_join joins its agg sibling in
-    # the window — the hot-key-replicated join plan gets its own driver row)
-    "skew_salted_agg",
+    # r6: the purge cascade joins its CDC sibling — right-to-be-forgotten
+    # anti-join cascade, never driver-verified before
+    "ops_purge_cascade",
+    # scale / custom operators (skew_salted_agg, a 3x passer, rotates out;
+    # the replicated-join plan keeps the skew family's driver row)
     "skew_salted_join",
-    "grouped_pandas_norm",
-    # r5: graph analytics (exact fixed-point PageRank + triangle census over
-    # the nation trade graph) — a brand-new family, seated immediately
+    # graph analytics (seated r5, one green round — stays for a second)
     "graph_pagerank_trade",
     "graph_triangle_count",
-    # sampling/packing (corpus_shuffle + stratified oracle driver-passed; r4
-    # brings the token-packer into the window now its HUGEINT oracle is pinned)
-    "sample_stratified_split",
-    "pack_token_budget",
-    # r4: deterministic weighted (priority) sampling
+    # sampling/packing (stratified split + token packer, multi-round passers,
+    # rotate out; the weighted reservoir stays and r6 seats the temperature
+    # mixture sampler, never driver-verified)
     "sample_weighted_reservoir",
-    # time series + sketches (funnel_conversion / sketch_cms_heavy_hitters /
-    # sample_corpus_shuffle driver-passed in r3, rotated out for the sampling/
-    # dedup/similarity tails; r4 re-seats the sketch family with HLL; r5 adds
-    # the hourly→daily rollup cascade)
-    "time_bucket_gapfill",
-    "rollup_cascade",
-    # r5: rolling z-score anomaly flags over the gap-filled series
+    "sample_temperature_mixture",
+    # time series (gapfill + rollup cascade, multi-round passers, rotate out;
+    # r6 seats the retention-cohort matrix, never driver-verified)
     "ts_anomaly_zscore",
+    "ts_retention_cohorts",
+    # sketches (histogram quantiles, a 2x passer, rotates out — its streaming
+    # twin enters below; HLL and KMV stay as the batch sketch rows)
     "sketch_hll_distinct",
     "sketch_kmv_vocab_overlap",
-    "sketch_histogram_quantiles",
-    # text analysis (lang_id_hist driver-passed r3, rotated out; r5 seats the
-    # winnowing fingerprint index — the MOSS local-overlap primitive)
+    # text analysis (quality_scores, a multi-round passer, rotates out; r6
+    # seats the hashing-trick embedder and the UDTF token-run encoder)
     "text_tfidf_topk",
-    "text_quality_scores",
     "text_winnow_fingerprints",
-    # deduplication (ngram_jaccard driver-passed in r2, rotated out)
-    # (simhash + embedding_cosine driver-passed r3, rotated out; still oracled
-    # past the window)
+    "text_hash_embeddings",
+    "text_token_runs",
+    # deduplication (r6 seats the winnowing overlap pairs — the last dedup
+    # family member without a driver row)
     "dedup_minhash_lsh",
     "dedup_corpus",
     "dedup_keep_best",
-    # r5: SemDeDup — learned-cluster semantic dedup (dedup_exact, a 3x passer,
-    # rotates out; the exact path stays covered by dedup_keep_best's digests)
     "dedup_semantic",
-    # similarity search (lsh_multi_top1 driver-passed in r2, quantize_int8 in
-    # r3; rotated out)
+    "dedup_winnow",
+    # similarity search (lsh_top1/lsh_recall/topk_bruteforce, all multi-round
+    # passers, rotate out — still oracled past the window; r6 seats the three
+    # never-verified ANN members: composed IVFADC, learned-IVF recall law,
+    # and hashed-embedding top-k, plus the centroid medoid summarizer)
     "sim_topk_ivf",
-    "sim_lsh_top1",
-    "sim_topk_bruteforce",
-    "sim_lsh_recall",
-    # r5: product-quantization ADC recall, fully oracled (codebooks, encode,
-    # search, and baseline all exact-arithmetic)
     "sim_pq_recall",
-    # corpus curation (r2 family; gopher_flags driver-passed r3, rotated out)
+    "sim_pq_ivfadc",
+    "sim_kmeans_recall",
+    "sim_topk_hashed",
+    "sim_centroid_representatives",
+    # corpus curation (decontaminate + bloom variant, multi-round passers,
+    # rotate out; exact-dup PII redaction and the fuzzy member stay)
     "curate_pii_redaction",
-    "curate_decontaminate",
-    "curate_bloom_decontaminate",
-    # r5: near-duplicate benchmark decontamination — the fuzzy member of the
-    # decontam trio (chunk_documents and mixture_rebalance, 3x passers, out)
     "curate_fuzzy_decontaminate",
-    # data layout (r2)
-    "layout_zorder_stats",
-    # structured streaming (foreachbatch_merge driver-passed r3, rotated out;
-    # stream_hll_distinct keeps foreachBatch covered and adds the incremental
-    # sketch-merge path)
+    # formats (r6: generational mergeSchema evolution, never driver-verified)
+    "schema_evolution",
+    # structured streaming (stream_stream_join / stream_stateful_user_stats,
+    # multi-round passers, rotate out; r6 seats the remaining sketch-ledger
+    # members and the per-batch SCD2 log applier — the exactly-the-paths
+    # where driver-vs-local environment differences bite)
     "stream_tumbling_window",
     "stream_hll_distinct",
-    "stream_stream_join",
-    "stream_stateful_user_stats",
-    # multimodal (media_byte_features driver-passed r2-r4, rotated out r5;
-    # media_resize keeps the mapInPandas/Arrow family in-window and
-    # media_frame_sample_plan — never driver-verified before — takes the
-    # slot tpch_q22 vacated)
-    "media_resize",
+    "stream_kmv_distinct",
+    "stream_cms_heavy",
+    "stream_histogram_quantiles",
+    "stream_scd2_incremental",
+    # multimodal (media_resize, a 2x passer, rotates out; the frame-sample
+    # plan and phash near-dup keep the Arrow/mapInPandas family seated)
     "media_frame_sample_plan",
-    # r5: perceptual-hash image near-dup — the multimodal dedup crossover
     "media_phash_dedup",
-    # custom Python DataSource (Spark 4 connector API, r4)
+    # custom Python DataSource: all four connector surfaces (batch read was
+    # driver-passed r5; r6 seats the Arrow bulk scan, the two-phase-commit
+    # writer, the stream reader, and the stream sink — none ever driver-run)
     "pysource_synthetic_events",
+    "pysource_bulk_scan",
+    "pysource_jsonl_commit",
+    "pysource_stream",
+    "pysource_stream_sink",
 )
 
 
