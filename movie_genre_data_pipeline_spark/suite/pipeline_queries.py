@@ -540,3 +540,61 @@ FROM (
 
 
 QUERIES["dq_expectations"] = QuerySpec(q_dq_expectations, Q_DQ_EXPECTATIONS_ORACLE)
+
+
+# -- Gold layer (r6): the medallion stage the reference describes but never builds -------
+def q_gold_genre_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver→Gold star mart (/root/reference/README.md:10-15 sketches Gold and
+    stops at Silver): movie-shaped fact rows (orders play movie_silver — Revenue
+    from o_totalprice, a derived Budget, a synthetic 2-genre membership array)
+    explode on their genre ids, broadcast-join the genre dimension (nation), and
+    roll up to one mart row per genre. The plan is one fact scan → explode →
+    broadcast hash join → single hash aggregate on ~|genres| keys."""
+    from movie_genre_data_pipeline_spark.plans.gold import build_genre_revenue_mart
+
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    movies = orders.select(
+        F.col("o_totalprice").alias("Revenue"),
+        F.round(F.col("o_totalprice") * 0.4, 2).alias("Budget"),
+        (F.col("o_orderkey") % 180 + 60).cast("INTEGER").alias("RunTime"),
+        F.array_distinct(
+            F.array(
+                (F.col("o_custkey") % 25).cast("INTEGER"),
+                (F.col("o_orderkey") % 25).cast("INTEGER"),
+            )
+        ).alias("Genres_Id"),
+    )
+    genre_dim = nation.select(
+        F.col("n_nationkey").cast("INTEGER").alias("Id"), F.col("n_name").alias("name")
+    )
+    return build_genre_revenue_mart(movies, genre_dim)
+
+
+Q_GOLD_GENRE_REVENUE_ORACLE = """
+WITH movie AS (
+  SELECT o_totalprice AS revenue,
+         ROUND(o_totalprice * 0.4, 2) AS budget,
+         CAST(o_orderkey % 180 + 60 AS INTEGER) AS runtime,
+         list_distinct([CAST(o_custkey % 25 AS INTEGER),
+                        CAST(o_orderkey % 25 AS INTEGER)]) AS genres
+  FROM orders
+), exploded AS (
+  SELECT revenue, budget, runtime, unnest(genres) AS genre_id FROM movie
+)
+SELECT e.genre_id,
+       n.n_name AS genre_name,
+       CAST(COUNT(*) AS BIGINT) AS n_movies,
+       ROUND(SUM(e.revenue), 2) AS total_revenue,
+       ROUND(SUM(e.budget), 2) AS total_budget,
+       ROUND(AVG(e.runtime), 4) AS avg_runtime
+FROM exploded e
+JOIN nation n ON n.n_nationkey = e.genre_id
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+QUERIES["gold_genre_revenue"] = QuerySpec(
+    q_gold_genre_revenue, Q_GOLD_GENRE_REVENUE_ORACLE
+)

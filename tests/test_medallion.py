@@ -155,3 +155,29 @@ def test_null_runtime_split_expressions_agree_across_variants(spark):
     inc_quar = df.filter(~(F.col("RunTime") >= 0))
     assert {r["Id"] for r in inc_clean.collect()} == {1}
     assert {r["Id"] for r in inc_quar.collect()} == {2}
+
+
+def test_gold_genre_revenue_mart(spark, pipeline_config, raw_movie_dir):
+    """Silver→Gold completes the medallion: one mart row per genre, the empty-
+    name genre (dropped from the dim) takes its memberships with it, and the
+    dim side is broadcast."""
+    from movie_genre_data_pipeline_spark.plans.gold import build_genre_revenue_mart
+
+    _run(spark, pipeline_config, raw_movie_dir)
+    movie = read_parquet(spark, pipeline_config.silver_path("movie"))
+    genres = read_parquet(spark, pipeline_config.silver_path("genres"))
+    mart = build_genre_revenue_mart(movie, genres)
+    rows = {r["genre_id"]: r for r in mart.collect()}
+    # clean movies: Alpha(genres 1,2) floored to 100k budget, Gamma(1), Epsilon(3,5);
+    # genre 2 has an empty name -> not in the dim -> membership dropped
+    assert set(rows) == {1, 3, 5}
+    action = rows[1]
+    assert (action["genre_name"], action["n_movies"]) == ("Action", 2)
+    assert action["total_budget"] == 600000.0  # 100000 (floored) + 500000
+    assert action["total_revenue"] == 125000.0 + 1250000.0
+    assert action["avg_runtime"] == 120.0
+    assert rows[3]["genre_name"] == "Drama" and rows[3]["n_movies"] == 1
+    assert rows[5]["genre_name"] == "Horror" and rows[5]["n_movies"] == 1
+    # the genre dim must come in as a broadcast hash join (star-mart contract)
+    plan = mart._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
