@@ -103,3 +103,83 @@ def test_adc_cell_restriction(spark):
     # unrestricted scan strictly supersets the restricted one
     full = pq_adc_scores(q, codes, books).count()
     assert full > len(pairs)
+
+
+def test_ivfadc_recall_law(spark):
+    """The composition's quality contract (VERDICT r05 #7): restricting the ADC
+    scan to the query's coarse cell can only lose queries whose exact NN lies
+    OUTSIDE the cell — so across datasets, recall@1(IVFADC) must stay at or
+    above recall@1(ADC-only) minus the cell-miss rate. Pins the quality law of
+    the composition, not just its arithmetic."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import kmeans_exact_cells
+
+    for seed in (0, 1, 2):
+        n, n_groups = 30, 3
+        rows = [
+            (
+                i,
+                [
+                    float((i % n_groups) * 20 + (i * 7 + j * 5 + seed * 3) % 7)
+                    for j in range(DIM)
+                ],
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        q = quantize_vectors(df, "vec_id", "embedding", scale=1.0).cache()
+        cells = {
+            r["vid"]: r["cluster"]
+            for r in kmeans_exact_cells(
+                df, "vec_id", "embedding", k=n_groups, iterations=2, scale=1.0
+            ).collect()
+        }
+        books = pq_train_exact(q, DIM, M, K, iterations=2)
+        codes = pq_encode(q, books)
+
+        vecs = dict(rows)
+
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        d_min = {
+            i: min(d2(vecs[i], vecs[j]) for j in vecs if j != i) for i in vecs
+        }
+        # cell-miss: no exact-NN-distance vector shares the query's cell
+        missed = {
+            i
+            for i in vecs
+            if not any(
+                j != i and cells[j] == cells[i] and d2(vecs[i], vecs[j]) == d_min[i]
+                for j in vecs
+            )
+        }
+        miss_rate = len(missed) / n
+
+        adc_pairs = pq_adc_scores(q, codes, books).collect()
+
+        def recall(pairs):
+            best: dict[int, tuple[float, int]] = {}
+            for r in pairs:
+                key = (r["adc"], r["neighbor"])
+                if r["vid"] not in best or key < best[r["vid"]]:
+                    best[r["vid"]] = key
+            hits = sum(
+                1
+                for i, (_, nb) in best.items()
+                if d2(vecs[i], vecs[nb]) == d_min[i]
+            )
+            # queries with NO candidates (empty cell after restriction can't
+            # happen for self-cells, but guard the denominator anyway)
+            return hits / n
+
+        recall_adc = recall(adc_pairs)
+        recall_ivfadc = recall(
+            [r for r in adc_pairs if cells[r["vid"]] == cells[r["neighbor"]]]
+        )
+        assert recall_ivfadc >= recall_adc - miss_rate - 1e-12, (
+            seed,
+            recall_ivfadc,
+            recall_adc,
+            miss_rate,
+        )
+        q.unpersist()
