@@ -1,0 +1,158 @@
+"""Scale-tier evidence for the 100 TB design claims (VERDICT r05 #6).
+
+Generates a k-times larger synthetic tier from the sf0.1 fixtures by
+REPLICA-SHIFTING (not duplicating) each table the five scale-marketed query
+paths read, then times each query at both tiers and records the scaling
+ratio. Near-linear ratios are the first empirical support for the "bucketed /
+salted / sketched plans survive scale-up" story; super-linear ratios flag a
+plan whose shuffle or candidate set grows faster than its input.
+
+Replica discipline — each replica r in 1..k-1 must preserve the BASE tier's
+within-replica workload character while staying disjoint across replicas:
+- documents: doc ids offset; every word gets a replica suffix, so shingle
+  sets are identical in structure within a replica but share nothing across
+  replicas (plain duplication would hand MinHash-LSH k-1 artificial near-dups
+  per doc and quadratically inflate candidate pairs — a different workload).
+- embeddings: ids offset; vectors carried as-is (density scales uniformly,
+  the realistic outcome of more data in the same embedding space).
+- events: event/user ids offset — HLL cardinality grows k-fold.
+- customer/orders and lineitem/supplier: join keys offset consistently on
+  BOTH sides, so per-key fanout, skew shape, and SCD2 version-chain lengths
+  match the base tier exactly; only the key count scales.
+
+Usage: python tools/scale_bench.py [k] [base_sf_dir] [out_json]
+Writes one JSON blob (default SCALE_BENCH.json at the repo root).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE_QUERIES = [
+    "dedup_minhash_lsh",
+    "sim_pq_ivfadc",
+    "sketch_hll_distinct",
+    "merge_scd2",
+    "skew_salted_join",
+]
+
+# per-table (id columns to offset, text columns to word-suffix)
+TABLES: dict[str, tuple[list[str], list[str]]] = {
+    "documents": (["doc_id"], ["text"]),
+    "embeddings": (["vec_id"], []),
+    "events": (["event_id", "user_id"], []),
+    "customer": (["c_custkey"], []),
+    "orders": (["o_orderkey", "o_custkey"], []),
+    "lineitem": (["l_orderkey", "l_suppkey"], []),
+    "supplier": (["s_suppkey"], []),
+}
+
+
+def _replicate(
+    spark: SparkSession, base_dir: str, out_dir: str, table: str, k: int
+) -> None:
+    from movie_genre_data_pipeline_spark.sources.batch import read_parquet
+
+    id_cols, text_cols = TABLES[table]
+    df = read_parquet(spark, f"{base_dir}/{table}.parquet")
+    # one shared offset stride per table keeps FK pairs (customer/orders,
+    # lineitem/supplier) consistent: both sides use the same max+1 per column
+    strides = {
+        c: df.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols
+    }
+    parts = []
+    for r in range(k):
+        rep = df
+        for c in id_cols:
+            rep = rep.withColumn(c, F.col(c) + F.lit(r * strides[c]))
+        for c in text_cols:
+            if r > 0:  # replica 0 is the base text verbatim
+                rep = rep.withColumn(
+                    c,
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col(c), " "),
+                            lambda w: F.concat(w, F.lit(f"·{r}")),
+                        ),
+                        " ",
+                    ),
+                )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def _time_query(fn, spark: SparkSession, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    base_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_json = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else str(Path(__file__).resolve().parent.parent / "SCALE_BENCH.json")
+    )
+    scaled_dir = os.path.join("/tmp", f"mgdp_scale_x{k}")
+
+    from movie_genre_data_pipeline_spark.session import build_session
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    spark = build_session(app_name="mgdp-scale-bench")
+    specs = all_queries()
+
+    shutil.rmtree(scaled_dir, ignore_errors=True)
+    t0 = time.time()
+    for table in TABLES:
+        _replicate(spark, base_dir, scaled_dir, table, k)
+    gen_sec = round(time.time() - t0, 3)
+
+    # warmup (JVM/codegen) before any timed run
+    spark.read.parquet(f"{base_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name in SCALE_QUERIES:
+        fn = specs[name].fn
+        base = min(_time_query(fn, spark, base_dir) for _ in range(2))
+        scaled = min(_time_query(fn, spark, scaled_dir) for _ in range(2))
+        results[name] = {
+            "base_sec": base,
+            "scaled_sec": scaled,
+            "ratio": round(scaled / base, 2) if base else None,
+        }
+
+    blob = {
+        "metric": "scale_ratio",
+        "k": k,
+        "base": base_dir,
+        "gen_sec": gen_sec,
+        "queries": results,
+        "note": (
+            "ratio ~= k means linear scaling; the five paths are the "
+            "scale-marketed bucketed/salted/sketched plans (VERDICT r05 #6)"
+        ),
+    }
+    with open(out_json, "w") as f:
+        json.dump(blob, f, indent=2)
+    print(json.dumps(blob))
+
+
+if __name__ == "__main__":
+    main()
