@@ -181,3 +181,60 @@ def test_gold_genre_revenue_mart(spark, pipeline_config, raw_movie_dir):
     # the genre dim must come in as a broadcast hash join (star-mart contract)
     plan = mart._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_gold_ivm_equals_rebuild(spark):
+    """Folding the CDC feed into the integral state must equal a from-scratch
+    rebuild bit-for-bit — across inserts, deletes, repricing updates, a
+    genre-membership change, and a NULL runtime."""
+    from movie_genre_data_pipeline_spark.operators.cdc import snapshot_diff
+    from movie_genre_data_pipeline_spark.plans.gold import (
+        apply_genre_revenue_delta,
+        build_genre_revenue_state,
+        finalize_genre_revenue,
+    )
+
+    schema = (
+        "Id long, Revenue double, Budget double, RunTime int, "
+        "Genres_Id array<int>"
+    )
+    snap_a = spark.createDataFrame(
+        [
+            (1, 100.10, 40.04, 100, [1, 2]),
+            (2, 200.20, 80.08, 120, [2]),
+            (3, 300.30, 120.12, None, [3]),   # NULL runtime in avg semantics
+            (4, 400.40, 160.16, 90, [1, 3]),
+        ],
+        schema,
+    )
+    snap_b = spark.createDataFrame(
+        [
+            (1, 110.11, 40.04, 100, [1, 2]),  # updated: repriced
+            (3, 300.30, 120.12, None, [1]),   # updated: genre set changed
+            (4, 400.40, 160.16, 90, [1, 3]),  # unchanged
+            (5, 500.50, 200.20, 80, [2, 3]),  # inserted
+        ],                                     # 2 deleted
+        schema,
+    )
+    dim = spark.createDataFrame(
+        [(1, "Action"), (2, "Drama"), (3, "Comedy")], "Id int, name string"
+    )
+    changes = snapshot_diff(
+        snap_a, snap_b, ["Id"], ["Revenue", "Budget", "RunTime", "Genres_Id"]
+    )
+    maintained = apply_genre_revenue_delta(
+        build_genre_revenue_state(snap_a, dim), changes, dim
+    )
+    rebuilt = build_genre_revenue_state(snap_b, dim)
+    key = lambda r: (r["genre_id"],)
+    m_rows = sorted(map(tuple, maintained.filter("n_movies > 0").collect()))
+    r_rows = sorted(map(tuple, rebuilt.collect()))
+    assert m_rows == r_rows  # integral state: exact equality, not approx
+    f_m = sorted(map(tuple, finalize_genre_revenue(maintained).collect()))
+    f_r = sorted(map(tuple, finalize_genre_revenue(rebuilt).collect()))
+    assert f_m == f_r
+    # sanity on the published mart: genre 2 lost movie 2 (deleted) but gained 5
+    mart = {r["genre_id"]: r for r in finalize_genre_revenue(maintained).collect()}
+    assert mart[2]["n_movies"] == 2  # movies 1 and 5
+    assert mart[1]["n_movies"] == 3  # movies 1, 3 (gained), 4
+    assert mart[1]["avg_runtime"] == 95.0  # NULL runtime of movie 3 excluded
