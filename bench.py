@@ -52,6 +52,10 @@ HEADLINE = [
     # cheap aggregates guarding the quality/CDC families
     "dq_expectations",
     "cdc_snapshot_diff",
+    # r6: the gold star mart and its CDC-incremental refresh — the medallion
+    # completion and the IVM hot path
+    "gold_genre_revenue",
+    "gold_genre_revenue_ivm",
 ]
 
 

@@ -168,3 +168,34 @@ def scd2_apply_incremental_log(
         keys, attrs, eff_from_col,
     ).select(*out_cols)
     return untouched.unionByName(rebuilt)
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    eff_from_col: str = "eff_from",
+    eff_to_col: str = "eff_to",
+) -> DataFrame:
+    """Enrich each fact row with the dimension version that was valid AT the
+    fact's timestamp — the consumer side of SCD2 (every "revenue by customer
+    tier at time of purchase" query). Versions are [eff_from, eff_to)
+    half-open, eff_to NULL = current, so exactly one version matches any
+    timestamp at or after the key's first eff_from.
+
+    Plan shape: an EQUI-join on the key with the interval predicate as a
+    post-join filter — NOT a range join. The shuffle is the ordinary key
+    shuffle (bucket/co-partition both sides to make it exchange-free), and
+    per-fact fanout is bounded by that key's version count (typically a
+    handful), never the history size. This is the standard scalable
+    point-in-time shape; a true non-equi range join would degrade to
+    broadcast-nested-loop.
+    """
+    keys = list(key_cols)
+    j = facts.join(history, keys)
+    ts = F.col(ts_col).cast("timestamp")
+    return j.filter(
+        (F.col(eff_from_col) <= ts)
+        & (F.col(eff_to_col).isNull() | (ts < F.col(eff_to_col)))
+    )

@@ -683,3 +683,100 @@ ORDER BY 1
 QUERIES["gold_genre_revenue_ivm"] = QuerySpec(
     q_gold_genre_revenue_ivm, Q_GOLD_GENRE_REVENUE_IVM_ORACLE
 )
+
+
+# -- J3c (extension): consuming the SCD2 history — point-in-time enrichment --------------
+def q_merge_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer tier AT TIME OF PURCHASE: every order equi-joins
+    the tier history on c_custkey and keeps the [eff_from, eff_to) version
+    covering o_orderdate — the consumer query SCD2 history exists for. The
+    join is a plain key equi-join + interval filter (operators.scd.
+    scd2_point_in_time_join), so the plan scales like any key join; fanout per
+    order is that customer's version count."""
+    from movie_genre_data_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_point_in_time_join,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    ups = (
+        orders.filter(F.col("o_totalprice") > 350000)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("eff_from"),
+        )
+        .agg(F.max("o_totalprice").alias("amt"))
+        .select(
+            "c_custkey",
+            "eff_from",
+            F.when(F.col("amt") > 450000, "PLATINUM")
+            .when(F.col("amt") > 400000, "GOLD")
+            .otherwise("SILVER")
+            .alias("tier"),
+        )
+    )
+    base = cust.select(
+        "c_custkey",
+        F.lit("1990-01-01").cast("timestamp").alias("eff_from"),
+        F.lit("BASE").alias("tier"),
+    )
+    hist = scd2_apply(base, ups, ["c_custkey"], ["tier"], "eff_from")
+    facts = orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate", "o_totalprice"
+    )
+    pit = scd2_point_in_time_join(facts, hist, ["c_custkey"], "o_orderdate")
+    return (
+        pit.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("tier")
+    )
+
+
+Q_MERGE_SCD2_PIT_JOIN_ORACLE = """
+WITH ups AS (
+  SELECT o_custkey AS c_custkey, o_orderdate AS eff_from,
+         CASE WHEN MAX(o_totalprice) > 450000 THEN 'PLATINUM'
+              WHEN MAX(o_totalprice) > 400000 THEN 'GOLD'
+              ELSE 'SILVER' END AS tier
+  FROM orders WHERE o_totalprice > 350000 GROUP BY 1, 2
+),
+hist AS (
+  SELECT c_custkey, TIMESTAMP '1990-01-01' AS eff_from, 'BASE' AS tier FROM customer
+  UNION ALL SELECT c_custkey, eff_from, tier FROM ups
+),
+collapsed AS (
+  SELECT c_custkey, eff_from, tier,
+         LAG(tier) OVER (PARTITION BY c_custkey ORDER BY eff_from ASC, tier ASC)
+           AS prev_tier
+  FROM hist
+),
+versions AS (
+  SELECT c_custkey, eff_from, tier FROM collapsed
+  WHERE prev_tier IS NULL OR tier <> prev_tier
+),
+final AS (
+  SELECT c_custkey, tier, eff_from,
+         LEAD(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from ASC, tier ASC)
+           AS eff_to
+  FROM versions
+)
+SELECT h.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN final h
+  ON h.c_custkey = o.o_custkey
+ AND h.eff_from <= CAST(o.o_orderdate AS TIMESTAMP)
+ AND (h.eff_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < h.eff_to)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["merge_scd2_pit_join"] = QuerySpec(
+    q_merge_scd2_pit_join, Q_MERGE_SCD2_PIT_JOIN_ORACLE
+)

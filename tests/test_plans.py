@@ -309,3 +309,19 @@ def test_anomaly_zscore_single_series_exchange(spark):
     # dense spine build + one window partitioning on the series key; the frame
     # stats (count/sum/sum2) must share a single Window node
     assert plan.count("Window") <= 2, plan
+
+
+def test_gold_mart_broadcast_and_single_agg_exchange(spark):
+    """The star-mart contract: the genre dim joins as a broadcast (no shuffle
+    on the exploded fact side for the join) and the only exchange is the final
+    per-genre hash aggregate with a map-side partial."""
+    plan = _plan(spark, "gold_genre_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_gold_ivm_delta_side_broadcasts_dim(spark):
+    """IVM must not sort-merge the churn-sized delta against the tiny dim."""
+    plan = _plan(spark, "gold_genre_revenue_ivm")
+    assert "BroadcastHashJoin" in plan, plan

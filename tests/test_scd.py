@@ -205,3 +205,48 @@ def test_scd2_incremental_nonmonotone_counterexample_and_log_fix(spark):
         histL1, log2, _df(spark, b2), ["k"], ["attr"], "eff_from"
     )
     assert _rows_set(histL2) == _rows_set(batch)
+
+
+def test_scd2_point_in_time_join_covers_each_fact_exactly_once(spark):
+    """PIT semantics: [eff_from, eff_to) half-open — a fact ON the upgrade
+    timestamp takes the NEW version; any timestamp >= the key's first
+    eff_from matches exactly one version; timestamps before it match none."""
+    from movie_genre_data_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_point_in_time_join,
+    )
+
+    cur = _df(spark, [Row(k=1, attr="A", eff_from="2020-01-01")])
+    ups = _df(
+        spark,
+        [
+            Row(k=1, attr="B", eff_from="2020-02-01"),
+            Row(k=1, attr="C", eff_from="2020-03-01"),
+        ],
+    )
+    hist = scd2_apply(cur, ups, ["k"], ["attr"], "eff_from")
+    facts = _df(
+        spark,
+        [
+            Row(k=1, ts="2019-12-31"),  # before history: no match
+            Row(k=1, ts="2020-01-15"),  # A
+            Row(k=1, ts="2020-02-01"),  # boundary: new version B, not A
+            Row(k=1, ts="2020-02-28"),  # B
+            Row(k=1, ts="2020-03-01"),  # boundary: C
+            Row(k=1, ts="2025-01-01"),  # open current version C
+        ],
+        ts_cols=("ts",),
+    )
+    got = {
+        str(r["ts"])[:10]: r["attr"]
+        for r in scd2_point_in_time_join(facts, hist, ["k"], "ts").collect()
+    }
+    assert got == {
+        "2020-01-15": "A",
+        "2020-02-01": "B",
+        "2020-02-28": "B",
+        "2020-03-01": "C",
+        "2025-01-01": "C",
+    }
+    # exactly-once: 5 covered facts -> 5 rows (no double-match at boundaries)
+    assert scd2_point_in_time_join(facts, hist, ["k"], "ts").count() == 5
