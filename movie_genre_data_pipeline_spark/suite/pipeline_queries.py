@@ -601,6 +601,38 @@ QUERIES["gold_genre_revenue"] = QuerySpec(
 
 
 # -- Gold IVM (r6): maintain the mart from the CDC feed instead of recomputing ----------
+def gold_ivm_frames(spark: SparkSession, sf_dir: str):
+    """(snap_a, snap_b, genre_dim): the fixture-mapped movie snapshots the
+    gold-IVM queries diff — A is missing keys %101 (later inserted), B drops
+    keys %97 (deleted) and reprices keys %13 (updated). Shared by the batch
+    and streaming IVM variants so both fold the SAME change feed."""
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    base = orders.select(
+        F.col("o_orderkey").alias("Id"),
+        F.col("o_totalprice").alias("Revenue"),
+        F.round(F.col("o_totalprice") * 0.4, 2).alias("Budget"),
+        (F.col("o_orderkey") % 180 + 60).cast("INTEGER").alias("RunTime"),
+        F.array_distinct(
+            F.array(
+                (F.col("o_custkey") % 25).cast("INTEGER"),
+                (F.col("o_orderkey") % 25).cast("INTEGER"),
+            )
+        ).alias("Genres_Id"),
+    )
+    snap_a = base.filter(F.col("Id") % 101 != 0)
+    snap_b = base.filter(F.col("Id") % 97 != 0).withColumn(
+        "Revenue",
+        F.when(
+            F.col("Id") % 13 == 0, F.round(F.col("Revenue") * 1.1, 2)
+        ).otherwise(F.col("Revenue")),
+    )
+    genre_dim = nation.select(
+        F.col("n_nationkey").cast("INTEGER").alias("Id"), F.col("n_name").alias("name")
+    )
+    return snap_a, snap_b, genre_dim
+
+
 def q_gold_genre_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance of the gold mart: snapshot A's additive
     state (integer-cent sums) is folded forward with the signed contributions
@@ -617,31 +649,7 @@ def q_gold_genre_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         finalize_genre_revenue,
     )
 
-    orders = load(spark, sf_dir, "orders")
-    nation = load(spark, sf_dir, "nation")
-    base = orders.select(
-        F.col("o_orderkey").alias("Id"),
-        F.col("o_totalprice").alias("Revenue"),
-        F.round(F.col("o_totalprice") * 0.4, 2).alias("Budget"),
-        (F.col("o_orderkey") % 180 + 60).cast("INTEGER").alias("RunTime"),
-        F.array_distinct(
-            F.array(
-                (F.col("o_custkey") % 25).cast("INTEGER"),
-                (F.col("o_orderkey") % 25).cast("INTEGER"),
-            )
-        ).alias("Genres_Id"),
-    )
-    # A: keys % 101 == 0 not yet ingested; B: keys % 97 == 0 purged, %13 repriced
-    snap_a = base.filter(F.col("Id") % 101 != 0)
-    snap_b = base.filter(F.col("Id") % 97 != 0).withColumn(
-        "Revenue",
-        F.when(
-            F.col("Id") % 13 == 0, F.round(F.col("Revenue") * 1.1, 2)
-        ).otherwise(F.col("Revenue")),
-    )
-    genre_dim = nation.select(
-        F.col("n_nationkey").cast("INTEGER").alias("Id"), F.col("n_name").alias("name")
-    )
+    snap_a, snap_b, genre_dim = gold_ivm_frames(spark, sf_dir)
     changes = snapshot_diff(
         snap_a, snap_b, ["Id"], ["Revenue", "Budget", "RunTime", "Genres_Id"]
     )

@@ -947,6 +947,68 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select("c_custkey", "tier", "eff_from", "eff_to", "is_current")
 
 
+def q_stream_gold_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gold refresh: the CDC change feed arrives as micro-batches
+    (round-robin file split, so change order is arbitrary) and foreachBatch
+    folds each batch's signed contributions into the persisted additive mart
+    state (versioned parquet generations — the no-Delta equivalent of MERGE
+    snapshot isolation). Delta application is ADDITIVE over integral state,
+    so the fold is batch-split- and order-independent and the final mart
+    equals the batch rebuild bit-for-bit — this query shares
+    gold_genre_revenue_ivm's oracle verbatim. The 100 TB shape: continuous
+    gold maintenance priced per-batch at |changes| + |genres| rows."""
+    from movie_genre_data_pipeline_spark.operators.cdc import snapshot_diff
+    from movie_genre_data_pipeline_spark.plans.gold import (
+        apply_genre_revenue_delta,
+        build_genre_revenue_state,
+        finalize_genre_revenue,
+    )
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        gold_ivm_frames,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="stream_gold_ivm_")
+    src = f"{base_dir}/src"
+    snap_a, snap_b, genre_dim = gold_ivm_frames(spark, sf_dir)
+    changes = snapshot_diff(
+        snap_a, snap_b, ["Id"], ["Revenue", "Budget", "RunTime", "Genres_Id"]
+    ).filter(F.col("change_type") != "unchanged")
+    changes.repartition(3).write.parquet(src)
+    change_schema = spark.read.parquet(src).schema
+
+    gen = {"n": 0}
+    build_genre_revenue_state(snap_a, genre_dim).write.parquet(
+        f"{base_dir}/state_0"
+    )
+    dim = genre_dim.localCheckpoint(eager=True)  # reused every micro-batch
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(change_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = spark.read.parquet(f"{base_dir}/state_{gen['n']}")
+        nxt = apply_genre_revenue_delta(prev, batch_df, dim)
+        gen["n"] += 1
+        nxt.write.parquet(f"{base_dir}/state_{gen['n']}")
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    state = spark.read.parquet(f"{base_dir}/state_{gen['n']}")
+    return finalize_genre_revenue(state)
+
+
+def _stream_gold_ivm_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        Q_GOLD_GENRE_REVENUE_IVM_ORACLE,
+    )
+
+    return Q_GOLD_GENRE_REVENUE_IVM_ORACLE
+
+
 def _stream_scd2_oracle() -> str:
     from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
         Q_MERGE_SCD2_ORACLE,
@@ -958,6 +1020,7 @@ def _stream_scd2_oracle() -> str:
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
     "stream_scd2_incremental": QuerySpec(q_stream_scd2, _stream_scd2_oracle()),
+    "stream_gold_ivm": QuerySpec(q_stream_gold_ivm, _stream_gold_ivm_oracle()),
     "stream_cms_heavy": QuerySpec(q_stream_cms_heavy, _stream_cms_oracle()),
     "stream_histogram_quantiles": QuerySpec(
         q_stream_histogram_quantiles, _stream_histo_oracle()
