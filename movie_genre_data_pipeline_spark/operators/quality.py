@@ -120,3 +120,93 @@ def assert_expectations(report: DataFrame) -> None:
     if bad:
         detail = ", ".join(f"{r['rule_name']}({r['n_fail']})" for r in bad)
         raise ValueError(f"failed expectations: {detail}")
+
+
+def histogram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Distribution-drift report between two snapshots of a numeric column:
+    one row per fixed uniform bin with both sides' counts/proportions and the
+    per-bin contributions of three drift statistics —
+
+    - tvd_term: |p_old − p_new| / 2 (total variation distance),
+    - chi2_term: (p_new − p_old)² / p_old (Pearson χ², NULL where the
+      reference bin is empty — the standard exclusion),
+    - ks_cum: |CDF_old − CDF_new| at the bin's upper edge (the binned
+      Kolmogorov–Smirnov statistic is the max over rows).
+
+    Deliberately NO PSI: PSI's ln() is a transcendental whose last-ulp value
+    is libm-implementation-specific, which breaks bit-reproducibility across
+    engines; TVD/χ²/KS carry the same drift signal in rational arithmetic
+    (integer counts → one division each), so every output digit is
+    reproducible. Bin edges are FIXED (caller-supplied), not data-derived —
+    the production pattern is edges frozen from a reference period, so the
+    report is one scan per snapshot (two hash aggregates on ≤n_bins keys)
+    with no quantile pass.
+
+    Values below `lo` clamp into bin 0 and values beyond the top edge into
+    bin n_bins−1, so proportions always sum to 1 on both sides.
+    """
+    if n_bins < 2 or width <= 0:
+        raise ValueError(f"need n_bins >= 2 and width > 0, got {n_bins}, {width}")
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        return df.select(b.alias("bin_idx")).groupBy("bin_idx").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    from pyspark.sql import Window
+
+    o = binned(old, "n_old")
+    n = binned(new, "n_new")
+    z = F.lit(0).cast("bigint")
+    j = (
+        o.join(n, "bin_idx", "full_outer")
+        .select(
+            "bin_idx",
+            F.coalesce("n_old", z).alias("n_old"),
+            F.coalesce("n_new", z).alias("n_new"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    p_old = F.col("n_old") / F.col("__to")
+    p_new = F.col("n_new") / F.col("__tn")
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn("__po", p_old)
+        .withColumn("__pn", p_new)
+        .select(
+            "bin_idx",
+            "n_old",
+            "n_new",
+            F.round("__po", 6).alias("p_old"),
+            F.round("__pn", 6).alias("p_new"),
+            F.round(F.abs(F.col("__po") - F.col("__pn")) / 2, 6).alias("tvd_term"),
+            F.round(
+                F.when(
+                    F.col("__po") > 0,
+                    F.pow(F.col("__pn") - F.col("__po"), 2) / F.col("__po"),
+                ),
+                6,
+            ).alias("chi2_term"),
+            F.round(
+                F.abs(F.sum("__po").over(w) - F.sum("__pn").over(w)), 6
+            ).alias("ks_cum"),
+        )
+        .orderBy("bin_idx")
+    )

@@ -788,3 +788,63 @@ ORDER BY 1
 QUERIES["merge_scd2_pit_join"] = QuerySpec(
     q_merge_scd2_pit_join, Q_MERGE_SCD2_PIT_JOIN_ORACLE
 )
+
+
+# -- F7 (extension): distribution-drift report between snapshots (r6) --------------------
+def q_dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the CDC batch shift the revenue distribution? The drift report over
+    the gold-IVM snapshots: fixed uniform bins, both sides' proportions, and
+    per-bin TVD / chi-square / KS contributions — all rational arithmetic
+    (operators.quality.histogram_drift deliberately avoids PSI's ln(), whose
+    libm last-ulp variance breaks cross-engine reproducibility). Cost: one
+    scan per snapshot into an n_bins-key aggregate."""
+    from movie_genre_data_pipeline_spark.operators.quality import histogram_drift
+
+    snap_a, snap_b, _ = gold_ivm_frames(spark, sf_dir)
+    return histogram_drift(
+        snap_a, snap_b, "Revenue", lo=0.0, width=50_000.0, n_bins=12
+    )
+
+
+Q_DQ_DRIFT_REPORT_ORACLE = """
+WITH a AS (
+  SELECT LEAST(11, GREATEST(0, CAST(FLOOR(o_totalprice / 50000) AS INTEGER)))
+           AS bin_idx, COUNT(*) AS n_old
+  FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 1
+), b_rows AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS revenue
+  FROM orders WHERE o_orderkey % 97 <> 0
+), b AS (
+  SELECT LEAST(11, GREATEST(0, CAST(FLOOR(revenue / 50000) AS INTEGER)))
+           AS bin_idx, COUNT(*) AS n_new
+  FROM b_rows GROUP BY 1
+), j AS (
+  SELECT COALESCE(a.bin_idx, b.bin_idx) AS bin_idx,
+         CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+         CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+  FROM a FULL OUTER JOIN b ON a.bin_idx = b.bin_idx
+), t AS (
+  SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM j
+), p AS (
+  SELECT j.bin_idx, j.n_old, j.n_new,
+         j.n_old / CAST(t.t_old AS DOUBLE) AS po,
+         j.n_new / CAST(t.t_new AS DOUBLE) AS pn
+  FROM j, t
+)
+SELECT bin_idx, n_old, n_new,
+       ROUND(po, 6) AS p_old,
+       ROUND(pn, 6) AS p_new,
+       ROUND(ABS(po - pn) / 2, 6) AS tvd_term,
+       ROUND(CASE WHEN po > 0 THEN POW(pn - po, 2) / po END, 6) AS chi2_term,
+       ROUND(ABS(SUM(po) OVER (ORDER BY bin_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - SUM(pn) OVER (ORDER BY bin_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS ks_cum
+FROM p
+ORDER BY bin_idx
+"""
+
+
+QUERIES["dq_drift_report"] = QuerySpec(q_dq_drift_report, Q_DQ_DRIFT_REPORT_ORACLE)

@@ -94,3 +94,33 @@ def test_expectations_report_routing_and_fail(spark):
     # rule names reach generated SQL/aliases — non-identifier names rejected
     with pytest.raises(ValueError, match="rule name"):
         check_expectations(df, [Expectation("bad'name", F.lit(True), "warn")])
+
+
+def test_histogram_drift_laws(spark):
+    """Identical snapshots drift zero everywhere; clamping keeps proportions
+    summing to 1; an empty reference bin excludes its chi-square term."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.operators.quality import histogram_drift
+
+    a = spark.createDataFrame([(float(v),) for v in [5, 15, 15, 25, 95, -3]], "x double")
+    same = {
+        r["bin_idx"]: r for r in histogram_drift(a, a, "x", 0.0, 10.0, 5).collect()
+    }
+    assert all(r["tvd_term"] == 0.0 and r["ks_cum"] == 0.0 for r in same.values())
+    # clamp: -3 lands in bin 0, 95 in the last bin (idx 4)
+    assert same[0]["n_old"] == 2 and same[4]["n_old"] == 1
+    assert abs(sum(r["p_old"] for r in same.values()) - 1.0) < 1e-9
+
+    b = spark.createDataFrame([(float(v),) for v in [5, 15, 35, 35, 95, 95]], "x double")
+    drift = {
+        r["bin_idx"]: r for r in histogram_drift(a, b, "x", 0.0, 10.0, 5).collect()
+    }
+    # bin 3 ([30,40)) is empty in the reference: chi2 term excluded (NULL)
+    assert drift[3]["n_old"] == 0 and drift[3]["chi2_term"] is None
+    assert drift[3]["tvd_term"] > 0
+    # KS at the last bin is always 0 (both CDFs reach 1)
+    assert drift[4]["ks_cum"] == 0.0
+    with pytest.raises(ValueError):
+        histogram_drift(a, b, "x", 0.0, -1.0, 5)
