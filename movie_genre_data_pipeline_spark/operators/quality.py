@@ -154,23 +154,35 @@ def histogram_drift(
     """
     if n_bins < 2 or width <= 0:
         raise ValueError(f"need n_bins >= 2 and width > 0, got {n_bins}, {width}")
+    o = bin_counts(old, value_col, lo, width, n_bins, "n_old")
+    n = bin_counts(new, value_col, lo, width, n_bins, "n_new")
+    return drift_from_counts(o, n)
 
-    def binned(df: DataFrame, out: str) -> DataFrame:
-        b = F.least(
-            F.lit(n_bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
-            ),
-        )
-        return df.select(b.alias("bin_idx")).groupBy("bin_idx").agg(
-            F.count(F.lit(1)).alias(out)
-        )
 
+def bin_counts(
+    df: DataFrame, value_col: str, lo: float, width: float, n_bins: int, out: str
+) -> DataFrame:
+    """(bin_idx, <out>): clamped uniform-bin histogram counts — the additive
+    form both the batch report and the streaming per-batch fold aggregate."""
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return df.select(b.alias("bin_idx")).groupBy("bin_idx").agg(
+        F.count(F.lit(1)).alias(out)
+    )
+
+
+def drift_from_counts(o: DataFrame, n: DataFrame) -> DataFrame:
+    """The report core over pre-binned counts (bin_idx, n_old) x (bin_idx,
+    n_new) — counts are additive, so a streaming consumer folds per-batch
+    deltas and hands the folded ledger straight here: stream == batch by
+    construction, no row reconstruction."""
     from pyspark.sql import Window
 
-    o = binned(old, "n_old")
-    n = binned(new, "n_new")
     z = F.lit(0).cast("bigint")
     j = (
         o.join(n, "bin_idx", "full_outer")

@@ -1001,6 +1001,66 @@ def q_stream_gold_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_genre_revenue(state)
 
 
+def q_stream_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the NEW snapshot arrives as micro-batches and
+    each batch folds its per-bin counts into a persisted bin ledger (counts
+    are additive — the same mergeability argument as the sketch ledgers).
+    When the stream drains, the report compares the folded new-side histogram
+    against the static reference snapshot — and equals the batch drift report
+    bit-for-bit, sharing dq_drift_report's oracle verbatim. The production
+    shape: continuous distribution monitoring priced per batch at one
+    n_bins-key aggregate."""
+    from movie_genre_data_pipeline_spark.operators.quality import (
+        bin_counts,
+        drift_from_counts,
+    )
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        gold_ivm_frames,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="stream_dq_drift_")
+    src = f"{base_dir}/src"
+    counts_dir = f"{base_dir}/bin_counts"
+    snap_a, snap_b, _ = gold_ivm_frames(spark, sf_dir)
+    snap_b.select("Revenue").repartition(3).write.parquet(src)
+
+    LO, WIDTH, NBINS = 0.0, 50_000.0, 12
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("Revenue double")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bin_counts(batch_df, "Revenue", LO, WIDTH, NBINS, "n").write.mode(
+            "append"
+        ).parquet(counts_dir)
+
+    q = stream.writeStream.foreachBatch(fold_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # fold = per-bin re-sum of the appended deltas; the report core consumes
+    # the folded count ledger directly — counts are additive, so stream ==
+    # batch by construction (no row reconstruction, ledger stays n_bins-sized)
+    folded = (
+        spark.read.parquet(counts_dir)
+        .groupBy("bin_idx")
+        .agg(F.sum("n").alias("n_new"))
+    )
+    return drift_from_counts(
+        bin_counts(snap_a, "Revenue", LO, WIDTH, NBINS, "n_old"), folded
+    )
+
+
+def _stream_dq_drift_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        Q_DQ_DRIFT_REPORT_ORACLE,
+    )
+
+    return Q_DQ_DRIFT_REPORT_ORACLE
+
+
 def _stream_gold_ivm_oracle() -> str:
     from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
         Q_GOLD_GENRE_REVENUE_IVM_ORACLE,
@@ -1021,6 +1081,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
     "stream_scd2_incremental": QuerySpec(q_stream_scd2, _stream_scd2_oracle()),
     "stream_gold_ivm": QuerySpec(q_stream_gold_ivm, _stream_gold_ivm_oracle()),
+    "stream_dq_drift": QuerySpec(q_stream_dq_drift, _stream_dq_drift_oracle()),
     "stream_cms_heavy": QuerySpec(q_stream_cms_heavy, _stream_cms_oracle()),
     "stream_histogram_quantiles": QuerySpec(
         q_stream_histogram_quantiles, _stream_histo_oracle()
