@@ -848,3 +848,78 @@ ORDER BY bin_idx
 
 
 QUERIES["dq_drift_report"] = QuerySpec(q_dq_drift_report, Q_DQ_DRIFT_REPORT_ORACLE)
+
+
+# -- F8 (extension): dbt-style schema tests — unique / relationships / accepted_values --
+def q_dq_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt generic-test surface complementing row-level expectations:
+    - unique: duplicate PK count (one n_distinct aggregate),
+    - relationships: orphan FK rows (one left-anti join per FK edge),
+    - accepted_values: rows outside the allowed domain (one filter count).
+    One report row per test with the violation count — each test is a single
+    aggregate/anti-join whose shuffle is keyed on the tested column, the
+    cheapest possible shape for each contract."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    uniq_violations = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint").alias("v"))
+    )
+    orphan_orders = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    orphan_lineitems = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    bad_status = (
+        o.filter(~F.col("o_orderstatus").isin("F", "O", "P"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+
+    def tag(df: DataFrame, name: str, kind: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("test_name"),
+            F.lit(kind).alias("test_kind"),
+            F.col("v").alias("n_violations"),
+        )
+
+    return (
+        tag(uniq_violations, "orders_pk_unique", "unique")
+        .unionByName(tag(orphan_orders, "orders_custkey_fk", "relationships"))
+        .unionByName(tag(orphan_lineitems, "lineitem_orderkey_fk", "relationships"))
+        .unionByName(tag(bad_status, "orderstatus_domain", "accepted_values"))
+        .orderBy("test_name")
+    )
+
+
+Q_DQ_SCHEMA_TESTS_ORACLE = """
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS test_name, 'unique' AS test_kind,
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'orders_custkey_fk', 'relationships',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', 'relationships',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orderstatus_domain', 'accepted_values',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+)
+ORDER BY test_name
+"""
+
+
+QUERIES["dq_schema_tests"] = QuerySpec(q_dq_schema_tests, Q_DQ_SCHEMA_TESTS_ORACLE)
