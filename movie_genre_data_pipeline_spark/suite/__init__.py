@@ -48,10 +48,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reference-parity pipeline core (project_cast/struct_expand/explode_array/
     # merge_insert_missing earned driver-pass rows in r1 and rotated out for the
     # r2 curation family; dim_fix/topk_orders likewise)
+    # (quarantine_clean and merge_status_update, r1-r5 multi-round passers,
+    # rotate out r6 for the gold family; both stay covered by the full local
+    # gate just past the window)
     "flagship_revenue_by_flag_status",
-    "quarantine_clean",
-    "merge_status_update",
     "merge_scd2",
+    # r6: the gold star mart + its CDC-incremental refresh — the medallion
+    # completion and the IVM contract, seated immediately
+    "gold_genre_revenue",
+    "gold_genre_revenue_ivm",
     # relational spine (q3/q6/q18 passed r1-r3; window_topk_per_group /
     # from_json_props / interval_join passed r1-r4; asof_join and
     # grouped_pandas_norm, both multi-round passers, rotate out r6 for the
@@ -82,8 +87,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ts_retention_cohorts",
     # sketches (histogram quantiles, a 2x passer, rotates out — its streaming
     # twin enters below; HLL and KMV stay as the batch sketch rows)
-    "sketch_hll_distinct",
+    # (sketch_hll_distinct, a 2x passer also bench-guarded, rotates out; the
+    # streaming HLL ledger keeps the family's driver presence)
     "sketch_kmv_vocab_overlap",
+    # r6: snapshot distribution drift — the quality family's newest member
+    "dq_drift_report",
     # text analysis (quality_scores, a multi-round passer, rotates out; r6
     # seats the hashing-trick embedder and the UDTF token-run encoder)
     "text_tfidf_topk",
@@ -101,7 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # passers, rotate out — still oracled past the window; r6 seats the three
     # never-verified ANN members: composed IVFADC, learned-IVF recall law,
     # and hashed-embedding top-k, plus the centroid medoid summarizer)
-    "sim_topk_ivf",
+    # (sim_topk_ivf, an r1-r5 passer and bench headliner, rotates out)
     "sim_pq_recall",
     "sim_pq_ivfadc",
     "sim_kmeans_recall",
@@ -109,7 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_centroid_representatives",
     # corpus curation (decontaminate + bloom variant, multi-round passers,
     # rotate out; exact-dup PII redaction and the fuzzy member stay)
-    "curate_pii_redaction",
+    # (curate_pii_redaction, an r2-r5 passer, rotates out)
     "curate_fuzzy_decontaminate",
     # formats (r6: generational mergeSchema evolution, never driver-verified)
     "schema_evolution",
@@ -123,6 +131,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_cms_heavy",
     "stream_histogram_quantiles",
     "stream_scd2_incremental",
+    # r6: continuous gold refresh + the newly-oracled watermark append set
+    "stream_gold_ivm",
+    "stream_watermarked_append",
     # multimodal (media_resize, a 2x passer, rotates out; the frame-sample
     # plan and phash near-dup keep the Arrow/mapInPandas family seated)
     "media_frame_sample_plan",
