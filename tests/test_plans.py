@@ -325,3 +325,27 @@ def test_gold_ivm_delta_side_broadcasts_dim(spark):
     """IVM must not sort-merge the churn-sized delta against the tiny dim."""
     plan = _plan(spark, "gold_genre_revenue_ivm")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pit_join_never_nested_loop(spark):
+    """The point-in-time join must stay an equi-join + filter; a non-equi
+    range-join formulation would degrade to BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "merge_scd2_pit_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_drift_report_joins_are_bounded(spark):
+    """Drift report: the only nested-loop is the 1-row totals scalar
+    broadcast; every other join runs on n_bins-sized frames."""
+    plan = _plan(spark, "dq_drift_report")
+    # Both nested-loop sites are n_bins-bounded by construction: the 1-row
+    # totals scalar broadcast, and (when Catalyst picks it over SMJ) the
+    # full-outer merge of the two <=n_bins-row count frames. What must never
+    # appear is a nested loop against a SNAPSHOT-sized input — pinned by the
+    # structural fact that every join in this plan is post-aggregation.
+    tree = plan.split("===")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # the two snapshot scans feed hash aggregates before any join
+    assert tree.count("HashAggregate") >= 4, plan
