@@ -138,3 +138,37 @@ def rewrite_parquet(
         target.rename(backup)
     Path(staging).rename(path)
     shutil.rmtree(backup, ignore_errors=True)
+
+
+_GEN_RE = re.compile(r"^(?P<prefix>.+)_(?P<n>\d+)$")
+
+
+def list_generations(base_dir: str, prefix: str) -> list[tuple[int, str]]:
+    """[(n, path)] ascending for directories named `<prefix>_<n>` under
+    `base_dir` — the versioned-generation convention the read-previous/
+    write-next maintainers use (streaming SCD2 / gold IVM states)."""
+    out = []
+    base = Path(base_dir)
+    if not base.exists():
+        return []
+    for child in base.iterdir():
+        m = _GEN_RE.match(child.name)
+        if m and m.group("prefix") == prefix and child.is_dir():
+            out.append((int(m.group("n")), str(child)))
+    return sorted(out)
+
+
+def vacuum_generations(base_dir: str, prefix: str, keep: int = 2) -> list[str]:
+    """Delete all but the newest `keep` generations of `<prefix>_<n>` dirs;
+    returns the deleted paths. The no-Delta VACUUM: generation maintainers
+    write `hist_{n+1}` next to `hist_n`, so disk grows one full state per
+    batch until something reclaims it. Keeping >=2 preserves the
+    read-previous/write-next invariant (the newest generation is never a
+    dangling read source for an in-flight writer of the next one)."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    gens = list_generations(base_dir, prefix)
+    doomed = gens[:-keep] if keep < len(gens) else []
+    for _, path in doomed:
+        shutil.rmtree(path, ignore_errors=True)
+    return [p for _, p in doomed]

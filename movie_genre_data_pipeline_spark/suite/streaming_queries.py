@@ -940,6 +940,10 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         gen["n"] += 1
         nxt.write.parquet(f"{base_dir}/hist_{gen['n']}")
+        # reclaim superseded history generations (no-Delta VACUUM, keep=2)
+        from movie_genre_data_pipeline_spark.fsutil import vacuum_generations
+
+        vacuum_generations(base_dir, "hist", keep=2)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -990,10 +994,14 @@ def q_stream_gold_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from movie_genre_data_pipeline_spark.fsutil import vacuum_generations
+
         prev = spark.read.parquet(f"{base_dir}/state_{gen['n']}")
         nxt = apply_genre_revenue_delta(prev, batch_df, dim)
         gen["n"] += 1
         nxt.write.parquet(f"{base_dir}/state_{gen['n']}")
+        # reclaim superseded generations; keep=2 preserves read-prev/write-next
+        vacuum_generations(base_dir, "state", keep=2)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()

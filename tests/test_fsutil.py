@@ -90,3 +90,31 @@ def test_partition_scoped_rewrite_rejects_escapable_values(spark, tmp_path):
             "p",
             touched_values=["a:b"],
         )
+
+
+def test_vacuum_generations(tmp_path):
+    import pytest
+
+    from movie_genre_data_pipeline_spark.fsutil import (
+        list_generations,
+        vacuum_generations,
+    )
+
+    base = tmp_path / "states"
+    for n in (0, 1, 2, 10):  # 10 after 2: numeric, not lexicographic, order
+        (base / f"hist_{n}").mkdir(parents=True)
+        (base / f"hist_{n}" / "part-0.parquet").write_bytes(b"x")
+    (base / "hist_bad").mkdir()        # no numeric suffix: ignored
+    (base / "other_3").mkdir()         # different prefix: ignored
+
+    gens = list_generations(str(base), "hist")
+    assert [n for n, _ in gens] == [0, 1, 2, 10]
+
+    deleted = vacuum_generations(str(base), "hist", keep=2)
+    assert [p.rsplit("/", 1)[-1] for p in deleted] == ["hist_0", "hist_1"]
+    assert [n for n, _ in list_generations(str(base), "hist")] == [2, 10]
+    # keeping more than exist deletes nothing
+    assert vacuum_generations(str(base), "hist", keep=5) == []
+    assert (base / "other_3").exists() and (base / "hist_bad").exists()
+    with pytest.raises(ValueError):
+        vacuum_generations(str(base), "hist", keep=0)
