@@ -923,3 +923,46 @@ ORDER BY test_name
 
 
 QUERIES["dq_schema_tests"] = QuerySpec(q_dq_schema_tests, Q_DQ_SCHEMA_TESTS_ORACLE)
+
+
+# -- ops (extension): order-invariant dataset fingerprint (r6) ---------------------------
+def q_ops_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content identity of the lineitem keys: same multiset of rows ⇒ same
+    fingerprint, independent of partitioning/order — the provenance check a
+    training run records next to its model artifacts. One scan, one
+    aggregate; the md5 row terms are engine-portable (DuckDB replays the
+    exact hash)."""
+    from movie_genre_data_pipeline_spark.operators.observe import dataset_fingerprint
+
+    li = load(spark, sf_dir, "lineitem")
+    # integer-rendered columns only (float→string is engine-specific; floats
+    # must be pre-formatted by the caller — documented contract)
+    return dataset_fingerprint(
+        li.select(
+            F.col("l_orderkey").cast("string").alias("k1"),
+            F.col("l_linenumber").cast("string").alias("k2"),
+            F.col("l_suppkey").cast("string").alias("k3"),
+        ),
+        ["k1", "k2", "k3"],
+    )
+
+
+Q_OPS_DATASET_FINGERPRINT_ORACLE = """
+WITH t AS (
+  SELECT CAST(
+           CAST('0x' || SUBSTR(
+             md5(CAST(l_orderkey AS VARCHAR) || CHR(31) ||
+                 CAST(l_linenumber AS VARCHAR) || CHR(31) ||
+                 CAST(l_suppkey AS VARCHAR)), 1, 15) AS UBIGINT)
+           % 2147483647 AS BIGINT) AS term
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(term) % 2147483647 AS BIGINT) AS content_hash
+FROM t
+"""
+
+
+QUERIES["ops_dataset_fingerprint"] = QuerySpec(
+    q_ops_dataset_fingerprint, Q_OPS_DATASET_FINGERPRINT_ORACLE
+)

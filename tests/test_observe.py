@@ -124,3 +124,30 @@ def test_histogram_drift_laws(spark):
     assert drift[4]["ks_cum"] == 0.0
     with pytest.raises(ValueError):
         histogram_drift(a, b, "x", 0.0, -1.0, 5)
+
+
+def test_dataset_fingerprint_order_and_layout_invariant(spark):
+    """Same multiset of rows => same fingerprint across shuffles and
+    partitionings; any row change or dup flips it."""
+    from movie_genre_data_pipeline_spark.operators.observe import dataset_fingerprint
+
+    rows = [(str(i), f"v{i % 3}") for i in range(50)]
+    a = spark.createDataFrame(rows, "k string, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k string, v string").repartition(7)
+    fa = a.transform(lambda d: dataset_fingerprint(d, ["k", "v"])).collect()[0]
+    fb = b.transform(lambda d: dataset_fingerprint(d, ["k", "v"])).collect()[0]
+    assert (fa["n_rows"], fa["content_hash"]) == (fb["n_rows"], fb["content_hash"])
+
+    mutated = spark.createDataFrame(rows[:-1] + [("49", "vX")], "k string, v string")
+    fm = dataset_fingerprint(mutated, ["k", "v"]).collect()[0]
+    assert fm["content_hash"] != fa["content_hash"]
+    # a duplicated row changes the multiset (sum, not xor: dup pairs don't cancel)
+    dup = spark.createDataFrame(rows + [rows[0]], "k string, v string")
+    fd = dataset_fingerprint(dup, ["k", "v"]).collect()[0]
+    assert fd["content_hash"] != fa["content_hash"] and fd["n_rows"] == 51
+    # NULL is distinct from the string it sentinels as
+    n1 = spark.createDataFrame([(None, "a")], "k string, v string")
+    n2 = spark.createDataFrame([("\x00NULL", "a")], "k string, v string")
+    h1 = dataset_fingerprint(n1, ["k", "v"]).collect()[0]["content_hash"]
+    h2 = dataset_fingerprint(n2, ["k", "v"]).collect()[0]["content_hash"]
+    assert h1 == h2  # documented sentinel collision — callers quote if needed
