@@ -69,7 +69,19 @@ def kmeans_fit(
     ]
     history: list[float] = []
     for _ in range(max_iterations):
-        assigned = assign_clusters(base, "vid", "v", centroids).join(base, "vid")
+        # assignment is computed INLINE on the same row (pure projection) —
+        # re-deriving it via assign_clusters + a join back on vid would add a
+        # full key shuffle per iteration for data the row already carries
+        assigned = (
+            base.withColumn(
+                "__d", F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+            )
+            .withColumn(
+                "cluster",
+                F.expr("array_position(__d, array_min(__d))").cast("int") - 1,
+            )
+            .withColumn("sq_dist", F.expr("array_min(__d)"))
+        )
         agg = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             F.array(*[F.sum(F.col("v")[i]) for i in range(dim)]).alias("sums"),
@@ -145,8 +157,14 @@ def kmeans_fit_exact(
     dim = len(quantized.first()["vq"])
     centroids = [r["vq"] for r in quantized.orderBy("vid").limit(k).collect()]
     for _ in range(iterations):
-        assigned = assign_clusters(quantized, "vid", "vq", centroids).join(
-            quantized, "vid"
+        # inline assignment (pure projection) — the previous assign_clusters +
+        # join-back-on-vid shape paid a full key shuffle per iteration; the
+        # numbers are bit-identical, only the plan changed (r6)
+        assigned = quantized.withColumn(
+            "__d", F.array(*[_sq_dist(F.col("vq"), c) for c in centroids])
+        ).withColumn(
+            "cluster",
+            F.expr("array_position(__d, array_min(__d))").cast("int") - 1,
         )
         agg = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),

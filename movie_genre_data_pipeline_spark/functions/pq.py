@@ -67,6 +67,14 @@ def pq_train_exact(
     `quantized` is kmeans.quantize_vectors output (vid, vq) — integral-double
     vectors. Returns m codebooks of k centroids of d/m doubles each. Train on a
     sample at scale; the loop collects only k·(d/m) doubles per iteration.
+
+    Shape note (measured r6): a fused all-subspaces-in-one-job variant
+    (explode to (j, subvector), one (j, code) aggregate per iteration) was
+    tried and is SLOWER here — the explode multiplies shuffled rows by m,
+    which costs more than the m-fold job-scheduling overhead it saves. The
+    per-subspace loops each run join-free (kmeans_fit_exact computes
+    assignment inline), so an iteration is one projection + one k-key
+    aggregate over the cached frame.
     """
     dsub = _check_geometry(dim, m)
     codebooks: list[list[list[float]]] = []
