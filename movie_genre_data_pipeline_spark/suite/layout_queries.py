@@ -111,3 +111,125 @@ FROM b GROUP BY bucket
 QUERIES: dict[str, QuerySpec] = {
     "layout_zorder_stats": QuerySpec(q_zorder_stats, Q_ZORDER_ORACLE),
 }
+
+
+# -- the skipping RATIO: why z-order beats a linear sort for 2-D predicates (r6) --------
+N_FILES = 64
+_PK_LO, _PK_HI = 50, 250
+_SK_LO, _SK_HI = 5, 40
+
+
+def q_skipping_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified data skipping: lay the same table out as N_FILES files two
+    ways — globally sorted by l_partkey (linear) vs by Morton z-value
+    (z-order) — compute each file's min/max footer stats, and count how many
+    files each of THREE predicates must read under each layout:
+
+    - pk_only: the linear layout's best case (its sort column);
+    - sk_only: the linear layout's worst case — the second column scatters
+      across every file, so min/max stats prune nothing; z-order bounds both
+      dimensions per file and keeps pruning;
+    - box (pk AND sk): the 2-D case z-ordering exists for.
+
+    Six rows (layout × predicate) of (n_files, files_read) — the measured
+    form of the SCALE.md claim. File assignment is ntile over the total
+    order (what a range-partitioned sorted write produces); the oracle
+    replays assignment, footer stats, and the pruning decision exactly."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = with_zvalue(li, "l_partkey", "l_suppkey", out_col="z")
+
+    from pyspark.sql import Window
+
+    pk_hit = (F.col("pk_min") <= _PK_HI) & (F.col("pk_max") >= _PK_LO)
+    sk_hit = (F.col("sk_min") <= _SK_HI) & (F.col("sk_max") >= _SK_LO)
+    preds = [("box", pk_hit & sk_hit), ("pk_only", pk_hit), ("sk_only", sk_hit)]
+
+    def layout(df, order_cols, name):
+        w = Window.orderBy(*order_cols)
+        files = df.withColumn("file_id", F.ntile(N_FILES).over(w))
+        stats = files.groupBy("file_id").agg(
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+        per_pred = [
+            stats.agg(
+                F.lit(name).alias("layout"),
+                F.lit(pname).alias("predicate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("bigint")
+                .alias("files_read"),
+            )
+            for pname, cond in preds
+        ]
+        out = per_pred[0]
+        for frame in per_pred[1:]:
+            out = out.unionByName(frame)
+        return out
+
+    lin = layout(z, [F.col("l_partkey"), "l_orderkey", "l_linenumber"], "linear")
+    zo = layout(z, [F.col("z"), "l_orderkey", "l_linenumber"], "zorder")
+    return lin.unionByName(zo).orderBy("layout", "predicate")
+
+
+Q_SKIPPING_RATIO_ORACLE = f"""
+WITH stats AS (
+  SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+         MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
+  FROM lineitem
+),
+g AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CASE WHEN xmax <= xmin THEN 0
+              ELSE ((l_partkey - xmin) * 65535) // (xmax - xmin) END AS gx,
+         CASE WHEN ymax <= ymin THEN 0
+              ELSE ((l_suppkey - ymin) * 65535) // (ymax - ymin) END AS gy
+  FROM lineitem CROSS JOIN stats
+),
+{_CTES},
+z AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         (x{_N} | (y{_N} << 1)) AS z
+  FROM {_LAST}
+),
+assigned AS (
+  SELECT l_partkey, l_suppkey,
+         NTILE({N_FILES}) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+           AS f_lin,
+         NTILE({N_FILES}) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f_z
+  FROM z
+),
+per_file AS (
+  SELECT 'linear' AS layout, f_lin AS file_id,
+         MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+         MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+  FROM assigned GROUP BY 2
+  UNION ALL
+  SELECT 'zorder', f_z,
+         MIN(l_partkey), MAX(l_partkey), MIN(l_suppkey), MAX(l_suppkey)
+  FROM assigned GROUP BY 2
+),
+hits AS (
+  SELECT layout,
+         (pk_min <= {_PK_HI} AND pk_max >= {_PK_LO}) AS pk_hit,
+         (sk_min <= {_SK_HI} AND sk_max >= {_SK_LO}) AS sk_hit
+  FROM per_file
+)
+SELECT layout, predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+FROM (
+  SELECT layout, 'box' AS predicate, (pk_hit AND sk_hit) AS hit FROM hits
+  UNION ALL SELECT layout, 'pk_only', pk_hit FROM hits
+  UNION ALL SELECT layout, 'sk_only', sk_hit FROM hits
+)
+GROUP BY layout, predicate
+ORDER BY layout, predicate
+"""
+
+
+QUERIES["layout_skipping_ratio"] = QuerySpec(q_skipping_ratio, Q_SKIPPING_RATIO_ORACLE)
