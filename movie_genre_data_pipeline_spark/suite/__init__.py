@@ -61,9 +61,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # from_json_props / interval_join passed r1-r4; asof_join and
     # grouped_pandas_norm, both multi-round passers, rotate out r6 for the
     # never-verified r5 surfaces — all remain oracled just past the window)
+    # (star_join, an r1-r5 passer and bench headliner, rotates out r6)
     "tpch_q1",
-    "star_join",
     "tpch_q9",
+    # r6: consuming the SCD2 history — the point-in-time enrichment join
+    "merge_scd2_pit_join",
     # r5 families that earned rows immediately and stay seated
     "cdc_snapshot_diff",
     "dq_expectations",
@@ -79,7 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sampling/packing (stratified split + token packer, multi-round passers,
     # rotate out; the weighted reservoir stays and r6 seats the temperature
     # mixture sampler, never driver-verified)
-    "sample_weighted_reservoir",
+    # (sample_weighted_reservoir, r4-r5 passer + benched, rotates out)
     "sample_temperature_mixture",
     # time series (gapfill + rollup cascade, multi-round passers, rotate out;
     # r6 seats the retention-cohort matrix, never driver-verified)
@@ -89,18 +91,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # twin enters below; HLL and KMV stay as the batch sketch rows)
     # (sketch_hll_distinct, a 2x passer also bench-guarded, rotates out; the
     # streaming HLL ledger keeps the family's driver presence)
-    "sketch_kmv_vocab_overlap",
-    # r6: snapshot distribution drift — the quality family's newest member
+    # (sketch_kmv_vocab_overlap, r5 passer + benched, rotates out)
+    # r6: snapshot distribution drift + its streaming fold, the dbt-test
+    # surface, the provenance fingerprint, and the layout-skipping evidence
     "dq_drift_report",
+    "stream_dq_drift",
+    "dq_schema_tests",
+    "ops_dataset_fingerprint",
+    "layout_skipping_ratio",
     # text analysis (quality_scores, a multi-round passer, rotates out; r6
     # seats the hashing-trick embedder and the UDTF token-run encoder)
-    "text_tfidf_topk",
+    # (text_tfidf_topk, an r2-r5 passer and bench headliner, rotates out)
     "text_winnow_fingerprints",
     "text_hash_embeddings",
     "text_token_runs",
     # deduplication (r6 seats the winnowing overlap pairs — the last dedup
     # family member without a driver row)
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh, a many-round passer, bench headliner, and
+    # scale-bench subject, rotates out)
     "dedup_corpus",
     "dedup_keep_best",
     "dedup_semantic",
