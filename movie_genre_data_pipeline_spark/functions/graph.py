@@ -149,3 +149,44 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ).crossJoin(
         nodes.distinct().agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     ).select("n_nodes", "n_edges", "n_triangles")
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, core_degree): nodes surviving `rounds` of k-core peeling on the
+    undirected simple graph, with their degree among surviving edges.
+
+    Each round removes every node of degree < k and all incident edges — the
+    standard peeling; after enough rounds the survivor set IS the k-core
+    (callers pin fixpoint with one extra round in tests). A fixed round count
+    (not a convergence test) keeps the computation an unrollable, engine-
+    replayable plan — the same determinism discipline as
+    pagerank_fixed_point.
+
+    Scale shape: a round is one degree aggregate (groupBy node over the
+    current edge set, map-side combined) + two semi-joins to drop edges
+    touching removed nodes. Edge state is localCheckpoint'd per round so
+    lineage stays flat; state is O(|edges|), never per-round multiples."""
+    active = orient_edges(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            active.select(F.col("lo").alias("n"))
+            .unionAll(active.select(F.col("hi").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        active = (
+            active.join(keep.withColumnRenamed("n", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("n", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        active.select(F.col("lo").alias("node"))
+        .unionAll(active.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("node")
+    )

@@ -144,3 +144,103 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_pagerank_trade": QuerySpec(q_pagerank_trade, _pagerank_oracle()),
     "graph_triangle_count": QuerySpec(q_triangle_count, Q_TRIANGLE_ORACLE),
 }
+
+
+# -- k-core of the strong-trade subgraph (r6) --------------------------------------------
+KCORE_K = 6
+KCORE_ROUNDS = 5
+
+
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition over the STRONG-trade subgraph: weight every
+    directed nation pair by distinct orders, keep the top third of edges by
+    (weight, src, dst) — a rank cut, not an absolute threshold, so the
+    subgraph stays comparable across scale tiers — then peel nodes of
+    undirected degree < k for a fixed number of rounds
+    (functions/graph.kcore_peel). The dense-community extraction used for
+    spam/burst structure in web-graph curation; a round is one degree
+    aggregate + two semi-joins, state O(|edges|)."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.graph import kcore_peel
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    nc = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    weighted = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(ns, s["s_nationkey"] == F.col("sk"))
+        .join(nc, c["c_nationkey"] == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct(o["o_orderkey"]).alias("wt"))
+    )
+    w = Window.orderBy(F.col("wt").desc(), "src", "dst")
+    ranked = weighted.select(
+        "src",
+        "dst",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    )
+    strong = ranked.filter(F.col("rn") <= F.floor(F.col("total") / 3)).select(
+        "src", "dst"
+    )
+    return kcore_peel(strong, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+WITH w AS MATERIALIZED (
+  SELECT ns.n_name AS src, nc.n_name AS dst,
+         COUNT(DISTINCT o.o_orderkey) AS wt
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE ns.n_name <> nc.n_name
+  GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (ORDER BY wt DESC, src, dst) AS rn,
+         COUNT(*) OVER () AS total
+  FROM w
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ranked WHERE rn <= total // 3 AND src <> dst
+)"""
+    rounds = []
+    prev = "e0"
+    for r in range(KCORE_ROUNDS):
+        rounds.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT lo AS n FROM {prev} UNION ALL SELECT hi FROM {prev}
+  ) GROUP BY n
+),
+s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT lo, hi FROM {prev}
+  WHERE lo IN (SELECT n FROM s{r}) AND hi IN (SELECT n FROM s{r})
+)"""
+        )
+        prev = f"e{r + 1}"
+    tail = f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT lo AS node FROM {prev} UNION ALL SELECT hi FROM {prev}
+) GROUP BY node ORDER BY node
+"""
+    return head + "".join(rounds) + tail
+
+
+QUERIES["graph_kcore_trade"] = QuerySpec(q_kcore_trade, _kcore_oracle())

@@ -51,3 +51,41 @@ def test_triangle_count_known_graphs(spark):
     # a path has none
     row = triangle_count(_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])).collect()[0]
     assert row["n_triangles"] == 0 and row["n_edges"] == 3
+
+
+def test_kcore_peel_laws(spark):
+    """Peeling on a hand-built graph: a 4-clique (3-core) plus a pendant path
+    — the path peels away, the clique survives with degree 3; the fixture
+    round count reaches the fixpoint (an extra round changes nothing)."""
+    from movie_genre_data_pipeline_spark.functions.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("d", "e"), ("e", "f")],  # pendant path d-e-f
+        "src string, dst string",
+    )
+    core = {r["node"]: r["core_degree"] for r in kcore_peel(edges, 3, 3).collect()}
+    assert core == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # fixpoint: one more round changes nothing
+    more = {r["node"]: r["core_degree"] for r in kcore_peel(edges, 3, 4).collect()}
+    assert more == core
+    # k above the max clique degree empties the graph
+    assert kcore_peel(edges, 4, 3).count() == 0
+
+
+def test_kcore_trade_reaches_fixpoint(spark):
+    """The suite query's fixed round count is AT the fixpoint for the fixture
+    (so the output is the true k-core, not a partial peel)."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+    from movie_genre_data_pipeline_spark.suite.graph_queries import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    assert KCORE_ROUNDS >= 2
+    rows = all_queries()["graph_kcore_trade"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # every surviving node's degree meets the core threshold — the fixpoint
+    # condition (a partial peel would leave some node under k)
+    assert rows and all(r["core_degree"] >= KCORE_K for r in rows)
