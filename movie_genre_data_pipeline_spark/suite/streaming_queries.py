@@ -1061,6 +1061,62 @@ def q_stream_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ops_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming provenance: the dataset fingerprint maintained per
+    micro-batch — each batch contributes (batch_rows, batch_hash mod p) to a
+    ledger, and the fold is modular addition, so the final identity equals
+    the one-shot batch fingerprint regardless of batch split (shares
+    ops_dataset_fingerprint's oracle verbatim). The shape for continuously
+    ingested corpora: the fingerprint is always current, never recomputed
+    over history."""
+    from movie_genre_data_pipeline_spark.operators.observe import (
+        dataset_fingerprint,
+    )
+
+    P = 2_147_483_647
+    base_dir = tempfile.mkdtemp(prefix="stream_fp_")
+    src = f"{base_dir}/src"
+    ledger = f"{base_dir}/ledger"
+    from movie_genre_data_pipeline_spark.suite import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k1"),
+        F.col("l_linenumber").cast("string").alias("k2"),
+        F.col("l_suppkey").cast("string").alias("k3"),
+    )
+    li.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("k1 string, k2 string, k3 string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dataset_fingerprint(batch_df, ["k1", "k2", "k3"]).write.mode(
+            "append"
+        ).parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(fold_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(ledger)
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            (F.sum("content_hash") % P).cast("bigint").alias("content_hash"),
+        )
+    )
+
+
+def _stream_fp_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        Q_OPS_DATASET_FINGERPRINT_ORACLE,
+    )
+
+    return Q_OPS_DATASET_FINGERPRINT_ORACLE
+
+
 def _stream_dq_drift_oracle() -> str:
     from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
         Q_DQ_DRIFT_REPORT_ORACLE,
@@ -1090,6 +1146,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_scd2_incremental": QuerySpec(q_stream_scd2, _stream_scd2_oracle()),
     "stream_gold_ivm": QuerySpec(q_stream_gold_ivm, _stream_gold_ivm_oracle()),
     "stream_dq_drift": QuerySpec(q_stream_dq_drift, _stream_dq_drift_oracle()),
+    "stream_ops_fingerprint": QuerySpec(
+        q_stream_ops_fingerprint, _stream_fp_oracle()
+    ),
     "stream_cms_heavy": QuerySpec(q_stream_cms_heavy, _stream_cms_oracle()),
     "stream_histogram_quantiles": QuerySpec(
         q_stream_histogram_quantiles, _stream_histo_oracle()
