@@ -669,3 +669,52 @@ def test_hash_embed_mass_laws(spark, docs):
         assert l1 <= n and (n - l1) % 2 == 0
     for doc_id, n in ntoks.items():
         assert (doc_id in vecs) == (n > 0)
+
+
+# -- r6 laws: fingerprint combinability, drift stat bounds --------------------------
+@FAST
+@given(
+    rows_a=st.lists(texts, min_size=0, max_size=12),
+    rows_b=st.lists(texts, min_size=0, max_size=12),
+)
+def test_fingerprint_modular_combinability(spark, rows_a, rows_b):
+    """fp(A ∪ B) == (fp(A) + fp(B)) mod p — the law that lets shards
+    fingerprint independently and combine; and the empty set is identity 0."""
+    from movie_genre_data_pipeline_spark.operators.observe import dataset_fingerprint
+
+    P = 2_147_483_647
+    schema = "v string"
+
+    def fp(rows):
+        df = spark.createDataFrame([(r,) for r in rows], schema)
+        got = dataset_fingerprint(df, ["v"]).collect()[0]
+        return got["n_rows"], (got["content_hash"] or 0)
+
+    na, ha = fp(rows_a)
+    nb, hb = fp(rows_b)
+    nu, hu = fp(rows_a + rows_b)
+    assert nu == na + nb
+    assert hu == (ha + hb) % P
+
+
+@FAST
+@given(
+    vals_a=st.lists(st.floats(-50, 150, allow_nan=False), min_size=1, max_size=25),
+    vals_b=st.lists(st.floats(-50, 150, allow_nan=False), min_size=1, max_size=25),
+)
+def test_histogram_drift_stat_bounds(spark, vals_a, vals_b):
+    """TVD total in [0,1], KS terms in [0,1], per-bin proportions sum to 1 on
+    each side (clamping loses no rows), chi2 terms non-negative."""
+    from movie_genre_data_pipeline_spark.operators.quality import histogram_drift
+
+    a = spark.createDataFrame([(float(v),) for v in vals_a], "x double")
+    b = spark.createDataFrame([(float(v),) for v in vals_b], "x double")
+    rows = histogram_drift(a, b, "x", 0.0, 20.0, 5).collect()
+    assert sum(r["n_old"] for r in rows) == len(vals_a)
+    assert sum(r["n_new"] for r in rows) == len(vals_b)
+    tvd = sum(r["tvd_term"] for r in rows)
+    assert 0.0 <= tvd <= 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r["ks_cum"] <= 1.0 + 1e-9
+        if r["chi2_term"] is not None:
+            assert r["chi2_term"] >= 0.0
