@@ -193,16 +193,45 @@ SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
 
 # -- IVF with LEARNED centroids (k-means) ----------------------------------------------
 def q_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-1 over k-means-trained cells (functions/kmeans.py) — the real
-    coarse quantizer behind sim_topk_ivf's label proxy. Float centroid sums are
-    run-order dependent, so no exact SQL oracle exists (rows-only check);
-    tests/test_kmeans.py pins the algorithm's guaranteed properties instead."""
-    from movie_genre_data_pipeline_spark.functions.kmeans import kmeans_ivf_top_k
+    """IVF top-1 over LEARNED k-means cells — the real coarse quantizer behind
+    sim_topk_ivf's label proxy. r6: switched from the float kmeans_fit to the
+    exact-arithmetic cells (kmeans_exact_cells), which makes the whole query
+    SQL-replayable and retires the registry's last rows-only check — the
+    float path remains covered by tests/test_kmeans.py's property pins
+    (inertia monotone, assignment stability). Plan unchanged: cell equi-join
+    + within-cell exact cosine top-1."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import kmeans_exact_cells
 
     e = load(spark, sf_dir, "embeddings")
-    return kmeans_ivf_top_k(
-        e, "vec_id", "embedding", k_clusters=8, k_neighbors=1, max_iterations=5
+    cells = kmeans_exact_cells(
+        e, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
     )
+    with_cells = e.join(cells, e["vec_id"] == cells["vid"]).drop("vid")
+    return brute_force_top_k(
+        with_cells, "vec_id", "embedding", k=1, partition_col="cluster"
+    )
+
+
+def _topk_kmeans_ivf_oracle() -> str:
+    return f"""
+WITH {kmeans_cells_cte()},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vid, b.vec_id AS neighbor,
+         {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM e a
+  JOIN cells ca ON ca.vid = a.vec_id
+  JOIN cells cb ON cb.cluster = ca.cluster
+  JOIN e b ON b.vec_id = cb.vid AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT vid, neighbor, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vid
+              ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
+"""
 
 
 # -- ANN quality: LSH recall@1 vs exact baseline --------------------------------------
@@ -748,7 +777,9 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_pq_ivfadc_residual": QuerySpec(
         q_pq_ivfadc_residual, _pq_ivfadc_residual_oracle()
     ),
-    "sim_topk_kmeans_ivf": QuerySpec(q_topk_kmeans_ivf, None),
+    "sim_topk_kmeans_ivf": QuerySpec(
+        q_topk_kmeans_ivf, _topk_kmeans_ivf_oracle()
+    ),
 }
 
 

@@ -42,7 +42,7 @@ def test_documented_query_counts_match_registry():
     root = Path(__file__).resolve().parent.parent
 
     readme = (root / "README.md").read_text()
-    m = re.search(r"(\d+) named queries.*?\((\d+) oracle-checked\)", readme, re.S)
+    m = re.search(r"(\d+) named queries.*?\((\d+) oracle-checked", readme, re.S)
     assert m, "README.md no longer states the query counts"
     assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
         f"README claims {m.group(1)}/{m.group(2)}, registry has {total}/{oracled}"
