@@ -1288,3 +1288,56 @@ QUERIES: dict[str, QuerySpec] = {
     "regexp_functions": QuerySpec(q_regexp_functions, Q_REGEXP_FUNCTIONS_ORACLE),
     "url_functions": QuerySpec(q_url_functions, Q_URL_FUNCTIONS_ORACLE),
 }
+
+
+# -- Bloom semi-join reduction: prune the big side BEFORE the shuffle (r6) --------------
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual form of a runtime Bloom-filter join (what
+    spark.sql.optimizer.runtime.bloomFilter automates): the small side's join
+    keys build an m-bit bitmap (shuffle bounded by bitmap size), the big side
+    probes it broadcast-side BEFORE its shuffle, and only possibly-matching
+    rows enter the join. False positives cost one wasted join probe; false
+    negatives never happen — so the pruned join's RESULT equals the plain
+    join exactly, which is precisely what the oracle checks (the oracle is
+    the plain SQL join). At 100 TB this turns a full-fact shuffle into a
+    selectivity-proportional one whenever the dim side is filtered."""
+    from movie_genre_data_pipeline_spark.functions.bloom import (
+        bloom_probe,
+        build_bloom,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 7000)
+    bloom = build_bloom(sup.select("s_suppkey"), "s_suppkey")
+    pruned = bloom_probe(li, "l_suppkey", bloom).filter(F.col("bloom_hit")).drop(
+        "bloom_hit"
+    )
+    j = pruned.join(sup, pruned["l_suppkey"] == sup["s_suppkey"])
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+Q_BLOOM_JOIN_PRUNE_ORACLE = """
+SELECT s.s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE s.s_acctbal > 7000
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["ops_bloom_join_prune"] = QuerySpec(
+    q_bloom_join_prune, Q_BLOOM_JOIN_PRUNE_ORACLE
+)
