@@ -61,5 +61,8 @@ class PipelineConfig:
     def silver_path(self, table: str) -> str:
         return str(Path(self.root) / "silver" / f"{table}_silver")
 
+    def gold_path(self, table: str) -> str:
+        return str(Path(self.root) / "gold" / f"{table}_gold")
+
     def checkpoint_path(self, name: str) -> str:
         return str(Path(self.root) / "checkpoints" / name)

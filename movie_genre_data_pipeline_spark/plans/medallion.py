@@ -192,9 +192,32 @@ class MedallionPipeline:
         )
 
     # -- convenience --------------------------------------------------------
+    # -- stage 4 (r6): the layer the reference describes but never builds ----
+    def silver_to_gold(self) -> int:
+        """Silver → Gold: materialize the genre-revenue star mart
+        (plans/gold.build_genre_revenue_mart) from the movie and genres
+        silver tables to the gold zone. The reference's README sketches
+        Bronze/Silver/Gold but its pipeline stops at Silver
+        (/root/reference/README.md:10-15) — this completes the medallion.
+        Returns the mart row count. Overwrite is correct here: gold is a
+        derived mart, silver is its source of truth (for churn-sized
+        refreshes use the IVM path — apply_genre_revenue_delta)."""
+        from movie_genre_data_pipeline_spark.plans.gold import (
+            build_genre_revenue_mart,
+        )
+
+        movie = read_parquet(self.spark, self.config.silver_path("movie"))
+        genres = read_parquet(self.spark, self.config.silver_path("genres"))
+        mart = build_genre_revenue_mart(movie, genres)
+        mart.write.mode("overwrite").parquet(self.config.gold_path("genre_revenue"))
+        return read_parquet(
+            self.spark, self.config.gold_path("genre_revenue")
+        ).count()
+
     def run(self, raw_path: str | None = None) -> dict[str, int]:
-        """Full pipeline (Batch_notebook/main.py:63-65)."""
+        """Full pipeline (Batch_notebook/main.py:63-65 + the gold stage)."""
         self.raw_to_bronze(raw_path)
         counts = self.bronze_to_silver()
         counts["repaired"] = self.silver_update()
+        counts["gold_genres"] = self.silver_to_gold()
         return counts

@@ -238,3 +238,17 @@ def test_gold_ivm_equals_rebuild(spark):
     assert mart[2]["n_movies"] == 2  # movies 1 and 5
     assert mart[1]["n_movies"] == 3  # movies 1, 3 (gained), 4
     assert mart[1]["avg_runtime"] == 95.0  # NULL runtime of movie 3 excluded
+
+
+def test_silver_to_gold_stage(spark, pipeline_config, raw_movie_dir):
+    """run() now ends at gold: the mart parquet exists in the gold zone and
+    includes the repaired (post-silver_update) movies."""
+    pipe = MedallionPipeline(spark, pipeline_config)
+    counts = pipe.run(raw_movie_dir)
+    assert counts["gold_genres"] > 0
+    gold = read_parquet(spark, pipeline_config.gold_path("genre_revenue"))
+    rows = {r["genre_id"]: r for r in gold.collect()}
+    # after repair, quarantined movies 2 (Drama) and 4 (Comedy) joined silver,
+    # so Drama counts movies 2 and 5, and Comedy exists with movie 4
+    assert rows[3]["n_movies"] == 2
+    assert rows[4]["genre_name"] == "Comedy" and rows[4]["n_movies"] == 1
