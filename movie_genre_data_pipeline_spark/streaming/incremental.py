@@ -204,9 +204,29 @@ class IncrementalMedallionPipeline:
         silver_ready.unpersist()
         return n
 
+    # -- stage 4 (r6): gold, same derivation as the batch variant ---------------
+    def silver_to_gold(self) -> int:
+        """Silver → Gold genre-revenue mart (plans/gold) — identical
+        derivation to MedallionPipeline.silver_to_gold, so batch ≡ incremental
+        extends through the gold layer (both variants read the same silver
+        zone they maintain). Returns the mart row count."""
+        from movie_genre_data_pipeline_spark.plans.gold import (
+            build_genre_revenue_mart,
+        )
+        from movie_genre_data_pipeline_spark.sources.batch import read_parquet
+
+        movie = read_parquet(self.spark, self.config.silver_path("movie"))
+        genres = read_parquet(self.spark, self.config.silver_path("genres"))
+        mart = build_genre_revenue_mart(movie, genres)
+        mart.write.mode("overwrite").parquet(self.config.gold_path("genre_revenue"))
+        return read_parquet(
+            self.spark, self.config.gold_path("genre_revenue")
+        ).count()
+
     # -- convenience ------------------------------------------------------------
     def run(self, raw_path: str | None = None) -> None:
-        """One incremental round: ingest new files, process new bronze, repair."""
+        """One incremental round: ingest, process new bronze, repair, gold."""
         self.raw_to_bronze(raw_path)
         self.bronze_to_silver()
         self.silver_update()
+        self.silver_to_gold()

@@ -90,6 +90,19 @@ def test_incremental_two_rounds_and_batch_equivalence(spark, tmp_path: Path):
         i = {tuple(r) for r in read_parquet(spark, inc_cfg.silver_path(dim)).collect()}
         assert b == i, f"{dim} dim diverged"
 
+    # batch ≡ incremental extends through GOLD (r6): same silver ⇒ same mart
+    bg = {
+        tuple(r)
+        for r in read_parquet(
+            spark, batch_cfg.gold_path("genre_revenue")
+        ).collect()
+    }
+    ig = {
+        tuple(r)
+        for r in read_parquet(spark, inc_cfg.gold_path("genre_revenue")).collect()
+    }
+    assert bg == ig and bg, "gold mart diverged between variants"
+
 
 def test_incremental_rerun_is_idempotent(spark, tmp_path: Path):
     clock = Clock(fixed_utc="2024-01-01 00:00:00")
