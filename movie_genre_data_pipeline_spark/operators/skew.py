@@ -136,3 +136,37 @@ def salted_join(
         ),
     )
     return big_salted.join(small_salted, [on, "__salt"], how).drop("__salt")
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """(rank, <key>, n_rows, share, skew_factor): the top-k heaviest join-key
+    values with their row share, plus the key distribution's skew factor
+    (max key count / mean key count) repeated on every row — the
+    observability report that DECIDES whether a join needs `salted_join` and
+    feeds `detect_hot_keys`' threshold. One count aggregate (map-side
+    combined) + a top-k; the summary is a broadcast of one row."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.max("n_rows").alias("__max"),
+        F.avg("n_rows").alias("__mean"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("__max") / F.col("__mean"), 4).alias("skew_factor"),
+        )
+        .orderBy("rank")
+    )

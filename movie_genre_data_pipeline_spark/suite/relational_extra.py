@@ -1341,3 +1341,42 @@ ORDER BY 1
 QUERIES["ops_bloom_join_prune"] = QuerySpec(
     q_bloom_join_prune, Q_BLOOM_JOIN_PRUNE_ORACLE
 )
+
+
+# -- skew observability: the report that decides whether a join needs salting (r6) ------
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution report over the events stream's type column: top keys
+    by row count with shares and the max/mean skew factor — the upstream
+    decision input for operators.skew.salted_join / detect_hot_keys. One
+    count aggregate + top-k; summary broadcast as one row."""
+    from movie_genre_data_pipeline_spark.operators.skew import skew_report
+
+    ev = load(spark, sf_dir, "events")
+    return skew_report(ev, "event_type", top_k=5)
+
+
+Q_SKEW_REPORT_ORACLE = """
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT SUM(n_rows) AS total, MAX(n_rows) AS mx, AVG(n_rows) AS mean
+  FROM counts
+),
+ranked AS (
+  SELECT event_type, n_rows,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, event_type ASC)
+              AS INTEGER) AS rank
+  FROM counts
+)
+SELECT rank, event_type, n_rows,
+       ROUND(n_rows / CAST(total AS DOUBLE), 6) AS share,
+       ROUND(mx / mean, 4) AS skew_factor
+FROM ranked, stats
+WHERE rank <= 5
+ORDER BY rank
+"""
+
+
+QUERIES["ops_skew_report"] = QuerySpec(q_skew_report, Q_SKEW_REPORT_ORACLE)
