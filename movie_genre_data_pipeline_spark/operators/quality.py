@@ -196,8 +196,12 @@ def drift_from_counts(o: DataFrame, n: DataFrame) -> DataFrame:
         F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
     )
     w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
-    p_old = F.col("n_old") / F.col("__to")
-    p_new = F.col("n_new") / F.col("__tn")
+    # try_divide: an EMPTY side has no distribution — its proportions (and
+    # every stat derived from them) surface as NULL rather than a
+    # divide-by-zero failure under ANSI mode. "No data" is a report state,
+    # not a crash.
+    p_old = F.try_divide(F.col("n_old"), F.col("__to"))
+    p_new = F.try_divide(F.col("n_new"), F.col("__tn"))
     return (
         j.crossJoin(F.broadcast(tot))
         .withColumn("__po", p_old)

@@ -151,3 +151,25 @@ def test_dataset_fingerprint_order_and_layout_invariant(spark):
     h1 = dataset_fingerprint(n1, ["k", "v"]).collect()[0]["content_hash"]
     h2 = dataset_fingerprint(n2, ["k", "v"]).collect()[0]["content_hash"]
     assert h1 == h2  # documented sentinel collision — callers quote if needed
+
+
+def test_drift_and_skew_edge_inputs(spark):
+    """Empty-side behavior: a drift report against an empty new snapshot still
+    produces the reference bins (p_new 0 everywhere, KS = cumulative p_old);
+    skew_report on a single-key frame reports share 1 and skew_factor 1."""
+    from movie_genre_data_pipeline_spark.operators.quality import histogram_drift
+    from movie_genre_data_pipeline_spark.operators.skew import skew_report
+
+    a = spark.createDataFrame([(5.0,), (15.0,)], "x double")
+    empty = spark.createDataFrame([], "x double")
+    rows = histogram_drift(a, empty, "x", 0.0, 10.0, 3).collect()
+    assert sum(r["n_old"] for r in rows) == 2
+    # an empty side has no distribution: its proportions and the stats
+    # derived from them are NULL ("no data"), never a divide-by-zero crash
+    assert all(r["n_new"] == 0 and r["p_new"] is None for r in rows)
+    assert all(r["tvd_term"] is None and r["ks_cum"] is None for r in rows)
+
+    one = spark.createDataFrame([("k",)] * 7, "k string")
+    rep = skew_report(one, "k", top_k=3).collect()
+    assert len(rep) == 1
+    assert rep[0]["share"] == 1.0 and rep[0]["skew_factor"] == 1.0
