@@ -195,3 +195,30 @@ def kmeans_exact_cells(
     cells = assign_clusters(q, "vid", "vq", centroids).select("vid", "cluster")
     q.unpersist()
     return cells
+
+
+def probe_cells(
+    quantized: DataFrame, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(vid, cluster): each vector paired with its `nprobe` NEAREST centroid
+    cells — the IVF multi-probe expansion (FAISS's nprobe knob). nprobe=1 is
+    the home-cell assignment; raising it trades linearly more candidates for
+    recall, and because the probed sets are supersets, recall is MONOTONE in
+    nprobe (pinned by tests). Pure projection + explode: distances to the k
+    centroid literals, lexicographic (dist, cluster) sort for deterministic
+    ties, slice nprobe, explode — no join, no shuffle."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("vq"), c).alias("d"),
+                F.lit(i).cast("int").alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    return quantized.select(
+        "vid", F.explode(probed).alias("__p")
+    ).select("vid", F.col("__p.c").alias("cluster"))

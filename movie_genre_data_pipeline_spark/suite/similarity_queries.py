@@ -314,6 +314,104 @@ def q_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2
+
+
+def q_kmeans_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF recall (FAISS's nprobe knob): each query searches its
+    NPROBE nearest cells instead of only its home cell — the standard
+    recall/cost dial of every IVF deployment, with cost linear in nprobe and
+    recall MONOTONE in it (probed candidate sets are supersets; pinned as a
+    law in tests against sim_kmeans_recall's nprobe=1). Probe selection is a
+    pure projection over the centroid literals; candidates come from the
+    probe→cell equi-join; everything (Lloyd training, probe ranking, cosine,
+    the exact baseline) replays bit-for-bit in the oracle."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        assign_clusters,
+        kmeans_fit_exact,
+        probe_cells,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    cents = kmeans_fit_exact(q, KMEANS_K, KMEANS_ITERS)
+    corpus_cells = assign_clusters(q, "vid", "vq", cents).select(
+        F.col("vid").alias("neighbor"), "cluster"
+    )
+    probes = probe_cells(q, cents, NPROBE)
+    cand = probes.join(corpus_cells, "cluster").filter(
+        F.col("vid") != F.col("neighbor")
+    ).select("vid", "neighbor")
+    ea = e.select(F.col("vec_id").alias("vid"), _as_double("embedding").alias("va"))
+    eb = e.select(
+        F.col("vec_id").alias("neighbor"), _as_double("embedding").alias("vb")
+    )
+    scored = (
+        cand.join(ea, "vid")
+        .join(eb, "neighbor")
+        .select("vid", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+    )
+    approx = scored.groupBy("vid").agg(F.max("cos_sim").alias("ivf_cos"))
+    exact = brute_force_top_k(e, "vec_id", "embedding", k=1).select(
+        "vid", F.col("cos_sim").alias("exact_cos")
+    )
+    joined = exact.join(approx, "vid", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("ivf_cos") == F.col("exact_cos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.avg(F.when(F.col("ivf_cos") == F.col("exact_cos"), 1.0).otherwise(0.0)),
+            6,
+        ).alias("recall_at_1"),
+    )
+
+
+def _kmeans_recall_nprobe_oracle() -> str:
+    dim = DIM
+
+    def sqd(v: str, c: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {dim}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+        )
+
+    parts = [
+        kmeans_cells_cte(),
+        f"""pd AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv")} AS dist
+      FROM eq e CROSS JOIN c{KMEANS_ITERS} c),
+probes AS (SELECT vid, cluster FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY dist ASC, cluster ASC) AS rn FROM pd)
+           WHERE rn <= {NPROBE}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+iscored AS (
+  SELECT a.vec_id AS vid, {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM e a JOIN probes pa ON pa.vid = a.vec_id
+       JOIN cells cb ON cb.cluster = pa.cluster
+       JOIN e b ON b.vec_id = cb.vid AND a.vec_id <> b.vec_id
+),
+approx AS (SELECT vid, MAX(cos_sim) AS ivf_cos FROM iscored GROUP BY vid),
+exact AS ({Q_TOPK_BRUTEFORCE_ORACLE.strip()})""",
+    ]
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN a.ivf_cos = x.cos_sim THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(AVG(CASE WHEN a.ivf_cos = x.cos_sim THEN 1.0 ELSE 0.0 END), 6)
+         AS recall_at_1
+FROM exact x LEFT JOIN approx a USING (vid)
+"""
+
+
 def kmeans_cells_cte(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """SQL CTE chain replaying functions/kmeans.py:kmeans_exact_cells
     bit-for-bit: quantized vectors `eq(vid, vq)`, `iters` unrolled Lloyd
@@ -772,6 +870,9 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_recall": QuerySpec(q_lsh_recall, _lsh_recall_oracle()),
     "sim_lsh_multi_top1": QuerySpec(q_lsh_multi_top1, _lsh_multi_oracle()),
     "sim_kmeans_recall": QuerySpec(q_kmeans_recall, _kmeans_recall_oracle()),
+    "sim_kmeans_recall_nprobe": QuerySpec(
+        q_kmeans_recall_nprobe, _kmeans_recall_nprobe_oracle()
+    ),
     "sim_pq_recall": QuerySpec(q_pq_recall, _pq_recall_oracle()),
     "sim_pq_ivfadc": QuerySpec(q_pq_ivfadc, _pq_ivfadc_oracle()),
     "sim_pq_ivfadc_residual": QuerySpec(

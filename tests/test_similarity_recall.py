@@ -57,3 +57,18 @@ def test_brute_force_guard_rejects_large_unpartitioned(spark):
     brute_force_top_k(big, "vec_id", "embedding", k=1, allow_quadratic=True)
     cells = big.withColumn("cell", F.col("vec_id") % 100)
     brute_force_top_k(cells, "vec_id", "embedding", k=1, partition_col="cell")
+
+
+def test_nprobe_recall_monotone(spark):
+    """Probed candidate sets are supersets as nprobe grows, so recall@1 is
+    monotone in nprobe — the law that makes nprobe a safe knob. Checked
+    against the nprobe=1 home-cell recall on the fixture."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+    one = q["sim_kmeans_recall"].fn(spark, sf).collect()[0]
+    multi = q["sim_kmeans_recall_nprobe"].fn(spark, sf).collect()[0]
+    assert multi["n_queries"] == one["n_queries"]
+    assert multi["n_hits"] >= one["n_hits"], (multi, one)
+    assert multi["recall_at_1"] >= one["recall_at_1"]
