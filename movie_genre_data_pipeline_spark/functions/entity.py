@@ -1,0 +1,101 @@
+"""Entity resolution: multi-pass blocking, fuzzy pair scoring, best-match pick.
+
+The reference pipeline ingests a movie catalog whose genre labels arrive dirty
+(empty strings repaired by ``fix_genres``, reference: Movie_notebook/
+Silver_update.py); the general form of that problem at corpus scale is entity
+resolution — re-linking records whose join keys are mangled (typos, truncation,
+re-keying) to a canonical catalog. Naive ER is an O(n·m) cross join of string
+comparisons; the standard scale discipline is the same one the dedup family
+already uses for near-dup detection (functions/dedup.py MinHash bands): compare
+only within BLOCKS.
+
+Shape at 100 TB:
+
+- ``blocked_candidate_pairs`` generates (left_id, right_id) candidates as a
+  UNION of equi-joins, one per blocking pass. Each pass is a plain shuffle
+  join on its blocking key — no cross join anywhere — and the union is
+  DISTINCT-reduced on the id pair only (two narrow columns) before any
+  expensive scoring runs. Multi-pass blocking (e.g. first-token AND last-token
+  keys) is the standard recall hedge: a single key misses records whose
+  perturbation hit that key; the union catches any record at least one pass
+  agrees on. Candidate volume is sum over blocks of |L_b|·|R_b| — bounded by
+  blocking-key selectivity, which the caller chooses; the skew report
+  (operators/skew.py) is the tool for checking a proposed key's heavy blocks
+  before running the join.
+- ``score_pairs`` computes similarity entirely JVM-side: ``F.levenshtein``
+  (codegen'd dynamic-program, no Python) plus a length-normalized ratio.
+- ``best_match`` is one window (partition by left id) — the same
+  row_number-over-key shape as dedup keep-best.
+
+All arithmetic is integral (levenshtein) or a single rounded division, so a SQL
+oracle replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    passes: list[tuple[str, str]],
+) -> DataFrame:
+    """Candidate (left_id, right_id) pairs: union of one equi-join per blocking
+    pass, DISTINCT on the id pair.
+
+    ``passes`` is a list of (left_key_col, right_key_col). Rows with a NULL or
+    empty blocking key are skipped for that pass (they would otherwise form a
+    giant degenerate block).
+    """
+    if not passes:
+        raise ValueError("at least one blocking pass is required")
+    out: DataFrame | None = None
+    for lk, rk in passes:
+        l_side = left.filter(F.col(lk).isNotNull() & (F.col(lk) != "")).select(
+            F.col(left_id), F.col(lk).alias("__bk")
+        )
+        r_side = right.filter(F.col(rk).isNotNull() & (F.col(rk) != "")).select(
+            F.col(right_id), F.col(rk).alias("__bk")
+        )
+        pairs = l_side.join(r_side, "__bk").select(left_id, right_id)
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+def score_pairs(
+    pairs: DataFrame,
+    left_text: str,
+    right_text: str,
+    lev_col: str = "lev",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Attach edit distance and a length-normalized similarity in [0, 1].
+
+    sim = round(1 - lev / greatest(len(l), len(r)), 6) — 1.0 for identical
+    strings, 0.0 for completely disjoint ones. Pure JVM expressions.
+    """
+    lev = F.levenshtein(F.col(left_text), F.col(right_text))
+    longest = F.greatest(F.length(left_text), F.length(right_text))
+    return pairs.withColumn(lev_col, lev).withColumn(
+        sim_col,
+        F.round(F.lit(1.0) - F.col(lev_col) / longest.cast("double"), 6),
+    )
+
+
+def best_match(scored: DataFrame, group_col: str, order_cols: list) -> DataFrame:
+    """Keep the single best-scored candidate per left record.
+
+    ``order_cols`` must establish a TOTAL order within each group (tiebreak on
+    a unique key last) or the pick is nondeterministic — same contract as
+    dedup keep-best (functions/dedup.py).
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -162,7 +162,9 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc_queries,
         curation_queries,
         dedup_queries,
+        entity_queries,
         format_queries,
+        mining_queries,
         graph_queries,
         layout_queries,
         multimodal_queries,
@@ -184,6 +186,8 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_extra,
         text_queries,
         dedup_queries,
+        entity_queries,
+        mining_queries,
         sampling_queries,
         curation_queries,
         format_queries,

@@ -1,0 +1,165 @@
+"""Entity-resolution queries (functions/entity.py): multi-pass blocked matching
+of mangled records back to a canonical catalog, plus the oracled accuracy law.
+
+The fixture re-keys the part catalog the way dirty feeds mangle names: even
+part keys lose their final character (truncation), odd keys lose their first
+(leading-junk strip). Each listing must be re-linked to the catalog by string
+similarity alone. Blocking is two-pass — first token AND last token — because
+either perturbation can destroy one key but never both: truncation mangles the
+last token (its block key survives only via the first token), a leading strip
+mangles the first. The union of the two equi-joins restores candidate recall
+without any cross join.
+
+Determinism: levenshtein is integral, the similarity ratio is one rounded
+division, ties break on (lev, cat_name, cat_key) — a total order — so the
+DuckDB oracle reproduces every match and the recall figure exactly.
+
+Scale shape: candidate volume is Σ_blocks |L_b|·|R_b|. In this synthetic
+fixture the token vocabulary is fixed (blocks grow linearly with the catalog);
+a production deployment picks higher-cardinality composite keys (phonetic code
++ prefix, sorted-neighborhood windows) and checks them with ops_skew_report
+before running the join — the operator itself is key-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.entity import (
+    best_match,
+    blocked_candidate_pairs,
+    score_pairs,
+)
+from movie_genre_data_pipeline_spark.suite import QuerySpec, load
+
+_FIRST_TOKEN = r"^\S+"
+_LAST_TOKEN = r"\S+$"
+
+_PERTURB_SQL = """CASE WHEN p_partkey % 2 = 0
+       THEN substr(p_name, 1, length(p_name) - 1)
+       ELSE substr(p_name, 2) END"""
+
+_BEST_CTE = f"""listings AS (
+  SELECT p_partkey AS listing_id, p_name AS true_name,
+         {_PERTURB_SQL} AS listing_text
+  FROM part
+), lk AS (
+  SELECT listing_id, listing_text, true_name,
+         regexp_extract(listing_text, '{_FIRST_TOKEN}') AS b1,
+         regexp_extract(listing_text, '{_LAST_TOKEN}') AS b2
+  FROM listings
+), ck AS (
+  SELECT p_partkey AS cat_key, p_name AS cat_name,
+         regexp_extract(p_name, '{_FIRST_TOKEN}') AS b1,
+         regexp_extract(p_name, '{_LAST_TOKEN}') AS b2
+  FROM part
+), cand AS (
+  SELECT DISTINCT listing_id, cat_key FROM (
+    SELECT l.listing_id, c.cat_key FROM lk l JOIN ck c ON l.b1 = c.b1
+      WHERE l.b1 <> ''
+    UNION ALL
+    SELECT l.listing_id, c.cat_key FROM lk l JOIN ck c ON l.b2 = c.b2
+      WHERE l.b2 <> ''
+  )
+), scored AS (
+  SELECT cd.listing_id, l.listing_text, l.true_name, cd.cat_key, c.cat_name,
+         CAST(levenshtein(l.listing_text, c.cat_name) AS BIGINT) AS lev,
+         ROUND(1.0 - levenshtein(l.listing_text, c.cat_name)
+               / CAST(GREATEST(length(l.listing_text), length(c.cat_name)) AS DOUBLE),
+               6) AS sim
+  FROM cand cd
+  JOIN lk l USING (listing_id)
+  JOIN ck c USING (cat_key)
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY listing_id
+                               ORDER BY lev ASC, cat_name ASC, cat_key ASC) AS rn
+  FROM scored
+)"""
+
+
+def _best_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    listings = part.select(
+        F.col("p_partkey").alias("listing_id"),
+        F.col("p_name").alias("true_name"),
+        F.expr(_PERTURB_SQL).alias("listing_text"),
+    ).select(
+        "*",
+        F.regexp_extract("listing_text", _FIRST_TOKEN, 0).alias("lb1"),
+        F.regexp_extract("listing_text", _LAST_TOKEN, 0).alias("lb2"),
+    )
+    catalog = part.select(
+        F.col("p_partkey").alias("cat_key"),
+        F.col("p_name").alias("cat_name"),
+    ).select(
+        "*",
+        F.regexp_extract("cat_name", _FIRST_TOKEN, 0).alias("cb1"),
+        F.regexp_extract("cat_name", _LAST_TOKEN, 0).alias("cb2"),
+    )
+    cand = blocked_candidate_pairs(
+        listings, catalog, "listing_id", "cat_key", [("lb1", "cb1"), ("lb2", "cb2")]
+    )
+    scored = score_pairs(
+        cand.join(listings.select("listing_id", "listing_text", "true_name"), "listing_id")
+        .join(catalog.select("cat_key", "cat_name"), "cat_key"),
+        "listing_text",
+        "cat_name",
+    ).withColumn("lev", F.col("lev").cast("bigint"))
+    return best_match(
+        scored, "listing_id", [F.col("lev").asc(), F.col("cat_name").asc(), F.col("cat_key").asc()]
+    )
+
+
+def q_er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One resolved row per listing: the catalog entity it re-links to."""
+    return _best_matches(spark, sf_dir).select(
+        "listing_id",
+        "listing_text",
+        F.col("cat_key").alias("matched_key"),
+        F.col("cat_name").alias("matched_name"),
+        "lev",
+        "sim",
+    )
+
+
+Q_ER_BLOCKED_MATCHES_ORACLE = f"""
+WITH {_BEST_CTE}
+SELECT listing_id, listing_text, cat_key AS matched_key, cat_name AS matched_name,
+       lev, sim
+FROM best WHERE rn = 1
+"""
+
+
+def q_er_match_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy law: fraction of listings whose best match recovers the
+    original name (name-level truth — distinct parts legitimately share a
+    name, so key-level identity is not the contract)."""
+    best = _best_matches(spark, sf_dir)
+    correct = F.sum(
+        F.when(F.col("cat_name") == F.col("true_name"), 1).otherwise(0)
+    ).cast("bigint")
+    return best.agg(
+        F.count("*").cast("bigint").alias("n_listings"),
+        correct.alias("n_correct"),
+        F.round(
+            correct.cast("double") / F.count("*").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
+Q_ER_MATCH_RECALL_ORACLE = f"""
+WITH {_BEST_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_listings,
+       CAST(SUM(CASE WHEN cat_name = true_name THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN cat_name = true_name THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM best WHERE rn = 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "er_blocked_matches": QuerySpec(q_er_blocked_matches, Q_ER_BLOCKED_MATCHES_ORACLE),
+    "er_match_recall": QuerySpec(q_er_match_recall, Q_ER_MATCH_RECALL_ORACLE),
+}

@@ -1,0 +1,133 @@
+"""Entity resolution (functions/entity.py): blocking recall, determinism, and
+the multi-pass hedge actually earning its keep on the perturbed-part fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.functions.entity import (
+    best_match,
+    blocked_candidate_pairs,
+    score_pairs,
+)
+from movie_genre_data_pipeline_spark.suite.entity_queries import (
+    _best_matches,
+    q_er_match_recall,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_blocked_candidates_distinct_and_bounded(spark):
+    left = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "y")], ["lid", "k1", "k2"]
+    )
+    right = spark.createDataFrame(
+        [(10, "a", "y"), (11, "c", "y")], ["rid", "k1", "k2"]
+    )
+    cand = blocked_candidate_pairs(
+        left, right, "lid", "rid", [("k1", "k1"), ("k2", "k2")]
+    )
+    rows = {(r.lid, r.rid) for r in cand.collect()}
+    # k1 pass: (1,10),(2,10); k2 pass: (2,10),(2,11),(3,10),(3,11) — the
+    # (2,10) overlap must collapse to one row
+    assert rows == {(1, 10), (2, 10), (2, 11), (3, 10), (3, 11)}
+    assert cand.count() == len(rows)
+
+
+def test_blocked_candidates_skip_empty_keys(spark):
+    left = spark.createDataFrame([(1, ""), (2, None), (3, "a")], ["lid", "k"])
+    right = spark.createDataFrame([(10, ""), (11, "a")], ["rid", "k"])
+    cand = blocked_candidate_pairs(left, right, "lid", "rid", [("k", "k")])
+    assert {(r.lid, r.rid) for r in cand.collect()} == {(3, 11)}
+
+
+def test_blocked_candidates_require_a_pass(spark):
+    left = spark.range(1).withColumnRenamed("id", "lid")
+    with pytest.raises(ValueError):
+        blocked_candidate_pairs(left, left, "lid", "lid", [])
+
+
+def test_score_pairs_bounds_and_identity(spark):
+    pairs = spark.createDataFrame(
+        [("abc", "abc"), ("abc", "xyz"), ("kitten", "sitting")], ["l", "r"]
+    )
+    out = {(r.l, r.r): (r.lev, r.sim) for r in score_pairs(pairs, "l", "r").collect()}
+    assert out[("abc", "abc")] == (0, 1.0)
+    assert out[("abc", "xyz")] == (3, 0.0)
+    assert out[("kitten", "sitting")][0] == 3
+    assert all(0.0 <= sim <= 1.0 for _, sim in out.values())
+
+
+def test_best_match_is_deterministic_total_order(spark):
+    scored = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 2), (1, 12, 5), (2, 10, 0)],
+        ["lid", "rid", "lev"],
+    )
+    order = [F.col("lev").asc(), F.col("rid").asc()]
+    a = {(r.lid, r.rid) for r in best_match(scored, "lid", order).collect()}
+    b = {(r.lid, r.rid) for r in best_match(scored, "lid", order).collect()}
+    # tie on lev between rid 10/11 breaks to the smaller rid, both runs
+    assert a == b == {(1, 10), (2, 10)}
+
+
+def test_er_every_listing_resolves_exactly_once(spark):
+    best = _best_matches(spark, SF_DIR)
+    n_parts = spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    assert best.count() == n_parts
+    assert best.select("listing_id").distinct().count() == n_parts
+
+
+def test_er_multipass_blocking_beats_single_pass(spark):
+    """The second (last-token) pass exists for the leading-strip perturbation;
+    dropping it must lose candidate recall — i.e. some listing's true name no
+    longer appears in its candidate set."""
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    from movie_genre_data_pipeline_spark.suite.entity_queries import (
+        _FIRST_TOKEN,
+        _LAST_TOKEN,
+        _PERTURB_SQL,
+    )
+
+    listings = part.select(
+        F.col("p_partkey").alias("listing_id"),
+        F.col("p_name").alias("true_name"),
+        F.expr(_PERTURB_SQL).alias("listing_text"),
+    ).select(
+        "*",
+        F.regexp_extract("listing_text", _FIRST_TOKEN, 0).alias("lb1"),
+        F.regexp_extract("listing_text", _LAST_TOKEN, 0).alias("lb2"),
+    )
+    catalog = part.select(
+        F.col("p_partkey").alias("cat_key"), F.col("p_name").alias("cat_name")
+    ).select(
+        "*",
+        F.regexp_extract("cat_name", _FIRST_TOKEN, 0).alias("cb1"),
+        F.regexp_extract("cat_name", _LAST_TOKEN, 0).alias("cb2"),
+    )
+
+    def truth_hits(passes):
+        cand = blocked_candidate_pairs(
+            listings, catalog, "listing_id", "cat_key", passes
+        )
+        return (
+            cand.join(listings.select("listing_id", "true_name"), "listing_id")
+            .join(catalog.select("cat_key", "cat_name"), "cat_key")
+            .filter(F.col("cat_name") == F.col("true_name"))
+            .select("listing_id")
+            .distinct()
+            .count()
+        )
+
+    both = truth_hits([("lb1", "cb1"), ("lb2", "cb2")])
+    first_only = truth_hits([("lb1", "cb1")])
+    n = listings.count()
+    assert both == n, "two-pass blocking must retain every true entity"
+    assert first_only < both, "single-pass should miss leading-strip listings"
+
+
+def test_er_recall_is_high_but_not_degenerate(spark):
+    row = q_er_match_recall(spark, SF_DIR).collect()[0]
+    assert row.n_listings == 200
+    assert 0.85 <= row.recall <= 1.0
