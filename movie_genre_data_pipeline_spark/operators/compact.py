@@ -96,3 +96,60 @@ def compact_parquet_dir(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+def plan_compaction_bins(
+    df,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+    partition_col: str | None = None,
+):
+    """Bin-packing PLAN for a file manifest: which files coalesce into which
+    ~target-sized output file.
+
+    `compact_parquet_dir` above does the physical rewrite; this is the
+    DECISION half as a pure DataFrame transform over a (file, size) manifest —
+    the shape Delta's OPTIMIZE planner and Iceberg's rewrite_data_files action
+    compute before launching any I/O. Files are packed in `order_col` order
+    (insertion order — preserving it keeps time-clustered data co-located, the
+    property z-ordering relies on) by cumulative size: a file opens a new bin
+    when the running total of everything BEFORE it has crossed a target-bytes
+    boundary.
+
+    Scale shape: the running sum is windowed PER PARTITION VALUE (pass
+    `partition_col`), the unit real table maintenance plans over — bins never
+    span partitions, and the window parallelizes across them. The global
+    (unpartitioned) form exists for single-directory tables but serializes
+    into one task; at 100 TB always plan per partition. Exclusive-prefix
+    arithmetic is integral, so a SQL window oracle reproduces every bin id.
+
+    Returns one row per (partition, bin): file count, total bytes, and the
+    order_col span the bin covers.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    keys = [partition_col] if partition_col else []
+    w = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        if keys
+        else Window.orderBy(order_col)
+    )
+    prev_cum = F.coalesce(
+        F.sum(F.col(size_col).cast("bigint")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    binned = df.withColumn(
+        "bin_id", F.floor(prev_cum / F.lit(target_bytes)).cast("bigint")
+    )
+    return binned.groupBy(*keys, "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.col(size_col).cast("bigint")).alias("bin_bytes"),
+        F.min(order_col).alias("first_file"),
+        F.max(order_col).alias("last_file"),
+    )

@@ -233,3 +233,45 @@ ORDER BY layout, predicate
 
 
 QUERIES["layout_skipping_ratio"] = QuerySpec(q_skipping_ratio, Q_SKIPPING_RATIO_ORACLE)
+
+
+COMPACT_TARGET_BYTES = 2000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-maintenance decision: pack each source's document "files" into
+    ~target-sized output bins, in insertion order, per partition value — the
+    plan half of operators/compact.py's compact_parquet_dir (which is the
+    physical rewrite, pytest-gated in tests/test_compact.py). One window + one
+    hash aggregate, parallel across partition values."""
+    from movie_genre_data_pipeline_spark.operators.compact import (
+        plan_compaction_bins,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return plan_compaction_bins(
+        docs,
+        size_col="n_chars",
+        order_col="doc_id",
+        target_bytes=COMPACT_TARGET_BYTES,
+        partition_col="source",
+    )
+
+
+Q_COMPACTION_PLAN_ORACLE = f"""
+WITH binned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(FLOOR(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin_id
+  FROM documents
+)
+SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS bin_bytes,
+       MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+FROM binned GROUP BY source, bin_id
+"""
+
+
+QUERIES["ops_compaction_plan"] = QuerySpec(q_compaction_plan, Q_COMPACTION_PLAN_ORACLE)

@@ -167,3 +167,50 @@ def test_snapshot_diff_classification(spark):
     kept, purged = purge_keys(old, tomb, ["k"])
     assert sorted(r["k"] for r in kept.collect()) == [2, 4]
     assert sorted(r["k"] for r in purged.collect()) == [1, 3]
+
+
+def test_plan_bins_pack_to_target(spark):
+    """Five 1000-byte files at target 2000: exclusive-prefix cumsum 0,1000,
+    2000,3000,4000 → bins 0,0,1,1,2."""
+    from movie_genre_data_pipeline_spark.operators.compact import (
+        plan_compaction_bins,
+    )
+
+    manifest = spark.createDataFrame(
+        [(i, 1000) for i in range(5)], ["file_id", "size"]
+    )
+    plan = {
+        r.bin_id: (r.n_files, r.bin_bytes, r.first_file, r.last_file)
+        for r in plan_compaction_bins(
+            manifest, "size", "file_id", target_bytes=2000
+        ).collect()
+    }
+    assert plan == {0: (2, 2000, 0, 1), 1: (2, 2000, 2, 3), 2: (1, 1000, 4, 4)}
+
+
+def test_plan_bins_never_span_partitions(spark):
+    from movie_genre_data_pipeline_spark.operators.compact import (
+        plan_compaction_bins,
+    )
+
+    rows = [("p1", i, 600) for i in range(4)] + [("p2", i, 600) for i in range(3)]
+    manifest = spark.createDataFrame(rows, ["part", "file_id", "size"])
+    plan = plan_compaction_bins(
+        manifest, "size", "file_id", target_bytes=1000, partition_col="part"
+    ).collect()
+    # every partition restarts at bin 0 and bins account for every file
+    assert {r.part for r in plan} == {"p1", "p2"}
+    assert min(r.bin_id for r in plan if r.part == "p2") == 0
+    assert sum(r.n_files for r in plan) == 7
+    assert sum(r.bin_bytes for r in plan) == 7 * 600
+
+
+def test_plan_bins_reject_bad_target(spark):
+    import pytest
+
+    from movie_genre_data_pipeline_spark.operators.compact import (
+        plan_compaction_bins,
+    )
+
+    with pytest.raises(ValueError):
+        plan_compaction_bins(spark.range(1), "id", "id", target_bytes=0)
