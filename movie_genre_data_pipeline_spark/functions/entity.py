@@ -43,6 +43,7 @@ def blocked_candidate_pairs(
     left_id: str,
     right_id: str,
     passes: list[tuple[str, str]],
+    max_pair_volume: int | None = None,
 ) -> DataFrame:
     """Candidate (left_id, right_id) pairs: union of one equi-join per blocking
     pass, DISTINCT on the id pair.
@@ -50,6 +51,14 @@ def blocked_candidate_pairs(
     ``passes`` is a list of (left_key_col, right_key_col). Rows with a NULL or
     empty blocking key are skipped for that pass (they would otherwise form a
     giant degenerate block).
+
+    ``max_pair_volume`` enables BLOCK PURGING — the ER-literature defense
+    against stop-word-like keys: any block whose candidate volume
+    |L_b| · |R_b| exceeds the cap is dropped from that pass entirely (an
+    over-populated block is both the scale hazard and the least informative —
+    membership in it says almost nothing). This is the same discipline as the
+    `max_df` stop-fingerprint cap in winnowing dedup (functions/dedup.py). The
+    per-key counts are vocabulary-sized, so the allow-list broadcasts.
     """
     if not passes:
         raise ValueError("at least one blocking pass is required")
@@ -61,6 +70,15 @@ def blocked_candidate_pairs(
         r_side = right.filter(F.col(rk).isNotNull() & (F.col(rk) != "")).select(
             F.col(right_id), F.col(rk).alias("__bk")
         )
+        if max_pair_volume is not None:
+            lc = l_side.groupBy("__bk").agg(F.count("*").alias("__lc"))
+            rc = r_side.groupBy("__bk").agg(F.count("*").alias("__rc"))
+            allowed = (
+                lc.join(rc, "__bk")
+                .filter(F.col("__lc") * F.col("__rc") <= max_pair_volume)
+                .select("__bk")
+            )
+            l_side = l_side.join(F.broadcast(allowed), "__bk")
         pairs = l_side.join(r_side, "__bk").select(left_id, right_id)
         out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()
@@ -98,4 +116,69 @@ def best_match(scored: DataFrame, group_col: str, order_cols: list) -> DataFrame
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def sorted_neighborhood_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_key: str,
+    right_key: str,
+    window: int,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández/Stolfo): merge both
+    datasets into one stream ordered by the sort key, and pair cross-dataset
+    records whose positions differ by < ``window``.
+
+    The complement to token blocking: it needs no shared token at all — only
+    that the mangled string still SORTS near its original — so it catches
+    suffix-level noise that destroys every token key. (Its blind spot is the
+    mirror image: a leading-character edit teleports the record in sort order.
+    The two generators are unioned in practice, like blocking passes.)
+
+    Plan shape: the rank assignment is a row_number over the global sort — a
+    single-task window, same documented caveat as window_running_sum. The
+    neighborhood join is NOT a band join: each left row explodes to its
+    3 adjacent rank buckets (bucket width = window, so |Δrn| < window implies
+    bucket ids differ by ≤ 1) and equi-joins the right side's bucket id —
+    3 narrow rows per record, never a nested loop. At true 100 TB scale the
+    rank would come from a range-partitioned sort + per-partition offsets;
+    candidate volume is ≤ 2·window per record either way.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    l_rows = left.select(
+        F.col(left_id).alias("__id"), F.col(left_key).alias("__sk"),
+        F.lit(0).alias("__side"),
+    )
+    r_rows = right.select(
+        F.col(right_id).alias("__id"), F.col(right_key).alias("__sk"),
+        F.lit(1).alias("__side"),
+    )
+    w = Window.orderBy("__sk", "__side", "__id")
+    ranked = (
+        l_rows.unionByName(r_rows)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__g", F.floor((F.col("__rn") - 1) / F.lit(window)).cast("bigint")
+        )
+    )
+    lhs = ranked.filter(F.col("__side") == 0).select(
+        F.col("__id").alias(left_id),
+        F.col("__rn").alias("__lrn"),
+        F.explode(
+            F.array(F.col("__g") - 1, F.col("__g"), F.col("__g") + 1)
+        ).alias("__g"),
+    )
+    rhs = ranked.filter(F.col("__side") == 1).select(
+        F.col("__id").alias(right_id),
+        F.col("__rn").alias("__rrn"),
+        "__g",
+    )
+    return (
+        lhs.join(rhs, "__g")
+        .filter(F.abs(F.col("__lrn") - F.col("__rrn")) < window)
+        .select(left_id, right_id)
     )

@@ -163,3 +163,108 @@ QUERIES: dict[str, QuerySpec] = {
     "er_blocked_matches": QuerySpec(q_er_blocked_matches, Q_ER_BLOCKED_MATCHES_ORACLE),
     "er_match_recall": QuerySpec(q_er_match_recall, Q_ER_MATCH_RECALL_ORACLE),
 }
+
+
+SN_WINDOW = 8
+
+_SN_BEST_CTE = f"""listings AS (
+  SELECT p_partkey AS listing_id, p_name AS true_name,
+         {_PERTURB_SQL} AS listing_text
+  FROM part
+), u AS (
+  SELECT listing_id AS uid, listing_text AS sk, 0 AS side FROM listings
+  UNION ALL
+  SELECT p_partkey, p_name, 1 FROM part
+), ranked AS (
+  SELECT uid, side, ROW_NUMBER() OVER (ORDER BY sk, side, uid) AS rn FROM u
+), g AS (
+  SELECT uid, side, rn,
+         CAST(FLOOR((rn - 1) / {SN_WINDOW}) AS BIGINT) AS grp
+  FROM ranked
+), lex AS (
+  SELECT uid AS listing_id, rn AS lrn, grp + d.d AS grp
+  FROM g CROSS JOIN (VALUES (-1), (0), (1)) AS d(d)
+  WHERE side = 0
+), rr AS (
+  SELECT uid AS cat_key, rn AS rrn, grp FROM g WHERE side = 1
+), cand AS (
+  SELECT lex.listing_id, rr.cat_key
+  FROM lex JOIN rr ON rr.grp = lex.grp
+  WHERE ABS(lex.lrn - rr.rrn) < {SN_WINDOW}
+), scored AS (
+  SELECT c.listing_id, l.listing_text, l.true_name, c.cat_key,
+         p.p_name AS cat_name,
+         CAST(levenshtein(l.listing_text, p.p_name) AS BIGINT) AS lev,
+         ROUND(1.0 - levenshtein(l.listing_text, p.p_name)
+               / CAST(GREATEST(length(l.listing_text), length(p.p_name)) AS DOUBLE),
+               6) AS sim
+  FROM cand c
+  JOIN listings l USING (listing_id)
+  JOIN part p ON p.p_partkey = c.cat_key
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY listing_id
+                               ORDER BY lev ASC, cat_name ASC, cat_key ASC) AS rn
+  FROM scored
+)"""
+
+
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation instead of token blocking:
+    pair listings with catalog rows within SN_WINDOW positions of the merged
+    sort order, then score and pick as before. On this fixture it finds the
+    truncation class (still sorts adjacent) but not the leading-strip class
+    (teleported in sort order) — recall below the multi-pass blocked matcher,
+    pinned in tests/test_entity.py; real deployments union both generators."""
+    from movie_genre_data_pipeline_spark.functions.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = load(spark, sf_dir, "part")
+    listings = part.select(
+        F.col("p_partkey").alias("listing_id"),
+        F.col("p_name").alias("true_name"),
+        F.expr(_PERTURB_SQL).alias("listing_text"),
+    )
+    catalog = part.select(
+        F.col("p_partkey").alias("cat_key"), F.col("p_name").alias("cat_name")
+    )
+    cand = sorted_neighborhood_pairs(
+        listings,
+        catalog,
+        "listing_id",
+        "cat_key",
+        "listing_text",
+        "cat_name",
+        SN_WINDOW,
+    )
+    scored = score_pairs(
+        cand.join(listings.select("listing_id", "listing_text"), "listing_id")
+        .join(catalog, "cat_key"),
+        "listing_text",
+        "cat_name",
+    ).withColumn("lev", F.col("lev").cast("bigint"))
+    return best_match(
+        scored,
+        "listing_id",
+        [F.col("lev").asc(), F.col("cat_name").asc(), F.col("cat_key").asc()],
+    ).select(
+        "listing_id",
+        "listing_text",
+        F.col("cat_key").alias("matched_key"),
+        F.col("cat_name").alias("matched_name"),
+        "lev",
+        "sim",
+    )
+
+
+Q_ER_SORTED_NEIGHBORHOOD_ORACLE = f"""
+WITH {_SN_BEST_CTE}
+SELECT listing_id, listing_text, cat_key AS matched_key, cat_name AS matched_name,
+       lev, sim
+FROM best WHERE rn = 1
+"""
+
+
+QUERIES["er_sorted_neighborhood"] = QuerySpec(
+    q_er_sorted_neighborhood, Q_ER_SORTED_NEIGHBORHOOD_ORACLE
+)

@@ -131,3 +131,96 @@ def test_er_recall_is_high_but_not_degenerate(spark):
     row = q_er_match_recall(spark, SF_DIR).collect()[0]
     assert row.n_listings == 200
     assert 0.85 <= row.recall <= 1.0
+
+
+def test_block_purging_drops_oversized_blocks(spark):
+    """A stop-word-like key forms a giant block; with max_pair_volume set the
+    block is purged from the pass while selective blocks survive."""
+    left = spark.createDataFrame(
+        [(i, "the") for i in range(10)] + [(100, "rare")], ["lid", "k"]
+    )
+    right = spark.createDataFrame(
+        [(i + 1000, "the") for i in range(10)] + [(200, "rare")], ["rid", "k"]
+    )
+    unguarded = blocked_candidate_pairs(left, right, "lid", "rid", [("k", "k")])
+    assert unguarded.count() == 101  # 10·10 + 1·1
+    purged = blocked_candidate_pairs(
+        left, right, "lid", "rid", [("k", "k")], max_pair_volume=50
+    )
+    assert {(r.lid, r.rid) for r in purged.collect()} == {(100, 200)}
+
+
+def test_block_purging_is_per_pass(spark):
+    """Purging key "the" in pass 1 must not suppress a pass-2 match for the
+    same records."""
+    left = spark.createDataFrame(
+        [(i, "the", f"u{i}") for i in range(10)], ["lid", "k1", "k2"]
+    )
+    right = spark.createDataFrame(
+        [(i + 1000, "the", f"u{i}") for i in range(10)], ["rid", "k1", "k2"]
+    )
+    cand = blocked_candidate_pairs(
+        left, right, "lid", "rid", [("k1", "k1"), ("k2", "k2")], max_pair_volume=50
+    )
+    # pass 1's 100-pair block is purged; pass 2's selective u{i} keys pair 1:1
+    assert {(r.lid, r.rid) for r in cand.collect()} == {
+        (i, i + 1000) for i in range(10)
+    }
+
+
+def test_sorted_neighborhood_pairs_bounded_and_correct(spark):
+    from movie_genre_data_pipeline_spark.functions.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "apple"), (2, "mango")], ["lid", "name"]
+    )
+    right = spark.createDataFrame(
+        [(10, "appld"), (11, "zebra")], ["rid", "name"]
+    )
+    # merged sort: appld(10), apple(1), mango(2), zebra(11); window=2 pairs
+    # each left row with right rows within 1 position
+    cand = {
+        (r.lid, r.rid)
+        for r in sorted_neighborhood_pairs(
+            left, right, "lid", "rid", "name", "name", 2
+        ).collect()
+    }
+    assert (1, 10) in cand          # adjacent in sort order
+    assert (1, 11) not in cand      # 3 positions apart
+    # candidate volume per left record is bounded by 2·window
+    assert all(sum(1 for p in cand if p[0] == lid) <= 4 for lid in (1, 2))
+
+
+def test_sorted_neighborhood_rejects_bad_window(spark):
+    from movie_genre_data_pipeline_spark.functions.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, df, "k", "k", "k", "k", 0)
+
+
+def test_sorted_neighborhood_recall_below_multipass(spark):
+    """The fixture's leading-strip class teleports in sort order, so the
+    sorted-neighborhood generator must recover fewer true names than the
+    two-pass token blocker — the documented reason deployments union both."""
+    from movie_genre_data_pipeline_spark.suite.entity_queries import (
+        q_er_sorted_neighborhood,
+    )
+
+    sn = q_er_sorted_neighborhood(spark, SF_DIR)
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("listing_id"), F.col("p_name").alias("true_name")
+    )
+    sn_correct = (
+        sn.join(part, "listing_id")
+        .filter(F.col("matched_name") == F.col("true_name"))
+        .count()
+    )
+    blocked = q_er_match_recall(spark, SF_DIR).collect()[0]
+    assert sn_correct < blocked.n_correct
+    # ...but it must still find the truncation class: well above zero
+    assert sn_correct > blocked.n_correct * 0.3

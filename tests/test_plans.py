@@ -349,3 +349,36 @@ def test_drift_report_joins_are_bounded(spark):
     assert "CartesianProduct" not in plan, plan
     # the two snapshot scans feed hash aggregates before any join
     assert tree.count("HashAggregate") >= 4, plan
+
+
+def test_er_candidates_are_equi_joined_never_cartesian(spark):
+    # both blocking passes must plan as hash/sort-merge EQUI joins on the
+    # block key — a cross/nested-loop product would be the O(n·m) ER naive
+    plan = _plan(spark, "er_blocked_matches")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mining_pairs_join_on_basket_key(spark):
+    # the pair generator must be an equi self-join on the basket id (bounded
+    # per-basket output), and the part dim attribution must broadcast
+    plan = _plan(spark, "mine_brand_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # lineitem × part dim
+
+
+def test_mining_rules_broadcast_single_item_supports(spark):
+    # vocabulary-sized support tables join broadcast — the fact-sized pair
+    # stream must not shuffle against them
+    plan = _plan(spark, "mine_brand_rules")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_compaction_plan_windows_per_partition_value(spark):
+    # the running sum must be partitioned (parallel across partition values),
+    # never a single global-order window task
+    plan = _plan(spark, "ops_compaction_plan")
+    assert "Window" in plan, plan
+    # formatted plans render the spec as windowspecdefinition(source#N, ...)
+    assert "windowspecdefinition(source#" in plan, plan
