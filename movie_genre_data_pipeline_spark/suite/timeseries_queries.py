@@ -364,3 +364,80 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_cascade": QuerySpec(q_rollup_cascade, Q_ROLLUP_CASCADE_ORACLE),
     "ts_anomaly_zscore": QuerySpec(q_anomaly_zscore, Q_ANOMALY_ZSCORE_ORACLE),
 }
+
+
+# -- seasonal-naive forecast backtest: the baseline every capacity-planning /
+#    anomaly system starts from. Forecast n̂(t) = n(t − SEASON buckets) on the
+#    dense gap-filled hourly count series; score per series over every bucket
+#    with a full season of history. One gapfill + one lag window + one hash
+#    aggregate — integer counts make every |error| exact, so MAE/bias are
+#    single rounded divisions both engines reproduce bit-for-bit. -----------------
+SEASON_BUCKETS = 24  # daily seasonality on the hourly grid
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    dense = time_bucket_gapfill(
+        ev,
+        "ts",
+        BUCKET_S,
+        aggs={"n": F.count(F.lit(1)).cast("bigint")},
+        fill={"n": F.lit(0).cast("bigint")},
+        group_cols=("event_type",),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    scored = dense.withColumn("nhat", F.lag("n", SEASON_BUCKETS).over(w)).filter(
+        F.col("nhat").isNotNull()
+    )
+    err = F.col("n") - F.col("nhat")
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.avg(err), 6).alias("bias"),
+        F.max(F.abs(err)).cast("bigint").alias("worst_abs_err"),
+    )
+
+
+Q_SEASONAL_NAIVE_ORACLE = f"""
+WITH b AS (
+  SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / {BUCKET_S}) AS BIGINT)
+                        * {BUCKET_S} * 1000000) AS bucket,
+         event_type
+  FROM events
+),
+bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b),
+spine AS (
+  SELECT unnest(generate_series(b0, b1, INTERVAL {BUCKET_S} SECONDS)) AS bucket
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM b),
+agg AS (
+  SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+),
+dense AS (
+  SELECT s.bucket, t.event_type, COALESCE(a.n, 0) AS n
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+),
+scored AS (
+  SELECT event_type, n,
+         LAG(n, {SEASON_BUCKETS}) OVER (PARTITION BY event_type ORDER BY bucket)
+           AS nhat
+  FROM dense
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(AVG(ABS(n - nhat)), 6) AS mae,
+       ROUND(AVG(n - nhat), 6) AS bias,
+       CAST(MAX(ABS(n - nhat)) AS BIGINT) AS worst_abs_err
+FROM scored WHERE nhat IS NOT NULL
+GROUP BY event_type
+"""
+
+
+QUERIES["ts_seasonal_naive_backtest"] = QuerySpec(
+    q_seasonal_naive_backtest, Q_SEASONAL_NAIVE_ORACLE
+)

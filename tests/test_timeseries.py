@@ -139,3 +139,34 @@ def test_rolling_zscore_excludes_current_row(spark):
     )
     rows2 = {r["t"]: r for r in rolling_zscore(df2, "t", "x", (), 6, 3).collect()}
     assert rows2[6]["zscore"] is not None and rows2[6]["zscore"] > 10
+
+
+def test_seasonal_naive_perfect_on_periodic_series(spark):
+    """A series that repeats exactly every SEASON buckets must backtest with
+    mae = bias = worst = 0 — the defining law of the seasonal-naive model."""
+    from datetime import datetime, timedelta
+
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        SEASON_BUCKETS,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(hours=h), "a", (h % SEASON_BUCKETS) + 1)
+        for h in range(SEASON_BUCKETS * 3)
+    ]
+    dense = spark.createDataFrame(rows, ["bucket", "event_type", "n"])
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    scored = dense.withColumn(
+        "nhat", F.lag("n", SEASON_BUCKETS).over(w)
+    ).filter(F.col("nhat").isNotNull())
+    err = F.col("n") - F.col("nhat")
+    out = scored.groupBy("event_type").agg(
+        F.count("*").alias("n_eval"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.max(F.abs(err)).alias("worst"),
+    ).collect()[0]
+    assert out.n_eval == SEASON_BUCKETS * 2
+    assert out.mae == 0.0 and out.worst == 0
