@@ -441,3 +441,107 @@ GROUP BY event_type
 QUERIES["ts_seasonal_naive_backtest"] = QuerySpec(
     q_seasonal_naive_backtest, Q_SEASONAL_NAIVE_ORACLE
 )
+
+
+# -- A/B experiment analysis: deterministic hash assignment + Welch t-test.
+#    Arms come from the sampling family's md5 idiom (so assignment is
+#    reproducible on any engine/cluster); the metric is an INTEGER per-user
+#    purchase count, which makes Σx and Σx² exact and therefore the means,
+#    variances, and t-statistic bit-identical cross-engine (every double is
+#    derived from exact integers through one fixed operation order). One scan:
+#    per-user conditional count, then a single conditional aggregate. ------------
+AB_SALT = "ab"
+
+
+def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        hex_threshold,
+        sample_tag,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x")
+    )
+    t50 = hex_threshold(0.5)
+    armed = per_user.withColumn(
+        "arm",
+        F.when(sample_tag("user_id", AB_SALT) < t50, "treatment").otherwise(
+            "control"
+        ),
+    )
+    is_t = F.col("arm") == "treatment"
+    agg = armed.agg(
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(~is_t, F.col("x")).otherwise(0)).cast("bigint").alias("s_c"),
+        F.sum(F.when(~is_t, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("ss_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(is_t, F.col("x")).otherwise(0)).cast("bigint").alias("s_t"),
+        F.sum(F.when(is_t, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("ss_t"),
+    )
+    n_c, s_c, ss_c = F.col("n_c"), F.col("s_c"), F.col("ss_c")
+    n_t, s_t, ss_t = F.col("n_t"), F.col("s_t"), F.col("ss_t")
+    mean_c = s_c.cast("double") / n_c.cast("double")
+    mean_t = s_t.cast("double") / n_t.cast("double")
+    var_c = (ss_c.cast("double") - s_c.cast("double") * s_c / n_c) / (n_c - 1)
+    var_t = (ss_t.cast("double") - s_t.cast("double") * s_t / n_t) / (n_t - 1)
+    t_stat = (mean_t - mean_c) / F.sqrt(var_t / n_t + var_c / n_c)
+    return agg.select(
+        "n_c",
+        "n_t",
+        F.round(mean_c, 6).alias("mean_control"),
+        F.round(mean_t, 6).alias("mean_treatment"),
+        F.round(mean_t - mean_c, 6).alias("diff"),
+        F.round(t_stat, 6).alias("t_welch"),
+    )
+
+
+def _ab_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.sampling import hex_threshold
+
+    t50 = hex_threshold(0.5)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT x,
+         CASE WHEN md5(CAST(user_id AS VARCHAR) || ':{AB_SALT}') < '{t50}'
+              THEN 'treatment' ELSE 'control' END AS arm
+  FROM per_user
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(SUM(CASE WHEN arm = 'control' THEN x ELSE 0 END) AS BIGINT) AS s_c,
+    CAST(SUM(CASE WHEN arm = 'control' THEN x * x ELSE 0 END) AS BIGINT) AS ss_c,
+    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(SUM(CASE WHEN arm = 'treatment' THEN x ELSE 0 END) AS BIGINT) AS s_t,
+    CAST(SUM(CASE WHEN arm = 'treatment' THEN x * x ELSE 0 END) AS BIGINT) AS ss_t
+  FROM armed
+)
+SELECT n_c, n_t,
+       ROUND(CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS mean_control,
+       ROUND(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS mean_treatment,
+       ROUND(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+             - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS diff,
+       ROUND((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+              - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             / SQRT(((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * s_t / n_t)
+                     / (n_t - 1)) / n_t
+                    + ((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * s_c / n_c)
+                       / (n_c - 1)) / n_c), 6) AS t_welch
+FROM agg
+"""
+
+
+QUERIES["ab_experiment_report"] = QuerySpec(q_ab_experiment_report, _ab_oracle())

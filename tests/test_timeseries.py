@@ -170,3 +170,22 @@ def test_seasonal_naive_perfect_on_periodic_series(spark):
     ).collect()[0]
     assert out.n_eval == SEASON_BUCKETS * 2
     assert out.mae == 0.0 and out.worst == 0
+
+
+def test_ab_report_assignment_conserves_users_and_is_deterministic(spark):
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        q_ab_experiment_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_ab_experiment_report(spark, sf).collect()[0]
+    b = q_ab_experiment_report(spark, sf).collect()[0]
+    assert a == b  # md5 assignment: same arms every run, any cluster
+    n_users = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert a.n_c + a.n_t == n_users
+    assert a.n_c > 1 and a.n_t > 1  # both arms populated (t-test defined)
