@@ -56,6 +56,13 @@ HEADLINE = [
     # completion and the IVM hot path
     "gold_genre_revenue",
     "gold_genre_revenue_ivm",
+    # r6: basket-key self-join pair mining (output bounded by basket sizes)
+    # and the seasonal-naive backtest (lag window + hash agg) — one guard per
+    # new family. ER is gated at sf0.01 only: the fixture's fixed token
+    # vocabulary makes its blocks grow with SF (documented in
+    # suite/entity_queries.py), so it would measure the fixture, not the plan.
+    "mine_brand_pairs",
+    "ts_seasonal_naive_backtest",
 ]
 
 

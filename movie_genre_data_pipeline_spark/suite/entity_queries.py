@@ -15,10 +15,14 @@ division, ties break on (lev, cat_name, cat_key) — a total order — so the
 DuckDB oracle reproduces every match and the recall figure exactly.
 
 Scale shape: candidate volume is Σ_blocks |L_b|·|R_b|. In this synthetic
-fixture the token vocabulary is fixed (blocks grow linearly with the catalog);
-a production deployment picks higher-cardinality composite keys (phonetic code
-+ prefix, sorted-neighborhood windows) and checks them with ops_skew_report
-before running the join — the operator itself is key-agnostic.
+fixture the token vocabulary is FIXED, so blocks grow linearly with the
+catalog and candidates quadratically — at sf0.1 this demo measures the
+fixture's entropy, not the plan (it is correctness-gated at sf0.01 and kept
+out of bench.py for that reason). A production deployment picks
+higher-cardinality composite keys (phonetic code + prefix, sorted-neighborhood
+windows), checks them with ops_skew_report, and caps stragglers with
+``max_pair_volume`` block purging — the operator itself is key-agnostic and
+the purge keeps worst-case volume at the declared cap.
 """
 
 from __future__ import annotations

@@ -44,6 +44,10 @@ SCALE_QUERIES = [
     "sketch_hll_distinct",
     "merge_scd2",
     "skew_salted_join",
+    # r6 second wave: basket mining — baskets scale k-fold against a FIXED
+    # item catalog (the realistic growth mode), so pair volume must scale
+    # ~linearly with the fact side
+    "mine_brand_pairs",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
@@ -56,6 +60,11 @@ TABLES: dict[str, tuple[list[str], list[str]]] = {
     "lineitem": (["l_orderkey", "l_suppkey"], []),
     "supplier": (["s_suppkey"], []),
 }
+
+# copied into the scaled tier VERBATIM: dimension catalogs whose realistic
+# scaling mode is "unchanged while the fact side grows" (mine_brand_pairs
+# attributes k-fold baskets against the same brand vocabulary)
+VERBATIM_TABLES = ["part"]
 
 
 def _replicate(
@@ -120,6 +129,13 @@ def main() -> None:
     t0 = time.time()
     for table in TABLES:
         _replicate(spark, base_dir, scaled_dir, table, k)
+    for table in VERBATIM_TABLES:
+        src = Path(base_dir) / f"{table}.parquet"
+        dst = Path(scaled_dir) / f"{table}.parquet"
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
     gen_sec = round(time.time() - t0, 3)
 
     # warmup (JVM/codegen) before any timed run
