@@ -718,3 +718,119 @@ def test_histogram_drift_stat_bounds(spark, vals_a, vals_b):
         assert 0.0 <= r["ks_cum"] <= 1.0 + 1e-9
         if r["chi2_term"] is not None:
             assert r["chi2_term"] >= 0.0
+
+
+# -- association mining: lift symmetry, confidence bound, pair-volume law ------------
+@FAST
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from("ABCDE")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mining_laws(spark, rows):
+    from math import comb
+
+    from movie_genre_data_pipeline_spark.functions.mining import (
+        association_rules,
+        basket_items,
+        pair_supports,
+    )
+
+    df = spark.createDataFrame(rows, "basket long, item string")
+    items = basket_items(df, "basket", "item")
+    pairs = pair_supports(items)
+    # pair volume == Σ_baskets C(k, 2) — presence semantics, never more
+    sizes = {r.basket: r["count"] for r in items.groupBy("basket").count().collect()}
+    total = sum(r.pair_support for r in pairs.collect())
+    assert total == sum(comb(k, 2) for k in sizes.values())
+    rules = {
+        (r.antecedent, r.consequent): r for r in association_rules(items).collect()
+    }
+    # every rule appears in both directions with symmetric lift and bounded
+    # confidence (supp(ab) <= supp(a) by set inclusion)
+    for (a, b), r in rules.items():
+        assert (b, a) in rules
+        assert r.lift == rules[(b, a)].lift
+        assert 0.0 < r.confidence <= 1.0
+
+
+# -- ER candidate algebra: best match is drawn from candidates, one per record ------
+@FAST
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_er_best_match_within_candidates(spark, names):
+    from movie_genre_data_pipeline_spark.functions.entity import (
+        best_match,
+        blocked_candidate_pairs,
+        score_pairs,
+    )
+
+    left = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [(i + 1000, n) for i, n in enumerate(names)], "rid long, name string"
+    )
+    lk = left.withColumn("k", F.substring("name", 1, 1))
+    rk = right.withColumn("k", F.substring("name", 1, 1))
+    cand = blocked_candidate_pairs(lk, rk, "lid", "rid", [("k", "k")])
+    cand_set = {(r.lid, r.rid) for r in cand.collect()}
+    scored = score_pairs(
+        cand.join(left, "lid").join(
+            right.withColumnRenamed("name", "rname"), "rid"
+        ),
+        "name",
+        "rname",
+    )
+    best = best_match(
+        scored, "lid", [F.col("lev").asc(), F.col("rid").asc()]
+    ).collect()
+    assert len(best) == len({r.lid for r in best})  # ≤ one match per record
+    assert all((r.lid, r.rid) in cand_set for r in best)
+    # a record whose own name exists on the right always resolves at lev 0
+    # (its identical twin shares the first-char block, so it IS a candidate)
+    right_names = set(names)
+    for r in best:
+        if names[r.lid] in right_names:
+            assert r.lev == 0
+
+
+# -- compaction plan: bin boundaries follow the exclusive-prefix law ----------------
+@FAST
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=25),
+    target=st.integers(100, 1000),
+)
+def test_compaction_bin_law(spark, sizes, target):
+    from movie_genre_data_pipeline_spark.operators.compact import (
+        plan_compaction_bins,
+    )
+
+    manifest = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "fid long, size long"
+    )
+    plan = sorted(
+        plan_compaction_bins(manifest, "size", "fid", target).collect(),
+        key=lambda r: r.bin_id,
+    )
+    # replay the law in python
+    import itertools
+
+    prev = [0] + list(itertools.accumulate(sizes))[:-1]
+    expect_bin = [p // target for p in prev]
+    # bins account for every file, bytes conserved, spans contiguous
+    assert sum(r.n_files for r in plan) == len(sizes)
+    assert sum(r.bin_bytes for r in plan) == sum(sizes)
+    got = {r.bin_id: r for r in plan}
+    for b in set(expect_bin):
+        members = [i for i, e in enumerate(expect_bin) if e == b]
+        assert got[b].n_files == len(members)
+        assert got[b].first_file == min(members)
+        assert got[b].last_file == max(members)
