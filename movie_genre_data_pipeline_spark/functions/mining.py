@@ -68,7 +68,11 @@ def association_rules(
     singles = items.groupBy("item").agg(
         F.count("*").cast("bigint").alias("item_support")
     )
-    n_baskets = items.select("basket").distinct().count()
+    # basket count stays a LAZY one-row frame broadcast into the rule stream —
+    # no driver-side action, the whole computation remains one declarative plan
+    n_b = items.select(
+        F.count_distinct(F.col("basket")).cast("bigint").alias("__nb")
+    )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
@@ -89,12 +93,13 @@ def association_rules(
     conf = F.col("pair_support").cast("double") / F.col("__sa").cast("double")
     lift = (
         F.col("pair_support").cast("double")
-        * F.lit(n_baskets)
+        * F.col("__nb")
         / (F.col("__sa").cast("double") * F.col("__sb").cast("double"))
     )
     return (
         directed.join(F.broadcast(sa), "antecedent")
         .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n_b))
         .filter(
             (F.col("pair_support") >= min_support) & (conf >= F.lit(min_confidence))
         )
