@@ -67,8 +67,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r6: consuming the SCD2 history — the point-in-time enrichment join
     "merge_scd2_pit_join",
     # r5 families that earned rows immediately and stay seated
+    # (dq_expectations, an r5 passer, rotates out late-r6 for the second-wave
+    # families below — still fully local-gated)
     "cdc_snapshot_diff",
-    "dq_expectations",
+    # r6 second wave, seated immediately (the gold-family precedent): one
+    # driver row per new family — blocked ER matching, basket-pair mining,
+    # the compaction bin-packing plan, and the Welch-t experiment report.
+    # Their siblings (er_match_recall, er_sorted_neighborhood,
+    # mine_brand_rules, ts_seasonal_naive_backtest) sit just past the window.
+    "er_blocked_matches",
+    "mine_brand_pairs",
+    "ops_compaction_plan",
+    "ab_experiment_report",
     # r6: the purge cascade joins its CDC sibling — right-to-be-forgotten
     # anti-join cascade, never driver-verified before
     "ops_purge_cascade",
@@ -84,8 +94,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (sample_weighted_reservoir, r4-r5 passer + benched, rotates out)
     "sample_temperature_mixture",
     # time series (gapfill + rollup cascade, multi-round passers, rotate out;
-    # r6 seats the retention-cohort matrix, never driver-verified)
-    "ts_anomaly_zscore",
+    # r6 seats the retention-cohort matrix, never driver-verified;
+    # ts_anomaly_zscore, an r5 passer, rotates out late-r6 for the second
+    # wave — still local-gated)
     "ts_retention_cohorts",
     # sketches (histogram quantiles, a 2x passer, rotates out — its streaming
     # twin enters below; HLL and KMV stay as the batch sketch rows)
@@ -108,9 +119,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # deduplication (r6 seats the winnowing overlap pairs — the last dedup
     # family member without a driver row)
     # (dedup_minhash_lsh, a many-round passer, bench headliner, and
-    # scale-bench subject, rotates out)
-    "dedup_corpus",
-    "dedup_keep_best",
+    # scale-bench subject, rotates out; dedup_corpus and dedup_keep_best,
+    # both r5 passers, rotate out late-r6 for the second-wave families —
+    # the semantic + winnowing members keep the family's two driver rows)
     "dedup_semantic",
     "dedup_winnow",
     # similarity search (lsh_top1/lsh_recall/topk_bruteforce, all multi-round
