@@ -161,8 +161,9 @@ def main() -> None:
         "gen_sec": gen_sec,
         "queries": results,
         "note": (
-            "ratio ~= k means linear scaling; the five paths are the "
-            "scale-marketed bucketed/salted/sketched plans (VERDICT r05 #6)"
+            "ratio ~= k means linear scaling; the paths are the "
+            "scale-marketed bucketed/salted/sketched plans (VERDICT r05 #6) "
+            "plus the r6 basket-mining fact-side growth"
         ),
     }
     with open(out_json, "w") as f:
