@@ -21,6 +21,7 @@ from movie_genre_data_pipeline_spark.functions.text import (
     lang_id,
     quality_score,
     token_count,
+    tokens,
 )
 from movie_genre_data_pipeline_spark.suite import QuerySpec, load
 
@@ -513,3 +514,105 @@ HAVING COUNT(*) >= 2
 
 
 QUERIES["text_token_runs"] = QuerySpec(q_token_runs, Q_TOKEN_RUNS_ORACLE)
+
+
+# -- source keyness: which terms are over-represented in each source ----------------
+#    Corpus profiling for mixture design: per (source, term) 2x2 chi-square
+#    contribution against the rest of the corpus, top-K over-represented terms
+#    per source. ONE tokenize+explode of the corpus (the only fact-sized
+#    stage); everything after runs on the vocabulary-x-sources count table —
+#    source totals, term totals, and N re-aggregate from it, and the scored
+#    frame is sketch-sized before the per-source top-K window. Counts are
+#    integers, expected/chi are doubles derived from them in one fixed
+#    operation order, ranking tiebreaks on the term — fully oracle-exact.
+KEYNESS_TOP_K = 5
+KEYNESS_MIN_COUNT = 3
+
+
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    term_counts = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .select("source", F.lower("tok").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    src_tot = term_counts.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("s_tot")
+    )
+    term_tot = term_counts.groupBy("term").agg(
+        F.sum("o").cast("bigint").alias("t_tot")
+    )
+    n_tot = term_counts.select(F.sum("o").cast("bigint").alias("n_tot"))
+    e = F.col("s_tot").cast("double") * F.col("t_tot") / F.col("n_tot")
+    chi = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    scored = (
+        term_counts.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(term_tot), "term")
+        .crossJoin(F.broadcast(n_tot))
+        .filter((F.col("o") >= KEYNESS_MIN_COUNT) & (F.col("o").cast("double") > e))
+        .withColumn("chi_raw", chi)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYNESS_TOP_K)
+        .select(
+            "source",
+            "term",
+            F.col("o").alias("term_count"),
+            F.round("chi_raw", 6).alias("chi"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+Q_SOURCE_KEYNESS_ORACLE = f"""
+WITH toks AS (
+  SELECT d.source, lower(t.tok) AS term
+  FROM documents d, UNNEST({_TOKS}) AS t(tok)
+),
+term_counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS o
+  FROM toks GROUP BY source, term
+),
+src_tot AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS s_tot FROM term_counts GROUP BY source
+),
+term_tot AS (
+  SELECT term, CAST(SUM(o) AS BIGINT) AS t_tot FROM term_counts GROUP BY term
+),
+n_tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM term_counts),
+scored AS (
+  SELECT tc.source, tc.term, tc.o,
+         (CAST(tc.o AS DOUBLE)
+          - CAST(st.s_tot AS DOUBLE) * tt.t_tot / nt.n_tot)
+         * (CAST(tc.o AS DOUBLE)
+            - CAST(st.s_tot AS DOUBLE) * tt.t_tot / nt.n_tot)
+         / (CAST(st.s_tot AS DOUBLE) * tt.t_tot / nt.n_tot) AS chi_raw
+  FROM term_counts tc
+  JOIN src_tot st USING (source)
+  JOIN term_tot tt USING (term)
+  CROSS JOIN n_tot nt
+  WHERE tc.o >= {KEYNESS_MIN_COUNT}
+    AND CAST(tc.o AS DOUBLE)
+        > CAST(st.s_tot AS DOUBLE) * tt.t_tot / nt.n_tot
+),
+ranked AS (
+  SELECT source, term, o,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi_raw DESC, term ASC) AS rank,
+         chi_raw
+  FROM scored
+)
+SELECT source, term, o AS term_count, ROUND(chi_raw, 6) AS chi,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KEYNESS_TOP_K}
+"""
+
+
+QUERIES["text_source_keyness"] = QuerySpec(q_source_keyness, Q_SOURCE_KEYNESS_ORACLE)
