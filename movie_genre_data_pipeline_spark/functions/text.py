@@ -356,3 +356,50 @@ def token_runs_udtf():
                 i = j
 
     return TokenRuns
+
+
+def keyness_top_terms(
+    term_counts, top_k: int, min_count: int
+):
+    """Chi-square keyness over a (source, term, o) count table: top_k terms
+    over-represented in each source vs the rest of the corpus.
+
+    The input is the ADDITIVE reduction of the corpus (per-source term
+    counts), so the same scorer serves batch (counts from one tokenize pass)
+    and streaming (counts folded from per-batch ledger deltas — re-sum is the
+    merge, functions/hll.py's mergeability discipline applied to plain
+    counts). Source totals, term totals, and N re-aggregate from the count
+    table itself; everything here is vocabulary-sized.
+    """
+    from pyspark.sql import Window
+
+    src_tot = term_counts.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("s_tot")
+    )
+    term_tot = term_counts.groupBy("term").agg(
+        F.sum("o").cast("bigint").alias("t_tot")
+    )
+    n_tot = term_counts.select(F.sum("o").cast("bigint").alias("n_tot"))
+    e = F.col("s_tot").cast("double") * F.col("t_tot") / F.col("n_tot")
+    chi = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    scored = (
+        term_counts.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(term_tot), "term")
+        .crossJoin(F.broadcast(n_tot))
+        .filter((F.col("o") >= min_count) & (F.col("o").cast("double") > e))
+        .withColumn("chi_raw", chi)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "source",
+            "term",
+            F.col("o").alias("term_count"),
+            F.round("chi_raw", 6).alias("chi"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1173,3 +1173,66 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_stream_join": QuerySpec(q_stream_stream_join, Q_STREAM_STREAM_JOIN_ORACLE),
     "stream_dedup": QuerySpec(q_stream_dedup, Q_STREAM_DEDUP_ORACLE),
 }
+
+
+def q_stream_text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus profiling: four real micro-batches of documents each
+    append their (source, term) count DELTAS to a ledger; the reader folds the
+    ledger by re-sum (plain-count mergeability — the simplest member of the
+    sketch-ledger family) and scores keyness over the folded counts. Additive
+    merge makes the fold batch-split- and order-independent, so this shares
+    the batch keyness oracle verbatim. Ledger state is vocabulary × sources
+    per batch — independent of batch row count."""
+    from movie_genre_data_pipeline_spark.functions.text import keyness_top_terms
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        KEYNESS_MIN_COUNT,
+        KEYNESS_TOP_K,
+        source_term_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_keyness_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    docs = load(spark, sf_dir, "documents")
+    docs.select("source", "text").repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        source_term_counts(batch_df).write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy("source", "term")
+        .agg(F.sum("o").cast("bigint").alias("o"))
+    )
+    return keyness_top_terms(
+        folded, top_k=KEYNESS_TOP_K, min_count=KEYNESS_MIN_COUNT
+    )
+
+
+def _stream_keyness_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_SOURCE_KEYNESS_ORACLE,
+    )
+
+    return Q_SOURCE_KEYNESS_ORACLE
+
+
+QUERIES["stream_text_keyness"] = QuerySpec(
+    q_stream_text_keyness, _stream_keyness_oracle()
+)

@@ -530,44 +530,24 @@ KEYNESS_MIN_COUNT = 3
 
 
 def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from movie_genre_data_pipeline_spark.functions.text import keyness_top_terms
 
     d = load(spark, sf_dir, "documents")
-    term_counts = (
-        d.select("source", F.explode(tokens("text")).alias("tok"))
+    term_counts = source_term_counts(d)
+    return keyness_top_terms(
+        term_counts, top_k=KEYNESS_TOP_K, min_count=KEYNESS_MIN_COUNT
+    )
+
+
+def source_term_counts(docs: DataFrame) -> DataFrame:
+    """The additive corpus reduction keyness scores over — shared by the batch
+    query (one pass) and the streaming ledger twin (per-batch deltas folded by
+    re-sum in suite/streaming_queries.py)."""
+    return (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
         .select("source", F.lower("tok").alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").cast("bigint").alias("o"))
-    )
-    src_tot = term_counts.groupBy("source").agg(
-        F.sum("o").cast("bigint").alias("s_tot")
-    )
-    term_tot = term_counts.groupBy("term").agg(
-        F.sum("o").cast("bigint").alias("t_tot")
-    )
-    n_tot = term_counts.select(F.sum("o").cast("bigint").alias("n_tot"))
-    e = F.col("s_tot").cast("double") * F.col("t_tot") / F.col("n_tot")
-    chi = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
-    scored = (
-        term_counts.join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(term_tot), "term")
-        .crossJoin(F.broadcast(n_tot))
-        .filter((F.col("o") >= KEYNESS_MIN_COUNT) & (F.col("o").cast("double") > e))
-        .withColumn("chi_raw", chi)
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("chi_raw").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KEYNESS_TOP_K)
-        .select(
-            "source",
-            "term",
-            F.col("o").alias("term_count"),
-            F.round("chi_raw", 6).alias("chi"),
-            F.col("rank").cast("int").alias("rank"),
-        )
     )
 
 
