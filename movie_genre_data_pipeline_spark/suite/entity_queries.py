@@ -272,3 +272,133 @@ FROM best WHERE rn = 1
 QUERIES["er_sorted_neighborhood"] = QuerySpec(
     q_er_sorted_neighborhood, Q_ER_SORTED_NEIGHBORHOOD_ORACLE
 )
+
+
+def q_er_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production configuration: token blocking ∪ sorted-neighborhood
+    candidates (what the module docstrings prescribe), scored and picked as
+    one. Candidate recall is the union of each generator's coverage, so match
+    recall dominates both single-generator figures — the dominance law is
+    pinned in tests/test_entity.py."""
+    from movie_genre_data_pipeline_spark.functions.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = load(spark, sf_dir, "part")
+    listings = part.select(
+        F.col("p_partkey").alias("listing_id"),
+        F.col("p_name").alias("true_name"),
+        F.expr(_PERTURB_SQL).alias("listing_text"),
+    ).select(
+        "*",
+        F.regexp_extract("listing_text", _FIRST_TOKEN, 0).alias("lb1"),
+        F.regexp_extract("listing_text", _LAST_TOKEN, 0).alias("lb2"),
+    )
+    catalog = part.select(
+        F.col("p_partkey").alias("cat_key"), F.col("p_name").alias("cat_name")
+    ).select(
+        "*",
+        F.regexp_extract("cat_name", _FIRST_TOKEN, 0).alias("cb1"),
+        F.regexp_extract("cat_name", _LAST_TOKEN, 0).alias("cb2"),
+    )
+    blocked = blocked_candidate_pairs(
+        listings, catalog, "listing_id", "cat_key", [("lb1", "cb1"), ("lb2", "cb2")]
+    )
+    sn = sorted_neighborhood_pairs(
+        listings, catalog, "listing_id", "cat_key",
+        "listing_text", "cat_name", SN_WINDOW,
+    )
+    cand = blocked.unionByName(sn).distinct()
+    scored = score_pairs(
+        cand.join(
+            listings.select("listing_id", "listing_text", "true_name"),
+            "listing_id",
+        ).join(catalog.select("cat_key", "cat_name"), "cat_key"),
+        "listing_text",
+        "cat_name",
+    ).withColumn("lev", F.col("lev").cast("bigint"))
+    best = best_match(
+        scored,
+        "listing_id",
+        [F.col("lev").asc(), F.col("cat_name").asc(), F.col("cat_key").asc()],
+    )
+    correct = F.sum(
+        F.when(F.col("cat_name") == F.col("true_name"), 1).otherwise(0)
+    ).cast("bigint")
+    return best.agg(
+        F.count("*").cast("bigint").alias("n_listings"),
+        correct.alias("n_correct"),
+        F.round(correct.cast("double") / F.count("*").cast("double"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+Q_ER_UNION_RECALL_ORACLE = f"""
+WITH listings AS (
+  SELECT p_partkey AS listing_id, p_name AS true_name,
+         {_PERTURB_SQL} AS listing_text
+  FROM part
+), lk AS (
+  SELECT listing_id, listing_text, true_name,
+         regexp_extract(listing_text, '{_FIRST_TOKEN}') AS b1,
+         regexp_extract(listing_text, '{_LAST_TOKEN}') AS b2
+  FROM listings
+), ck AS (
+  SELECT p_partkey AS cat_key, p_name AS cat_name,
+         regexp_extract(p_name, '{_FIRST_TOKEN}') AS b1,
+         regexp_extract(p_name, '{_LAST_TOKEN}') AS b2
+  FROM part
+), cand_blocked AS (
+  SELECT l.listing_id, c.cat_key FROM lk l JOIN ck c ON l.b1 = c.b1
+    WHERE l.b1 <> ''
+  UNION ALL
+  SELECT l.listing_id, c.cat_key FROM lk l JOIN ck c ON l.b2 = c.b2
+    WHERE l.b2 <> ''
+), u AS (
+  SELECT listing_id AS uid, listing_text AS sk, 0 AS side FROM listings
+  UNION ALL
+  SELECT p_partkey, p_name, 1 FROM part
+), ranked AS (
+  SELECT uid, side, ROW_NUMBER() OVER (ORDER BY sk, side, uid) AS rn FROM u
+), g AS (
+  SELECT uid, side, rn,
+         CAST(FLOOR((rn - 1) / {SN_WINDOW}) AS BIGINT) AS grp
+  FROM ranked
+), lex AS (
+  SELECT uid AS listing_id, rn AS lrn, grp + d.d AS grp
+  FROM g CROSS JOIN (VALUES (-1), (0), (1)) AS d(d)
+  WHERE side = 0
+), rr AS (
+  SELECT uid AS cat_key, rn AS rrn, grp FROM g WHERE side = 1
+), cand_sn AS (
+  SELECT lex.listing_id, rr.cat_key
+  FROM lex JOIN rr ON rr.grp = lex.grp
+  WHERE ABS(lex.lrn - rr.rrn) < {SN_WINDOW}
+), cand AS (
+  SELECT DISTINCT listing_id, cat_key FROM (
+    SELECT listing_id, cat_key FROM cand_blocked
+    UNION ALL
+    SELECT listing_id, cat_key FROM cand_sn
+  )
+), scored AS (
+  SELECT cd.listing_id, l.listing_text, l.true_name, cd.cat_key, c.cat_name,
+         CAST(levenshtein(l.listing_text, c.cat_name) AS BIGINT) AS lev
+  FROM cand cd
+  JOIN lk l USING (listing_id)
+  JOIN ck c USING (cat_key)
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY listing_id
+                               ORDER BY lev ASC, cat_name ASC, cat_key ASC) AS rn
+  FROM scored
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_listings,
+       CAST(SUM(CASE WHEN cat_name = true_name THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN cat_name = true_name THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM best WHERE rn = 1
+"""
+
+
+QUERIES["er_union_recall"] = QuerySpec(q_er_union_recall, Q_ER_UNION_RECALL_ORACLE)

@@ -224,3 +224,27 @@ def test_sorted_neighborhood_recall_below_multipass(spark):
     assert sn_correct < blocked.n_correct
     # ...but it must still find the truncation class: well above zero
     assert sn_correct > blocked.n_correct * 0.3
+
+
+def test_union_generators_dominate_each_alone(spark):
+    """Candidate union ⇒ recall dominance: the production union must recover
+    at least as many true names as either generator alone (and on this
+    fixture, strictly more than sorted-neighborhood)."""
+    from movie_genre_data_pipeline_spark.suite.entity_queries import (
+        q_er_sorted_neighborhood,
+        q_er_union_recall,
+    )
+
+    union_row = q_er_union_recall(spark, SF_DIR).collect()[0]
+    blocked_row = q_er_match_recall(spark, SF_DIR).collect()[0]
+    sn = q_er_sorted_neighborhood(spark, SF_DIR)
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("listing_id"), F.col("p_name").alias("true_name")
+    )
+    sn_correct = (
+        sn.join(part, "listing_id")
+        .filter(F.col("matched_name") == F.col("true_name"))
+        .count()
+    )
+    assert union_row.n_correct >= blocked_row.n_correct
+    assert union_row.n_correct > sn_correct
