@@ -373,6 +373,12 @@ def keyness_top_terms(
     """
     from pyspark.sql import Window
 
+    # explicit barrier (the KMV-vocab precedent): the totals below re-derive
+    # from term_counts THREE more times, and Spark does not share subtrees —
+    # without this the corpus would be tokenized four times. The checkpoint
+    # materializes the vocabulary-sized reduction once; everything after runs
+    # on it.
+    term_counts = term_counts.localCheckpoint(eager=True)
     src_tot = term_counts.groupBy("source").agg(
         F.sum("o").cast("bigint").alias("s_tot")
     )

@@ -382,3 +382,28 @@ def test_compaction_plan_windows_per_partition_value(spark):
     assert "Window" in plan, plan
     # formatted plans render the spec as windowspecdefinition(source#N, ...)
     assert "windowspecdefinition(source#" in plan, plan
+
+
+def test_keyness_broadcasts_totals_over_single_fact_stage(spark):
+    # the fact-sized tokenize+explode aggregate is materialized ONCE behind
+    # the localCheckpoint barrier (no parquet scan may survive into the final
+    # plan — the totals would otherwise re-tokenize the corpus three times);
+    # totals come back as broadcasts (2 hash joins + the one-row N nested loop)
+    import re
+
+    plan = _plan(spark, "text_source_keyness")
+    assert "CartesianProduct" not in plan, plan
+    assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 0, plan
+    assert "ExistingRDD" in plan, plan
+    # count operator DETAIL headers "(N) <Op>" — the tree section renders each
+    # node a second time
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+
+
+def test_ab_report_is_single_scan(spark):
+    # per-user conditional count + one conditional aggregate — the events
+    # table must be scanned exactly once and nothing joins
+    plan = _plan(spark, "ab_experiment_report")
+    assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 1, plan
+    assert "Join" not in plan, plan
