@@ -1236,3 +1236,80 @@ def _stream_keyness_oracle() -> str:
 QUERIES["stream_text_keyness"] = QuerySpec(
     q_stream_text_keyness, _stream_keyness_oracle()
 )
+
+
+def q_stream_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous market-basket mining. The subtlety: a basket's items can
+    SPAN micro-batches, so per-batch pair generation would miss cross-batch
+    pairs. The correct incremental state is the PRESENCE SET — each batch
+    enriches brands via the static dim (stream-static broadcast join), reduces
+    to distinct (basket, item), and appends only rows new to the ledger
+    (anti-join, the stream_incremental_dedup discipline). Pair generation then
+    runs over the folded presence ledger on read — so the result is exactly
+    the batch answer regardless of how rows were split into batches, and this
+    shares the batch oracle verbatim. Ledger state is |distinct(basket, item)|
+    — the same append-only shape as the dedup fingerprint ledger."""
+    from movie_genre_data_pipeline_spark.functions.mining import pair_supports
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.mining_queries import (
+        PAIR_MIN_SUPPORT,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_mine_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li.select("l_orderkey", "l_partkey").repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        items = (
+            batch_df.join(
+                F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+            )
+            .select(
+                F.col("l_orderkey").alias("basket"),
+                F.col("p_brand").alias("item"),
+            )
+            .distinct()
+        )
+        if os.path.exists(ledger):
+            seen = spark.read.parquet(ledger)
+            items = items.join(seen, ["basket", "item"], "left_anti")
+        items.write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = spark.read.parquet(ledger)
+    pairs = pair_supports(folded)
+    return pairs.filter(F.col("pair_support") >= PAIR_MIN_SUPPORT).select(
+        F.col("item_a").alias("brand_a"),
+        F.col("item_b").alias("brand_b"),
+        "pair_support",
+    )
+
+
+def _stream_mine_pairs_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.mining_queries import (
+        Q_MINE_BRAND_PAIRS_ORACLE,
+    )
+
+    return Q_MINE_BRAND_PAIRS_ORACLE
+
+
+QUERIES["stream_mine_pairs"] = QuerySpec(
+    q_stream_mine_pairs, _stream_mine_pairs_oracle()
+)
