@@ -1313,3 +1313,61 @@ def _stream_mine_pairs_oracle() -> str:
 QUERIES["stream_mine_pairs"] = QuerySpec(
     q_stream_mine_pairs, _stream_mine_pairs_oracle()
 )
+
+
+def q_stream_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous experiment monitoring: each micro-batch appends its per-user
+    purchase-count DELTAS to a ledger; the reader folds by re-sum and runs the
+    Welch-t scorecard on the fold. Arms are assigned AFTER folding (a pure
+    function of user_id), so batching cannot perturb assignment, and additive
+    counts make the fold batch-split- and order-independent — the always-
+    current experiment readout shares the batch oracle verbatim. Ledger state
+    is one row per (batch, active user)."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        ab_report_from_user_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ab_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    ev = load(spark, sf_dir, "events")
+    ev.select("user_id", "event_type").repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy("user_id").agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x")
+        ).write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy("user_id")
+        .agg(F.sum("x").cast("bigint").alias("x"))
+    )
+    return ab_report_from_user_counts(folded)
+
+
+def _stream_ab_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import _ab_oracle
+
+    return _ab_oracle()
+
+
+QUERIES["stream_ab_report"] = QuerySpec(q_stream_ab_report, _stream_ab_oracle())

@@ -454,17 +454,27 @@ AB_SALT = "ab"
 
 
 def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from movie_genre_data_pipeline_spark.functions.sampling import (
-        hex_threshold,
-        sample_tag,
-    )
-
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("bigint")
         .alias("x")
     )
+    return ab_report_from_user_counts(per_user)
+
+
+def ab_report_from_user_counts(per_user: DataFrame) -> DataFrame:
+    """Arm assignment + the Welch-t scorecard over a (user_id, x) metric
+    table. The input is the ADDITIVE reduction of the event stream (per-user
+    integer counts), so the same scorer serves batch (one aggregate) and the
+    streaming ledger twin (per-batch count deltas folded by re-sum in
+    suite/streaming_queries.py) — arms are assigned AFTER folding, so the
+    md5 assignment is identical however the events were batched."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        hex_threshold,
+        sample_tag,
+    )
+
     t50 = hex_threshold(0.5)
     armed = per_user.withColumn(
         "arm",
