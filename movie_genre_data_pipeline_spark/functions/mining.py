@@ -111,3 +111,21 @@ def association_rules(
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+def triple_supports(items: DataFrame) -> DataFrame:
+    """3-itemset co-occurrence counts via two basket-key self-joins with the
+    total item order (a < b < c) — each triple counted once, output bounded by
+    Σ_baskets C(k_b, 3). The same plan discipline as pairs: every join is on
+    the basket key, never a cross join; mega-baskets are capped upstream."""
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    c = items.select("basket", F.col("item").alias("item_c"))
+    return (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(c, "basket")
+        .filter(F.col("item_b") < F.col("item_c"))
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").cast("bigint").alias("triple_support"))
+    )

@@ -107,3 +107,42 @@ QUERIES: dict[str, QuerySpec] = {
     "mine_brand_pairs": QuerySpec(q_mine_brand_pairs, Q_MINE_BRAND_PAIRS_ORACLE),
     "mine_brand_rules": QuerySpec(q_mine_brand_rules, Q_MINE_BRAND_RULES_ORACLE),
 }
+
+
+TRIPLE_MIN_SUPPORT = 3
+
+
+def q_mine_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets — the next rung of the itemset lattice, mined with
+    the same basket-key join discipline (two self-joins, a < b < c)."""
+    from movie_genre_data_pipeline_spark.functions.mining import triple_supports
+
+    triples = triple_supports(_brand_items(spark, sf_dir))
+    return triples.filter(
+        F.col("triple_support") >= TRIPLE_MIN_SUPPORT
+    ).select(
+        F.col("item_a").alias("brand_a"),
+        F.col("item_b").alias("brand_b"),
+        F.col("item_c").alias("brand_c"),
+        "triple_support",
+    )
+
+
+Q_MINE_BRAND_TRIPLES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT a.item AS brand_a, b.item AS brand_b, c.item AS brand_c,
+       CAST(COUNT(*) AS BIGINT) AS triple_support
+FROM items a
+JOIN items b ON a.basket = b.basket AND a.item < b.item
+JOIN items c ON b.basket = c.basket AND b.item < c.item
+GROUP BY a.item, b.item, c.item
+HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+"""
+
+
+QUERIES["mine_brand_triples"] = QuerySpec(
+    q_mine_brand_triples, Q_MINE_BRAND_TRIPLES_ORACLE
+)

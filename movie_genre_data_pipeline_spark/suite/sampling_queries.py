@@ -231,3 +231,47 @@ FROM counts c LEFT JOIN kc USING (lang)
 QUERIES["sample_temperature_mixture"] = QuerySpec(
     q_temperature_mixture, Q_TEMPERATURE_MIXTURE_ORACLE
 )
+
+
+FEAT_N_BINS = 10
+
+
+def q_feat_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (the feature-engineering prep step):
+    NTILE bins per series over a TOTAL order (value, then id — ties must not
+    leave bin assignment to the engine), reported as per-bin count + exact
+    value span. Binning is per event_type, so the window parallelizes across
+    series (the per-partition discipline; a production pipeline swaps NTILE
+    for approx-quantile cutpoints when a single series outgrows one task).
+    NTILE's remainder rule (first bins take the extra rows) is SQL-standard
+    and identical in both engines, so bin membership is oracle-exact."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    binned = ev.withColumn("bin", F.ntile(FEAT_N_BINS).over(w))
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+Q_FEAT_EQUAL_FREQ_BINS_ORACLE = f"""
+WITH binned AS (
+  SELECT event_type, value,
+         NTILE({FEAT_N_BINS}) OVER (PARTITION BY event_type
+                                    ORDER BY value ASC, event_id ASC) AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM binned GROUP BY event_type, bin
+"""
+
+
+QUERIES["feat_equal_freq_bins"] = QuerySpec(
+    q_feat_equal_freq_bins, Q_FEAT_EQUAL_FREQ_BINS_ORACLE
+)
