@@ -74,3 +74,18 @@ def test_pair_volume_matches_basket_size_bound(spark):
         pair_supports(items).agg(F.sum("pair_support").alias("s")).collect()[0].s
     )
     assert total_pairs == expected
+
+
+def test_triple_supports_hand_checked_and_bounded(spark):
+    from math import comb
+
+    from movie_genre_data_pipeline_spark.functions.mining import triple_supports
+
+    items = _items(spark)  # b1:{A,B,C} is the only basket with >= 3 items
+    triples = {
+        (r.item_a, r.item_b, r.item_c): r.triple_support
+        for r in triple_supports(items).collect()
+    }
+    assert triples == {("A", "B", "C"): 1}
+    sizes = items.groupBy("basket").count().collect()
+    assert sum(triples.values()) == sum(comb(r["count"], 3) for r in sizes)
