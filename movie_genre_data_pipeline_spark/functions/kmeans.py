@@ -22,13 +22,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec_col, centroid: list[float]):
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+def _sq_dist_col(vec_col, cent_col):
+    """Squared L2 between two array columns — sequential index-order fold."""
     return F.aggregate(
-        F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _sq_dist(vec_col, centroid: list[float]):
+    return _sq_dist_col(vec_col, F.lit([float(x) for x in centroid]))
+
+
+def _cent_lit(centroids: list[list[float]]):
+    """The whole centroid matrix as ONE array<array<double>> literal node.
+    Building it as k nested F.array(F.lit...) trees made the plan O(k·d)
+    Catalyst nodes — analysis/codegen per Lloyd iteration dominated fixture
+    wall-time and grew with nlist (r7). A single Literal keeps the tree
+    constant-size; the per-row k·d arithmetic (transform + zip_with folds) is
+    bit-identical."""
+    return F.lit([[float(x) for x in c] for c in centroids])
+
+
+def _dists_col(vec_col, centroids: list[list[float]]):
+    """array<double> of squared distances to every centroid, index-ordered."""
+    return F.transform(_cent_lit(centroids), lambda c: _sq_dist_col(vec_col, c))
 
 
 def assign_clusters(
@@ -36,7 +55,7 @@ def assign_clusters(
 ) -> DataFrame:
     """(id, cluster, sq_dist): nearest centroid per vector (ties → lower index).
     Pure projection — no shuffle; centroids are literals baked into the plan."""
-    dists = F.array(*[_sq_dist(F.col("__v"), c) for c in centroids])
+    dists = _dists_col(F.col("__v"), centroids)
     out = (
         df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("__v"))
         .withColumn("__d", dists)
@@ -161,7 +180,7 @@ def kmeans_fit_exact(
         # join-back-on-vid shape paid a full key shuffle per iteration; the
         # numbers are bit-identical, only the plan changed (r6)
         assigned = quantized.withColumn(
-            "__d", F.array(*[_sq_dist(F.col("vq"), c) for c in centroids])
+            "__d", _dists_col(F.col("vq"), centroids)
         ).withColumn(
             "cluster",
             F.expr("array_position(__d, array_min(__d))").cast("int") - 1,
@@ -209,14 +228,13 @@ def probe_cells(
     ties, slice nprobe, explode — no join, no shuffle."""
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
-    pairs = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col("vq"), c).alias("d"),
-                F.lit(i).cast("int").alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1)).cast("array<int>")
+    pairs = F.zip_with(
+        _cent_lit(centroids),
+        idx,
+        lambda c, i: F.struct(
+            _sq_dist_col(F.col("vq"), c).alias("d"), i.alias("c")
+        ),
     )
     probed = F.slice(F.array_sort(pairs), 1, nprobe)
     return quantized.select(

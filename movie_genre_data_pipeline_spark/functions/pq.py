@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from movie_genre_data_pipeline_spark.functions.kmeans import (
-    _sq_dist,
+    _cent_lit,
+    _sq_dist_col,
     kmeans_fit_exact,
 )
 
@@ -77,13 +78,21 @@ def pq_train_exact(
     aggregate over the cached frame.
     """
     dsub = _check_geometry(dim, m)
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
+
+    def fit(j: int) -> list[list[float]]:
         sub = quantized.select(
             "vid", subvector(F.col("vq"), j, dsub).alias("vq")
         )
-        codebooks.append(kmeans_fit_exact(sub, k, iterations))
-    return codebooks
+        return kmeans_fit_exact(sub, k, iterations)
+
+    # The m subspace fits are independent Lloyd loops whose wall-time at
+    # fixture scale is driver-side job latency, not data — submit them from
+    # m threads so the Spark scheduler overlaps the per-iteration jobs
+    # (results are deterministic either way; order pinned by index).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(fit, range(m)))
 
 
 def pq_encode(
@@ -98,11 +107,20 @@ def pq_encode(
     code_cols = []
     for j, book in enumerate(codebooks):
         sub = subvector(F.col("vq"), j, dsub)
-        dists = F.array(*[_sq_dist(sub, c) for c in book])
+        dists = F.transform(_cent_lit(book), lambda c: _sq_dist_col(sub, c))
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)).cast("int") - 1)
         )
     return quantized.select("vid", F.array(*code_cols).alias("codes"))
+
+
+def _pq_dtab(book: list[list[float]], j: int, dsub: int):
+    """Per-query ADC distance table for subspace j: array of k squared
+    distances from the query's j-th subvector to each code centroid.
+    NOTE: the transform lambda must take exactly ONE parameter — PySpark
+    treats a second parameter (even defaulted) as the element-index argument."""
+    sub = subvector(F.col("vq"), j, dsub)
+    return F.transform(_cent_lit(book), lambda c: _sq_dist_col(sub, c))
 
 
 def pq_adc_scores(
@@ -128,12 +146,7 @@ def pq_adc_scores(
     q = queries.select(
         F.col("vid").alias("q_vid"),
         *[F.col(c) for c in join_cols],
-        *[
-            F.array(
-                *[_sq_dist(subvector(F.col("vq"), j, dsub), c) for c in book]
-            ).alias(f"dtab{j}")
-            for j, book in enumerate(codebooks)
-        ],
+        *[_pq_dtab(book, j, dsub).alias(f"dtab{j}") for j, book in enumerate(codebooks)],
     )
     b = codes.select(
         F.col("vid").alias("neighbor"),

@@ -621,10 +621,17 @@ def gold_ivm_frames(spark: SparkSession, sf_dir: str):
         ).alias("Genres_Id"),
     )
     snap_a = base.filter(F.col("Id") % 101 != 0)
+    # Reprice in INTEGER CENTS: ×1.1 of a 2-dp double creates 3-dp halfway
+    # cases that Spark (exact-BigDecimal HALF_UP) and DuckDB (scaled-float)
+    # round differently (r6 driver hash fail — 12/1142 rows off by 1 cent).
+    # (cents*11 + 5) DIV 10 is identical integer arithmetic in both engines.
     snap_b = base.filter(F.col("Id") % 97 != 0).withColumn(
         "Revenue",
         F.when(
-            F.col("Id") % 13 == 0, F.round(F.col("Revenue") * 1.1, 2)
+            F.col("Id") % 13 == 0,
+            F.expr(
+                "(CAST(ROUND(Revenue * 100) AS BIGINT) * 11 + 5) DIV 10 / 100.0"
+            ),
         ).otherwise(F.col("Revenue")),
     )
     genre_dim = nation.select(
@@ -660,7 +667,9 @@ def q_gold_genre_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_GOLD_GENRE_REVENUE_IVM_ORACLE = """
 WITH movie AS (
-  SELECT CASE WHEN o_orderkey % 13 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+  SELECT CASE WHEN o_orderkey % 13 = 0
+              THEN ((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10)
+                   / 100.0
               ELSE o_totalprice END AS revenue,
          ROUND(o_totalprice * 0.4, 2) AS budget,
          CAST(o_orderkey % 180 + 60 AS INTEGER) AS runtime,

@@ -412,12 +412,22 @@ FROM exact x LEFT JOIN approx a USING (vid)
 """
 
 
-def kmeans_cells_cte(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+def kmeans_cells_cte(
+    k: int | str = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    train_limit: int | None = None,
+) -> str:
     """SQL CTE chain replaying functions/kmeans.py:kmeans_exact_cells
     bit-for-bit: quantized vectors `eq(vid, vq)`, `iters` unrolled Lloyd
     iterations, final assignment `cells(vid, cluster)`. Shared by every oracle
     that consumes learned cells (`sim_kmeans_recall`, `dedup_semantic`).
-    Embed as: `WITH {kmeans_cells_cte()}, <your CTEs...>`."""
+    Embed as: `WITH {kmeans_cells_cte()}, <your CTEs...>`.
+
+    `k` may be a SQL scalar-subquery string (the IVFADC oracles size nlist
+    from the corpus: greatest(8, ceil(sqrt(n)))). `train_limit` restricts the
+    Lloyd LOOP to the `train_limit` lowest-vid vectors (the FAISS protocol —
+    codebooks train on a bounded sample, the full corpus only gets the final
+    assignment pass); None trains on the whole corpus as before."""
     dim = DIM
 
     def sqd(v: str, c: str) -> str:
@@ -426,19 +436,27 @@ def kmeans_cells_cte(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
             f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
         )
 
+    train = "eq"
     parts = [
         f"""eq AS (SELECT vec_id AS vid,
          list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_SCALE})) AS vq
-  FROM embeddings),
-c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cluster,
-              vq AS cv
-       FROM (SELECT vid, vq FROM eq ORDER BY vid LIMIT {k}))"""
+  FROM embeddings)"""
     ]
+    if train_limit is not None:
+        train = "tr"
+        parts.append(
+            f"tr AS (SELECT vid, vq FROM eq ORDER BY vid LIMIT {train_limit})"
+        )
+    parts.append(
+        f"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cluster,
+              vq AS cv
+       FROM (SELECT vid, vq FROM {train} ORDER BY vid LIMIT {k}))"""
+    )
     for t in range(1, iters + 1):
         p = t - 1
         parts.append(
             f"""d{t} AS (SELECT e.vid, e.vq, c.cluster, {sqd("e.vq", "c.cv")} AS dist
-       FROM eq e CROSS JOIN c{p} c),
+       FROM {train} e CROSS JOIN c{p} c),
 a{t} AS (SELECT vid, vq, cluster FROM
          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
                     ORDER BY dist ASC, cluster ASC) AS rn FROM d{t}) WHERE rn = 1),
@@ -495,46 +513,87 @@ PQ_K = 8
 PQ_ITERS = 3
 _PQ_DSUB = DIM // PQ_M
 
+# Recall evaluation runs over a FIXED query panel (the PQ_NQ lowest vids), not
+# every vector: all-queries recall is O(n²) in the exact baseline and O(n²/k)
+# in the cell-restricted ADC scan — the r6 scale-bench superlinearity
+# (sim_pq_ivfadc ratio 3.04 at k=4). A bounded panel is also the standard ANN
+# benchmark protocol (FAISS/ann-benchmarks evaluate a held-out query set):
+# baseline cost Q·n, ADC cost Q·nprobe·(n/nlist) — linear-or-better in n.
+PQ_NQ = 100
+# Probed cells per query (FAISS nprobe): with nlist ≈ √n, each probe touches
+# a ~√n-sized cell, so per-query work is nprobe·√n however large n grows.
+PQ_NPROBE = 4
+# Lloyd training sample (FAISS protocol: train the coarse quantizer on a
+# bounded sample, assign the full corpus once) — keeps training cost
+# O(TRAIN·nlist·iters) instead of O(n·nlist·iters).
+IVF_TRAIN = 512
+# Coarse-quantizer Lloyd iterations for the IVFADC pair (vs KMEANS_ITERS=5
+# for the plain IVF recall queries): cell quality saturates fast on a bounded
+# training sample, and each iteration is one driver-side job on BOTH engines
+# (Spark collect / DuckDB unrolled CTE), so the composed queries keep the
+# fixture gate cheap at 3.
+IVF_ITERS = 3
 
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
-    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
-    from movie_genre_data_pipeline_spark.functions.pq import (
-        pq_adc_scores,
-        pq_encode,
-        pq_train_exact,
+def _ivf_nlist(n: int) -> int:
+    """FAISS operating point nlist ≈ √n: balances assignment cost (n·nlist)
+    against cell size (n/nlist), keeping the per-query candidate set ~√n."""
+    import math
+
+    return max(8, math.ceil(math.sqrt(n)))
+
+
+# the same formula in SQL, sized from the corpus the oracle sees
+_IVF_NLIST_SQL = (
+    "(SELECT greatest(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM eq)"
+)
+
+
+def _pq_sqd_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
-    e = load(spark, sf_dir, "embeddings")
-    q = quantize_vectors(e, "vec_id", "embedding").cache()
-    books = pq_train_exact(q, DIM, PQ_M, PQ_K, PQ_ITERS)
-    codes = pq_encode(q, books)
-    adc = pq_adc_scores(q, codes, books)
+
+def _pq_tune(spark: SparkSession) -> None:
+    """Self-configuration for the PQ fixture tier (the driver runs a VANILLA
+    session): the training loops execute ~30 tiny jobs whose shuffles at the
+    default 200 partitions are pure scheduling overhead at 500–2000 rows.
+    Runtime-settable, results are partition-count independent by the suite's
+    exact-arithmetic discipline (same contract as `load`'s UTC pin)."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def _pq_query_panel(q: DataFrame) -> DataFrame:
+    """(vid): the PQ_NQ lowest-vid vectors — the fixed evaluation query set
+    (deterministic both engines: total sort then limit)."""
+    return q.select("vid").orderBy("vid").limit(PQ_NQ)
+
+
+def _pq_recall_tail(q: DataFrame, qs: DataFrame, adc: DataFrame) -> DataFrame:
+    """Shared recall@1 measurement: pick each panel query's ADC-best neighbor,
+    compare its exact L2 against the true (exact, over raw quantized vectors)
+    nearest-neighbor distance. Baseline cost is |panel|·n, never n²."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
     chosen = (
         adc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("vid", "neighbor")
     )
-
-    def sqd(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    a = q.select(F.col("vid"), F.col("vq").alias("va"))
+    a = q.join(qs, "vid").select(F.col("vid"), F.col("vq").alias("va"))
     b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
     exact_pairs = a.join(b, F.col("vid") != F.col("neighbor")).select(
-        "vid", "neighbor", sqd(F.col("va"), F.col("vb")).alias("d")
+        "vid", "neighbor", _pq_sqd_col(F.col("va"), F.col("vb")).alias("d")
     )
     exact_best = exact_pairs.groupBy("vid").agg(F.min("d").alias("d_min"))
     d_chosen = (
         chosen.join(a, "vid")
         .join(b, "neighbor")
-        .select("vid", sqd(F.col("va"), F.col("vb")).alias("d_chosen"))
+        .select("vid", _pq_sqd_col(F.col("va"), F.col("vb")).alias("d_chosen"))
     )
     joined = exact_best.join(d_chosen, "vid", "left")
     return joined.agg(
@@ -546,6 +605,24 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("d_chosen") == F.col("d_min"), 1.0).otherwise(0.0)), 6
         ).alias("recall_at_1"),
     )
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.pq import (
+        pq_adc_scores,
+        pq_encode,
+        pq_train_exact,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    qs = _pq_query_panel(q)
+    books = pq_train_exact(q, DIM, PQ_M, PQ_K, PQ_ITERS)
+    codes = pq_encode(q, books)
+    adc = pq_adc_scores(q.join(qs, "vid"), codes, books)
+    return _pq_recall_tail(q, qs, adc)
 
 
 def _pq_sqd(v: str, c: str, d: int) -> str:
@@ -607,29 +684,76 @@ bc{j} AS (SELECT d.vid, c.cv FROM
     return ",\n".join(parts)
 
 
-def _pq_search_sql(head_ctes: str, cell_restrict: bool) -> str:
-    """ADC search + recall@1-vs-exact-L2 tail over the codebook CTEs.
-    `cell_restrict` adds the coarse-cell equi-join (needs `cells` from
-    kmeans_cells_cte in head_ctes) — the IVFADC candidate pruning."""
+def _pq_search_sql(
+    head_ctes: str, mode: str, coarse_iters: int = KMEANS_ITERS
+) -> str:
+    """ADC search + recall@1-vs-exact-L2 tail over the codebook CTEs, always
+    evaluated on the fixed PQ_NQ-lowest-vid query panel (`qs`). Modes:
+
+    - "adc":       exhaustive compressed-corpus scan (no coarse cells);
+    - "ivf":       multi-probe cell restriction — each panel query probes its
+                   PQ_NPROBE nearest coarse cells (needs `cells` + the final
+                   centroid table c{KMEANS_ITERS} in head_ctes);
+    - "ivf_resid": same probing, but the query side is re-centered PER PROBE
+                   (x − c(probed cell)) to match residual-encoded codes —
+                   the exact FAISS IndexIVFPQ search arithmetic.
+    """
     m, dsub = PQ_M, _PQ_DSUB
     sqd = _pq_sqd
-    adc_terms = " + ".join(
-        sqd(f"a{j}.v", f"b{j}.cv", dsub) for j in range(m)
+
+    def raw_term(j: int) -> str:
+        off = j * dsub
+        e = f"(a.vq[{off} + i] - b{j}.cv[i])"
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {dsub}), "
+            f"i -> {e} * {e}), 'sum')"
+        )
+
+    def resid_term(j: int) -> str:
+        off = j * dsub
+        e = f"((a.vq[{off} + i] - cp.cv[{off} + i]) - b{j}.cv[i])"
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {dsub}), "
+            f"i -> {e} * {e}), 'sum')"
+        )
+
+    bc_joins = "\n  ".join(
+        f"JOIN bc{j} b{j} ON b{j}.vid = b.vid" for j in range(m)
     )
-    sub_joins = "\n  ".join(
-        f"JOIN sub{j} a{j} ON a{j}.vid = a.vid JOIN bc{j} b{j} ON b{j}.vid = b.vid"
-        for j in range(m)
-    )
-    cell_joins = (
-        "\n  JOIN cells ka ON ka.vid = a.vid"
-        "\n  JOIN cells kb ON kb.vid = b.vid AND kb.cluster = ka.cluster"
-        if cell_restrict
-        else ""
-    )
-    tail = f"""pairs AS (
+    probes_ctes = f"""pd AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv", DIM)} AS dist
+      FROM eq e JOIN qs ON qs.vid = e.vid CROSS JOIN c{coarse_iters} c),
+probes AS (SELECT vid, cluster FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY dist ASC, cluster ASC) AS rn FROM pd)
+           WHERE rn <= {PQ_NPROBE}),
+"""
+    if mode == "adc":
+        adc_terms = " + ".join(raw_term(j) for j in range(m))
+        probes_ctes = ""
+        pair_src = "FROM eq a JOIN qs ON qs.vid = a.vid\n  JOIN eq b ON a.vid <> b.vid"
+    elif mode == "ivf":
+        adc_terms = " + ".join(raw_term(j) for j in range(m))
+        pair_src = (
+            "FROM eq a JOIN probes pa ON pa.vid = a.vid\n"
+            "  JOIN cells kb ON kb.cluster = pa.cluster\n"
+            "  JOIN eq b ON b.vid = kb.vid AND a.vid <> b.vid"
+        )
+    elif mode == "ivf_resid":
+        adc_terms = " + ".join(resid_term(j) for j in range(m))
+        pair_src = (
+            "FROM eq a JOIN probes pa ON pa.vid = a.vid\n"
+            f"  JOIN c{coarse_iters} cp ON cp.cluster = pa.cluster\n"
+            "  JOIN cells kb ON kb.cluster = pa.cluster\n"
+            "  JOIN eq b ON b.vid = kb.vid AND a.vid <> b.vid"
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    tail = f"""qs AS (SELECT vid FROM eq ORDER BY vid LIMIT {PQ_NQ}),
+{probes_ctes}pairs AS (
   SELECT a.vid AS vid, b.vid AS neighbor, {adc_terms} AS adc
-  FROM eq a JOIN eq b ON a.vid <> b.vid{cell_joins}
-  {sub_joins}
+  {pair_src}
+  {bc_joins}
 ),
 approx AS (SELECT vid, neighbor FROM
            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
@@ -637,7 +761,8 @@ approx AS (SELECT vid, neighbor FROM
            WHERE rn = 1),
 exactp AS (SELECT a.vid AS vid, b.vid AS neighbor,
                   {sqd("a.vq", "b.vq", DIM)} AS d
-           FROM eq a JOIN eq b ON a.vid <> b.vid),
+           FROM eq a JOIN qs ON qs.vid = a.vid
+           JOIN eq b ON a.vid <> b.vid),
 exbest AS (SELECT vid, MIN(d) AS d_min FROM exactp GROUP BY vid),
 dch AS (SELECT ap.vid, ep.d AS d_chosen
         FROM approx ap JOIN exactp ep
@@ -655,27 +780,34 @@ FROM exbest x LEFT JOIN dch d USING (vid)
 
 
 def _pq_recall_oracle() -> str:
-    return _pq_search_sql(
-        f"{_PQ_EQ_CTE},\n{_pq_codes_cte()}", cell_restrict=False
-    )
+    return _pq_search_sql(f"{_PQ_EQ_CTE},\n{_pq_codes_cte()}", mode="adc")
 
 
 # -- IVFADC: the production composition — coarse cells prune, PQ prices (r5) ----------
 def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV; the FAISS IndexIVFPQ architecture):
-    coarse k-means cells restrict WHICH codes a query touches (candidate set
-    n/k per cell on average), PQ asymmetric distance prices each touch at m
-    lookups — together the billion-scale search plan. Recall@1 measures the
-    COMBINED cell-pruning + quantization loss against exact L2 over the
-    uncompressed vectors. Codebooks here encode raw vectors (IVF-Flat-PQ);
-    classic residual encoding is a per-cell recentering the exact-arithmetic
-    framework supports identically. Fully oracled: DuckDB replays coarse
-    clustering, per-subspace codebooks, encoding, the cell-restricted ADC
-    scan, and the baseline bit-for-bit."""
-    from pyspark.sql import Window
+    coarse k-means cells restrict WHICH codes a query touches, PQ asymmetric
+    distance prices each touch at m lookups — together the billion-scale
+    search plan, run at the FAISS operating point (r6 verdict #4: the fixed-k
+    home-cell scan was the repo's one superlinear path, ratio 3.04 at 4×):
 
+    - nlist = max(8, ⌈√n⌉) coarse cells — constant assignment-vs-cell-size
+      balance however large the corpus grows;
+    - the Lloyd loop trains on the IVF_TRAIN lowest-vid sample, then assigns
+      the full corpus once (training never scans the corpus per iteration);
+    - each of the PQ_NQ panel queries probes its PQ_NPROBE nearest cells
+      (multi-probe: candidates = nprobe·√n per query, not n/k·n total);
+    - recall@1 measures the combined cell-pruning + quantization loss against
+      exact L2 over the uncompressed vectors, on the same panel.
+
+    Codebooks encode raw vectors (IVF-Flat-PQ); `sim_pq_ivfadc_residual` is
+    the residual-encoded form. Fully oracled: DuckDB replays coarse
+    clustering, codebooks, encoding, probing, the probed ADC scan, and the
+    baseline bit-for-bit."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
-        kmeans_exact_cells,
+        assign_clusters,
+        kmeans_fit_exact,
+        probe_cells,
         quantize_vectors,
     )
     from movie_genre_data_pipeline_spark.functions.pq import (
@@ -684,55 +816,34 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_exact,
     )
 
+    _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
     q = quantize_vectors(e, "vec_id", "embedding").cache()
-    cells = kmeans_exact_cells(
-        e, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
-    )
-    books = pq_train_exact(q, DIM, PQ_M, PQ_K, PQ_ITERS)
-    with_cells = q.join(cells, "vid")
+    k = _ivf_nlist(q.count())
+    train = q.orderBy("vid").limit(IVF_TRAIN).cache()
+    # coarse quantizer and PQ codebooks are independent (cells from the
+    # training sample, books from raw vectors) — overlap their Lloyd jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(kmeans_fit_exact, train, k, IVF_ITERS)
+        f_books = pool.submit(pq_train_exact, q, DIM, PQ_M, PQ_K, PQ_ITERS)
+        cents, books = f_cents.result(), f_books.result()
+    cells = assign_clusters(q, "vid", "vq", cents).select("vid", "cluster")
+    qs = _pq_query_panel(q)
     codes = pq_encode(q, books).join(cells, "vid")
-    adc = pq_adc_scores(with_cells, codes, books, join_cols=("cluster",))
-    w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
-    chosen = (
-        adc.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "neighbor")
-    )
-
-    def sqd(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    a = q.select(F.col("vid"), F.col("vq").alias("va"))
-    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
-    exact_pairs = a.join(b, F.col("vid") != F.col("neighbor")).select(
-        "vid", "neighbor", sqd(F.col("va"), F.col("vb")).alias("d")
-    )
-    exact_best = exact_pairs.groupBy("vid").agg(F.min("d").alias("d_min"))
-    d_chosen = (
-        chosen.join(a, "vid")
-        .join(b, "neighbor")
-        .select("vid", sqd(F.col("va"), F.col("vb")).alias("d_chosen"))
-    )
-    joined = exact_best.join(d_chosen, "vid", "left")
-    return joined.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.sum(F.when(F.col("d_chosen") == F.col("d_min"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_hits"),
-        F.round(
-            F.avg(F.when(F.col("d_chosen") == F.col("d_min"), 1.0).otherwise(0.0)), 6
-        ).alias("recall_at_1"),
-    )
+    # multi-probe query frame: one (vid, probed cluster, vq) row per probe
+    qprobe = probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE).join(q, "vid")
+    adc = pq_adc_scores(qprobe, codes, books, join_cols=("cluster",))
+    return _pq_recall_tail(q, qs, adc)
 
 
 def _pq_ivfadc_oracle() -> str:
+    head = kmeans_cells_cte(
+        k=_IVF_NLIST_SQL, iters=IVF_ITERS, train_limit=IVF_TRAIN
+    )
     return _pq_search_sql(
-        f"{kmeans_cells_cte()},\n{_pq_codes_cte()}", cell_restrict=True
+        f"{head},\n{_pq_codes_cte()}", mode="ivf", coarse_iters=IVF_ITERS
     )
 
 
@@ -750,15 +861,17 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     are noise-dominated either way. Cost is identical — same cell equi-join,
     same m-lookup ADC pricing. Everything stays
     exact-arithmetic: centroids are the replayable Lloyd outputs, residuals
-    one IEEE subtraction per component, so training, encoding, the
-    cell-restricted ADC scan, and the exact-L2 baseline (over RAW vectors —
-    recall is measured against the true neighbors) are all replayed
-    bit-for-bit by the oracle."""
-    from pyspark.sql import Window
-
+    one IEEE subtraction per component, so training, encoding, per-probe
+    query re-centering, the probed ADC scan, and the exact-L2 baseline (over
+    RAW vectors — recall is measured against the true neighbors) are all
+    replayed bit-for-bit by the oracle. Scale shape matches `sim_pq_ivfadc`
+    (nlist = ⌈√n⌉ sample-trained cells, PQ_NQ query panel, PQ_NPROBE probes);
+    the one residual-specific cost is recomputing the query's residual once
+    per probed cell — the price FAISS pays too (per-list ADC tables)."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
         assign_clusters,
         kmeans_fit_exact,
+        probe_cells,
         quantize_vectors,
     )
     from movie_genre_data_pipeline_spark.functions.pq import (
@@ -767,60 +880,36 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_exact,
     )
 
+    _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
     q = quantize_vectors(e, "vec_id", "embedding").cache()
-    cents = kmeans_fit_exact(q, KMEANS_K, KMEANS_ITERS)
+    k = _ivf_nlist(q.count())
+    train = q.orderBy("vid").limit(IVF_TRAIN).cache()
+    cents = kmeans_fit_exact(train, k, IVF_ITERS)
     cells = assign_clusters(q, "vid", "vq", cents).select("vid", "cluster")
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-    resid = (
-        q.join(cells, "vid")
-        .select(
+    qs = _pq_query_panel(q)
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+
+    def recenter(df: DataFrame) -> DataFrame:
+        """vq := vq − centroid(cluster): residual against the row's cell."""
+        return df.select(
             "vid",
             "cluster",
             F.zip_with(
                 "vq", F.element_at(cent_arr, F.col("cluster") + 1), lambda a, b: a - b
             ).alias("vq"),
         )
-        .cache()
-    )
+
+    resid = recenter(q.join(cells, "vid")).cache()
     books = pq_train_exact(resid.select("vid", "vq"), DIM, PQ_M, PQ_K, PQ_ITERS)
     codes = pq_encode(resid.select("vid", "vq"), books).join(cells, "vid")
-    adc = pq_adc_scores(resid, codes, books, join_cols=("cluster",))
-    w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
-    chosen = (
-        adc.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "neighbor")
+    # per-probe query residuals: each panel query re-centered against EACH of
+    # its PQ_NPROBE probed cells (the FAISS IndexIVFPQ per-list ADC table)
+    qprobe = recenter(
+        probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE).join(q, "vid")
     )
-
-    def sqd(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    a = q.select(F.col("vid"), F.col("vq").alias("va"))
-    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
-    exact_pairs = a.join(b, F.col("vid") != F.col("neighbor")).select(
-        "vid", "neighbor", sqd(F.col("va"), F.col("vb")).alias("d")
-    )
-    exact_best = exact_pairs.groupBy("vid").agg(F.min("d").alias("d_min"))
-    d_chosen = (
-        chosen.join(a, "vid")
-        .join(b, "neighbor")
-        .select("vid", sqd(F.col("va"), F.col("vb")).alias("d_chosen"))
-    )
-    joined = exact_best.join(d_chosen, "vid", "left")
-    return joined.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.sum(F.when(F.col("d_chosen") == F.col("d_min"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_hits"),
-        F.round(
-            F.avg(F.when(F.col("d_chosen") == F.col("d_min"), 1.0).otherwise(0.0)), 6
-        ).alias("recall_at_1"),
-    )
+    adc = pq_adc_scores(qprobe, codes, books, join_cols=("cluster",))
+    return _pq_recall_tail(q, qs, adc)
 
 
 def _pq_ivfadc_residual_oracle() -> str:
@@ -833,12 +922,16 @@ def _pq_ivfadc_residual_oracle() -> str:
                         i -> e.vq[i] - c.cv[i]) AS vq
   FROM eq e
   JOIN cells k ON k.vid = e.vid
-  JOIN c{KMEANS_ITERS} c ON c.cluster = k.cluster
+  JOIN c{IVF_ITERS} c ON c.cluster = k.cluster
 )"""
     head = (
-        kmeans_cells_cte() + ",\n" + resid_cte + ",\n" + _pq_codes_cte(base="eqr")
+        kmeans_cells_cte(k=_IVF_NLIST_SQL, iters=IVF_ITERS, train_limit=IVF_TRAIN)
+        + ",\n"
+        + resid_cte
+        + ",\n"
+        + _pq_codes_cte(base="eqr")
     )
-    return _pq_search_sql(head, cell_restrict=True)
+    return _pq_search_sql(head, mode="ivf_resid", coarse_iters=IVF_ITERS)
 
 
 # -- embedding stats ----------------------------------------------------------------------
@@ -893,7 +986,11 @@ def q_centroid_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroids (dimension-sized: labels × d sums), one broadcast-joined
     distance projection, one min-window — the corpus is scanned twice, never
     paired. Quantized sums are order-free and the distance fold index-ordered,
-    so rep choice and distance are oracle-exact."""
+    so rep choice and distance are oracle-exact. The published distance is an
+    INTEGER (ROUND to 0 dp, cast bigint): d's magnitude (~1e12) gives the
+    double an ulp of ~1.2e-4, coarser than a 4-dp grid — ROUND(d, 4) made the
+    two engines pick adjacent doubles (r6 driver hash fail). Never round a
+    double finer than its ulp; at 0 dp the half-way gap (0.5) dwarfs it."""
     from pyspark.sql import Window
 
     from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
@@ -929,7 +1026,7 @@ def q_centroid_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.col("n").cast("bigint").alias("n_vecs"),
             F.col("vid").alias("rep_vid"),
-            F.round("d", 4).alias("rep_sq_dist"),
+            F.round("d", 0).cast("bigint").alias("rep_sq_dist"),
         )
     )
 
@@ -955,7 +1052,7 @@ scored AS (
   FROM eq e JOIN cents c USING (label)
 )
 SELECT label, CAST(n AS BIGINT) AS n_vecs, vid AS rep_vid,
-       ROUND(d, 4) AS rep_sq_dist
+       CAST(ROUND(d, 0) AS BIGINT) AS rep_sq_dist
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
              ORDER BY d ASC, vid ASC) AS rn FROM scored)
 WHERE rn = 1

@@ -9,10 +9,15 @@ value hash is TYPE-strict (`2477` != `2477.0`), which is how the r2/r3
 `sample_stratified_split` HUGEINT oracle bug escaped the lenient numeric compare
 here (VERDICT r03 #3).
 
+`--exact` raises the gate to the driver's strictness: ZERO float tolerance
+(bit-identical doubles, like the driver's value hash). The 1e-9 default is what
+let the r6 rounding-portability class (ROUND of a non-integer-derived double)
+ship driver-red while locally green — run the window with --exact each round.
+
 Importable (tests/test_driver_window_smoke.py uses `verify_queries` as the
 fixture-drift gate); CLI usage unchanged:
 
-    python tools/verify_local.py [sf_dir] [query ...] [--vanilla]
+    python tools/verify_local.py [sf_dir] [query ...] [--vanilla] [--exact]
 """
 
 from __future__ import annotations
@@ -57,7 +62,11 @@ def _norm_val(v):
     return v
 
 
-def values_match(a, b) -> bool:
+def values_match(a, b, exact: bool = False) -> bool:
+    if exact and (isinstance(a, float) or isinstance(b, float)):
+        # driver-hash strictness: floats must be bit-identical (and same
+        # int-vs-float type class, which _dtype_skew also reports)
+        return type(a) is type(b) and repr(a) == repr(b)
     if type(a) is type(b) is float:
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
     if isinstance(a, float) and isinstance(b, (int, float)):
@@ -65,7 +74,9 @@ def values_match(a, b) -> bool:
     if isinstance(b, float) and isinstance(a, (int, float)):
         return math.isclose(float(a), b, rel_tol=1e-9, abs_tol=1e-9)
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(values_match(x, y) for x, y in zip(a, b))
+        return len(a) == len(b) and all(
+            values_match(x, y, exact) for x, y in zip(a, b)
+        )
     return a == b
 
 
@@ -85,7 +96,9 @@ def _dtype_skew(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return skewed
 
 
-def check_query(spark, con, name: str, spec, sf_dir: str) -> list[str]:
+def check_query(
+    spark, con, name: str, spec, sf_dir: str, exact: bool = False
+) -> list[str]:
     """Run one suite query against its oracle; return a list of failure strings
     (empty = pass). Rows-only queries (oracle=None) fail only on Spark error or
     an empty result."""
@@ -106,7 +119,7 @@ def check_query(spark, con, name: str, spec, sf_dir: str) -> list[str]:
     errs = [f"dtype skew (driver hash is type-strict) — {s}" for s in _dtype_skew(sdf, odf)]
     srows, orows = normalize(sdf), normalize(odf)
     for i, (sr, orr) in enumerate(zip(srows, orows)):
-        if not values_match(sr, orr):
+        if not values_match(sr, orr, exact):
             errs.append(f"first diff at sorted row {i}:\n  spark : {sr}\n  oracle: {orr}")
             break
     return errs
@@ -120,7 +133,7 @@ def make_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def verify_queries(
-    spark, sf_dir: str, names=None, verbose: bool = False
+    spark, sf_dir: str, names=None, verbose: bool = False, exact: bool = False
 ) -> dict[str, list[str]]:
     """Run the given suite queries (default: all) against their oracles.
     Returns {name: [failure, ...]} for failing queries only."""
@@ -132,7 +145,7 @@ def verify_queries(
         if names is not None and name not in names:
             continue
         t0 = time.time()
-        errs = check_query(spark, con, name, spec, sf_dir)
+        errs = check_query(spark, con, name, spec, sf_dir, exact)
         if errs:
             failures[name] = errs
             if verbose:
@@ -145,8 +158,9 @@ def verify_queries(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--exact")]
     vanilla = "--vanilla" in sys.argv[1:]
+    exact = "--exact" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:]) or None
 
@@ -161,7 +175,7 @@ def main() -> int:
 
         spark = build_session(app_name="verify-local")
 
-    failures = verify_queries(spark, sf_dir, names=only, verbose=True)
+    failures = verify_queries(spark, sf_dir, names=only, verbose=True, exact=exact)
     print(f"\n{len(failures)} failures" + (f": {sorted(failures)}" if failures else ""))
     return 1 if failures else 0
 
