@@ -45,6 +45,89 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # r7 ROTATION (verdict r6 #3): every r1–r6 passer rotates OUT (none has
+    # ever regressed once green; all stay under the full local gate) and the
+    # window packs 49 of the 70 never-driver-checked queries plus
+    # sketch_approx_stats (whose only driver record is the r1 `no_oracle`
+    # error — it has carried a bounds oracle since r2). Remaining
+    # never-checked after this round: 21 (8 streaming variants, 5 relational/
+    # agg function rows, and 8 family-siblings of multi-round passers) —
+    # next rotation's pool: merge_scd2_incremental, profile_table,
+    # posexplode_tokens, range_source, cross_join_dims, sequence_arrays,
+    # agg_bitwise, sample_source_quota, curate_corpus_pipeline,
+    # graph_kcore_trade, ts_seasonal_naive_backtest, sim_pair_counts,
+    # sim_embedding_stats, stream_ops_fingerprint, stream_sessionize,
+    # stream_incremental_dedup, stream_dedup, stream_text_keyness,
+    # stream_mine_pairs, stream_ab_report, jsonl/orc siblings as rotated.
+    # TPC-H shapes never driver-run (q4 q8 q10-q12 q14 q15 q19 q20)
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q19",
+    "tpch_q20",
+    # function-family surfaces (§2.7 expression coverage)
+    "map_functions",
+    "map_transform_functions",
+    "json_functions",
+    "regexp_functions",
+    "hash_functions",
+    "math_functions",
+    "url_functions",
+    # relational / driver-contract rows
+    "anti_join",
+    "union_by_name",
+    "pandas_scalar_udf",
+    "stats_aggregates",
+    "window_frame_stats",
+    "unpivot_long",
+    "csv_roundtrip",
+    # format round-trips
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    # aggregate families
+    "agg_minmax_by",
+    "agg_string_concat",
+    "agg_conditional_bool",
+    # ops
+    "ops_bloom_join_prune",
+    "ops_skew_report",
+    # text analysis
+    "text_fingerprint_stats",
+    "text_source_quality",
+    "text_ngram_topk",
+    "text_unigram_surprisal",
+    "text_source_keyness",
+    # dedup / entity resolution / mining
+    "dedup_clusters",
+    "dedup_incremental",
+    "er_match_recall",
+    "er_sorted_neighborhood",
+    "er_union_recall",
+    "mine_brand_rules",
+    "mine_brand_triples",
+    "feat_equal_freq_bins",
+    # sketches: clears the one standing error record (r1 no_oracle)
+    "sketch_approx_stats",
+    # similarity: the nprobe recall law and the residual-encoded IVFADC
+    # (rotated in after the r7 panel/nlist scale rework priced it for the
+    # fixture gate)
+    "sim_kmeans_recall_nprobe",
+    "sim_pq_ivfadc_residual",
+    # streaming + multimodal (family-diversity floor: ≥2 rows each; these
+    # four are from the never-checked pool too)
+    "stream_static_join",
+    "stream_sliding_window",
+    "media_features_full",
+    "media_block_chunks",
+)
+
+# The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
+# greens; they now sit just past the window under the full local gate):
+_R6_WINDOW: tuple[str, ...] = (
     # reference-parity pipeline core (project_cast/struct_expand/explode_array/
     # merge_insert_missing earned driver-pass rows in r1 and rotated out for the
     # r2 curation family; dim_fix/topk_orders likewise)

@@ -630,7 +630,7 @@ def gold_ivm_frames(spark: SparkSession, sf_dir: str):
         F.when(
             F.col("Id") % 13 == 0,
             F.expr(
-                "(CAST(ROUND(Revenue * 100) AS BIGINT) * 11 + 5) DIV 10 / 100.0"
+                "CAST((CAST(ROUND(Revenue * 100) AS BIGINT) * 11 + 5) DIV 10 AS DOUBLE) / 100.0"
             ),
         ).otherwise(F.col("Revenue")),
     )
@@ -668,8 +668,8 @@ def q_gold_genre_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_GOLD_GENRE_REVENUE_IVM_ORACLE = """
 WITH movie AS (
   SELECT CASE WHEN o_orderkey % 13 = 0
-              THEN ((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10)
-                   / 100.0
+              THEN CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10
+                         AS DOUBLE) / 100.0
               ELSE o_totalprice END AS revenue,
          ROUND(o_totalprice * 0.4, 2) AS budget,
          CAST(o_orderkey % 180 + 60 AS INTEGER) AS runtime,
@@ -821,7 +821,9 @@ WITH a AS (
            AS bin_idx, COUNT(*) AS n_old
   FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 1
 ), b_rows AS (
-  SELECT CASE WHEN o_orderkey % 13 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+  SELECT CASE WHEN o_orderkey % 13 = 0
+              THEN CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10
+                         AS DOUBLE) / 100.0
               ELSE o_totalprice END AS revenue
   FROM orders WHERE o_orderkey % 97 <> 0
 ), b AS (
