@@ -63,6 +63,10 @@ HEADLINE = [
     # suite/entity_queries.py), so it would measure the fixture, not the plan.
     "mine_brand_pairs",
     "ts_seasonal_naive_backtest",
+    # r7: the reworked IVFADC (panel-evaluated, sqrt(n) cells, sample-trained
+    # Lloyd) — benchable now that the r6 superlinear all-queries scan is gone
+    # (53.3s at sf0.1 in r6; the panel protocol is the FAISS benchmark shape)
+    "sim_pq_ivfadc",
 ]
 
 

@@ -76,6 +76,30 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def register_external_table(
+    spark,
+    table: str,
+    path: str,
+    database: str | None = None,
+    fmt: str = "parquet",
+) -> str:
+    """W6/W7: external-location table DDL — the reference registers every
+    layer it writes as a catalog table over its storage path
+    (Batch_notebook/bronzeToSilver.py:145-157 saveAsTable at an abfss
+    location; config/configuration.py:23-24 CREATE DATABASE). Registration is
+    METADATA-ONLY: the layer parquet already on disk becomes queryable as
+    `spark.table("db.table")` / SQL with zero data movement, schema inferred
+    from the footers. Re-registering after each refresh keeps the catalog
+    pointing at the current generation. Returns the qualified table name."""
+    qualified = table
+    if database:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        qualified = f"{database}.{table}"
+    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+    spark.sql(f"CREATE TABLE {qualified} USING {fmt} LOCATION '{path}'")
+    return qualified
+
+
 def write_clustered(
     dataframe: DataFrame,
     path: str,

@@ -206,13 +206,23 @@ class MedallionPipeline:
             build_genre_revenue_mart,
         )
 
+        from movie_genre_data_pipeline_spark.operators.writers import (
+            register_external_table,
+        )
+
         movie = read_parquet(self.spark, self.config.silver_path("movie"))
         genres = read_parquet(self.spark, self.config.silver_path("genres"))
         mart = build_genre_revenue_mart(movie, genres)
         mart.write.mode("overwrite").parquet(self.config.gold_path("genre_revenue"))
-        return read_parquet(
-            self.spark, self.config.gold_path("genre_revenue")
-        ).count()
+        # the reference registers every layer as a catalog table; the gold
+        # mart is queryable as `spark.table("<db>.genre_revenue_gold")`
+        qualified = register_external_table(
+            self.spark,
+            "genre_revenue_gold",
+            self.config.gold_path("genre_revenue"),
+            database=self.config.database,
+        )
+        return self.spark.table(qualified).count()
 
     def run(self, raw_path: str | None = None) -> dict[str, int]:
         """Full pipeline (Batch_notebook/main.py:63-65 + the gold stage)."""

@@ -215,13 +215,23 @@ class IncrementalMedallionPipeline:
         )
         from movie_genre_data_pipeline_spark.sources.batch import read_parquet
 
+        from movie_genre_data_pipeline_spark.operators.writers import (
+            register_external_table,
+        )
+
         movie = read_parquet(self.spark, self.config.silver_path("movie"))
         genres = read_parquet(self.spark, self.config.silver_path("genres"))
         mart = build_genre_revenue_mart(movie, genres)
         mart.write.mode("overwrite").parquet(self.config.gold_path("genre_revenue"))
-        return read_parquet(
-            self.spark, self.config.gold_path("genre_revenue")
-        ).count()
+        # same catalog contract as the batch variant: re-register so
+        # `spark.table("<db>.genre_revenue_gold")` tracks the latest refresh
+        qualified = register_external_table(
+            self.spark,
+            "genre_revenue_gold",
+            self.config.gold_path("genre_revenue"),
+            database=self.config.database,
+        )
+        return self.spark.table(qualified).count()
 
     # -- convenience ------------------------------------------------------------
     def run(self, raw_path: str | None = None) -> None:

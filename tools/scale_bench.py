@@ -45,9 +45,15 @@ SCALE_QUERIES = [
     "merge_scd2",
     "skew_salted_join",
     # r6 second wave: basket mining — baskets scale k-fold against a FIXED
-    # item catalog (the realistic growth mode), so pair volume must scale
+    # brand vocabulary (the realistic growth mode), so pair volume must scale
     # ~linearly with the fact side
     "mine_brand_pairs",
+    # r7 (verdict r6 #8): the untested growth paths — ER candidate-generation
+    # joins over a k-fold entity table, the corpus-reduction keyness tables,
+    # and the gold IVM's full-outer snapshot diff
+    "er_union_recall",
+    "text_source_keyness",
+    "gold_genre_revenue_ivm",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
@@ -59,12 +65,20 @@ TABLES: dict[str, tuple[list[str], list[str]]] = {
     "orders": (["o_orderkey", "o_custkey"], []),
     "lineitem": (["l_orderkey", "l_suppkey"], []),
     "supplier": (["s_suppkey"], []),
+    # part replicates as the ER entity table (k-fold listings with disjoint
+    # word-suffixed names — the `\S+` blocking keys never collide across
+    # replicas). mine_brand_pairs keeps its fixed-catalog character anyway:
+    # p_brand is NOT suffixed (fixed vocabulary) and lineitem.l_partkey is
+    # not offset, so baskets attribute against replica-0 parts exactly as
+    # they attributed against the verbatim copy before.
+    "part": (["p_partkey"], ["p_name"]),
 }
 
 # copied into the scaled tier VERBATIM: dimension catalogs whose realistic
-# scaling mode is "unchanged while the fact side grows" (mine_brand_pairs
-# attributes k-fold baskets against the same brand vocabulary)
-VERBATIM_TABLES = ["part"]
+# scaling mode is "unchanged while the fact side grows" (the gold IVM's
+# genre dim is nation: genre ids are %25 mappings, unchanged under k-fold
+# order keys)
+VERBATIM_TABLES = ["nation"]
 
 
 def _replicate(
