@@ -36,29 +36,52 @@ def _sq_dist(vec_col, centroid: list[float]):
 
 
 def _cent_lit(centroids: list[list[float]]):
-    """The whole centroid matrix as ONE array<array<double>> literal node.
-    Building it as k nested F.array(F.lit...) trees made the plan O(k·d)
-    Catalyst nodes — analysis/codegen per Lloyd iteration dominated fixture
-    wall-time and grew with nlist (r7). A single Literal keeps the tree
-    constant-size; the per-row k·d arithmetic (transform + zip_with folds) is
-    bit-identical."""
+    """The whole centroid matrix as an array<array<double>> literal column.
+    NOTE: PySpark's lit(list) still EXPANDS element-wise into O(k·d) Catalyst
+    nodes — fine for the PQ codebooks (m·k·dsub is a constant ~512), but for
+    an nlist=⌈√n⌉ coarse quantizer the per-use plan-build/analysis cost grows
+    with the corpus. Those paths ship the matrix as broadcast DATA instead:
+    `with_centroid_matrix` below."""
     return F.lit([[float(x) for x in c] for c in centroids])
 
 
-def _dists_col(vec_col, centroids: list[list[float]]):
-    """array<double> of squared distances to every centroid, index-ordered."""
-    return F.transform(_cent_lit(centroids), lambda c: _sq_dist_col(vec_col, c))
+def with_centroid_matrix(
+    df: DataFrame, centroids: list[list[float]], col: str = "__cm"
+) -> DataFrame:
+    """Attach the centroid matrix as ONE array<array<double>> COLUMN via a
+    broadcast single-row cross join — the scale-correct carrier for a grown
+    coarse quantizer (r7): the expression tree stays constant-size however
+    large nlist gets, the k·d doubles move as broadcast data (exactly like a
+    broadcast dim), and there is still no shuffle on the fact side. The
+    higher-order-function arithmetic over the column (transform + zip_with
+    index-order folds) is bit-identical to the literal form."""
+    spark = df.sparkSession
+    row = [[[float(x) for x in c] for c in centroids]]
+    cm = spark.createDataFrame([row], f"{col}: array<array<double>>")
+    return df.crossJoin(F.broadcast(cm))
+
+
+def _dists_col(vec_col, cm_col):
+    """array<double> of squared distances from `vec_col` to every centroid in
+    the matrix column `cm_col`, index-ordered."""
+    return F.transform(cm_col, lambda c: _sq_dist_col(vec_col, c))
 
 
 def assign_clusters(
     df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """(id, cluster, sq_dist): nearest centroid per vector (ties → lower index).
-    Pure projection — no shuffle; centroids are literals baked into the plan."""
-    dists = _dists_col(F.col("__v"), centroids)
+    No shuffle: centroids travel as one broadcast matrix row; the fact side
+    stays a single projection stage."""
     out = (
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("__v"))
-        .withColumn("__d", dists)
+        with_centroid_matrix(
+            df.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            centroids,
+        )
+        .withColumn("__d", _dists_col(F.col("__v"), F.col("__cm")))
         .withColumn("cluster", F.expr("array_position(__d, array_min(__d))").cast("int") - 1)
         .withColumn("sq_dist", F.expr("array_min(__d)"))
     )
@@ -179,8 +202,8 @@ def kmeans_fit_exact(
         # inline assignment (pure projection) — the previous assign_clusters +
         # join-back-on-vid shape paid a full key shuffle per iteration; the
         # numbers are bit-identical, only the plan changed (r6)
-        assigned = quantized.withColumn(
-            "__d", _dists_col(F.col("vq"), centroids)
+        assigned = with_centroid_matrix(quantized, centroids).withColumn(
+            "__d", _dists_col(F.col("vq"), F.col("__cm"))
         ).withColumn(
             "cluster",
             F.expr("array_position(__d, array_min(__d))").cast("int") - 1,
@@ -197,6 +220,68 @@ def kmeans_fit_exact(
             for c in range(k)
         ]
     return centroids
+
+
+def kmeans_fit_exact_local(
+    rows: list[tuple[int, list[float]]], k: int, iterations: int
+) -> list[list[float]]:
+    """Driver-side Lloyd over an ALREADY-BOUNDED training sample — the
+    arithmetic twin of `kmeans_fit_exact`, bit-identical by construction
+    (pinned in tests/test_kmeans.py):
+
+    - cluster sums: integral doubles < 2^53 sum exactly in any order, and
+      Python float `+` is the same IEEE-754 add the JVM executes;
+    - distances: sequential index-order fold of (x-c)*(x-c) — the same op
+      sequence as the zip_with/aggregate fold;
+    - init: the k lowest-vid rows; argmin ties break toward the lower index;
+      empty clusters keep their previous centroid.
+
+    Why it exists: the distributed loop costs one driver-coordinated job +
+    one O(k·d) Catalyst tree PER ITERATION — pure overhead when the training
+    set is a bounded sample (the FAISS protocol this suite follows: train on
+    ≤512 vectors, assign the corpus once). Collect the sample, loop here,
+    ship only the k·d centroid literals back into the plan."""
+    ordered = sorted(rows, key=lambda r: r[0])
+    centroids = [list(v) for _, v in ordered[:k]]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        for _, v in ordered:
+            best, best_d = 0, None
+            for c, cv in enumerate(centroids):
+                d = 0.0
+                for a, b in zip(v, cv):
+                    d += (a - b) * (a - b)
+                if best_d is None or d < best_d:
+                    best, best_d = c, d
+            counts[best] += 1
+            s = sums[best]
+            for i, a in enumerate(v):
+                s[i] += a
+        centroids = [
+            [s / counts[c] for s in sums[c]] if counts[c] else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def assign_local(
+    rows: list[tuple[int, list[float]]], centroids: list[list[float]]
+) -> list[tuple[int, int]]:
+    """(vid, cluster) for already-collected rows — the driver-side twin of
+    `assign_clusters` (same index-order distance fold, ties → lower index)."""
+    out = []
+    for vid, v in rows:
+        best, best_d = 0, None
+        for c, cv in enumerate(centroids):
+            d = 0.0
+            for a, b in zip(v, cv):
+                d += (a - b) * (a - b)
+            if best_d is None or d < best_d:
+                best, best_d = c, d
+        out.append((vid, best))
+    return out
 
 
 def kmeans_exact_cells(
@@ -230,13 +315,13 @@ def probe_cells(
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1)).cast("array<int>")
     pairs = F.zip_with(
-        _cent_lit(centroids),
+        F.col("__cm"),
         idx,
         lambda c, i: F.struct(
             _sq_dist_col(F.col("vq"), c).alias("d"), i.alias("c")
         ),
     )
     probed = F.slice(F.array_sort(pairs), 1, nprobe)
-    return quantized.select(
+    return with_centroid_matrix(quantized, centroids).select(
         "vid", F.explode(probed).alias("__p")
     ).select("vid", F.col("__p.c").alias("cluster"))

@@ -95,6 +95,33 @@ def pq_train_exact(
         return list(pool.map(fit, range(m)))
 
 
+def pq_train_local(
+    rows: list[tuple[int, list[float]]],
+    dim: int,
+    m: int,
+    k: int,
+    iterations: int,
+) -> list[list[list[float]]]:
+    """`pq_train_exact` over an ALREADY-COLLECTED bounded training sample —
+    zero Spark jobs (the FAISS protocol: codebooks train on ≤~100k sampled
+    vectors; the corpus only gets the frozen-codebook encode projection).
+    Bit-identical to the distributed fit by the kmeans_fit_exact_local
+    contract, per subspace slice."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_fit_exact_local,
+    )
+
+    dsub = _check_geometry(dim, m)
+    return [
+        kmeans_fit_exact_local(
+            [(vid, v[j * dsub : (j + 1) * dsub]) for vid, v in rows],
+            k,
+            iterations,
+        )
+        for j in range(m)
+    ]
+
+
 def pq_encode(
     quantized: DataFrame, codebooks: list[list[list[float]]]
 ) -> DataFrame:

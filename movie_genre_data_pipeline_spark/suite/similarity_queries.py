@@ -572,6 +572,20 @@ def _pq_query_panel(q: DataFrame) -> DataFrame:
     return q.select("vid").orderBy("vid").limit(PQ_NQ)
 
 
+def _collect_train(q: DataFrame) -> list[tuple[int, list[float]]]:
+    """The bounded Lloyd training sample, collected ONCE (IVF_TRAIN lowest
+    vids — ≤512 quantized vectors, the only rows training ever touches).
+    All codebook fits then run driver-side (kmeans_fit_exact_local /
+    pq_train_local): per-iteration Spark jobs and their O(k·d) literal
+    plan trees were the dominant fixture cost, pure overhead for a sample
+    this size. The corpus itself is only ever touched by single-pass
+    projections (assign / encode / probe)."""
+    return [
+        (r["vid"], list(r["vq"]))
+        for r in q.orderBy("vid").limit(IVF_TRAIN).collect()
+    ]
+
+
 def _pq_recall_tail(q: DataFrame, qs: DataFrame, adc: DataFrame) -> DataFrame:
     """Shared recall@1 measurement: pick each panel query's ADC-best neighbor,
     compare its exact L2 against the true (exact, over raw quantized vectors)
@@ -612,14 +626,14 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.functions.pq import (
         pq_adc_scores,
         pq_encode,
-        pq_train_exact,
+        pq_train_local,
     )
 
     _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
     q = quantize_vectors(e, "vec_id", "embedding").cache()
     qs = _pq_query_panel(q)
-    books = pq_train_exact(q, DIM, PQ_M, PQ_K, PQ_ITERS)
+    books = pq_train_local(_collect_train(q), DIM, PQ_M, PQ_K, PQ_ITERS)
     codes = pq_encode(q, books)
     adc = pq_adc_scores(q.join(qs, "vid"), codes, books)
     return _pq_recall_tail(q, qs, adc)
@@ -637,13 +651,15 @@ _PQ_EQ_CTE = f"""eq AS (SELECT vec_id AS vid,
   FROM embeddings)"""
 
 
-def _pq_codes_cte(base: str = "eq") -> str:
+def _pq_codes_cte(base: str = "eq", train: str = "tr") -> str:
     """CTE chain replaying functions/pq.py codebook training + encoding over
     the `base` CTE (vid, vq) — per subspace j, sub{j} slices, the unrolled
-    exact Lloyd loop, and bc{j}(vid, cv) — each vector's assigned centroid in
-    subspace j. Base "eq" = raw quantized vectors (sim_pq_recall,
-    sim_pq_ivfadc); base "eqr" = per-cell residuals (the residual-encoded
-    IVFADC)."""
+    exact Lloyd loop TRAINED ON the `train` CTE's vids only (the bounded
+    sample pq_train_local collects — r7; sub{j}t is the training slice), and
+    bc{j}(vid, cv) — each base vector's assigned centroid in subspace j.
+    Base "eq" = raw quantized vectors (sim_pq_recall, sim_pq_ivfadc); base
+    "eqr" = per-cell residuals (the residual-encoded IVFADC). `train` must
+    be a CTE with a `vid` column already present in the head."""
     m, k, iters, dsub = PQ_M, PQ_K, PQ_ITERS, _PQ_DSUB
     sqd = _pq_sqd
     parts: list[str] = []
@@ -651,15 +667,16 @@ def _pq_codes_cte(base: str = "eq") -> str:
         lo, hi = j * dsub + 1, (j + 1) * dsub
         parts.append(
             f"""sub{j} AS (SELECT vid, vq[{lo}:{hi}] AS v FROM {base}),
+sub{j}t AS (SELECT s.vid, s.v FROM sub{j} s JOIN {train} t ON t.vid = s.vid),
 c{j}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cluster,
                   v AS cv
-           FROM (SELECT vid, v FROM sub{j} ORDER BY vid LIMIT {k}))"""
+           FROM (SELECT vid, v FROM sub{j}t ORDER BY vid LIMIT {k}))"""
         )
         for t in range(1, iters + 1):
             p = t - 1
             parts.append(
                 f"""d{j}_{t} AS (SELECT e.vid, e.v, c.cluster, {sqd("e.v", "c.cv", dsub)} AS dist
-           FROM sub{j} e CROSS JOIN c{j}_{p} c),
+           FROM sub{j}t e CROSS JOIN c{j}_{p} c),
 a{j}_{t} AS (SELECT vid, v, cluster FROM
              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
                         ORDER BY dist ASC, cluster ASC) AS rn FROM d{j}_{t})
@@ -780,7 +797,10 @@ FROM exbest x LEFT JOIN dch d USING (vid)
 
 
 def _pq_recall_oracle() -> str:
-    return _pq_search_sql(f"{_PQ_EQ_CTE},\n{_pq_codes_cte()}", mode="adc")
+    tr = f"tr AS (SELECT vid FROM eq ORDER BY vid LIMIT {IVF_TRAIN})"
+    return _pq_search_sql(
+        f"{_PQ_EQ_CTE},\n{tr},\n{_pq_codes_cte()}", mode="adc"
+    )
 
 
 # -- IVFADC: the production composition — coarse cells prune, PQ prices (r5) ----------
@@ -806,29 +826,25 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline bit-for-bit."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
         assign_clusters,
-        kmeans_fit_exact,
+        kmeans_fit_exact_local,
         probe_cells,
         quantize_vectors,
     )
     from movie_genre_data_pipeline_spark.functions.pq import (
         pq_adc_scores,
         pq_encode,
-        pq_train_exact,
+        pq_train_local,
     )
 
     _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
     q = quantize_vectors(e, "vec_id", "embedding").cache()
     k = _ivf_nlist(q.count())
-    train = q.orderBy("vid").limit(IVF_TRAIN).cache()
-    # coarse quantizer and PQ codebooks are independent (cells from the
-    # training sample, books from raw vectors) — overlap their Lloyd jobs
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_cents = pool.submit(kmeans_fit_exact, train, k, IVF_ITERS)
-        f_books = pool.submit(pq_train_exact, q, DIM, PQ_M, PQ_K, PQ_ITERS)
-        cents, books = f_cents.result(), f_books.result()
+    # all training runs driver-side over the collected bounded sample —
+    # the corpus is only touched by single-pass projections below
+    train_rows = _collect_train(q)
+    cents = kmeans_fit_exact_local(train_rows, k, IVF_ITERS)
+    books = pq_train_local(train_rows, DIM, PQ_M, PQ_K, PQ_ITERS)
     cells = assign_clusters(q, "vid", "vq", cents).select("vid", "cluster")
     qs = _pq_query_panel(q)
     codes = pq_encode(q, books).join(cells, "vid")
@@ -870,38 +886,52 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     per probed cell — the price FAISS pays too (per-list ADC tables)."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
         assign_clusters,
-        kmeans_fit_exact,
+        assign_local,
+        kmeans_fit_exact_local,
         probe_cells,
         quantize_vectors,
     )
     from movie_genre_data_pipeline_spark.functions.pq import (
         pq_adc_scores,
         pq_encode,
-        pq_train_exact,
+        pq_train_local,
     )
 
     _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
     q = quantize_vectors(e, "vec_id", "embedding").cache()
     k = _ivf_nlist(q.count())
-    train = q.orderBy("vid").limit(IVF_TRAIN).cache()
-    cents = kmeans_fit_exact(train, k, IVF_ITERS)
+    train_rows = _collect_train(q)
+    cents = kmeans_fit_exact_local(train_rows, k, IVF_ITERS)
     cells = assign_clusters(q, "vid", "vq", cents).select("vid", "cluster")
     qs = _pq_query_panel(q)
-    cent_arr = F.lit([[float(x) for x in c] for c in cents])
 
     def recenter(df: DataFrame) -> DataFrame:
-        """vq := vq − centroid(cluster): residual against the row's cell."""
-        return df.select(
+        """vq := vq − centroid(cluster): residual against the row's cell.
+        Centroids ride as the broadcast matrix column (constant plan size)."""
+        from movie_genre_data_pipeline_spark.functions.kmeans import (
+            with_centroid_matrix,
+        )
+
+        return with_centroid_matrix(df, cents).select(
             "vid",
             "cluster",
             F.zip_with(
-                "vq", F.element_at(cent_arr, F.col("cluster") + 1), lambda a, b: a - b
+                "vq",
+                F.element_at(F.col("__cm"), F.col("cluster") + 1),
+                lambda a, b: a - b,
             ).alias("vq"),
         )
 
-    resid = recenter(q.join(cells, "vid")).cache()
-    books = pq_train_exact(resid.select("vid", "vq"), DIM, PQ_M, PQ_K, PQ_ITERS)
+    # codebooks train on the SAMPLE's residuals, computed driver-side (same
+    # IEEE subtraction per component as the distributed recenter)
+    tr_cells = dict(assign_local(train_rows, cents))
+    tr_resid = [
+        (vid, [a - b for a, b in zip(v, cents[tr_cells[vid]])])
+        for vid, v in train_rows
+    ]
+    books = pq_train_local(tr_resid, DIM, PQ_M, PQ_K, PQ_ITERS)
+    resid = recenter(q.join(cells, "vid"))
     codes = pq_encode(resid.select("vid", "vq"), books).join(cells, "vid")
     # per-probe query residuals: each panel query re-centered against EACH of
     # its PQ_NPROBE probed cells (the FAISS IndexIVFPQ per-list ADC table)

