@@ -1,0 +1,105 @@
+"""Distributed model fitting — closed-form OLS via normal equations (r7).
+
+The scaling-law / feature-weighting primitive a training-data pipeline needs
+(fit y ~ features over billions of rows): one full-scan aggregate produces the
+Gram matrix X^T X and moment vector X^T y, then the coefficient solve runs on
+that single row. For a d-feature model the scan reduces 100 TB to d² + d
+numbers — the textbook "normal equations beat gradient descent when d is
+small" regime, and the same shape MLlib's `WeightedLeastSquares` uses.
+
+Spark plan: ONE hash aggregate with map-side partial aggregation (the Gram
+sums are algebraic), no shuffle beyond the d²-sized final combine. The solve
+(Cramer's rule for the 2-feature + intercept case) is a projection over the
+one-row aggregate — no driver round-trip, so the whole fit is a single
+DataFrame and composes with the rest of a plan.
+
+Determinism contract (what makes `feat_ols_normal_eq` fully SQL-oracle-able):
+- inputs are INTEGERS (features and target pre-quantized by the caller, e.g.
+  money in cents), so every Gram/moment sum is an exact BIGINT in any
+  accumulation order;
+- sums are cast to DOUBLE (exact while < 2^53) and the determinant/solve is
+  spelled as ONE fixed-parenthesization expression string shared VERBATIM
+  with the DuckDB oracle — identical IEEE ops on identical operands are
+  bit-identical;
+- published coefficients are integers (beta × 10^6, rounded) — rounding a
+  shared double to an integer is portable (the half-way gap dwarfs the ulp;
+  see tests/test_rounding_portability.py for the rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Cramer's rule for [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]] beta = [sy,s1y,s2y],
+# written once and parsed by BOTH engines (identical precedence/ordering →
+# identical IEEE evaluation). All identifiers reference DOUBLE-cast sums.
+DET_SQL = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - sx1 * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s12 - s11 * sx2))"
+)
+DET0_SQL = (  # target column replaces column 0 (intercept)
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - sx1 * (s1y * s22 - s12 * s2y)"
+    " + sx2 * (s1y * s12 - s11 * s2y))"
+)
+DET1_SQL = (  # target column replaces column 1 (beta1)
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s2y - s1y * sx2))"
+)
+DET2_SQL = (  # target column replaces column 2 (beta2)
+    "(n * (s11 * s2y - s1y * s12)"
+    " - sx1 * (sx1 * s2y - s1y * sx2)"
+    " + sy * (sx1 * s12 - s11 * sx2))"
+)
+
+GRAM_DOUBLE_COLS = [
+    "CAST(n_rows AS DOUBLE) AS n",
+    "CAST(sx1 AS DOUBLE) AS sx1",
+    "CAST(sx2 AS DOUBLE) AS sx2",
+    "CAST(sy AS DOUBLE) AS sy",
+    "CAST(s11 AS DOUBLE) AS s11",
+    "CAST(s12 AS DOUBLE) AS s12",
+    "CAST(s22 AS DOUBLE) AS s22",
+    "CAST(s1y AS DOUBLE) AS s1y",
+    "CAST(s2y AS DOUBLE) AS s2y",
+]
+
+BETA_MICRO_SQL = {
+    "beta0_micro": f"CAST(ROUND({DET0_SQL} / {DET_SQL} * 1000000) AS BIGINT)",
+    "beta1_micro": f"CAST(ROUND({DET1_SQL} / {DET_SQL} * 1000000) AS BIGINT)",
+    "beta2_micro": f"CAST(ROUND({DET2_SQL} / {DET_SQL} * 1000000) AS BIGINT)",
+}
+
+
+def ols_gram(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
+    """One-row exact Gram/moment aggregate for y ~ 1 + x1 + x2 over INTEGER
+    columns: (n_rows, sx1, sx2, sy, s11, s12, s22, s1y, s2y), all BIGINT.
+    This is the only stage that touches the data — one map-side-combined
+    aggregate, d²-sized output."""
+    c1, c2, cy = (F.col(c).cast("bigint") for c in (x1, x2, y))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(c1).alias("sx1"),
+        F.sum(c2).alias("sx2"),
+        F.sum(cy).alias("sy"),
+        F.sum(c1 * c1).alias("s11"),
+        F.sum(c1 * c2).alias("s12"),
+        F.sum(c2 * c2).alias("s22"),
+        F.sum(c1 * cy).alias("s1y"),
+        F.sum(c2 * cy).alias("s2y"),
+    )
+
+
+def ols_fit_micro(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
+    """(n_rows, beta0_micro, beta1_micro, beta2_micro): closed-form OLS for
+    y ~ 1 + x1 + x2, coefficients published as micro-units (beta × 1e6,
+    rounded to BIGINT). Exact-integer Gram sums + the shared fixed-order
+    Cramer expressions make the result bit-identical across engines."""
+    g = ols_gram(df, x1, x2, y).selectExpr("n_rows", *GRAM_DOUBLE_COLS)
+    return g.selectExpr(
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        *[f"{expr} AS {name}" for name, expr in BETA_MICRO_SQL.items()],
+    )

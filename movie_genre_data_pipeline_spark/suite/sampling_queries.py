@@ -275,3 +275,63 @@ FROM binned GROUP BY event_type, bin
 QUERIES["feat_equal_freq_bins"] = QuerySpec(
     q_feat_equal_freq_bins, Q_FEAT_EQUAL_FREQ_BINS_ORACLE
 )
+
+
+# -- distributed model fitting: closed-form OLS via normal equations (r7) ---------------
+def q_feat_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit totalprice_cents ~ 1 + runtime + genre_id over orders — the
+    scaling-law / feature-weighting primitive (functions/regression.py): ONE
+    map-side-combined aggregate reduces the fact table to the 3×3 integer
+    Gram matrix + moment vector, and Cramer's rule solves on that single row
+    as a projection. Integer inputs → exact BIGINT sums in any accumulation
+    order; the determinant expressions are ONE shared string parsed by both
+    engines, so the published micro-unit coefficients are bit-identical."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_fit_micro,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return ols_fit_micro(feats, "x1", "x2", "y")
+
+
+def _feat_ols_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        BETA_MICRO_SQL,
+        GRAM_DOUBLE_COLS,
+    )
+
+    betas = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in BETA_MICRO_SQL.items()
+    )
+    return f"""
+WITH f AS (
+  SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+         CAST(o_custkey % 25 AS BIGINT) AS x2,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), gi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(x1) AS BIGINT) AS sx1,
+         CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM f
+), g AS (
+  SELECT n_rows, {", ".join(GRAM_DOUBLE_COLS)} FROM gi
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       {betas}
+FROM g
+"""
+
+
+QUERIES["feat_ols_normal_eq"] = QuerySpec(q_feat_ols_normal_eq, _feat_ols_oracle())

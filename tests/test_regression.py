@@ -1,0 +1,65 @@
+"""Closed-form OLS (functions/regression.py): known-answer recovery, exactness
+of the Gram aggregate, and partition-order independence."""
+
+from __future__ import annotations
+
+from movie_genre_data_pipeline_spark.functions.regression import (
+    ols_fit_micro,
+    ols_gram,
+)
+
+
+def _fit(spark, rows):
+    df = spark.createDataFrame(rows, "x1 bigint, x2 bigint, y bigint")
+    return {
+        r[0]: (r["beta0_micro"], r["beta1_micro"], r["beta2_micro"])
+        for r in [ols_fit_micro(df, "x1", "x2", "y").collect()[0]]
+    }, ols_fit_micro(df, "x1", "x2", "y").collect()[0]
+
+
+def test_ols_recovers_exact_plane(spark):
+    """Data generated from y = 7 + 3*x1 - 2*x2 with no noise: OLS must
+    recover the plane exactly (residuals are zero, so the solve is exact up
+    to the shared-expression float evaluation — micro-units round clean)."""
+    rows = [
+        (x1, x2, 7 + 3 * x1 - 2 * x2)
+        for x1 in range(0, 20)
+        for x2 in range(0, 5)
+    ]
+    _, r = _fit(spark, rows)
+    assert r["n_rows"] == 100
+    assert r["beta0_micro"] == 7_000_000
+    assert r["beta1_micro"] == 3_000_000
+    assert r["beta2_micro"] == -2_000_000
+
+
+def test_gram_sums_are_partition_order_independent(spark):
+    rows = [(i % 17, i % 5, (i * 31) % 1000) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "x1 bigint, x2 bigint, y bigint")
+    df2 = df1.repartition(13)
+    g1 = ols_gram(df1, "x1", "x2", "y").collect()[0].asDict()
+    g2 = ols_gram(df2, "x1", "x2", "y").collect()[0].asDict()
+    assert g1 == g2
+    # and they equal plain-Python exact sums
+    assert g1["s1y"] == sum(a * c for a, _, c in rows)
+    assert g1["s12"] == sum(a * b for a, b, _ in rows)
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Cross-check against an independent solver on noisy integer data (the
+    numerics differ — numpy uses SVD — so compare at solver tolerance, not
+    bitwise)."""
+    import numpy as np
+
+    rows = [
+        (i % 23, (i * 7) % 11, 500 + 13 * (i % 23) - 9 * ((i * 7) % 11) + (i % 3))
+        for i in range(1000)
+    ]
+    _, r = _fit(spark, rows)
+    a = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+    b = np.array([float(y) for _, _, y in rows])
+    beta = np.linalg.lstsq(a, b, rcond=None)[0]
+    for got_micro, want in zip(
+        (r["beta0_micro"], r["beta1_micro"], r["beta2_micro"]), beta
+    ):
+        assert abs(got_micro / 1e6 - want) < 1e-4, (got_micro, want)
