@@ -74,13 +74,22 @@ BETA_MICRO_SQL = {
 }
 
 
-def ols_gram(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
-    """One-row exact Gram/moment aggregate for y ~ 1 + x1 + x2 over INTEGER
-    columns: (n_rows, sx1, sx2, sy, s11, s12, s22, s1y, s2y), all BIGINT.
-    This is the only stage that touches the data — one map-side-combined
-    aggregate, d²-sized output."""
+def ols_gram(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact Gram/moment aggregate for y ~ 1 + x1 + x2 over INTEGER columns:
+    (*group_cols, n_rows, sx1, sx2, sy, s11, s12, s22, s1y, s2y), all sums
+    BIGINT. One row per group (one row total when ungrouped). This is the
+    only stage that touches the data — one map-side-combined aggregate,
+    d²·|groups|-sized output, and because the sums are ADDITIVE integers the
+    same aggregate is a streaming ledger: per-micro-batch partial Grams fold
+    by re-sum into the identical state (suite `stream_ols_normal_eq`)."""
     c1, c2, cy = (F.col(c).cast("bigint") for c in (x1, x2, y))
-    return df.agg(
+    return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(c1).alias("sx1"),
         F.sum(c2).alias("sx2"),
@@ -93,13 +102,28 @@ def ols_gram(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
     )
 
 
-def ols_fit_micro(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
-    """(n_rows, beta0_micro, beta1_micro, beta2_micro): closed-form OLS for
-    y ~ 1 + x1 + x2, coefficients published as micro-units (beta × 1e6,
-    rounded to BIGINT). Exact-integer Gram sums + the shared fixed-order
-    Cramer expressions make the result bit-identical across engines."""
-    g = ols_gram(df, x1, x2, y).selectExpr("n_rows", *GRAM_DOUBLE_COLS)
+def ols_solve_micro(gram: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Gram rows → (*group_cols, n_rows, beta0/1/2_micro): the Cramer solve
+    as a projection over the aggregate (no driver round-trip)."""
+    g = gram.selectExpr(*group_cols, "n_rows", *GRAM_DOUBLE_COLS)
     return g.selectExpr(
+        *group_cols,
         "CAST(n_rows AS BIGINT) AS n_rows",
         *[f"{expr} AS {name}" for name, expr in BETA_MICRO_SQL.items()],
     )
+
+
+def ols_fit_micro(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*group_cols, n_rows, beta0_micro, beta1_micro, beta2_micro):
+    closed-form OLS for y ~ 1 + x1 + x2, per group when `group_cols` is set
+    (the "model per segment" shape — one shuffle on the group key, |groups|
+    independent fits). Coefficients published as micro-units (beta × 1e6,
+    rounded to BIGINT). Exact-integer Gram sums + the shared fixed-order
+    Cramer expressions make the result bit-identical across engines."""
+    return ols_solve_micro(ols_gram(df, x1, x2, y, group_cols), group_cols)

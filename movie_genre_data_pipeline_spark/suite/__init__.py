@@ -50,8 +50,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window packs 49 of the 70 never-driver-checked queries plus
     # sketch_approx_stats (whose only driver record is the r1 `no_oracle`
     # error — it has carried a bounds oracle since r2). Remaining
-    # never-checked after this round: 21 (8 streaming variants, 5 relational/
-    # agg function rows, and 8 family-siblings of multi-round passers) —
+    # never-checked after this round: 24 (8 streaming variants, 5 relational/
+    # agg function rows, 8 family-siblings of multi-round passers, and the
+    # three r7 OLS additions) —
     # next rotation's pool: merge_scd2_incremental, profile_table,
     # posexplode_tokens, range_source, cross_join_dims, sequence_arrays,
     # agg_bitwise, sample_source_quota, curate_corpus_pipeline,

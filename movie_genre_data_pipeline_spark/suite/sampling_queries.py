@@ -335,3 +335,67 @@ FROM g
 
 
 QUERIES["feat_ols_normal_eq"] = QuerySpec(q_feat_ols_normal_eq, _feat_ols_oracle())
+
+
+# -- per-segment model fitting: grouped OLS (r7) ----------------------------------------
+def q_feat_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One independent OLS fit PER ORDER-PRIORITY SEGMENT — the "model per
+    segment" shape (per-domain quality weights, per-language scaling laws):
+    the same exact-integer Gram aggregate keyed by the segment column, ONE
+    shuffle on the group key, d²·|segments| state, and the Cramer solve runs
+    as a projection over every group row at once. At 100 TB this fits
+    thousands of segment models in a single pass over the facts."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_fit_micro,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.select(
+        F.col("o_orderpriority").alias("segment"),
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return ols_fit_micro(feats, "x1", "x2", "y", group_cols=("segment",))
+
+
+def _feat_ols_segment_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        BETA_MICRO_SQL,
+        GRAM_DOUBLE_COLS,
+    )
+
+    betas = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in BETA_MICRO_SQL.items()
+    )
+    return f"""
+WITH f AS (
+  SELECT o_orderpriority AS segment,
+         CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+         CAST(o_custkey % 25 AS BIGINT) AS x2,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), gi AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(x1) AS BIGINT) AS sx1,
+         CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM f GROUP BY segment
+), g AS (
+  SELECT segment, n_rows AS n_rows_i, {", ".join(GRAM_DOUBLE_COLS)} FROM gi
+)
+SELECT segment, CAST(n_rows_i AS BIGINT) AS n_rows,
+       {betas}
+FROM g
+"""
+
+
+QUERIES["feat_ols_by_segment"] = QuerySpec(
+    q_feat_ols_by_segment, _feat_ols_segment_oracle()
+)

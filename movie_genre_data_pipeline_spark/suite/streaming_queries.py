@@ -1371,3 +1371,74 @@ def _stream_ab_oracle() -> str:
 
 
 QUERIES["stream_ab_report"] = QuerySpec(q_stream_ab_report, _stream_ab_oracle())
+
+
+# -- continuous model fitting: streaming OLS via the Gram ledger (r7) -------------------
+def q_stream_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The always-current regression readout: each micro-batch appends its
+    PARTIAL Gram/moment row (exact-integer sums over just that batch's
+    orders) to a ledger; the reader folds by component-wise re-sum and runs
+    the shared Cramer solve on the fold. Additive integer state makes the
+    fold batch-split- and order-independent, so the continuous fit equals the
+    batch fit bit-for-bit and SHARES the batch oracle verbatim — the simplest
+    possible streaming-ML state: d²+d numbers per batch, no state store."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_gram,
+        ols_solve_micro,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+
+    base = tempfile.mkdtemp(prefix="stream_ols_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    o = load(spark, sf_dir, "orders")
+    o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    ).repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("x1", T.LongType()),
+            T.StructField("x2", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ols_gram(batch_df, "x1", "x2", "y").write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy()
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in ("sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+            ],
+        )
+    )
+    return ols_solve_micro(folded)
+
+
+def _stream_ols_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _feat_ols_oracle,
+    )
+
+    return _feat_ols_oracle()
+
+
+QUERIES["stream_ols_normal_eq"] = QuerySpec(
+    q_stream_ols_normal_eq, _stream_ols_oracle()
+)
