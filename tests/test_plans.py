@@ -412,3 +412,21 @@ def test_ab_report_is_single_scan(spark):
     plan = _plan(spark, "ab_experiment_report")
     assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_ols_gram_is_single_shuffle(spark):
+    """The OLS fits must reduce the fact scan in ONE map-side-combined hash
+    aggregate: exactly one exchange for the grouped fit (on the segment key),
+    one for the global fit (the single-partition final combine), and the
+    Cramer solve is a projection — no join, no extra shuffle."""
+    import re
+
+    for name in ("feat_ols_normal_eq", "feat_ols_by_segment"):
+        plan = _plan(spark, name)
+        # formatted output lists each node once in the tree and once in the
+        # details section — count distinct exchange NODE ids
+        node_ids = set(re.findall(r"\((\d+)\) Exchange", plan))
+        assert len(node_ids) == 1, (name, plan)
+        assert "HashAggregate" in plan, (name, plan)
+        assert "partial_sum" in plan, (name, plan)  # map-side combine
+        assert "Join" not in plan, (name, plan)
