@@ -73,6 +73,20 @@ BETA_MICRO_SQL = {
     "beta2_micro": f"CAST(ROUND({DET2_SQL} / {DET_SQL} * 1000000) AS BIGINT)",
 }
 
+# Fit diagnostics over the same one-row Gram (plus the exact second moment
+# `syy`, carried in DECIMAL(38,0)/HUGEINT because y² sums exceed BIGINT):
+# SSE = y'y − β'X'y (exact normal-equations identity, evaluated on the shared
+# float solve so both engines compute the identical doubles), SST = y'y − n·ȳ².
+_B0 = f"({DET0_SQL} / {DET_SQL})"
+_B1 = f"({DET1_SQL} / {DET_SQL})"
+_B2 = f"({DET2_SQL} / {DET_SQL})"
+SSE_SQL = f"(syy - ({_B0} * sy + {_B1} * s1y + {_B2} * s2y))"
+SST_SQL = "(syy - sy * sy / n)"
+FIT_QUALITY_SQL = {
+    "r2_micro": f"CAST(ROUND((1.0 - {SSE_SQL} / {SST_SQL}) * 1000000) AS BIGINT)",
+    "rmse_cents": f"CAST(ROUND(sqrt({SSE_SQL} / n)) AS BIGINT)",
+}
+
 
 def ols_gram(
     df: DataFrame,
@@ -99,6 +113,35 @@ def ols_gram(
         F.sum(c2 * c2).alias("s22"),
         F.sum(c1 * cy).alias("s1y"),
         F.sum(c2 * cy).alias("s2y"),
+    )
+
+
+def ols_fit_quality(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
+    """(n_rows, r2_micro, rmse_cents): goodness-of-fit for y ~ 1 + x1 + x2.
+    Same single-aggregate shape as the fit, plus the exact second moment
+    Σy² carried as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both sum the
+    integers exactly and cast to the same DOUBLE, so R² and RMSE come out of
+    the shared expressions bit-identical."""
+    c1, c2, cy = (F.col(c).cast("bigint") for c in (x1, x2, y))
+    g = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(c1).alias("sx1"),
+        F.sum(c2).alias("sx2"),
+        F.sum(cy).alias("sy"),
+        F.sum(c1 * c1).alias("s11"),
+        F.sum(c1 * c2).alias("s12"),
+        F.sum(c2 * c2).alias("s22"),
+        F.sum(c1 * cy).alias("s1y"),
+        F.sum(c2 * cy).alias("s2y"),
+        F.sum((cy * cy).cast("decimal(38,0)")).alias("syy_d"),
+    ).selectExpr(
+        "n_rows",
+        *GRAM_DOUBLE_COLS,
+        "CAST(syy_d AS DOUBLE) AS syy",
+    )
+    return g.selectExpr(
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        *[f"{expr} AS {name}" for name, expr in FIT_QUALITY_SQL.items()],
     )
 
 

@@ -399,3 +399,67 @@ FROM g
 QUERIES["feat_ols_by_segment"] = QuerySpec(
     q_feat_ols_by_segment, _feat_ols_segment_oracle()
 )
+
+
+# -- fit diagnostics: R² / RMSE from the same one-pass aggregate (r7) -------------------
+def q_feat_ols_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit for the orders model — R² and RMSE from the SAME
+    single Gram aggregate as the fit (plus the exact Σy² second moment,
+    carried in DECIMAL(38,0)/HUGEINT because squared cents exceed BIGINT):
+    SSE = y'y − β'X'y is the normal-equations identity, evaluated on the
+    shared-expression float solve so both engines produce identical doubles;
+    published as integer micro-units / cents."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_fit_quality,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return ols_fit_quality(feats, "x1", "x2", "y")
+
+
+def _feat_ols_quality_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        FIT_QUALITY_SQL,
+        GRAM_DOUBLE_COLS,
+    )
+
+    outs = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in FIT_QUALITY_SQL.items()
+    )
+    return f"""
+WITH f AS (
+  SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+         CAST(o_custkey % 25 AS BIGINT) AS x2,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), gi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(x1) AS BIGINT) AS sx1,
+         CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         SUM(CAST(y AS HUGEINT) * y) AS syy_h
+  FROM f
+), g AS (
+  SELECT n_rows, {", ".join(GRAM_DOUBLE_COLS)},
+         CAST(syy_h AS DOUBLE) AS syy
+  FROM gi
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       {outs}
+FROM g
+"""
+
+
+QUERIES["feat_ols_fit_quality"] = QuerySpec(
+    q_feat_ols_fit_quality, _feat_ols_quality_oracle()
+)

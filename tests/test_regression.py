@@ -63,3 +63,20 @@ def test_ols_matches_numpy_lstsq(spark):
         (r["beta0_micro"], r["beta1_micro"], r["beta2_micro"]), beta
     ):
         assert abs(got_micro / 1e6 - want) < 1e-4, (got_micro, want)
+
+
+def test_fit_quality_perfect_plane(spark):
+    """Noise-free data: R^2 must be exactly 1.0 (micro = 1_000_000) and RMSE 0."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_fit_quality,
+    )
+
+    rows = [
+        (x1, x2, 7 + 3 * x1 - 2 * x2)
+        for x1 in range(0, 20)
+        for x2 in range(0, 5)
+    ]
+    df = spark.createDataFrame(rows, "x1 bigint, x2 bigint, y bigint")
+    r = ols_fit_quality(df, "x1", "x2", "y").collect()[0]
+    assert r["r2_micro"] == 1_000_000
+    assert r["rmse_cents"] == 0
