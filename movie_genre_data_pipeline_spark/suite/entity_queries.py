@@ -402,3 +402,155 @@ FROM best WHERE rn = 1
 
 
 QUERIES["er_union_recall"] = QuerySpec(q_er_union_recall, Q_ER_UNION_RECALL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# er_purged_recall: the SCALE-SAFE production configuration. The part-name
+# fixture above has a fixed 64-name vocabulary, so its blocks grow ~n²/64 and
+# the unpurged er_union_recall measures fixture entropy at large SF (its
+# docstring + SCALE_BENCH document that). This query is the configuration a
+# 100 TB deployment actually runs: HIGH-CARDINALITY positional blocking keys
+# over an open entity space (customer names — cardinality grows with n) plus
+# ``max_pair_volume`` block purging for the keys that ARE degenerate.
+#
+# Fixture: customer listings mangled two ways (even keys lose the 'u' of the
+# "Customer#" prefix; odd keys lose the first digit). Three digit-gram passes:
+#   b1 = digits 1-5  — DEGENERATE (dense keys ⇒ "00000…" for nearly all rows;
+#        its block volume is ~(n/2)² at every SF, so the 20 000 cap PURGES it
+#        at every test scale — the purge path is oracle-exercised, not dead).
+#   b2 = digits 3-7  — constant block volume (≤100 rows share d3..d7 whatever
+#        n is, because the two trailing digits vary) — the scale-correct key;
+#        covers the even (prefix-mangled) class.
+#   b3 = last 5 chars — unique per entity; covers the odd (digit-strip) class.
+# Candidate volume is therefore Θ(n) — empirically 1 640 / 16 490 / 164 990 at
+# sf0.001/0.01/0.1, exactly ~11·n — and the published n_candidates column makes
+# that bound part of the oracle-checked contract. Recall is 1.0: each mangled
+# name's true catalog row is its UNIQUE lev-1 neighbour (one insertion restores
+# it; any other catalog name is ≥2 edits away), unlike last-char truncation
+# where a numeric alias ties at lev 1.
+# ---------------------------------------------------------------------------
+
+ER_PURGE_CAP = 20_000
+
+_CUST_PERTURB_SQL = """CASE WHEN c_custkey % 2 = 0
+       THEN substr(c_name, 1, 1) || substr(c_name, 3)
+       ELSE substr(c_name, 1, 9) || substr(c_name, 11) END"""
+
+
+def q_er_purged_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-purged high-cardinality ER: digit-gram passes + max_pair_volume,
+    publishing the candidate volume alongside the accuracy law."""
+    customer = load(spark, sf_dir, "customer")
+
+    def grams(df: DataFrame, text: str) -> list:
+        return [
+            F.substring(F.col(text), 10, 5).alias("b1"),
+            F.substring(F.col(text), 12, 5).alias("b2"),
+            F.expr(f"substr({text}, length({text}) - 4)").alias("b3"),
+        ]
+
+    listings = customer.select(
+        F.col("c_custkey").alias("listing_id"),
+        F.col("c_name").alias("true_name"),
+        F.expr(_CUST_PERTURB_SQL).alias("listing_text"),
+    )
+    listings = listings.select("*", *grams(listings, "listing_text"))
+    catalog = customer.select(
+        F.col("c_custkey").alias("cat_key"), F.col("c_name").alias("cat_name")
+    )
+    catalog = catalog.select("*", *grams(catalog, "cat_name"))
+    cand = blocked_candidate_pairs(
+        listings,
+        catalog,
+        "listing_id",
+        "cat_key",
+        [("b1", "b1"), ("b2", "b2"), ("b3", "b3")],
+        max_pair_volume=ER_PURGE_CAP,
+    )
+    scored = score_pairs(
+        cand.join(
+            listings.select("listing_id", "listing_text", "true_name"),
+            "listing_id",
+        ).join(catalog.select("cat_key", "cat_name"), "cat_key"),
+        "listing_text",
+        "cat_name",
+    ).withColumn("lev", F.col("lev").cast("bigint"))
+    best = best_match(
+        scored,
+        "listing_id",
+        [F.col("lev").asc(), F.col("cat_name").asc(), F.col("cat_key").asc()],
+    )
+    correct = F.sum(
+        F.when(F.col("cat_name") == F.col("true_name"), 1).otherwise(0)
+    ).cast("bigint")
+    volume = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    return (
+        best.agg(
+            F.count("*").cast("bigint").alias("n_listings"),
+            correct.alias("n_correct"),
+            F.round(
+                correct.cast("double") / F.count("*").cast("double"), 6
+            ).alias("recall"),
+        )
+        .crossJoin(F.broadcast(volume))
+        .select("n_candidates", "n_listings", "n_correct", "recall")
+    )
+
+
+def _purged_pass_sql(key: str) -> str:
+    """One purged blocking pass: equi-join restricted to keys whose
+    |L_b|·|R_b| stays under the cap (same rule as blocked_candidate_pairs)."""
+    return f"""SELECT l.listing_id, c.cat_key FROM lk l
+      JOIN (SELECT l2.{key} FROM
+              (SELECT {key}, count(*) AS c FROM lk WHERE {key} <> '' GROUP BY 1) l2
+            JOIN (SELECT {key}, count(*) AS c FROM ck WHERE {key} <> '' GROUP BY 1) r2
+              USING ({key})
+            WHERE l2.c * r2.c <= {ER_PURGE_CAP}) a USING ({key})
+      JOIN ck c USING ({key})"""
+
+
+Q_ER_PURGED_RECALL_ORACLE = f"""
+WITH listings AS (
+  SELECT c_custkey AS listing_id, c_name AS true_name,
+         {_CUST_PERTURB_SQL} AS listing_text
+  FROM customer
+), lk AS (
+  SELECT listing_id, listing_text, true_name,
+         substr(listing_text, 10, 5) AS b1,
+         substr(listing_text, 12, 5) AS b2,
+         substr(listing_text, length(listing_text) - 4) AS b3
+  FROM listings
+), ck AS (
+  SELECT c_custkey AS cat_key, c_name AS cat_name,
+         substr(c_name, 10, 5) AS b1,
+         substr(c_name, 12, 5) AS b2,
+         substr(c_name, length(c_name) - 4) AS b3
+  FROM customer
+), cand AS (
+  SELECT DISTINCT listing_id, cat_key FROM (
+    {_purged_pass_sql("b1")}
+    UNION ALL
+    {_purged_pass_sql("b2")}
+    UNION ALL
+    {_purged_pass_sql("b3")}
+  )
+), scored AS (
+  SELECT cd.listing_id, l.true_name, c.cat_name, cd.cat_key,
+         CAST(levenshtein(l.listing_text, c.cat_name) AS BIGINT) AS lev
+  FROM cand cd JOIN lk l USING (listing_id) JOIN ck c USING (cat_key)
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY listing_id
+                               ORDER BY lev ASC, cat_name ASC, cat_key ASC) AS rn
+  FROM scored
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       CAST(COUNT(*) AS BIGINT) AS n_listings,
+       CAST(SUM(CASE WHEN cat_name = true_name THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN cat_name = true_name THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM best WHERE rn = 1
+"""
+
+
+QUERIES["er_purged_recall"] = QuerySpec(q_er_purged_recall, Q_ER_PURGED_RECALL_ORACLE)

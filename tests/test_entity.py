@@ -248,3 +248,37 @@ def test_union_generators_dominate_each_alone(spark):
     )
     assert union_row.n_correct >= blocked_row.n_correct
     assert union_row.n_correct > sn_correct
+
+
+def test_er_purged_recall_laws(spark):
+    """The scale-safe configuration's three laws at sf0.001: perfect recall
+    (each mangled customer name's unique lev-1 neighbour is its original),
+    LINEAR candidate volume (the purged pass never contributes, the kept
+    passes have O(1) block sizes — ~11 candidates per listing, never n²),
+    and the purge actually binding (the degenerate d1..d5 head-gram pass
+    alone yields nothing under the cap)."""
+    from movie_genre_data_pipeline_spark.suite.entity_queries import (
+        ER_PURGE_CAP,
+        q_er_purged_recall,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+
+    row = q_er_purged_recall(spark, SF_DIR).collect()[0]
+    assert row.n_listings == 150
+    assert row.recall == 1.0
+    assert row.n_candidates <= 12 * row.n_listings
+
+    customer = load(spark, SF_DIR, "customer")
+    listings = customer.select(
+        F.col("c_custkey").alias("listing_id"),
+        F.substring("c_name", 10, 5).alias("b1"),
+    )
+    catalog = customer.select(
+        F.col("c_custkey").alias("cat_key"),
+        F.substring("c_name", 10, 5).alias("b1"),
+    )
+    head_only = blocked_candidate_pairs(
+        listings, catalog, "listing_id", "cat_key", [("b1", "b1")],
+        max_pair_volume=ER_PURGE_CAP,
+    )
+    assert head_only.count() == 0

@@ -54,6 +54,10 @@ SCALE_QUERIES = [
     "er_union_recall",
     "text_source_keyness",
     "gold_genre_revenue_ivm",
+    # r7: the scale-safe ER configuration (high-cardinality digit-gram keys +
+    # block purging, customer entity space grows with n) — the near-linear
+    # counterpart to er_union_recall's documented fixed-vocabulary growth
+    "er_purged_recall",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
@@ -61,7 +65,11 @@ TABLES: dict[str, tuple[list[str], list[str]]] = {
     "documents": (["doc_id"], ["text"]),
     "embeddings": (["vec_id"], []),
     "events": (["event_id", "user_id"], []),
-    "customer": (["c_custkey"], []),
+    # c_name word-suffixes so the customer entity space stays OPEN under
+    # replication (new customers have new names — er_purged_recall's blocks
+    # must not densify k-fold; no roster query's cost depends on c_name
+    # collisions otherwise)
+    "customer": (["c_custkey"], ["c_name"]),
     "orders": (["o_orderkey", "o_custkey"], []),
     "lineitem": (["l_orderkey", "l_suppkey"], []),
     "supplier": (["s_suppkey"], []),
