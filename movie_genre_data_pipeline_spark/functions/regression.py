@@ -170,3 +170,37 @@ def ols_fit_micro(
     rounded to BIGINT). Exact-integer Gram sums + the shared fixed-order
     Cramer expressions make the result bit-identical across engines."""
     return ols_solve_micro(ols_gram(df, x1, x2, y, group_cols), group_cols)
+
+
+def ridge_path_micro(
+    df: DataFrame, x1: str, x2: str, y: str, lambdas: tuple[int, ...]
+) -> DataFrame:
+    """(lam, n_rows, beta0/1/2_micro): the full RIDGE regularization path from
+    ONE scan. (XᵀX + λI')β = Xᵀy is the identical Cramer solve over an
+    adjusted Gram — s11+λ and s22+λ, intercept unpenalized (I' zeroes the
+    intercept row, the glmnet convention) — so the path costs one map-side-
+    combined aggregate however many λs are fit: the d²-sized Gram row explodes
+    to one row per λ and the solve runs as a projection over all of them.
+    Integer λs keep the adjusted sums exact BIGINTs, so every fit on the path
+    inherits the OLS bit-identity contract (λ=0 IS the OLS fit)."""
+    if not lambdas:
+        raise ValueError("at least one lambda is required")
+    g = ols_gram(df, x1, x2, y).select(
+        F.explode(F.array(*[F.lit(int(l)).cast("bigint") for l in lambdas])).alias(
+            "lam"
+        ),
+        "*",
+    )
+    penalized = g.select(
+        "lam",
+        "n_rows",
+        "sx1",
+        "sx2",
+        "sy",
+        (F.col("s11") + F.col("lam")).alias("s11"),
+        "s12",
+        (F.col("s22") + F.col("lam")).alias("s22"),
+        "s1y",
+        "s2y",
+    )
+    return ols_solve_micro(penalized, group_cols=("lam",))

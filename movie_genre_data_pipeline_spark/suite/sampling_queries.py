@@ -463,3 +463,74 @@ FROM g
 QUERIES["feat_ols_fit_quality"] = QuerySpec(
     q_feat_ols_fit_quality, _feat_ols_quality_oracle()
 )
+
+
+# -- regularization path: ridge from the same one-pass Gram (r7) ------------------------
+# λ grid sized against the fixture's Gram scale (s11 ≈ n·x1² ≈ 3.4e8 at
+# sf0.01): 0 reproduces OLS exactly, 1e6/1e8/1e10 sweep from negligible to
+# dominating penalty, so the published path shows real shrinkage.
+RIDGE_LAMBDAS = (0, 10**6, 10**8, 10**10)
+
+
+def q_feat_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge path for totalprice_cents ~ 1 + x1 + x2 over orders
+    (functions/regression.py:ridge_path_micro): ONE Gram scan, the λ grid
+    explodes the one-row aggregate, and the shared Cramer expressions solve
+    (XᵀX + λI')β = Xᵀy per λ as a projection. λ=0 is bit-identical to
+    feat_ols_normal_eq; the shrinkage law |β(λ)| non-increasing is pinned in
+    tests/test_regression.py."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ridge_path_micro,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return ridge_path_micro(feats, "x1", "x2", "y", RIDGE_LAMBDAS)
+
+
+def _feat_ridge_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        BETA_MICRO_SQL,
+        GRAM_DOUBLE_COLS,
+    )
+
+    betas = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in BETA_MICRO_SQL.items()
+    )
+    lam_rows = ", ".join(f"({l})" for l in RIDGE_LAMBDAS)
+    return f"""
+WITH f AS (
+  SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+         CAST(o_custkey % 25 AS BIGINT) AS x2,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), gi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(x1) AS BIGINT) AS sx1,
+         CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM f
+), gp AS (
+  SELECT CAST(lam.lam AS BIGINT) AS lam, n_rows, sx1, sx2, sy,
+         CAST(s11 + lam.lam AS BIGINT) AS s11, s12,
+         CAST(s22 + lam.lam AS BIGINT) AS s22, s1y, s2y
+  FROM gi CROSS JOIN (VALUES {lam_rows}) AS lam(lam)
+), g AS (
+  SELECT lam, n_rows AS n_rows_i, {", ".join(GRAM_DOUBLE_COLS)} FROM gp
+)
+SELECT lam, CAST(n_rows_i AS BIGINT) AS n_rows,
+       {betas}
+FROM g
+"""
+
+
+QUERIES["feat_ridge_path"] = QuerySpec(q_feat_ridge_path, _feat_ridge_oracle())

@@ -80,3 +80,30 @@ def test_fit_quality_perfect_plane(spark):
     r = ols_fit_quality(df, "x1", "x2", "y").collect()[0]
     assert r["r2_micro"] == 1_000_000
     assert r["rmse_cents"] == 0
+
+
+def test_ridge_path_shrinks_and_matches_ols_at_zero(spark):
+    """λ=0 reproduces the OLS fit bit-for-bit (same Gram, same expressions);
+    the coefficient norm is non-increasing along the λ grid (the ridge
+    shrinkage law); and at dominating λ the slopes vanish while the
+    unpenalized intercept absorbs the mean."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ridge_path_micro,
+    )
+
+    rows = [(i % 23 + 1, (i * 7) % 11, 3 * (i % 23 + 1) + 5 * ((i * 7) % 11) + 40 + (i % 3))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "x1 bigint, x2 bigint, y bigint")
+    lambdas = (0, 10**3, 10**5, 10**9)
+    path = {r["lam"]: r for r in ridge_path_micro(df, "x1", "x2", "y", lambdas).collect()}
+    ols = ols_fit_micro(df, "x1", "x2", "y").collect()[0]
+    assert (path[0]["beta0_micro"], path[0]["beta1_micro"], path[0]["beta2_micro"]) == (
+        ols["beta0_micro"], ols["beta1_micro"], ols["beta2_micro"]
+    )
+    norms = [
+        path[l]["beta1_micro"] ** 2 + path[l]["beta2_micro"] ** 2 for l in lambdas
+    ]
+    assert norms == sorted(norms, reverse=True)
+    assert abs(path[10**9]["beta1_micro"]) < 10**4  # slope ~0 at dominating λ
+    mean_y = sum(r[2] for r in rows) / len(rows)
+    assert abs(path[10**9]["beta0_micro"] / 1e6 - mean_y) < 2.0
