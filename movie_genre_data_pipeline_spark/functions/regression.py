@@ -172,6 +172,58 @@ def ols_fit_micro(
     return ols_solve_micro(ols_gram(df, x1, x2, y, group_cols), group_cols)
 
 
+def corr_pair_sql(a: str, b: str) -> str:
+    """The shared Pearson expression for one pair over DOUBLE-cast exact
+    moments named n, s_<c> (first moments) and p_<c>_<c> (product moments,
+    lexicographic suffix order): ONE fixed-parenthesization string parsed by
+    both engines. Published ×1e6 as an integer — corr's ulp (~1e-16) is ten
+    orders under the half-unit gap, the portable-rounding rule."""
+    lo, hi = sorted((a, b))
+    num = f"(n * p_{lo}_{hi} - s_{a} * s_{b})"
+    den = (
+        f"(sqrt(n * p_{a}_{a} - s_{a} * s_{a})"
+        f" * sqrt(n * p_{b}_{b} - s_{b} * s_{b}))"
+    )
+    return f"CAST(ROUND({num} / {den} * 1000000) AS BIGINT)"
+
+
+def corr_matrix_micro(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """(col_a, col_b, corr_micro): every pairwise Pearson correlation among k
+    INTEGER columns from ONE map-side-combined aggregate — the feature-audit
+    primitive (collinearity screen before a fit, drift detection between
+    snapshots). The scan reduces the corpus to k + k(k+1)/2 moments; product
+    moments accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB oracle)
+    because integer cross-products overflow BIGINT at fact-table scale, and
+    both engines cast the identical exact integer to the identical double.
+    The k(k-1)/2 output rows unfold via one stack() projection — no second
+    scan, no join, no shuffle beyond the d²-sized combine."""
+    if len(cols) < 2:
+        raise ValueError("at least two columns are required")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("bigint")).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            lo, hi = sorted((a, b))
+            aggs.append(
+                F.sum(
+                    (F.col(a).cast("bigint") * F.col(b).cast("bigint")).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                .cast("double")
+                .alias(f"p_{lo}_{hi}")
+            )
+    g = df.agg(*aggs)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {corr_pair_sql(a, b)}" for a, b in pairs
+    )
+    return g.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr_micro)"
+    )
+
+
 def ridge_path_micro(
     df: DataFrame, x1: str, x2: str, y: str, lambdas: tuple[int, ...]
 ) -> DataFrame:

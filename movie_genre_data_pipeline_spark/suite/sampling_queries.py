@@ -534,3 +534,69 @@ FROM g
 
 
 QUERIES["feat_ridge_path"] = QuerySpec(q_feat_ridge_path, _feat_ridge_oracle())
+
+
+# -- feature audit: all-pairs Pearson correlation in one pass (r7) ----------------------
+_CORR_COLS = ("x1", "x2", "d", "y")
+
+
+def q_feat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations among four integer order features — the
+    collinearity screen run before any fit (functions/regression.py:
+    corr_matrix_micro): ONE map-side-combined aggregate produces the exact
+    k + k(k+1)/2 moments (product moments in DECIMAL(38,0)/HUGEINT — integer
+    cross-products overflow BIGINT at fact scale), and the 6 output rows
+    unfold by a stack() projection. The correlation doubles come from shared
+    fixed-order expressions over identical exact-integer-derived operands,
+    published ×1e6 as integers per the portable-rounding rule."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        corr_matrix_micro,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return corr_matrix_micro(feats, _CORR_COLS)
+
+
+def _feat_corr_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        corr_pair_sql,
+    )
+
+    cols = _CORR_COLS
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        moments.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            lo, hi = sorted((a, b))
+            moments.append(
+                f"CAST(SUM(CAST({a} AS HUGEINT) * {b}) AS DOUBLE) AS p_{lo}_{hi}"
+            )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, {corr_pair_sql(a, b)} AS corr_micro FROM g"
+        for a, b in pairs
+    )
+    return f"""
+WITH f AS (
+  SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+         CAST(o_custkey % 25 AS BIGINT) AS x2,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), g AS (
+  SELECT {", ".join(moments)} FROM f
+)
+{rows}
+"""
+
+
+QUERIES["feat_corr_matrix"] = QuerySpec(q_feat_corr_matrix, _feat_corr_oracle())

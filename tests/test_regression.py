@@ -107,3 +107,22 @@ def test_ridge_path_shrinks_and_matches_ols_at_zero(spark):
     assert abs(path[10**9]["beta1_micro"]) < 10**4  # slope ~0 at dominating λ
     mean_y = sum(r[2] for r in rows) / len(rows)
     assert abs(path[10**9]["beta0_micro"] / 1e6 - mean_y) < 2.0
+
+
+def test_corr_matrix_known_answers(spark):
+    """corr(x, x-linear) = ±1e6 exactly; independent alternation ~0; and the
+    matrix has exactly k(k-1)/2 rows with lexicographic-pair labels."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        corr_matrix_micro,
+    )
+
+    rows = [(i, 3 * i + 7, -2 * i + 100, (-1) ** i) for i in range(200)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, c bigint, e bigint")
+    out = {
+        (r["col_a"], r["col_b"]): r["corr_micro"]
+        for r in corr_matrix_micro(df, ("a", "b", "c", "e")).collect()
+    }
+    assert len(out) == 6
+    assert out[("a", "b")] == 10**6       # exact positive linear
+    assert out[("a", "c")] == -(10**6)    # exact negative linear
+    assert abs(out[("a", "e")]) < 20_000  # alternating sign ~ independent
