@@ -430,3 +430,28 @@ def test_ols_gram_is_single_shuffle(spark):
         assert "HashAggregate" in plan, (name, plan)
         assert "partial_sum" in plan, (name, plan)  # map-side combine
         assert "Join" not in plan, (name, plan)
+
+
+def test_ridge_and_corr_stay_single_aggregate(spark):
+    """The ridge path and the correlation matrix must keep the OLS plan
+    contract: the fact scan reduces in ONE map-side-combined aggregate
+    (one exchange — the single-partition final combine), the λ explode /
+    pair stack are projections over that row, and nothing joins."""
+    import re
+
+    for name in ("feat_ridge_path", "feat_corr_matrix"):
+        plan = _plan(spark, name)
+        node_ids = set(re.findall(r"\((\d+)\) Exchange", plan))
+        assert len(node_ids) == 1, (name, plan)
+        assert "partial_sum" in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_er_purged_candidates_broadcast_allowlists_never_cartesian(spark):
+    """The purge allow-lists are vocabulary-sized and must BROADCAST into the
+    candidate equi-joins; the only nested-loop is the one-row candidate-count
+    scalar attach."""
+    plan = _plan(spark, "er_purged_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan  # 1-row scalar ×(tree+details)
+    assert "BroadcastHashJoin" in plan, plan
