@@ -67,6 +67,12 @@ HEADLINE = [
     # Lloyd) — benchable now that the r6 superlinear all-queries scan is gone
     # (53.3s at sf0.1 in r6; the panel protocol is the FAISS benchmark shape)
     "sim_pq_ivfadc",
+    # r7: the scale-safe ER configuration IS benchable at sf0.1 (unlike the
+    # fixed-vocabulary er_union_recall fixture): open entity space + purge
+    # keeps candidates Θ(n). And one guard for the model-fitting family —
+    # the all-pairs correlation screen (one map-side-combined aggregate).
+    "er_purged_recall",
+    "feat_corr_matrix",
 ]
 
 

@@ -67,6 +67,70 @@ def snapshot_diff(
     )
 
 
+def maintain_join_view(
+    view: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_upserts: DataFrame,
+    fact_deletes: DataFrame,
+    dim: DataFrame,
+    dim_updates: DataFrame,
+) -> DataFrame:
+    """Incrementally maintain a materialized fact⋈dim join view from change
+    feeds on BOTH sides — the delta-join rule (ΔV = ΔF⋈D' ∪ F_surviving⋈ΔD)
+    made operational:
+
+    1. retire stale fact rows: anti-join `view` against the upserted ∪
+       deleted fact keys (upserts retire-then-reinsert, so an update is
+       never patched in place and column drift cannot accumulate);
+    2. re-derive the upserted facts against the CURRENT dimension (dim with
+       `dim_updates` applied) — fact deltas must see the new dim or a row
+       whose fact AND dim both changed would resurrect the old attributes;
+    3. apply the dim delta to the SURVIVORS: broadcast left join on the dim
+       key, every column carried by `dim_updates` overwrites via coalesce.
+
+    The result equals a from-scratch F'⋈D' rebuild row-for-row (the suite
+    oracle recomputes; equality is the law) while touching churn-sized
+    deltas: both delta frames broadcast, the survivors path is one anti-join
+    + one broadcast join over the view — no second fact-table scan.
+
+    Contracts: `view` columns = fact columns ∪ dim attribute columns;
+    `fact_upserts` carries the fact columns; `dim`/`dim_updates` carry
+    `dim_key` + the dim attributes (updates may carry a subset)."""
+    up_cols = [c for c in dim_updates.columns if c != dim_key]
+    retired_keys = fact_upserts.select(fact_key).unionByName(
+        fact_deletes.select(fact_key)
+    )
+    survivors = view.join(F.broadcast(retired_keys), fact_key, "left_anti")
+    renamed = dim_updates.select(
+        dim_key, *[F.col(c).alias(f"__new_{c}") for c in up_cols]
+    )
+    survivors = survivors.join(F.broadcast(renamed), dim_key, "left").select(
+        *[
+            F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+            if c in up_cols
+            else F.col(c)
+            for c in view.columns
+        ]
+    )
+    dim_current = dim.join(F.broadcast(renamed), dim_key, "left").select(
+        dim_key,
+        *[
+            F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+            if c in up_cols
+            else F.col(c)
+            for c in dim.columns
+            if c != dim_key
+        ],
+    )
+    dim_cols = [c for c in view.columns if c not in fact_upserts.columns]
+    reinserted = fact_upserts.join(
+        dim_current.select(dim_key, *[c for c in dim_cols if c != dim_key]),
+        dim_key,
+    ).select(*view.columns)
+    return survivors.unionByName(reinserted)
+
+
 def purge_keys(
     df: DataFrame, tombstones: DataFrame, key_cols: Sequence[str]
 ) -> tuple[DataFrame, DataFrame]:

@@ -193,3 +193,73 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_snapshot_diff": QuerySpec(q_cdc_snapshot_diff, Q_CDC_SNAPSHOT_DIFF_ORACLE),
     "ops_purge_cascade": QuerySpec(q_purge_cascade, Q_PURGE_CASCADE_ORACLE),
 }
+
+
+# -- two-sided join-view IVM (r7) ---------------------------------------------------------
+# The materialized-view counterpart to gold_genre_revenue_ivm's AGGREGATE IVM:
+# maintain a fact⋈dim join view from change feeds on BOTH sides (the
+# DBSP/Materialize delta-join rule) and prove it equals a from-scratch rebuild.
+# Feeds are deterministic mod-classes; upserts and deletes are DISJOINT by
+# construction (a key in both would be ambiguous — operator contract).
+JV_REPRICE_MOD = 37  # fact-side updates: order repriced ×2 (exact in binary)
+JV_DELETE_MOD = 41  # fact-side deletes
+JV_MOVE_MOD = 13  # dim-side updates: customer reassigned to a new segment
+
+
+def q_cdc_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance (operators/cdc.py:maintain_join_view):
+    retire-then-reinsert for fact upserts (re-derived against the CURRENT
+    dim), broadcast anti-join for deletes, broadcast coalesce-overwrite for
+    dim updates on the survivors. The oracle recomputes F'⋈D' from scratch —
+    a DIFFERENT algorithm producing the identical row set is the law. Money
+    stays in integer cents throughout (the r6 reprice lesson)."""
+    from movie_genre_data_pipeline_spark.operators.cdc import maintain_join_view
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    facts = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    dim = customer.select("c_custkey", "c_mktsegment")
+    view = facts.join(dim, "c_custkey").select(
+        "o_orderkey", "c_custkey", "price_cents", "c_mktsegment"
+    )
+    fact_upserts = facts.filter(
+        (F.col("o_orderkey") % JV_REPRICE_MOD == 0)
+        & (F.col("o_orderkey") % JV_DELETE_MOD != 0)
+    ).withColumn("price_cents", F.col("price_cents") * 2)
+    fact_deletes = facts.filter(
+        F.col("o_orderkey") % JV_DELETE_MOD == 0
+    ).select("o_orderkey")
+    dim_updates = dim.filter(F.col("c_custkey") % JV_MOVE_MOD == 0).select(
+        "c_custkey", F.lit("REASSIGNED").alias("c_mktsegment")
+    )
+    return maintain_join_view(
+        view,
+        "o_orderkey",
+        "c_custkey",
+        fact_upserts,
+        fact_deletes,
+        dim,
+        dim_updates,
+    )
+
+
+Q_CDC_JOIN_IVM_ORACLE = f"""
+SELECT o.o_orderkey,
+       c.c_custkey,
+       CASE WHEN o.o_orderkey % {JV_REPRICE_MOD} = 0
+            THEN 2 * CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+            ELSE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END AS price_cents,
+       CASE WHEN c.c_custkey % {JV_MOVE_MOD} = 0
+            THEN 'REASSIGNED' ELSE c.c_mktsegment END AS c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % {JV_DELETE_MOD} <> 0
+"""
+
+
+QUERIES.update({
+    "cdc_join_ivm": QuerySpec(q_cdc_join_ivm, Q_CDC_JOIN_IVM_ORACLE),
+})

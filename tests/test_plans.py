@@ -455,3 +455,12 @@ def test_er_purged_candidates_broadcast_allowlists_never_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan  # 1-row scalar ×(tree+details)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_join_view_ivm_broadcasts_deltas(spark):
+    """All three change feeds are churn-sized and must broadcast: the
+    survivors path is one broadcast anti-join + one broadcast left join over
+    the view, never a shuffled join on the delta side."""
+    plan = _plan(spark, "cdc_join_ivm")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

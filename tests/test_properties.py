@@ -834,3 +834,46 @@ def test_compaction_bin_law(spark, sizes, target):
         assert got[b].n_files == len(members)
         assert got[b].first_file == min(members)
         assert got[b].last_file == max(members)
+
+
+# -- join-view IVM: incremental == from-scratch rebuild --------------------------------
+@FAST
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 6), st.integers(1, 99)),
+        min_size=0, max_size=15,
+    ),
+    up_keys=st.lists(st.integers(0, 30), max_size=5, unique=True),
+    del_keys=st.lists(st.integers(0, 30), max_size=5, unique=True),
+    moved=st.lists(st.integers(0, 6), max_size=3, unique=True),
+)
+def test_join_view_ivm_equals_rebuild(spark, facts, up_keys, del_keys, moved):
+    from movie_genre_data_pipeline_spark.operators.cdc import maintain_join_view
+
+    facts = {k: (d, p) for k, d, p in facts}  # unique fact keys
+    up_keys = [k for k in up_keys if k in facts and k not in del_keys]
+    dim_rows = [(d, f"seg{d}") for d in range(7)]
+    fact_df = spark.createDataFrame(
+        [(k, d, p) for k, (d, p) in facts.items()] or [],
+        "fk long, dk long, cents long",
+    )
+    dim = spark.createDataFrame(dim_rows, "dk long, seg string")
+    view = fact_df.join(dim, "dk").select("fk", "dk", "cents", "seg")
+    upserts = spark.createDataFrame(
+        [(k, facts[k][0], facts[k][1] * 2) for k in up_keys] or [],
+        "fk long, dk long, cents long",
+    )
+    deletes = spark.createDataFrame([(k,) for k in del_keys] or [], "fk long")
+    dim_updates = spark.createDataFrame(
+        [(d, "MOVED") for d in moved] or [], "dk long, seg string"
+    )
+    got = sorted(
+        tuple(r) for r in maintain_join_view(
+            view, "fk", "dk", upserts, deletes, dim, dim_updates
+        ).collect()
+    )
+    want = sorted(
+        (k, d, p * 2 if k in up_keys else p, "MOVED" if d in moved else f"seg{d}")
+        for k, (d, p) in facts.items() if k not in del_keys
+    )
+    assert got == want
