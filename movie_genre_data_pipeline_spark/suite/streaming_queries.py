@@ -1133,6 +1133,127 @@ def _stream_gold_ivm_oracle() -> str:
     return Q_GOLD_GENRE_REVENUE_IVM_ORACLE
 
 
+def q_stream_cdc_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous JOIN-view maintenance: the two-sided change feed
+    (fact upserts / fact deletes / dim updates in ONE typed stream, split
+    across micro-batches in arbitrary order) folds through
+    operators/cdc.py:maintain_join_view per batch, with the dimension state
+    folded first so later fact deltas re-derive against the dim as-of their
+    batch. Each change key occurs once in the feed, so the fold is
+    batch-split-independent: a fact row reinserted in batch i still receives
+    batch j>i's dim update via the survivors path, and a dim update landing
+    first is already in the dim state when its fact row reinserts. The final
+    view equals the one-shot batch maintenance row-for-row — this query
+    shares cdc_join_ivm's from-scratch rebuild oracle verbatim. 100 TB shape:
+    per-batch cost is broadcast-delta-sized against the view, never a fact
+    rescan."""
+    from movie_genre_data_pipeline_spark.fsutil import vacuum_generations
+    from movie_genre_data_pipeline_spark.operators.cdc import maintain_join_view
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        JV_DELETE_MOD,
+        JV_MOVE_MOD,
+        JV_REPRICE_MOD,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="stream_cdc_join_ivm_")
+    src = f"{base_dir}/src"
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    facts = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    dim = customer.select("c_custkey", "c_mktsegment")
+    view0 = facts.join(dim, "c_custkey").select(
+        "o_orderkey", "c_custkey", "price_cents", "c_mktsegment"
+    )
+    ups = (
+        facts.filter(
+            (F.col("o_orderkey") % JV_REPRICE_MOD == 0)
+            & (F.col("o_orderkey") % JV_DELETE_MOD != 0)
+        )
+        .withColumn("price_cents", F.col("price_cents") * 2)
+        .select(
+            F.lit("fact_upsert").alias("kind"),
+            "o_orderkey",
+            "c_custkey",
+            "price_cents",
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+    )
+    dels = facts.filter(F.col("o_orderkey") % JV_DELETE_MOD == 0).select(
+        F.lit("fact_delete").alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("bigint").alias("price_cents"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    dimu = dim.filter(F.col("c_custkey") % JV_MOVE_MOD == 0).select(
+        F.lit("dim_update").alias("kind"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "c_custkey",
+        F.lit(None).cast("bigint").alias("price_cents"),
+        F.lit("REASSIGNED").alias("c_mktsegment"),
+    )
+    ups.unionByName(dels).unionByName(dimu).repartition(3).write.parquet(src)
+    feed_schema = spark.read.parquet(src).schema
+
+    gen = {"n": 0}
+    view0.write.parquet(f"{base_dir}/view_0")
+    dim.write.parquet(f"{base_dir}/dim_0")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev_view = spark.read.parquet(f"{base_dir}/view_{gen['n']}")
+        prev_dim = spark.read.parquet(f"{base_dir}/dim_{gen['n']}")
+        b_ups = batch_df.filter(F.col("kind") == "fact_upsert").select(
+            "o_orderkey", "c_custkey", "price_cents"
+        )
+        b_dels = batch_df.filter(F.col("kind") == "fact_delete").select(
+            "o_orderkey"
+        )
+        b_dimu = batch_df.filter(F.col("kind") == "dim_update").select(
+            "c_custkey", "c_mktsegment"
+        )
+        nxt_view = maintain_join_view(
+            prev_view, "o_orderkey", "c_custkey", b_ups, b_dels, prev_dim, b_dimu
+        )
+        renamed = b_dimu.select(
+            "c_custkey", F.col("c_mktsegment").alias("__new_seg")
+        )
+        nxt_dim = prev_dim.join(F.broadcast(renamed), "c_custkey", "left").select(
+            "c_custkey",
+            F.coalesce(F.col("__new_seg"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+        )
+        gen["n"] += 1
+        nxt_view.write.parquet(f"{base_dir}/view_{gen['n']}")
+        nxt_dim.write.parquet(f"{base_dir}/dim_{gen['n']}")
+        vacuum_generations(base_dir, "view", keep=2)
+        vacuum_generations(base_dir, "dim", keep=2)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{base_dir}/view_{gen['n']}")
+
+
+def _stream_cdc_join_ivm_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        Q_CDC_JOIN_IVM_ORACLE,
+    )
+
+    return Q_CDC_JOIN_IVM_ORACLE
+
+
 def _stream_scd2_oracle() -> str:
     from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
         Q_MERGE_SCD2_ORACLE,
@@ -1145,6 +1266,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_window": QuerySpec(q_stream_tumbling, Q_STREAM_TUMBLING_ORACLE),
     "stream_scd2_incremental": QuerySpec(q_stream_scd2, _stream_scd2_oracle()),
     "stream_gold_ivm": QuerySpec(q_stream_gold_ivm, _stream_gold_ivm_oracle()),
+    "stream_cdc_join_ivm": QuerySpec(
+        q_stream_cdc_join_ivm, _stream_cdc_join_ivm_oracle()
+    ),
     "stream_dq_drift": QuerySpec(q_stream_dq_drift, _stream_dq_drift_oracle()),
     "stream_ops_fingerprint": QuerySpec(
         q_stream_ops_fingerprint, _stream_fp_oracle()
