@@ -59,7 +59,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # graph_kcore_trade, ts_seasonal_naive_backtest, sim_pair_counts,
     # sim_embedding_stats, stream_ops_fingerprint, stream_sessionize,
     # stream_incremental_dedup, stream_dedup, stream_text_keyness,
-    # stream_mine_pairs, stream_ab_report, jsonl/orc siblings as rotated.
+    # stream_mine_pairs, stream_ab_report, jsonl/orc siblings as rotated,
+    # plus the later-r7 additions (never driver-checked, all locally
+    # exact-verified at sf0.001 AND sf0.01-vanilla): er_purged_recall,
+    # feat_ridge_path, feat_corr_matrix, cdc_join_ivm, stream_cdc_join_ivm.
     # TPC-H shapes never driver-run (q4 q8 q10-q12 q14 q15 q19 q20)
     "tpch_q4",
     "tpch_q8",

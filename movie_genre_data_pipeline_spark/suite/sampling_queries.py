@@ -600,3 +600,52 @@ WITH f AS (
 
 
 QUERIES["feat_corr_matrix"] = QuerySpec(q_feat_corr_matrix, _feat_corr_oracle())
+
+
+# -- leakage-safe splitting: assign by GROUP, not by row (r7) ----------------------------
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test assignment — the leakage defense row-level
+    splitting cannot give: the fold is a pure function of the CUSTOMER key,
+    so every order of a customer lands in one fold and evaluation never sees
+    a training customer's sibling rows (near-duplicate leakage). Same
+    md5-threshold machinery as sample_stratified_split, keyed on the group;
+    no-group-spans-folds is structural (a deterministic function of the key)
+    and pinned in tests/test_sampling.py. Scale shape: the label is a scan-
+    local projection on the fact table — no join, no shuffle before the
+    summary aggregate."""
+    from movie_genre_data_pipeline_spark.functions.sampling import assign_split
+
+    o = load(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        assign_split("o_custkey", _SPLITS),
+    )
+    return labeled.groupBy("split").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_groups"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+def _group_split_oracle() -> str:
+    t_train = hex_threshold(0.8)
+    t_val = hex_threshold(0.9)
+    return f"""
+WITH labeled AS (
+  SELECT o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN md5(o_custkey || ':split') < '{t_train}' THEN 'train'
+              WHEN md5(o_custkey || ':split') < '{t_val}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM orders
+)
+SELECT split,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM labeled GROUP BY split
+"""
+
+
+QUERIES["sample_group_split"] = QuerySpec(q_sample_group_split, _group_split_oracle())

@@ -125,3 +125,32 @@ def test_temperature_resample_lifts_low_resource(spark):
     assert counts == again
     # empty input yields empty output, not an error
     assert temperature_resample(df.limit(0), "doc_id", "lang", 400).count() == 0
+
+
+def test_group_split_never_leaks_a_group_across_folds(spark):
+    """The leakage law: every customer's orders share ONE fold under the
+    group-keyed assignment, while the row-keyed assignment (same machinery,
+    keyed on the order) demonstrably splits some customer — the difference
+    IS the operator's reason to exist."""
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.sampling import assign_split
+    from movie_genre_data_pipeline_spark.suite import load
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    by_group = o.select("o_custkey", assign_split("o_custkey"))
+    spans = (
+        by_group.groupBy("o_custkey")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    by_row = o.select("o_custkey", assign_split("o_orderkey"))
+    leaky = (
+        by_row.groupBy("o_custkey")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaky > 0
