@@ -173,6 +173,43 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "mgdp") -> list[list[float]
     return planes
 
 
+def sign_matrix(k: int, dim: int, seed: str = "mgdp-jl") -> list[list[int]]:
+    """Deterministic ±1 projection matrix (k rows × dim), seeded via md5 parity —
+    the Achlioptas/JL database-friendly random projection, with the matrix a
+    reproducible constant instead of RNG state: both the Spark plan and the
+    generated SQL oracle embed the SAME literal rows, so sign portability is
+    structural, not probabilistic."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def project_signed(vec_col: str | Column, signs: list[list[int]]) -> Column:
+    """array<bigint> of len(signs): the signed-sum random projection of a
+    QUANTIZED vector column (functions/kmeans.quantize_vectors — integral
+    doubles) — proj[j] = Σ_i signs[j][i]·v[i]. The fold stays in double
+    (signed sums of ±1e6-scale integrals stay ≪ 2^53, exact in any order) and
+    each component publishes as BIGINT so downstream squared distances run in
+    exact 64-bit integer arithmetic (they exceed 2^53). One literal matrix
+    node + k zip_with folds, scan-local, no shuffle: the d→k reduction every
+    downstream ANN/dedup pass then enjoys."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    srows = F.lit(signs)
+    return F.transform(
+        srows,
+        lambda srow: F.aggregate(
+            F.zip_with(v, srow, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).cast("bigint"),
+    )
+
+
 def lsh_bucket(vec_col: str | Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id (0 .. 2^b - 1) from `planes` (int). Vectors with the same
     bucket are candidate neighbors."""

@@ -1150,3 +1150,109 @@ SELECT vid, neighbor, cos_sim, rnk FROM ranked WHERE rnk <= 1
 
 
 QUERIES["sim_topk_hashed"] = QuerySpec(q_topk_hashed, _topk_hashed_oracle())
+
+
+# -- Johnson-Lindenstrauss random projection (r7) -----------------------------------------
+# The d→k reduction a 100 TB embedding pipeline runs before ANN/dedup passes:
+# a ±1 signed projection (Achlioptas 2003's database-friendly JL transform) is
+# one scan-local literal-matrix fold — no shuffle, no training — and the JL
+# lemma bounds the pairwise-distance distortion. The sign matrix is a
+# DETERMINISTIC md5-parity constant embedded as the SAME literal in the Spark
+# plan and the generated oracle SQL, so sign portability is structural.
+# Distortion is measured on the deterministic (even vid, vid+1) pair panel:
+# E[d_proj²] = k·d_orig², so distortion_micro = d_proj²·1e6/(k·d_orig²)
+# concentrates at 1e6. Projection sums stay ≪ 2^53 (exact double fold,
+# published BIGINT); the projected squared distances EXCEED 2^53 and therefore
+# run in exact 64-bit integer arithmetic.
+JL_K = 16
+
+_JL_DIST_SQL = (
+    f"CAST(ROUND(CAST(dp2 AS DOUBLE) * 1000000.0 / {JL_K}.0 / do2) AS BIGINT)"
+)
+_JL_OUT_SQL = {
+    "n_pairs": "CAST(COUNT(*) AS BIGINT)",
+    "mean_dist_micro": "CAST(ROUND(AVG(dist_micro)) AS BIGINT)",
+    "min_dist_micro": "CAST(MIN(dist_micro) AS BIGINT)",
+    "max_dist_micro": "CAST(MAX(dist_micro) AS BIGINT)",
+}
+
+
+def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        project_signed,
+        sign_matrix,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding")
+    proj = q.select(
+        "vid", "vq", project_signed("vq", sign_matrix(JL_K, DIM)).alias("pv")
+    )
+    a = proj.select(
+        F.col("vid").alias("avid"),
+        F.col("vq").alias("va"),
+        F.col("pv").alias("pa"),
+    ).filter(F.col("avid") % 2 == 0)
+    b = proj.select(
+        F.col("vid").alias("bvid"),
+        F.col("vq").alias("vb"),
+        F.col("pv").alias("pb"),
+    )
+    pairs = a.join(b, a["avid"] + 1 == b["bvid"]).select(
+        F.aggregate(
+            F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).alias("dp2"),
+        _pq_sqd_col(F.col("va"), F.col("vb")).alias("do2"),
+    )
+    scored = pairs.selectExpr(f"{_JL_DIST_SQL} AS dist_micro")
+    return scored.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in _JL_OUT_SQL.items()]
+    )
+
+
+def _sim_random_projection_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.similarity import sign_matrix
+
+    signs_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(s) for s in row) + "]"
+            for row in sign_matrix(JL_K, DIM)
+        )
+        + "]"
+    )
+    outs = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in _JL_OUT_SQL.items()
+    )
+    return f"""
+WITH {_PQ_EQ_CTE},
+proj AS (
+  SELECT vid, vq,
+         list_transform({signs_lit},
+           srow -> CAST(list_aggregate(
+             list_transform(generate_series(1, {DIM}), i -> vq[i] * srow[i]),
+             'sum') AS BIGINT)) AS pv
+  FROM eq
+),
+pairs AS (
+  SELECT list_aggregate(list_transform(generate_series(1, {JL_K}),
+           j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])), 'sum') AS dp2,
+         {_pq_sqd("a.vq", "b.vq", DIM)} AS do2
+  FROM proj a JOIN proj b ON a.vid + 1 = b.vid
+  WHERE a.vid % 2 = 0
+),
+scored AS (
+  SELECT {_JL_DIST_SQL} AS dist_micro FROM pairs
+)
+SELECT {outs}
+FROM scored
+"""
+
+
+QUERIES["sim_random_projection"] = QuerySpec(
+    q_sim_random_projection, _sim_random_projection_oracle()
+)

@@ -1,0 +1,46 @@
+"""Similarity-function laws: the JL signed random projection (exactness of
+the integer projection and distance-distortion concentration in k)."""
+
+from __future__ import annotations
+
+
+def test_random_projection_concentration_improves_with_k(spark):
+    """JL concentration: the signed projection's distance-distortion spread
+    tightens as k grows (k=64 strictly tighter than k=4 on the same pairs),
+    and every projection component is the exact signed integer sum."""
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        project_signed,
+        sign_matrix,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding")
+
+    def spread(k: int) -> float:
+        proj = q.select("vid", "vq", project_signed("vq", sign_matrix(k, 64)).alias("pv"))
+        a = proj.selectExpr("vid AS avid", "vq AS va", "pv AS pa").filter("avid % 2 = 0")
+        b = proj.selectExpr("vid AS bvid", "vq AS vb", "pv AS pb")
+        rows = (
+            a.join(b, F.expr("avid + 1 = bvid"))
+            .selectExpr(
+                "aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t) AS dp2",
+                "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t) AS do2",
+            )
+            .selectExpr(f"CAST(dp2 AS DOUBLE) / {k} / do2 AS r")
+            .collect()
+        )
+        rs = [r["r"] for r in rows]
+        return max(rs) - min(rs)
+
+    assert spread(64) < spread(4)
+
+    one = q.filter(F.col("vid") == 0).select(
+        "vq", project_signed("vq", sign_matrix(2, 64)).alias("pv")
+    ).collect()[0]
+    signs = sign_matrix(2, 64)
+    for j in range(2):
+        assert one["pv"][j] == int(sum(s * v for s, v in zip(signs[j], one["vq"])))
