@@ -1214,7 +1214,9 @@ def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sim_random_projection_oracle() -> str:
+def _jl_proj_cte() -> str:
+    """proj(vid, vq, pv): the signed projection replayed in SQL, with the
+    SAME literal sign rows the Spark plan embeds."""
     from movie_genre_data_pipeline_spark.functions.similarity import sign_matrix
 
     signs_lit = (
@@ -1225,19 +1227,23 @@ def _sim_random_projection_oracle() -> str:
         )
         + "]"
     )
-    outs = ",\n       ".join(
-        f"{expr} AS {name}" for name, expr in _JL_OUT_SQL.items()
-    )
-    return f"""
-WITH {_PQ_EQ_CTE},
-proj AS (
+    return f"""proj AS (
   SELECT vid, vq,
          list_transform({signs_lit},
            srow -> CAST(list_aggregate(
              list_transform(generate_series(1, {DIM}), i -> vq[i] * srow[i]),
              'sum') AS BIGINT)) AS pv
   FROM eq
-),
+)"""
+
+
+def _sim_random_projection_oracle() -> str:
+    outs = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in _JL_OUT_SQL.items()
+    )
+    return f"""
+WITH {_PQ_EQ_CTE},
+{_jl_proj_cte()},
 pairs AS (
   SELECT list_aggregate(list_transform(generate_series(1, {JL_K}),
            j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])), 'sum') AS dp2,
@@ -1255,4 +1261,81 @@ FROM scored
 
 QUERIES["sim_random_projection"] = QuerySpec(
     q_sim_random_projection, _sim_random_projection_oracle()
+)
+
+
+# -- search IN the projected space: recall of JL top-1 vs exact (r7) ----------------------
+def q_sim_topk_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The projection doing its job: nearest-neighbor search runs ENTIRELY in
+    the k-dim projected space (16 exact-BIGINT component diffs per pair
+    instead of 64), and recall@1 is measured against exact L2 over the raw
+    quantized vectors on the standard fixed query panel. The honest JL
+    search trade: distance RANKS survive projection only approximately, so
+    recall lands well below the cell-pruned ADC variants — this query prices
+    that loss; production composes the projection with a rerank stage
+    (shortlist in k dims, rerank survivors in d). Fully oracled: the sign
+    matrix, projection, pair scan, and exact baseline all replay in SQL."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        project_signed,
+        sign_matrix,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    proj = q.select(
+        "vid", project_signed("vq", sign_matrix(JL_K, DIM)).alias("pv")
+    )
+    qs = _pq_query_panel(q)
+    a = proj.join(qs, "vid").select("vid", F.col("pv").alias("pa"))
+    b = proj.select(F.col("vid").alias("neighbor"), F.col("pv").alias("pb"))
+    adc = a.join(b, F.col("vid") != F.col("neighbor")).select(
+        "vid",
+        "neighbor",
+        F.aggregate(
+            F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).alias("adc"),
+    )
+    return _pq_recall_tail(q, qs, adc)
+
+
+def _sim_topk_projected_oracle() -> str:
+    sqd = _pq_sqd
+    return f"""
+WITH {_PQ_EQ_CTE},
+{_jl_proj_cte()},
+qs AS (SELECT vid FROM eq ORDER BY vid LIMIT {PQ_NQ}),
+pairs AS (
+  SELECT a.vid AS vid, b.vid AS neighbor,
+         list_aggregate(list_transform(generate_series(1, {JL_K}),
+           j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])), 'sum') AS adc
+  FROM proj a JOIN qs ON qs.vid = a.vid
+  JOIN proj b ON a.vid <> b.vid
+),
+approx AS (SELECT vid, neighbor FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY adc ASC, neighbor ASC) AS rn FROM pairs)
+           WHERE rn = 1),
+exactp AS (SELECT a.vid AS vid, b.vid AS neighbor,
+                  {sqd("a.vq", "b.vq", DIM)} AS d
+           FROM eq a JOIN qs ON qs.vid = a.vid
+           JOIN eq b ON a.vid <> b.vid),
+exbest AS (SELECT vid, MIN(d) AS d_min FROM exactp GROUP BY vid),
+dch AS (SELECT ap.vid, ep.d AS d_chosen
+        FROM approx ap JOIN exactp ep
+             ON ep.vid = ap.vid AND ep.neighbor = ap.neighbor)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN d.d_chosen = x.d_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(AVG(CASE WHEN d.d_chosen = x.d_min THEN 1.0 ELSE 0.0 END), 6)
+         AS recall_at_1
+FROM exbest x LEFT JOIN dch d USING (vid)
+"""
+
+
+QUERIES["sim_topk_projected"] = QuerySpec(
+    q_sim_topk_projected, _sim_topk_projected_oracle()
 )
