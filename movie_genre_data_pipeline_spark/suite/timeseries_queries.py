@@ -555,3 +555,72 @@ FROM agg
 
 
 QUERIES["ab_experiment_report"] = QuerySpec(q_ab_experiment_report, _ab_oracle())
+
+
+# -- exponential smoothing in exact dyadic fixed point (r7) -------------------------------
+# EWMA with α=1/2 truncated at 16 lags: the weight α(1−α)^k = 2^-(k+1) is a
+# POWER OF TWO, so the whole smoother runs in integer arithmetic —
+# ewma_fp = Σ_{k=0..15} v_{t-k}·2^(15-k) over cent-quantized values (the
+# implicit denominator is 2^16; truncation tail ≤ 2^-16 of mass). No pow(),
+# no float recursion — a 16-term LAG window both engines evaluate bit-
+# identically, published as exact BIGINT fixed point. Only rows with a FULL
+# lag window publish (rn ≥ 16), so no edge-normalization arithmetic exists
+# to drift. Scale shape: one window per event_type series, parallel across
+# series — the window_running_sum single-series caveat applies within one.
+EWMA_LAGS = 16
+
+_EWMA_OVER = "OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)"
+_EWMA_FP_SQL = "(" + " + ".join(
+    f"v * {2 ** (EWMA_LAGS - 1)}" if k == 0
+    else f"COALESCE(LAG(v, {k}) {_EWMA_OVER}, 0) * {2 ** (EWMA_LAGS - 1 - k)}"
+    for k in range(EWMA_LAGS)
+) + ")"
+
+
+def q_ts_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series truncated EWMA over the events table, digested to exact
+    per-type trajectory stats (point count, min/max over the smoothed path,
+    and the final smoothed level via MAX_BY on the row number)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    smoothed = base.selectExpr(
+        "event_type",
+        f"{_EWMA_FP_SQL} AS ewma_fp",
+        f"ROW_NUMBER() {_EWMA_OVER} AS rn",
+    ).filter(F.col("rn") >= EWMA_LAGS)
+    return smoothed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("ewma_fp").cast("bigint").alias("ewma_min_fp"),
+        F.max("ewma_fp").cast("bigint").alias("ewma_max_fp"),
+        F.expr("MAX_BY(ewma_fp, rn)").cast("bigint").alias("ewma_last_fp"),
+    )
+
+
+Q_TS_EWMA_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+smoothed AS (
+  SELECT event_type,
+         {_EWMA_FP_SQL} AS ewma_fp,
+         ROW_NUMBER() {_EWMA_OVER} AS rn
+  FROM base
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(ewma_fp) AS BIGINT) AS ewma_min_fp,
+       CAST(MAX(ewma_fp) AS BIGINT) AS ewma_max_fp,
+       CAST(MAX_BY(ewma_fp, rn) AS BIGINT) AS ewma_last_fp
+FROM smoothed WHERE rn >= {EWMA_LAGS}
+GROUP BY event_type
+"""
+
+
+QUERIES["ts_ewma_events"] = QuerySpec(q_ts_ewma_events, Q_TS_EWMA_ORACLE)
