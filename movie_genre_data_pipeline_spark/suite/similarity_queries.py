@@ -1339,3 +1339,108 @@ FROM exbest x LEFT JOIN dch d USING (vid)
 QUERIES["sim_topk_projected"] = QuerySpec(
     q_sim_topk_projected, _sim_topk_projected_oracle()
 )
+
+
+# -- shortlist-then-rerank: the production JL composition (r7) ----------------------------
+JL_SHORTLIST = 10
+
+
+def q_sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition sim_topk_projected's docstring prescribes: shortlist
+    the JL_SHORTLIST nearest candidates PER QUERY in the 16-dim projected
+    space (cheap exact-BIGINT distances), then rerank only the shortlist by
+    exact L2 in full dimension. Recall@1 = P[true NN ∈ shortlist] — the
+    candidate-recall law of every two-stage ANN system, and ≥ the
+    projected-only recall by construction (reranking a superset that
+    contains the projected argmin can only fix picks, never break them;
+    pinned in tests/test_similarity.py). Per-query cost: n k-dim
+    comparisons + JL_SHORTLIST d-dim comparisons, vs n d-dim for exact."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        project_signed,
+        sign_matrix,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    proj = q.select(
+        "vid", project_signed("vq", sign_matrix(JL_K, DIM)).alias("pv")
+    )
+    qs = _pq_query_panel(q)
+    a = proj.join(qs, "vid").select("vid", F.col("pv").alias("pa"))
+    b = proj.select(F.col("vid").alias("neighbor"), F.col("pv").alias("pb"))
+    pdist = a.join(b, F.col("vid") != F.col("neighbor")).select(
+        "vid",
+        "neighbor",
+        F.aggregate(
+            F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).alias("pd2"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("pd2").asc(), F.col("neighbor").asc())
+    shortlist = (
+        pdist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= JL_SHORTLIST)
+        .select("vid", "neighbor")
+    )
+    qa = q.select(F.col("vid"), F.col("vq").alias("va"))
+    qb = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
+    adc = (
+        shortlist.join(qa, "vid")
+        .join(qb, "neighbor")
+        .select("vid", "neighbor", _pq_sqd_col(F.col("va"), F.col("vb")).alias("adc"))
+    )
+    return _pq_recall_tail(q, qs, adc)
+
+
+def _sim_topk_rerank_oracle() -> str:
+    sqd = _pq_sqd
+    return f"""
+WITH {_PQ_EQ_CTE},
+{_jl_proj_cte()},
+qs AS (SELECT vid FROM eq ORDER BY vid LIMIT {PQ_NQ}),
+pdist AS (
+  SELECT a.vid AS vid, b.vid AS neighbor,
+         list_aggregate(list_transform(generate_series(1, {JL_K}),
+           j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])), 'sum') AS pd2
+  FROM proj a JOIN qs ON qs.vid = a.vid
+  JOIN proj b ON a.vid <> b.vid
+),
+shortlist AS (
+  SELECT vid, neighbor FROM
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+             ORDER BY pd2 ASC, neighbor ASC) AS rn FROM pdist)
+  WHERE rn <= {JL_SHORTLIST}
+),
+pairs AS (
+  SELECT s.vid, s.neighbor, {sqd("a.vq", "b.vq", DIM)} AS adc
+  FROM shortlist s
+  JOIN eq a ON a.vid = s.vid
+  JOIN eq b ON b.vid = s.neighbor
+),
+approx AS (SELECT vid, neighbor FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY adc ASC, neighbor ASC) AS rn FROM pairs)
+           WHERE rn = 1),
+exactp AS (SELECT a.vid AS vid, b.vid AS neighbor,
+                  {sqd("a.vq", "b.vq", DIM)} AS d
+           FROM eq a JOIN qs ON qs.vid = a.vid
+           JOIN eq b ON a.vid <> b.vid),
+exbest AS (SELECT vid, MIN(d) AS d_min FROM exactp GROUP BY vid),
+dch AS (SELECT ap.vid, ep.d AS d_chosen
+        FROM approx ap JOIN exactp ep
+             ON ep.vid = ap.vid AND ep.neighbor = ap.neighbor)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN d.d_chosen = x.d_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(AVG(CASE WHEN d.d_chosen = x.d_min THEN 1.0 ELSE 0.0 END), 6)
+         AS recall_at_1
+FROM exbest x LEFT JOIN dch d USING (vid)
+"""
+
+
+QUERIES["sim_topk_rerank"] = QuerySpec(q_sim_topk_rerank, _sim_topk_rerank_oracle())

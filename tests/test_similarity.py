@@ -44,3 +44,17 @@ def test_random_projection_concentration_improves_with_k(spark):
     signs = sign_matrix(2, 64)
     for j in range(2):
         assert one["pv"][j] == int(sum(s * v for s, v in zip(signs[j], one["vq"])))
+
+
+def test_rerank_recall_dominates_projected_only(spark):
+    """The two-stage law: exact reranking of a shortlist that contains the
+    projected argmin can only fix picks, never break them, so rerank
+    recall@1 >= projected-only recall@1."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    proj_only = qs["sim_topk_projected"].fn(spark, sf).collect()[0]
+    rerank = qs["sim_topk_rerank"].fn(spark, sf).collect()[0]
+    assert rerank["n_queries"] == proj_only["n_queries"]
+    assert rerank["n_hits"] >= proj_only["n_hits"]
