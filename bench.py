@@ -73,6 +73,8 @@ HEADLINE = [
     # the all-pairs correlation screen (one map-side-combined aggregate).
     "er_purged_recall",
     "feat_corr_matrix",
+    # r7: join-view IVM (churn-sized broadcast deltas against the view)
+    "cdc_join_ivm",
 ]
 
 

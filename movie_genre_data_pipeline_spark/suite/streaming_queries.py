@@ -1566,3 +1566,158 @@ def _stream_ols_oracle() -> str:
 QUERIES["stream_ols_normal_eq"] = QuerySpec(
     q_stream_ols_normal_eq, _stream_ols_oracle()
 )
+
+
+def q_stream_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous exponential smoothing — the first RECENCY-WEIGHTED member
+    of the streaming-ledger family, and the one whose fold is inherently
+    ORDER-SENSITIVE (unlike the additive/presence ledgers): batches must
+    arrive in time order, which the fixture guarantees by writing one file
+    per time-range bucket with forced ascending mtimes (FileStreamSource
+    processes availableNow files in modification-time order) —
+    "in-order delivery" is the contract a log-compacted topic or
+    time-partitioned landing zone provides in production. State per series
+    is BOUNDED: the (EWMA_LAGS−1)-row value tail (the only history the next
+    batch's lag window needs), the running global row count (so the
+    full-window rn≥16 rule matches the batch query), and the additive
+    digest (n/min/max/last). Each batch prepends the carried tail, runs the
+    SAME 16-lag integer window, digests only its own full-window rows, and
+    writes back the new tail. The final digest equals the batch smoother
+    bit-for-bit — shares ts_ewma_events' oracle verbatim."""
+    from movie_genre_data_pipeline_spark.fsutil import vacuum_generations
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        _EWMA_FP_SQL,
+        _EWMA_OVER,
+        EWMA_LAGS,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="stream_ts_ewma_")
+    src = f"{base_dir}/src"
+    os.makedirs(src)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    # one file per time-range bucket, mtimes forced ascending = in-order feed
+    cuts = base.selectExpr(
+        "percentile_approx(event_id, 0.34) AS c1",
+        "percentile_approx(event_id, 0.67) AS c2",
+    ).collect()[0]
+    for i, cond in enumerate(
+        (
+            F.col("event_id") <= cuts["c1"],
+            (F.col("event_id") > cuts["c1"]) & (F.col("event_id") <= cuts["c2"]),
+            F.col("event_id") > cuts["c2"],
+        )
+    ):
+        # event_id is assigned in ts order in the fixture tables, so id-range
+        # buckets are time-range buckets; coalesce(1) = one file per batch
+        base.filter(cond).coalesce(1).write.parquet(f"{base_dir}/b{i}")
+        part = next(
+            p for p in os.listdir(f"{base_dir}/b{i}") if p.endswith(".parquet")
+        )
+        dst = f"{src}/bucket_{i}.parquet"
+        os.rename(f"{base_dir}/b{i}/{part}", dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    feed_schema = spark.read.parquet(src).schema
+
+    gen = {"n": 0}
+    empty_tail = spark.createDataFrame(
+        [], "event_type string, ts timestamp, event_id bigint, v bigint, base_rn bigint"
+    )
+    empty_digest = spark.createDataFrame(
+        [],
+        "event_type string, n_points bigint, ewma_min_fp bigint,"
+        " ewma_max_fp bigint, ewma_last_fp bigint, last_rn bigint",
+    )
+    empty_tail.write.parquet(f"{base_dir}/tail_0")
+    empty_digest.write.parquet(f"{base_dir}/digest_0")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tail = spark.read.parquet(f"{base_dir}/tail_{gen['n']}")
+        digest = spark.read.parquet(f"{base_dir}/digest_{gen['n']}")
+        # global row offset per series = max base_rn carried on the tail
+        merged = tail.unionByName(
+            batch_df.withColumn("base_rn", F.lit(None).cast("bigint"))
+        )
+        smoothed = merged.selectExpr(
+            "event_type",
+            "ts",
+            "event_id",
+            "v",
+            "base_rn",
+            f"{_EWMA_FP_SQL} AS ewma_fp",
+            f"ROW_NUMBER() {_EWMA_OVER} AS local_rn",
+        )
+        # rebase to global row numbers: tail rows carry their global rn
+        offset = smoothed.groupBy("event_type").agg(
+            F.coalesce(F.max("base_rn"), F.lit(0)).alias("off"),
+            F.coalesce(F.count("base_rn"), F.lit(0)).alias("n_tail"),
+        )
+        glob = smoothed.join(F.broadcast(offset), "event_type").withColumn(
+            "rn", F.col("local_rn") - F.col("n_tail") + F.col("off")
+        )
+        fresh = glob.filter(F.col("base_rn").isNull())
+        contrib = fresh.filter(F.col("rn") >= EWMA_LAGS).groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("ewma_fp").cast("bigint").alias("ewma_min_fp"),
+            F.max("ewma_fp").cast("bigint").alias("ewma_max_fp"),
+            F.expr("MAX_BY(ewma_fp, rn)").cast("bigint").alias("ewma_last_fp"),
+            F.max("rn").cast("bigint").alias("last_rn"),
+        )
+        folded = (
+            digest.unionByName(contrib)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_points").cast("bigint").alias("n_points"),
+                F.min("ewma_min_fp").cast("bigint").alias("ewma_min_fp"),
+                F.max("ewma_max_fp").cast("bigint").alias("ewma_max_fp"),
+                F.expr("MAX_BY(ewma_last_fp, last_rn)")
+                .cast("bigint")
+                .alias("ewma_last_fp"),
+                F.max("last_rn").cast("bigint").alias("last_rn"),
+            )
+        )
+        from pyspark.sql import Window
+
+        wdesc = Window.partitionBy("event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        new_tail = (
+            glob.withColumn("__k", F.row_number().over(wdesc))
+            .filter(F.col("__k") <= EWMA_LAGS - 1)
+            .select("event_type", "ts", "event_id", "v", F.col("rn").alias("base_rn"))
+        )
+        gen["n"] += 1
+        new_tail.write.parquet(f"{base_dir}/tail_{gen['n']}")
+        folded.write.parquet(f"{base_dir}/digest_{gen['n']}")
+        vacuum_generations(base_dir, "tail", keep=2)
+        vacuum_generations(base_dir, "digest", keep=2)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{base_dir}/digest_{gen['n']}").select(
+        "event_type", "n_points", "ewma_min_fp", "ewma_max_fp", "ewma_last_fp"
+    )
+
+
+def _stream_ts_ewma_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        Q_TS_EWMA_ORACLE,
+    )
+
+    return Q_TS_EWMA_ORACLE
+
+
+QUERIES["stream_ts_ewma"] = QuerySpec(q_stream_ts_ewma, _stream_ts_ewma_oracle())
