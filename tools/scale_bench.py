@@ -58,6 +58,11 @@ SCALE_QUERIES = [
     # block purging, customer entity space grows with n) — the near-linear
     # counterpart to er_union_recall's documented fixed-vocabulary growth
     "er_purged_recall",
+    # r7: join-view IVM (deltas and view both grow with the fact side — work
+    # must stay ∝ n) and the JL shortlist+rerank search (panel·n k-dim scan
+    # + panel·S d-dim rerank — linear in n by construction)
+    "cdc_join_ivm",
+    "sim_topk_rerank",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
