@@ -977,3 +977,105 @@ FROM t
 QUERIES["ops_dataset_fingerprint"] = QuerySpec(
     q_ops_dataset_fingerprint, Q_OPS_DATASET_FINGERPRINT_ORACLE
 )
+
+# -- robust outlier detection: median/MAD, fully integer (r7) -----------------------------
+# The mean-based rolling z-score (ts_anomaly_zscore) breaks when the
+# contamination it hunts inflates the mean/stddev; the robust version uses
+# the median and the Median Absolute Deviation, whose 50% breakdown point is
+# what production quality filters rely on. Exactness: values are integer
+# cents, the median is the LOWER median (the element at rank (n+1) DIV 2
+# under a total order — no interpolation, no .5 arithmetic), so median, MAD,
+# the 3·MAD fence, and the outlier count are ALL integers — nothing can
+# drift between engines. Two ranked passes per series (one for the median,
+# one over |v−med| for the MAD), windows parallel across series.
+MAD_FENCE = 3
+
+
+def q_dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy(
+        F.col("v").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = base.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wn)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) DIV 2")
+    ).select("event_type", F.col("v").alias("med"))
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("v") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("ad").asc(), F.col("event_id").asc()
+    )
+    dr = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wn)
+    )
+    mad = dr.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2")).select(
+        "event_type", F.col("ad").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("med").cast("bigint").alias("median_cents"),
+        F.max("mad").cast("bigint").alias("mad_cents"),
+        F.sum(
+            F.when(F.col("ad") > MAD_FENCE * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+Q_DQ_MAD_OUTLIERS_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM base
+),
+med AS (
+  SELECT event_type, CAST(v AS BIGINT) AS med
+  FROM ranked WHERE rn = (cnt + 1) // 2
+),
+dev AS (
+  SELECT b.event_type, b.event_id, b.v, m.med, ABS(b.v - m.med) AS ad
+  FROM base b JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, ad,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ad ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT event_type, CAST(ad AS BIGINT) AS mad
+  FROM dranked WHERE rn = (cnt + 1) // 2
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(d.med) AS BIGINT) AS median_cents,
+       CAST(MAX(m.mad) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN d.ad > {MAD_FENCE} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+QUERIES["dq_mad_outliers"] = QuerySpec(q_dq_mad_outliers, Q_DQ_MAD_OUTLIERS_ORACLE)
