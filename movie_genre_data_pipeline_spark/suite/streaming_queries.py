@@ -1721,3 +1721,92 @@ def _stream_ts_ewma_oracle() -> str:
 
 
 QUERIES["stream_ts_ewma"] = QuerySpec(q_stream_ts_ewma, _stream_ts_ewma_oracle())
+
+
+def q_stream_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regularization path maintained continuously at ZERO extra state:
+    the per-batch partial-Gram ledger stream_ols_normal_eq appends already
+    contains everything any λ needs — the λ grid explodes the FOLDED Gram on
+    read and the shared Cramer expressions solve each penalized system as a
+    projection. Refitting the whole path after new data costs one
+    ledger-sized re-sum, never a data rescan; shares feat_ridge_path's batch
+    oracle verbatim."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_gram,
+        ols_solve_micro,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        RIDGE_LAMBDAS,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ridge_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    o = load(spark, sf_dir, "orders")
+    o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    ).repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("x1", T.LongType()),
+            T.StructField("x2", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ols_gram(batch_df, "x1", "x2", "y").write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy()
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in ("sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+            ],
+        )
+    )
+    lam = folded.select(
+        F.explode(
+            F.array(*[F.lit(int(l)).cast("bigint") for l in RIDGE_LAMBDAS])
+        ).alias("lam"),
+        "*",
+    )
+    penalized = lam.select(
+        "lam",
+        "n_rows",
+        "sx1",
+        "sx2",
+        "sy",
+        (F.col("s11") + F.col("lam")).alias("s11"),
+        "s12",
+        (F.col("s22") + F.col("lam")).alias("s22"),
+        "s1y",
+        "s2y",
+    )
+    return ols_solve_micro(penalized, group_cols=("lam",))
+
+
+def _stream_ridge_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _feat_ridge_oracle,
+    )
+
+    return _feat_ridge_oracle()
+
+
+QUERIES["stream_ridge_path"] = QuerySpec(q_stream_ridge_path, _stream_ridge_oracle())
