@@ -1,0 +1,57 @@
+"""Repartition-invariance: a deterministic engine must produce IDENTICAL
+results whatever parallelism executes the plan. Every suite query already
+pins Spark-vs-DuckDB equality through verify_local; this gate pins
+Spark-vs-Spark across shuffle-partition counts — the failure mode it hunts
+is accumulation-order-sensitive arithmetic (float folds whose value depends
+on how many partial aggregates the planner created), which an oracle
+comparison at ONE partitioning can miss. A representative batch query per
+family; exact tuple equality, no tolerance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from movie_genre_data_pipeline_spark.suite import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NAMES = [
+    "tpch_q1",
+    "flagship_revenue_by_flag_status",
+    "er_purged_recall",
+    "feat_corr_matrix",
+    "feat_ridge_path",
+    "feat_ols_fit_quality",
+    "dq_mad_outliers",
+    "sample_group_split",
+    "ts_ewma_events",
+    "sim_random_projection",
+    "gold_genre_revenue_ivm",
+    "mine_brand_pairs",
+    "dedup_minhash_lsh",
+    "text_source_keyness",
+]
+
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _run(spark, name: str, partitions: int):
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        rows = all_queries()[name].fn(spark, SF_DIR).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_result_is_partition_count_invariant(spark, name):
+    assert _run(spark, name, 7) == _run(spark, name, 31), name
