@@ -649,3 +649,85 @@ FROM labeled GROUP BY split
 
 
 QUERIES["sample_group_split"] = QuerySpec(q_sample_group_split, _group_split_oracle())
+
+
+# -- target encoding with smoothing + leave-one-out (r7) --------------------------------
+# The categorical-feature workhorse: encode a category as its smoothed target
+# mean, enc = (Σy_cat + m·ȳ_global) / (n_cat + m) — and the leakage-aware
+# leave-one-out form every training pipeline actually needs,
+# enc_loo(i) = (Σy_cat − y_i) / (n_cat − 1), whose extremes this query
+# publishes per category. Exactness: integer-cent sums, the global mean
+# enters as the exact integer pair (Σy, n) so the smoothed numerator
+# Σy_cat·n + m·Σy stays an exact BIGINT (no pre-divided double), and every
+# published value is a shared-expression division micro-rounded to BIGINT.
+# One aggregate over the facts + a broadcast one-row global — no second scan.
+TE_SMOOTHING = 100
+
+
+def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    per_cat = base.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+        F.sum("y").cast("bigint").alias("sum_cat"),
+        F.min("y").cast("bigint").alias("y_min"),
+        F.max("y").cast("bigint").alias("y_max"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("y").cast("bigint").alias("sum_all"),
+    )
+    joined = per_cat.crossJoin(F.broadcast(glob))
+    # enc = (sum_cat + m·(sum_all/n_all)) / (n_cat + m), kept exact by
+    # clearing the global denominator: (sum_cat·n_all + m·sum_all) /
+    # ((n_cat + m)·n_all). LOO extremes come from the category extremes:
+    # removing the largest y minimizes the LOO encoding and vice versa.
+    return joined.selectExpr(
+        "category",
+        "n_cat",
+        "sum_cat",
+        f"CAST(ROUND((CAST(sum_cat AS DOUBLE) * n_all + {TE_SMOOTHING} * CAST(sum_all AS DOUBLE))"
+        f" / ((n_cat + {TE_SMOOTHING}.0) * n_all) * 100) AS BIGINT) AS enc_centimicro",
+        "CAST(ROUND((CAST(sum_cat AS DOUBLE) - y_max) / (n_cat - 1) * 100) AS BIGINT)"
+        " AS loo_min_centicents",
+        "CAST(ROUND((CAST(sum_cat AS DOUBLE) - y_min) / (n_cat - 1) * 100) AS BIGINT)"
+        " AS loo_max_centicents",
+    )
+
+
+Q_FEAT_TARGET_ENCODE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS category,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+per_cat AS (
+  SELECT category,
+         CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(y) AS BIGINT) AS sum_cat,
+         CAST(MIN(y) AS BIGINT) AS y_min,
+         CAST(MAX(y) AS BIGINT) AS y_max
+  FROM base GROUP BY category
+),
+gall AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(y) AS BIGINT) AS sum_all
+  FROM base
+)
+SELECT category, n_cat, sum_cat,
+       CAST(ROUND((CAST(sum_cat AS DOUBLE) * n_all + {TE_SMOOTHING} * CAST(sum_all AS DOUBLE))
+            / ((n_cat + {TE_SMOOTHING}.0) * n_all) * 100) AS BIGINT) AS enc_centimicro,
+       CAST(ROUND((CAST(sum_cat AS DOUBLE) - y_max) / (n_cat - 1) * 100) AS BIGINT)
+         AS loo_min_centicents,
+       CAST(ROUND((CAST(sum_cat AS DOUBLE) - y_min) / (n_cat - 1) * 100) AS BIGINT)
+         AS loo_max_centicents
+FROM per_cat CROSS JOIN gall
+"""
+
+
+QUERIES["feat_target_encode"] = QuerySpec(
+    q_feat_target_encode, Q_FEAT_TARGET_ENCODE_ORACLE
+)
