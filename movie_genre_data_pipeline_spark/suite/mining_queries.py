@@ -146,3 +146,68 @@ HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
 QUERIES["mine_brand_triples"] = QuerySpec(
     q_mine_brand_triples, Q_MINE_BRAND_TRIPLES_ORACLE
 )
+
+
+# -- sequential patterns: the order-priority transition matrix (r7) -----------------------
+# Basket mining (above) ignores ORDER; the sequential complement estimates the
+# first-order Markov transition structure of each customer's order stream —
+# P(next priority | current priority) — the session-flow / next-action model a
+# behavioural pipeline fits. Plan shape: one LAG window per customer sequence
+# (total order: o_orderdate, then o_orderkey for same-day ties), one hash
+# aggregate over (prev, next) — |priorities|² output rows however large the
+# fact side grows. Counts are exact integers; the row-normalized transition
+# probability publishes micro-rounded from a shared expression.
+def q_mine_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("nxt"),
+        F.lag("o_orderpriority", 1).over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    counts = seq.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    totals = counts.groupBy("prev").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_from")
+    )
+    return counts.join(totals, "prev").selectExpr(
+        "prev",
+        "nxt",
+        "n_transitions",
+        "n_from",
+        "CAST(ROUND(CAST(n_transitions AS DOUBLE) / n_from * 1000000) AS BIGINT)"
+        " AS p_micro",
+    )
+
+
+Q_MINE_PRIORITY_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey,
+         o_orderpriority AS nxt,
+         LAG(o_orderpriority, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev
+  FROM orders
+),
+counts AS (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, nxt
+),
+totals AS (
+  SELECT prev, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+  FROM counts GROUP BY prev
+)
+SELECT c.prev, c.nxt, c.n_transitions, t.n_from,
+       CAST(ROUND(CAST(c.n_transitions AS DOUBLE) / t.n_from * 1000000) AS BIGINT)
+         AS p_micro
+FROM counts c JOIN totals t USING (prev)
+"""
+
+
+QUERIES["mine_priority_transitions"] = QuerySpec(
+    q_mine_priority_transitions, Q_MINE_PRIORITY_TRANSITIONS_ORACLE
+)
