@@ -624,3 +624,82 @@ GROUP BY event_type
 
 
 QUERIES["ts_ewma_events"] = QuerySpec(q_ts_ewma_events, Q_TS_EWMA_ORACLE)
+
+
+# -- CUSUM changepoint detection, all-integer (r7) ----------------------------------------
+# Page's cumulative-sum statistic locates a level shift in a series: the
+# running sum of deviations from the series mean peaks at the changepoint.
+# Exactness by denominator-clearing: instead of v_i − S/n (a division), use
+# n·v_i − S — the same argmax, every partial sum an exact BIGINT. One ranked
+# running-sum window per series + one aggregate; the peak position publishes
+# deterministically (max |cusum|, ties to the earliest position).
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    wn = Window.partitionBy("event_type")
+    wrun = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    scored = (
+        base.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("s", F.sum("v").over(wn))
+        .withColumn("dev", F.col("n") * F.col("v") - F.col("s"))
+        .withColumn("cusum", F.sum("dev").over(wrun))
+        .withColumn("rn", F.row_number().over(wrun))
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("rn").asc()
+    )
+    return (
+        scored.withColumn("prk", F.row_number().over(wpk))
+        .filter(F.col("prk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_points"),
+            F.abs(F.col("cusum")).cast("bigint").alias("cusum_peak"),
+            F.col("rn").cast("bigint").alias("peak_rn"),
+        )
+    )
+
+
+Q_TS_CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+devs AS (
+  SELECT event_type, ts, event_id,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         COUNT(*) OVER (PARTITION BY event_type) * v
+           - SUM(v) OVER (PARTITION BY event_type) AS dev
+  FROM base
+),
+scored AS (
+  SELECT event_type, n,
+         SUM(dev) OVER (PARTITION BY event_type
+                        ORDER BY ts ASC, event_id ASC) AS cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM devs
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(ABS(cusum) AS BIGINT) AS cusum_peak,
+       CAST(rn AS BIGINT) AS peak_rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY ABS(cusum) DESC, rn ASC) AS prk FROM scored)
+WHERE prk = 1
+"""
+
+
+QUERIES["ts_cusum_changepoint"] = QuerySpec(
+    q_ts_cusum_changepoint, Q_TS_CUSUM_ORACLE
+)
