@@ -66,7 +66,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sample_group_split, sim_random_projection, sim_topk_projected,
     # sim_topk_rerank, ts_ewma_events, stream_ts_ewma, dq_mad_outliers,
     # stream_ridge_path, feat_target_encode, mine_priority_transitions,
-    # ts_cusum_changepoint.
+    # ts_cusum_changepoint, dq_benford_screen.
     # TPC-H shapes never driver-run (q4 q8 q10-q12 q14 q15 q19 q20)
     "tpch_q4",
     "tpch_q8",

@@ -1079,3 +1079,74 @@ GROUP BY d.event_type
 
 
 QUERIES["dq_mad_outliers"] = QuerySpec(q_dq_mad_outliers, Q_DQ_MAD_OUTLIERS_ORACLE)
+
+
+# -- Benford first-digit screen (r7) ------------------------------------------------------
+# The fraud/fabrication screen auditors run on money columns: first
+# significant digits of naturally-occurring amounts follow
+# P(d) = log10(1 + 1/d). ln()/log10() are NOT bit-portable across engines
+# (libm differences — the same reason dq_drift_report avoids PSI), so the
+# nine expected shares are PYTHON-computed literals embedded identically in
+# the Spark plan and the oracle SQL — the sign-matrix discipline. Counts are
+# exact; expected counts and chi-square contributions are shared-expression
+# arithmetic over those identical literal doubles, published micro-rounded.
+import math as _math
+
+BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q_dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").cast("bigint").alias("n_all"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P.items()], "digit int, p double"
+    )
+    joined = (
+        expected.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    return joined.selectExpr(
+        "digit",
+        "CAST(n_obs AS BIGINT) AS n_obs",
+        "CAST(ROUND(n_all * p * 1000000) AS BIGINT) AS expected_micro",
+        "CAST(ROUND((CAST(n_obs AS DOUBLE) - n_all * p) * (CAST(n_obs AS DOUBLE) - n_all * p)"
+        " / (n_all * p) * 1000000) AS BIGINT) AS chi2_micro",
+    )
+
+
+def _dq_benford_oracle() -> str:
+    vals = ", ".join(f"({d}, {p!r})" for d, p in BENFORD_P.items())
+    return f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+),
+total AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_all FROM obs),
+expected AS (SELECT * FROM (VALUES {vals}) AS t(digit, p))
+SELECT e.digit,
+       CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(ROUND(t.n_all * e.p * 1000000) AS BIGINT) AS expected_micro,
+       CAST(ROUND((CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - t.n_all * e.p)
+            * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - t.n_all * e.p)
+            / (t.n_all * e.p) * 1000000) AS BIGINT) AS chi2_micro
+FROM expected e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN total t
+"""
+
+
+QUERIES["dq_benford_screen"] = QuerySpec(q_dq_benford_screen, _dq_benford_oracle())
