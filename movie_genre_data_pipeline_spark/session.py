@@ -61,4 +61,10 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Ship this package to Python workers (addPyFile zip): worker-side imports
+    # in mapInPandas/pandas-UDF closures must not depend on the driver's cwd —
+    # on a real cluster the executors never see it (shipping.py).
+    from movie_genre_data_pipeline_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     return spark

@@ -28,6 +28,7 @@ class QuerySpec(NamedTuple):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.shipping import ensure_package_on_workers
     from movie_genre_data_pipeline_spark.sources.batch import read_parquet
 
     # The driver runs these on ITS OWN session; timestamp rendering
@@ -35,6 +36,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # regardless of that session's locale, so pin UTC at query time
     # (runtime-settable conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ... and its workers resolve `import movie_genre_data_pipeline_spark` from
+    # THEIR cwd, not ours: ship the package (addPyFile zip, idempotent) so
+    # mapInPandas/pandas-UDF closures import cleanly from any launch directory.
+    ensure_package_on_workers(spark)
     return read_parquet(spark, f"{sf_dir}/{table}.parquet")
 
 
@@ -45,92 +50,80 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r7 ROTATION (verdict r6 #3): every r1–r6 passer rotates OUT (none has
-    # ever regressed once green; all stay under the full local gate) and the
-    # window packs 49 of the 70 never-driver-checked queries plus
-    # sketch_approx_stats (whose only driver record is the r1 `no_oracle`
-    # error — it has carried a bounds oracle since r2). Remaining
-    # never-checked after this round: 24 (8 streaming variants, 5 relational/
-    # agg function rows, 8 family-siblings of multi-round passers, and the
-    # three r7 OLS additions) —
-    # next rotation's pool: merge_scd2_incremental, profile_table,
-    # posexplode_tokens, range_source, cross_join_dims, sequence_arrays,
-    # agg_bitwise, sample_source_quota, curate_corpus_pipeline,
-    # graph_kcore_trade, ts_seasonal_naive_backtest, sim_pair_counts,
-    # sim_embedding_stats, stream_ops_fingerprint, stream_sessionize,
-    # stream_incremental_dedup, stream_dedup, stream_text_keyness,
-    # stream_mine_pairs, stream_ab_report, jsonl/orc siblings as rotated,
-    # plus the later-r7 additions (never driver-checked, all locally
-    # exact-verified at sf0.001 AND sf0.01-vanilla): er_purged_recall,
-    # feat_ridge_path, feat_corr_matrix, cdc_join_ivm, stream_cdc_join_ivm,
-    # sample_group_split, sim_random_projection, sim_topk_projected,
-    # sim_topk_rerank, ts_ewma_events, stream_ts_ewma, dq_mad_outliers,
-    # stream_ridge_path, feat_target_encode, mine_priority_transitions,
-    # ts_cusum_changepoint, dq_benford_screen.
-    # TPC-H shapes never driver-run (q4 q8 q10-q12 q14 q15 q19 q20)
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q19",
-    "tpch_q20",
-    # function-family surfaces (§2.7 expression coverage)
-    "map_functions",
-    "map_transform_functions",
-    "json_functions",
-    "regexp_functions",
-    "hash_functions",
-    "math_functions",
-    "url_functions",
-    # relational / driver-contract rows
-    "anti_join",
-    "union_by_name",
-    "pandas_scalar_udf",
-    "stats_aggregates",
-    "window_frame_stats",
-    "unpivot_long",
-    "csv_roundtrip",
-    # format round-trips
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    # aggregate families
-    "agg_minmax_by",
-    "agg_string_concat",
-    "agg_conditional_bool",
-    # ops
-    "ops_bloom_join_prune",
-    "ops_skew_report",
-    # text analysis
-    "text_fingerprint_stats",
+    # r8 ROTATION (verdict r7 #1): clear ALL remaining driver-verification
+    # debt in one window. Slots 1-3 are the three r6 hash-fail reds whose
+    # FIXES landed in r7 (f43f36e: integer-cent reprice, integer medoid
+    # distance) but whose latest driver record is still red because the r7
+    # window packed only never-checked queries. Slots 4-45 are the 42
+    # registry entries that have NEVER had a driver record (the whole r7
+    # regression/similarity/time-series/CDC additions, 12 streaming ledger
+    # variants, and the leftover relational/agg rows). Slots 46-50 are
+    # seasoned multi-round passers kept as regression canaries. After this
+    # round every one of the 238 registry queries has >=1 green driver
+    # record and zero stale reds.
+    # --- the three fixed-but-still-red r6 queries ---
+    "gold_genre_revenue_ivm",
+    "stream_gold_ivm",
+    "sim_centroid_representatives",
+    # --- never-driver-checked: relational / agg / profile rows ---
+    "posexplode_tokens",
+    "range_source",
+    "sequence_arrays",
+    "cross_join_dims",
+    "agg_bitwise",
+    "profile_table",
+    # --- never-checked: SCD2 incremental applier + CDC join-view IVM ---
+    "merge_scd2_incremental",
+    "cdc_join_ivm",
+    # --- never-checked: data-quality screens (r7 additions) ---
+    "dq_mad_outliers",
+    "dq_benford_screen",
+    # --- never-checked: regression / feature family (r7) ---
+    "feat_ols_normal_eq",
+    "feat_ols_by_segment",
+    "feat_ols_fit_quality",
+    "feat_ridge_path",
+    "feat_corr_matrix",
+    "feat_target_encode",
+    # --- never-checked: sampling / curation / graph ---
+    "sample_group_split",
+    "sample_source_quota",
+    "curate_corpus_pipeline",
+    "graph_kcore_trade",
+    # --- never-checked: entity resolution + mining (r7) ---
+    "er_purged_recall",
+    "mine_priority_transitions",
+    # --- never-checked: time series (r7) ---
+    "ts_seasonal_naive_backtest",
+    "ts_ewma_events",
+    "ts_cusum_changepoint",
+    # --- never-checked: similarity family ---
+    "sim_pair_counts",
+    "sim_embedding_stats",
+    "sim_topk_kmeans_ivf",
+    "sim_random_projection",
+    "sim_topk_projected",
+    "sim_topk_rerank",
+    # --- never-checked: streaming ledger-fold variants ---
+    "stream_cdc_join_ivm",
+    "stream_ops_fingerprint",
+    "stream_sessionize",
+    "stream_incremental_dedup",
+    "stream_dedup",
+    "stream_text_keyness",
+    "stream_mine_pairs",
+    "stream_ab_report",
+    "stream_ols_normal_eq",
+    "stream_ts_ewma",
+    "stream_ridge_path",
+    # --- seasoned regression canaries (multi-round driver passers), chosen
+    # to keep one row per headline family (pipeline/TPC-H/dedup/text/media)
+    # while 45 of 50 slots go to debt-clearing ---
+    "project_cast",
+    "tpch_q1",
+    "dedup_exact",
     "text_source_quality",
-    "text_ngram_topk",
-    "text_unigram_surprisal",
-    "text_source_keyness",
-    # dedup / entity resolution / mining
-    "dedup_clusters",
-    "dedup_incremental",
-    "er_match_recall",
-    "er_sorted_neighborhood",
-    "er_union_recall",
-    "mine_brand_rules",
-    "mine_brand_triples",
-    "feat_equal_freq_bins",
-    # sketches: clears the one standing error record (r1 no_oracle)
-    "sketch_approx_stats",
-    # similarity: the nprobe recall law and the residual-encoded IVFADC
-    # (rotated in after the r7 panel/nlist scale rework priced it for the
-    # fixture gate)
-    "sim_kmeans_recall_nprobe",
-    "sim_pq_ivfadc_residual",
-    # streaming + multimodal (family-diversity floor: ≥2 rows each; these
-    # four are from the never-checked pool too)
-    "stream_static_join",
-    "stream_sliding_window",
     "media_features_full",
-    "media_block_chunks",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -248,6 +248,10 @@ def test_union_generators_dominate_each_alone(spark):
     )
     assert union_row.n_correct >= blocked_row.n_correct
     assert union_row.n_correct > sn_correct
+    # r8 true-recall denominator: n_listings counts EVERY input listing (a
+    # purged/uncovered listing is a miss, not a denominator dropout), and at
+    # this SF no token block reaches ER_PURGE_CAP so coverage is full.
+    assert union_row.n_listings == part.count()
 
 
 def test_er_purged_recall_laws(spark):

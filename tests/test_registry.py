@@ -57,6 +57,9 @@ def test_documented_query_counts_match_registry():
 
 
 def test_driver_window_samples_every_family():
+    # r8: floor relaxed from >=2 to >=1 — the debt-clearing rotation packs 45
+    # of 50 slots with fixed-reds + never-driver-checked entries (VERDICT r7
+    # #1), leaving 5 canary slots spread one-per-headline-family.
     prefixes = {
         "dedup_": 0,
         "sim_": 0,
@@ -69,4 +72,4 @@ def test_driver_window_samples_every_family():
         for p in prefixes:
             if name.startswith(p):
                 prefixes[p] += 1
-    assert all(v >= 2 for v in prefixes.values()), prefixes
+    assert all(v >= 1 for v in prefixes.values()), prefixes

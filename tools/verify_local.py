@@ -29,7 +29,9 @@ import time
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
