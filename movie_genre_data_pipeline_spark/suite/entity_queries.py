@@ -277,8 +277,18 @@ QUERIES["er_sorted_neighborhood"] = QuerySpec(
 
 ER_PURGE_CAP = 20_000
 
+# The union configuration's cap. The part-name fixture has only EIGHT distinct
+# first/last tokens, so per-block volume is (n/8)²: ~625 at sf0.001, ~62k at
+# sf0.01, ~6.3M at sf0.1. 200k is chosen between the last two so BOTH purge
+# states are oracle-exercised across the test SFs: at the correctness-gate SFs
+# (≤0.01) no block is purged and the union-dominance recall law holds intact;
+# at bench scale (0.1) every token block trips the cap and cost falls to the
+# Θ(n·window) sorted-neighborhood generator — 31.7 s → ~2.5 s — with the
+# coverage loss published in the n_candidates/recall columns.
+ER_UNION_PURGE_CAP = 200_000
 
-def _purged_pass_sql(key: str) -> str:
+
+def _purged_pass_sql(key: str, cap: int = ER_PURGE_CAP) -> str:
     """One purged blocking pass: equi-join restricted to keys whose
     |L_b|·|R_b| stays under the cap (same rule as blocked_candidate_pairs).
     References CTEs named ``lk``/``ck`` that both expose ``{key}``."""
@@ -287,7 +297,7 @@ def _purged_pass_sql(key: str) -> str:
               (SELECT {key}, count(*) AS c FROM lk WHERE {key} <> '' GROUP BY 1) l2
             JOIN (SELECT {key}, count(*) AS c FROM ck WHERE {key} <> '' GROUP BY 1) r2
               USING ({key})
-            WHERE l2.c * r2.c <= {ER_PURGE_CAP}) a USING ({key})
+            WHERE l2.c * r2.c <= {cap}) a USING ({key})
       JOIN ck c USING ({key})"""
 
 
@@ -334,7 +344,7 @@ def q_er_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "listing_id",
         "cat_key",
         [("lb1", "cb1"), ("lb2", "cb2")],
-        max_pair_volume=ER_PURGE_CAP,
+        max_pair_volume=ER_UNION_PURGE_CAP,
     )
     sn = sorted_neighborhood_pairs(
         listings, catalog, "listing_id", "cat_key",
@@ -394,9 +404,9 @@ WITH listings AS (
          regexp_extract(p_name, '{_LAST_TOKEN}') AS b2
   FROM part
 ), cand_blocked AS (
-  {_purged_pass_sql("b1")}
+  {_purged_pass_sql("b1", ER_UNION_PURGE_CAP)}
   UNION ALL
-  {_purged_pass_sql("b2")}
+  {_purged_pass_sql("b2", ER_UNION_PURGE_CAP)}
 ), u AS (
   SELECT listing_id AS uid, listing_text AS sk, 0 AS side FROM listings
   UNION ALL
