@@ -325,3 +325,134 @@ def probe_cells(
     return with_centroid_matrix(quantized, centroids).select(
         "vid", F.explode(probed).alias("__p")
     ).select("vid", F.col("__p.c").alias("cluster"))
+
+
+def two_level_index(
+    centroids: list[list[float]],
+    iterations: int = 2,
+) -> tuple[list[list[float]], list[list[int]], list[list[list[float]]]]:
+    """Group the nlist coarse centroids into ~sqrt(nlist) GROUPS — the
+    hierarchical coarse quantizer that removes IVF's last superlinear term.
+
+    Flat corpus assignment against nlist = ceil(sqrt(n)) cells costs
+    n·nlist·d = n^1.5·d (the r7 scale residual documented in SCALE.md §12).
+    Assigning first to one of g = ceil(sqrt(nlist)) group centers and then
+    only among that group's cells costs n·(g + nlist/g)·d ≈ n·n^0.25·d —
+    the same two-level trick as FAISS's IMI / hierarchical coarse quantizers.
+
+    Everything stays driver-side and exact-arithmetic so a SQL oracle replays
+    it bit-for-bit:
+    - group-Lloyd inputs are the cell centroids RE-QUANTIZED to integral
+      doubles via floor(cv + 0.5) (half-up — identical in Python and SQL,
+      unlike Python's banker's round): integral sums are order-independent,
+      so the group centers are replayable means;
+    - group training and the cells→groups argmin reuse the local Lloyd twins
+      (kmeans_fit_exact_local / assign_local: index-order folds, ties to the
+      lower index);
+    - groups that end up EMPTY are dropped (compacted in ascending group
+      order), so stage-1 argmin never strands a vector in a memberless group.
+
+    Returns (group_centers, cell_ids_by_group, cell_centroids_by_group), the
+    latter two parallel and in ascending cell-id order within each group.
+    """
+    import math
+
+    nlist = len(centroids)
+    g = max(2, math.ceil(math.sqrt(nlist)))
+    quant = [
+        (cid, [math.floor(x + 0.5) for x in cv]) for cid, cv in enumerate(centroids)
+    ]
+    gcents = kmeans_fit_exact_local(quant, g, iterations)
+    membership = assign_local(quant, gcents)
+    ids_by_group: list[list[int]] = [[] for _ in range(g)]
+    for cid, grp in membership:
+        ids_by_group[grp].append(cid)
+    kept = [gi for gi in range(g) if ids_by_group[gi]]
+    gc = [gcents[gi] for gi in kept]
+    gids = [sorted(ids_by_group[gi]) for gi in kept]
+    gcvs = [[[float(x) for x in centroids[cid]] for cid in ids] for ids in gids]
+    return gc, gids, gcvs
+
+
+def assign_clusters_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    group_iterations: int = 2,
+) -> DataFrame:
+    """(vid, cluster, sq_dist): hierarchical nearest-cell assignment — argmin
+    over ~sqrt(nlist) group centers, then argmin over only that group's cells.
+    Same output contract as `assign_clusters` (the assignment RULE differs:
+    a vector whose true nearest cell lives in a different group lands in its
+    group's best cell instead — the standard hierarchical-quantizer trade,
+    measured by the recall queries, replayed exactly by their oracles).
+
+    Still a single shuffle-free projection: the group-center matrix and the
+    per-group (ids, centroids) tables ride as ONE broadcast row; per vector
+    the work is g + |cells in its group| index-order distance folds."""
+    gc, gids, gcvs = two_level_index(centroids, group_iterations)
+    spark = df.sparkSession
+    carrier = spark.createDataFrame(
+        [[
+            [[float(x) for x in c] for c in gc],
+            [[int(i) for i in ids] for ids in gids],
+            [[[float(x) for x in cv] for cv in cvs] for cvs in gcvs],
+        ]],
+        "__gm: array<array<double>>, __gids: array<array<int>>, "
+        "__gcvs: array<array<array<double>>>",
+    )
+    v = F.col("__v")
+    gd = _dists_col(v, F.col("__gm"))
+    gpos = F.expr("array_position(__gd, array_min(__gd))")
+    sub_d = F.transform(F.col("__gcvs_sel"), lambda c: _sq_dist_col(v, c))
+    out = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .crossJoin(F.broadcast(carrier))
+        .withColumn("__gd", gd)
+        .withColumn("__gp", gpos)
+        .withColumn("__gids_sel", F.expr("element_at(__gids, CAST(__gp AS INT))"))
+        .withColumn("__gcvs_sel", F.expr("element_at(__gcvs, CAST(__gp AS INT))"))
+        .withColumn("__d", sub_d)
+        .withColumn(
+            "__p", F.expr("array_position(__d, array_min(__d))").cast("int")
+        )
+        .withColumn("cluster", F.expr("element_at(__gids_sel, __p)"))
+        .withColumn("sq_dist", F.expr("array_min(__d)"))
+    )
+    return out.select("vid", "cluster", "sq_dist")
+
+
+def assign_local_two_level(
+    rows: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    group_iterations: int = 2,
+) -> list[tuple[int, int]]:
+    """(vid, cluster) for already-collected rows under the TWO-LEVEL rule —
+    the driver-side twin of `assign_clusters_two_level` (same index-order
+    distance folds, group ties to the lower kept-group index, cell ties to
+    the lower cell id within the group). The residual IVFADC uses this to
+    recenter its bounded codebook-training sample consistently with the
+    distributed corpus assignment."""
+    gc, gids, gcvs = two_level_index(centroids, group_iterations)
+    out = []
+    for vid, v in rows:
+        bg, bd = 0, None
+        for gi, gv in enumerate(gc):
+            d = 0.0
+            for a, b in zip(v, gv):
+                d += (a - b) * (a - b)
+            if bd is None or d < bd:
+                bg, bd = gi, d
+        bc, bd2 = gids[bg][0], None
+        for cid, cv in zip(gids[bg], gcvs[bg]):
+            d = 0.0
+            for a, b in zip(v, cv):
+                d += (a - b) * (a - b)
+            if bd2 is None or d < bd2:
+                bc, bd2 = cid, d
+        out.append((vid, bc))
+    return out

@@ -416,6 +416,7 @@ def kmeans_cells_cte(
     k: int | str = KMEANS_K,
     iters: int = KMEANS_ITERS,
     train_limit: int | None = None,
+    group_iters: int | None = None,
 ) -> str:
     """SQL CTE chain replaying functions/kmeans.py:kmeans_exact_cells
     bit-for-bit: quantized vectors `eq(vid, vq)`, `iters` unrolled Lloyd
@@ -427,7 +428,15 @@ def kmeans_cells_cte(
     from the corpus: greatest(8, ceil(sqrt(n)))). `train_limit` restricts the
     Lloyd LOOP to the `train_limit` lowest-vid vectors (the FAISS protocol —
     codebooks train on a bounded sample, the full corpus only gets the final
-    assignment pass); None trains on the whole corpus as before."""
+    assignment pass); None trains on the whole corpus as before.
+
+    `group_iters` (r8) switches the FINAL corpus assignment to the TWO-LEVEL
+    rule of kmeans.py:assign_clusters_two_level — centroids re-quantized with
+    floor(cv+0.5), a `group_iters`-step Lloyd over them into
+    g = greatest(2, ceil(sqrt(nlist))) groups, cells mapped to groups, empty
+    groups dropped, and each corpus vector assigned group-first then
+    cell-within-group. Replays the hierarchical assignment bit-for-bit (the
+    quantized group inputs are integral so every sum is order-independent)."""
     dim = DIM
 
     def sqd(v: str, c: str) -> str:
@@ -466,9 +475,60 @@ n{t} AS (SELECT cluster, list(s / n ORDER BY i) AS cv FROM s{t} GROUP BY cluster
 c{t} AS (SELECT p.cluster, COALESCE(w.cv, p.cv) AS cv
          FROM c{p} p LEFT JOIN n{t} w USING (cluster))"""
         )
-    parts.append(
-        f"""dfin AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv")} AS dist
+    if group_iters is None:
+        parts.append(
+            f"""dfin AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv")} AS dist
         FROM eq e CROSS JOIN c{iters} c),
+cells AS (SELECT vid, cluster FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                     ORDER BY dist ASC, cluster ASC) AS rn FROM dfin) WHERE rn = 1)"""
+        )
+        return ",\n".join(parts)
+
+    # -- two-level assignment tail (assign_clusters_two_level) --------------
+    # MATERIALIZED barriers: the group chain references cqt once per unrolled
+    # iteration; without them DuckDB re-inlines the whole cell-Lloyd chain per
+    # reference (the residual-oracle failure mode).
+    parts.append(
+        f"""cqt AS MATERIALIZED (
+  SELECT cluster, list_transform(cv, x -> floor(x + 0.5)) AS cq FROM c{iters}),
+g0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cluster) - 1 AS INTEGER) AS grp,
+              cq AS gv
+       FROM (SELECT cluster, cq FROM cqt ORDER BY cluster
+             LIMIT (SELECT greatest(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+                    FROM cqt)))"""
+    )
+    for t in range(1, group_iters + 1):
+        p = t - 1
+        parts.append(
+            f"""gd{t} AS (SELECT e.cluster, e.cq, g.grp, {sqd("e.cq", "g.gv")} AS dist
+        FROM cqt e CROSS JOIN g{p} g),
+ga{t} AS (SELECT cluster, cq, grp FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                     ORDER BY dist ASC, grp ASC) AS rn FROM gd{t}) WHERE rn = 1),
+gs{t} AS (SELECT grp, i, SUM(cq[i]) AS s, COUNT(*) AS n
+          FROM ga{t}, generate_series(1, {dim}) t(i) GROUP BY 1, 2),
+gn{t} AS (SELECT grp, list(s / n ORDER BY i) AS gv FROM gs{t} GROUP BY grp),
+g{t} AS (SELECT p.grp, COALESCE(w.gv, p.gv) AS gv
+         FROM g{p} p LEFT JOIN gn{t} w USING (grp))"""
+        )
+    parts.append(
+        f"""gmfin AS (SELECT e.cluster, g.grp, {sqd("e.cq", "g.gv")} AS dist
+         FROM cqt e CROSS JOIN g{group_iters} g),
+cellgrp AS MATERIALIZED (SELECT cluster, grp FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                      ORDER BY dist ASC, grp ASC) AS rn FROM gmfin) WHERE rn = 1),
+gkept AS (SELECT g.grp, g.gv FROM g{group_iters} g
+          WHERE g.grp IN (SELECT grp FROM cellgrp)),
+gdfin AS (SELECT e.vid, g.grp, {sqd("e.vq", "g.gv")} AS dist
+          FROM eq e CROSS JOIN gkept g),
+gbest AS MATERIALIZED (SELECT vid, grp FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                    ORDER BY dist ASC, grp ASC) AS rn FROM gdfin) WHERE rn = 1),
+dfin AS (SELECT e.vid, cg.cluster, {sqd("e.vq", "c.cv")} AS dist
+         FROM eq e JOIN gbest b USING (vid)
+         JOIN cellgrp cg ON cg.grp = b.grp
+         JOIN c{iters} c ON c.cluster = cg.cluster),
 cells AS (SELECT vid, cluster FROM
           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
                      ORDER BY dist ASC, cluster ASC) AS rn FROM dfin) WHERE rn = 1)"""
@@ -533,6 +593,12 @@ IVF_TRAIN = 512
 # (Spark collect / DuckDB unrolled CTE), so the composed queries keep the
 # fixture gate cheap at 3.
 IVF_ITERS = 3
+# Group-Lloyd iterations for the TWO-LEVEL coarse assignment (r8, verdict r7
+# #4): corpus assignment drops from n·nlist·d = n^1.5·d to
+# n·(g + nlist/g)·d ≈ n·n^0.25·d by assigning group-first (g = ⌈√nlist⌉
+# groups learned over the re-quantized cell centroids), then only among that
+# group's cells. Query-side probing stays FLAT (PQ_NQ panel × nlist is tiny).
+IVF_GROUP_ITERS = 2
 
 
 def _ivf_nlist(n: int) -> int:
@@ -825,7 +891,7 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering, codebooks, encoding, probing, the probed ADC scan, and the
     baseline bit-for-bit."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
-        assign_clusters,
+        assign_clusters_two_level,
         kmeans_fit_exact_local,
         probe_cells,
         quantize_vectors,
@@ -845,7 +911,11 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_rows = _collect_train(q)
     cents = kmeans_fit_exact_local(train_rows, k, IVF_ITERS)
     books = pq_train_local(train_rows, DIM, PQ_M, PQ_K, PQ_ITERS)
-    cells = assign_clusters(q, "vid", "vq", cents).select("vid", "cluster")
+    # r8: corpus assignment is TWO-LEVEL (group-first) — the flat argmin over
+    # nlist=⌈√n⌉ cells was the last n^1.5 term (SCALE.md §12)
+    cells = assign_clusters_two_level(
+        q, "vid", "vq", cents, IVF_GROUP_ITERS
+    ).select("vid", "cluster")
     qs = _pq_query_panel(q)
     codes = pq_encode(q, books).join(cells, "vid")
     # multi-probe query frame: one (vid, probed cluster, vq) row per probe
@@ -856,7 +926,10 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_ivfadc_oracle() -> str:
     head = kmeans_cells_cte(
-        k=_IVF_NLIST_SQL, iters=IVF_ITERS, train_limit=IVF_TRAIN
+        k=_IVF_NLIST_SQL,
+        iters=IVF_ITERS,
+        train_limit=IVF_TRAIN,
+        group_iters=IVF_GROUP_ITERS,
     )
     return _pq_search_sql(
         f"{head},\n{_pq_codes_cte()}", mode="ivf", coarse_iters=IVF_ITERS
@@ -885,8 +958,8 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one residual-specific cost is recomputing the query's residual once
     per probed cell — the price FAISS pays too (per-list ADC tables)."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
-        assign_clusters,
-        assign_local,
+        assign_clusters_two_level,
+        assign_local_two_level,
         kmeans_fit_exact_local,
         probe_cells,
         quantize_vectors,
@@ -903,7 +976,11 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _ivf_nlist(q.count())
     train_rows = _collect_train(q)
     cents = kmeans_fit_exact_local(train_rows, k, IVF_ITERS)
-    cells = assign_clusters(q, "vid", "vq", cents).select("vid", "cluster")
+    # r8: two-level corpus assignment (see q_pq_ivfadc); the codebook sample
+    # below re-centers under the SAME rule so codes and cells agree
+    cells = assign_clusters_two_level(
+        q, "vid", "vq", cents, IVF_GROUP_ITERS
+    ).select("vid", "cluster")
     qs = _pq_query_panel(q)
 
     def recenter(df: DataFrame) -> DataFrame:
@@ -925,7 +1002,7 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # codebooks train on the SAMPLE's residuals, computed driver-side (same
     # IEEE subtraction per component as the distributed recenter)
-    tr_cells = dict(assign_local(train_rows, cents))
+    tr_cells = dict(assign_local_two_level(train_rows, cents, IVF_GROUP_ITERS))
     tr_resid = [
         (vid, [a - b for a, b in zip(v, cents[tr_cells[vid]])])
         for vid, v in train_rows
@@ -955,7 +1032,12 @@ def _pq_ivfadc_residual_oracle() -> str:
   JOIN c{IVF_ITERS} c ON c.cluster = k.cluster
 )"""
     head = (
-        kmeans_cells_cte(k=_IVF_NLIST_SQL, iters=IVF_ITERS, train_limit=IVF_TRAIN)
+        kmeans_cells_cte(
+            k=_IVF_NLIST_SQL,
+            iters=IVF_ITERS,
+            train_limit=IVF_TRAIN,
+            group_iters=IVF_GROUP_ITERS,
+        )
         + ",\n"
         + resid_cte
         + ",\n"

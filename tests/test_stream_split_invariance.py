@@ -1,0 +1,44 @@
+"""Direct gate for the streaming ledger-fold family's core claim (VERDICT r7
+#6): the ADDITIVE folds are micro-batch-SPLIT independent — however the feed
+is partitioned into files (1 batch, 3 batches, 7 batches with
+maxFilesPerTrigger=1), the folded final state is IDENTICAL, tuple-for-tuple,
+floats included. The shared batch oracles only imply this (each split happens
+to equal the batch answer); this asserts it head-on across three different
+splits of the same feed.
+
+Covers one member per ledger kind: the Gram/moment ledger (stream_ols —
+additive integer sums), the presence/count ledger (stream_mine_pairs —
+basket-pair counts), and the retire-reinsert join-view IVM ledger
+(stream_cdc_join_ivm — keyed upserts/deletes folded through generations).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_genre_data_pipeline_spark.suite import streaming_queries as SQ
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FOLDS = ["stream_ols_normal_eq", "stream_mine_pairs", "stream_cdc_join_ivm"]
+
+
+def _norm(v):
+    # bit-exact comparison intent: floats compare by repr equality via ==,
+    # which is exact for identical doubles; no rounding applied
+    return tuple(v)
+
+
+@pytest.mark.parametrize("name", FOLDS)
+def test_ledger_fold_is_split_invariant(spark, name):
+    fn = SQ.QUERIES[name].fn
+    results = []
+    for split in (1, 3, 7):
+        SQ.SOURCE_SPLIT = split
+        try:
+            rows = sorted(_norm(r) for r in fn(spark, SF_DIR).collect())
+        finally:
+            SQ.SOURCE_SPLIT = None
+        results.append(rows)
+    assert results[0] == results[1], f"{name}: split 1 vs 3 differ"
+    assert results[1] == results[2], f"{name}: split 3 vs 7 differ"

@@ -63,6 +63,12 @@ SCALE_QUERIES = [
     # + panel·S d-dim rerank — linear in n by construction)
     "cdc_join_ivm",
     "sim_topk_rerank",
+    # r8 (verdict r7 #5): the regression family markets "ONE map-side-combined
+    # aggregate into a d²-sized Gram" as its scale story — measure it. Ratios
+    # should be ~flat-to-linear: the shuffle is d²-sized regardless of n.
+    "feat_ols_normal_eq",
+    "feat_corr_matrix",
+    "feat_ridge_path",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
