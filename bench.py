@@ -75,6 +75,12 @@ HEADLINE = [
     "feat_corr_matrix",
     # r7: join-view IVM (churn-sized broadcast deltas against the view)
     "cdc_join_ivm",
+    # r8: er_union_recall is benchable now that its token passes carry
+    # max_pair_volume purging (31.7s → ~2.5s at sf0.1 — the fixed-vocabulary
+    # blocks that made it measure the fixture are capped); and the second
+    # gold mart's IVM hot path (scalar-FK signed-delta fold)
+    "er_union_recall",
+    "gold_language_revenue_ivm",
 ]
 
 

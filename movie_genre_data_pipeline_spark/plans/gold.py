@@ -199,3 +199,174 @@ def build_genre_revenue_mart(
         )
         .orderBy("genre_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Second star mart (r8): language revenue — the OTHER foreign key the
+# reference's star sketch names (README.md:10-15 draws movie→language next to
+# movie→genre; SURVEY.md §2.9 notes `Language_Id` exists only to enable this
+# join). Unlike genres, the FK is SCALAR (one language per movie), so the
+# rollup has no explode — a plain broadcast-dim hash join + one aggregate on
+# ~|languages| keys: the cheapest possible star shape at any fact scale.
+#
+# The reference's language dimension is DEGENERATE (§8.3 quirk 3: every
+# language row gets Id=1, and movies carry Language_Id=1, so the join fans
+# every movie out to every language). Both modes are first-class here:
+# `build_language_revenue_mart` takes whatever dim it is given — a fixed dim
+# (unique ids) produces the real mart; the parity dim reproduces the
+# reference's fanout, made visible as identical per-language totals. The
+# medallion gold stage materializes the parity form (its silver tables ARE
+# the reference's), and the suite oracles both.
+# ---------------------------------------------------------------------------
+
+
+def build_language_revenue_state(
+    movie_silver: DataFrame,
+    language_silver: DataFrame,
+    fk_col: str = "Language_Id",
+) -> DataFrame:
+    """Additive per-language state (STATE_COLS) — same integral-sum contract
+    as the genre state, minus the explode (scalar FK)."""
+    fact = movie_silver.select(
+        _cents("Revenue").alias("__rev_c"),
+        _cents("Budget").alias("__bud_c"),
+        F.col("RunTime"),
+        F.col(fk_col).alias("language_id"),
+    )
+    dim = F.broadcast(
+        language_silver.select(
+            F.col("Id").alias("language_id"),
+            F.col("OriginalLanguage").alias("language"),
+        )
+    )
+    return (
+        fact.join(dim, "language_id")
+        .groupBy("language_id", "language")
+        .agg(
+            F.count(F.lit(1)).alias("n_movies"),
+            F.sum("__rev_c").alias("revenue_cents"),
+            F.sum("__bud_c").alias("budget_cents"),
+            F.sum(F.col("RunTime").cast("bigint")).alias("runtime_sum"),
+            F.count("RunTime").alias("runtime_n"),
+        )
+    )
+
+
+def finalize_language_revenue(state: DataFrame) -> DataFrame:
+    """State → published mart schema (cents to 2-decimal money, avg over
+    non-NULL runtimes, languages with no remaining movies dropped)."""
+    return (
+        state.filter(F.col("n_movies") > 0)
+        .select(
+            "language_id",
+            "language",
+            "n_movies",
+            F.round(F.col("revenue_cents") / 100.0, 2).alias("total_revenue"),
+            F.round(F.col("budget_cents") / 100.0, 2).alias("total_budget"),
+            F.round(
+                F.col("runtime_sum").cast("double") / F.col("runtime_n"), 4
+            ).alias("avg_runtime"),
+        )
+        .orderBy("language_id", "language")
+    )
+
+
+def apply_language_revenue_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    language_silver: DataFrame,
+) -> DataFrame:
+    """Fold a CDC change feed (snapshot_diff over movie rows, compare_cols =
+    [Revenue, Budget, RunTime, Language_Id]) into the additive language state
+    — the same retire(-old)/insert(+new) signed-delta plan as the genre IVM,
+    with the scalar FK in place of the exploded array. Integral state ⇒ the
+    maintained mart equals a from-scratch rebuild bit-for-bit."""
+    changed = changes.filter(F.col("change_type") != "unchanged")
+    old_side = changed.filter(
+        F.col("change_type").isin("deleted", "updated")
+    ).select(
+        F.lit(-1).alias("__sign"),
+        F.round(F.col("old_Revenue") * 100).cast("bigint").alias("__rev_c"),
+        F.round(F.col("old_Budget") * 100).cast("bigint").alias("__bud_c"),
+        F.col("old_RunTime").alias("RunTime"),
+        F.col("old_Language_Id").alias("language_id"),
+    )
+    new_side = changed.filter(
+        F.col("change_type").isin("inserted", "updated")
+    ).select(
+        F.lit(1).alias("__sign"),
+        F.round(F.col("new_Revenue") * 100).cast("bigint").alias("__rev_c"),
+        F.round(F.col("new_Budget") * 100).cast("bigint").alias("__bud_c"),
+        F.col("new_RunTime").alias("RunTime"),
+        F.col("new_Language_Id").alias("language_id"),
+    )
+    dim = F.broadcast(
+        language_silver.select(
+            F.col("Id").alias("language_id"),
+            F.col("OriginalLanguage").alias("language"),
+        )
+    )
+    delta = (
+        old_side.unionByName(new_side)
+        .join(dim, "language_id")
+        .groupBy("language_id", "language")
+        .agg(
+            F.sum("__sign").alias("d_n"),
+            F.sum(F.col("__sign") * F.col("__rev_c")).alias("d_rev"),
+            F.sum(F.col("__sign") * F.col("__bud_c")).alias("d_bud"),
+            F.sum(
+                F.col("__sign") * F.coalesce(F.col("RunTime").cast("bigint"), F.lit(0))
+            ).alias("d_rt"),
+            F.sum(
+                F.when(F.col("RunTime").isNotNull(), F.col("__sign")).otherwise(0)
+            ).alias("d_rtn"),
+        )
+    )
+    s = state.select("language_id", "language", *STATE_COLS)
+    merged = s.join(delta, ["language_id", "language"], "full_outer")
+    z = F.lit(0)
+    return merged.select(
+        "language_id",
+        "language",
+        (F.coalesce("n_movies", z) + F.coalesce("d_n", z)).alias("n_movies"),
+        (F.coalesce("revenue_cents", z) + F.coalesce("d_rev", z)).alias(
+            "revenue_cents"
+        ),
+        (F.coalesce("budget_cents", z) + F.coalesce("d_bud", z)).alias(
+            "budget_cents"
+        ),
+        (F.coalesce("runtime_sum", z) + F.coalesce("d_rt", z)).alias("runtime_sum"),
+        (F.coalesce("runtime_n", z) + F.coalesce("d_rtn", z)).alias("runtime_n"),
+    )
+
+
+def build_language_revenue_mart(
+    movie_silver: DataFrame,
+    language_silver: DataFrame,
+    fk_col: str = "Language_Id",
+) -> DataFrame:
+    """(language_id, language, n_movies, total_revenue, total_budget,
+    avg_runtime) — one row per dimension row. With a FIXED dim (unique ids)
+    this is the real per-language mart; with the reference's degenerate dim
+    (all Id=1) every language row aggregates every movie — §8.3 parity,
+    reproduced rather than silently corrected."""
+    fact = movie_silver.select(
+        "Revenue", "Budget", "RunTime", F.col(fk_col).alias("language_id")
+    )
+    dim = F.broadcast(
+        language_silver.select(
+            F.col("Id").alias("language_id"),
+            F.col("OriginalLanguage").alias("language"),
+        )
+    )
+    return (
+        fact.join(dim, "language_id")
+        .groupBy("language_id", "language")
+        .agg(
+            F.count(F.lit(1)).alias("n_movies"),
+            F.round(F.sum("Revenue"), 2).alias("total_revenue"),
+            F.round(F.sum("Budget"), 2).alias("total_budget"),
+            F.round(F.avg("RunTime"), 4).alias("avg_runtime"),
+        )
+        .orderBy("language_id", "language")
+    )

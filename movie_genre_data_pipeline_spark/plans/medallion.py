@@ -204,6 +204,7 @@ class MedallionPipeline:
         refreshes use the IVM path — apply_genre_revenue_delta)."""
         from movie_genre_data_pipeline_spark.plans.gold import (
             build_genre_revenue_mart,
+            build_language_revenue_mart,
         )
 
         from movie_genre_data_pipeline_spark.operators.writers import (
@@ -220,6 +221,21 @@ class MedallionPipeline:
             self.spark,
             "genre_revenue_gold",
             self.config.gold_path("genre_revenue"),
+            database=self.config.database,
+        )
+        # r8: the star sketch's OTHER FK — the language mart. The silver
+        # tables are the reference's, so this is the §8.3 PARITY form (every
+        # language row Id=1 aggregates every movie); flipping
+        # language_projection(degenerate=False) upstream makes it real.
+        language = read_parquet(self.spark, self.config.silver_path("language"))
+        lang_mart = build_language_revenue_mart(movie, language)
+        lang_mart.write.mode("overwrite").parquet(
+            self.config.gold_path("language_revenue")
+        )
+        register_external_table(
+            self.spark,
+            "language_revenue_gold",
+            self.config.gold_path("language_revenue"),
             database=self.config.database,
         )
         return self.spark.table(qualified).count()

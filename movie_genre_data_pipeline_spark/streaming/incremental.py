@@ -212,6 +212,7 @@ class IncrementalMedallionPipeline:
         zone they maintain). Returns the mart row count."""
         from movie_genre_data_pipeline_spark.plans.gold import (
             build_genre_revenue_mart,
+            build_language_revenue_mart,
         )
         from movie_genre_data_pipeline_spark.sources.batch import read_parquet
 
@@ -229,6 +230,20 @@ class IncrementalMedallionPipeline:
             self.spark,
             "genre_revenue_gold",
             self.config.gold_path("genre_revenue"),
+            database=self.config.database,
+        )
+        # r8: the language mart, same derivation as the batch variant (§8.3
+        # parity form over the reference-shaped silver tables) so the
+        # batch ≡ incremental equality extends through BOTH gold marts
+        language = read_parquet(self.spark, self.config.silver_path("language"))
+        lang_mart = build_language_revenue_mart(movie, language)
+        lang_mart.write.mode("overwrite").parquet(
+            self.config.gold_path("language_revenue")
+        )
+        register_external_table(
+            self.spark,
+            "language_revenue_gold",
+            self.config.gold_path("language_revenue"),
             database=self.config.database,
         )
         return self.spark.table(qualified).count()

@@ -58,9 +58,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # registry entries that have NEVER had a driver record (the whole r7
     # regression/similarity/time-series/CDC additions, 12 streaming ledger
     # variants, and the leftover relational/agg rows). Slots 46-50 are
-    # seasoned multi-round passers kept as regression canaries. After this
-    # round every one of the 238 registry queries has >=1 green driver
-    # record and zero stale reds.
+    # seasoned multi-round passers kept as regression canaries (one slot
+    # later ceded to the new r8 language-mart IVM). After this round every
+    # pre-r8 registry query has >=1 green driver record and zero stale reds;
+    # of the r8 additions, the language-mart IVM is seated below and its two
+    # siblings wait just past the window.
     # --- the three fixed-but-still-red r6 queries ---
     "gold_genre_revenue_ivm",
     "stream_gold_ivm",
@@ -116,10 +118,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_ols_normal_eq",
     "stream_ts_ewma",
     "stream_ridge_path",
+    # --- r8 addition: the second gold star mart's IVM row (the mart +
+    # parity-mode siblings sit just past the window for the r9 rotation,
+    # both locally exact-verified) ---
+    "gold_language_revenue_ivm",
     # --- seasoned regression canaries (multi-round driver passers), chosen
-    # to keep one row per headline family (pipeline/TPC-H/dedup/text/media)
-    # while 45 of 50 slots go to debt-clearing ---
-    "project_cast",
+    # to keep one row per headline family (TPC-H/dedup/text/media) while
+    # 45 of 50 slots go to debt-clearing (project_cast, an r1-r7 passer,
+    # ceded its canary slot to the new mart) ---
     "tpch_q1",
     "dedup_exact",
     "text_source_quality",

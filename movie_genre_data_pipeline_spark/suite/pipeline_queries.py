@@ -1150,3 +1150,208 @@ FROM expected e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN total t
 
 
 QUERIES["dq_benford_screen"] = QuerySpec(q_dq_benford_screen, _dq_benford_oracle())
+
+
+# -- Gold mart #2 (r8): language revenue — the star schema's other FK ------------------
+# The reference README sketches movie→language beside movie→genre
+# (/root/reference/README.md:10-15); `Language_Id` exists on movie_silver only
+# to enable this join (SURVEY.md §2.9). Scalar FK ⇒ no explode: one broadcast
+# dim hash join + one ~|languages|-key aggregate. Fixture mapping: orders play
+# movies (same derivations as the genre mart), region plays the language dim
+# (r_regionkey/r_name), Language_Id = o_custkey % 5.
+def _gold_language_movies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("Id"),
+        F.col("o_totalprice").alias("Revenue"),
+        F.round(F.col("o_totalprice") * 0.4, 2).alias("Budget"),
+        (F.col("o_orderkey") % 180 + 60).cast("INTEGER").alias("RunTime"),
+        (F.col("o_custkey") % 5).cast("INTEGER").alias("Language_Id"),
+    )
+
+
+def _gold_language_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    return region.select(
+        F.col("r_regionkey").cast("INTEGER").alias("Id"),
+        F.col("r_name").alias("OriginalLanguage"),
+    )
+
+
+def q_gold_language_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second star mart, FIXED-dimension mode: one row per language. Runs
+    through the ADDITIVE state (integer cents) + finalize so the published
+    money columns derive from exact integer sums in both engines."""
+    from movie_genre_data_pipeline_spark.plans.gold import (
+        build_language_revenue_state,
+        finalize_language_revenue,
+    )
+
+    movies = _gold_language_movies(spark, sf_dir)
+    dim = _gold_language_dim(spark, sf_dir)
+    return finalize_language_revenue(build_language_revenue_state(movies, dim))
+
+
+_GOLD_LANGUAGE_MOVIE_CTE = """movie AS (
+  SELECT o_orderkey AS id,
+         o_totalprice AS revenue,
+         ROUND(o_totalprice * 0.4, 2) AS budget,
+         CAST(o_orderkey % 180 + 60 AS INTEGER) AS runtime,
+         CAST(o_custkey % 5 AS INTEGER) AS language_id
+  FROM orders
+)"""
+
+_GOLD_LANGUAGE_AGG_SQL = """
+  SELECT m.language_id, r.r_name AS language,
+         CAST(COUNT(*) AS BIGINT) AS n_movies,
+         SUM(CAST(ROUND(m.revenue * 100) AS BIGINT)) AS rev_c,
+         SUM(CAST(ROUND(m.budget * 100) AS BIGINT)) AS bud_c,
+         SUM(CAST(m.runtime AS BIGINT)) AS rt_sum,
+         CAST(COUNT(m.runtime) AS BIGINT) AS rt_n
+  FROM movie m JOIN region r ON r.r_regionkey = m.language_id
+  GROUP BY 1, 2
+"""
+
+Q_GOLD_LANGUAGE_REVENUE_ORACLE = f"""
+WITH {_GOLD_LANGUAGE_MOVIE_CTE},
+agg AS ({_GOLD_LANGUAGE_AGG_SQL})
+SELECT language_id, language, n_movies,
+       ROUND(rev_c / 100.0, 2) AS total_revenue,
+       ROUND(bud_c / 100.0, 2) AS total_budget,
+       ROUND(CAST(rt_sum AS DOUBLE) / rt_n, 4) AS avg_runtime
+FROM agg
+ORDER BY 1, 2
+"""
+
+
+QUERIES["gold_language_revenue"] = QuerySpec(
+    q_gold_language_revenue, Q_GOLD_LANGUAGE_REVENUE_ORACLE
+)
+
+
+def q_gold_language_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for the language mart: snapshot A's additive state folded forward
+    with signed deltas from snapshot_diff(A, B). B inserts the %101 keys A
+    lacks, deletes %97 keys, reprices %13 keys (integer-cent ×1.1), and MOVES
+    %11 keys to a different language — the scalar-FK retire/insert path the
+    genre IVM exercises via array membership. Integral state ⇒ equals the
+    from-scratch rebuild over B (the oracle) bit-for-bit."""
+    from movie_genre_data_pipeline_spark.operators.cdc import snapshot_diff
+    from movie_genre_data_pipeline_spark.plans.gold import (
+        apply_language_revenue_delta,
+        build_language_revenue_state,
+        finalize_language_revenue,
+    )
+
+    base = _gold_language_movies(spark, sf_dir)
+    dim = _gold_language_dim(spark, sf_dir)
+    snap_a = base.filter(F.col("Id") % 101 != 0)
+    snap_b = (
+        base.filter(F.col("Id") % 97 != 0)
+        .withColumn(
+            "Revenue",
+            F.when(
+                F.col("Id") % 13 == 0,
+                F.expr(
+                    "CAST((CAST(ROUND(Revenue * 100) AS BIGINT) * 11 + 5) DIV 10 AS DOUBLE) / 100.0"
+                ),
+            ).otherwise(F.col("Revenue")),
+        )
+        .withColumn(
+            "Language_Id",
+            F.when(
+                F.col("Id") % 11 == 0,
+                ((F.col("Language_Id") + 1) % 5).cast("INTEGER"),
+            ).otherwise(F.col("Language_Id")),
+        )
+    )
+    changes = snapshot_diff(
+        snap_a, snap_b, ["Id"], ["Revenue", "Budget", "RunTime", "Language_Id"]
+    )
+    state_a = build_language_revenue_state(snap_a, dim)
+    state_b = apply_language_revenue_delta(state_a, changes, dim)
+    return finalize_language_revenue(state_b)
+
+
+Q_GOLD_LANGUAGE_REVENUE_IVM_ORACLE = """
+WITH movie AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0
+              THEN CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10
+                         AS DOUBLE) / 100.0
+              ELSE o_totalprice END AS revenue,
+         ROUND(o_totalprice * 0.4, 2) AS budget,
+         CAST(o_orderkey % 180 + 60 AS INTEGER) AS runtime,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN CAST((o_custkey % 5 + 1) % 5 AS INTEGER)
+              ELSE CAST(o_custkey % 5 AS INTEGER) END AS language_id
+  FROM orders WHERE o_orderkey % 97 <> 0
+), agg AS (
+  SELECT m.language_id, r.r_name AS language,
+         CAST(COUNT(*) AS BIGINT) AS n_movies,
+         SUM(CAST(ROUND(m.revenue * 100) AS BIGINT)) AS rev_c,
+         SUM(CAST(ROUND(m.budget * 100) AS BIGINT)) AS bud_c,
+         SUM(CAST(m.runtime AS BIGINT)) AS rt_sum,
+         CAST(COUNT(m.runtime) AS BIGINT) AS rt_n
+  FROM movie m JOIN region r ON r.r_regionkey = m.language_id
+  GROUP BY 1, 2
+)
+SELECT language_id, language, n_movies,
+       ROUND(rev_c / 100.0, 2) AS total_revenue,
+       ROUND(bud_c / 100.0, 2) AS total_budget,
+       ROUND(CAST(rt_sum AS DOUBLE) / rt_n, 4) AS avg_runtime
+FROM agg
+ORDER BY 1, 2
+"""
+
+
+QUERIES["gold_language_revenue_ivm"] = QuerySpec(
+    q_gold_language_revenue_ivm, Q_GOLD_LANGUAGE_REVENUE_IVM_ORACLE
+)
+
+
+def q_gold_language_parity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§8.3 PARITY mode: the reference's language dimension is degenerate —
+    every dim row gets Id=1 (operations/operations.py:91-97) and every movie
+    carries Language_Id=1, so the star join fans each movie out to EVERY
+    language and all per-language totals are identical (= the all-movie
+    totals). Reproduced deliberately, not corrected: a reference user
+    switching engines sees the same (buggy) mart until they flip
+    language_projection(degenerate=False)."""
+    from movie_genre_data_pipeline_spark.plans.gold import (
+        build_language_revenue_state,
+        finalize_language_revenue,
+    )
+
+    movies = _gold_language_movies(spark, sf_dir).withColumn(
+        "Language_Id", F.lit(1).cast("INTEGER")
+    )
+    dim = _gold_language_dim(spark, sf_dir).withColumn(
+        "Id", F.lit(1).cast("INTEGER")
+    )
+    return finalize_language_revenue(build_language_revenue_state(movies, dim))
+
+
+Q_GOLD_LANGUAGE_PARITY_ORACLE = f"""
+WITH {_GOLD_LANGUAGE_MOVIE_CTE},
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_movies,
+         SUM(CAST(ROUND(revenue * 100) AS BIGINT)) AS rev_c,
+         SUM(CAST(ROUND(budget * 100) AS BIGINT)) AS bud_c,
+         SUM(CAST(runtime AS BIGINT)) AS rt_sum,
+         CAST(COUNT(runtime) AS BIGINT) AS rt_n
+  FROM movie
+)
+SELECT CAST(1 AS INTEGER) AS language_id,
+       r.r_name AS language,
+       t.n_movies,
+       ROUND(t.rev_c / 100.0, 2) AS total_revenue,
+       ROUND(t.bud_c / 100.0, 2) AS total_budget,
+       ROUND(CAST(t.rt_sum AS DOUBLE) / t.rt_n, 4) AS avg_runtime
+FROM region r CROSS JOIN tot t
+ORDER BY 1, 2
+"""
+
+
+QUERIES["gold_language_parity_mode"] = QuerySpec(
+    q_gold_language_parity_mode, Q_GOLD_LANGUAGE_PARITY_ORACLE
+)

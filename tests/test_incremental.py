@@ -90,18 +90,18 @@ def test_incremental_two_rounds_and_batch_equivalence(spark, tmp_path: Path):
         i = {tuple(r) for r in read_parquet(spark, inc_cfg.silver_path(dim)).collect()}
         assert b == i, f"{dim} dim diverged"
 
-    # batch ≡ incremental extends through GOLD (r6): same silver ⇒ same mart
-    bg = {
-        tuple(r)
-        for r in read_parquet(
-            spark, batch_cfg.gold_path("genre_revenue")
-        ).collect()
-    }
-    ig = {
-        tuple(r)
-        for r in read_parquet(spark, inc_cfg.gold_path("genre_revenue")).collect()
-    }
-    assert bg == ig and bg, "gold mart diverged between variants"
+    # batch ≡ incremental extends through GOLD (r6; both marts since r8):
+    # same silver ⇒ same marts
+    for mart in ("genre_revenue", "language_revenue"):
+        bg = {
+            tuple(r)
+            for r in read_parquet(spark, batch_cfg.gold_path(mart)).collect()
+        }
+        ig = {
+            tuple(r)
+            for r in read_parquet(spark, inc_cfg.gold_path(mart)).collect()
+        }
+        assert bg == ig and bg, f"gold mart {mart} diverged between variants"
 
 
 def test_incremental_rerun_is_idempotent(spark, tmp_path: Path):

@@ -240,6 +240,62 @@ def test_gold_ivm_equals_rebuild(spark):
     assert mart[1]["avg_runtime"] == 95.0  # NULL runtime of movie 3 excluded
 
 
+def test_gold_language_ivm_equals_rebuild(spark):
+    """Language-mart IVM (r8): folding the CDC feed into the integral state
+    equals a from-scratch rebuild bit-for-bit — inserts, deletes, repricing,
+    a LANGUAGE MOVE (the scalar-FK retire/insert path), and a NULL runtime."""
+    from movie_genre_data_pipeline_spark.operators.cdc import snapshot_diff
+    from movie_genre_data_pipeline_spark.plans.gold import (
+        apply_language_revenue_delta,
+        build_language_revenue_state,
+        finalize_language_revenue,
+    )
+
+    schema = (
+        "Id long, Revenue double, Budget double, RunTime int, Language_Id int"
+    )
+    snap_a = spark.createDataFrame(
+        [
+            (1, 100.10, 40.04, 100, 1),
+            (2, 200.20, 80.08, 120, 2),
+            (3, 300.30, 120.12, None, 2),  # NULL runtime
+            (4, 400.40, 160.16, 90, 3),
+        ],
+        schema,
+    )
+    snap_b = spark.createDataFrame(
+        [
+            (1, 110.11, 40.04, 100, 1),   # updated: repriced
+            (3, 300.30, 120.12, None, 1), # updated: language MOVED 2 → 1
+            (4, 400.40, 160.16, 90, 3),   # unchanged
+            (5, 500.50, 200.20, 80, 2),   # inserted
+        ],                                 # 2 deleted
+        schema,
+    )
+    dim = spark.createDataFrame(
+        [(1, "en"), (2, "fr"), (3, "ja")], "Id int, OriginalLanguage string"
+    )
+    changes = snapshot_diff(
+        snap_a, snap_b, ["Id"], ["Revenue", "Budget", "RunTime", "Language_Id"]
+    )
+    maintained = apply_language_revenue_delta(
+        build_language_revenue_state(snap_a, dim), changes, dim
+    )
+    rebuilt = build_language_revenue_state(snap_b, dim)
+    m_rows = sorted(map(tuple, maintained.filter("n_movies > 0").collect()))
+    r_rows = sorted(map(tuple, rebuilt.collect()))
+    assert m_rows == r_rows  # integral state: exact equality
+    f_m = sorted(map(tuple, finalize_language_revenue(maintained).collect()))
+    f_r = sorted(map(tuple, finalize_language_revenue(rebuilt).collect()))
+    assert f_m == f_r
+    mart = {
+        r["language_id"]: r for r in finalize_language_revenue(maintained).collect()
+    }
+    assert mart[1]["n_movies"] == 2      # movies 1 and 3 (moved in)
+    assert mart[2]["n_movies"] == 1      # lost 2 (deleted) and 3, gained 5
+    assert mart[1]["avg_runtime"] == 100.0  # NULL runtime of movie 3 excluded
+
+
 def test_silver_to_gold_stage(spark, pipeline_config, raw_movie_dir):
     """run() now ends at gold: the mart parquet exists in the gold zone and
     includes the repaired (post-silver_update) movies."""
@@ -258,3 +314,17 @@ def test_silver_to_gold_stage(spark, pipeline_config, raw_movie_dir):
     via_catalog = {r["genre_id"]: r for r in spark.table(table).collect()}
     assert via_catalog.keys() == rows.keys()
     assert via_catalog[3]["n_movies"] == 2
+    # r8: the second mart (language) materializes in PARITY mode — the silver
+    # language dim is degenerate (§8.3: every row Id=1, movies Language_Id=1),
+    # so every language row aggregates EVERY silver movie identically
+    lang = read_parquet(spark, pipeline_config.gold_path("language_revenue"))
+    lrows = lang.collect()
+    assert lrows, "language mart empty"
+    n_silver = read_parquet(
+        spark, pipeline_config.silver_path("movie")
+    ).count()
+    assert {r["language_id"] for r in lrows} == {1}
+    assert all(r["n_movies"] == n_silver for r in lrows)
+    assert len({(r["total_revenue"], r["total_budget"]) for r in lrows}) == 1
+    lang_table = f"{pipeline_config.database}.language_revenue_gold"
+    assert spark.table(lang_table).count() == len(lrows)
