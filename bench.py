@@ -117,6 +117,27 @@ def main() -> None:
         samples[name] = runs
         timings[name] = min(runs)
     total = round(sum(timings.values()), 3)
+
+    # Drift control (VERDICT r7 #8): a FIXED workload that never touches repo
+    # code or fixture files — spark.range -> hash shuffle -> aggregate. Its
+    # round-over-round movement measures the HOST (r5 and r7 both showed
+    # uniform ~1.3x "regressions" that were pure environment); divide any
+    # cross-round query ratio by the drift-control ratio before concluding a
+    # real regression.
+    drift_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 1000 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        drift_runs.append(round(time.time() - t0, 3))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -126,6 +147,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "drift_control": {
+                    "workload": "range20M-mod1000-hashagg",
+                    "runs": drift_runs,
+                    "best": min(drift_runs),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -32,6 +32,11 @@ NAMES = [
     "mine_brand_pairs",
     "dedup_minhash_lsh",
     "text_source_keyness",
+    # r8 additions: the second gold mart's IVM fold and the two-level
+    # hierarchical IVF assignment (integral distance folds must not depend
+    # on partial-aggregate count)
+    "gold_language_revenue_ivm",
+    "sim_pq_ivfadc",
 ]
 
 

@@ -464,3 +464,52 @@ def test_join_view_ivm_broadcasts_deltas(spark):
     plan = _plan(spark, "cdc_join_ivm")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_two_level_assignment_is_shuffle_free(spark):
+    """The hierarchical corpus assignment (r8) must stay a single projection
+    stage: group centers and per-group cell tables ride as ONE broadcast row
+    (BroadcastNestedLoopJoin on a 1-row carrier), never an Exchange on the
+    corpus side."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        assign_clusters_two_level,
+        kmeans_fit_exact_local,
+        quantize_vectors,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize_vectors(df, "vec_id", "embedding").cache()
+    rows = [(r["vid"], r["vq"]) for r in q.orderBy("vid").limit(64).collect()]
+    cents = kmeans_fit_exact_local(rows, 8, 2)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assign_clusters_two_level(q, "vid", "vq", cents).explain("formatted")
+    plan = buf.getvalue()
+    # the 1-row carrier arrives via BroadcastExchange (data movement of a few
+    # KB, not a repartition of the corpus); any SHUFFLE exchange is the bug
+    for shuffle in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                    "Exchange SinglePartition"):
+        assert shuffle not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_language_mart_broadcast_and_single_agg(spark):
+    """Second star mart (r8): the language dim joins as a broadcast and the
+    only shuffle is the final ~|languages|-key aggregate with a map-side
+    partial — the scalar-FK twin of the genre-mart pin."""
+    plan = _plan(spark, "gold_language_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_er_union_purged_never_cartesian(spark):
+    """The purged union configuration (r8): token-pass allow-lists broadcast,
+    candidates stay equi-joined, and the only nested-loop is the 1-row
+    candidate-count scalar attach."""
+    plan = _plan(spark, "er_union_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
