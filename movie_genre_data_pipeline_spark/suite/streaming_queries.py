@@ -1822,3 +1822,95 @@ def _stream_ridge_oracle() -> str:
 
 
 QUERIES["stream_ridge_path"] = QuerySpec(q_stream_ridge_path, _stream_ridge_oracle())
+
+
+# -- continuous refresh of the second gold mart (r8) -----------------------------------
+def q_stream_gold_language_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming language-mart refresh — the scalar-FK twin of
+    `stream_gold_ivm`: the CDC feed (inserts, deletes, reprices, and
+    language MOVES) arrives as arbitrary micro-batches and foreachBatch folds
+    each batch's signed contributions into the persisted additive state
+    (versioned parquet generations). Additive integral state ⇒ the fold is
+    batch-split- and order-independent and the final mart equals the batch
+    rebuild bit-for-bit — shares gold_language_revenue_ivm's oracle
+    verbatim."""
+    from movie_genre_data_pipeline_spark.operators.cdc import snapshot_diff
+    from movie_genre_data_pipeline_spark.plans.gold import (
+        apply_language_revenue_delta,
+        build_language_revenue_state,
+        finalize_language_revenue,
+    )
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        _gold_language_dim,
+        _gold_language_movies,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="stream_gold_lang_ivm_")
+    src = f"{base_dir}/src"
+    base = _gold_language_movies(spark, sf_dir)
+    dim_df = _gold_language_dim(spark, sf_dir)
+    snap_a = base.filter(F.col("Id") % 101 != 0)
+    snap_b = (
+        base.filter(F.col("Id") % 97 != 0)
+        .withColumn(
+            "Revenue",
+            F.when(
+                F.col("Id") % 13 == 0,
+                F.expr(
+                    "CAST((CAST(ROUND(Revenue * 100) AS BIGINT) * 11 + 5) DIV 10 AS DOUBLE) / 100.0"
+                ),
+            ).otherwise(F.col("Revenue")),
+        )
+        .withColumn(
+            "Language_Id",
+            F.when(
+                F.col("Id") % 11 == 0,
+                ((F.col("Language_Id") + 1) % 5).cast("INTEGER"),
+            ).otherwise(F.col("Language_Id")),
+        )
+    )
+    changes = snapshot_diff(
+        snap_a, snap_b, ["Id"], ["Revenue", "Budget", "RunTime", "Language_Id"]
+    ).filter(F.col("change_type") != "unchanged")
+    changes.repartition(_split(3)).write.parquet(src)
+    change_schema = spark.read.parquet(src).schema
+
+    gen = {"n": 0}
+    build_language_revenue_state(snap_a, dim_df).write.parquet(
+        f"{base_dir}/state_0"
+    )
+    dim = dim_df.localCheckpoint(eager=True)  # reused every micro-batch
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(change_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from movie_genre_data_pipeline_spark.fsutil import vacuum_generations
+
+        prev = spark.read.parquet(f"{base_dir}/state_{gen['n']}")
+        nxt = apply_language_revenue_delta(prev, batch_df, dim)
+        gen["n"] += 1
+        nxt.write.parquet(f"{base_dir}/state_{gen['n']}")
+        vacuum_generations(base_dir, "state", keep=2)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    state = spark.read.parquet(f"{base_dir}/state_{gen['n']}")
+    return finalize_language_revenue(state)
+
+
+def _stream_gold_language_ivm_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        Q_GOLD_LANGUAGE_REVENUE_IVM_ORACLE,
+    )
+
+    return Q_GOLD_LANGUAGE_REVENUE_IVM_ORACLE
+
+
+QUERIES["stream_gold_language_ivm"] = QuerySpec(
+    q_stream_gold_language_ivm, _stream_gold_language_ivm_oracle()
+)

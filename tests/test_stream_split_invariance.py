@@ -20,7 +20,14 @@ from movie_genre_data_pipeline_spark.suite import streaming_queries as SQ
 
 SF_DIR = "/root/testdata/sf0.001"
 
-FOLDS = ["stream_ols_normal_eq", "stream_mine_pairs", "stream_cdc_join_ivm"]
+FOLDS = [
+    "stream_ols_normal_eq",
+    "stream_mine_pairs",
+    "stream_cdc_join_ivm",
+    # r8: the language-mart generation ledger (scalar-FK retire/insert moves
+    # split across arbitrary micro-batches)
+    "stream_gold_language_ivm",
+]
 
 
 def _norm(v):
