@@ -409,3 +409,91 @@ def keyness_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bigram_surprisal(df, id_col: str, text_col: str, alpha: float = 0.4):
+    """Per-document mean bigram surprisal -avg(ln p(w2|w1)) under the corpus's
+    own bigram model with stupid backoff (Brants et al., EMNLP'07): the
+    conditional c(w1,w2)/c(w1,·) for bigrams seen >= 2 times, alpha * the
+    unigram p(w2) for singleton bigrams (the continuation a growing corpus has
+    essentially no evidence for). The bigram upgrade of `unigram_surprisal` —
+    same column contract, one model order higher, same swap-in point for a
+    trained LM.
+
+    Scale shape: bigrams are built ARRAY-LOCALLY (transform over the token
+    array — no self-join, no positional shuffle), then aggregated through
+    vocabulary-sized tables: per-doc bigram counts, corpus bigram counts,
+    left-context totals, unigram counts, and one broadcast scalar total.
+    Every shuffle is keyed on bigram/term vocabulary, never on corpus volume.
+
+    Cross-engine exactness: identical to `unigram_surprisal` — per-bigram
+    ln p is quantized to integer micro-nats (round(ln(p)*1e6) as BIGINT), the
+    per-doc accumulation runs in exact integer arithmetic, and the single
+    division back to a double happens last."""
+    arr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != "")
+    docs = df.select(F.col(id_col).alias("doc_id"), arr.alias("__a"))
+    bg = F.when(
+        F.size("__a") >= 2,
+        F.expr(
+            "transform(sequence(2, size(__a)), "
+            "i -> struct(element_at(__a, i-1) AS w1, element_at(__a, i) AS w2))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    flat = docs.select("doc_id", F.explode(bg).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bf = flat.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    bgc = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c_b"))
+    leftc = bgc.groupBy("w1").agg(F.sum("c_b").alias("c_left"))
+    uni = (
+        docs.select(F.explode("__a").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = df.agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+                )
+            )
+        ).alias("total")
+    )
+    s = (
+        bgc.join(leftc, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_b",
+            F.when(
+                F.col("c_b") >= 2,
+                F.round(F.log(F.col("c_b") / F.col("c_left")) * F.lit(1e6), 0),
+            )
+            .otherwise(
+                F.round(
+                    F.log(F.lit(alpha) * (F.col("cu") / F.col("total")))
+                    * F.lit(1e6),
+                    0,
+                )
+            )
+            .cast("bigint")
+            .alias("s_bg"),
+        )
+    )
+    return (
+        bf.join(s, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("bf") * F.col("s_bg")) / F.lit(1e6) / F.sum("bf"), 6
+            ).alias("avg_surprisal"),
+            F.round(
+                F.sum(F.when(F.col("c_b") == 1, F.col("bf")).otherwise(0))
+                / F.sum("bf"),
+                6,
+            ).alias("pct_backoff"),
+        )
+    )

@@ -731,3 +731,110 @@ FROM per_cat CROSS JOIN gall
 QUERIES["feat_target_encode"] = QuerySpec(
     q_feat_target_encode, Q_FEAT_TARGET_ENCODE_ORACLE
 )
+
+
+# -- k-center greedy coreset (r8) -------------------------------------------------------
+# Gonzalez's farthest-point traversal (the classic 2-approximation for metric
+# k-center) as a training-data pruning operator: select KC_K maximally-spread
+# exemplars from the embedding corpus — the seed selection step of coreset /
+# diverse-subset pipelines (herding, k-center greedy active learning a la
+# Sener & Savarese '18). Exact-integer discipline: vectors are quantized to
+# integral doubles (functions/kmeans.py:quantize_vectors), every min-distance
+# is an exact BIGINT-valued double, and ties break on vid — so DuckDB replays
+# the greedy traversal decision-for-decision.
+KC_K = 8
+
+
+def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KC_K rounds of: pick the point FARTHEST (max min-squared-L2, ties ->
+    lower vid) from the already-picked set, starting from the lowest vid.
+    Each round is ONE distributed linear scan — the incoming center travels
+    as an O(d) literal (broadcast-sized), the running min-distance column is
+    cached between rounds (a cluster deployment would checkpoint it), and
+    only the 1-row arg-max is collected. Total cost KC_K*n*d with no shuffle
+    wider than the 1-row TakeOrdered — the scale-correct shape, vs the
+    O(n^2) pairwise spread matrix a naive implementation materializes.
+    `radius` of row t is the covering radius of the first t-1 centers — the
+    monotone certificate sequence the 2-approx guarantee is read from."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        _sq_dist,
+        quantize_vectors,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding")
+    c0 = q.orderBy("vid").limit(1).collect()[0]
+    picks = [(1, int(c0["vid"]), -1.0)]
+    m = (
+        q.filter(F.col("vid") != int(c0["vid"]))
+        .select("vid", "vq", _sq_dist(F.col("vq"), list(c0["vq"])).alias("mind"))
+        .cache()
+    )
+    frames = [m]
+    for t in range(2, KC_K + 1):
+        top = m.orderBy(F.col("mind").desc(), F.col("vid").asc()).limit(1).collect()[0]
+        picks.append((t, int(top["vid"]), float(top["mind"])))
+        if t < KC_K:
+            m = (
+                m.filter(F.col("vid") != int(top["vid"]))
+                .select(
+                    "vid",
+                    "vq",
+                    F.least(
+                        F.col("mind"), _sq_dist(F.col("vq"), list(top["vq"]))
+                    ).alias("mind"),
+                )
+                .cache()
+            )
+            frames.append(m)
+    for f in frames:
+        f.unpersist()
+    return spark.createDataFrame(picks, "sel_rank int, center bigint, radius double")
+
+
+def _kcenter_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.similarity_queries import (
+        _PQ_EQ_CTE,
+        _pq_sqd,
+    )
+
+    DIM = 64
+    parts = [
+        f"""WITH {_PQ_EQ_CTE},
+k1 AS MATERIALIZED (SELECT vid, vq FROM eq ORDER BY vid LIMIT 1),
+m1 AS MATERIALIZED (
+  SELECT e.vid, e.vq, {_pq_sqd("e.vq", "c.vq", DIM)} AS mind
+  FROM eq e CROSS JOIN k1 c WHERE e.vid <> c.vid
+)"""
+    ]
+    for t in range(2, KC_K + 1):
+        parts.append(
+            f""",
+k{t} AS MATERIALIZED (
+  SELECT vid, vq, mind FROM m{t - 1} ORDER BY mind DESC, vid ASC LIMIT 1
+)"""
+        )
+        if t < KC_K:
+            parts.append(
+                f""",
+m{t} AS MATERIALIZED (
+  SELECT m.vid, m.vq,
+         LEAST(m.mind, {_pq_sqd("m.vq", "c.vq", DIM)}) AS mind
+  FROM m{t - 1} m CROSS JOIN k{t} c WHERE m.vid <> c.vid
+)"""
+            )
+    sel = [
+        "SELECT CAST(1 AS INTEGER) AS sel_rank, vid AS center,"
+        " CAST(-1 AS DOUBLE) AS radius FROM k1"
+    ]
+    for t in range(2, KC_K + 1):
+        sel.append(
+            f"SELECT CAST({t} AS INTEGER) AS sel_rank, vid AS center,"
+            f" mind AS radius FROM k{t}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+QUERIES["sample_kcenter_coreset"] = QuerySpec(
+    q_sample_kcenter_coreset, _kcenter_oracle()
+)

@@ -1526,3 +1526,163 @@ FROM exbest x LEFT JOIN dch d USING (vid)
 
 
 QUERIES["sim_topk_rerank"] = QuerySpec(q_sim_topk_rerank, _sim_topk_rerank_oracle())
+
+# -- MMR diversified top-k (r8) ---------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) re-expressed on
+# the suite's exact-integer distance space: relevance = squared L2 to the query,
+# diversity = squared L2 to the already-selected set, marginal score =
+# MMR_W_REL*d_rel - MMR_W_DIV*d_min_selected (λ=0.7 scaled by 10 so every
+# comparison is between exact integral doubles — no float-order risk). The
+# production shape for "retrieve k diverse passages": ANN shortlist per query
+# (here the exact top-MMR_C — any of the suite's IVF/LSH/JL shortlists slots
+# in), then a greedy k-step scan over the C-row shortlist. Per-query cost is
+# C·k after the shortlist; the panel scan (PQ_NQ·n) dominates and is linear
+# in n, so the whole query scales like sim_topk_rerank.
+MMR_C = 16
+MMR_K = 5
+MMR_W_REL = 7
+MMR_W_DIV = 3
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over a per-query shortlist: pick the nearest candidate,
+    then K-1 times re-score the remainder by weighted relevance-minus-
+    redundancy and take the arg-best (ties → lower neighbor id). The greedy
+    recurrence is unrolled into K-1 chained joins against the latest 1-row-
+    per-query pick — each step a broadcast-sized join plus one window, all
+    arithmetic exact integral doubles, mirrored step-for-step by the oracle's
+    materialized CTE chain."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    qs = _pq_query_panel(q)
+    a = q.join(qs, "vid").select("vid", F.col("vq").alias("va"))
+    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
+    cand = a.join(b, F.col("vid") != F.col("neighbor")).select(
+        "vid",
+        "neighbor",
+        _pq_sqd_col(F.col("va"), F.col("vb")).alias("d_rel"),
+        "vb",
+    )
+    w_rel = Window.partitionBy("vid").orderBy(
+        F.col("d_rel").asc(), F.col("neighbor").asc()
+    )
+    # cache the shortlist: every greedy step (and every union branch) re-reads
+    # this PQ_NQ*MMR_C-row frame instead of re-running the panel scan
+    short = (
+        cand.withColumn("__rn", F.row_number().over(w_rel))
+        .filter(F.col("__rn") <= MMR_C)
+        .drop("__rn")
+        .cache()
+    )
+    pick = (
+        short.withColumn("__rn", F.row_number().over(w_rel))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    outs = [
+        pick.select(
+            "vid",
+            F.lit(1).alias("sel_rank"),
+            "neighbor",
+            "d_rel",
+            F.lit(-1).cast("double").alias("d_div"),
+        )
+    ]
+    cur = short
+    have_mind = False
+    for t in range(2, MMR_K + 1):
+        prev = pick.select(
+            "vid", F.col("neighbor").alias("__pn"), F.col("vb").alias("__pv")
+        )
+        stepped = cur.join(prev, "vid").filter(F.col("neighbor") != F.col("__pn"))
+        d_new = _pq_sqd_col(F.col("vb"), F.col("__pv"))
+        mind = F.least(F.col("mind"), d_new) if have_mind else d_new
+        cur = stepped.select("vid", "neighbor", "d_rel", "vb", mind.alias("mind"))
+        have_mind = True
+        w_t = Window.partitionBy("vid").orderBy(
+            (F.col("d_rel") * MMR_W_REL - F.col("mind") * MMR_W_DIV).asc(),
+            F.col("neighbor").asc(),
+        )
+        pick = (
+            cur.withColumn("__rn", F.row_number().over(w_t))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        outs.append(
+            pick.select(
+                "vid",
+                F.lit(t).alias("sel_rank"),
+                "neighbor",
+                "d_rel",
+                F.col("mind").alias("d_div"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sim_mmr_rerank_oracle() -> str:
+    sqd = _pq_sqd
+    parts = [
+        f"""WITH {_PQ_EQ_CTE},
+qs AS (SELECT vid FROM eq ORDER BY vid LIMIT {PQ_NQ}),
+cand AS MATERIALIZED (
+  SELECT a.vid AS vid, b.vid AS neighbor,
+         {sqd("a.vq", "b.vq", DIM)} AS d_rel, b.vq AS vb
+  FROM eq a JOIN qs USING (vid) JOIN eq b ON a.vid <> b.vid
+),
+short AS MATERIALIZED (
+  SELECT vid, neighbor, d_rel, vb FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+             ORDER BY d_rel ASC, neighbor ASC) AS rn FROM cand)
+  WHERE rn <= {MMR_C}
+),
+p1 AS MATERIALIZED (
+  SELECT vid, neighbor, d_rel, vb FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+             ORDER BY d_rel ASC, neighbor ASC) AS rn FROM short)
+  WHERE rn = 1
+)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        src = "short" if t == 2 else f"c{t - 1}"
+        mind = (
+            sqd("s.vb", "p.vb", DIM)
+            if t == 2
+            else f"LEAST(s.mind, {sqd('s.vb', 'p.vb', DIM)})"
+        )
+        parts.append(
+            f""",
+c{t} AS MATERIALIZED (
+  SELECT s.vid, s.neighbor, s.d_rel, s.vb, {mind} AS mind
+  FROM {src} s JOIN p{t - 1} p
+       ON s.vid = p.vid AND s.neighbor <> p.neighbor
+),
+p{t} AS MATERIALIZED (
+  SELECT vid, neighbor, d_rel, vb, mind FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+             ORDER BY {MMR_W_REL}*d_rel - {MMR_W_DIV}*mind ASC, neighbor ASC)
+           AS rn FROM c{t})
+  WHERE rn = 1
+)"""
+        )
+    sel = [
+        "SELECT vid, CAST(1 AS INTEGER) AS sel_rank, neighbor, d_rel,"
+        " CAST(-1 AS DOUBLE) AS d_div FROM p1"
+    ]
+    for t in range(2, MMR_K + 1):
+        sel.append(
+            f"SELECT vid, CAST({t} AS INTEGER) AS sel_rank, neighbor, d_rel,"
+            f" mind AS d_div FROM p{t}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+QUERIES["sim_mmr_rerank"] = QuerySpec(q_sim_mmr_rerank, _sim_mmr_rerank_oracle())

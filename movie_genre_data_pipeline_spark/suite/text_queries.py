@@ -596,3 +596,70 @@ FROM ranked WHERE rank <= {KEYNESS_TOP_K}
 
 
 QUERIES["text_source_keyness"] = QuerySpec(q_source_keyness, Q_SOURCE_KEYNESS_ORACLE)
+
+
+# -- bigram surprisal with stupid backoff (r8) ------------------------------------------
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-scoring one model order up from text_unigram_surprisal: per-doc mean
+    -ln p(w2|w1) under the corpus's own bigram counts, with stupid backoff
+    (alpha=0.4 to the unigram distribution) for singleton continuations —
+    functions/text.py:bigram_surprisal. Bigrams form array-locally (no
+    positional shuffle); all aggregates are vocabulary-sized; per-bigram ln p
+    is quantized to integer micro-nats so the per-doc fold is exact."""
+    from movie_genre_data_pipeline_spark.functions.text import bigram_surprisal
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_surprisal(d, "doc_id", "text")
+
+
+Q_BIGRAM_SURPRISAL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')
+           AS a
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(a)),
+                i -> struct_pack(w1 := a[i-1], w2 := a[i]))) AS b
+  FROM tok
+),
+flat AS (
+  SELECT doc_id, struct_extract(b, 'w1') AS w1, struct_extract(b, 'w2') AS w2
+  FROM pairs
+),
+bf AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS bf
+  FROM flat GROUP BY 1, 2, 3
+),
+bgc AS (SELECT w1, w2, SUM(bf) AS c_b FROM bf GROUP BY 1, 2),
+leftc AS (SELECT w1, SUM(c_b) AS c_left FROM bgc GROUP BY 1),
+uni AS (
+  SELECT t AS w2, CAST(COUNT(*) AS BIGINT) AS cu
+  FROM tok, UNNEST(a) AS u(t) GROUP BY 1
+),
+tot AS (SELECT SUM(len(a)) AS total FROM tok),
+s AS (
+  SELECT g.w1, g.w2, g.c_b,
+         CASE WHEN g.c_b >= 2
+              THEN CAST(round(ln(CAST(g.c_b AS DOUBLE) / l.c_left) * 1e6)
+                        AS BIGINT)
+              ELSE CAST(round(ln(CAST(0.4 AS DOUBLE)
+                                 * (CAST(u.cu AS DOUBLE) / t.total)) * 1e6)
+                        AS BIGINT)
+         END AS s_bg
+  FROM bgc g JOIN leftc l USING (w1) JOIN uni u USING (w2) CROSS JOIN tot t
+)
+SELECT bf.doc_id,
+       CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(bf.bf * s.s_bg) / 1e6 / SUM(bf.bf), 6) AS avg_surprisal,
+       ROUND(SUM(CASE WHEN s.c_b = 1 THEN bf.bf ELSE 0 END) / SUM(bf.bf), 6)
+         AS pct_backoff
+FROM bf JOIN s ON bf.w1 = s.w1 AND bf.w2 = s.w2
+GROUP BY bf.doc_id
+"""
+
+QUERIES["text_bigram_surprisal"] = QuerySpec(
+    q_bigram_surprisal, Q_BIGRAM_SURPRISAL_ORACLE
+)
