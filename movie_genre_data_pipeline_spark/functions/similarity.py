@@ -337,3 +337,86 @@ def quantize_int8(
         F.md5(F.concat_ws(",", codes.cast("array<string>"))).alias("codes_digest"),
         F.round(recon_err, 6).alias("mean_abs_err"),
     )
+
+
+def mmr_greedy(
+    shortlist: DataFrame, k: int, w_rel: int, w_div: int
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98) over a per-query candidate shortlist, on squared-L2 distances:
+    pick the candidate minimizing w_rel*d_rel - w_div*d_min_to_selected each
+    round (relevance pulls toward the query, the min-distance term pushes
+    away from what's already picked). Expects (vid, neighbor, d_rel, vb)
+    rows — vid the query id, d_rel the candidate's distance to it, vb the
+    candidate vector — and returns k rows per query:
+    (vid, sel_rank, neighbor, d_rel, d_div) with d_div = -1 on the first
+    pick (nothing selected yet) and the min squared distance to the selected
+    set afterwards.
+
+    Integer weights over integral-double distances keep every marginal score
+    exact, so ties (broken on neighbor id) and therefore the whole greedy
+    trajectory are reproducible bit-for-bit by a SQL replay. Degenerate law
+    (pinned in tests/test_similarity.py): w_div=0 reduces the selection to
+    the plain top-k by (d_rel, neighbor).
+
+    Scale shape: the K-1 greedy rounds unroll into chained joins against the
+    latest 1-row-per-query pick — each round broadcast-sized work over the
+    C-row-per-query shortlist, no shuffle wider than the per-query window."""
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    w_first = Window.partitionBy("vid").orderBy(
+        F.col("d_rel").asc(), F.col("neighbor").asc()
+    )
+    pick = (
+        shortlist.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    outs = [
+        pick.select(
+            "vid",
+            F.lit(1).alias("sel_rank"),
+            "neighbor",
+            "d_rel",
+            F.lit(-1).cast("double").alias("d_div"),
+        )
+    ]
+    cur = shortlist
+    have_mind = False
+    for t in range(2, k + 1):
+        prev = pick.select(
+            "vid", F.col("neighbor").alias("__pn"), F.col("vb").alias("__pv")
+        )
+        stepped = cur.join(prev, "vid").filter(F.col("neighbor") != F.col("__pn"))
+        d_new = sqd(F.col("vb"), F.col("__pv"))
+        mind = F.least(F.col("mind"), d_new) if have_mind else d_new
+        cur = stepped.select("vid", "neighbor", "d_rel", "vb", mind.alias("mind"))
+        have_mind = True
+        w_t = Window.partitionBy("vid").orderBy(
+            (F.col("d_rel") * w_rel - F.col("mind") * w_div).asc(),
+            F.col("neighbor").asc(),
+        )
+        pick = (
+            cur.withColumn("__rn", F.row_number().over(w_t))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        outs.append(
+            pick.select(
+                "vid",
+                F.lit(t).alias("sel_rank"),
+                "neighbor",
+                "d_rel",
+                F.col("mind").alias("d_div"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1551,10 +1551,11 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence is unrolled into K-1 chained joins against the latest 1-row-
     per-query pick — each step a broadcast-sized join plus one window, all
     arithmetic exact integral doubles, mirrored step-for-step by the oracle's
-    materialized CTE chain."""
+    materialized CTE chain (functions/similarity.py:mmr_greedy)."""
     from pyspark.sql import Window
 
     from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.similarity import mmr_greedy
 
     _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
@@ -1579,53 +1580,7 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .cache()
     )
-    pick = (
-        short.withColumn("__rn", F.row_number().over(w_rel))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    outs = [
-        pick.select(
-            "vid",
-            F.lit(1).alias("sel_rank"),
-            "neighbor",
-            "d_rel",
-            F.lit(-1).cast("double").alias("d_div"),
-        )
-    ]
-    cur = short
-    have_mind = False
-    for t in range(2, MMR_K + 1):
-        prev = pick.select(
-            "vid", F.col("neighbor").alias("__pn"), F.col("vb").alias("__pv")
-        )
-        stepped = cur.join(prev, "vid").filter(F.col("neighbor") != F.col("__pn"))
-        d_new = _pq_sqd_col(F.col("vb"), F.col("__pv"))
-        mind = F.least(F.col("mind"), d_new) if have_mind else d_new
-        cur = stepped.select("vid", "neighbor", "d_rel", "vb", mind.alias("mind"))
-        have_mind = True
-        w_t = Window.partitionBy("vid").orderBy(
-            (F.col("d_rel") * MMR_W_REL - F.col("mind") * MMR_W_DIV).asc(),
-            F.col("neighbor").asc(),
-        )
-        pick = (
-            cur.withColumn("__rn", F.row_number().over(w_t))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        outs.append(
-            pick.select(
-                "vid",
-                F.lit(t).alias("sel_rank"),
-                "neighbor",
-                "d_rel",
-                F.col("mind").alias("d_div"),
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    return mmr_greedy(short, MMR_K, MMR_W_REL, MMR_W_DIV)
 
 
 def _sim_mmr_rerank_oracle() -> str:

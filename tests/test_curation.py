@@ -303,3 +303,36 @@ def test_phash_laws(spark):
     # differing only in the uncovered high bits would be silently missed
     with _pytest.raises(ValueError, match="covers only"):
         phash_near_dup_pairs(phash_fingerprints(df), max_hamming=3, bands=5)
+
+
+# -- bigram surprisal ---------------------------------------------------------------
+def test_bigram_surprisal_counts_and_backoff_on_micro_corpus(spark):
+    """Hand-checkable corpus: doc 1 = 'a b a b' has bigrams (a,b)x2 + (b,a);
+    doc 2 = 'a c'. Corpus bigram counts: (a,b)=2 (modeled), (b,a)=1 and
+    (a,c)=1 (singletons -> stupid backoff to 0.4*unigram). Expected per-doc
+    surprisal follows from ln(2/3), ln(0.4*2/6), ln(0.4*1/6) through the
+    micro-nat quantization."""
+    import math
+
+    from movie_genre_data_pipeline_spark.functions.text import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(docs, "doc_id", "text").collect()}
+
+    # doc 3 has a single token -> no bigrams -> absent
+    assert set(out) == {1, 2}
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+
+    def micronat(p: float) -> int:
+        return int(math.floor(math.log(p) * 1e6 + 0.5))
+
+    # unigrams: a=3, b=2, c=1, x=1 -> total 7
+    s_ab = micronat(2 / 3)            # modeled: c(a,b)/c(a,.) = 2/3
+    s_ba = micronat(0.4 * (3 / 7))    # backoff to 0.4 * p(a)
+    s_ac = micronat(0.4 * (1 / 7))    # backoff to 0.4 * p(c)
+    assert abs(out[1].avg_surprisal - round(-(2 * s_ab + s_ba) / 1e6 / 3, 6)) < 2e-6
+    assert abs(out[2].avg_surprisal - round(-s_ac / 1e6, 6)) < 2e-6
+    assert abs(out[1].pct_backoff - round(1 / 3, 6)) < 1e-9
+    assert out[2].pct_backoff == 1.0

@@ -37,6 +37,12 @@ NAMES = [
     # on partial-aggregate count)
     "gold_language_revenue_ivm",
     "sim_pq_ivfadc",
+    # r8 late additions: greedy k-center traversal (bounded collects must be
+    # partition-independent) and the bigram LM fold (integer micro-nat sums).
+    # sim_mmr_rerank is excluded: it self-tunes shuffle partitions via
+    # _pq_tune, which would make the 7-vs-31 comparison vacuous.
+    "sample_kcenter_coreset",
+    "text_bigram_surprisal",
 ]
 
 

@@ -154,3 +154,24 @@ def test_group_split_never_leaks_a_group_across_folds(spark):
         .count()
     )
     assert leaky > 0
+
+
+def test_kcenter_radius_certificate_is_monotone(spark):
+    """Gonzalez law: radius_t (the covering radius of the first t-1 centers,
+    emitted with pick t) never increases — min-distances only shrink as the
+    selected set grows, and the arg-max point is removed each round. Centers
+    are distinct and radii positive."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    rows = sorted(
+        all_queries()["sample_kcenter_coreset"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    assert [r["sel_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    centers = [r["center"] for r in rows]
+    assert len(set(centers)) == len(centers)
+    radii = [r["radius"] for r in rows[1:]]
+    assert all(r > 0 for r in radii)
+    assert all(a >= b for a, b in zip(radii, radii[1:]))

@@ -58,3 +58,67 @@ def test_rerank_recall_dominates_projected_only(spark):
     rerank = qs["sim_topk_rerank"].fn(spark, sf).collect()[0]
     assert rerank["n_queries"] == proj_only["n_queries"]
     assert rerank["n_hits"] >= proj_only["n_hits"]
+
+
+def test_mmr_degenerate_weights_reduce_to_topk(spark):
+    """MMR law: with the diversity weight at 0 the greedy marginal score is
+    w_rel*d_rel alone, so the selection must equal the plain top-k by
+    (d_rel, neighbor) — rank for rank. And with the real 7/3 weights the
+    k picks are distinct members of the shortlist."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.similarity import mmr_greedy
+    from movie_genre_data_pipeline_spark.suite import load
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding")
+    qs = q.select("vid").orderBy("vid").limit(10)
+    a = q.join(qs, "vid").select("vid", F.col("vq").alias("va"))
+    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
+    cand = a.join(b, F.col("vid") != F.col("neighbor")).select(
+        "vid", "neighbor", sqd(F.col("va"), F.col("vb")).alias("d_rel"), "vb"
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("d_rel").asc(), F.col("neighbor").asc()
+    )
+    short = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 8)
+        .drop("__rn")
+        .cache()
+    )
+
+    # degenerate weights: selection == top-k by relevance, rank for rank
+    got = {
+        (r["vid"], r["sel_rank"]): r["neighbor"]
+        for r in mmr_greedy(short, 4, 1, 0).collect()
+    }
+    want = {
+        (r["vid"], r["__rn"]): r["neighbor"]
+        for r in short.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 4)
+        .collect()
+    }
+    assert got == want
+
+    # real weights: per query, k distinct picks, all from the shortlist
+    rows = mmr_greedy(short, 4, 7, 3).collect()
+    members = {(r["vid"], r["neighbor"]) for r in short.collect()}
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["vid"], []).append(r["neighbor"])
+        assert (r["vid"], r["neighbor"]) in members
+        if r["sel_rank"] > 1:
+            assert r["d_div"] >= 0
+    for picks in by_vid.values():
+        assert len(picks) == 4 and len(set(picks)) == 4
+    short.unpersist()
