@@ -497,3 +497,97 @@ def bigram_surprisal(df, id_col: str, text_col: str, alpha: float = 0.4):
             ).alias("pct_backoff"),
         )
     )
+
+
+def bpe_learn_merges(df, id_col: str, text_col: str, n_merges: int):
+    """Learn the first `n_merges` byte-pair-encoding merges (Sennrich et al.,
+    ACL'16 — the subword-vocabulary induction behind GPT/LLaMA tokenizers)
+    from the corpus itself, distributed. Classic BPE alternates two steps:
+    count adjacent symbol pairs across the word-type table weighted by word
+    frequency, then merge the most frequent pair everywhere (greedy
+    left-to-right within each word). Returns the learned merge table:
+    (merge_rank, left_sym, right_sym, pair_count).
+
+    Scale shape — the key observation that makes BPE training distributable:
+    after ONE corpus-sized tokenize+count, every iteration runs on the
+    WORD-TYPE table (vocabulary-sized, bounded by the language not the
+    corpus). Pair counting is an explode+sum over word types; the winning
+    pair stays in-plan as a broadcast 1-row frame (no collect); merge
+    application is a scan-local array fold per word — no positional shuffle,
+    no driver-side vocabulary. 100 TB of text changes only the first count.
+
+    Determinism: pair counts are exact integers, ties break lexicographically
+    on (left, right), and the greedy left-to-right application is an
+    order-pinned fold — so a SQL engine replays the whole merge trajectory
+    (the oracle rebuilds greedy application with a run-parity window — two
+    provably-equivalent formulations of the same greedy rule)."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "w",
+        "freq",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "s"
+        ),
+    ).cache()
+    empty_pairs = F.expr("cast(array() as array<struct<x:string,y:string>>)")
+    empty_syms = F.expr("cast(array() as array<string>)")
+    rules = []
+    for t in range(1, n_merges + 1):
+        adj = F.when(
+            F.size("s") >= 2,
+            F.expr(
+                "transform(sequence(1, size(s)-1), "
+                "i -> struct(element_at(s, i) AS x, element_at(s, i+1) AS y))"
+            ),
+        ).otherwise(empty_pairs)
+        cnt = (
+            syms.select("freq", F.explode(adj).alias("p"))
+            .select("freq", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .groupBy("x", "y")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = cnt.orderBy(
+            F.col("c").desc(), F.col("x").asc(), F.col("y").asc()
+        ).limit(1)
+        rules.append(
+            best.select(
+                F.lit(t).alias("merge_rank"),
+                F.col("x").alias("left_sym"),
+                F.col("y").alias("right_sym"),
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+        )
+        if t < n_merges:
+            rule = F.broadcast(
+                best.select(F.col("x").alias("__a"), F.col("y").alias("__b"))
+            )
+            merged = F.aggregate(
+                F.col("s"),
+                empty_syms,
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.col("__a"))
+                    & (x == F.col("__b")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.col("__a"), F.col("__b"))),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            syms = syms.crossJoin(rule).select(
+                "w", "freq", merged.alias("s")
+            ).cache()
+    res = rules[0]
+    for r in rules[1:]:
+        res = res.unionByName(r)
+    return res

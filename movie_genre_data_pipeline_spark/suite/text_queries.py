@@ -663,3 +663,109 @@ GROUP BY bf.doc_id
 QUERIES["text_bigram_surprisal"] = QuerySpec(
     q_bigram_surprisal, Q_BIGRAM_SURPRISAL_ORACLE
 )
+
+# -- BPE merge induction (r8) ------------------------------------------------------------
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 byte-pair-encoding merges from the corpus itself
+    (Sennrich et al., ACL'16 — the subword-vocabulary induction behind
+    GPT/LLaMA tokenizers), fully distributed: functions/text.py:
+    bpe_learn_merges. After ONE corpus-sized tokenize+count, every iteration
+    runs on the word-TYPE table (vocabulary-sized, bounded by the language,
+    not the corpus); the winning pair stays in-plan as a broadcast 1-row
+    frame and merge application is a scan-local greedy array fold — no
+    positional shuffle, no driver-side vocabulary, so 100 TB of text changes
+    only the first count. The oracle replays the identical greedy trajectory
+    with a run-parity window (gaps-and-islands on consecutive match
+    positions, keep odd ranks) — a provably-equivalent formulation of
+    left-to-right non-overlapping replacement."""
+    from movie_genre_data_pipeline_spark.functions.text import bpe_learn_merges
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_learn_merges(d, "doc_id", "text", n_merges=8)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the chained-CTE DuckDB replay of `n_merges` BPE iterations.
+
+    Every CTE is MATERIALIZED: without it DuckDB re-inlines the unrolled
+    iteration chain exponentially (same trap as the two-level IVF oracle).
+    Greedy left-to-right non-overlapping application == run-parity: raw
+    match positions are consecutive only when left_sym == right_sym (a
+    symbol run), and greedy takes the 1st, 3rd, 5th ... match of each run.
+    """
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  x -> x != '')) AS w
+        FROM documents)
+  GROUP BY w
+)""",
+        """s1 AS MATERIALIZED (
+  SELECT w, freq, list_transform(generate_series(1, length(w)), i -> w[i]) AS s
+  FROM w0
+)""",
+    ]
+    for t in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT s[i] AS x, s[i + 1] AS y, CAST(SUM(freq) AS BIGINT) AS c
+  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i FROM s{t})
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT x, y, c FROM p{t} ORDER BY c DESC, x ASC, y ASC LIMIT 1
+)"""
+        )
+        if t < n_merges:
+            ctes.append(
+                f"""m{t} AS MATERIALIZED (
+  SELECT q.w, q.freq, q.i, q.s[q.i] AS sym,
+         CASE WHEN q.i < len(q.s) AND q.s[q.i] = b.x AND q.s[q.i + 1] = b.y
+              THEN 1 ELSE 0 END AS raw
+  FROM (SELECT w, freq, s, unnest(generate_series(1, len(s))) AS i FROM s{t}) q
+  CROSS JOIN b{t} b
+)"""
+            )
+            ctes.append(
+                f"""r{t} AS MATERIALIZED (
+  SELECT w, freq, i, sym, raw,
+         CASE WHEN raw = 1
+              THEN i - ROW_NUMBER() OVER (PARTITION BY w, raw ORDER BY i)
+              ELSE -1 END AS isl
+  FROM m{t}
+)"""
+            )
+            ctes.append(
+                f"""k{t} AS MATERIALIZED (
+  SELECT w, freq, i, sym,
+         CASE WHEN raw = 1
+                   AND (ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY i) % 2) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM r{t}
+)"""
+            )
+            ctes.append(
+                f"""s{t + 1} AS MATERIALIZED (
+  SELECT w, MIN(freq) AS freq,
+         list(CASE WHEN keep = 1 THEN bx || by ELSE sym END ORDER BY i) AS s
+  FROM (SELECT k.*, COALESCE(LAG(keep) OVER (PARTITION BY k.w ORDER BY i), 0) AS pk,
+               b.x AS bx, b.y AS by
+        FROM k{t} k CROSS JOIN b{t} b)
+  WHERE pk = 0
+  GROUP BY w
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS merge_rank, x AS left_sym, y AS right_sym, c AS pair_count"
+        f" FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+Q_BPE_MERGES_ORACLE = _bpe_oracle(8)
+
+QUERIES["text_bpe_merges"] = QuerySpec(q_bpe_merges, Q_BPE_MERGES_ORACLE)

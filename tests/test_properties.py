@@ -877,3 +877,58 @@ def test_join_view_ivm_equals_rebuild(spark, facts, up_keys, del_keys, moved):
         for k, (d, p) in facts.items() if k not in del_keys
     )
     assert got == want
+
+
+# -- r8 law: BPE merge induction replays classic greedy BPE exactly -----------------
+@FAST
+@given(docs=st.lists(texts, min_size=0, max_size=10))
+def test_bpe_merges_match_python_reference(spark, docs):
+    """The distributed BPE trainer (pair-count over word types -> broadcast
+    winner -> greedy scan-local fold) must replay classic single-machine BPE
+    (Sennrich ACL'16) bit-for-bit: same winners, same counts, same trajectory
+    -- including symbol-run overlaps ("aaaa" + rule (a,a) -> [aa,aa]) and
+    lexicographic tie-breaks."""
+    import re as _re
+
+    from movie_genre_data_pipeline_spark.functions.text import bpe_learn_merges
+
+    words: dict[str, int] = {}
+    for t in docs:
+        for w in _re.split(r"[^a-z]+", t.lower()):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    syms = {w: list(w) for w in words}
+    expect = []
+    for t in range(1, 4):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, f in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + f
+        if not cnt:
+            break
+        (x, y), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((t, x, y, c))
+        for w in syms:
+            s, ns, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    ns.append(x + y)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = ns
+
+    df = (
+        spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        if docs
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn_merges(df, "doc_id", "text", 3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expect
