@@ -321,3 +321,104 @@ def temperature_resample(
         / F.lit(float(1 << 48))
     )
     return df.filter(frac48 < F.coalesce(rate_expr, F.lit(0.0)))
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag: Column,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, NeurIPS — "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by how much more likely its text is under a TARGET-domain
+    hashed-unigram model than under the RAW-corpus model,
+
+        log w(x) = Σ_tokens [ ln p_target(bucket(tok)) − ln p_raw(bucket(tok)) ],
+
+    where both models are add-1-smoothed distributions over `n_buckets` md5
+    token buckets (the hashing trick bounds model size regardless of
+    vocabulary). Positive log-weight ⇒ the document looks more target-like
+    than the corpus average; selection by `logw_micro > 0` is then a pure
+    scan-local filter — DSIR's Gumbel resampling swapped for a deterministic,
+    repartition-invariant rule.
+
+    Returns (doc_id, n_tokens BIGINT, logw_micro BIGINT) — one row per input
+    document (token-less documents score 0). Cross-engine exactness: each
+    bucket's log-ratio is quantized ONCE to integer micro-nats
+    (round(Δln·1e6) AS BIGINT) and the per-document fold is an exact integer
+    sum, so accumulation order cannot move the result (the unigram_surprisal
+    discipline).
+
+    Scale shape (100 TB): one tokenize+explode; bucket-model building is ONE
+    groupBy over at most `n_buckets` keys (map-side combined — the shuffle is
+    bucket-sized, not corpus-sized); totals reduce the bucket table itself;
+    the log-ratio table (≤ n_buckets rows) broadcasts into the (doc, bucket)
+    aggregate, which shuffles once on the document key. No global sort, no
+    driver-side vocabulary.
+    """
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+
+    b = int(n_buckets)
+    if b < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), target_flag.alias("__tgt"), F.col(text_col)
+    )
+    terms = base.select(
+        "doc_id", "__tgt", F.explode(tokens(text_col)).alias("__term")
+    ).select(
+        "doc_id",
+        "__tgt",
+        (
+            F.conv(F.substring(F.md5("__term"), 1, 12), 16, 10).cast("bigint")
+            % F.lit(b)
+        ).alias("bucket"),
+    )
+    # (doc, bucket) term frequencies — the only corpus-sized shuffle.
+    tf = terms.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    # bucket models: raw = every token, target = tokens of flagged docs.
+    buckets = terms.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias("tgt_c"),
+    )
+    totals = buckets.agg(
+        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
+    )
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_c") + F.lit(1.0))
+                    / (F.col("t_tgt") + F.lit(float(b)))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0))
+                    / (F.col("t_raw") + F.lit(float(b)))
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
+        )
+    )

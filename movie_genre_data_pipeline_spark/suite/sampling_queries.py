@@ -838,3 +838,118 @@ m{t} AS MATERIALIZED (
 QUERIES["sample_kcenter_coreset"] = QuerySpec(
     q_sample_kcenter_coreset, _kcenter_oracle()
 )
+
+
+# -- DSIR importance selection (r8) ------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score documents
+# by a hashed-unigram target-vs-raw log-likelihood ratio and keep the ones
+# that look more target-like than the corpus average. Target domain here =
+# English documents (the stand-in for "high-quality reference corpus");
+# selection is the deterministic logw > 0 rule so it stays a scan-local
+# filter at 100 TB (no global sort, no Gumbel state).
+DSIR_BUCKETS = 256
+
+
+def q_sample_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DSIR selection report: how many documents each source
+    contributes to the selected (more-target-like-than-raw) pool, plus the
+    mean log importance weight of the selected docs in nats. Output is
+    source-dimension-sized regardless of corpus size. Exactness: per-doc
+    log-weights are exact integer micro-nat sums (functions/sampling.py
+    dsir_importance); the published mean divides two exact integers once."""
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    rep = (
+        d.select("doc_id", "source")
+        .join(w, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("logw_micro") > 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(
+                F.when(F.col("logw_micro") > 0, F.col("logw_micro")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("sel_logw_micro"),
+        )
+    )
+    return rep.select(
+        "source",
+        "n_docs",
+        "n_selected",
+        F.round(F.col("n_selected").cast("double") / F.col("n_docs"), 6).alias(
+            "sel_rate"
+        ),
+        F.when(
+            F.col("n_selected") > 0,
+            F.round(
+                F.col("sel_logw_micro").cast("double")
+                / F.lit(1e6)
+                / F.col("n_selected"),
+                6,
+            ),
+        ).alias("avg_sel_logw"),
+    )
+
+
+def _importance_select_oracle() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+WITH terms AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         CAST(concat('0x', substring(md5(t.term), 1, 12)) AS BIGINT) % {b}
+           AS bucket
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents) d,
+       unnest(toks) AS t(term)
+),
+tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM terms GROUP BY doc_id, bucket),
+buckets AS (
+  SELECT bucket, COUNT(*) AS raw_c,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_c
+  FROM terms GROUP BY bucket
+),
+totals AS (SELECT SUM(raw_c) AS t_raw, SUM(tgt_c) AS t_tgt FROM buckets),
+ratios AS (
+  SELECT bucket,
+         CAST(ROUND((LN((tgt_c + 1.0) / (t_tgt + CAST({b} AS DOUBLE)))
+                   - LN((raw_c + 1.0) / (t_raw + CAST({b} AS DOUBLE))))
+                    * 1000000.0, 0) AS BIGINT) AS lr_micro
+  FROM buckets CROSS JOIN totals
+),
+scored AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * r.lr_micro) AS BIGINT) AS logw_micro
+  FROM tf JOIN ratios r USING (bucket) GROUP BY tf.doc_id
+),
+w AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(s.logw_micro, 0) AS logw_micro
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       ROUND(CAST(SUM(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS sel_rate,
+       CASE WHEN SUM(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END) > 0 THEN
+         ROUND(CAST(SUM(CASE WHEN logw_micro > 0 THEN logw_micro ELSE 0 END)
+                    AS DOUBLE)
+               / 1000000.0
+               / SUM(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END), 6)
+       END AS avg_sel_logw
+FROM w GROUP BY source
+"""
+
+
+QUERIES["sample_importance_select"] = QuerySpec(
+    q_sample_importance_select, _importance_select_oracle()
+)

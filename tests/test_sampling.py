@@ -175,3 +175,63 @@ def test_kcenter_radius_certificate_is_monotone(spark):
     radii = [r["radius"] for r in rows[1:]]
     assert all(r > 0 for r in radii)
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_dsir_target_equals_raw_gives_zero_weights(spark):
+    """When the target filter selects EVERY document the two bucket models are
+    identical, so every log-ratio — and therefore every document's importance
+    weight — is exactly zero (integer micro-nats, no float residue)."""
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = dsir_importance(df, "doc_id", "text", F.lit(True), n_buckets=16).collect()
+    assert len(out) == 3
+    assert all(r["logw_micro"] == 0 for r in out)
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[3]["n_tokens"] == 0  # token-less doc present, scored 0
+
+
+def test_dsir_prefers_target_vocabulary(spark):
+    """Docs made of target-corpus tokens score positive; docs made of tokens
+    the target never uses score negative — the DSIR selection direction."""
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    rows = [
+        # target docs (flag True) use 'good'/'fine'; raw-only docs use 'spam'
+        (1, "good fine good fine", True),
+        (2, "good good fine fine", True),
+        (3, "spam spam spam spam", False),
+        (4, "good fine good good", False),  # target-like but unflagged
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, is_t boolean")
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_importance(
+            df, "doc_id", "text", F.col("is_t"), n_buckets=64
+        ).collect()
+    }
+    # On a micro-corpus add-1 smoothing shifts every absolute weight down
+    # (the target total is smaller, so empty-bucket mass dilutes it more);
+    # the smoothing-robust DSIR laws are ORDERINGS and content-dependence:
+    assert w[1] == w[2], "same token multiset ⇒ identical weight"
+    assert w[3] < min(w[1], w[2], w[4]), "raw-only vocabulary scores lowest"
+    assert w[4] > w[3], "selection follows CONTENT, not the flag"
+
+
+def test_dsir_repartition_invariant(spark):
+    """Integer micro-nat folds make the weights independent of partitioning."""
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common word") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    flag = F.col("doc_id") % 2 == 0
+    a = sorted(
+        dsir_importance(df.repartition(1), "doc_id", "text", flag).collect()
+    )
+    b = sorted(
+        dsir_importance(df.repartition(13), "doc_id", "text", flag).collect()
+    )
+    assert a == b
