@@ -256,3 +256,134 @@ def ridge_path_micro(
         "s2y",
     )
     return ols_solve_micro(penalized, group_cols=("lam",))
+
+
+# -- logistic regression via IRLS (r8) ----------------------------------------------
+# Newton / iteratively-reweighted least squares for y ∈ {0,1} ~ sigmoid(b0 +
+# b1·x1 + b2·x2): each iteration reduces the data to the SAME d²-sized
+# weighted Gram the OLS fit uses (weights w = μ(1−μ), residuals r = y − μ)
+# and solves delta = (XᵀWX)⁻¹ Xᵀr with the shared Cramer strings. The quality-
+# classifier primitive of training-data curation (fastText-style filters are
+# this plus richer features).
+#
+# Exactness: betas live as INTEGER micro-units, so z = b0 + b1·x1 + b2·x2 is
+# an exact BIGINT dot product; the sigmoid — the only transcendental — is
+# quantized to integer micro-units IMMEDIATELY (clamped to [1, 999999] so
+# saturated rows keep a nonzero weight), making w and r exact integers and
+# every Gram sum accumulation-order-free. Weighted sums carry micro² factors
+# (w ≤ 2.5e11), so they ride DECIMAL(38,0)/HUGEINT, cast once to DOUBLE for
+# the shared-string solve; the 1e6 scaling of A and rhs cancels in A⁻¹rhs, so
+# the micro-delta needs the single ×1e12 literal below.
+SIGMOID_MICRO_SQL = (
+    "LEAST(999999, GREATEST(1, CAST(ROUND((1.0 / (1.0 + exp(-(CAST(z_micro"
+    " AS DOUBLE) / 1000000.0)))) * 1000000.0, 0) AS BIGINT)))"
+)
+DELTA_MICRO12_SQL = {
+    "d0": f"CAST(ROUND({DET0_SQL} / {DET_SQL} * 1000000000000.0) AS BIGINT)",
+    "d1": f"CAST(ROUND({DET1_SQL} / {DET_SQL} * 1000000000000.0) AS BIGINT)",
+    "d2": f"CAST(ROUND({DET2_SQL} / {DET_SQL} * 1000000000000.0) AS BIGINT)",
+}
+LOGREG_W_SQL = "mu_micro * (1000000 - mu_micro)"
+LOGREG_R_SQL = "y * 1000000 - mu_micro"
+
+
+def logreg_irls_micro(
+    df: DataFrame, x1: str, x2: str, y: str, iters: int = 4
+) -> DataFrame:
+    """Fit y ~ sigmoid(1, x1, x2) over INTEGER feature columns by `iters`
+    IRLS steps from beta = 0 and publish the training trajectory: one row per
+    iteration (iter, b0_micro, b1_micro, b2_micro, n_correct, n_rows), where
+    n_correct counts rows whose EXACT integer score b0 + b1·x1 + b2·x2
+    agrees in sign with the label after that iteration's update.
+
+    Scale shape: per iteration ONE map-side-combined aggregate (d²+d numbers
+    leave the executors — the ols_gram shape) plus one accuracy aggregate;
+    the solve runs engine-side on the one-row Gram and only the d+1 updated
+    micro-betas are collected to drive the next plan (bounded driver state,
+    the kcenter-coreset discipline). The feature frame is cached across
+    iterations; a cluster deployment would checkpoint it instead."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    feats = df.select(
+        F.col(x1).cast("bigint").alias("x1"),
+        F.col(x2).cast("bigint").alias("x2"),
+        F.col(y).cast("bigint").alias("y"),
+    ).cache()
+    beta = (0, 0, 0)
+    rows = []
+    dec = "decimal(38,0)"
+    for t in range(1, iters + 1):
+        scored = feats.select(
+            "x1",
+            "x2",
+            "y",
+            (
+                F.lit(beta[0])
+                + F.lit(beta[1]) * F.col("x1")
+                + F.lit(beta[2]) * F.col("x2")
+            ).alias("z_micro"),
+        ).withColumn("mu_micro", F.expr(SIGMOID_MICRO_SQL))
+        wr = scored.select(
+            "x1",
+            "x2",
+            F.expr(LOGREG_W_SQL).alias("w"),
+            F.expr(LOGREG_R_SQL).alias("r"),
+        )
+        g = wr.agg(
+            F.sum(F.col("w").cast(dec)).alias("ni"),
+            F.sum((F.col("w") * F.col("x1")).cast(dec)).alias("sx1i"),
+            F.sum((F.col("w") * F.col("x2")).cast(dec)).alias("sx2i"),
+            F.sum(F.col("r").cast(dec)).alias("syi"),
+            F.sum((F.col("w") * F.col("x1") * F.col("x1")).cast(dec)).alias("s11i"),
+            F.sum((F.col("w") * F.col("x1") * F.col("x2")).cast(dec)).alias("s12i"),
+            F.sum((F.col("w") * F.col("x2") * F.col("x2")).cast(dec)).alias("s22i"),
+            F.sum((F.col("x1") * F.col("r")).cast(dec)).alias("s1yi"),
+            F.sum((F.col("x2") * F.col("r")).cast(dec)).alias("s2yi"),
+        )
+        d = g.select(
+            F.col("ni").cast("double").alias("n"),
+            F.col("sx1i").cast("double").alias("sx1"),
+            F.col("sx2i").cast("double").alias("sx2"),
+            F.col("syi").cast("double").alias("sy"),
+            F.col("s11i").cast("double").alias("s11"),
+            F.col("s12i").cast("double").alias("s12"),
+            F.col("s22i").cast("double").alias("s22"),
+            F.col("s1yi").cast("double").alias("s1y"),
+            F.col("s2yi").cast("double").alias("s2y"),
+        )
+        delta = d.select(
+            F.expr(DELTA_MICRO12_SQL["d0"]).alias("d0"),
+            F.expr(DELTA_MICRO12_SQL["d1"]).alias("d1"),
+            F.expr(DELTA_MICRO12_SQL["d2"]).alias("d2"),
+        ).collect()[0]
+        beta = (
+            beta[0] + int(delta["d0"]),
+            beta[1] + int(delta["d1"]),
+            beta[2] + int(delta["d2"]),
+        )
+        acc = feats.agg(
+            F.sum(
+                F.when(
+                    (
+                        F.lit(beta[0])
+                        + F.lit(beta[1]) * F.col("x1")
+                        + F.lit(beta[2]) * F.col("x2")
+                        > 0
+                    )
+                    == (F.col("y") == 1),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).collect()[0]
+        rows.append(
+            (t, beta[0], beta[1], beta[2], int(acc["n_correct"]), int(acc["n_rows"]))
+        )
+    feats.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows,
+        "iter int, b0_micro bigint, b1_micro bigint, b2_micro bigint,"
+        " n_correct bigint, n_rows bigint",
+    )

@@ -953,3 +953,122 @@ FROM w GROUP BY source
 QUERIES["sample_importance_select"] = QuerySpec(
     q_sample_importance_select, _importance_select_oracle()
 )
+
+
+# -- logistic quality classifier: IRLS parameter recovery (r8) ---------------------------
+# The fit is graded against a KNOWN generating process: labels are drawn by
+# the deterministic md5-uniform channel u < sigmoid(zt/1e6) with the true
+# micro-betas below, so the published trajectory must CONVERGE TOWARD the
+# injected truth — a parameter-recovery law, not just a hash match
+# (tests/test_regression.py pins it).
+LOGREG_TRUE = (-2_000_000, 30_000, -150_000)
+LOGREG_ITERS = 4
+_LOGREG_ZT = (
+    f"{LOGREG_TRUE[0]} + {LOGREG_TRUE[1]} * x1 + {LOGREG_TRUE[2]} * x2"
+)
+_LOGREG_LABEL = (
+    "CAST(CASE WHEN CAST(u48 AS DOUBLE) / 281474976710656.0"
+    " < 1.0 / (1.0 + exp(-(CAST(zt AS DOUBLE) / 1000000.0)))"
+    " THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+def q_feat_logreg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 2-feature logistic quality classifier by LOGREG_ITERS IRLS
+    steps (functions/regression.py logreg_irls_micro) on labels synthesized
+    by the md5-uniform logistic channel, and publish the per-iteration
+    trajectory (micro-betas + exact integer-score training accuracy). Every
+    iteration is one d²-sized map-side-combined aggregate over the fact
+    table — the OLS/ridge scan shape, so the fit costs iters·scan at any
+    scale and shuffles only Gram-sized rows."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        logreg_irls_micro,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":logreg"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u48"),
+    ).withColumn("zt", F.expr(_LOGREG_ZT))
+    labeled = feats.select("x1", "x2", F.expr(_LOGREG_LABEL).alias("y"))
+    return logreg_irls_micro(labeled, "x1", "x2", "y", iters=LOGREG_ITERS)
+
+
+def _logreg_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        DELTA_MICRO12_SQL,
+        LOGREG_R_SQL,
+        LOGREG_W_SQL,
+        SIGMOID_MICRO_SQL,
+    )
+
+    parts = [
+        f"""WITH f AS MATERIALIZED (
+  SELECT x1, x2, {_LOGREG_LABEL} AS y
+  FROM (
+    SELECT x1, x2, u48, {_LOGREG_ZT} AS zt
+    FROM (
+      SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+             CAST(o_custkey % 25 AS BIGINT) AS x2,
+             CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
+               AS BIGINT) AS u48
+      FROM orders))
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+              CAST(0 AS BIGINT) AS b2)"""
+    ]
+    for t in range(1, LOGREG_ITERS + 1):
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT x1, x2, y, {SIGMOID_MICRO_SQL} AS mu_micro
+  FROM (SELECT f.*, b.b0 + b.b1 * x1 + b.b2 * x2 AS z_micro
+        FROM f CROSS JOIN b{t - 1} b)
+),
+g{t} AS (
+  SELECT SUM(w) AS ni, SUM(w * x1) AS sx1i, SUM(w * x2) AS sx2i,
+         SUM(r) AS syi, SUM(w * x1 * x1) AS s11i, SUM(w * x1 * x2) AS s12i,
+         SUM(w * x2 * x2) AS s22i, SUM(x1 * r) AS s1yi, SUM(x2 * r) AS s2yi
+  FROM (SELECT x1, x2, {LOGREG_W_SQL} AS w, {LOGREG_R_SQL} AS r FROM s{t})
+),
+d{t} AS (
+  SELECT CAST(ni AS DOUBLE) AS n, CAST(sx1i AS DOUBLE) AS sx1,
+         CAST(sx2i AS DOUBLE) AS sx2, CAST(syi AS DOUBLE) AS sy,
+         CAST(s11i AS DOUBLE) AS s11, CAST(s12i AS DOUBLE) AS s12,
+         CAST(s22i AS DOUBLE) AS s22, CAST(s1yi AS DOUBLE) AS s1y,
+         CAST(s2yi AS DOUBLE) AS s2y
+  FROM g{t}
+),
+b{t} AS MATERIALIZED (
+  SELECT p.b0 + {DELTA_MICRO12_SQL["d0"]} AS b0,
+         p.b1 + {DELTA_MICRO12_SQL["d1"]} AS b1,
+         p.b2 + {DELTA_MICRO12_SQL["d2"]} AS b2
+  FROM d{t} CROSS JOIN b{t - 1} p
+),
+a{t} AS (
+  SELECT CAST(SUM(CASE WHEN (b.b0 + b.b1 * x1 + b.b2 * x2 > 0) = (y = 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM f CROSS JOIN b{t} b
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INTEGER) AS iter, b0 AS b0_micro, b1 AS b1_micro,"
+        f" b2 AS b2_micro, n_correct, n_rows FROM b{t} CROSS JOIN a{t}"
+        for t in range(1, LOGREG_ITERS + 1)
+    )
+    return "".join(parts) + "\nSELECT * FROM (" + sel + ")"
+
+
+QUERIES["feat_logreg_recovery"] = QuerySpec(q_feat_logreg_recovery, _logreg_oracle())

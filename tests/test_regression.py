@@ -126,3 +126,69 @@ def test_corr_matrix_known_answers(spark):
     assert out[("a", "b")] == 10**6       # exact positive linear
     assert out[("a", "c")] == -(10**6)    # exact negative linear
     assert abs(out[("a", "e")]) < 20_000  # alternating sign ~ independent
+
+
+def test_logreg_irls_recovers_known_parameters(spark):
+    """Labels drawn from a KNOWN logistic channel (md5-uniform < sigmoid of
+    the true score) must be recovered by IRLS: the final iteration's micro-
+    betas land near the injected truth, accuracy beats the majority class,
+    and the trajectory's step sizes shrink (Newton contraction)."""
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        logreg_irls_micro,
+    )
+
+    true_b = (-2_000_000, 30_000, -150_000)
+    base = spark.range(4000).select(
+        (F.col("id") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("id") % 25).cast("bigint").alias("x2"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":t"))), 1, 12),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u48"),
+    )
+    labeled = base.select(
+        "x1",
+        "x2",
+        F.when(
+            F.col("u48").cast("double") / F.lit(float(1 << 48))
+            < F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(true_b[0])
+                        + F.lit(true_b[1]) * F.col("x1")
+                        + F.lit(true_b[2]) * F.col("x2")
+                    ).cast("double")
+                    / F.lit(1e6)
+                )
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    out = logreg_irls_micro(labeled, "x1", "x2", "y", iters=4).collect()
+    assert [r["iter"] for r in out] == [1, 2, 3, 4]
+    final = out[-1]
+    # recovery: each coefficient within 25% of truth (n=4000 sampling noise)
+    for col, truth in zip(("b0_micro", "b1_micro", "b2_micro"), true_b):
+        assert abs(final[col] - truth) < abs(truth) * 0.25, (col, final[col], truth)
+    # accuracy beats the majority class
+    n_pos = labeled.filter(F.col("y") == 1).count()
+    majority = max(n_pos, 4000 - n_pos)
+    assert final["n_correct"] > majority
+    # Newton contraction: step size strictly shrinks after the first update
+    steps = [
+        sum(
+            abs(out[i][c] - out[i - 1][c])
+            for c in ("b0_micro", "b1_micro", "b2_micro")
+        )
+        for i in range(1, len(out))
+    ]
+    assert steps == sorted(steps, reverse=True), steps
