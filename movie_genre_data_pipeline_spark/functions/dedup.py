@@ -575,3 +575,114 @@ def winnow_overlap_pairs(
             ).alias("share_ratio"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    l: int = 8,
+) -> DataFrame:
+    """Span-level (substring) duplication report — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better") operation
+    the doc-level MinHash/SimHash family cannot express: a document that is
+    globally unique can still contain long token runs copied from elsewhere
+    in the corpus, and those runs are what the LM memorizes.
+
+    Every length-`l` token window is hashed (md5 48-bit, the winnowing
+    idiom); a window whose hash occurs ≥ 2 times ANYWHERE in the corpus
+    (other documents or a repeat within its own) marks tokens [i, i+l) as
+    duplicated; per document the marked windows are merged into maximal
+    spans by gaps-and-islands and the report row is
+
+        (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_fraction)
+
+    with dup_tokens = exact union length of the marked windows. Documents
+    shorter than `l` tokens carry zeros (nothing long enough to match).
+
+    Scale shape: ONE position-explode (n grams per doc — the shingle_rows
+    discipline), one shuffle on the gram hash (corpus occurrence counts via
+    a SUM window — no join-back re-derivation), one shuffle on the doc key
+    for the ordered island merge. All counts/positions are integers, so the
+    report is accumulation-order-free; no pairwise joins anywhere — cost is
+    linear in corpus tokens at any scale, unlike the suffix-array
+    construction it approximates (same guarantees for duplicates of length
+    ≥ 2l−1; length-l..2l−2 runs are caught iff window-aligned)."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
+    base = toks.select("doc", F.size("__toks").cast("bigint").alias("n_tokens"))
+    grams = (
+        toks.filter(F.size("__toks") >= l)
+        .select(
+            "doc",
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            "__toks",
+            F.explode(F.sequence(F.lit(1), F.size("__toks") - F.lit(l - 1))).alias(
+                "i"
+            ),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("__toks", F.col("i"), l))), 1, 12
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h48"),
+        )
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h48"))
+    dup = grams.withColumn("occ", occ).filter(F.col("occ") >= 2)
+    # gaps-and-islands over window starts: a new island begins where the
+    # current start exceeds the furthest end seen so far (end = i + l).
+    byd = Window.partitionBy("doc").orderBy(F.col("i").asc())
+    run = (
+        dup.withColumn(
+            "prev_max_end",
+            F.max(F.col("i") + F.lit(l)).over(byd.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("i") > F.col("prev_max_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(byd))
+    )
+    islands = run.groupBy("doc", "n_tokens", "island").agg(
+        (F.max(F.col("i") + F.lit(l)) - F.min("i")).cast("bigint").alias("span_len")
+    )
+    rep = islands.groupBy("doc", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        base.join(rep.drop("n_tokens"), "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_fraction"),
+        )
+    )

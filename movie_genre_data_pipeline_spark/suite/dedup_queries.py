@@ -493,3 +493,81 @@ FROM ev GROUP BY cluster
 
 
 QUERIES["dedup_semantic"] = QuerySpec(q_dedup_semantic, _dedup_semantic_oracle())
+
+
+# -- span-level (substring) duplication report (r8) --------------------------------------
+# Lee et al. 2021: remove long duplicated token runs, not just duplicate
+# documents. Guarantees duplicates of length >= 2*L-1 are caught; the merged
+# spans are what a masking pass would cut.
+DUP_SPAN_L = 6
+
+
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report: every length-6 token window whose
+    hash occurs >= 2 times anywhere in the corpus marks its tokens, marked
+    windows merge into maximal spans (gaps-and-islands), and the row
+    publishes span count, exact covered-token length, and the duplicated
+    fraction. Linear in corpus tokens — one gram explode, one hash-keyed
+    occurrence window, one doc-keyed island merge; no pairwise join (the
+    suffix-array approximation that actually distributes)."""
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", l=DUP_SPAN_L)
+
+
+def _duplicate_spans_oracle() -> str:
+    L = DUP_SPAN_L
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+g AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substring(md5(
+              array_to_string(toks[i:i + {L - 1}], ' ')), 1, 12))
+           AS BIGINT) AS h48
+  FROM (SELECT * FROM toks WHERE len(toks) >= {L}) t,
+       unnest(generate_series(1, len(toks) - {L - 1})) AS s(i)
+),
+d AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h48) AS occ FROM g)
+  WHERE occ >= 2
+),
+r AS (
+  SELECT doc_id, i,
+         MAX(i + {L}) OVER (PARTITION BY doc_id ORDER BY i ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM d
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN prev_max_end IS NULL OR i > prev_max_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i ASC) AS island
+  FROM r
+),
+spans AS (
+  SELECT doc_id, island, MAX(i + {L}) - MIN(i) AS span_len
+  FROM isl GROUP BY doc_id, island
+),
+rep AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(dup_tokens, 0) AS dup_tokens,
+       CASE WHEN b.n_tokens = 0 THEN 0.0
+            ELSE ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
+                       / CAST(b.n_tokens AS DOUBLE), 6)
+       END AS dup_fraction
+FROM base b LEFT JOIN rep USING (doc_id)
+"""
+
+
+QUERIES["dedup_duplicate_spans"] = QuerySpec(
+    q_dedup_duplicate_spans, _duplicate_spans_oracle()
+)

@@ -336,3 +336,43 @@ def test_bigram_surprisal_counts_and_backoff_on_micro_corpus(spark):
     assert abs(out[2].avg_surprisal - round(-s_ac / 1e6, 6)) < 2e-6
     assert abs(out[1].pct_backoff - round(1 / 3, 6)) < 1e-9
     assert out[2].pct_backoff == 1.0
+
+
+def test_duplicate_spans_detects_and_merges_shared_runs(spark):
+    """A run of >= 2L-1 shared tokens is always detected; overlapping marked
+    windows merge into ONE maximal span whose exact token length is
+    reported; unique docs and short docs report zeros."""
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_spans
+
+    L = 4
+    shared = " ".join(f"s{i}" for i in range(9))  # 9 shared tokens >= 2L-1
+    rows = [
+        (1, f"a1 a2 a3 {shared} a4 a5"),
+        (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # unique
+        (4, "d1 d2"),  # shorter than L
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(df, "doc_id", "text", l=L).collect()}
+    assert len(out) == 4
+    # the shared 9-token run is one merged island covering exactly 9 tokens
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1, out[d]
+        assert out[d]["dup_tokens"] == 9, out[d]
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[4]["n_dup_spans"] == 0 and out[4]["n_tokens"] == 2
+    assert abs(out[1]["dup_fraction"] - round(9 / 14, 6)) < 1e-12
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    """A window repeated WITHIN one document is duplication too (Lee et al.
+    count self-repeats); two disjoint repeats give two islands."""
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_spans
+
+    run = "r1 r2 r3 r4"
+    df = spark.createDataFrame(
+        [(1, f"{run} x1 x2 x3 x4 x5 {run}")], "doc_id bigint, text string"
+    )
+    out = duplicate_spans(df, "doc_id", "text", l=4).collect()[0]
+    assert out["n_dup_spans"] == 2
+    assert out["dup_tokens"] == 8
