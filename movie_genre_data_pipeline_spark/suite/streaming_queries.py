@@ -1914,3 +1914,156 @@ def _stream_gold_language_ivm_oracle() -> str:
 QUERIES["stream_gold_language_ivm"] = QuerySpec(
     q_stream_gold_language_ivm, _stream_gold_language_ivm_oracle()
 )
+
+
+def q_stream_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained DSIR selection: each micro-batch of documents
+    appends three ADDITIVE partials — the doc dimension, its (doc, bucket)
+    term postings, and its bucket-model counts — and the readout folds them
+    into the identical per-source selection report the batch query computes
+    (shares `_importance_select_oracle` verbatim). Additivity does the work:
+    bucket counts and postings are exact integer sums, so the fold is
+    batch-split- and order-independent, and the model stays current without
+    ever re-scanning history. The one non-incremental step is the log-ratio
+    table — recomputed per readout, but it's ≤ n_buckets rows, so the
+    refresh costs O(buckets), not O(corpus)."""
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import DSIR_BUCKETS
+
+    b = DSIR_BUCKETS
+    base = tempfile.mkdtemp(prefix="stream_dsir_")
+    src = f"{base}/src"
+    led_doc, led_tf, led_bkt = f"{base}/docs", f"{base}/tf", f"{base}/buckets"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang", "source").repartition(
+        _split(4)
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("doc_id", "source").write.mode("append").parquet(led_doc)
+        terms = batch_df.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__tgt"),
+            F.explode(tokens("text")).alias("__term"),
+        ).select(
+            "doc_id",
+            "__tgt",
+            (
+                F.conv(F.substring(F.md5("__term"), 1, 12), 16, 10).cast("bigint")
+                % F.lit(b)
+            ).alias("bucket"),
+        )
+        terms.groupBy("doc_id", "bucket").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).write.mode("append").parquet(led_tf)
+        terms.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "tgt_c"
+            ),
+        ).write.mode("append").parquet(led_bkt)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    buckets = (
+        spark.read.parquet(led_bkt)
+        .groupBy("bucket")
+        .agg(F.sum("raw_c").alias("raw_c"), F.sum("tgt_c").alias("tgt_c"))
+    )
+    totals = buckets.agg(
+        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
+    )
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_c") + F.lit(1.0)) / (F.col("t_tgt") + F.lit(float(b)))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0)) / (F.col("t_raw") + F.lit(float(b)))
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    tf = (
+        spark.read.parquet(led_tf)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro"))
+    )
+    rep = (
+        spark.read.parquet(led_doc)
+        .join(scored, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("logw_micro") > 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(
+                F.when(F.col("logw_micro") > 0, F.col("logw_micro")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sel_logw_micro"),
+        )
+    )
+    return rep.select(
+        "source",
+        "n_docs",
+        "n_selected",
+        F.round(F.col("n_selected").cast("double") / F.col("n_docs"), 6).alias(
+            "sel_rate"
+        ),
+        F.when(
+            F.col("n_selected") > 0,
+            F.round(
+                F.col("sel_logw_micro").cast("double")
+                / F.lit(1e6)
+                / F.col("n_selected"),
+                6,
+            ),
+        ).alias("avg_sel_logw"),
+    )
+
+
+def _stream_importance_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _importance_select_oracle,
+    )
+
+    return _importance_select_oracle()
+
+
+QUERIES["stream_importance_weights"] = QuerySpec(
+    q_stream_importance_weights, _stream_importance_oracle()
+)

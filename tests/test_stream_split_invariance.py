@@ -27,6 +27,9 @@ FOLDS = [
     # r8: the language-mart generation ledger (scalar-FK retire/insert moves
     # split across arbitrary micro-batches)
     "stream_gold_language_ivm",
+    # r8: the DSIR three-ledger fold (doc dim + postings + bucket model —
+    # the model fold must be additive across any document batching)
+    "stream_importance_weights",
 ]
 
 
