@@ -521,6 +521,24 @@ def bpe_learn_merges(df, id_col: str, text_col: str, n_merges: int):
     order-pinned fold — so a SQL engine replays the whole merge trajectory
     (the oracle rebuilds greedy application with a run-parity window — two
     provably-equivalent formulations of the same greedy rule)."""
+    rules, _ = _bpe_loop(df, text_col, n_merges, apply_all=False)
+    res = rules[0]
+    for r in rules[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def bpe_word_symbols(df, text_col: str, n_merges: int):
+    """The word-type table AFTER all `n_merges` learned merges are applied:
+    (w, freq, s array<string>) — the tokenizer's vocabulary view, ready for
+    an equi-join against exploded document words (vocabulary-sized, so the
+    join shuffles the vocab, never the corpus). Same trajectory as
+    `bpe_learn_merges`, plus the final merge's application."""
+    _, syms = _bpe_loop(df, text_col, n_merges, apply_all=True)
+    return syms
+
+
+def _bpe_loop(df, text_col: str, n_merges: int, apply_all: bool):
     words = (
         df.select(
             F.explode(
@@ -567,7 +585,7 @@ def bpe_learn_merges(df, id_col: str, text_col: str, n_merges: int):
                 F.col("c").cast("bigint").alias("pair_count"),
             )
         )
-        if t < n_merges:
+        if t < n_merges or apply_all:
             rule = F.broadcast(
                 best.select(F.col("x").alias("__a"), F.col("y").alias("__b"))
             )
@@ -584,10 +602,14 @@ def bpe_learn_merges(df, id_col: str, text_col: str, n_merges: int):
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             )
-            syms = syms.crossJoin(rule).select(
-                "w", "freq", merged.alias("s")
-            ).cache()
-    res = rules[0]
-    for r in rules[1:]:
-        res = res.unionByName(r)
-    return res
+            syms = (
+                syms.crossJoin(rule)
+                .select("w", "freq", merged.alias("s"))
+                # localCheckpoint = the lineage-truncation discipline the
+                # docstring promises for cluster runs: without it the
+                # 9-level fold/crossJoin plan tree exhausts a default-sized
+                # driver heap during optimization (the word-type DATA is
+                # vocabulary-sized and trivially fits)
+                .localCheckpoint(eager=False)
+            )
+    return rules, syms

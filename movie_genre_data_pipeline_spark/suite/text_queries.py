@@ -685,7 +685,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle(n_merges: int) -> str:
-    """Generate the chained-CTE DuckDB replay of `n_merges` BPE iterations.
+    """Chained-CTE DuckDB replay of `n_merges` BPE iterations ending in the
+    merge-table select."""
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS merge_rank, x AS left_sym, y AS right_sym, c AS pair_count"
+        f" FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges, apply_all=False)) + "\n" + sel
+
+
+def _bpe_ctes(n_merges: int, apply_all: bool) -> list[str]:
+    """Generate the chained-CTE DuckDB replay of `n_merges` BPE iterations;
+    with `apply_all` the final merge is applied too, so the last CTE
+    s{n_merges + 1} is the fully-merged word-type table.
 
     Every CTE is MATERIALIZED: without it DuckDB re-inlines the unrolled
     iteration chain exponentially (same trap as the two-level IVF oracle).
@@ -719,7 +732,7 @@ def _bpe_oracle(n_merges: int) -> str:
   SELECT x, y, c FROM p{t} ORDER BY c DESC, x ASC, y ASC LIMIT 1
 )"""
         )
-        if t < n_merges:
+        if t < n_merges or apply_all:
             ctes.append(
                 f"""m{t} AS MATERIALIZED (
   SELECT q.w, q.freq, q.i, q.s[q.i] AS sym,
@@ -758,14 +771,89 @@ def _bpe_oracle(n_merges: int) -> str:
   GROUP BY w
 )"""
             )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {t} AS merge_rank, x AS left_sym, y AS right_sym, c AS pair_count"
-        f" FROM b{t}"
-        for t in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return ctes
 
 
 Q_BPE_MERGES_ORACLE = _bpe_oracle(8)
 
 QUERIES["text_bpe_merges"] = QuerySpec(q_bpe_merges, Q_BPE_MERGES_ORACLE)
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 8 learned BPE merges to the whole corpus and publish the
+    tokenizer-quality report per source: word count, encoded symbol count,
+    character count, fertility (symbols per word — the metric tokenizer
+    teams track), and chars per symbol (compression). Application is an
+    equi-join of exploded document words against the fully-merged word-TYPE
+    table (functions/text.py:bpe_word_symbols) — the join shuffles the
+    vocabulary, never re-encodes per occurrence, so 100 TB of text costs one
+    explode + one vocab-keyed join after training."""
+    from movie_genre_data_pipeline_spark.functions.text import bpe_word_symbols
+
+    d = load(spark, sf_dir, "documents")
+    enc = bpe_word_symbols(d, "text", n_merges=8).select(
+        "w",
+        F.size("s").cast("bigint").alias("n_sym"),
+        F.length("w").cast("bigint").alias("n_chr"),
+    )
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+        ).alias("w"),
+    )
+    agg = (
+        words.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_symbols"),
+            F.sum("n_chr").cast("bigint").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_symbols",
+        "n_chars",
+        F.round(F.col("n_symbols").cast("double") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_symbols").cast("double"), 6
+        ).alias("chars_per_symbol"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    n = 8
+    ctes = _bpe_ctes(n, apply_all=True)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+enc AS (
+  SELECT w, CAST(len(s) AS BIGINT) AS n_sym,
+         CAST(length(w) AS BIGINT) AS n_chr
+  FROM s{n + 1}
+),
+dw AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x != '')) AS w
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+       CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*), 6) AS fertility,
+       ROUND(CAST(SUM(n_chr) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE), 6)
+         AS chars_per_symbol
+FROM dw JOIN enc USING (w)
+GROUP BY source
+"""
+    )
+
+
+QUERIES["text_bpe_encode_stats"] = QuerySpec(q_bpe_encode_stats, _bpe_encode_oracle())

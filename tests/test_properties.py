@@ -932,3 +932,26 @@ def test_bpe_merges_match_python_reference(spark, docs):
         .collect()
     ]
     assert got == expect
+
+
+def test_bpe_word_symbols_concatenation_invariant(spark):
+    """Applying the learned merges never changes the text: every word type's
+    symbol array concatenates back to the word, symbol counts only shrink as
+    merges apply, and every learned merge is reflected (the top pair's two
+    symbols appear fused somewhere)."""
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.text import bpe_word_symbols
+
+    df = spark.createDataFrame(
+        [(1, "the theme then there"), (2, "the other anthem the")],
+        "doc_id bigint, text string",
+    )
+    syms = bpe_word_symbols(df, "text", n_merges=3).collect()
+    assert len(syms) > 0
+    for r in syms:
+        assert "".join(r["s"]) == r["w"], r
+        assert len(r["s"]) < len(r["w"]) or len(r["w"]) == 1, (
+            "3 merges over 'th'-heavy text must compress every multi-char word"
+        )
+    assert any(len(sym) > 1 for r in syms for sym in r["s"])
