@@ -69,6 +69,16 @@ SCALE_QUERIES = [
     "feat_ols_normal_eq",
     "feat_corr_matrix",
     "feat_ridge_path",
+    # r8 second wave: the DSIR selection (bucket-sized model + one doc-keyed
+    # shuffle — must stay linear), the span-dedup report (gram explode +
+    # hash-keyed occurrence window + island merge — linear, no pairwise
+    # joins; replica word-suffixing keeps cross-replica grams disjoint so
+    # duplicated-span volume scales with the corpus, not quadratically),
+    # and the IRLS classifier (iters × the Gram scan — the flattest law
+    # here since only d²+d numbers ever leave the executors)
+    "sample_importance_select",
+    "dedup_duplicate_spans",
+    "feat_logreg_recovery",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
