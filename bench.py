@@ -81,6 +81,12 @@ HEADLINE = [
     # gold mart's IVM hot path (scalar-FK signed-delta fold)
     "er_union_recall",
     "gold_language_revenue_ivm",
+    # r8 second wave: one guard per new family — DSIR selection (bucket-sized
+    # model + one doc-keyed shuffle), span-level dedup (gram window + island
+    # merge, no pairwise join), and the IRLS classifier (iters × Gram scan)
+    "sample_importance_select",
+    "dedup_duplicate_spans",
+    "feat_logreg_recovery",
 ]
 
 
