@@ -900,10 +900,12 @@ def q_sample_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _importance_select_oracle() -> str:
+def _dsir_w_ctes() -> str:
+    """The DSIR scoring chain as a WITH-body ending at w(doc_id, source,
+    logw_micro) — shared by the selection report, the streaming fold's
+    oracle, and the classifier-distillation oracle."""
     b = DSIR_BUCKETS
-    return f"""
-WITH terms AS (
+    return f"""terms AS (
   SELECT doc_id, lang = 'en' AS tgt,
          CAST(concat('0x', substring(md5(t.term), 1, 12)) AS BIGINT) % {b}
            AS bucket
@@ -933,7 +935,12 @@ w AS (
   SELECT d.doc_id, d.source,
          COALESCE(s.logw_micro, 0) AS logw_micro
   FROM documents d LEFT JOIN scored s USING (doc_id)
-)
+)"""
+
+
+def _importance_select_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()}
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1005,7 +1012,11 @@ def q_feat_logreg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_irls_micro(labeled, "x1", "x2", "y", iters=LOGREG_ITERS)
 
 
-def _logreg_oracle() -> str:
+def _irls_ctes(iters: int) -> str:
+    """The IRLS iteration chain as CTE text: expects upstream CTEs
+    f(x1, x2, y) and b0(b0, b1, b2); emits s/g/d/b/a blocks per iteration —
+    b{iters} holds the final micro-betas, a{iters} the final exact-integer
+    accuracy. Shared by the recovery and distillation oracles."""
     from movie_genre_data_pipeline_spark.functions.regression import (
         DELTA_MICRO12_SQL,
         LOGREG_R_SQL,
@@ -1013,22 +1024,8 @@ def _logreg_oracle() -> str:
         SIGMOID_MICRO_SQL,
     )
 
-    parts = [
-        f"""WITH f AS MATERIALIZED (
-  SELECT x1, x2, {_LOGREG_LABEL} AS y
-  FROM (
-    SELECT x1, x2, u48, {_LOGREG_ZT} AS zt
-    FROM (
-      SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
-             CAST(o_custkey % 25 AS BIGINT) AS x2,
-             CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
-               AS BIGINT) AS u48
-      FROM orders))
-),
-b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
-              CAST(0 AS BIGINT) AS b2)"""
-    ]
-    for t in range(1, LOGREG_ITERS + 1):
+    parts = []
+    for t in range(1, iters + 1):
         parts.append(
             f""",
 s{t} AS MATERIALIZED (
@@ -1063,6 +1060,26 @@ a{t} AS (
   FROM f CROSS JOIN b{t} b
 )"""
         )
+    return "".join(parts)
+
+
+def _logreg_oracle() -> str:
+    parts = [
+        f"""WITH f AS MATERIALIZED (
+  SELECT x1, x2, {_LOGREG_LABEL} AS y
+  FROM (
+    SELECT x1, x2, u48, {_LOGREG_ZT} AS zt
+    FROM (
+      SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+             CAST(o_custkey % 25 AS BIGINT) AS x2,
+             CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
+               AS BIGINT) AS u48
+      FROM orders))
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+              CAST(0 AS BIGINT) AS b2)"""
+    ]
+    parts.append(_irls_ctes(LOGREG_ITERS))
     sel = "\nUNION ALL ".join(
         f"SELECT CAST({t} AS INTEGER) AS iter, b0 AS b0_micro, b1 AS b1_micro,"
         f" b2 AS b2_micro, n_correct, n_rows FROM b{t} CROSS JOIN a{t}"
@@ -1072,3 +1089,119 @@ a{t} AS (
 
 
 QUERIES["feat_logreg_recovery"] = QuerySpec(q_feat_logreg_recovery, _logreg_oracle())
+
+
+# -- classifier distillation: cheap-feature logistic fit on DSIR labels (r8) -------------
+# The FineWeb/fastText workflow: the reference filter (here the DSIR
+# importance rule) is expensive to evaluate in every downstream job, so
+# distill it into a 2-feature logistic classifier and publish the final
+# micro-betas plus the exact confusion matrix against the labels themselves.
+DISTILL_ITERS = 3
+
+
+def q_curate_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the DSIR selection rule into a logistic classifier over two
+    cheap scan-local features (whitespace token count, English-stopword
+    hits): labels are the DSIR logw > 0 decisions, training is DISTILL_ITERS
+    IRLS steps (each ONE d²-sized map-side-combined aggregate), and the
+    readout is a single row: final micro-betas + exact integer confusion
+    counts (tp/fp/fn/tn) of the distilled rule against its teacher. The
+    whole composition — teacher scoring, feature build, training, audit —
+    stays oracle-exact."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        logreg_irls_micro,
+    )
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+    from movie_genre_data_pipeline_spark.functions.text import (
+        LANG_LEXICONS,
+        stopword_hits,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    feats = (
+        d.select(
+            "doc_id",
+            token_count("text").alias("x1"),
+            stopword_hits("text", LANG_LEXICONS["en"]).alias("x2"),
+        )
+        .join(
+            w.select(
+                "doc_id",
+                F.when(F.col("logw_micro") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("y"),
+            ),
+            "doc_id",
+        )
+        .select("x1", "x2", "y")
+    )
+    traj = logreg_irls_micro(feats, "x1", "x2", "y", iters=DISTILL_ITERS).collect()
+    b = traj[-1]
+    score = (
+        F.lit(int(b["b0_micro"]))
+        + F.lit(int(b["b1_micro"])) * F.col("x1")
+        + F.lit(int(b["b2_micro"])) * F.col("x2")
+    )
+    pred = score > 0
+    return feats.agg(
+        F.sum(F.when(pred & (F.col("y") == 1), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred & (F.col("y") == 0), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred & (F.col("y") == 1), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pred & (F.col("y") == 0), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tn"),
+    ).select(
+        F.lit(int(b["b0_micro"])).cast("bigint").alias("b0_micro"),
+        F.lit(int(b["b1_micro"])).cast("bigint").alias("b1_micro"),
+        F.lit(int(b["b2_micro"])).cast("bigint").alias("b2_micro"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+    )
+
+
+def _distill_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.text import LANG_LEXICONS
+
+    en = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    T = DISTILL_ITERS
+    return f"""
+WITH {_dsir_w_ctes()},
+f AS MATERIALIZED (
+  SELECT CAST(len(toks) AS BIGINT) AS x1,
+         CAST(len(list_filter(toks, t -> lower(t) IN ({en}))) AS BIGINT) AS x2,
+         CAST(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) dt
+  JOIN w USING (doc_id)
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+              CAST(0 AS BIGINT) AS b2){_irls_ctes(T)}
+SELECT b.b0 AS b0_micro, b.b1 AS b1_micro, b.b2 AS b2_micro,
+       CAST(SUM(CASE WHEN b.b0 + b.b1 * x1 + b.b2 * x2 > 0 AND y = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN b.b0 + b.b1 * x1 + b.b2 * x2 > 0 AND y = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN NOT (b.b0 + b.b1 * x1 + b.b2 * x2 > 0) AND y = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN NOT (b.b0 + b.b1 * x1 + b.b2 * x2 > 0) AND y = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM f CROSS JOIN b{T} b
+GROUP BY b.b0, b.b1, b.b2
+"""
+
+
+QUERIES["curate_classifier_distill"] = QuerySpec(
+    q_curate_classifier_distill, _distill_oracle()
+)

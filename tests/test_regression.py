@@ -192,3 +192,23 @@ def test_logreg_irls_recovers_known_parameters(spark):
         for i in range(1, len(out))
     ]
     assert steps == sorted(steps, reverse=True), steps
+
+
+def test_distill_confusion_is_consistent_and_beats_never_select(spark):
+    """The distillation readout's confusion matrix must partition the corpus
+    (tp+fp+fn+tn == n_docs) and the distilled rule must not be worse than
+    the trivial never-select rule on its own training labels."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["curate_classifier_distill"].fn(spark, sf).collect()[0]
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    total = row["tp"] + row["fp"] + row["fn"] + row["tn"]
+    assert total == n_docs, row
+    n_pos = row["tp"] + row["fn"]
+    never_select_correct = n_docs - n_pos
+    assert row["tp"] + row["tn"] >= never_select_correct, row
