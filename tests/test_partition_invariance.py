@@ -43,6 +43,13 @@ NAMES = [
     # _pq_tune, which would make the 7-vs-31 comparison vacuous.
     "sample_kcenter_coreset",
     "text_bigram_surprisal",
+    # r8 second wave: DSIR's micro-nat integer fold, span dedup's window +
+    # island arithmetic, and the IRLS trajectory (decimal Gram sums +
+    # engine-side solve — the bounded per-step collect must not see
+    # partial-aggregate count)
+    "sample_importance_select",
+    "dedup_duplicate_spans",
+    "feat_logreg_recovery",
 ]
 
 
