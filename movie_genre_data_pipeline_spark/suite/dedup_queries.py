@@ -517,6 +517,8 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duplicate_spans_oracle() -> str:
+    """Full SELECT form (also embeddable as a CTE subquery: the trainset
+    funnel wraps it as `spanrep AS (<this>)`)."""
     L = DUP_SPAN_L
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -1205,3 +1205,191 @@ GROUP BY b.b0, b.b1, b.b2
 QUERIES["curate_classifier_distill"] = QuerySpec(
     q_curate_classifier_distill, _distill_oracle()
 )
+
+
+# -- end-to-end training-set assembly funnel (r8 capstone) -------------------------------
+# The whole north-star pipeline in ONE oracled query: span-level dedup →
+# heuristic quality filter → DSIR target-domain selection → deterministic
+# train/val/test split → token-budget packing, published as a funnel
+# manifest (one row per stage with surviving docs/tokens; the three split
+# rows carry packed-chunk counts). Thresholds are chosen so every stage
+# BINDS at every test SF (cuts some docs, keeps some) — both branches of
+# each filter are oracle-exercised.
+FUNNEL_DUP_MAX = 0.5
+FUNNEL_QUALITY_MIN = 0.55
+FUNNEL_DSIR_MIN_MICRO = -1_000_000
+FUNNEL_BUDGET = 2000
+
+
+def q_curate_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a training set end-to-end and publish the funnel manifest:
+    stage ranks 1-4 are raw → span-dedup (dup_fraction < 0.5) → quality
+    (score ≥ 0.55) → DSIR (logw_micro > −1e6) with surviving doc/token
+    counts; ranks 5-7 are the md5-deterministic train/val/test splits of the
+    survivors with their 2000-token packed-chunk counts. Every stage is the
+    already-proven operator (duplicate_spans, quality_score,
+    dsir_importance, assign_split, pack_token_budget) composed — the report
+    an actual data-curation run hands to the training team."""
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_spans
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        assign_split,
+        dsir_importance,
+        pack_token_budget,
+    )
+    from movie_genre_data_pipeline_spark.functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    spans = duplicate_spans(d, "doc_id", "text", l=6).select(
+        "doc_id", "n_tokens", "dup_fraction"
+    )
+    q = d.select("doc_id", quality_score("text").alias("quality"))
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    ).select("doc_id", "logw_micro")
+    scored = (
+        d.select("doc_id")
+        .join(spans, "doc_id")
+        .join(q, "doc_id")
+        .join(w, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("dup_fraction") < F.lit(FUNNEL_DUP_MAX)).alias("s2"),
+            (
+                (F.col("dup_fraction") < F.lit(FUNNEL_DUP_MAX))
+                & (F.col("quality") >= F.lit(FUNNEL_QUALITY_MIN))
+            ).alias("s3"),
+            (
+                (F.col("dup_fraction") < F.lit(FUNNEL_DUP_MAX))
+                & (F.col("quality") >= F.lit(FUNNEL_QUALITY_MIN))
+                & (F.col("logw_micro") > F.lit(FUNNEL_DSIR_MIN_MICRO))
+            ).alias("s4"),
+        )
+    )
+    one = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d1"),
+        F.sum("n_tokens").cast("bigint").alias("t1"),
+        *[
+            c
+            for i in (2, 3, 4)
+            for c in (
+                F.sum(F.when(F.col(f"s{i}"), F.lit(1)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"d{i}"),
+                F.sum(F.when(F.col(f"s{i}"), F.col("n_tokens")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"t{i}"),
+            )
+        ],
+    )
+    funnel = one.selectExpr(
+        "stack(4, 1, 'raw', d1, t1, 2, 'span_dedup', d2, t2,"
+        " 3, 'quality', d3, t3, 4, 'dsir', d4, t4)"
+        " AS (stage_rank, stage, docs, tokens)"
+    ).withColumn("chunks", F.lit(None).cast("bigint"))
+    survivors = scored.filter("s4").select(
+        "doc_id", "n_tokens", assign_split("doc_id", _SPLITS)
+    )
+    packed = pack_token_budget(
+        survivors, "doc_id", F.col("n_tokens"), "split", FUNNEL_BUDGET
+    )
+    splits = (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.count_distinct("chunk_id").cast("bigint").alias("chunks"),
+        )
+        .select(
+            F.when(F.col("split") == "train", F.lit(5))
+            .when(F.col("split") == "val", F.lit(6))
+            .otherwise(F.lit(7))
+            .cast("int")
+            .alias("stage_rank"),
+            F.col("split").alias("stage"),
+            "docs",
+            "tokens",
+            "chunks",
+        )
+    )
+    return funnel.unionByName(splits)
+
+
+def _trainset_funnel_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.sampling import hex_threshold
+    from movie_genre_data_pipeline_spark.suite.dedup_queries import (
+        _duplicate_spans_oracle,
+    )
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_QUALITY_SCORES_ORACLE,
+    )
+
+    t_train, t_val = hex_threshold(0.8), hex_threshold(0.9)
+    return f"""
+WITH spanrep AS ({_duplicate_spans_oracle()}),
+qual AS ({Q_QUALITY_SCORES_ORACLE}),
+wdsir AS (WITH {_dsir_w_ctes()} SELECT doc_id, logw_micro FROM w),
+scored AS (
+  SELECT d.doc_id, s.n_tokens,
+         s.dup_fraction < {FUNNEL_DUP_MAX} AS s2,
+         s.dup_fraction < {FUNNEL_DUP_MAX}
+           AND qual.quality >= {FUNNEL_QUALITY_MIN} AS s3,
+         s.dup_fraction < {FUNNEL_DUP_MAX}
+           AND qual.quality >= {FUNNEL_QUALITY_MIN}
+           AND wd.logw_micro > {FUNNEL_DSIR_MIN_MICRO} AS s4
+  FROM documents d
+  JOIN spanrep s USING (doc_id)
+  JOIN qual USING (doc_id)
+  JOIN wdsir wd USING (doc_id)
+),
+splitrows AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS chunks
+  FROM (
+    SELECT split, n_tokens,
+           CAST(FLOOR(
+             (SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id)
+              - n_tokens) / {float(FUNNEL_BUDGET)}
+           ) AS BIGINT) AS chunk_id
+    FROM (
+      SELECT doc_id, n_tokens,
+             CASE WHEN md5(doc_id || ':split') < '{t_train}' THEN 'train'
+                  WHEN md5(doc_id || ':split') < '{t_val}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM scored WHERE s4)
+  ) GROUP BY split
+)
+SELECT CAST(1 AS INTEGER) AS stage_rank, 'raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(NULL AS BIGINT) AS chunks
+FROM scored
+UNION ALL
+SELECT 2, 'span_dedup',
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM scored
+UNION ALL
+SELECT 3, 'quality',
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM scored
+UNION ALL
+SELECT 4, 'dsir',
+       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM scored
+UNION ALL
+SELECT CASE split WHEN 'train' THEN 5 WHEN 'val' THEN 6 ELSE 7 END,
+       split, docs, tokens, chunks
+FROM splitrows
+"""
+
+
+QUERIES["curate_trainset_funnel"] = QuerySpec(
+    q_curate_trainset_funnel, _trainset_funnel_oracle()
+)

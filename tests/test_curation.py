@@ -376,3 +376,26 @@ def test_duplicate_spans_within_doc_repeat_counts(spark):
     out = duplicate_spans(df, "doc_id", "text", l=4).collect()[0]
     assert out["n_dup_spans"] == 2
     assert out["dup_tokens"] == 8
+
+
+def test_trainset_funnel_is_monotone_and_splits_partition(spark):
+    """Funnel law: docs and tokens are non-increasing through stages 1-4,
+    every stage binds on the fixture (strictly cuts something), and the
+    three split rows exactly partition the stage-4 survivors."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    rows = {
+        r["stage_rank"]: r
+        for r in all_queries()["curate_trainset_funnel"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    for a, b in ((1, 2), (2, 3), (3, 4)):
+        assert rows[a]["docs"] > rows[b]["docs"], (a, b)
+        assert rows[a]["tokens"] >= rows[b]["tokens"]
+    assert sum(rows[i]["docs"] for i in (5, 6, 7)) == rows[4]["docs"]
+    assert sum(rows[i]["tokens"] for i in (5, 6, 7)) == rows[4]["tokens"]
+    for i in (5, 6, 7):
+        # chunk count consistent with the token budget (2000/chunk)
+        assert rows[i]["chunks"] >= max(1, rows[i]["tokens"] // 2000) or rows[i]["docs"] == 0
