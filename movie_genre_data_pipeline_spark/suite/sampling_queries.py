@@ -1265,6 +1265,13 @@ def q_curate_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("logw_micro") > F.lit(FUNNEL_DSIR_MIN_MICRO))
             ).alias("s4"),
         )
+        # stage barrier (the curate_corpus_pipeline discipline): the scored
+        # frame feeds BOTH the funnel aggregate and the split/pack branch,
+        # and each scoring table re-scans the corpus to build — checkpoint
+        # once so the final plan reads the 500-column-free scored rows, not
+        # 16 parquet re-derivations (measured: 16 → 0 document scans in the
+        # final plan)
+        .localCheckpoint(eager=False)
     )
     one = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("d1"),

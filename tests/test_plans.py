@@ -582,3 +582,14 @@ def test_logreg_gram_is_single_partial_aggregate(spark):
     assert "partial_sum" in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert out.count() == 1
+
+
+def test_trainset_funnel_stage_barrier_holds(spark):
+    """The funnel's scored frame is checkpointed: the final plan must read
+    checkpointed rows, not re-derive the scoring tables (16 parquet scans
+    without the barrier), and keep single-digit exchanges."""
+    import re
+
+    plan = _plan(spark, "curate_trainset_funnel")
+    assert "documents.parquet" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
