@@ -857,3 +857,37 @@ GROUP BY source
 
 
 QUERIES["text_bpe_encode_stats"] = QuerySpec(q_bpe_encode_stats, _bpe_encode_oracle())
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of the heuristic
+    lang_id() predictions against the corpus's labeled `lang` column — the
+    classifier-evaluation readout every quality gate needs before trusting
+    a filter built on predicted language. One scan + one |langs|²-bounded
+    aggregate; the zh rows land in 'und' by construction (no zh lexicon),
+    which the matrix makes visible instead of hiding."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("lang_true"), lang_id("text").alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+Q_LANG_CONFUSION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_lex_sql(lang)} AS s_{lang}" for lang in LANG_LEXICONS)}
+  FROM toks
+),
+pick AS (
+  SELECT lang AS lang_true, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+  FROM (SELECT *, greatest({", ".join("s_" + lang for lang in LANG_LEXICONS)}) AS g
+        FROM scores)
+)
+SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pick GROUP BY lang_true, lang_pred
+"""
+
+QUERIES["text_lang_confusion"] = QuerySpec(q_lang_confusion, Q_LANG_CONFUSION_ORACLE)
