@@ -387,3 +387,123 @@ def logreg_irls_micro(
         "iter int, b0_micro bigint, b1_micro bigint, b2_micro bigint,"
         " n_correct bigint, n_rows bigint",
     )
+
+
+def logreg_irls_grouped(
+    df: DataFrame, group: str, x1: str, x2: str, y: str, iters: int = 3
+) -> DataFrame:
+    """One independent logistic fit PER GROUP from the same scans — the
+    per-domain quality-classifier shape (a filter per source/language).
+    Fully declarative: the per-group micro-beta table (|groups| rows) joins
+    back broadcast each iteration, the weighted Gram aggregates key on the
+    group (ONE shuffle, d²·|groups| state), and the Cramer solve projects
+    over every group row at once — no driver round-trip at all, unlike the
+    ungrouped trainer's bounded per-step collect. The beta table is
+    lineage-truncated per iteration (localCheckpoint) so the plan stays flat
+    in the iteration count.
+
+    Returns (group, b0_micro, b1_micro, b2_micro, n_correct, n_rows): final
+    betas + exact integer-score training accuracy per group."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    feats = df.select(
+        F.col(group).alias("__g"),
+        F.col(x1).cast("bigint").alias("x1"),
+        F.col(x2).cast("bigint").alias("x2"),
+        F.col(y).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=False)
+    betas = (
+        feats.select("__g")
+        .distinct()
+        .select(
+            "__g",
+            F.lit(0).cast("bigint").alias("b0"),
+            F.lit(0).cast("bigint").alias("b1"),
+            F.lit(0).cast("bigint").alias("b2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    for _t in range(1, iters + 1):
+        scored = feats.join(F.broadcast(betas), "__g").withColumn(
+            "z_micro",
+            F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2"),
+        ).withColumn("mu_micro", F.expr(SIGMOID_MICRO_SQL))
+        wr = scored.select(
+            "__g",
+            "x1",
+            "x2",
+            F.expr(LOGREG_W_SQL).alias("w"),
+            F.expr(LOGREG_R_SQL).alias("r"),
+        )
+        g = wr.groupBy("__g").agg(
+            F.sum(F.col("w").cast(dec)).alias("ni"),
+            F.sum((F.col("w") * F.col("x1")).cast(dec)).alias("sx1i"),
+            F.sum((F.col("w") * F.col("x2")).cast(dec)).alias("sx2i"),
+            F.sum(F.col("r").cast(dec)).alias("syi"),
+            F.sum((F.col("w") * F.col("x1") * F.col("x1")).cast(dec)).alias("s11i"),
+            F.sum((F.col("w") * F.col("x1") * F.col("x2")).cast(dec)).alias("s12i"),
+            F.sum((F.col("w") * F.col("x2") * F.col("x2")).cast(dec)).alias("s22i"),
+            F.sum((F.col("x1") * F.col("r")).cast(dec)).alias("s1yi"),
+            F.sum((F.col("x2") * F.col("r")).cast(dec)).alias("s2yi"),
+        )
+        d = g.select(
+            "__g",
+            F.col("ni").cast("double").alias("n"),
+            F.col("sx1i").cast("double").alias("sx1"),
+            F.col("sx2i").cast("double").alias("sx2"),
+            F.col("syi").cast("double").alias("sy"),
+            F.col("s11i").cast("double").alias("s11"),
+            F.col("s12i").cast("double").alias("s12"),
+            F.col("s22i").cast("double").alias("s22"),
+            F.col("s1yi").cast("double").alias("s1y"),
+            F.col("s2yi").cast("double").alias("s2y"),
+        )
+        deltas = d.select(
+            "__g",
+            F.expr(DELTA_MICRO12_SQL["d0"]).alias("d0"),
+            F.expr(DELTA_MICRO12_SQL["d1"]).alias("d1"),
+            F.expr(DELTA_MICRO12_SQL["d2"]).alias("d2"),
+        )
+        betas = (
+            betas.join(deltas, "__g")
+            .select(
+                "__g",
+                (F.col("b0") + F.col("d0")).alias("b0"),
+                (F.col("b1") + F.col("d1")).alias("b1"),
+                (F.col("b2") + F.col("d2")).alias("b2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    acc = (
+        feats.join(F.broadcast(betas), "__g")
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        F.col("b0")
+                        + F.col("b1") * F.col("x1")
+                        + F.col("b2") * F.col("x2")
+                        > 0
+                    )
+                    == (F.col("y") == 1),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    return (
+        betas.join(acc, "__g")
+        .select(
+            F.col("__g").alias(group),
+            F.col("b0").alias("b0_micro"),
+            F.col("b1").alias("b1_micro"),
+            F.col("b2").alias("b2_micro"),
+            "n_correct",
+            "n_rows",
+        )
+    )

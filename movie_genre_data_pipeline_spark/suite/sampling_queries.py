@@ -1012,11 +1012,13 @@ def q_feat_logreg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_irls_micro(labeled, "x1", "x2", "y", iters=LOGREG_ITERS)
 
 
-def _irls_ctes(iters: int) -> str:
+def _irls_ctes(iters: int, group: str | None = None) -> str:
     """The IRLS iteration chain as CTE text: expects upstream CTEs
-    f(x1, x2, y) and b0(b0, b1, b2); emits s/g/d/b/a blocks per iteration —
-    b{iters} holds the final micro-betas, a{iters} the final exact-integer
-    accuracy. Shared by the recovery and distillation oracles."""
+    f(x1, x2, y[, group]) and b0(b0, b1, b2[, group]); emits s/g/d/b/a
+    blocks per iteration — b{iters} holds the final micro-betas, a{iters}
+    the final exact-integer accuracy. With `group`, every stage keys on it:
+    one independent fit per group from the same scans. Shared by the
+    recovery, distillation, and per-segment oracles."""
     from movie_genre_data_pipeline_spark.functions.regression import (
         DELTA_MICRO12_SQL,
         LOGREG_R_SQL,
@@ -1024,23 +1026,36 @@ def _irls_ctes(iters: int) -> str:
         SIGMOID_MICRO_SQL,
     )
 
+    g = f"{group}, " if group else ""
+    by = f" GROUP BY {group}" if group else ""
+    join_b = (
+        (lambda t: f"JOIN b{t} b USING ({group})")
+        if group
+        else (lambda t: f"CROSS JOIN b{t} b")
+    )
+    join_p = (
+        (lambda t: f"JOIN b{t} p USING ({group})")
+        if group
+        else (lambda t: f"CROSS JOIN b{t} p")
+    )
     parts = []
     for t in range(1, iters + 1):
         parts.append(
             f""",
 s{t} AS MATERIALIZED (
-  SELECT x1, x2, y, {SIGMOID_MICRO_SQL} AS mu_micro
+  SELECT {g}x1, x2, y, {SIGMOID_MICRO_SQL} AS mu_micro
   FROM (SELECT f.*, b.b0 + b.b1 * x1 + b.b2 * x2 AS z_micro
-        FROM f CROSS JOIN b{t - 1} b)
+        FROM f {join_b(t - 1)})
 ),
 g{t} AS (
-  SELECT SUM(w) AS ni, SUM(w * x1) AS sx1i, SUM(w * x2) AS sx2i,
+  SELECT {g}SUM(w) AS ni, SUM(w * x1) AS sx1i, SUM(w * x2) AS sx2i,
          SUM(r) AS syi, SUM(w * x1 * x1) AS s11i, SUM(w * x1 * x2) AS s12i,
          SUM(w * x2 * x2) AS s22i, SUM(x1 * r) AS s1yi, SUM(x2 * r) AS s2yi
-  FROM (SELECT x1, x2, {LOGREG_W_SQL} AS w, {LOGREG_R_SQL} AS r FROM s{t})
+  FROM (SELECT {g}x1, x2, {LOGREG_W_SQL} AS w, {LOGREG_R_SQL} AS r
+        FROM s{t}){by}
 ),
 d{t} AS (
-  SELECT CAST(ni AS DOUBLE) AS n, CAST(sx1i AS DOUBLE) AS sx1,
+  SELECT {g}CAST(ni AS DOUBLE) AS n, CAST(sx1i AS DOUBLE) AS sx1,
          CAST(sx2i AS DOUBLE) AS sx2, CAST(syi AS DOUBLE) AS sy,
          CAST(s11i AS DOUBLE) AS s11, CAST(s12i AS DOUBLE) AS s12,
          CAST(s22i AS DOUBLE) AS s22, CAST(s1yi AS DOUBLE) AS s1y,
@@ -1048,16 +1063,16 @@ d{t} AS (
   FROM g{t}
 ),
 b{t} AS MATERIALIZED (
-  SELECT p.b0 + {DELTA_MICRO12_SQL["d0"]} AS b0,
+  SELECT {g}p.b0 + {DELTA_MICRO12_SQL["d0"]} AS b0,
          p.b1 + {DELTA_MICRO12_SQL["d1"]} AS b1,
          p.b2 + {DELTA_MICRO12_SQL["d2"]} AS b2
-  FROM d{t} CROSS JOIN b{t - 1} p
+  FROM d{t} {join_p(t - 1)}
 ),
 a{t} AS (
-  SELECT CAST(SUM(CASE WHEN (b.b0 + b.b1 * x1 + b.b2 * x2 > 0) = (y = 1)
+  SELECT {g}CAST(SUM(CASE WHEN (b.b0 + b.b1 * x1 + b.b2 * x2 > 0) = (y = 1)
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          CAST(COUNT(*) AS BIGINT) AS n_rows
-  FROM f CROSS JOIN b{t} b
+  FROM f {join_b(t)}{by}
 )"""
         )
     return "".join(parts)
@@ -1399,4 +1414,87 @@ FROM splitrows
 
 QUERIES["curate_trainset_funnel"] = QuerySpec(
     q_curate_trainset_funnel, _trainset_funnel_oracle()
+)
+
+
+# -- per-segment logistic fits with per-segment recovery (r8) ----------------------------
+# Each order-priority segment draws labels from its OWN logistic channel
+# (distinct true betas per segment), so the grouped trainer must recover a
+# DIFFERENT parameter vector per group — the per-domain-classifier shape
+# with the recovery law intact.
+LOGREG_SEG_ITERS = 3
+# si = first digit of o_orderpriority (1..5); truth varies linearly in si
+_LOGREG_SEG_ZT = (
+    "-2000000 + (20000 + 4000 * si) * x1 + (-(100000 + 20000 * si)) * x2"
+)
+
+
+def q_feat_logreg_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logistic fit per order-priority segment, trained simultaneously
+    by LOGREG_SEG_ITERS grouped IRLS steps (functions/regression.py:
+    logreg_irls_grouped): the per-group beta table joins back broadcast each
+    step, the weighted Gram keys on the segment (ONE shuffle, d²·|segments|
+    state), and the solve projects over all group rows at once — no driver
+    round-trips. Labels come from per-segment md5-uniform channels with
+    DISTINCT injected truths, so each group's published betas must recover
+    its own parameters (pinned in tests)."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        logreg_irls_grouped,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = (
+        o.select(
+            F.col("o_orderpriority").alias("segment"),
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("si"),
+            (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+            (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("o_orderkey").cast("string"), F.lit(":logseg"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("u48"),
+        )
+        .withColumn("zt", F.expr(_LOGREG_SEG_ZT))
+        .select("segment", "x1", "x2", F.expr(_LOGREG_LABEL).alias("y"))
+    )
+    return logreg_irls_grouped(
+        feats, "segment", "x1", "x2", "y", iters=LOGREG_SEG_ITERS
+    )
+
+
+def _logreg_segment_oracle() -> str:
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT segment, x1, x2, {_LOGREG_LABEL} AS y
+  FROM (
+    SELECT segment, x1, x2, u48, {_LOGREG_SEG_ZT} AS zt
+    FROM (
+      SELECT o_orderpriority AS segment,
+             CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS si,
+             CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+             CAST(o_custkey % 25 AS BIGINT) AS x2,
+             CAST(concat('0x', substring(md5(o_orderkey || ':logseg'), 1, 12))
+               AS BIGINT) AS u48
+      FROM orders))
+),
+b0 AS (SELECT DISTINCT segment, CAST(0 AS BIGINT) AS b0,
+              CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2 FROM f)
+{_irls_ctes(LOGREG_SEG_ITERS, group="segment")}
+SELECT segment, b.b0 AS b0_micro, b.b1 AS b1_micro, b.b2 AS b2_micro,
+       a.n_correct, a.n_rows
+FROM b{LOGREG_SEG_ITERS} b JOIN a{LOGREG_SEG_ITERS} a USING (segment)
+"""
+
+
+QUERIES["feat_logreg_by_segment"] = QuerySpec(
+    q_feat_logreg_by_segment, _logreg_segment_oracle()
 )

@@ -212,3 +212,27 @@ def test_distill_confusion_is_consistent_and_beats_never_select(spark):
     n_pos = row["tp"] + row["fn"]
     never_select_correct = n_docs - n_pos
     assert row["tp"] + row["tn"] >= never_select_correct, row
+
+
+def test_grouped_logreg_recovers_per_segment_parameters(spark):
+    """Each group's labels come from its OWN channel: the grouped trainer
+    must recover monotone-increasing |b1| and |b2| across segment index and
+    land each coefficient within 35% of its segment's injected truth."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    rows = sorted(
+        all_queries()["feat_logreg_by_segment"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect(),
+        key=lambda r: r["segment"],
+    )
+    assert len(rows) == 5
+    for i, r in enumerate(rows, start=1):
+        truth1, truth2 = 20000 + 4000 * i, -(100000 + 20000 * i)
+        assert abs(r["b1_micro"] - truth1) < abs(truth1) * 0.35, (i, r)
+        assert abs(r["b2_micro"] - truth2) < abs(truth2) * 0.35, (i, r)
+        assert r["n_correct"] > r["n_rows"] // 2, r
+    b1s = [r["b1_micro"] for r in rows]
+    b2s = [r["b2_micro"] for r in rows]
+    assert b1s == sorted(b1s), b1s
+    assert b2s == sorted(b2s, reverse=True), b2s
