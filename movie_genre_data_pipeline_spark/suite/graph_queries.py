@@ -244,3 +244,39 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
 
 
 QUERIES["graph_kcore_trade"] = QuerySpec(q_kcore_trade, _kcore_oracle())
+
+
+# -- recursive-CTE transitive closure (r8) ------------------------------------------------
+# Spark 4 supports WITH RECURSIVE natively — iteration INSIDE Catalyst, the
+# SQL surface every warehouse reachability/hierarchy query uses. The whole
+# statement below is ONE ANSI string executed VERBATIM by both engines
+# (Spark over temp views, DuckDB over its views) — the strongest possible
+# oracle form: not merely equivalent plans, the identical query text.
+_REACH_SQL = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+r(node, hops) AS (
+  SELECT (SELECT MIN(src) FROM edges), 0
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops
+FROM r GROUP BY node
+"""
+
+
+def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability over the nation trade graph via a NATIVE recursive
+    CTE — shortest hop count from the lexicographically-first exporter to
+    every nation reachable in ≤ 3 hops. The recursion runs on the
+    dimension-sized edge list (≤ |nations|² rows after the fact-side
+    DISTINCT reduction), so each recursive step is a broadcast-sized join
+    however large the fact tables are; the hop cap bounds path blowup the
+    way a production hierarchy query bounds depth."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REACH_SQL)
+
+
+QUERIES["graph_reachability"] = QuerySpec(q_graph_reachability, _REACH_SQL)
