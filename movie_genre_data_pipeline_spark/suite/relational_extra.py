@@ -1380,3 +1380,56 @@ ORDER BY rank
 
 
 QUERIES["ops_skew_report"] = QuerySpec(q_skew_report, Q_SKEW_REPORT_ORACLE)
+
+
+def q_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: build a nested document per event, parse it
+    into a VARIANT, and extract typed paths back out — the semi-structured
+    round-trip (to_json → parse_json → variant_get) must reproduce the
+    original columns exactly, which is what the oracle checks by computing
+    the expected aggregates straight from the raw columns (no JSON at all).
+    A missing path extracts as NULL (counted), not an error. VARIANT is the
+    schema-on-read column type a 100 TB ingest keeps flexible fields in;
+    extraction is scan-local and prunes like any projection."""
+    ev = load(spark, sf_dir, "events")
+    doc = ev.select(
+        "event_type",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.struct(
+                    F.from_json("props", "k INT").getField("k").alias("k"),
+                    F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+                ).alias("p"),
+            )
+        ).alias("doc"),
+    )
+    extracted = doc.selectExpr(
+        "event_type",
+        "variant_get(parse_json(doc), '$.p.k', 'bigint') AS k_back",
+        "variant_get(parse_json(doc), '$.p.cents', 'bigint') AS cents_back",
+        "variant_get(parse_json(doc), '$.nope', 'string') AS missing",
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k_back").cast("bigint").alias("sum_k"),
+        F.sum("cents_back").cast("bigint").alias("sum_cents"),
+        F.sum(F.when(F.col("missing").isNull(), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_missing"),
+    )
+
+
+Q_VARIANT_FUNCTIONS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+"""
+
+QUERIES["variant_functions"] = QuerySpec(
+    q_variant_functions, Q_VARIANT_FUNCTIONS_ORACLE
+)
