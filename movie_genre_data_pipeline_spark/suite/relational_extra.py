@@ -1433,3 +1433,67 @@ FROM events GROUP BY event_type
 QUERIES["variant_functions"] = QuerySpec(
     q_variant_functions, Q_VARIANT_FUNCTIONS_ORACLE
 )
+
+
+# -- correlated LATERAL join (r8): ONE ANSI string, both engines verbatim ---------------
+_LATERAL_TOPK_SQL = """
+SELECT d.n_name, l.c_custkey, l.bal_cents
+FROM (SELECT DISTINCT n_nationkey, n_name FROM nation) d,
+     LATERAL (SELECT c_custkey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+              FROM customer
+              WHERE customer.c_nationkey = d.n_nationkey
+              ORDER BY bal_cents DESC, c_custkey ASC
+              LIMIT 2) l
+"""
+
+
+def q_lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 customers by account balance per
+    nation, expressed as the per-row-subquery form (the shape analysts
+    write) rather than a window: Catalyst decorrelates it into a join +
+    per-key limit. The statement is ONE ANSI string executed VERBATIM by
+    both engines (integer-cent ordering + custkey tie-break keep the top-2
+    deterministic)."""
+    for t in ("nation", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+QUERIES["lateral_join_topk"] = QuerySpec(q_lateral_join_topk, _LATERAL_TOPK_SQL)
+
+
+def q_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML: build a document per event, parse with from_xml,
+    extract typed fields, and aggregate — the round-trip must reproduce the
+    original columns, which the oracle computes directly from the raw table
+    (DuckDB has no XML; computing the expectation from first principles is
+    the stronger check anyway, as with variant_functions)."""
+    ev = load(spark, sf_dir, "events")
+    doc = ev.select(
+        F.concat(
+            F.lit("<r><k>"),
+            F.from_json("props", "k INT").getField("k").cast("string"),
+            F.lit("</k><t>"),
+            F.col("event_type"),
+            F.lit("</t></r>"),
+        ).alias("doc")
+    )
+    parsed = doc.select(
+        F.expr("from_xml(doc, 'k INT, t STRING')").alias("x")
+    ).select(F.col("x.k").alias("k"), F.col("x.t").alias("t"))
+    return parsed.groupBy(F.col("t").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
+
+
+Q_XML_FUNCTIONS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events GROUP BY event_type
+"""
+
+QUERIES["xml_functions"] = QuerySpec(q_xml_functions, Q_XML_FUNCTIONS_ORACLE)
