@@ -593,3 +593,30 @@ def test_trainset_funnel_stage_barrier_holds(spark):
     plan = _plan(spark, "curate_trainset_funnel")
     assert "documents.parquet" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark):
+    """The correlated LATERAL top-2 must decorrelate into a per-key
+    WindowGroupLimit (rank-pushdown top-k, no global sort, no nested-loop
+    per-row re-execution of the subquery)."""
+    plan = _plan(spark, "lateral_join_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_variant_and_xml_are_single_scan_single_agg(spark):
+    """Semi-structured round-trips are scan-local projections + one
+    map-side-combined aggregate — no join, no window, one scan."""
+    for name in ("variant_functions", "xml_functions"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan and "Window" not in plan, (name, plan)
+        assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 1, name
+        assert "partial_count" in plan or "partial_sum" in plan, (name, plan)
+
+
+def test_reachability_runs_native_recursion(spark):
+    """The recursive CTE must compile to Catalyst's native UnionLoop (no
+    driver-side iteration, no cartesian), with the recursion bounded."""
+    plan = _plan(spark, "graph_reachability")
+    assert "UnionLoop" in plan, plan
+    assert "CartesianProduct" not in plan, plan
