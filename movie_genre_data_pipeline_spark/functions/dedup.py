@@ -641,6 +641,18 @@ def duplicate_spans(
             .alias("h48"),
         )
     )
+    return duplicate_spans_from_grams(grams.select("doc", "i", "h48"), base, l)
+
+
+def duplicate_spans_from_grams(grams: DataFrame, base: DataFrame, l: int) -> DataFrame:
+    """The gram-table form of `duplicate_spans`: `grams` is (doc, i, h48)
+    window postings (however they were accumulated — one batch scan or a
+    streaming append ledger) and `base` is (doc, n_tokens); same occurrence
+    window + island merge + report as the text form. This is what makes the
+    span report CONTINUOUSLY maintainable: gram postings are append-only
+    facts, so a streaming ledger folds into the identical report."""
+    from pyspark.sql import Window
+
     occ = F.count(F.lit(1)).over(Window.partitionBy("h48"))
     dup = grams.withColumn("occ", occ).filter(F.col("occ") >= 2)
     # gaps-and-islands over window starts: a new island begins where the
@@ -661,15 +673,15 @@ def duplicate_spans(
         )
         .withColumn("island", F.sum("new_island").over(byd))
     )
-    islands = run.groupBy("doc", "n_tokens", "island").agg(
+    islands = run.groupBy("doc", "island").agg(
         (F.max(F.col("i") + F.lit(l)) - F.min("i")).cast("bigint").alias("span_len")
     )
-    rep = islands.groupBy("doc", "n_tokens").agg(
+    rep = islands.groupBy("doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
         F.sum("span_len").cast("bigint").alias("dup_tokens"),
     )
     return (
-        base.join(rep.drop("n_tokens"), "doc", "left")
+        base.join(rep, "doc", "left")
         .select(
             F.col("doc").alias("doc_id"),
             "n_tokens",

@@ -1288,6 +1288,19 @@ def q_curate_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # final plan)
         .localCheckpoint(eager=False)
     )
+    return _funnel_report(scored)
+
+
+def _funnel_report(scored: DataFrame) -> DataFrame:
+    """The funnel readout over a scored frame (doc_id, n_tokens, s2, s3,
+    s4): stage rows 1-4 from one conditional-sum pass, split rows 5-7 from
+    the survivors via md5 split assignment + token packing. Shared by the
+    batch funnel and its streaming-ledger form."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        assign_split,
+        pack_token_budget,
+    )
+
     one = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("d1"),
         F.sum("n_tokens").cast("bigint").alias("t1"),

@@ -2067,3 +2067,197 @@ def _stream_importance_oracle() -> str:
 QUERIES["stream_importance_weights"] = QuerySpec(
     q_stream_importance_weights, _stream_importance_oracle()
 )
+
+
+def q_stream_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous curation: the whole trainset funnel maintained from
+    append-only ledgers. Each micro-batch of documents appends (a) its doc
+    ledger row — doc_id, whitespace token count, and the scan-local quality
+    score (both pure per-doc projections, computable the moment the doc
+    arrives); (b) its length-6 gram postings (doc, i, h48); and (c) the two
+    DSIR partials (term postings + bucket-model counts). The readout folds
+    the ledgers — occurrence window + island merge over the gram postings,
+    bucket-model ratios over the DSIR partials — rebuilds the scored flags,
+    and emits the IDENTICAL 7-row funnel manifest as the batch query
+    (shared oracle verbatim). Corpus-global statistics (gram occurrence,
+    bucket models) are exactly the parts a per-batch filter CANNOT decide;
+    storing their additive facts and deciding at readout is what makes the
+    continuous funnel equal the batch funnel bit-for-bit."""
+    from movie_genre_data_pipeline_spark.functions.dedup import (
+        duplicate_spans_from_grams,
+    )
+    from movie_genre_data_pipeline_spark.functions.text import (
+        quality_score,
+        token_count,
+        tokens,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        DSIR_BUCKETS,
+        FUNNEL_DSIR_MIN_MICRO,
+        FUNNEL_DUP_MAX,
+        FUNNEL_QUALITY_MIN,
+        _funnel_report,
+    )
+
+    b = DSIR_BUCKETS
+    base = tempfile.mkdtemp(prefix="stream_funnel_")
+    src = f"{base}/src"
+    led_doc, led_gram = f"{base}/docs", f"{base}/grams"
+    led_tf, led_bkt = f"{base}/tf", f"{base}/buckets"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    L = 6
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+        ).write.mode("append").parquet(led_doc)
+        toks = batch_df.select(
+            F.col("doc_id").alias("doc"), tokens("text").alias("__toks")
+        )
+        (
+            toks.filter(F.size("__toks") >= L)
+            .select(
+                "doc",
+                "__toks",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("__toks") - F.lit(L - 1))
+                ).alias("i"),
+            )
+            .select(
+                "doc",
+                "i",
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("__toks", F.col("i"), L))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h48"),
+            )
+            .write.mode("append")
+            .parquet(led_gram)
+        )
+        terms = batch_df.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__tgt"),
+            F.explode(tokens("text")).alias("__term"),
+        ).select(
+            "doc_id",
+            "__tgt",
+            (
+                F.conv(F.substring(F.md5("__term"), 1, 12), 16, 10).cast("bigint")
+                % F.lit(b)
+            ).alias("bucket"),
+        )
+        terms.groupBy("doc_id", "bucket").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).write.mode("append").parquet(led_tf)
+        terms.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "tgt_c"
+            ),
+        ).write.mode("append").parquet(led_bkt)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    docs = spark.read.parquet(led_doc)
+    spans = duplicate_spans_from_grams(
+        spark.read.parquet(led_gram),
+        docs.select(F.col("doc_id").alias("doc"), "n_tokens"),
+        L,
+    ).select("doc_id", "dup_fraction")
+    buckets = (
+        spark.read.parquet(led_bkt)
+        .groupBy("bucket")
+        .agg(F.sum("raw_c").alias("raw_c"), F.sum("tgt_c").alias("tgt_c"))
+    )
+    totals = buckets.agg(
+        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
+    )
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_c") + F.lit(1.0)) / (F.col("t_tgt") + F.lit(float(b)))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0)) / (F.col("t_raw") + F.lit(float(b)))
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    w = (
+        spark.read.parquet(led_tf)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").alias("tf"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro"))
+    )
+    scored = (
+        docs.join(spans, "doc_id")
+        .join(w.select("doc_id", "logw_micro"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("dup_fraction") < F.lit(FUNNEL_DUP_MAX)).alias("s2"),
+            (
+                (F.col("dup_fraction") < F.lit(FUNNEL_DUP_MAX))
+                & (F.col("quality") >= F.lit(FUNNEL_QUALITY_MIN))
+            ).alias("s3"),
+            (
+                (F.col("dup_fraction") < F.lit(FUNNEL_DUP_MAX))
+                & (F.col("quality") >= F.lit(FUNNEL_QUALITY_MIN))
+                & (
+                    F.coalesce("logw_micro", F.lit(0))
+                    > F.lit(FUNNEL_DSIR_MIN_MICRO)
+                )
+            ).alias("s4"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import _funnel_report
+
+    return _funnel_report(scored)
+
+
+def _stream_funnel_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _trainset_funnel_oracle,
+    )
+
+    return _trainset_funnel_oracle()
+
+
+QUERIES["stream_trainset_funnel"] = QuerySpec(
+    q_stream_trainset_funnel, _stream_funnel_oracle()
+)

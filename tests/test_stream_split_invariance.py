@@ -30,6 +30,10 @@ FOLDS = [
     # r8: the DSIR three-ledger fold (doc dim + postings + bucket model —
     # the model fold must be additive across any document batching)
     "stream_importance_weights",
+    # r8 capstone: the continuous trainset funnel (four ledgers — doc stats,
+    # gram postings, DSIR postings + model; the corpus-global decisions fold
+    # at readout, so batching must be invisible end-to-end)
+    "stream_trainset_funnel",
 ]
 
 
