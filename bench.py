@@ -87,6 +87,9 @@ HEADLINE = [
     "sample_importance_select",
     "dedup_duplicate_spans",
     "feat_logreg_recovery",
+    # r8 capstone: the composed curation funnel (spans + quality + DSIR +
+    # split + pack behind one barrier) — guards the composition's plan
+    "curate_trainset_funnel",
 ]
 
 
