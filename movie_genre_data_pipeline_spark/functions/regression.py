@@ -507,3 +507,105 @@ def logreg_irls_grouped(
             "n_rows",
         )
     )
+
+
+# -- PCA top component via power iteration (r8) --------------------------------------
+# One exact-integer moment pass reduces the facts to the d×d covariance;
+# power iteration then runs on that ONE ROW as pure projections — no data
+# re-scan per iteration at any corpus size. Determinism: covariance entries
+# derive from exact BIGINT/HUGEINT sums through SHARED fixed-parenthesization
+# strings; each iterate is L∞-normalized (divide by the max-abs component —
+# no sqrt) and quantized to integer micro-units, the IRLS discipline.
+PCA_D = 4
+
+
+def _pca_cov_sql(i: int, j: int) -> str:
+    a, b = min(i, j), max(i, j)
+    return (
+        f"((CAST(s{a}{b} AS DOUBLE) - CAST(s{a} AS DOUBLE) * CAST(s{b}"
+        f" AS DOUBLE) / CAST(n_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE))"
+    )
+
+
+def pca_u_sql(i: int) -> str:
+    """u_i = Σ_j C_ij · (v_j / 1e6) — one shared string per component."""
+    return " + ".join(
+        f"c{min(i, j)}{max(i, j)} * (CAST(v{j} AS DOUBLE) / 1000000.0)" for j in range(1, PCA_D + 1)
+    )
+
+
+PCA_M_SQL = "GREATEST(" + ", ".join(f"ABS(u{i})" for i in range(1, PCA_D + 1)) + ")"
+
+
+def pca_moments(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact integer moment aggregate for PCA_D integer columns: one
+    map-side-combined pass → (n_rows, s{i}, s{i}{j} for i<=j)."""
+    assert len(cols) == PCA_D
+    c = {i + 1: F.col(col).cast("bigint") for i, col in enumerate(cols)}
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i in range(1, PCA_D + 1):
+        aggs.append(F.sum(c[i].cast(dec)).alias(f"s{i}"))
+    for i in range(1, PCA_D + 1):
+        for j in range(i, PCA_D + 1):
+            aggs.append(F.sum((c[i] * c[j]).cast(dec)).alias(f"s{i}{j}"))
+    return df.agg(*aggs)
+
+
+def pca_power_top1(df: DataFrame, cols: list[str], iters: int = 8) -> DataFrame:
+    """Top principal component of PCA_D integer columns by `iters` power
+    iterations, one row out: (v1_micro..v4_micro, lambda_micro,
+    explained_ratio). The eigenvector is L∞-normalized (max-abs component =
+    ±1e6) and sign-canonicalized so the max-abs component is positive;
+    lambda is the Rayleigh quotient of the final iterate; explained_ratio
+    = lambda / trace(C)."""
+    g = pca_moments(df, cols)
+    cov = g.select(
+        *[
+            F.expr(_pca_cov_sql(i, j)).alias(f"c{i}{j}")
+            for i in range(1, PCA_D + 1)
+            for j in range(i, PCA_D + 1)
+        ]
+    )
+    v = cov.select(
+        "*", *[F.lit(1_000_000).cast("bigint").alias(f"v{i}") for i in range(1, PCA_D + 1)]
+    )
+    for _t in range(iters):
+        u = v.select(
+            "*", *[F.expr(pca_u_sql(i)).alias(f"u{i}") for i in range(1, PCA_D + 1)]
+        ).withColumn("m", F.expr(PCA_M_SQL))
+        v = u.select(
+            *[F.col(f"c{i}{j}") for i in range(1, PCA_D + 1) for j in range(i, PCA_D + 1)],
+            *[
+                F.expr(f"CAST(ROUND(u{i} / m * 1000000.0, 0) AS BIGINT)").alias(
+                    f"v{i}"
+                )
+                for i in range(1, PCA_D + 1)
+            ],
+        )
+    ray_num = " + ".join(
+        f"(CAST(v{i} AS DOUBLE) / 1000000.0) * c{min(i, j)}{max(i, j)} * (CAST(v{j} AS DOUBLE) / 1000000.0)"
+        for i in range(1, PCA_D + 1)
+        for j in range(1, PCA_D + 1)
+    )
+    ray_den = " + ".join(
+        f"(CAST(v{i} AS DOUBLE) / 1000000.0) * (CAST(v{i} AS DOUBLE) / 1000000.0)" for i in range(1, PCA_D + 1)
+    )
+    trace = " + ".join(f"c{i}{i}" for i in range(1, PCA_D + 1))
+    sign = (
+        "CASE "
+        + " ".join(
+            f"WHEN ABS(v{i}) = 1000000 THEN (CASE WHEN v{i} > 0 THEN 1 ELSE -1 END)"
+            for i in range(1, PCA_D + 1)
+        )
+        + " ELSE 1 END"
+    )
+    lam = f"(({ray_num}) / ({ray_den}))"
+    return v.select(
+        *[
+            F.expr(f"CAST(({sign}) * v{i} AS BIGINT)").alias(f"v{i}_micro")
+            for i in range(1, PCA_D + 1)
+        ],
+        F.expr(f"CAST(ROUND({lam} * 1000000.0, 0) AS BIGINT)").alias("lambda_micro"),
+        F.expr(f"ROUND({lam} / ({trace}), 6)").alias("explained_ratio"),
+    )

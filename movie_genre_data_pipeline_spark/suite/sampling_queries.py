@@ -1511,3 +1511,108 @@ FROM b{LOGREG_SEG_ITERS} b JOIN a{LOGREG_SEG_ITERS} a USING (segment)
 QUERIES["feat_logreg_by_segment"] = QuerySpec(
     q_feat_logreg_by_segment, _logreg_segment_oracle()
 )
+
+
+# -- PCA top component by power iteration (r8) -------------------------------------------
+PCA_ITERS = 8
+_PCA_FEATS = [
+    ("x1", "o_orderkey % 180 + 60"),
+    ("x2", "o_custkey % 25"),
+    ("x3", "o_orderkey % 97"),
+    ("x4", "o_custkey % 53"),
+]
+
+
+def q_feat_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of four integer order features by power
+    iteration (functions/regression.py:pca_power_top1): ONE map-side-
+    combined moment pass reduces the facts to the 4×4 covariance, then all
+    PCA_ITERS iterations are pure projections over that one row — no data
+    re-scan per iteration at any corpus size (contrast gradient-descent PCA
+    or iterative SVD, which re-scan per step). L∞ normalization (no sqrt)
+    + per-iterate micro quantization keep the trajectory oracle-exact; the
+    published row carries the sign-canonicalized eigenvector, the Rayleigh
+    quotient, and the explained-variance ratio."""
+    from movie_genre_data_pipeline_spark.functions.regression import pca_power_top1
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.selectExpr(
+        *[f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _PCA_FEATS]
+    )
+    return pca_power_top1(feats, [n for n, _ in _PCA_FEATS], iters=PCA_ITERS)
+
+
+def _pca_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        PCA_D,
+        PCA_M_SQL,
+        _pca_cov_sql,
+        pca_u_sql,
+    )
+
+    d = PCA_D
+    feats = ", ".join(f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _PCA_FEATS)
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for i in range(1, d + 1):
+        sums.append(f"SUM(x{i}) AS s{i}")
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            sums.append(f"SUM(x{i} * x{j}) AS s{i}{j}")
+    covs = ", ".join(
+        f"{_pca_cov_sql(i, j)} AS c{i}{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    ccols = ", ".join(f"c{i}{j}" for i in range(1, d + 1) for j in range(i, d + 1))
+    parts = [
+        f"""WITH f AS (SELECT {feats} FROM orders),
+g AS (SELECT {", ".join(sums)} FROM f),
+c AS (SELECT {covs} FROM g),
+p0 AS MATERIALIZED (SELECT c.*, {", ".join(f"CAST(1000000 AS BIGINT) AS v{i}" for i in range(1, d + 1))} FROM c)"""
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        us = ", ".join(f"{pca_u_sql(i)} AS u{i}" for i in range(1, d + 1))
+        vs = ", ".join(
+            f"CAST(ROUND(u{i} / m * 1000000.0, 0) AS BIGINT) AS v{i}"
+            for i in range(1, d + 1)
+        )
+        parts.append(
+            f""",
+p{t} AS MATERIALIZED (
+  SELECT {ccols}, {vs}
+  FROM (SELECT p.*, {PCA_M_SQL} AS m
+        FROM (SELECT p0x.*, {us} FROM p{t - 1} p0x) p)
+)"""
+        )
+    ray_num = " + ".join(
+        f"(CAST(v{i} AS DOUBLE) / 1000000.0) * c{min(i, j)}{max(i, j)} * (CAST(v{j} AS DOUBLE) / 1000000.0)"
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    )
+    ray_den = " + ".join(
+        f"(CAST(v{i} AS DOUBLE) / 1000000.0) * (CAST(v{i} AS DOUBLE) / 1000000.0)" for i in range(1, d + 1)
+    )
+    trace = " + ".join(f"c{i}{i}" for i in range(1, d + 1))
+    sign = (
+        "CASE "
+        + " ".join(
+            f"WHEN ABS(v{i}) = 1000000 THEN (CASE WHEN v{i} > 0 THEN 1 ELSE -1 END)"
+            for i in range(1, d + 1)
+        )
+        + " ELSE 1 END"
+    )
+    lam = f"(({ray_num}) / ({ray_den}))"
+    sel = ", ".join(
+        f"CAST(({sign}) * v{i} AS BIGINT) AS v{i}_micro" for i in range(1, d + 1)
+    )
+    parts.append(
+        f"""
+SELECT {sel},
+       CAST(ROUND({lam} * 1000000.0, 0) AS BIGINT) AS lambda_micro,
+       ROUND({lam} / ({trace}), 6) AS explained_ratio
+FROM p{PCA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["feat_pca_power"] = QuerySpec(q_feat_pca_power, _pca_oracle())

@@ -236,3 +236,36 @@ def test_grouped_logreg_recovers_per_segment_parameters(spark):
     b2s = [r["b2_micro"] for r in rows]
     assert b1s == sorted(b1s), b1s
     assert b2s == sorted(b2s, reverse=True), b2s
+
+
+def test_pca_power_matches_numpy_top_eigenvector(spark):
+    """The power-iteration component must align with numpy's exact top
+    eigenvector of the same covariance (|cos| >= 0.999), the Rayleigh
+    quotient must approximate the top eigenvalue, and the explained ratio
+    must be in (0, 1]."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        pca_power_top1,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 50, size=(3000, 4))
+    base[:, 1] = base[:, 0] * 3 + rng.integers(0, 10, size=3000)  # correlated pair
+    rows = [tuple(int(x) for x in r) for r in base]
+    df = spark.createDataFrame(rows, "x1 bigint, x2 bigint, x3 bigint, x4 bigint")
+    out = pca_power_top1(df, ["x1", "x2", "x3", "x4"], iters=8).collect()[0]
+    v = np.array([out[f"v{i}_micro"] for i in range(1, 5)], dtype=float) / 1e6
+    arr = base.astype(float)
+    cov = np.cov(arr, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, (cos, v, top)
+    lam = out["lambda_micro"] / 1e6
+    assert abs(lam - w[-1]) < w[-1] * 0.01, (lam, w[-1])
+    assert 0 < out["explained_ratio"] <= 1
+    # residual check: C v ≈ λ v
+    resid = np.linalg.norm(cov @ v - lam * v) / np.linalg.norm(cov @ v)
+    assert resid < 0.01, resid
