@@ -79,6 +79,12 @@ SCALE_QUERIES = [
     "sample_importance_select",
     "dedup_duplicate_spans",
     "feat_logreg_recovery",
+    # r8 third wave: the composed funnel (its cost law is the max of its
+    # stages — spans + DSIR, both measured linear above) and power-iteration
+    # PCA (one d²-bounded moment pass; iterations are scan-free, so the
+    # ratio should be the flattest on the roster)
+    "curate_trainset_funnel",
+    "feat_pca_power",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
