@@ -559,7 +559,15 @@ def pca_power_top1(df: DataFrame, cols: list[str], iters: int = 8) -> DataFrame:
     ±1e6) and sign-canonicalized so the max-abs component is positive;
     lambda is the Rayleigh quotient of the final iterate; explained_ratio
     = lambda / trace(C)."""
-    g = pca_moments(df, cols)
+    return pca_power_from_moments(pca_moments(df, cols), iters=iters)
+
+
+def pca_power_from_moments(g: DataFrame, iters: int = 8) -> DataFrame:
+    """The solve half of `pca_power_top1`, off a one-row moments frame
+    (n_rows, s{i}, s{i}{j}) — however it was produced: one batch pass or a
+    fold of per-micro-batch ADDITIVE partials (the moments are exact
+    integer sums, so the streaming ledger re-sum is the identical state —
+    suite `stream_pca_moments`)."""
     cov = g.select(
         *[
             F.expr(_pca_cov_sql(i, j)).alias(f"c{i}{j}")

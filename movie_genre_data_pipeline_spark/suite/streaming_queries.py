@@ -2261,3 +2261,69 @@ def _stream_funnel_oracle() -> str:
 QUERIES["stream_trainset_funnel"] = QuerySpec(
     q_stream_trainset_funnel, _stream_funnel_oracle()
 )
+
+
+def q_stream_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained PCA: each micro-batch appends its partial
+    exact-integer moment row (n, Σx_i, Σx_i·x_j — the d²-sized ledger the
+    covariance derives from); the reader folds by component-wise re-sum and
+    runs the identical scan-free power iterations, so the continuous top
+    component equals the batch fit bit-for-bit and shares feat_pca_power's
+    oracle verbatim. The cheapest possible streaming-ML state: 15 numbers
+    per batch."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        PCA_D,
+        pca_moments,
+        pca_power_from_moments,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _PCA_FEATS,
+        PCA_ITERS,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_pca_")
+    src, ledger = f"{base}/src", f"{base}/ledger"
+    o = load(spark, sf_dir, "orders")
+    o.selectExpr(
+        *[f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _PCA_FEATS]
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [T.StructField(name, T.LongType()) for name, _ in _PCA_FEATS]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    cols = [n for n, _ in _PCA_FEATS]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pca_moments(batch_df, cols).write.mode("append").parquet(ledger)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    names = [f"s{i}" for i in range(1, PCA_D + 1)] + [
+        f"s{i}{j}" for i in range(1, PCA_D + 1) for j in range(i, PCA_D + 1)
+    ]
+    folded = (
+        spark.read.parquet(ledger)
+        .groupBy()
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            *[F.sum(c).cast("decimal(38,0)").alias(c) for c in names],
+        )
+    )
+    return pca_power_from_moments(folded, iters=PCA_ITERS)
+
+
+def _stream_pca_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import _pca_oracle
+
+    return _pca_oracle()
+
+
+QUERIES["stream_pca_moments"] = QuerySpec(q_stream_pca_moments, _stream_pca_oracle())

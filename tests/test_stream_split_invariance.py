@@ -34,6 +34,9 @@ FOLDS = [
     # gram postings, DSIR postings + model; the corpus-global decisions fold
     # at readout, so batching must be invisible end-to-end)
     "stream_trainset_funnel",
+    # r8: the PCA moment ledger (15 numbers per batch; the iteration runs on
+    # the fold, so any batching must give the identical eigenvector)
+    "stream_pca_moments",
 ]
 
 
