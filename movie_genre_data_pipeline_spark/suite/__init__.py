@@ -63,6 +63,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pre-r8 registry query has >=1 green driver record and zero stale reds;
     # of the r8 additions, the language-mart IVM is seated below and its two
     # siblings wait just past the window.
+    #
+    # r9 ROTATION POOL (for the next round's window): the 23 r8 additions
+    # that have no driver record yet — 7 early-r8 (gold_language_revenue,
+    # gold_language_parity_mode, text_bigram_surprisal, text_bpe_merges,
+    # sample_kcenter_coreset, sim_mmr_rerank, stream_gold_language_ivm) and
+    # 16 late-r8 (sample_importance_select, feat_logreg_recovery,
+    # feat_logreg_by_segment, feat_pca_power, dedup_duplicate_spans,
+    # stream_importance_weights, stream_trainset_funnel, stream_pca_moments,
+    # text_bpe_encode_stats, text_lang_confusion, curate_classifier_distill,
+    # curate_trainset_funnel, graph_reachability, variant_functions,
+    # lateral_join_topk, xml_functions). All 23 pass sf0.01 --vanilla
+    # --exact (r8 session logs); 23 + a few canaries fill the r9 window.
     # --- the three fixed-but-still-red r6 queries ---
     "gold_genre_revenue_ivm",
     "stream_gold_ivm",
