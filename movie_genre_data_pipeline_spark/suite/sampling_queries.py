@@ -1616,3 +1616,80 @@ FROM p{PCA_ITERS}"""
 
 
 QUERIES["feat_pca_power"] = QuerySpec(q_feat_pca_power, _pca_oracle())
+
+
+def q_sample_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split audit run before trusting a train/val/test assignment:
+    per-fold document counts and share, token-mass share, mean token count,
+    and distinct-source coverage — the distribution-parity readout that
+    catches a skewed or leaky split before training does. One scan-local
+    split projection + one fold-keyed aggregate; the shares divide exact
+    integer sums once."""
+    from movie_genre_data_pipeline_spark.functions.sampling import assign_split
+    from movie_genre_data_pipeline_spark.functions.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        assign_split("doc_id", _SPLITS),
+    )
+    totals = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "split",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("tot_docs"), 6).alias(
+                "doc_share"
+            ),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_tokens"),
+            "n_sources",
+        )
+    )
+
+
+def _split_audit_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.sampling import hex_threshold
+
+    t_train, t_val = hex_threshold(0.8), hex_threshold(0.9)
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CASE WHEN md5(doc_id || ':split') < '{t_train}' THEN 'train'
+              WHEN md5(doc_id || ':split') < '{t_val}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tot_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+  FROM labeled
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot_docs, 6) AS doc_share,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / tot_tokens, 6) AS token_share,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM labeled CROSS JOIN totals
+GROUP BY split, tot_docs, tot_tokens
+"""
+
+
+QUERIES["sample_split_audit"] = QuerySpec(q_sample_split_audit, _split_audit_oracle())
