@@ -1,10 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ...}.
 
-Each query is executed to completion (collect-to-driver of the, typically small,
-result set) and timed wall-clock. First query pays JVM/session warmup; a warmup
-no-op runs first so per-query numbers reflect steady state.
+The stdout line stays SMALL on purpose (VERDICT r08 #2): the driver captures
+only the output tail, and every BENCH_r0N.json since r2 carried "parsed": null
+because the old line also embedded per-query samples + drift detail and outgrew
+the capture. The full detail — both samples per query, the drift-control runs,
+and drift-normalized ratios against the previous run — is written to
+BENCH_DETAIL.json alongside the repo instead.
+
+Each query is executed to completion (noop-sink over every result row/column)
+and timed wall-clock. First query pays JVM/session warmup; a warmup no-op runs
+first so per-query numbers reflect steady state.
 """
 
 from __future__ import annotations
@@ -148,6 +156,48 @@ def main() -> None:
         drift_runs.append(round(time.time() - t0, 3))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full detail goes to a sidecar file, NOT stdout. Before overwriting,
+    # read the previous run's detail (committed per round) and publish
+    # drift-normalized cross-round ratios: query_ratio / drift_ratio, so a
+    # uniform host slowdown (the proven r5/r7 failure mode) reads as ~1.0
+    # for every query instead of masquerading as a regression (VERDICT r08 #6).
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    drift_best = min(drift_runs)
+    detail: dict = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "samples": samples,
+        "drift_control": {
+            "workload": "range20M-mod1000-hashagg",
+            "runs": drift_runs,
+            "best": drift_best,
+        },
+    }
+    if detail_path.exists():
+        try:
+            prev = json.loads(detail_path.read_text())
+            prev_drift = prev.get("drift_control", {}).get("best")
+            prev_q = prev.get("queries", {})
+            if prev_drift and prev.get("sf") == sf_val:
+                drift_ratio = drift_best / prev_drift
+                detail["vs_prev"] = {
+                    "drift_ratio": round(drift_ratio, 3),
+                    "normalized_ratios": {
+                        n: round((t / prev_q[n]) / drift_ratio, 3)
+                        for n, t in timings.items()
+                        if n in prev_q and prev_q[n] > 0
+                    },
+                }
+        except (json.JSONDecodeError, OSError, ZeroDivisionError):
+            pass
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    # The stdout contract: ONE compact final line the driver can always parse.
     print(
         json.dumps(
             {
@@ -155,14 +205,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
-                "drift_control": {
-                    "workload": "range20M-mod1000-hashagg",
-                    "runs": drift_runs,
-                    "best": min(drift_runs),
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -4,7 +4,11 @@ entries of ``queries()``, so declaration order is load-bearing (VERDICT r01 #1).
 No SparkSession needed — these pin pure-Python registry invariants.
 """
 
-from movie_genre_data_pipeline_spark.suite import DRIVER_WINDOW, all_queries
+from movie_genre_data_pipeline_spark.suite import (
+    DRIVER_WINDOW,
+    NEXT_ROUND_POOL,
+    all_queries,
+)
 
 
 def test_driver_window_is_first_50():
@@ -53,6 +57,32 @@ def test_documented_query_counts_match_registry():
     assert m, "COVERAGE.md no longer states the query counts"
     assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
         f"COVERAGE claims {m.group(1)}/{m.group(2)}, registry has {total}/{oracled}"
+    )
+
+
+def test_rotation_pool_matches_computed_debt():
+    """The r8 window comment said '23 r8 additions have no driver record' when
+    the truth was 24 (it dropped sample_split_audit) — a hand-maintained count
+    that drifted from the registry. Pin the rotation bookkeeping to the
+    COMPUTED debt instead: every registry query that has never appeared in any
+    CORRECTNESS_r0N.json must be seated in DRIVER_WINDOW now, or explicitly
+    queued in NEXT_ROUND_POOL — and NEXT_ROUND_POOL must contain exactly that
+    leftover, nothing stale (VERDICT r08 #8)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    recorded: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        recorded.update(json.loads(f.read_text()).keys())
+    assert recorded, "no CORRECTNESS_r0N.json found next to the repo root"
+
+    never_checked = {n for n in all_queries() if n not in recorded}
+    leftover = never_checked - set(DRIVER_WINDOW)
+    assert leftover == set(NEXT_ROUND_POOL), (
+        f"never-driver-checked queries not seated in DRIVER_WINDOW and not "
+        f"(exactly) queued in NEXT_ROUND_POOL: missing={sorted(leftover - set(NEXT_ROUND_POOL))}, "
+        f"stale_pool_entries={sorted(set(NEXT_ROUND_POOL) - leftover)}"
     )
 
 
