@@ -655,8 +655,19 @@ def _collect_train(q: DataFrame) -> list[tuple[int, list[float]]]:
 def _pq_recall_tail(q: DataFrame, qs: DataFrame, adc: DataFrame) -> DataFrame:
     """Shared recall@1 measurement: pick each panel query's ADC-best neighbor,
     compare its exact L2 against the true (exact, over raw quantized vectors)
-    nearest-neighbor distance. Baseline cost is |panel|·n, never n²."""
+    nearest-neighbor distance. Baseline cost is |panel|·n, never n² — and
+    since r9 the baseline scan runs as ONE Arrow-batched numpy kernel
+    (functions/vectorized.panel_min_sqdist) instead of a broadcast-nested-loop
+    join materializing Q·n interpreted zip_with folds: the r8 scale audit
+    measured that join at 5.3 s of sim_pq_ivfadc's 8.5 s at the 4× tier.
+    Integral quantized inputs make the kernel's minima bit-identical to the
+    oracle's MIN(d) (see the module docstring); only the chosen neighbors'
+    Q-row distance projection keeps the expression fold."""
     from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        panel_min_sqdist,
+    )
 
     w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
     chosen = (
@@ -664,12 +675,13 @@ def _pq_recall_tail(q: DataFrame, qs: DataFrame, adc: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("vid", "neighbor")
     )
+    panel = [
+        (r["vid"], list(r["vq"]))
+        for r in q.orderBy("vid").limit(PQ_NQ).collect()
+    ]
     a = q.join(qs, "vid").select(F.col("vid"), F.col("vq").alias("va"))
     b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
-    exact_pairs = a.join(b, F.col("vid") != F.col("neighbor")).select(
-        "vid", "neighbor", _pq_sqd_col(F.col("va"), F.col("vb")).alias("d")
-    )
-    exact_best = exact_pairs.groupBy("vid").agg(F.min("d").alias("d_min"))
+    exact_best = panel_min_sqdist(q, panel)
     d_chosen = (
         chosen.join(a, "vid")
         .join(b, "neighbor")
@@ -891,7 +903,6 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering, codebooks, encoding, probing, the probed ADC scan, and the
     baseline bit-for-bit."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
-        assign_clusters_two_level,
         kmeans_fit_exact_local,
         probe_cells,
         quantize_vectors,
@@ -900,6 +911,9 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_scores,
         pq_encode,
         pq_train_local,
+    )
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        assign_cells_two_level_np,
     )
 
     _pq_tune(spark)
@@ -912,8 +926,10 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_fit_exact_local(train_rows, k, IVF_ITERS)
     books = pq_train_local(train_rows, DIM, PQ_M, PQ_K, PQ_ITERS)
     # r8: corpus assignment is TWO-LEVEL (group-first) — the flat argmin over
-    # nlist=⌈√n⌉ cells was the last n^1.5 term (SCALE.md §12)
-    cells = assign_clusters_two_level(
+    # nlist=⌈√n⌉ cells was the last n^1.5 term (SCALE.md §12). r9: the
+    # assignment runs as the numpy kernel twin (bit-identical rule; the
+    # interpreted-lambda form cost 2.2 s of the 4×-tier wall — verdict r8 #3)
+    cells = assign_cells_two_level_np(
         q, "vid", "vq", cents, IVF_GROUP_ITERS
     ).select("vid", "cluster")
     qs = _pq_query_panel(q)
@@ -958,7 +974,6 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one residual-specific cost is recomputing the query's residual once
     per probed cell — the price FAISS pays too (per-list ADC tables)."""
     from movie_genre_data_pipeline_spark.functions.kmeans import (
-        assign_clusters_two_level,
         assign_local_two_level,
         kmeans_fit_exact_local,
         probe_cells,
@@ -969,6 +984,9 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
         pq_train_local,
     )
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        assign_cells_two_level_np,
+    )
 
     _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
@@ -977,8 +995,9 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_rows = _collect_train(q)
     cents = kmeans_fit_exact_local(train_rows, k, IVF_ITERS)
     # r8: two-level corpus assignment (see q_pq_ivfadc); the codebook sample
-    # below re-centers under the SAME rule so codes and cells agree
-    cells = assign_clusters_two_level(
+    # below re-centers under the SAME rule so codes and cells agree. r9:
+    # numpy-kernel twin, bit-identical (see q_pq_ivfadc)
+    cells = assign_cells_two_level_np(
         q, "vid", "vq", cents, IVF_GROUP_ITERS
     ).select("vid", "cluster")
     qs = _pq_query_panel(q)
@@ -1428,40 +1447,67 @@ JL_SHORTLIST = 10
 
 
 def q_sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composition sim_topk_projected's docstring prescribes: shortlist
-    the JL_SHORTLIST nearest candidates PER QUERY in the 16-dim projected
-    space (cheap exact-BIGINT distances), then rerank only the shortlist by
-    exact L2 in full dimension. Recall@1 = P[true NN ∈ shortlist] — the
-    candidate-recall law of every two-stage ANN system, and ≥ the
-    projected-only recall by construction (reranking a superset that
-    contains the projected argmin can only fix picks, never break them;
-    pinned in tests/test_similarity.py). Per-query cost: n k-dim
-    comparisons + JL_SHORTLIST d-dim comparisons, vs n d-dim for exact."""
+    """The production two-stage composition: learned IVF cells restrict WHICH
+    candidates a query sees, the JL projection prices each candidate at
+    JL_K-dim exact-BIGINT distance, the JL_SHORTLIST best get reranked by
+    exact L2 in full dimension. r9 (verdict r8 #4): the shortlist scan is
+    CELL-RESTRICTED — each panel query probes its PQ_NPROBE nearest learned
+    cells (the same sample-trained √n-cell coarse quantizer as sim_pq_ivfadc,
+    two-level corpus assignment) and only their members enter the projected
+    scan, so per-query work is nprobe·(n/nlist) = nprobe·√n k-dim comparisons
+    + JL_SHORTLIST d-dim reranks instead of the old full-panel n-scan (the
+    r8 SCALE_BENCH 2.85 ratio). Recall@1 = P[true NN ∈ probed shortlist] —
+    now pricing BOTH the cell-pruning and the projection loss; the pinnable
+    law becomes "reranking dominates taking the projected argmin from the
+    SAME candidate set" (tests/test_similarity.py). Fully oracled: cells,
+    projection, probing, shortlist, rerank, and baseline all replay in SQL."""
     from pyspark.sql import Window
 
-    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_fit_exact_local,
+        probe_cells,
+        quantize_vectors,
+    )
     from movie_genre_data_pipeline_spark.functions.similarity import (
         project_signed,
         sign_matrix,
+    )
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        assign_cells_two_level_np,
     )
 
     _pq_tune(spark)
     e = load(spark, sf_dir, "embeddings")
     q = quantize_vectors(e, "vec_id", "embedding").cache()
+    k = _ivf_nlist(q.count())
+    cents = kmeans_fit_exact_local(_collect_train(q), k, IVF_ITERS)
+    cells = assign_cells_two_level_np(
+        q, "vid", "vq", cents, IVF_GROUP_ITERS
+    ).select("vid", "cluster")
     proj = q.select(
         "vid", project_signed("vq", sign_matrix(JL_K, DIM)).alias("pv")
     )
     qs = _pq_query_panel(q)
     a = proj.join(qs, "vid").select("vid", F.col("pv").alias("pa"))
-    b = proj.select(F.col("vid").alias("neighbor"), F.col("pv").alias("pb"))
-    pdist = a.join(b, F.col("vid") != F.col("neighbor")).select(
-        "vid",
-        "neighbor",
-        F.aggregate(
-            F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        ).alias("pd2"),
+    probes = probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE)
+    # candidate pairs: only members of the query's probed cells (each corpus
+    # vector lives in exactly one cell, so no pair duplicates)
+    b = proj.join(cells, "vid").select(
+        F.col("vid").alias("neighbor"), F.col("pv").alias("pb"), "cluster"
+    )
+    pdist = (
+        probes.join(a, "vid")
+        .join(b, "cluster")
+        .filter(F.col("vid") != F.col("neighbor"))
+        .select(
+            "vid",
+            "neighbor",
+            F.aggregate(
+                F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            ).alias("pd2"),
+        )
     )
     w = Window.partitionBy("vid").orderBy(F.col("pd2").asc(), F.col("neighbor").asc())
     shortlist = (
@@ -1481,16 +1527,30 @@ def q_sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sim_topk_rerank_oracle() -> str:
     sqd = _pq_sqd
+    cells_head = kmeans_cells_cte(
+        k=_IVF_NLIST_SQL,
+        iters=IVF_ITERS,
+        train_limit=IVF_TRAIN,
+        group_iters=IVF_GROUP_ITERS,
+    )
     return f"""
-WITH {_PQ_EQ_CTE},
+WITH {cells_head},
 {_jl_proj_cte()},
 qs AS (SELECT vid FROM eq ORDER BY vid LIMIT {PQ_NQ}),
+qpd AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv", DIM)} AS dist
+        FROM eq e JOIN qs ON qs.vid = e.vid CROSS JOIN c{IVF_ITERS} c),
+probes AS (SELECT vid, cluster FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY dist ASC, cluster ASC) AS rn FROM qpd)
+           WHERE rn <= {PQ_NPROBE}),
 pdist AS (
-  SELECT a.vid AS vid, b.vid AS neighbor,
+  SELECT p.vid AS vid, b.vid AS neighbor,
          list_aggregate(list_transform(generate_series(1, {JL_K}),
            j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])), 'sum') AS pd2
-  FROM proj a JOIN qs ON qs.vid = a.vid
-  JOIN proj b ON a.vid <> b.vid
+  FROM probes p
+  JOIN proj a ON a.vid = p.vid
+  JOIN cells kb ON kb.cluster = p.cluster
+  JOIN proj b ON b.vid = kb.vid AND b.vid <> p.vid
 ),
 shortlist AS (
   SELECT vid, neighbor FROM

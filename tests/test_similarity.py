@@ -46,16 +46,95 @@ def test_random_projection_concentration_improves_with_k(spark):
         assert one["pv"][j] == int(sum(s * v for s, v in zip(signs[j], one["vq"])))
 
 
-def test_rerank_recall_dominates_projected_only(spark):
-    """The two-stage law: exact reranking of a shortlist that contains the
-    projected argmin can only fix picks, never break them, so rerank
-    recall@1 >= projected-only recall@1."""
-    from movie_genre_data_pipeline_spark.suite import all_queries
+def test_rerank_recall_dominates_projected_argmin_same_candidates(spark):
+    """The two-stage law, restated for the r9 cell-restricted shortlist:
+    within the SAME probed candidate set, exact reranking of the projected
+    top-JL_SHORTLIST (which contains the projected argmin) can only fix
+    picks, never break them — so rerank recall@1 >= the recall of taking
+    the projected argmin directly from those candidates. Both sides are
+    computed from one pdist frame through the shared _pq_recall_tail, so
+    the comparison isolates exactly the rerank stage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
-    qs = all_queries()
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_fit_exact_local,
+        probe_cells,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        project_signed,
+        sign_matrix,
+    )
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        assign_cells_two_level_np,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.similarity_queries import (
+        DIM,
+        IVF_GROUP_ITERS,
+        IVF_ITERS,
+        JL_K,
+        JL_SHORTLIST,
+        PQ_NPROBE,
+        _collect_train,
+        _ivf_nlist,
+        _pq_query_panel,
+        _pq_recall_tail,
+        _pq_sqd_col,
+        _pq_tune,
+    )
+
+    _pq_tune(spark)
     sf = "/root/testdata/sf0.001"
-    proj_only = qs["sim_topk_projected"].fn(spark, sf).collect()[0]
-    rerank = qs["sim_topk_rerank"].fn(spark, sf).collect()[0]
+    e = load(spark, sf, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    cents = kmeans_fit_exact_local(
+        _collect_train(q), _ivf_nlist(q.count()), IVF_ITERS
+    )
+    cells = assign_cells_two_level_np(
+        q, "vid", "vq", cents, IVF_GROUP_ITERS
+    ).select("vid", "cluster")
+    proj = q.select("vid", project_signed("vq", sign_matrix(JL_K, DIM)).alias("pv"))
+    qs = _pq_query_panel(q)
+    a = proj.join(qs, "vid").select("vid", F.col("pv").alias("pa"))
+    probes = probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE)
+    b = proj.join(cells, "vid").select(
+        F.col("vid").alias("neighbor"), F.col("pv").alias("pb"), "cluster"
+    )
+    pdist = (
+        probes.join(a, "vid")
+        .join(b, "cluster")
+        .filter(F.col("vid") != F.col("neighbor"))
+        .select(
+            "vid",
+            "neighbor",
+            F.aggregate(
+                F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            ).alias("pd2"),
+        )
+        .cache()
+    )
+    # projected-argmin pick within the candidates: feed pdist straight in
+    proj_pick = _pq_recall_tail(q, qs, pdist.withColumnRenamed("pd2", "adc"))
+    # rerank pick: exact L2 over the projected top-JL_SHORTLIST
+    w = Window.partitionBy("vid").orderBy(F.col("pd2").asc(), F.col("neighbor").asc())
+    shortlist = (
+        pdist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= JL_SHORTLIST)
+        .select("vid", "neighbor")
+    )
+    qa = q.select("vid", F.col("vq").alias("va"))
+    qb = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
+    adc = (
+        shortlist.join(qa, "vid")
+        .join(qb, "neighbor")
+        .select("vid", "neighbor", _pq_sqd_col(F.col("va"), F.col("vb")).alias("adc"))
+    )
+    rerank = _pq_recall_tail(q, qs, adc).collect()[0]
+    proj_only = proj_pick.collect()[0]
     assert rerank["n_queries"] == proj_only["n_queries"]
     assert rerank["n_hits"] >= proj_only["n_hits"]
 
