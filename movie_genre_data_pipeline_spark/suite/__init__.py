@@ -125,7 +125,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ts_retention_cohorts",
     "layout_zorder_stats",
     "media_phash_dedup",
-    "merge_scd2",
+    # --- r9 additions, seated immediately (no new debt) ---
+    "stream_duplicate_spans",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

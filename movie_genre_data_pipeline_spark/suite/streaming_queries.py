@@ -2069,6 +2069,114 @@ QUERIES["stream_importance_weights"] = QuerySpec(
 )
 
 
+def _span_gram_postings(batch_df: DataFrame, l: int) -> DataFrame:
+    """(doc, i, h48): one length-`l` token-window posting per position — the
+    append-only FACT a micro-batch contributes to a span-dedup ledger. Pure
+    per-document projection (computable at arrival); the corpus-global
+    occurrence decision folds over the accumulated postings at readout
+    (functions/dedup.duplicate_spans_from_grams). Same md5-48-bit window
+    hash as the batch operator, so ledger readouts share its oracle."""
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+
+    toks = batch_df.select(
+        F.col("doc_id").alias("doc"), tokens("text").alias("__toks")
+    )
+    return (
+        toks.filter(F.size("__toks") >= l)
+        .select(
+            "doc",
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(l - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("__toks", F.col("i"), l))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h48"),
+        )
+    )
+
+
+def q_stream_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous span-level dedup (verdict r8 #7) — the streaming twin of
+    dedup_duplicate_spans, decomposed by the suite's streaming rule:
+    scan-local per-row stats (token counts) decide at ARRIVAL; the
+    corpus-global gram-occurrence statistic appends additive FACTS (the
+    (doc, i, h48) window postings) and decides at READOUT. Each micro-batch
+    appends its doc-dim rows and gram postings; the readout runs the
+    occurrence window + gaps-and-islands merge over the accumulated ledger
+    (functions/dedup.duplicate_spans_from_grams) and emits the IDENTICAL
+    per-document report as the batch operator — shared oracle verbatim,
+    micro-batch-split invariance pinned in
+    tests/test_stream_split_invariance.py."""
+    from movie_genre_data_pipeline_spark.functions.dedup import (
+        duplicate_spans_from_grams,
+    )
+    from movie_genre_data_pipeline_spark.functions.text import token_count
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.dedup_queries import DUP_SPAN_L
+
+    base = tempfile.mkdtemp(prefix="stream_spans_")
+    src, led_doc, led_gram = f"{base}/src", f"{base}/docs", f"{base}/grams"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "doc_id", token_count("text").alias("n_tokens")
+        ).write.mode("append").parquet(led_doc)
+        _span_gram_postings(batch_df, DUP_SPAN_L).write.mode("append").parquet(
+            led_gram
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    docs = spark.read.parquet(led_doc)
+    return duplicate_spans_from_grams(
+        spark.read.parquet(led_gram),
+        docs.select(F.col("doc_id").alias("doc"), "n_tokens"),
+        DUP_SPAN_L,
+    )
+
+
+def _stream_duplicate_spans_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.dedup_queries import (
+        _duplicate_spans_oracle,
+    )
+
+    return _duplicate_spans_oracle()
+
+
+QUERIES["stream_duplicate_spans"] = QuerySpec(
+    q_stream_duplicate_spans, _stream_duplicate_spans_oracle()
+)
+
+
 def q_stream_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous curation: the whole trainset funnel maintained from
     append-only ledgers. Each micro-batch of documents appends (a) its doc
@@ -2129,36 +2237,7 @@ def q_stream_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count("text").alias("n_tokens"),
             quality_score("text").alias("quality"),
         ).write.mode("append").parquet(led_doc)
-        toks = batch_df.select(
-            F.col("doc_id").alias("doc"), tokens("text").alias("__toks")
-        )
-        (
-            toks.filter(F.size("__toks") >= L)
-            .select(
-                "doc",
-                "__toks",
-                F.explode(
-                    F.sequence(F.lit(1), F.size("__toks") - F.lit(L - 1))
-                ).alias("i"),
-            )
-            .select(
-                "doc",
-                "i",
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("__toks", F.col("i"), L))),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                )
-                .cast("bigint")
-                .alias("h48"),
-            )
-            .write.mode("append")
-            .parquet(led_gram)
-        )
+        _span_gram_postings(batch_df, L).write.mode("append").parquet(led_gram)
         terms = batch_df.select(
             "doc_id",
             (F.col("lang") == "en").alias("__tgt"),

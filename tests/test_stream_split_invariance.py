@@ -37,6 +37,9 @@ FOLDS = [
     # r8: the PCA moment ledger (15 numbers per batch; the iteration runs on
     # the fold, so any batching must give the identical eigenvector)
     "stream_pca_moments",
+    # r9: the span-dedup gram-posting ledger (corpus-global occurrence
+    # counts fold at readout — batching must not move any island boundary)
+    "stream_duplicate_spans",
 ]
 
 

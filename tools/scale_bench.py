@@ -85,6 +85,9 @@ SCALE_QUERIES = [
     # ratio should be the flattest on the roster)
     "curate_trainset_funnel",
     "feat_pca_power",
+    # r9 (verdict r8 #5): the second gold mart's IVM — scalar-FK signed-delta
+    # fold; its genre sibling measures 0.87, prove the language mart matches
+    "gold_language_revenue_ivm",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
