@@ -698,3 +698,75 @@ def duplicate_spans_from_grams(grams: DataFrame, base: DataFrame, l: int) -> Dat
             .alias("dup_fraction"),
         )
     )
+
+
+def span_scrub(df: DataFrame, id_col: str, text_col: str, l: int = 8) -> DataFrame:
+    """APPLY the Lee et al. span report (r9): remove every token covered by a
+    duplicated length-`l` window and reassemble the surviving text — the
+    masking pass `duplicate_spans` only measures. Same gram discipline (one
+    position explode, one hash-keyed occurrence window); the marked-position
+    set explodes each duplicated window into its l covered positions (volume
+    ≤ l × duplicated grams, linear), survivors re-assemble per document with
+    an ordered array fold (positions are unique so the sort is total). The
+    report row is (doc_id, n_tokens, kept_tokens, scrubbed_md5) — the hash
+    stands in for the rewritten text so the result stays bounded and
+    cross-engine comparable."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
+    base = toks.select("doc", F.size("__toks").cast("bigint").alias("n_tokens"))
+    grams = (
+        toks.filter(F.size("__toks") >= l)
+        .select(
+            "doc",
+            "__toks",
+            F.explode(F.sequence(F.lit(1), F.size("__toks") - F.lit(l - 1))).alias(
+                "i"
+            ),
+        )
+        .select(
+            "doc",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("__toks", F.col("i"), l))), 1, 12
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h48"),
+        )
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h48"))
+    dup = grams.withColumn("occ", occ).filter(F.col("occ") >= 2)
+    marked = dup.select(
+        "doc",
+        F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(l - 1))).alias("p"),
+    ).distinct()
+    pos = toks.select(
+        "doc", F.posexplode("__toks").alias("p0", "tok")
+    ).select("doc", (F.col("p0") + F.lit(1)).alias("p"), "tok")
+    kept = pos.join(marked, ["doc", "p"], "left_anti")
+    scrub = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("scrubbed_md5"),
+    )
+    return base.join(scrub, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce(F.col("scrubbed_md5"), F.md5(F.lit(""))).alias("scrubbed_md5"),
+    )

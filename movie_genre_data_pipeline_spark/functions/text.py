@@ -443,22 +443,26 @@ def bigram_surprisal(df, id_col: str, text_col: str, alpha: float = 0.4):
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     bf = flat.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
-    bgc = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c_b"))
-    leftc = bgc.groupBy("w1").agg(F.sum("c_b").alias("c_left"))
     uni = (
         docs.select(F.explode("__a").alias("w2"))
         .groupBy("w2")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    total = df.agg(
-        F.sum(
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
-                )
-            )
-        ).alias("total")
-    )
+    return bigram_surprisal_from_counts(bf, uni, alpha=alpha)
+
+
+def bigram_surprisal_from_counts(bf, uni, alpha: float = 0.4):
+    """The count-table form of `bigram_surprisal` (r9): `bf` is per-document
+    bigram frequencies (doc_id, w1, w2, bf) and `uni` unigram counts
+    (w2, cu) — however they were accumulated, one batch scan or a streaming
+    append ledger (each is an additive FACT, so per-micro-batch partials fold
+    by SUM). The model tables (corpus bigram counts, left-context totals, the
+    token total = SUM(cu)) and the per-doc exact-micro-nat fold are derived
+    here, identically to the text form — which is what makes the LM score
+    CONTINUOUSLY maintainable with the identical oracle."""
+    bgc = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c_b"))
+    leftc = bgc.groupBy("w1").agg(F.sum("c_b").alias("c_left"))
+    total = uni.agg(F.sum("cu").alias("total"))
     s = (
         bgc.join(leftc, "w1")
         .join(uni, "w2")

@@ -118,15 +118,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_rerank",
     "stream_tumbling_window",
     "sketch_hll_distinct",
-    "sample_weighted_reservoir",
-    "curate_pii_redaction",
-    "gold_genre_revenue",
     "graph_pagerank_trade",
-    "ts_retention_cohorts",
-    "layout_zorder_stats",
     "media_phash_dedup",
-    # --- r9 additions, seated immediately (no new debt) ---
+    # --- r9 additions, seated immediately (no new debt; they displace the
+    # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
+    # ts_retention_cohorts / layout_zorder_stats canaries, all multi-round
+    # passers still under the full local gate) ---
     "stream_duplicate_spans",
+    "stream_bigram_surprisal",
+    "text_bm25_topk",
+    "curate_span_scrub",
+    "sim_ivf_balance",
+    "sql_pipe_syntax",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

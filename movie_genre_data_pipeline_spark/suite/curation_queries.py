@@ -694,3 +694,66 @@ WHERE ROUND(inter / CAST(sc.n_sh + sb.n_sh - inter AS DOUBLE), 6)
 QUERIES["curate_fuzzy_decontaminate"] = QuerySpec(
     q_fuzzy_decontaminate, _fuzzy_decon_oracle()
 )
+
+
+# -- span scrub: APPLY the duplicated-span report (r9) -------------------------------------
+def q_curate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write side of dedup_duplicate_spans: every token covered by a
+    corpus-duplicated length-6 window is cut, the survivors re-assemble in
+    position order, and the row publishes the rewritten text's md5 plus the
+    exact kept-token count (functions/dedup.span_scrub). Completes the Lee
+    et al. 2021 pipeline — report (dedup_duplicate_spans), continuous ledger
+    (stream_duplicate_spans), and now the actual scrub a training-data build
+    applies before tokenization."""
+    from movie_genre_data_pipeline_spark.functions.dedup import span_scrub
+    from movie_genre_data_pipeline_spark.suite.dedup_queries import DUP_SPAN_L
+
+    d = load(spark, sf_dir, "documents")
+    return span_scrub(d, "doc_id", "text", l=DUP_SPAN_L)
+
+
+def _span_scrub_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.dedup_queries import DUP_SPAN_L
+
+    L = DUP_SPAN_L
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+base AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM toks),
+g AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substring(md5(
+              array_to_string(a[i:i + {L - 1}], ' ')), 1, 12))
+           AS BIGINT) AS h48
+  FROM (SELECT * FROM toks WHERE len(a) >= {L}) t,
+       unnest(generate_series(1, len(a) - {L - 1})) AS s(i)
+),
+d AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h48) AS occ FROM g)
+  WHERE occ >= 2
+),
+marked AS (
+  SELECT DISTINCT doc_id, i + o AS p
+  FROM d, unnest(generate_series(0, {L - 1})) AS s(o)
+),
+pos AS (
+  SELECT doc_id, i AS p, a[i] AS tok
+  FROM toks, unnest(generate_series(1, len(a))) AS s(i)
+),
+kept AS (
+  SELECT doc_id, p, tok FROM pos
+  ANTI JOIN marked USING (doc_id, p)
+),
+scrub AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(array_to_string(list(tok ORDER BY p), ' ')) AS scrubbed_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       COALESCE(scrubbed_md5, md5('')) AS scrubbed_md5
+FROM base b LEFT JOIN scrub USING (doc_id)
+"""
+
+
+QUERIES["curate_span_scrub"] = QuerySpec(q_curate_span_scrub, _span_scrub_oracle())

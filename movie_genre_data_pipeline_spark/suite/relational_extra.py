@@ -1497,3 +1497,42 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["xml_functions"] = QuerySpec(q_xml_functions, Q_XML_FUNCTIONS_ORACLE)
+
+
+# -- SQL pipe syntax (r9) -------------------------------------------------------------------
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (|> — SIGMOD'24 'SQL Has Problems...' /
+    the GoogleSQL pipe-flow form, public in Spark since 4.0): the same
+    filter → aggregate → having → order flow a medallion notebook writes as
+    chained DataFrame calls, expressed as a linear SQL pipeline. Semantics
+    are plain relational algebra, so the oracle is the standard ANSI form —
+    this query pins that Spark's pipe parser produces the identical result
+    (quantities are integral doubles; sums cast to BIGINT both sides)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe9")
+    return spark.sql(
+        """
+        FROM lineitem_pipe9
+        |> WHERE l_quantity >= 25
+        |> AGGREGATE CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 10
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+Q_SQL_PIPE_SYNTAX_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_quantity >= 25
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10
+ORDER BY l_returnflag, l_linestatus
+"""
+
+QUERIES["sql_pipe_syntax"] = QuerySpec(q_sql_pipe_syntax, Q_SQL_PIPE_SYNTAX_ORACLE)

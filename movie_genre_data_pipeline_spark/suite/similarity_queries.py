@@ -1701,3 +1701,73 @@ p{t} AS MATERIALIZED (
 
 
 QUERIES["sim_mmr_rerank"] = QuerySpec(q_sim_mmr_rerank, _sim_mmr_rerank_oracle())
+
+
+# -- IVF index observability (r9) ----------------------------------------------------------
+def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality report for the learned coarse quantizer — the thing an
+    ANN platform monitors before shipping an index: cell-size extremes, empty
+    cells, and the imbalance factor nlist·Σs²/n² (expected scan blow-up vs
+    perfectly uniform cells; 1.0 = balanced — Jégou et al.'s cell-population
+    variance concern, the metric FAISS prints as imbalance). Same
+    sample-trained √n-cell quantizer + two-level corpus assignment as the
+    IVFADC family, so this also serves as the standalone driver check of the
+    numpy assignment kernel. One groupBy(cluster) after the assignment scan;
+    the report is one row. Exact: sizes are integers, the single double
+    division is of exact integers (< 2^53 until n ~ 9e7 — at larger corpora
+    the 6-dp ROUND dwarfs the cast ulp anyway)."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_fit_exact_local,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        assign_cells_two_level_np,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    k = _ivf_nlist(q.count())
+    cents = kmeans_fit_exact_local(_collect_train(q), k, IVF_ITERS)
+    cells = assign_cells_two_level_np(q, "vid", "vq", cents, IVF_GROUP_ITERS)
+    sz = cells.groupBy("cluster").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return sz.agg(
+        F.lit(k).cast("bigint").alias("nlist"),
+        F.sum("c").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
+        (F.lit(k) - F.count(F.lit(1))).cast("bigint").alias("empty_cells"),
+        F.min("c").cast("bigint").alias("min_cell"),
+        F.max("c").cast("bigint").alias("max_cell"),
+        F.round(
+            (F.lit(k) * F.sum(F.col("c") * F.col("c"))).cast("double")
+            / (F.sum("c") * F.sum("c")).cast("double"),
+            6,
+        ).alias("imbalance"),
+    )
+
+
+def _sim_ivf_balance_oracle() -> str:
+    head = kmeans_cells_cte(
+        k=_IVF_NLIST_SQL,
+        iters=IVF_ITERS,
+        train_limit=IVF_TRAIN,
+        group_iters=IVF_GROUP_ITERS,
+    )
+    return f"""
+WITH {head},
+nl AS (SELECT greatest(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist FROM eq),
+sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY cluster)
+SELECT nlist,
+       CAST(SUM(c) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+       CAST(nlist - COUNT(*) AS BIGINT) AS empty_cells,
+       CAST(MIN(c) AS BIGINT) AS min_cell,
+       CAST(MAX(c) AS BIGINT) AS max_cell,
+       ROUND(CAST(nlist * SUM(c*c) AS DOUBLE)
+             / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS imbalance
+FROM sz CROSS JOIN nl
+GROUP BY nlist
+"""
+
+
+QUERIES["sim_ivf_balance"] = QuerySpec(q_sim_ivf_balance, _sim_ivf_balance_oracle())

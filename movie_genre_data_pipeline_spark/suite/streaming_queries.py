@@ -2406,3 +2406,87 @@ def _stream_pca_oracle() -> str:
 
 
 QUERIES["stream_pca_moments"] = QuerySpec(q_stream_pca_moments, _stream_pca_oracle())
+
+
+def q_stream_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous bigram-LM scoring (r9) — the ledger twin of
+    text_bigram_surprisal under the suite's streaming decomposition: a
+    document's bigram and unigram frequencies are pure per-row projections
+    (computable at ARRIVAL), but the MODEL they score against — corpus bigram
+    counts, left-context totals, the unigram distribution — is corpus-global,
+    so each micro-batch appends its additive count FACTS and the conditional
+    probabilities fold at READOUT (functions/text.bigram_surprisal_from_counts,
+    the same tail the batch query runs). Shared oracle verbatim; split
+    invariance pinned in tests/test_stream_split_invariance.py."""
+    from movie_genre_data_pipeline_spark.functions.text import (
+        bigram_surprisal_from_counts,
+        tokens,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+
+    base = tempfile.mkdtemp(prefix="stream_bigram_")
+    src, led_bf, led_uni = f"{base}/src", f"{base}/bf", f"{base}/uni"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select("doc_id", tokens("text").alias("__a"))
+        bg = F.when(
+            F.size("__a") >= 2,
+            F.expr(
+                "transform(sequence(2, size(__a)), "
+                "i -> struct(element_at(__a, i-1) AS w1, element_at(__a, i) AS w2))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+        (
+            docs.select("doc_id", F.explode(bg).alias("b"))
+            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("bf"))
+            .write.mode("append")
+            .parquet(led_bf)
+        )
+        (
+            docs.select(F.explode("__a").alias("w2"))
+            .groupBy("w2")
+            .agg(F.count(F.lit(1)).alias("cu"))
+            .write.mode("append")
+            .parquet(led_uni)
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    bf = (
+        spark.read.parquet(led_bf)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.sum("bf").alias("bf"))
+    )
+    uni = spark.read.parquet(led_uni).groupBy("w2").agg(F.sum("cu").alias("cu"))
+    return bigram_surprisal_from_counts(bf, uni)
+
+
+def _stream_bigram_surprisal_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_BIGRAM_SURPRISAL_ORACLE,
+    )
+
+    return Q_BIGRAM_SURPRISAL_ORACLE
+
+
+QUERIES["stream_bigram_surprisal"] = QuerySpec(
+    q_stream_bigram_surprisal, _stream_bigram_surprisal_oracle()
+)

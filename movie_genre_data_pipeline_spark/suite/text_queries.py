@@ -891,3 +891,105 @@ FROM pick GROUP BY lang_true, lang_pred
 """
 
 QUERIES["text_lang_confusion"] = QuerySpec(q_lang_confusion, Q_LANG_CONFUSION_ORACLE)
+
+
+# -- BM25 retrieval scoring (r9) -----------------------------------------------------------
+# Okapi BM25 (Robertson & Zaragoza 2009) with the Lucene idf form — the
+# retrieval scorer a RAG/data-curation pipeline runs to rank documents against
+# a query. k1 = 1.2 and b = 0.75 enter as EXACT RATIONALS: with T = total
+# corpus tokens, N = docs, dl = doc length, the per-term score
+#   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))      (avgdl = T/N)
+# rewrites to  idf * 22*tf*T / (10*tf*T + 3*T + 9*dl*N)  — integer numerator
+# and denominator, so the only floats are one ln of an exact-integer ratio and
+# one double division of exact integers, both quantized to integer micros per
+# (doc, term) before the per-doc SUM runs in exact BIGINT arithmetic (the
+# unigram/bigram-surprisal micro-nat discipline). Scale shape: one corpus
+# tokenize+explode filtered to the query's terms, vocabulary-sized df/stats
+# aggregates broadcast back — every shuffle is (doc,term)-keyed, no joins on
+# corpus volume. BIGINT bound: 22*tf*T stays < 2^63 until tf*T ~ 4e17
+# (a 100 TB corpus is ~1e13 tokens; per-doc tf is bounded by doc length).
+BM25_TERMS = ("spark", "merge", "vector", "stream")
+BM25_TOPK = 10
+
+# shared verbatim by the Spark plan (F.expr) and the DuckDB oracle — the
+# portable-float discipline: exact-integer numerators, CAST-to-DOUBLE before
+# every division (Spark parses bare decimal literals as DECIMAL), positive
+# half-up ROUND, identical operand order
+_BM25_SCORE = (
+    "CAST(ROUND(ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))"
+    " * (CAST(22*tf*total AS DOUBLE)"
+    " / CAST(10*tf*total + 3*total + 9*dl*n_docs AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    docs = d.select("doc_id", arr.alias("__a"))
+    dl = docs.select("doc_id", F.size("__a").cast("bigint").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("__a").alias("term"))
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", "term", f"{_BM25_SCORE} AS s_micro")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("s_micro").cast("bigint").alias("score_micro"),
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("rnk", "doc_id", "n_terms", "score_micro")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+Q_BM25_TOPK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+dl AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(a) AS u(t)
+  WHERE t IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+scored AS (
+  SELECT tf.doc_id, {_BM25_SCORE} AS s_micro
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(s_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INTEGER)
+         AS rnk,
+       doc_id, n_terms, score_micro
+FROM agg
+QUALIFY rnk <= {BM25_TOPK}
+"""
+
+QUERIES["text_bm25_topk"] = QuerySpec(q_bm25_topk, Q_BM25_TOPK_ORACLE)

@@ -40,6 +40,9 @@ FOLDS = [
     # r9: the span-dedup gram-posting ledger (corpus-global occurrence
     # counts fold at readout — batching must not move any island boundary)
     "stream_duplicate_spans",
+    # r9: the bigram-LM count ledger (bf + unigram facts; the conditional
+    # model and every micro-nat score fold at readout)
+    "stream_bigram_surprisal",
 ]
 
 
