@@ -617,3 +617,143 @@ def pca_power_from_moments(g: DataFrame, iters: int = 8) -> DataFrame:
         F.expr(f"CAST(ROUND({lam} * 1000000.0, 0) AS BIGINT)").alias("lambda_micro"),
         F.expr(f"ROUND({lam} / ({trace}), 6)").alias("explained_ratio"),
     )
+
+
+# -- deflated power iteration: the SECOND principal component (r9) ----------------------
+def pca_ray_sql(v: str = "v") -> str:
+    """Rayleigh quotient "(num)/(den)" of the iterate columns {v}1..{v}D over
+    the covariance columns c{ij} — one shared string per engine."""
+    num = " + ".join(
+        f"(CAST({v}{i} AS DOUBLE) / 1000000.0) * c{min(i, j)}{max(i, j)}"
+        f" * (CAST({v}{j} AS DOUBLE) / 1000000.0)"
+        for i in range(1, PCA_D + 1)
+        for j in range(1, PCA_D + 1)
+    )
+    den = " + ".join(
+        f"(CAST({v}{i} AS DOUBLE) / 1000000.0) * (CAST({v}{i} AS DOUBLE) / 1000000.0)"
+        for i in range(1, PCA_D + 1)
+    )
+    return f"(({num}) / ({den}))"
+
+
+def pca_sign_sql(v: str = "v") -> str:
+    """Sign-canonicalization CASE: +1 if the (first) max-abs component of the
+    L∞-normalized iterate is positive, else -1."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN ABS({v}{i}) = 1000000 THEN (CASE WHEN {v}{i} > 0 THEN 1 ELSE -1 END)"
+            for i in range(1, PCA_D + 1)
+        )
+        + " ELSE 1 END"
+    )
+
+
+def pca_u2_sql(i: int) -> str:
+    """Deflated multiply: u2_i = Σ_j (C_ij − λ1·w_i·w_j) · (v2_j / 1e6),
+    written as C·v2 − λ1·w_i·(w·v2) so the w outer product never
+    materializes. w{j} (the unit-scale first component) and lam1 ride as
+    columns; one shared string per engine."""
+    base = " + ".join(
+        f"c{min(i, j)}{max(i, j)} * (CAST(v2{j} AS DOUBLE) / 1000000.0)"
+        for j in range(1, PCA_D + 1)
+    )
+    dotw = " + ".join(
+        f"w{j} * (CAST(v2{j} AS DOUBLE) / 1000000.0)" for j in range(1, PCA_D + 1)
+    )
+    return f"({base}) - lam1 * w{i} * ({dotw})"
+
+
+PCA_M2_SQL = "GREATEST(" + ", ".join(f"ABS(u2{i})" for i in range(1, PCA_D + 1)) + ")"
+
+# alternating-sign init for the deflated loop: the all-ones init the first
+# loop uses tends to lie close to a dominant all-positive component — a bad
+# (slow, possibly degenerate) start once that direction is deflated away
+PCA_V2_INIT = [1_000_000 if i % 2 == 1 else -1_000_000 for i in range(1, PCA_D + 1)]
+
+
+def pca_power_deflated(g: DataFrame, iters: int = 8) -> DataFrame:
+    """Top TWO principal components by power iteration + Hotelling deflation,
+    off the same one-row exact-integer moments frame as
+    `pca_power_from_moments`: loop 1 converges v (the top component), then
+    λ1 and the unit-scale w ride along as columns and loop 2 iterates
+    (C − λ1·w·wᵀ) — still zero data re-scans; every iterate re-quantizes to
+    integer micros so the whole two-component trajectory replays
+    bit-identically in SQL. Published λ2 is the Rayleigh quotient of the
+    second iterate over the ORIGINAL covariance (equal to the deflated one
+    at convergence, and the number a scree plot wants)."""
+    cov = g.select(
+        *[
+            F.expr(_pca_cov_sql(i, j)).alias(f"c{i}{j}")
+            for i in range(1, PCA_D + 1)
+            for j in range(i, PCA_D + 1)
+        ]
+    )
+    ccols = [f"c{i}{j}" for i in range(1, PCA_D + 1) for j in range(i, PCA_D + 1)]
+    v = cov.select(
+        "*",
+        *[F.lit(1_000_000).cast("bigint").alias(f"v{i}") for i in range(1, PCA_D + 1)],
+    )
+    for _t in range(iters):
+        u = v.select(
+            "*", *[F.expr(pca_u_sql(i)).alias(f"u{i}") for i in range(1, PCA_D + 1)]
+        ).withColumn("m", F.expr(PCA_M_SQL))
+        v = u.select(
+            *ccols,
+            *[
+                F.expr(f"CAST(ROUND(u{i} / m * 1000000.0, 0) AS BIGINT)").alias(
+                    f"v{i}"
+                )
+                for i in range(1, PCA_D + 1)
+            ],
+        )
+    sgn1 = pca_sign_sql("v")
+    d = v.select(
+        *ccols,
+        *[F.expr(f"CAST(({sgn1}) * v{i} AS BIGINT)").alias(f"v{i}") for i in range(1, PCA_D + 1)],
+    )
+    d = d.select(
+        "*",
+        F.expr(pca_ray_sql("v")).alias("lam1"),
+        *[
+            F.expr(f"CAST(v{i} AS DOUBLE) / 1000000.0").alias(f"w{i}")
+            for i in range(1, PCA_D + 1)
+        ],
+    )
+    v2 = d.select(
+        "*",
+        *[
+            F.lit(PCA_V2_INIT[i - 1]).cast("bigint").alias(f"v2{i}")
+            for i in range(1, PCA_D + 1)
+        ],
+    )
+    carry = ccols + [f"v{i}" for i in range(1, PCA_D + 1)] + ["lam1"] + [
+        f"w{i}" for i in range(1, PCA_D + 1)
+    ]
+    for _t in range(iters):
+        u2 = v2.select(
+            "*", *[F.expr(pca_u2_sql(i)).alias(f"u2{i}") for i in range(1, PCA_D + 1)]
+        ).withColumn("m2", F.expr(PCA_M2_SQL))
+        v2 = u2.select(
+            *carry,
+            *[
+                F.expr(f"CAST(ROUND(u2{i} / m2 * 1000000.0, 0) AS BIGINT)").alias(
+                    f"v2{i}"
+                )
+                for i in range(1, PCA_D + 1)
+            ],
+        )
+    sgn2 = pca_sign_sql("v2")
+    lam2 = pca_ray_sql("v2")
+    trace = " + ".join(f"c{i}{i}" for i in range(1, PCA_D + 1))
+    return v2.select(
+        *[F.expr(f"CAST(v{i} AS BIGINT)").alias(f"v{i}_micro") for i in range(1, PCA_D + 1)],
+        F.expr(f"CAST(ROUND(lam1 * 1000000.0, 0) AS BIGINT)").alias("lambda1_micro"),
+        *[
+            F.expr(f"CAST(({sgn2}) * v2{i} AS BIGINT)").alias(f"v2{i}_micro")
+            for i in range(1, PCA_D + 1)
+        ],
+        F.expr(f"CAST(ROUND({lam2} * 1000000.0, 0) AS BIGINT)").alias("lambda2_micro"),
+        F.expr(f"ROUND(lam1 / ({trace}), 6)").alias("explained1_ratio"),
+        F.expr(f"ROUND({lam2} / ({trace}), 6)").alias("explained2_ratio"),
+    )

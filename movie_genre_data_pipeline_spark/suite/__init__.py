@@ -56,8 +56,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # computed registry-vs-CORRECTNESS diff is now pinned by
     # tests/test_registry.py::test_rotation_pool_matches_computed_debt so the
     # drift class can't recur). All 24 were verified green at sf0.01
-    # --vanilla --exact in r8 and re-verified this round. The remaining 26
-    # slots are seasoned multi-round canaries, two of which
+    # --vanilla --exact in r8 and re-verified this round. The remaining
+    # slots split between seasoned multi-round canaries, two of which
     # (sim_pq_ivfadc / sim_topk_rerank) are RE-seated deliberately: their
     # physical plans change this round for the r8 scale tasks (#3/#4) and a
     # changed plan needs a fresh driver record even though the oracle is
@@ -107,7 +107,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "star_join",
     "window_topk_per_group",
     "from_json_props",
-    "sessionize",
     # --- canaries: one per extension family ---
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -122,14 +121,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_dedup",
     # --- r9 additions, seated immediately (no new debt; they displace the
     # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
-    # ts_retention_cohorts / layout_zorder_stats canaries, all multi-round
-    # passers still under the full local gate) ---
+    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize
+    # canaries, all multi-round passers still under the full local gate) ---
     "stream_duplicate_spans",
     "stream_bigram_surprisal",
     "text_bm25_topk",
     "curate_span_scrub",
     "sim_ivf_balance",
     "sql_pipe_syntax",
+    "feat_pca_deflation",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

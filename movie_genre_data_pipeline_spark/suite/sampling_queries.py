@@ -1693,3 +1693,132 @@ GROUP BY split, tot_docs, tot_tokens
 
 
 QUERIES["sample_split_audit"] = QuerySpec(q_sample_split_audit, _split_audit_oracle())
+
+
+# -- second principal component by deflation (r9) ------------------------------------------
+def q_feat_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal components by power iteration + Hotelling deflation
+    (functions/regression.py:pca_power_deflated) — the scree-plot / whitening
+    prerequisite one component can't give. Same scale shape as
+    feat_pca_power: ONE map-side-combined moment pass, then BOTH component
+    loops are pure projections over the one-row covariance (deflation is
+    C·v − λ1·w·(w·v), so the outer product never materializes and iteration
+    count never multiplies corpus scans). Per-iterate micro quantization
+    keeps the two-component trajectory bit-replayable in SQL."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        pca_moments,
+        pca_power_deflated,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.selectExpr(
+        *[f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _PCA_FEATS]
+    )
+    return pca_power_deflated(
+        pca_moments(feats, [n for n, _ in _PCA_FEATS]), iters=PCA_ITERS
+    )
+
+
+def _pca_deflation_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        PCA_D,
+        PCA_M2_SQL,
+        PCA_M_SQL,
+        PCA_V2_INIT,
+        _pca_cov_sql,
+        pca_ray_sql,
+        pca_sign_sql,
+        pca_u2_sql,
+        pca_u_sql,
+    )
+
+    d = PCA_D
+    feats = ", ".join(f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _PCA_FEATS)
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for i in range(1, d + 1):
+        sums.append(f"SUM(x{i}) AS s{i}")
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            sums.append(f"SUM(x{i} * x{j}) AS s{i}{j}")
+    covs = ", ".join(
+        f"{_pca_cov_sql(i, j)} AS c{i}{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    ccols = ", ".join(f"c{i}{j}" for i in range(1, d + 1) for j in range(i, d + 1))
+    parts = [
+        f"""WITH f AS (SELECT {feats} FROM orders),
+g AS (SELECT {", ".join(sums)} FROM f),
+c AS (SELECT {covs} FROM g),
+p0 AS MATERIALIZED (SELECT c.*, {", ".join(f"CAST(1000000 AS BIGINT) AS v{i}" for i in range(1, d + 1))} FROM c)"""
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        us = ", ".join(f"{pca_u_sql(i)} AS u{i}" for i in range(1, d + 1))
+        vs = ", ".join(
+            f"CAST(ROUND(u{i} / m * 1000000.0, 0) AS BIGINT) AS v{i}"
+            for i in range(1, d + 1)
+        )
+        parts.append(
+            f""",
+p{t} AS MATERIALIZED (
+  SELECT {ccols}, {vs}
+  FROM (SELECT p.*, {PCA_M_SQL} AS m
+        FROM (SELECT p0x.*, {us} FROM p{t - 1} p0x) p)
+)"""
+        )
+    sgn1 = pca_sign_sql("v")
+    canon_vs = ", ".join(
+        f"CAST(({sgn1}) * v{i} AS BIGINT) AS v{i}" for i in range(1, d + 1)
+    )
+    parts.append(
+        f""",
+dfl AS MATERIALIZED (
+  SELECT {ccols},
+         {", ".join(f"v{i}" for i in range(1, d + 1))},
+         {pca_ray_sql("v")} AS lam1,
+         {", ".join(f"CAST(v{i} AS DOUBLE) / 1000000.0 AS w{i}" for i in range(1, d + 1))}
+  FROM (SELECT {ccols}, {canon_vs} FROM p{PCA_ITERS})
+),
+q0 AS MATERIALIZED (
+  SELECT dfl.*, {", ".join(f"CAST({PCA_V2_INIT[i - 1]} AS BIGINT) AS v2{i}" for i in range(1, d + 1))}
+  FROM dfl
+)"""
+    )
+    carry = (
+        ccols
+        + ", "
+        + ", ".join(f"v{i}" for i in range(1, d + 1))
+        + ", lam1, "
+        + ", ".join(f"w{i}" for i in range(1, d + 1))
+    )
+    for t in range(1, PCA_ITERS + 1):
+        u2s = ", ".join(f"{pca_u2_sql(i)} AS u2{i}" for i in range(1, d + 1))
+        v2s = ", ".join(
+            f"CAST(ROUND(u2{i} / m2 * 1000000.0, 0) AS BIGINT) AS v2{i}"
+            for i in range(1, d + 1)
+        )
+        parts.append(
+            f""",
+q{t} AS MATERIALIZED (
+  SELECT {carry}, {v2s}
+  FROM (SELECT q.*, {PCA_M2_SQL} AS m2
+        FROM (SELECT q0x.*, {u2s} FROM q{t - 1} q0x) q)
+)"""
+        )
+    sgn2 = pca_sign_sql("v2")
+    lam2 = pca_ray_sql("v2")
+    trace = " + ".join(f"c{i}{i}" for i in range(1, d + 1))
+    parts.append(
+        f"""
+SELECT {", ".join(f"CAST(v{i} AS BIGINT) AS v{i}_micro" for i in range(1, d + 1))},
+       CAST(ROUND(lam1 * 1000000.0, 0) AS BIGINT) AS lambda1_micro,
+       {", ".join(f"CAST(({sgn2}) * v2{i} AS BIGINT) AS v2{i}_micro" for i in range(1, d + 1))},
+       CAST(ROUND({lam2} * 1000000.0, 0) AS BIGINT) AS lambda2_micro,
+       ROUND(lam1 / ({trace}), 6) AS explained1_ratio,
+       ROUND({lam2} / ({trace}), 6) AS explained2_ratio
+FROM q{PCA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["feat_pca_deflation"] = QuerySpec(q_feat_pca_deflation, _pca_deflation_oracle())

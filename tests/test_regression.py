@@ -269,3 +269,41 @@ def test_pca_power_matches_numpy_top_eigenvector(spark):
     # residual check: C v ≈ λ v
     resid = np.linalg.norm(cov @ v - lam * v) / np.linalg.norm(cov @ v)
     assert resid < 0.01, resid
+
+
+def test_pca_deflation_recovers_top_two_eigenvectors(spark):
+    """The deflated second component must align with numpy's second
+    eigenvector (|cos| >= 0.99), be near-orthogonal to the first, and carry
+    lambda2 <= lambda1 with both Rayleigh quotients near numpy's
+    eigenvalues."""
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        pca_moments,
+        pca_power_deflated,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 50, size=(3000, 4))
+    base[:, 1] = base[:, 0] * 3 + rng.integers(0, 10, size=3000)
+    base[:, 3] = base[:, 2] * 2 + rng.integers(0, 25, size=3000)  # 2nd structure
+    rows = [tuple(int(x) for x in r) for r in base]
+    df = spark.createDataFrame(rows, "x1 bigint, x2 bigint, x3 bigint, x4 bigint")
+    out = pca_power_deflated(
+        pca_moments(df, ["x1", "x2", "x3", "x4"]), iters=8
+    ).collect()[0]
+    v1 = np.array([out[f"v{i}_micro"] for i in range(1, 5)], dtype=float) / 1e6
+    v2 = np.array([out[f"v2{i}_micro"] for i in range(1, 5)], dtype=float) / 1e6
+    cov = np.cov(base.astype(float), rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    cos1 = abs(v1 @ vecs[:, -1]) / (np.linalg.norm(v1) * np.linalg.norm(vecs[:, -1]))
+    cos2 = abs(v2 @ vecs[:, -2]) / (np.linalg.norm(v2) * np.linalg.norm(vecs[:, -2]))
+    assert cos1 >= 0.999, (cos1, v1)
+    assert cos2 >= 0.99, (cos2, v2)
+    ortho = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert ortho < 0.02, (ortho, v1, v2)
+    lam1, lam2 = out["lambda1_micro"] / 1e6, out["lambda2_micro"] / 1e6
+    assert lam2 <= lam1
+    assert abs(lam1 - w[-1]) < w[-1] * 0.01
+    assert abs(lam2 - w[-2]) < w[-2] * 0.02
+    assert 0 < out["explained2_ratio"] <= out["explained1_ratio"] <= 1
