@@ -106,7 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q1",
     "star_join",
     "window_topk_per_group",
-    "from_json_props",
     # --- canaries: one per extension family ---
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -121,7 +120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_dedup",
     # --- r9 additions, seated immediately (no new debt; they displace the
     # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
-    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize
+    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props
     # canaries, all multi-round passers still under the full local gate) ---
     "stream_duplicate_spans",
     "stream_bigram_surprisal",
@@ -130,6 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_balance",
     "sql_pipe_syntax",
     "feat_pca_deflation",
+    "stream_bm25_topk",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

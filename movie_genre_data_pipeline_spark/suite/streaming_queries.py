@@ -2490,3 +2490,81 @@ def _stream_bigram_surprisal_oracle() -> str:
 QUERIES["stream_bigram_surprisal"] = QuerySpec(
     q_stream_bigram_surprisal, _stream_bigram_surprisal_oracle()
 )
+
+
+def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained BM25 ranking (r9) — the retrieval index a RAG
+    platform keeps fresh as documents land: a document's term postings and
+    length are pure per-row projections (decided at ARRIVAL), while df, the
+    corpus totals, and therefore every score are corpus-global (decided at
+    READOUT from the folded ledgers). Each micro-batch appends its
+    (doc, term, tf) postings for the query's terms and its (doc, dl) length
+    rows; the readout folds by SUM and runs the identical scoring tail as
+    the batch ranker (text_queries.bm25_from_counts) — shared oracle
+    verbatim, split invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        BM25_TERMS,
+        bm25_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_bm25_")
+    src, led_tf, led_dl = f"{base}/src", f"{base}/tf", f"{base}/dl"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arr = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+        )
+        docs = batch_df.select("doc_id", arr.alias("__a"))
+        docs.select(
+            "doc_id", F.size("__a").cast("bigint").alias("dl")
+        ).write.mode("append").parquet(led_dl)
+        (
+            docs.select("doc_id", F.explode("__a").alias("term"))
+            .filter(F.col("term").isin(list(BM25_TERMS)))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .write.mode("append")
+            .parquet(led_tf)
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    tf = (
+        spark.read.parquet(led_tf)
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    dl = (
+        spark.read.parquet(led_dl)
+        .groupBy("doc_id")
+        .agg(F.sum("dl").cast("bigint").alias("dl"))
+    )
+    return bm25_from_counts(tf, dl)
+
+
+def _stream_bm25_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_BM25_TOPK_ORACLE,
+    )
+
+    return Q_BM25_TOPK_ORACLE
+
+
+QUERIES["stream_bm25_topk"] = QuerySpec(q_stream_bm25_topk, _stream_bm25_oracle())

@@ -923,19 +923,14 @@ _BM25_SCORE = (
 )
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """The count-table form of the BM25 ranker (shared by the batch query and
+    its streaming ledger twin): `tf` is (doc_id, term, tf) postings for the
+    query's terms and `dl` is (doc_id, dl) document lengths — both additive
+    FACTS, so per-micro-batch partials fold by SUM. df, corpus stats, and
+    the exact-micro scoring all derive here."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
-    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-    docs = d.select("doc_id", arr.alias("__a"))
-    dl = docs.select("doc_id", F.size("__a").cast("bigint").alias("dl"))
-    tf = (
-        docs.select("doc_id", F.explode("__a").alias("term"))
-        .filter(F.col("term").isin(list(BM25_TERMS)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
     dfc = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
@@ -959,6 +954,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BM25_TOPK)
         .select("rnk", "doc_id", "n_terms", "score_micro")
     )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    docs = d.select("doc_id", arr.alias("__a"))
+    dl = docs.select("doc_id", F.size("__a").cast("bigint").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("__a").alias("term"))
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return bm25_from_counts(tf, dl)
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)

@@ -43,6 +43,9 @@ FOLDS = [
     # r9: the bigram-LM count ledger (bf + unigram facts; the conditional
     # model and every micro-nat score fold at readout)
     "stream_bigram_surprisal",
+    # r9: the BM25 postings ledger (tf + dl facts; df, corpus totals, and
+    # every score fold at readout)
+    "stream_bm25_topk",
 ]
 
 
