@@ -34,8 +34,30 @@ nothing fact-sized is ever collected or re-shuffled.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# -- scalar Arrow transforms (r-early; the module's original surface) ------------------
+# Numeric discipline: implementations mirror their SQL oracles op-for-op
+# (``np.log(1.0 + v)``, not ``np.log1p``) so both engines execute the same
+# IEEE double sequence and only libm ulp noise remains, which the 6dp
+# rounding in the suite queries absorbs.
+
+
+@pandas_udf("double")
+def log_damped_value(v: pd.Series) -> pd.Series:
+    """ln(1 + value): the standard heavy-tail damping transform for a
+    monetary/intensity feature column."""
+    return np.log(1.0 + v)
+
+
+@pandas_udf("double")
+def signed_sqrt(v: pd.Series) -> pd.Series:
+    """sign(x) * sqrt(|x|): variance-stabilizing transform that keeps sign."""
+    return np.sign(v) * np.sqrt(np.abs(v))
 
 
 def sqdist_index_fold(V: np.ndarray, C: np.ndarray) -> np.ndarray:
