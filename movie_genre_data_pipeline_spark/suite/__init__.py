@@ -101,11 +101,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quarantine_clean",
     "merge_status_update",
     "explode_array",
-    "struct_expand",
     # --- canaries: relational / TPC-H spine ---
     "tpch_q1",
     "star_join",
-    "window_topk_per_group",
     # --- canaries: one per extension family ---
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -120,7 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_dedup",
     # --- r9 additions, seated immediately (no new debt; they displace the
     # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
-    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props
+    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group
     # canaries, all multi-round passers still under the full local gate) ---
     "stream_duplicate_spans",
     "stream_bigram_surprisal",
@@ -130,6 +128,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_pipe_syntax",
     "feat_pca_deflation",
     "stream_bm25_topk",
+    "sketch_ams_join_size",
+    "stream_ams_join_size",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

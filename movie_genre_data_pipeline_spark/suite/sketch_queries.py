@@ -402,3 +402,109 @@ QUERIES: dict[str, QuerySpec] = {
         q_histogram_quantiles, Q_HISTOGRAM_QUANTILES_ORACLE
     ),
 }
+
+
+# -- AMS (Alon-Matias-Szegedy) join-size estimation (r9) -----------------------------------
+# The second-frequency-moment sketch family member the optimizer needs at
+# 100 TB: |R ⋈ S| on a key = Σ_k f_R(k)·f_S(k), estimated WITHOUT computing the
+# join by E[Z_R·Z_S] where Z = Σ_rows ξ(key) under a ±1 hash ξ (AMS '96 /
+# the sketch behind join-cardinality estimation in modern CBOs). Here R =
+# view events, S = purchase events, keyed by user_id — both sides carry real
+# multiplicity, so the estimate is non-trivially probabilistic. ξ_j(k) is
+# md5-parity (portable-randomness discipline: same literal hash math in both
+# engines); AMS_REPS independent replicas are averaged. Everything is exact:
+# Z sums are integers, products integers, and the mean divides by a power of
+# two (16), which is EXACT in IEEE — the published estimate carries no
+# accumulation-order risk at all. The scan cost is REPS signed additions per
+# row folded into one REPS-sized aggregate; the true join size (the audit
+# column) is one user-keyed count join, never the join itself.
+AMS_REPS = 16
+
+
+def _ams_signs():
+    """array<bigint> of the AMS_REPS ±1 signs for this row's user key —
+    md5-parity per (replica, key), shared verbatim with the oracle."""
+    return F.expr(
+        f"transform(sequence(1, {AMS_REPS}), "
+        "j -> CAST(1 - 2 * (CAST(conv(substring(md5(concat(CAST(j AS STRING), "
+        "':', CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 2) AS BIGINT))"
+    )
+
+
+def q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def z_side(kind: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .select(F.posexplode(_ams_signs()).alias("j0", "sgn"))
+            .groupBy((F.col("j0") + F.lit(1)).alias("j"))
+            .agg(F.sum("sgn").cast("bigint").alias(alias))
+        )
+
+    zr, zs = z_side("view", "z_r"), z_side("purchase", "z_s")
+    est = (
+        zr.join(zs, "j")
+        .agg(F.sum(F.col("z_r") * F.col("z_s")).cast("bigint").alias("prod_sum"))
+        .selectExpr(
+            f"CAST({AMS_REPS} AS BIGINT) AS reps",
+            f"CAST(prod_sum AS DOUBLE) / {AMS_REPS} AS est_join_size",
+        )
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fr"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fs"))
+    )
+    true_sz = views.join(purch, "user_id").agg(
+        F.sum(F.col("fr") * F.col("fs")).cast("bigint").alias("true_join_size")
+    )
+    return est.crossJoin(F.broadcast(true_sz)).selectExpr(
+        "reps",
+        "est_join_size",
+        "true_join_size",
+        "CAST(ROUND((est_join_size - CAST(true_join_size AS DOUBLE))"
+        " / CAST(true_join_size AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        " AS rel_err_micro",
+    )
+
+
+_AMS_SIGN_SQL = (
+    "CAST(1 - 2 * (CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), "
+    "':', CAST(user_id AS VARCHAR))), 1, 4)) AS BIGINT) % 2) AS BIGINT)"
+)
+
+Q_AMS_JOIN_SIZE_ORACLE = f"""
+WITH reps AS (SELECT unnest(generate_series(1, {AMS_REPS})) AS j),
+zr AS (
+  SELECT j, CAST(SUM({_AMS_SIGN_SQL}) AS BIGINT) AS z_r
+  FROM events CROSS JOIN reps WHERE event_type = 'view' GROUP BY j
+),
+zs AS (
+  SELECT j, CAST(SUM({_AMS_SIGN_SQL}) AS BIGINT) AS z_s
+  FROM events CROSS JOIN reps WHERE event_type = 'purchase' GROUP BY j
+),
+est AS (
+  SELECT CAST({AMS_REPS} AS BIGINT) AS reps,
+         CAST(SUM(z_r * z_s) AS DOUBLE) / {AMS_REPS} AS est_join_size
+  FROM zr JOIN zs USING (j)
+),
+fr AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS fr FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+fs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS fs FROM events
+       WHERE event_type = 'purchase' GROUP BY user_id),
+tj AS (SELECT CAST(SUM(fr * fs) AS BIGINT) AS true_join_size
+       FROM fr JOIN fs USING (user_id))
+SELECT reps, est_join_size, true_join_size,
+       CAST(ROUND((est_join_size - CAST(true_join_size AS DOUBLE))
+            / CAST(true_join_size AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         AS rel_err_micro
+FROM est CROSS JOIN tj
+"""
+
+QUERIES["sketch_ams_join_size"] = QuerySpec(q_ams_join_size, Q_AMS_JOIN_SIZE_ORACLE)

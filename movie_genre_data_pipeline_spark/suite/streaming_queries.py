@@ -2568,3 +2568,109 @@ def _stream_bm25_oracle() -> str:
 
 
 QUERIES["stream_bm25_topk"] = QuerySpec(q_stream_bm25_topk, _stream_bm25_oracle())
+
+
+def q_stream_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained AMS join-size estimate (r9) — the sketch that
+    makes this ledger family complete for an optimizer: each micro-batch
+    appends its REPS-sized signed-sum partials (Z is a plain sum, the most
+    additive fact there is) plus its per-user frequency partials for the
+    audit column; the readout folds by component-wise re-sum and publishes
+    the identical estimate row as the batch query (shared oracle verbatim,
+    split-invariance gated). State per batch: AMS_REPS rows per side + the
+    touched users."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import (
+        AMS_REPS,
+        _ams_signs,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ams_")
+    src, led_z, led_f = f"{base}/src", f"{base}/z", f"{base}/f"
+    ev = load(spark, sf_dir, "events")
+    ev.select("event_id", "user_id", "event_type").repartition(
+        _split(4)
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        both = batch_df.filter(F.col("event_type").isin("view", "purchase"))
+        (
+            both.select("event_type", F.posexplode(_ams_signs()).alias("j0", "sgn"))
+            .groupBy("event_type", (F.col("j0") + F.lit(1)).alias("j"))
+            .agg(F.sum("sgn").cast("bigint").alias("z"))
+            .write.mode("append")
+            .parquet(led_z)
+        )
+        both.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("f")
+        ).write.mode("append").parquet(led_f)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    z = (
+        spark.read.parquet(led_z)
+        .groupBy("event_type", "j")
+        .agg(F.sum("z").cast("bigint").alias("z"))
+    )
+    zr = z.filter(F.col("event_type") == "view").select("j", F.col("z").alias("z_r"))
+    zs = z.filter(F.col("event_type") == "purchase").select(
+        "j", F.col("z").alias("z_s")
+    )
+    est = (
+        zr.join(zs, "j")
+        .agg(F.sum(F.col("z_r") * F.col("z_s")).cast("bigint").alias("prod_sum"))
+        .selectExpr(
+            f"CAST({AMS_REPS} AS BIGINT) AS reps",
+            f"CAST(prod_sum AS DOUBLE) / {AMS_REPS} AS est_join_size",
+        )
+    )
+    f = (
+        spark.read.parquet(led_f)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("f").cast("bigint").alias("f"))
+    )
+    views = f.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("f").alias("fr")
+    )
+    purch = f.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("f").alias("fs")
+    )
+    true_sz = views.join(purch, "user_id").agg(
+        F.sum(F.col("fr") * F.col("fs")).cast("bigint").alias("true_join_size")
+    )
+    return est.crossJoin(F.broadcast(true_sz)).selectExpr(
+        "reps",
+        "est_join_size",
+        "true_join_size",
+        "CAST(ROUND((est_join_size - CAST(true_join_size AS DOUBLE))"
+        " / CAST(true_join_size AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        " AS rel_err_micro",
+    )
+
+
+def _stream_ams_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sketch_queries import (
+        Q_AMS_JOIN_SIZE_ORACLE,
+    )
+
+    return Q_AMS_JOIN_SIZE_ORACLE
+
+
+QUERIES["stream_ams_join_size"] = QuerySpec(
+    q_stream_ams_join_size, _stream_ams_oracle()
+)

@@ -46,6 +46,9 @@ FOLDS = [
     # r9: the BM25 postings ledger (tf + dl facts; df, corpus totals, and
     # every score fold at readout)
     "stream_bm25_topk",
+    # r9: the AMS signed-sum ledger (Z partials re-sum; the estimate is a
+    # pure function of the fold)
+    "stream_ams_join_size",
 ]
 
 
