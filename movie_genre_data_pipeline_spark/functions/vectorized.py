@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 # -- scalar Arrow transforms (r-early; the module's original surface) ------------------
@@ -45,16 +46,22 @@ from pyspark.sql.functions import pandas_udf
 # (``np.log(1.0 + v)``, not ``np.log1p``) so both engines execute the same
 # IEEE double sequence and only libm ulp noise remains, which the 6dp
 # rounding in the suite queries absorbs.
+#
+# Return types are DataType INSTANCES, not DDL strings, on purpose: the numpy
+# kernels below ship this module to executors (their mapInPandas closures
+# reference module globals), and parsing a DDL string at import time needs an
+# active SparkSession — which executors never have. A DataType instance keeps
+# module import session-free everywhere.
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def log_damped_value(v: pd.Series) -> pd.Series:
     """ln(1 + value): the standard heavy-tail damping transform for a
     monetary/intensity feature column."""
     return np.log(1.0 + v)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def signed_sqrt(v: pd.Series) -> pd.Series:
     """sign(x) * sqrt(|x|): variance-stabilizing transform that keeps sign."""
     return np.sign(v) * np.sqrt(np.abs(v))
