@@ -79,3 +79,27 @@ def test_panel_min_sqdist_equals_pair_join_baseline(spark):
         .collect()
     }
     assert kern == expr  # exact integral doubles — bit equality
+
+
+def test_module_imports_without_a_session():
+    """Executors import this module when unpickling kernel closures, and they
+    never have a SparkSession — so module import must not touch one. (The
+    scalar pandas_udfs once declared DDL-string return types, which parse
+    through the active session at import: every kernel query crashed
+    executor-side with SESSION_OR_CONTEXT_NOT_EXISTS. DataType instances
+    keep import session-free; this subprocess has no JVM at all.)"""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import movie_genre_data_pipeline_spark.functions.vectorized as m; "
+            "print('imported-ok')",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "imported-ok" in out.stdout, out.stderr
