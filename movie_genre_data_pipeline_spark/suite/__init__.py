@@ -100,7 +100,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "project_cast",
     "quarantine_clean",
     "merge_status_update",
-    "explode_array",
     # --- canaries: relational / TPC-H spine ---
     "tpch_q1",
     "star_join",
@@ -118,7 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_dedup",
     # --- r9 additions, seated immediately (no new debt; they displace the
     # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
-    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group
+    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group / explode_array
     # canaries, all multi-round passers still under the full local gate) ---
     "stream_duplicate_spans",
     "stream_bigram_surprisal",
@@ -130,6 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_bm25_topk",
     "sketch_ams_join_size",
     "stream_ams_join_size",
+    "sim_hard_negatives",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

@@ -1771,3 +1771,116 @@ GROUP BY nlist
 
 
 QUERIES["sim_ivf_balance"] = QuerySpec(q_sim_ivf_balance, _sim_ivf_balance_oracle())
+
+
+# -- contrastive hard-negative mining (r9) --------------------------------------------------
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the SimCLR /
+    sentence-transformers batch-construction primitive): for each panel
+    query, the NEAREST vector with a DIFFERENT label — the negative that
+    actually moves the loss. Production shape from the start: candidates are
+    restricted to each query's PQ_NPROBE probed learned cells (the same
+    sample-trained √n-cell quantizer + numpy two-level assignment as the
+    IVFADC family), so per-query work is nprobe·√n exact distances, never a
+    corpus scan. Queries whose probed cells hold no cross-label member emit
+    no row (deterministic; the miss count is visible as Q − rows). Exact
+    integral-double distances with (d, neighbor) tie-breaks keep the mined
+    pairs bit-replayable in SQL."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_fit_exact_local,
+        probe_cells,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        assign_cells_two_level_np,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    labels = e.select(F.col("vec_id").alias("vid"), "label")
+    k = _ivf_nlist(q.count())
+    cents = kmeans_fit_exact_local(_collect_train(q), k, IVF_ITERS)
+    cells = assign_cells_two_level_np(
+        q, "vid", "vq", cents, IVF_GROUP_ITERS
+    ).select("vid", "cluster")
+    qs = _pq_query_panel(q)
+    a = (
+        q.join(qs, "vid")
+        .join(labels, "vid")
+        .select("vid", F.col("vq").alias("va"), F.col("label").alias("label_a"))
+    )
+    probes = probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE)
+    b = (
+        q.join(cells, "vid")
+        .join(labels, "vid")
+        .select(
+            F.col("vid").alias("neighbor"),
+            F.col("vq").alias("vb"),
+            F.col("label").alias("neg_label"),
+            "cluster",
+        )
+    )
+    cand = (
+        probes.join(a, "vid")
+        .join(b, "cluster")
+        .filter(
+            (F.col("vid") != F.col("neighbor"))
+            & (F.col("label_a") != F.col("neg_label"))
+        )
+        .select(
+            "vid",
+            "label_a",
+            "neighbor",
+            "neg_label",
+            _pq_sqd_col(F.col("va"), F.col("vb")).cast("bigint").alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("neighbor").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "label_a", "neighbor", "neg_label", "d2")
+    )
+
+
+def _sim_hard_negatives_oracle() -> str:
+    sqd = _pq_sqd
+    head = kmeans_cells_cte(
+        k=_IVF_NLIST_SQL,
+        iters=IVF_ITERS,
+        train_limit=IVF_TRAIN,
+        group_iters=IVF_GROUP_ITERS,
+    )
+    return f"""
+WITH {head},
+lab AS (SELECT vec_id AS vid, label FROM embeddings),
+qs AS (SELECT vid FROM eq ORDER BY vid LIMIT {PQ_NQ}),
+qpd AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv", DIM)} AS dist
+        FROM eq e JOIN qs ON qs.vid = e.vid CROSS JOIN c{IVF_ITERS} c),
+probes AS (SELECT vid, cluster FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY dist ASC, cluster ASC) AS rn FROM qpd)
+           WHERE rn <= {PQ_NPROBE}),
+cand AS (
+  SELECT p.vid, la.label AS label_a, b.vid AS neighbor, lb.label AS neg_label,
+         CAST({sqd("a.vq", "b.vq", DIM)} AS BIGINT) AS d2
+  FROM probes p
+  JOIN eq a ON a.vid = p.vid
+  JOIN lab la ON la.vid = p.vid
+  JOIN cells kb ON kb.cluster = p.cluster
+  JOIN eq b ON b.vid = kb.vid AND b.vid <> p.vid
+  JOIN lab lb ON lb.vid = b.vid AND lb.label <> la.label
+)
+SELECT vid, label_a, neighbor, neg_label, d2 FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+             ORDER BY d2 ASC, neighbor ASC) AS rn FROM cand)
+WHERE rn = 1
+"""
+
+
+QUERIES["sim_hard_negatives"] = QuerySpec(
+    q_sim_hard_negatives, _sim_hard_negatives_oracle()
+)

@@ -116,7 +116,7 @@ TABLES: dict[str, tuple[list[str], list[str]]] = {
 # scaling mode is "unchanged while the fact side grows" (the gold IVM's
 # genre dim is nation: genre ids are %25 mappings, unchanged under k-fold
 # order keys)
-VERBATIM_TABLES = ["nation"]
+VERBATIM_TABLES = ["nation", "region"]
 
 
 def _replicate(
