@@ -112,12 +112,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_pq_ivfadc",
     "sim_topk_rerank",
     "stream_tumbling_window",
-    "sketch_hll_distinct",
     "graph_pagerank_trade",
     "media_phash_dedup",
     # --- r9 additions, seated immediately (no new debt; they displace the
     # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
-    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group / explode_array
+    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group / explode_array / sketch_hll_distinct
     # canaries, all multi-round passers still under the full local gate) ---
     "stream_duplicate_spans",
     "stream_bigram_surprisal",
@@ -130,6 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sketch_ams_join_size",
     "stream_ams_join_size",
     "sim_hard_negatives",
+    "curate_surprisal_filter",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

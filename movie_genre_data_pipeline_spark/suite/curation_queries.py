@@ -757,3 +757,61 @@ FROM base b LEFT JOIN scrub USING (doc_id)
 
 
 QUERIES["curate_span_scrub"] = QuerySpec(q_curate_span_scrub, _span_scrub_oracle())
+
+
+# -- LM-perplexity quality filtering (r9) ----------------------------------------------------
+# The CCNet idiom (Wenzek et al. 2020): score every document under a language
+# model trained on the corpus itself and keep the low-perplexity half. Here
+# the model is the suite's own bigram LM with stupid backoff; the threshold
+# (3.39 mean nats/bigram) straddles the corpus median at every fixture SF so
+# BOTH filter outcomes are oracle-exercised. Scores are the exact-micro-nat
+# folds of text_bigram_surprisal, so the keep/drop decision is bit-identical
+# cross-engine.
+SURPRISAL_KEEP_MAX = 3.39
+
+
+def q_curate_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.text import bigram_surprisal
+
+    d = load(spark, sf_dir, "documents")
+    scored = bigram_surprisal(d, "doc_id", "text")
+    keep = F.col("avg_surprisal") < F.lit(SURPRISAL_KEEP_MAX)
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(CASE WHEN avg_surprisal"
+                f" < CAST({SURPRISAL_KEEP_MAX} AS DOUBLE) THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ).alias("kept_share_micro"),
+        )
+    )
+
+
+def _surprisal_filter_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_BIGRAM_SURPRISAL_ORACLE,
+    )
+
+    return f"""
+WITH scored AS ({Q_BIGRAM_SURPRISAL_ORACLE})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.avg_surprisal < CAST({SURPRISAL_KEEP_MAX} AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(ROUND(CAST(SUM(CASE WHEN s.avg_surprisal
+                  < CAST({SURPRISAL_KEEP_MAX} AS DOUBLE) THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS kept_share_micro
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+QUERIES["curate_surprisal_filter"] = QuerySpec(
+    q_curate_surprisal_filter, _surprisal_filter_oracle()
+)
