@@ -931,15 +931,18 @@ def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
     the exact-micro scoring all derive here."""
     from pyspark.sql import Window
 
-    dfc = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
+    # document frequency as a COUNT window over tf (one row per (doc, term),
+    # so the per-term row count IS df), not a groupBy + join-back: the join
+    # formulation makes Catalyst re-derive the whole tokenize+explode subtree
+    # for the build side — the corpus would be tokenized twice at any scale
+    # (the same fix text_tfidf_topk documents).
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total"),
     )
     scored = (
-        tf.join(F.broadcast(dfc), "term")
+        tf.withColumn("df", dfw.cast("bigint"))
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .selectExpr("doc_id", "term", f"{_BM25_SCORE} AS s_micro")
