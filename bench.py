@@ -98,6 +98,9 @@ HEADLINE = [
     # r8 capstone: the composed curation funnel (spans + quality + DSIR +
     # split + pack behind one barrier) — guards the composition's plan
     "curate_trainset_funnel",
+    # r9: BM25 retrieval scoring — guards the tokenize-once/df-window plan
+    # (and with it the text-retrieval family's two-scan shape)
+    "text_bm25_topk",
 ]
 
 
