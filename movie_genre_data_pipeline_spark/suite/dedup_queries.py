@@ -573,3 +573,150 @@ FROM base b LEFT JOIN rep USING (doc_id)
 QUERIES["dedup_duplicate_spans"] = QuerySpec(
     q_dedup_duplicate_spans, _duplicate_spans_oracle()
 )
+
+
+# -- LSH band-tuning curve (r9) --------------------------------------------------------------
+# The parameter-selection table every LSH dedup deployment computes BEFORE the
+# full run: the same 12 minhashes arranged as (bands × rows) ∈ {6×2, 4×3, 2×6}
+# trade candidate volume against the S-curve threshold (collision prob.
+# 1−(1−j^r)^b): more rows per band → fewer, higher-precision candidates.
+# Each configuration is measured against the SAME ground truth (lang-blocked
+# shingle-Jaccard ≥ 0.2, the ngram_jaccard contract): candidate count,
+# true-pair count, precision, recall. At 100 TB this table is computed on a
+# sample for exactly this purpose; candidates stay banded (never all-pairs)
+# and the truth join is an inverted-index shingle join, so no stage is
+# quadratic in the corpus.
+LSH_TUNING_CONFIGS = ((6, 2), (4, 3), (2, 6))
+LSH_TUNING_HASHES = 12
+
+
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(
+            d,
+            "doc_id",
+            "text",
+            k=SHINGLE_K,
+            blocking=["lang"],
+            threshold=JACCARD_THRESHOLD,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    tt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("truth_total"))
+    out = None
+    for b, r in LSH_TUNING_CONFIGS:
+        cand = minhash_lsh_candidates(
+            d, "doc_id", "text", bands=b, rows_per_band=r, k=SHINGLE_K
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        n_true = (
+            cand.join(truth, ["id_a", "id_b"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        )
+        row = (
+            n_cand.crossJoin(n_true)
+            .crossJoin(F.broadcast(tt))
+            .selectExpr(
+                f"CAST({b} AS BIGINT) AS bands",
+                f"CAST({r} AS BIGINT) AS rows_per_band",
+                "n_candidates",
+                "n_true",
+                "truth_total",
+                "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(ROUND(CAST(n_true AS DOUBLE)"
+                " / CAST(n_candidates AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS precision_micro",
+                "CASE WHEN truth_total = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(ROUND(CAST(n_true AS DOUBLE)"
+                " / CAST(truth_total AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS recall_micro",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _lsh_tuning_oracle() -> str:
+    h = LSH_TUNING_HASHES
+    sig12 = f"""
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {h - 1}),
+           h -> list_aggregate(
+                  list_transform(shingles,
+                    s -> (CAST(concat('0x', substring(md5(s), 1, 12)) AS BIGINT)
+                          + h * CAST(concat('0x', substring(md5(s), 13, 12)) AS BIGINT))
+                         % {_MINHASH_P}),
+                  'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+)"""
+    truth = f"""
+shrows AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_distinct(shingles)) AS s FROM sh
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shrows GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shrows a JOIN shrows b ON a.s = b.s AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6)
+        >= {JACCARD_THRESHOLD}
+),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_total FROM truth)"""
+    config_rows = []
+    for b, r in LSH_TUNING_CONFIGS:
+        config_rows.append(
+            f"""(
+  SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+         n_candidates, n_true, truth_total,
+         CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(CAST(n_true AS DOUBLE)
+                   / CAST(n_candidates AS DOUBLE)
+                   * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS precision_micro,
+         CASE WHEN truth_total = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(CAST(n_true AS DOUBLE)
+                   / CAST(truth_total AS DOUBLE)
+                   * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS recall_micro
+  FROM (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{b}_{r}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{b}_{r} c
+            WHERE EXISTS (SELECT 1 FROM truth t
+                          WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS n_true
+  ) CROSS JOIN tt
+)"""
+        )
+    cand_ctes = []
+    for b, r in LSH_TUNING_CONFIGS:
+        cand_ctes.append(
+            f"""bands_{b}_{r} AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {b - 1}),
+                bb -> md5(bb || '|' || array_to_string(
+                       sig[bb*{r}+1 : bb*{r}+{r}], '|'))))
+           AS band_key
+  FROM sig
+),
+cand_{b}_{r} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_{b}_{r} a JOIN bands_{b}_{r} b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)"""
+        )
+    return (
+        f"WITH {_SHINGLES_CTE},\n{sig12},\n{truth},\n"
+        + ",\n".join(cand_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(config_rows)
+    )
+
+
+QUERIES["dedup_lsh_tuning"] = QuerySpec(q_dedup_lsh_tuning, _lsh_tuning_oracle())
