@@ -106,7 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- canaries: one per extension family ---
     "dedup_exact",
     "text_tfidf_topk",
-    "sim_topk_ivf",
     # re-seated on purpose: plans change this round (scale tasks #3/#4)
     "sim_pq_ivfadc",
     "sim_topk_rerank",
@@ -115,7 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_dedup",
     # --- r9 additions, seated immediately (no new debt; they displace the
     # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
-    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group / explode_array / sketch_hll_distinct / dedup_minhash_lsh
+    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group / explode_array / sketch_hll_distinct / dedup_minhash_lsh / sim_topk_ivf
     # canaries, all multi-round passers still under the full local gate) ---
     "stream_duplicate_spans",
     "stream_bigram_surprisal",
@@ -130,6 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_hard_negatives",
     "curate_surprisal_filter",
     "dedup_lsh_tuning",
+    "stream_surprisal_filter",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

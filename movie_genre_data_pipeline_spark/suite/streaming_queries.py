@@ -2674,3 +2674,110 @@ def _stream_ams_oracle() -> str:
 QUERIES["stream_ams_join_size"] = QuerySpec(
     q_stream_ams_join_size, _stream_ams_oracle()
 )
+
+
+def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CCNet-style quality filtering (r9) — the twin of
+    curate_surprisal_filter under the arrival/readout rule: a document's
+    bigram/unigram count facts and its source land at arrival; the LM the
+    filter scores against is corpus-global, so every keep/drop decision
+    folds at READOUT from the accumulated ledgers
+    (text.bigram_surprisal_from_counts → threshold → per-source report).
+    This is the honest form of a streaming perplexity filter: the model
+    keeps LEARNING as data lands, so early documents are re-judged under
+    the final model — batch ≡ continuous bit-for-bit, shared oracle
+    verbatim, split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.text import (
+        bigram_surprisal_from_counts,
+        tokens,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.curation_queries import (
+        SURPRISAL_KEEP_MAX,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_surp_")
+    src = f"{base}/src"
+    led_bf, led_uni, led_src = f"{base}/bf", f"{base}/uni", f"{base}/srcdim"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "source").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select("doc_id", tokens("text").alias("__a"))
+        bg = F.when(
+            F.size("__a") >= 2,
+            F.expr(
+                "transform(sequence(2, size(__a)), "
+                "i -> struct(element_at(__a, i-1) AS w1, element_at(__a, i) AS w2))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+        (
+            docs.select("doc_id", F.explode(bg).alias("b"))
+            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("bf"))
+            .write.mode("append")
+            .parquet(led_bf)
+        )
+        (
+            docs.select(F.explode("__a").alias("w2"))
+            .groupBy("w2")
+            .agg(F.count(F.lit(1)).alias("cu"))
+            .write.mode("append")
+            .parquet(led_uni)
+        )
+        batch_df.select("doc_id", "source").write.mode("append").parquet(led_src)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    bf = (
+        spark.read.parquet(led_bf)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.sum("bf").alias("bf"))
+    )
+    uni = spark.read.parquet(led_uni).groupBy("w2").agg(F.sum("cu").alias("cu"))
+    scored = bigram_surprisal_from_counts(bf, uni)
+    srcdim = spark.read.parquet(led_src)
+    keep = F.col("avg_surprisal") < F.lit(SURPRISAL_KEEP_MAX)
+    return (
+        scored.join(srcdim, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(CASE WHEN avg_surprisal"
+                f" < CAST({SURPRISAL_KEEP_MAX} AS DOUBLE) THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ).alias("kept_share_micro"),
+        )
+    )
+
+
+def _stream_surprisal_filter_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.curation_queries import (
+        _surprisal_filter_oracle,
+    )
+
+    return _surprisal_filter_oracle()
+
+
+QUERIES["stream_surprisal_filter"] = QuerySpec(
+    q_stream_surprisal_filter, _stream_surprisal_filter_oracle()
+)

@@ -49,6 +49,9 @@ FOLDS = [
     # r9: the AMS signed-sum ledger (Z partials re-sum; the estimate is a
     # pure function of the fold)
     "stream_ams_join_size",
+    # r9: the continuous perplexity filter (LM count ledgers + source dim;
+    # keep/drop decided at readout under the final folded model)
+    "stream_surprisal_filter",
 ]
 
 
