@@ -110,11 +110,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_pq_ivfadc",
     "sim_topk_rerank",
     "stream_tumbling_window",
-    "graph_pagerank_trade",
     "media_phash_dedup",
     # --- r9 additions, seated immediately (no new debt; they displace the
     # sample_weighted_reservoir / curate_pii_redaction / gold_genre_revenue /
-    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group / explode_array / sketch_hll_distinct / dedup_minhash_lsh / sim_topk_ivf
+    # ts_retention_cohorts / layout_zorder_stats / merge_scd2 / sessionize / from_json_props / struct_expand / window_topk_per_group / explode_array / sketch_hll_distinct / dedup_minhash_lsh / sim_topk_ivf / graph_pagerank_trade
     # canaries, all multi-round passers still under the full local gate) ---
     "stream_duplicate_spans",
     "stream_bigram_surprisal",
@@ -130,6 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curate_surprisal_filter",
     "dedup_lsh_tuning",
     "stream_surprisal_filter",
+    "media_shard_balance",
 )
 
 # Names awaiting a driver slot in the NEXT round's window (normally empty —

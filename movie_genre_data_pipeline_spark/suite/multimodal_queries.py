@@ -241,3 +241,68 @@ SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {PHASH_MAX_HAMMING}
 
 
 QUERIES["media_phash_dedup"] = QuerySpec(q_media_phash_dedup, _phash_oracle())
+
+
+# -- blob shard-placement balance (r9) --------------------------------------------------
+# The storage-placement audit a 100 TB media lake runs before (and after)
+# distributing blobs: assign every payload to one of MEDIA_SHARDS shards by a
+# portable md5 hash of its id, report per-shard object count, byte volume,
+# and byte share. The audit is ONE scan + one shard-keyed aggregate (shard
+# count is the shuffle bound, not media count); skewed shares here are the
+# signal to re-key before the copy job, the same role sim_ivf_balance plays
+# for the ANN index.
+MEDIA_SHARDS = 8
+
+
+def q_media_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir)
+    return (
+        media.select(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(media_id AS STRING)), 1, 12), 16, 10)"
+                f" AS BIGINT) % {MEDIA_SHARDS}"
+            ).alias("shard"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .crossJoin(
+            F.broadcast(
+                media.agg(
+                    F.sum(F.length("payload")).cast("bigint").alias("corpus_bytes")
+                )
+            )
+        )
+        .selectExpr(
+            "shard",
+            "n_media",
+            "total_bytes",
+            "CAST(ROUND(CAST(total_bytes AS DOUBLE) / CAST(corpus_bytes AS DOUBLE)"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS byte_share_micro",
+        )
+    )
+
+
+Q_MEDIA_SHARD_BALANCE_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+          AS BIGINT) % {MEDIA_SHARDS} AS shard,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(n_bytes) AS BIGINT) AS corpus_bytes FROM m)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(ROUND(CAST(SUM(n_bytes) AS DOUBLE) / CAST(corpus_bytes AS DOUBLE)
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS byte_share_micro
+FROM m CROSS JOIN tot
+GROUP BY shard, corpus_bytes
+"""
+
+QUERIES["media_shard_balance"] = QuerySpec(
+    q_media_shard_balance, Q_MEDIA_SHARD_BALANCE_ORACLE
+)
