@@ -1,0 +1,87 @@
+"""Physical-plan shape pins: the `.explain`-and-iterate discipline, frozen as
+tests. Each pin encodes a plan property that was deliberately engineered —
+broadcast dims instead of sort-merge, tokenize-once instead of re-derived
+explode subtrees, banded joins instead of cartesian pairing, cached corpus
+instead of repeated parquet scans — so a regression (a lost broadcast hint, a
+join-formulated aggregate that re-derives its build side, an accidental
+cross join) fails here long before it shows up as a scale-bench ratio.
+
+Counts are taken from the pre-execution physical plan at sf0.001; they are
+structural (join strategy, scan provenance), not data-dependent, so the pins
+are stable. A BroadcastNestedLoopJoin allowance of ≤2 per query covers the
+deliberate 1-row broadcast carriers (corpus totals / centroid matrices),
+which Spark plans as BNLJ — the pins forbid the dangerous kind (fact-sized
+non-equi pairing) via the CartesianProduct=0 + scan-count bounds together.
+"""
+
+import re
+
+import pytest
+
+from movie_genre_data_pipeline_spark.suite import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        all_queries()[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _count(plan: str, node: str) -> int:
+    return len(re.findall(node, plan))
+
+
+def test_star_join_broadcasts_every_dim(spark):
+    plan = _plan(spark, "star_join")
+    assert _count(plan, "BroadcastHashJoin") >= 3, plan[:2000]
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_minhash_lsh_never_pairs_all_docs(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_bm25_tokenizes_the_corpus_at_most_thrice(spark):
+    """df-as-window keeps the tf explode subtree single; the allowed scans are
+    tf, dl, and the dl-derived stats aggregate (r9: the groupBy+join-back df
+    formulation re-derived the whole tokenize+explode — 4 scans)."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert _count(plan, "FileScan parquet") <= 3, plan[:2000]
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_tfidf_tokenizes_the_corpus_at_most_twice(spark):
+    plan = _plan(spark, "text_tfidf_topk")
+    assert _count(plan, "FileScan parquet") <= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["sim_topk_rerank", "sim_hard_negatives", "sim_pq_ivfadc"]
+)
+def test_ann_queries_scan_the_cached_corpus(spark, name):
+    """The quantized corpus rides the block cache: references hit
+    InMemoryTableScan (the FileScan strings in the plan text are inside the
+    cached-relation descriptions, i.e. the parquet is read once). And no ANN
+    query may pair the corpus non-equi: candidate generation is always a
+    cluster/band equi-join."""
+    plan = _plan(spark, name)
+    assert _count(plan, "InMemoryTableScan") >= 1
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 2, (
+        "more BNLJ than the allowed 1-row broadcast carriers"
+    )
+
+
+def test_gold_ivm_broadcasts_its_dims(spark):
+    plan = _plan(spark, "gold_genre_revenue_ivm")
+    assert _count(plan, "BroadcastHashJoin") >= 3
+    assert _count(plan, "CartesianProduct") == 0
