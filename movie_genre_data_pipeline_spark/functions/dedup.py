@@ -246,6 +246,17 @@ def _band_keyed(
     """(doc, band_key) rows — the bucketing half of minhash_lsh_candidates,
     shared by the self-join and cross-dataset variants."""
     sig = minhash_signature_table(df, id_col, text_col, bands * rows_per_band, k)
+    return band_keys_from_signature(sig, bands, rows_per_band)
+
+
+def band_keys_from_signature(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band_key) from an ALREADY-COMPUTED signature table (doc,
+    m0..m{bands*rows_per_band-1}) — lets several band geometries slice ONE
+    corpus hashing pass (the LSH tuning table computes the 12-hash signature
+    once and derives every (bands × rows) arrangement from it; recomputing
+    signatures per config tripled the dominant shingle+md5 cost)."""
     band_cols = [
         F.md5(
             F.concat_ws(

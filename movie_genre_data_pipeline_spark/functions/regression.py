@@ -650,10 +650,13 @@ def pca_sign_sql(v: str = "v") -> str:
 
 
 def pca_u2_sql(i: int) -> str:
-    """Deflated multiply: u2_i = Σ_j (C_ij − λ1·w_i·w_j) · (v2_j / 1e6),
-    written as C·v2 − λ1·w_i·(w·v2) so the w outer product never
-    materializes. w{j} (the unit-scale first component) and lam1 ride as
-    columns; one shared string per engine."""
+    """Deflated multiply: u2_i = Σ_j (C_ij − λ1·ŵ_i·ŵ_j) · (v2_j / 1e6) with
+    ŵ = w/‖w‖₂, written as C·v2 − λ1·w_i·(w·v2)/(w·w) so the outer product
+    never materializes AND the deflation is exact under the L∞-normalized w
+    the iterates carry (‖w‖₂² can reach D; without the /(w·w) the residual
+    eigenvalue along v1 is λ1·(1−‖w‖²) and loop 2 can converge straight back
+    to ±v1 — numerically reproduced on random spread-eigenvector covariances).
+    w{j} and lam1 ride as columns; one shared string per engine."""
     base = " + ".join(
         f"c{min(i, j)}{max(i, j)} * (CAST(v2{j} AS DOUBLE) / 1000000.0)"
         for j in range(1, PCA_D + 1)
@@ -661,7 +664,8 @@ def pca_u2_sql(i: int) -> str:
     dotw = " + ".join(
         f"w{j} * (CAST(v2{j} AS DOUBLE) / 1000000.0)" for j in range(1, PCA_D + 1)
     )
-    return f"({base}) - lam1 * w{i} * ({dotw})"
+    ww = " + ".join(f"w{j} * w{j}" for j in range(1, PCA_D + 1))
+    return f"({base}) - lam1 * w{i} * (({dotw}) / ({ww}))"
 
 
 PCA_M2_SQL = "GREATEST(" + ", ".join(f"ABS(u2{i})" for i in range(1, PCA_D + 1)) + ")"

@@ -591,6 +591,11 @@ LSH_TUNING_HASHES = 12
 
 
 def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import (
+        band_keys_from_signature,
+        minhash_signature_table,
+    )
+
     d = load(spark, sf_dir, "documents")
     truth = (
         ngram_jaccard_pairs(
@@ -605,10 +610,22 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("truth_total"))
+    # ONE corpus hashing pass: every (bands x rows) geometry slices the same
+    # 12-hash signature table (r9 review: per-config recomputation tripled
+    # the dominant shingle+md5 cost) — the same one-sig-many-bands shape the
+    # oracle's sig CTE already had
+    sig = minhash_signature_table(
+        d, "doc_id", "text", num_hashes=LSH_TUNING_HASHES, k=SHINGLE_K
+    ).localCheckpoint(eager=False)
     out = None
     for b, r in LSH_TUNING_CONFIGS:
-        cand = minhash_lsh_candidates(
-            d, "doc_id", "text", bands=b, rows_per_band=r, k=SHINGLE_K
+        keyed = band_keys_from_signature(sig, b, r)
+        ka, kb = keyed.alias("a"), keyed.alias("b")
+        cand = (
+            ka.join(kb, "band_key")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
         )
         n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
         n_true = (

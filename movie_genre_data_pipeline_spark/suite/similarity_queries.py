@@ -675,9 +675,12 @@ def _pq_recall_tail(q: DataFrame, qs: DataFrame, adc: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("vid", "neighbor")
     )
+    # the kernel's panel derives from the PASSED qs (not a re-derived
+    # lowest-vid limit): exact_best and d_chosen must always measure the
+    # same query set, whatever the caller chose (r9 review)
     panel = [
         (r["vid"], list(r["vq"]))
-        for r in q.orderBy("vid").limit(PQ_NQ).collect()
+        for r in q.join(qs, "vid").select("vid", "vq").orderBy("vid").collect()
     ]
     a = q.join(qs, "vid").select(F.col("vid"), F.col("vq").alias("va"))
     b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))

@@ -2420,7 +2420,6 @@ def q_stream_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariance pinned in tests/test_stream_split_invariance.py."""
     from movie_genre_data_pipeline_spark.functions.text import (
         bigram_surprisal_from_counts,
-        tokens,
     )
     from movie_genre_data_pipeline_spark.suite import load
 
@@ -2443,7 +2442,14 @@ def q_stream_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", tokens("text").alias("__a"))
+        # the bigram LM tokenizes with the LOWERCASE ALPHA class, not the
+        # whitespace tokens() — the ledger facts must be bit-identical to
+        # functions/text.bigram_surprisal and the shared oracle on ANY text
+        # (case/digits/punct), not just the all-lowercase fixture
+        arr = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+        )
+        docs = batch_df.select("doc_id", arr.alias("__a"))
         bg = F.when(
             F.size("__a") >= 2,
             F.expr(
@@ -2689,7 +2695,6 @@ def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim, split-invariance gated."""
     from movie_genre_data_pipeline_spark.functions.text import (
         bigram_surprisal_from_counts,
-        tokens,
     )
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.curation_queries import (
@@ -2717,7 +2722,14 @@ def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", tokens("text").alias("__a"))
+        # the bigram LM tokenizes with the LOWERCASE ALPHA class, not the
+        # whitespace tokens() — the ledger facts must be bit-identical to
+        # functions/text.bigram_surprisal and the shared oracle on ANY text
+        # (case/digits/punct), not just the all-lowercase fixture
+        arr = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+        )
+        docs = batch_df.select("doc_id", arr.alias("__a"))
         bg = F.when(
             F.size("__a") >= 2,
             F.expr(

@@ -976,7 +976,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 Q_BM25_TOPK_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')
+           AS a
+  FROM documents
+),
 dl AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS dl FROM toks),
 tf AS (
   SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf

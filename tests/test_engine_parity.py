@@ -37,6 +37,13 @@ _HOSTILE = [
     ("dup one two", "en", "web"),  # (whitespace-collapsed twins)
     ("the and of to is in that it " * 8, "en", "wiki"),  # clean baseline doc
     ("mixed 123 tokens!! with, punct; and\x0bvtab", "en", "wiki"),
+    # r9: MIXED CASE + digits — the [^a-z]-class tokenizers (BM25, bigram LM)
+    # must lowercase IDENTICALLY in both engines; an oracle spelled with the
+    # whitespace class silently diverges on exactly this text (caught in the
+    # r9 review: the BM25 oracle and two streaming-twin ledgers did)
+    ("The Quick BROWN Fox JUMPED over 42 Lazy DOGS", "en", "wiki"),
+    ("SPARK Merge STREAM vector Spark2 sPaRk-merge", "en", "code"),
+    ("Der GROSSE Baum und DIE kleine Blume", "de", "books"),
 ]
 
 # documents-only suite queries exercising tokens()/fingerprint()/BPE and the
@@ -51,6 +58,16 @@ _QUERIES = [
     "dedup_exact",
     "curate_gopher_flags",
     "curate_chunk_documents",
+    # r9 additions over documents: the lowercase-alpha tokenizer family (BM25,
+    # bigram LM, the perplexity filter), the whitespace span family (scrub),
+    # the one-signature LSH tuning table, and the blob shard audit
+    "text_bm25_topk",
+    "text_bigram_surprisal",
+    "curate_surprisal_filter",
+    "curate_span_scrub",
+    "dedup_duplicate_spans",
+    "dedup_lsh_tuning",
+    "media_shard_balance",
 ]
 
 

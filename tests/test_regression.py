@@ -307,3 +307,40 @@ def test_pca_deflation_recovers_top_two_eigenvectors(spark):
     assert abs(lam1 - w[-1]) < w[-1] * 0.01
     assert abs(lam2 - w[-2]) < w[-2] * 0.02
     assert 0 < out["explained2_ratio"] <= out["explained1_ratio"] <= 1
+
+
+def test_pca_deflation_survives_spread_eigenvectors(spark):
+    """The failure class the r9 review caught: with an L∞-normalized w,
+    un-normalized Hotelling deflation (C − λ1·w·wᵀ) leaves a residual
+    λ1·(1−‖w‖²) along v1 and the 'second' component converges back to the
+    first whenever the top eigenvector is spread (‖w‖₂² ≫ 1). Rotated
+    spectra with eigenvalues (10,4,1,0.5) reproduce it; the /(w·w)
+    normalization must recover the true second eigenvector anyway."""
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        pca_moments,
+        pca_power_deflated,
+    )
+
+    rng = np.random.default_rng(11)
+    # random rotation -> spread eigenvectors (top component far from axis-aligned)
+    A = rng.normal(size=(4, 4))
+    Q, _ = np.linalg.qr(A)
+    C = Q @ np.diag([10.0, 4.0, 1.0, 0.5]) @ Q.T
+    L = np.linalg.cholesky(C)
+    X = np.rint(rng.normal(size=(4000, 4)) @ L.T * 10 + 100).astype(int)
+    rows = [tuple(int(x) for x in r) for r in X]
+    df = spark.createDataFrame(rows, "x1 bigint, x2 bigint, x3 bigint, x4 bigint")
+    out = pca_power_deflated(
+        pca_moments(df, ["x1", "x2", "x3", "x4"]), iters=12
+    ).collect()[0]
+    v1 = np.array([out[f"v{i}_micro"] for i in range(1, 5)], dtype=float)
+    v2 = np.array([out[f"v2{i}_micro"] for i in range(1, 5)], dtype=float)
+    cov = np.cov(X.astype(float), rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    cos2 = abs(v2 @ vecs[:, -2]) / (np.linalg.norm(v2) * np.linalg.norm(vecs[:, -2]))
+    ortho = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert cos2 >= 0.98, (cos2, v2, vecs[:, -2])
+    assert ortho < 0.05, ortho
+    assert out["lambda2_micro"] <= out["lambda1_micro"]
