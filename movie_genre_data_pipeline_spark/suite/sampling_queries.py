@@ -1702,8 +1702,8 @@ def q_feat_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     prerequisite one component can't give. Same scale shape as
     feat_pca_power: ONE map-side-combined moment pass, then BOTH component
     loops are pure projections over the one-row covariance (deflation is
-    C·v − λ1·w·(w·v), so the outer product never materializes and iteration
-    count never multiplies corpus scans). Per-iterate micro quantization
+    C·v − λ1·w·(w·v)/(w·w), so the outer product never materializes and
+    iteration count never multiplies corpus scans). Per-iterate micro quantization
     keeps the two-component trajectory bit-replayable in SQL."""
     from movie_genre_data_pipeline_spark.functions.regression import (
         pca_moments,
