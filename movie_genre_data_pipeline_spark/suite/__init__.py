@@ -137,7 +137,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-NEXT_ROUND_POOL: tuple[str, ...] = ()
+NEXT_ROUND_POOL: tuple[str, ...] = (
+    # late-r9 additions after the window froze for the round's final gates —
+    # locally exact-verified; seat in the r10 window
+    "text_heaps_vocab_growth",
+)
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

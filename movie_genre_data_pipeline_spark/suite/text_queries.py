@@ -1010,3 +1010,108 @@ QUALIFY rnk <= {BM25_TOPK}
 """
 
 QUERIES["text_bm25_topk"] = QuerySpec(q_bm25_topk, Q_BM25_TOPK_ORACLE)
+
+
+# -- vocabulary growth (Heaps' law) report (r9) ----------------------------------------------
+# The corpus-statistics curve a tokenizer/vocab team plots before sizing a
+# vocabulary: cumulative distinct types vs cumulative tokens across the
+# ingestion order. Ingestion is bucketed SCAN-LOCALLY (bucket = ⌊id·8/(max+1)⌋
+# from a broadcast max — no global sort, unlike NTILE), each type's FIRST
+# bucket is one vocabulary-sized aggregate, and the cumulative rows are an
+# 8-row window. Every published number is an exact integer (plus one
+# micro-quantized type/token ratio), so the report replays bit-for-bit.
+HEAPS_BUCKETS = 8
+
+
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + F.lit(1)).cast("bigint").alias("n_ids"))
+    toks = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            # FLOOR, spelled identically on both engines: DuckDB's
+            # CAST(double AS BIGINT) ROUNDS while Spark's truncates — the
+            # max-id row landed in a phantom 9th bucket before this
+            F.expr(
+                f"CAST(FLOOR(CAST(doc_id * {HEAPS_BUCKETS} AS DOUBLE)"
+                " / CAST(n_ids AS DOUBLE)) AS BIGINT)"
+            ).alias("bucket"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+                )
+            ).alias("term"),
+        )
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    new_types = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("bigint"))
+        .selectExpr(
+            "bucket",
+            "n_tokens",
+            "new_types",
+            "cum_tokens",
+            "cum_types",
+            "CAST(ROUND(CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ttr_micro",
+        )
+    )
+
+
+Q_HEAPS_VOCAB_GROWTH_ORACLE = f"""
+WITH mx AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_ids FROM documents),
+toks AS (
+  SELECT CAST(FLOOR(CAST(doc_id * {HEAPS_BUCKETS} AS DOUBLE)
+              / CAST(n_ids AS DOUBLE)) AS BIGINT) AS bucket, t AS term
+  FROM documents CROSS JOIN mx,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                          x -> x != '')) AS u(t)
+),
+per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY bucket
+),
+first_seen AS (SELECT term, MIN(bucket) AS bucket FROM toks GROUP BY term),
+new_types AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_seen GROUP BY bucket
+),
+joined AS (
+  SELECT p.bucket, p.n_tokens,
+         CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types
+  FROM per_bucket p LEFT JOIN new_types n USING (bucket)
+),
+cum AS (
+  SELECT bucket, n_tokens, new_types,
+         CAST(SUM(n_tokens) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(new_types) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_types
+  FROM joined
+)
+SELECT bucket, n_tokens, new_types, cum_tokens, cum_types,
+       CAST(ROUND(CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ttr_micro
+FROM cum
+"""
+
+QUERIES["text_heaps_vocab_growth"] = QuerySpec(
+    q_heaps_vocab_growth, Q_HEAPS_VOCAB_GROWTH_ORACLE
+)
