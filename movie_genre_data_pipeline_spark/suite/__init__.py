@@ -141,6 +141,7 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late-r9 additions after the window froze for the round's final gates —
     # locally exact-verified; seat in the r10 window
     "text_heaps_vocab_growth",
+    "sample_pack_efficiency",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

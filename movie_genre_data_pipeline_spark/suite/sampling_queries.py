@@ -1822,3 +1822,74 @@ FROM q{PCA_ITERS}"""
 
 
 QUERIES["feat_pca_deflation"] = QuerySpec(q_feat_pca_deflation, _pca_deflation_oracle())
+
+
+# -- packing efficiency audit (r9) -----------------------------------------------------------
+def q_sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit run after token-budget packing and before training: per
+    language, chunk count, fill statistics, over-budget chunks (a single
+    doc larger than the budget overfills its chunk — the packer's documented
+    behavior, counted here instead of hidden), and the fill ratio against
+    the ideal n_chunks·budget capacity. Same split_audit discipline: trust
+    the sharding only after its distribution is published. One window (the
+    packer's own) + one lang-keyed aggregate; all integers + one micro."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        pack_token_budget,
+    )
+    from movie_genre_data_pipeline_spark.functions.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    packed = pack_token_budget(
+        d, "doc_id", token_count("text"), "lang", _TOKEN_BUDGET
+    )
+    chunks = packed.groupBy("lang", "chunk_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("chunk_tokens")
+    )
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("bigint").alias("total_tokens"),
+        F.min("chunk_tokens").cast("bigint").alias("min_chunk"),
+        F.max("chunk_tokens").cast("bigint").alias("max_chunk"),
+        F.sum(F.when(F.col("chunk_tokens") > _TOKEN_BUDGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overfull"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(chunk_tokens) AS DOUBLE)"
+            f" / (CAST(COUNT(*) AS DOUBLE) * CAST({_TOKEN_BUDGET} AS DOUBLE))"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("fill_micro"),
+    )
+
+
+Q_SAMPLE_PACK_EFFICIENCY_ORACLE = f"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR(
+           (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens)
+           / {float(_TOKEN_BUDGET)}
+         ) AS BIGINT) AS chunk_id
+  FROM t
+),
+chunks AS (
+  SELECT lang, chunk_id, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+  FROM c GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(chunk_tokens) AS BIGINT) AS min_chunk,
+       CAST(MAX(chunk_tokens) AS BIGINT) AS max_chunk,
+       CAST(SUM(CASE WHEN chunk_tokens > {_TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overfull,
+       CAST(ROUND(CAST(SUM(chunk_tokens) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * CAST({_TOKEN_BUDGET} AS DOUBLE))
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS fill_micro
+FROM chunks GROUP BY lang
+"""
+
+QUERIES["sample_pack_efficiency"] = QuerySpec(
+    q_sample_pack_efficiency, Q_SAMPLE_PACK_EFFICIENCY_ORACLE
+)
