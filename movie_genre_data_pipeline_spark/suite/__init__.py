@@ -142,6 +142,7 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # locally exact-verified; seat in the r10 window
     "text_heaps_vocab_growth",
     "sample_pack_efficiency",
+    "stream_heaps_vocab_growth",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

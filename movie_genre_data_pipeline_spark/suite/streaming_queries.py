@@ -2793,3 +2793,113 @@ def _stream_surprisal_filter_oracle() -> str:
 QUERIES["stream_surprisal_filter"] = QuerySpec(
     q_stream_surprisal_filter, _stream_surprisal_filter_oracle()
 )
+
+
+def q_stream_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vocabulary-growth curve (r9) — two decompositions the other
+    ledgers don't exercise: (a) the type ledger folds by MIN (each batch
+    appends every term's lowest doc_id; first-occurrence = min-merge, the
+    min-fold sibling of the HLL max-fold), and (b) even the BUCKETING is a
+    readout decision — a bucket is ⌊id·8/(max_id+1)⌋ of the FINAL corpus, so
+    the whole curve legitimately re-buckets as data lands, and min-doc-id per
+    term maps to min-bucket because the bucket function is monotone in id.
+    Batch ≡ continuous bit-for-bit; shares the batch oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import HEAPS_BUCKETS
+
+    base = tempfile.mkdtemp(prefix="stream_heaps_")
+    src, led_term, led_doc = f"{base}/src", f"{base}/terms", f"{base}/docs"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arr = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+        )
+        toks = batch_df.select("doc_id", F.explode(arr).alias("term"))
+        toks.groupBy("term").agg(
+            F.min("doc_id").alias("first_doc")
+        ).write.mode("append").parquet(led_term)
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+        ).write.mode("append").parquet(led_doc)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    docs = (
+        spark.read.parquet(led_doc)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    terms = (
+        spark.read.parquet(led_term)
+        .groupBy("term")
+        .agg(F.min("first_doc").alias("first_doc"))
+    )
+    mx = docs.agg((F.max("doc_id") + F.lit(1)).cast("bigint").alias("n_ids"))
+    bucket_of = (
+        f"CAST(FLOOR(CAST({{col}} * {HEAPS_BUCKETS} AS DOUBLE)"
+        " / CAST(n_ids AS DOUBLE)) AS BIGINT)"
+    )
+    per_bucket = (
+        docs.crossJoin(F.broadcast(mx))
+        .selectExpr(f"{bucket_of.format(col='doc_id')} AS bucket", "n_tokens")
+        .groupBy("bucket")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    new_types = (
+        terms.crossJoin(F.broadcast(mx))
+        .selectExpr(f"{bucket_of.format(col='first_doc')} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("bigint"))
+        .selectExpr(
+            "bucket",
+            "n_tokens",
+            "new_types",
+            "cum_tokens",
+            "cum_types",
+            "CAST(ROUND(CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ttr_micro",
+        )
+    )
+
+
+def _stream_heaps_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_HEAPS_VOCAB_GROWTH_ORACLE,
+    )
+
+    return Q_HEAPS_VOCAB_GROWTH_ORACLE
+
+
+QUERIES["stream_heaps_vocab_growth"] = QuerySpec(
+    q_stream_heaps_vocab_growth, _stream_heaps_oracle()
+)

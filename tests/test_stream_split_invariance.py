@@ -52,6 +52,9 @@ FOLDS = [
     # r9: the continuous perplexity filter (LM count ledgers + source dim;
     # keep/drop decided at readout under the final folded model)
     "stream_surprisal_filter",
+    # r9: the vocabulary-growth ledger — the MIN-fold member (first
+    # occurrence per type), with bucketing itself a readout decision
+    "stream_heaps_vocab_growth",
 ]
 
 
