@@ -65,6 +65,43 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+# The suite's SECOND tokenizer class (the first is whitespace `tokens()`,
+# serving fingerprint/span ops): lowercase-alpha, serving every TF-IDF / BM25 /
+# LM / BPE / Heaps surface. Parity is per-query, not global — each batch query,
+# its streaming ledger twin, and its DuckDB oracle must tokenize identically on
+# ANY text (case/digits/punct), and a copy-pasted tokenizer drifting in one
+# foreachBatch closure is exactly the bug class the r9 review caught — so the
+# expression exists ONCE, here.
+ALPHA_RE = "[^a-z]+"
+# DuckDB rendering over a column named `text` (the common oracle shape).
+ALPHA_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')"
+)
+
+
+def alpha_tokens(col: str | Column) -> Column:
+    """Lowercase-alpha tokenization → array<string>; text with no [a-z] runs →
+    empty array. The single source of truth for the TF-IDF/BM25/LM tokenizer
+    (see ALPHA_RE comment)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), ALPHA_RE), lambda t: t != "")
+
+
+def bigram_pairs(arr: str) -> Column:
+    """Adjacent-pair structs array<struct<w1,w2>> built ARRAY-LOCALLY from the
+    token-array column named `arr` (no self-join, no positional shuffle);
+    <2 tokens → empty array. Shared by the batch bigram LM
+    (`bigram_surprisal`) and its streaming ledger twin so the struct
+    construction can't drift."""
+    return F.when(
+        F.size(arr) >= 2,
+        F.expr(
+            f"transform(sequence(2, size({arr})), "
+            f"i -> struct(element_at({arr}, i-1) AS w1, element_at({arr}, i) AS w2))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+
+
 def bpe_ish_token_count(col: str | Column) -> Column:
     """Token count under the BPE-ish regex segmentation (long)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -178,9 +215,7 @@ def unigram_surprisal(df, id_col: str, text_col: str):
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(F.split(F.lower(text_col), "[^a-z]+"), lambda t: t != "")
-        ).alias("term"),
+        F.explode(alpha_tokens(text_col)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # corpus term count as a SUM window over tf (one shuffle on term), not a
@@ -188,11 +223,7 @@ def unigram_surprisal(df, id_col: str, text_col: str):
     # The corpus total comes from a separate NARROW scan (size of the filtered
     # token array per row, no explode) — cheap, and broadcast as one row.
     cnt = F.sum("tf").over(Window.partitionBy("term"))
-    total = df.agg(
-        F.sum(
-            F.size(F.filter(F.split(F.lower(text_col), "[^a-z]+"), lambda t: t != ""))
-        ).alias("total")
-    )
+    total = df.agg(F.sum(F.size(alpha_tokens(text_col))).alias("total"))
     scaled = tf.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "tf",
@@ -430,15 +461,8 @@ def bigram_surprisal(df, id_col: str, text_col: str, alpha: float = 0.4):
     ln p is quantized to integer micro-nats (round(ln(p)*1e6) as BIGINT), the
     per-doc accumulation runs in exact integer arithmetic, and the single
     division back to a double happens last."""
-    arr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != "")
-    docs = df.select(F.col(id_col).alias("doc_id"), arr.alias("__a"))
-    bg = F.when(
-        F.size("__a") >= 2,
-        F.expr(
-            "transform(sequence(2, size(__a)), "
-            "i -> struct(element_at(__a, i-1) AS w1, element_at(__a, i) AS w2))"
-        ),
-    ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    docs = df.select(F.col(id_col).alias("doc_id"), alpha_tokens(text_col).alias("__a"))
+    bg = bigram_pairs("__a")
     flat = docs.select("doc_id", F.explode(bg).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
@@ -544,13 +568,7 @@ def bpe_word_symbols(df, text_col: str, n_merges: int):
 
 def _bpe_loop(df, text_col: str, n_merges: int, apply_all: bool):
     words = (
-        df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
-                )
-            ).alias("w")
-        )
+        df.select(F.explode(alpha_tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

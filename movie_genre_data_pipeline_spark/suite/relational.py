@@ -522,8 +522,10 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode — the position-preserving UDTF the reference's explode family
     lacks (SURVEY.md §2.3 P5): token position matters for n-gram/window features
     downstream. Narrow op, scan-pipelined, no shuffle at all."""
+    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
+
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    toks = alpha_tokens("text")
     return d.select(
         "doc_id", F.posexplode(toks).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")

@@ -2419,6 +2419,8 @@ def q_stream_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same tail the batch query runs). Shared oracle verbatim; split
     invariance pinned in tests/test_stream_split_invariance.py."""
     from movie_genre_data_pipeline_spark.functions.text import (
+        alpha_tokens,
+        bigram_pairs,
         bigram_surprisal_from_counts,
     )
     from movie_genre_data_pipeline_spark.suite import load
@@ -2443,20 +2445,12 @@ def q_stream_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # the bigram LM tokenizes with the LOWERCASE ALPHA class, not the
-        # whitespace tokens() — the ledger facts must be bit-identical to
-        # functions/text.bigram_surprisal and the shared oracle on ANY text
-        # (case/digits/punct), not just the all-lowercase fixture
-        arr = F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
-        )
-        docs = batch_df.select("doc_id", arr.alias("__a"))
-        bg = F.when(
-            F.size("__a") >= 2,
-            F.expr(
-                "transform(sequence(2, size(__a)), "
-                "i -> struct(element_at(__a, i-1) AS w1, element_at(__a, i) AS w2))"
-            ),
-        ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+        # whitespace tokens() — alpha_tokens/bigram_pairs are the SHARED
+        # definitions (functions/text.py), so the ledger facts are
+        # bit-identical to functions/text.bigram_surprisal and the shared
+        # oracle by construction, on ANY text (case/digits/punct)
+        docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
+        bg = bigram_pairs("__a")
         (
             docs.select("doc_id", F.explode(bg).alias("b"))
             .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
@@ -2514,6 +2508,8 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_from_counts,
     )
 
+    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
+
     base = tempfile.mkdtemp(prefix="stream_bm25_")
     src, led_tf, led_dl = f"{base}/src", f"{base}/tf", f"{base}/dl"
     d = load(spark, sf_dir, "documents")
@@ -2533,10 +2529,7 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        arr = F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
-        )
-        docs = batch_df.select("doc_id", arr.alias("__a"))
+        docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
         docs.select(
             "doc_id", F.size("__a").cast("bigint").alias("dl")
         ).write.mode("append").parquet(led_dl)
@@ -2694,6 +2687,8 @@ def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final model — batch ≡ continuous bit-for-bit, shared oracle
     verbatim, split-invariance gated."""
     from movie_genre_data_pipeline_spark.functions.text import (
+        alpha_tokens,
+        bigram_pairs,
         bigram_surprisal_from_counts,
     )
     from movie_genre_data_pipeline_spark.suite import load
@@ -2723,20 +2718,12 @@ def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # the bigram LM tokenizes with the LOWERCASE ALPHA class, not the
-        # whitespace tokens() — the ledger facts must be bit-identical to
-        # functions/text.bigram_surprisal and the shared oracle on ANY text
-        # (case/digits/punct), not just the all-lowercase fixture
-        arr = F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
-        )
-        docs = batch_df.select("doc_id", arr.alias("__a"))
-        bg = F.when(
-            F.size("__a") >= 2,
-            F.expr(
-                "transform(sequence(2, size(__a)), "
-                "i -> struct(element_at(__a, i-1) AS w1, element_at(__a, i) AS w2))"
-            ),
-        ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+        # whitespace tokens() — alpha_tokens/bigram_pairs are the SHARED
+        # definitions (functions/text.py), so the ledger facts are
+        # bit-identical to functions/text.bigram_surprisal and the shared
+        # oracle by construction, on ANY text (case/digits/punct)
+        docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
+        bg = bigram_pairs("__a")
         (
             docs.select("doc_id", F.explode(bg).alias("b"))
             .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
@@ -2805,6 +2792,7 @@ def q_stream_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     term maps to min-bucket because the bucket function is monotone in id.
     Batch ≡ continuous bit-for-bit; shares the batch oracle verbatim;
     split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.text_queries import HEAPS_BUCKETS
 
@@ -2827,15 +2815,20 @@ def q_stream_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        arr = F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+        docs_b = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
+        docs_b.select("doc_id", F.explode("__a").alias("term")).groupBy(
+            "term"
+        ).agg(F.min("doc_id").alias("first_doc")).write.mode("append").parquet(
+            led_term
         )
-        toks = batch_df.select("doc_id", F.explode(arr).alias("term"))
-        toks.groupBy("term").agg(
-            F.min("doc_id").alias("first_doc")
-        ).write.mode("append").parquet(led_term)
-        toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+        # EVERY document appends a (doc_id, n_tokens) row — n_tokens may be 0
+        # (digits/punct/non-Latin text tokenizes to empty). The doc ledger is
+        # the readout's source of n_ids = MAX(doc_id)+1, and the batch query
+        # plus shared oracle take that MAX over ALL documents; deriving it
+        # from exploded-token rows would shift every bucket boundary whenever
+        # the max-id document has no [a-z] run (ADVICE r9, medium).
+        docs_b.select(
+            "doc_id", F.size("__a").cast("bigint").alias("n_tokens")
         ).write.mode("append").parquet(led_doc)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
@@ -2858,8 +2851,12 @@ def q_stream_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(FLOOR(CAST({{col}} * {HEAPS_BUCKETS} AS DOUBLE)"
         " / CAST(n_ids AS DOUBLE)) AS BIGINT)"
     )
+    # zero-token docs exist in the ledger ONLY to pin n_ids; the batch
+    # per-bucket aggregate sees buckets that own >=1 token, so drop them
+    # before bucketing (a bucket of only zero-token docs must emit no row)
     per_bucket = (
-        docs.crossJoin(F.broadcast(mx))
+        docs.filter(F.col("n_tokens") > 0)
+        .crossJoin(F.broadcast(mx))
         .selectExpr(f"{bucket_of.format(col='doc_id')} AS bucket", "n_tokens")
         .groupBy("bucket")
         .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))

@@ -16,6 +16,7 @@ from movie_genre_data_pipeline_spark.functions.text import (
     BPE_ISH_PATTERN_SQL,
     LANG_LEXICONS,
     TOKS_SQL,
+    alpha_tokens,
     bpe_ish_token_count,
     fingerprint_sql,
     lang_id,
@@ -287,12 +288,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-        ).alias("term"),
-    )
+    toks = d.select("doc_id", F.explode(alpha_tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # document frequency as a COUNT window over tf, not a groupBy+join-back:
     # the join formulation makes Catalyst re-derive the whole explode+agg
@@ -796,12 +792,7 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("bigint").alias("n_sym"),
         F.length("w").cast("bigint").alias("n_chr"),
     )
-    words = d.select(
-        "source",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-        ).alias("w"),
-    )
+    words = d.select("source", F.explode(alpha_tokens("text")).alias("w"))
     agg = (
         words.join(enc, "w")
         .groupBy("source")
@@ -961,8 +952,7 @@ def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-    docs = d.select("doc_id", arr.alias("__a"))
+    docs = d.select("doc_id", alpha_tokens("text").alias("__a"))
     dl = docs.select("doc_id", F.size("__a").cast("bigint").alias("dl"))
     tf = (
         docs.select("doc_id", F.explode("__a").alias("term"))
@@ -1038,11 +1028,7 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(FLOOR(CAST(doc_id * {HEAPS_BUCKETS} AS DOUBLE)"
                 " / CAST(n_ids AS DOUBLE)) AS BIGINT)"
             ).alias("bucket"),
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
-                )
-            ).alias("term"),
+            F.explode(alpha_tokens("text")).alias("term"),
         )
     )
     per_bucket = toks.groupBy("bucket").agg(

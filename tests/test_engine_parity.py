@@ -44,6 +44,11 @@ _HOSTILE = [
     ("The Quick BROWN Fox JUMPED over 42 Lazy DOGS", "en", "wiki"),
     ("SPARK Merge STREAM vector Spark2 sPaRk-merge", "en", "code"),
     ("Der GROSSE Baum und DIE kleine Blume", "de", "books"),
+    # r10 (ADVICE r9, medium): the MAX-doc_id row tokenizes to EMPTY under
+    # the lowercase-alpha class — n_ids = MAX(doc_id)+1 must still count it
+    # (the Heaps bucket function divides by n_ids, so a ledger that only
+    # records token-bearing docs shifts EVERY bucket boundary). KEEP LAST.
+    ("1234 5678 90 !!! ??? ... 42", "zh", "web"),
 ]
 
 # documents-only suite queries exercising tokens()/fingerprint()/BPE and the
@@ -68,6 +73,11 @@ _QUERIES = [
     "dedup_duplicate_spans",
     "dedup_lsh_tuning",
     "media_shard_balance",
+    # r10: the Heaps'-law curve, batch AND streaming twin — the stream ledger
+    # must derive n_ids from ALL documents (the corpus's max-id row above
+    # tokenizes to empty on purpose; ADVICE r9 medium)
+    "text_heaps_vocab_growth",
+    "stream_heaps_vocab_growth",
 ]
 
 
