@@ -942,11 +942,28 @@ def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         F.sum("s_micro").cast("bigint").alias("score_micro"),
     )
-    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= BM25_TOPK)
-        .select("rnk", "doc_id", "n_terms", "score_micro")
+    # top-k via orderBy+limit -> TakeOrderedAndProject: each partition keeps
+    # its local top k and the driver merges k rows — NOT a row_number over an
+    # unpartitioned window, which sorts the corpus-cardinality scored set in
+    # ONE task (the r9 `WindowExec: No Partition Defined` flood; a 100x
+    # scale-up hits that single-task sort first). (score_micro, doc_id) is a
+    # total order, so the k rows — and the ranks assigned over them — are
+    # bit-identical to the global-window form. The rank window runs on <= k
+    # rows; its partition key is doc_id*0 — constant in VALUE (one group, the
+    # point of a top-k readout) but non-foldable, so Catalyst can't optimize
+    # the partition spec away into an unpartitioned WindowExec (F.lit(0)
+    # gets constant-folded and the single-task-sort warning returns).
+    top = agg.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOPK
+    )
+    w = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "doc_id",
+        "n_terms",
+        "score_micro",
     )
 
 

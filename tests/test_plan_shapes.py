@@ -85,3 +85,27 @@ def test_gold_ivm_broadcasts_its_dims(spark):
     plan = _plan(spark, "gold_genre_revenue_ivm")
     assert _count(plan, "BroadcastHashJoin") >= 3
     assert _count(plan, "CartesianProduct") == 0
+
+
+def test_bm25_topk_is_take_ordered_not_a_global_window(spark):
+    """r10 (VERDICT r9 #2): the final ranking must be TakeOrderedAndProject
+    (per-partition top-k, driver merges k rows), never a row_number over an
+    unpartitioned window of the corpus-cardinality scored set (a single-task
+    sort at scale). The only Window nodes allowed are the df count-window
+    (partitioned by term) and the k-row rank assignment (partitioned by a
+    literal) — i.e. no WindowExec with an empty partition spec."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert _count(plan, "TakeOrderedAndProject") >= 1, plan[:2000]
+    # a WindowExec prints one line "Window [funcs], [partSpec], [orderSpec]",
+    # omitting EMPTY specs: an unpartitioned ordered window shows exactly two
+    # bracket groups with sort directions in the second; a partitioned
+    # order-free window (the df term-window) also shows two, but its second
+    # group has no ASC/DESC. Flag only the former shape.
+    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert len(win_lines) == 2, plan[:2000]
+    for ln in win_lines:
+        if ln.count("], [") == 1:
+            tail = ln.rsplit("], [", 1)[1]
+            assert not re.search(r"\b(ASC|DESC)\b", tail), (
+                f"unpartitioned WindowExec: {ln[:200]}"
+            )
