@@ -138,14 +138,16 @@ def sorted_neighborhood_pairs(
     mirror image: a leading-character edit teleports the record in sort order.
     The two generators are unioned in practice, like blocking passes.)
 
-    Plan shape: the rank assignment is a row_number over the global sort — a
-    single-task window, same documented caveat as window_running_sum. The
-    neighborhood join is NOT a band join: each left row explodes to its
-    3 adjacent rank buckets (bucket width = window, so |Δrn| < window implies
-    bucket ids differ by ≤ 1) and equi-joins the right side's bucket id —
-    3 narrow rows per record, never a nested loop. At true 100 TB scale the
-    rank would come from a range-partitioned sort + per-partition offsets;
-    candidate volume is ≤ 2·window per record either way.
+    Plan shape: the rank assignment is operators/ranking.ranged_row_number —
+    a range-partitioned sort with partition-local row numbers plus broadcast
+    cumulative offsets, bit-identical to the global-window form (the sort key
+    (__sk, __side, __id) is a total order) but with no single-task stage
+    (VERDICT r9 #4; the unpartitioned row_number this replaces was the plan's
+    100x bottleneck). The neighborhood join is NOT a band join: each left row
+    explodes to its 3 adjacent rank buckets (bucket width = window, so
+    |Δrn| < window implies bucket ids differ by ≤ 1) and equi-joins the right
+    side's bucket id — 3 narrow rows per record, never a nested loop;
+    candidate volume is ≤ 2·window per record.
     """
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -157,13 +159,14 @@ def sorted_neighborhood_pairs(
         F.col(right_id).alias("__id"), F.col(right_key).alias("__sk"),
         F.lit(1).alias("__side"),
     )
-    w = Window.orderBy("__sk", "__side", "__id")
-    ranked = (
-        l_rows.unionByName(r_rows)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn(
-            "__g", F.floor((F.col("__rn") - 1) / F.lit(window)).cast("bigint")
-        )
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_row_number,
+    )
+
+    ranked = ranged_row_number(
+        l_rows.unionByName(r_rows), ["__sk", "__side", "__id"], "__rn"
+    ).withColumn(
+        "__g", F.floor((F.col("__rn") - 1) / F.lit(window)).cast("bigint")
     )
     lhs = ranked.filter(F.col("__side") == 0).select(
         F.col("__id").alias(left_id),

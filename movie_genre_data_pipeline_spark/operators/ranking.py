@@ -1,0 +1,123 @@
+"""Distributed global ranking — row numbers and ntile over a TOTAL order
+without a single-task window.
+
+`F.row_number().over(Window.orderBy(...))` moves every row to ONE task (the
+`WindowExec: No Partition Defined` warning); at 100 TB that task is the job.
+The scale-correct plan — what a range-partitioned sorted write produces — is:
+
+1. `repartitionByRange` on the order columns (the same shuffle any global
+   sort pays; partition i holds a strictly lower key range than i+1),
+2. a partition-LOCAL row_number (each range partition ranks independently),
+3. per-partition row counts -> cumulative offsets (a partition-count-sized
+   table, broadcast back), so global rank = offset + local rank.
+
+The result is bit-identical to the unpartitioned-window form whenever the
+order columns are a total order (every call site passes a unique tiebreaker);
+ties would be broken arbitrarily in BOTH forms. The partitioned frame is
+pinned with localCheckpoint so `spark_partition_id()` agrees between the
+offsets subquery and the ranked branch (range boundaries come from sampling;
+two independent recomputations are not guaranteed identical).
+
+Used by functions/entity.sorted_neighborhood_pairs (candidate rank) and
+suite/layout_queries.q_skipping_ratio (ntile file assignment) — the two
+single-task rank windows VERDICT r9 flagged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rrn_pid"
+_LOCAL = "__rrn_local"
+_OFFSET = "__rrn_offset"
+
+
+def _ranked(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked df with `out_col`, per-partition counts frame). The counts
+    frame is (pid, __cnt) — callers needing the grand total fold it instead
+    of re-scanning the input."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    # exclusive running sum over the <= num_partitions count rows; the
+    # constant partition key must be NON-FOLDABLE or Catalyst erases the
+    # partition spec back into an unpartitioned WindowExec. pid*0 is not
+    # enough here: spark_partition_id() is non-nullable, so a*0 simplifies
+    # to 0 and folds — nullif(pid, -1) keeps the expression opaque (pid is
+    # never -1, so the value is still one constant group).
+    off_w = (
+        Window.partitionBy(F.nullif(F.col(_PID), F.lit(-1)) * F.lit(0))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias(_OFFSET)
+    )
+    local_w = Window.partitionBy(_PID).orderBy(*order_cols)
+    ranked = (
+        part.join(F.broadcast(offsets), _PID)
+        .withColumn(_LOCAL, F.row_number().over(local_w))
+        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("int"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+    return ranked, counts
+
+
+def ranged_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + an `out_col` holding the 1-based global row number over
+    `order_cols` — equal to `F.row_number().over(Window.orderBy(*order_cols))`
+    for a total order, but computed with range partitioning + local ranks +
+    broadcast offsets (no stage ever holds all rows in one task)."""
+    ranked, _ = _ranked(df, order_cols, out_col, num_partitions)
+    return ranked
+
+
+def ranged_ntile(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    n_tiles: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + an `out_col` holding `F.ntile(n_tiles).over(Window.orderBy(...))`
+    computed from the ranged global row number instead of a single-task
+    window. ntile is pure arithmetic on (rank, total): with base = total
+    DIV n and rem = total MOD n, the first rem tiles hold base+1 rows —
+    exactly Spark's NTile (and ANSI) bucketing, replayed from the
+    distributed rank. The total folds from the per-partition counts (no
+    second scan of the input)."""
+    rn = "__rrn_rank"
+    ranked, counts = _ranked(df, order_cols, rn, num_partitions)
+    total = counts.agg(F.sum("__cnt").cast("bigint").alias("__total"))
+    base = F.floor(F.col("__total") / F.lit(n_tiles)).cast("bigint")
+    rem = (F.col("__total") % F.lit(n_tiles)).cast("bigint")
+    pivot = rem * (base + 1)  # rows 1..pivot live in the base+1-sized tiles
+    # the otherwise-branch divides by base, which is 0 when total < n_tiles —
+    # but then pivot = total, the branch covers no row, and CaseWhen
+    # evaluates branches per-row, so the division never executes
+    tile = F.when(
+        F.col(rn) <= pivot, F.floor((F.col(rn) - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((F.col(rn) - 1 - pivot) / base) + 1)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("int"))
+        .drop(rn, "__total")
+    )

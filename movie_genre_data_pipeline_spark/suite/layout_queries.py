@@ -132,9 +132,12 @@ def q_skipping_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     - box (pk AND sk): the 2-D case z-ordering exists for.
 
     Six rows (layout × predicate) of (n_files, files_read) — the measured
-    form of the SCALE.md claim. File assignment is ntile over the total
-    order (what a range-partitioned sorted write produces); the oracle
-    replays assignment, footer stats, and the pruning decision exactly."""
+    form of the SCALE.md claim. File assignment simulates what a
+    range-partitioned sorted write produces — and since r10 it USES that
+    plan: operators/ranking.ranged_ntile (range shuffle + local ranks +
+    broadcast offsets, bit-identical to ntile over the total order) instead
+    of a single-task NTILE window (VERDICT r9 #4). The oracle replays
+    assignment, footer stats, and the pruning decision exactly."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
@@ -146,9 +149,10 @@ def q_skipping_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_hit = (F.col("sk_min") <= _SK_HI) & (F.col("sk_max") >= _SK_LO)
     preds = [("box", pk_hit & sk_hit), ("pk_only", pk_hit), ("sk_only", sk_hit)]
 
+    from movie_genre_data_pipeline_spark.operators.ranking import ranged_ntile
+
     def layout(df, order_cols, name):
-        w = Window.orderBy(*order_cols)
-        files = df.withColumn("file_id", F.ntile(N_FILES).over(w))
+        files = ranged_ntile(df, order_cols, N_FILES, "file_id")
         stats = files.groupBy("file_id").agg(
             F.min("l_partkey").alias("pk_min"),
             F.max("l_partkey").alias("pk_max"),

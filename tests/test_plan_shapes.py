@@ -87,25 +87,41 @@ def test_gold_ivm_broadcasts_its_dims(spark):
     assert _count(plan, "CartesianProduct") == 0
 
 
+def _assert_windows_partitioned(plan: str) -> None:
+    """No WindowExec with an empty partition spec (the single-task-sort
+    shape). A WindowExec prints one line "Window [funcs], [partSpec],
+    [orderSpec]", OMITTING empty specs: an unpartitioned ordered window shows
+    exactly two bracket groups with sort directions in the second; a
+    partitioned order-free window also shows two, but its second group has no
+    ASC/DESC. Flag only the former shape."""
+    for ln in plan.splitlines():
+        if not re.search(r"\bWindow \[", ln):
+            continue
+        if ln.count("], [") == 1:
+            tail = ln.rsplit("], [", 1)[1]
+            assert not re.search(r"\b(ASC|DESC)\b", tail), (
+                f"unpartitioned WindowExec: {ln[:200]}"
+            )
+
+
 def test_bm25_topk_is_take_ordered_not_a_global_window(spark):
     """r10 (VERDICT r9 #2): the final ranking must be TakeOrderedAndProject
     (per-partition top-k, driver merges k rows), never a row_number over an
     unpartitioned window of the corpus-cardinality scored set (a single-task
     sort at scale). The only Window nodes allowed are the df count-window
     (partitioned by term) and the k-row rank assignment (partitioned by a
-    literal) — i.e. no WindowExec with an empty partition spec."""
+    non-foldable constant)."""
     plan = _plan(spark, "text_bm25_topk")
     assert _count(plan, "TakeOrderedAndProject") >= 1, plan[:2000]
-    # a WindowExec prints one line "Window [funcs], [partSpec], [orderSpec]",
-    # omitting EMPTY specs: an unpartitioned ordered window shows exactly two
-    # bracket groups with sort directions in the second; a partitioned
-    # order-free window (the df term-window) also shows two, but its second
-    # group has no ASC/DESC. Flag only the former shape.
-    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
-    assert len(win_lines) == 2, plan[:2000]
-    for ln in win_lines:
-        if ln.count("], [") == 1:
-            tail = ln.rsplit("], [", 1)[1]
-            assert not re.search(r"\b(ASC|DESC)\b", tail), (
-                f"unpartitioned WindowExec: {ln[:200]}"
-            )
+    assert len(re.findall(r"\bWindow \[", plan)) == 2, plan[:2000]
+    _assert_windows_partitioned(plan)
+
+
+@pytest.mark.parametrize("name", ["er_sorted_neighborhood", "layout_skipping_ratio"])
+def test_ranged_rank_queries_have_no_single_task_window(spark, name):
+    """r10 (VERDICT r9 #4): the sorted-neighborhood rank and the ntile file
+    assignment now run through operators/ranking (range shuffle + local
+    row_number + broadcast offsets) — no WindowExec in either plan may have
+    an empty partition spec."""
+    plan = _plan(spark, name)
+    _assert_windows_partitioned(plan)

@@ -1,0 +1,58 @@
+"""operators/ranking: the range-partitioned global rank must be BIT-IDENTICAL
+to the unpartitioned-window form it replaces (VERDICT r9 #4) — row_number and
+ntile, across duplicate range-key prefixes, remainder tile sizes, fewer rows
+than tiles, and explicit partition counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from movie_genre_data_pipeline_spark.operators.ranking import (
+    ranged_ntile,
+    ranged_row_number,
+)
+
+
+def _base(spark, n=997):
+    # duplicate range-key prefix k; (k, v) is the total order
+    return spark.range(0, n).selectExpr("id % 13 AS k", "id AS v")
+
+
+def test_ranged_row_number_matches_global_window(spark):
+    df = _base(spark)
+    got = ranged_row_number(df, ["k", "v"], "rn")
+    exp = df.withColumn("rn", F.row_number().over(Window.orderBy("k", "v")))
+    assert sorted(got.collect()) == sorted(exp.collect())
+
+
+def test_ranged_row_number_explicit_partitions(spark):
+    df = _base(spark, 101)
+    got = ranged_row_number(df, ["k", "v"], "rn", num_partitions=3)
+    exp = df.withColumn("rn", F.row_number().over(Window.orderBy("k", "v")))
+    assert sorted(got.collect()) == sorted(exp.collect())
+
+
+def test_ranged_ntile_matches_global_window(spark):
+    df = _base(spark)  # 997 rows: 997 % 64 != 0 exercises the remainder tiles
+    for n_tiles in (7, 64):
+        got = ranged_ntile(df, ["k", "v"], n_tiles, "t")
+        exp = df.withColumn(
+            "t", F.ntile(n_tiles).over(Window.orderBy("k", "v"))
+        )
+        assert sorted(got.collect()) == sorted(exp.collect()), n_tiles
+
+
+def test_ranged_ntile_fewer_rows_than_tiles(spark):
+    df = _base(spark, 5)
+    got = ranged_ntile(df, ["k", "v"], 64, "t")
+    exp = df.withColumn("t", F.ntile(64).over(Window.orderBy("k", "v")))
+    assert sorted(got.collect()) == sorted(exp.collect())
+
+
+def test_ranged_row_number_descending_order(spark):
+    df = _base(spark, 300)
+    cols = [F.col("k").desc(), F.col("v").asc()]
+    got = ranged_row_number(df, cols, "rn")
+    exp = df.withColumn("rn", F.row_number().over(Window.orderBy(*cols)))
+    assert sorted(got.collect()) == sorted(exp.collect())
