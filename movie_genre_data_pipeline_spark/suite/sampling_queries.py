@@ -1825,22 +1825,21 @@ QUERIES["feat_pca_deflation"] = QuerySpec(q_feat_pca_deflation, _pca_deflation_o
 
 
 # -- packing efficiency audit (r9) -----------------------------------------------------------
-def q_sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audit run after token-budget packing and before training: per
-    language, chunk count, fill statistics, over-budget chunks (a single
-    doc larger than the budget overfills its chunk — the packer's documented
-    behavior, counted here instead of hidden), and the fill ratio against
-    the ideal n_chunks·budget capacity. Same split_audit discipline: trust
-    the sharding only after its distribution is published. One window (the
-    packer's own) + one lang-keyed aggregate; all integers + one micro."""
+def pack_efficiency_from_counts(t: DataFrame) -> DataFrame:
+    """The count-table form of the packing audit (r10): `t` is
+    (lang, doc_id, n_tokens) per-document token counts — additive FACTS,
+    however accumulated (one batch scan or a streaming append ledger folded
+    by SUM). The packer's chunk assignment is a READOUT decision (a doc's
+    chunk depends on the running total of every lower-id doc in its
+    language), so the whole tail — pack window, chunk aggregate, audit
+    aggregate — derives here, shared verbatim by q_sample_pack_efficiency
+    and its streaming twin."""
     from movie_genre_data_pipeline_spark.functions.sampling import (
         pack_token_budget,
     )
-    from movie_genre_data_pipeline_spark.functions.text import token_count
 
-    d = load(spark, sf_dir, "documents")
     packed = pack_token_budget(
-        d, "doc_id", token_count("text"), "lang", _TOKEN_BUDGET
+        t, "doc_id", F.col("n_tokens"), "lang", _TOKEN_BUDGET
     )
     chunks = packed.groupBy("lang", "chunk_id").agg(
         F.sum("n_tokens").cast("bigint").alias("chunk_tokens")
@@ -1858,6 +1857,22 @@ def q_sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (CAST(COUNT(*) AS DOUBLE) * CAST({_TOKEN_BUDGET} AS DOUBLE))"
             " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
         ).alias("fill_micro"),
+    )
+
+
+def q_sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit run after token-budget packing and before training: per
+    language, chunk count, fill statistics, over-budget chunks (a single
+    doc larger than the budget overfills its chunk — the packer's documented
+    behavior, counted here instead of hidden), and the fill ratio against
+    the ideal n_chunks·budget capacity. Same split_audit discipline: trust
+    the sharding only after its distribution is published. One window (the
+    packer's own) + one lang-keyed aggregate; all integers + one micro."""
+    from movie_genre_data_pipeline_spark.functions.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    return pack_efficiency_from_counts(
+        d.select("lang", "doc_id", token_count("text").alias("n_tokens"))
     )
 
 

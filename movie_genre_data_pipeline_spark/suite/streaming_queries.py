@@ -2900,3 +2900,67 @@ def _stream_heaps_oracle() -> str:
 QUERIES["stream_heaps_vocab_growth"] = QuerySpec(
     q_stream_heaps_vocab_growth, _stream_heaps_oracle()
 )
+
+
+def q_stream_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous packing audit (r10) — the streaming twin of
+    sample_pack_efficiency under the suite's decomposition rule: a document's
+    token count is a pure per-row projection (decided at ARRIVAL), but its
+    CHUNK is not — chunk_id depends on the running token total of every
+    lower-id document in the same language, so packing is a READOUT decision.
+    Each micro-batch appends (lang, doc_id, n_tokens) facts; the readout
+    folds by SUM and runs the identical pack-window + audit tail as the
+    batch query (sampling_queries.pack_efficiency_from_counts) — shared
+    oracle verbatim, split invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.text import token_count
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        pack_efficiency_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_pack_")
+    src, led = f"{base}/src", f"{base}/toks"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "lang", "doc_id", token_count("text").alias("n_tokens")
+        ).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    t = (
+        spark.read.parquet(led)
+        .groupBy("lang", "doc_id")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    return pack_efficiency_from_counts(t)
+
+
+def _stream_pack_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        Q_SAMPLE_PACK_EFFICIENCY_ORACLE,
+    )
+
+    return Q_SAMPLE_PACK_EFFICIENCY_ORACLE
+
+
+QUERIES["stream_pack_efficiency"] = QuerySpec(
+    q_stream_pack_efficiency, _stream_pack_oracle()
+)

@@ -55,6 +55,10 @@ FOLDS = [
     # r9: the vocabulary-growth ledger — the MIN-fold member (first
     # occurrence per type), with bucketing itself a readout decision
     "stream_heaps_vocab_growth",
+    # r10: the packing-audit ledger (per-doc token counts; chunk assignment
+    # is a running-total readout decision, so batching must not move any
+    # chunk boundary)
+    "stream_pack_efficiency",
 ]
 
 
