@@ -50,6 +50,84 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # r10 ROTATION. Two seating rules, both now TEST-ENFORCED:
+    # (a) never-driver-checked queries must be here or in NEXT_ROUND_POOL
+    #     (test_rotation_pool_matches_computed_debt), and
+    # (b) any query whose IMPLEMENTATION fingerprint changed since its last
+    #     seating must be here (test_changed_queries_are_reseated, via
+    #     suite/_seating.py — VERDICT r9 #5; fingerprints are transitive over
+    #     shared helpers, so the r10 alpha_tokens/bm25/ranged-rank rewrites
+    #     flip every query built on them, including three a hand-rotation
+    #     would have missed: er_union_recall, text_unigram_surprisal,
+    #     posexplode_tokens).
+    # Slots 1-18: rule (a) debt — the 3 r9 NEXT_ROUND_POOL entries + the new
+    # stream_pack_efficiency — plus every rule-(b) fingerprint-stale query.
+    # Slots 19-50: the STALEST standing records refreshed — every remaining
+    # slot goes to the queries whose last green driver row is oldest (r1-r4:
+    # the relational/pipeline spine last checked in round 1, plus the oldest
+    # dedup/sim/media family records), so multi-round-old evidence gets
+    # re-earned instead of rotting while recent passers hold seats.
+    # --- (a)+(b): r9 pool + new twin ---
+    "text_heaps_vocab_growth",
+    "sample_pack_efficiency",
+    "stream_heaps_vocab_growth",
+    "stream_pack_efficiency",
+    # --- (b): BM25 TakeOrderedAndProject rewrite (batch + stream) ---
+    "text_bm25_topk",
+    "stream_bm25_topk",
+    # --- (b): ranged-rank rewrite (entity + layout) ---
+    "er_sorted_neighborhood",
+    "er_union_recall",
+    "layout_skipping_ratio",
+    # --- (b): shared alpha_tokens/bigram_pairs refactor ---
+    "posexplode_tokens",
+    "text_unigram_surprisal",
+    "text_bigram_surprisal",
+    "stream_bigram_surprisal",
+    "curate_surprisal_filter",
+    "stream_surprisal_filter",
+    "text_tfidf_topk",
+    "text_bpe_merges",
+    "text_bpe_encode_stats",
+    # --- stalest-record refresh: family canaries (r2-r4 greens) ---
+    "dedup_ngram_jaccard",
+    "sim_lsh_multi_top1",
+    "media_byte_features",
+    # --- stalest-record refresh: the r1-green relational/pipeline spine ---
+    "abs_repair",
+    "array_field_extract",
+    "array_functions",
+    "conditional_floor",
+    "count_distinct",
+    "count_filtered",
+    "cube",
+    "dim_fix",
+    "explode_array",
+    "filter_eq",
+    "filter_sql_string",
+    "flatten_exploded_struct",
+    "intersect",
+    "lit_enrich",
+    "merge_insert_missing",
+    "null_handling",
+    "pivot",
+    "profile_percentiles",
+    "quarantine_quarantined",
+    "rollup",
+    "scalar_functions",
+    "semi_join",
+    "set_ops",
+    "sliding_window",
+    "sql_surface",
+    "struct_expand",
+    "topk_orders",
+    "tpch_q17",
+    "tpch_q18",
+)
+
+# The r9 window, kept for the rotation ledger (all 50 hold r9 driver greens;
+# they now sit just past the window under the full local gate):
+_R9_WINDOW: tuple[str, ...] = (
     # r9 ROTATION (verdict r8 #1): seat ALL 24 never-driver-checked r8
     # additions — the 23 the old pool comment listed PLUS sample_split_audit,
     # which that comment dropped (the r8 verdict caught the miscount; the
@@ -137,13 +215,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-NEXT_ROUND_POOL: tuple[str, ...] = (
-    # late-r9 additions after the window froze for the round's final gates —
-    # locally exact-verified; seat in the r10 window
-    "text_heaps_vocab_growth",
-    "sample_pack_efficiency",
-    "stream_heaps_vocab_growth",
-)
+NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

@@ -103,3 +103,35 @@ def test_driver_window_samples_every_family():
             if name.startswith(p):
                 prefixes[p] += 1
     assert all(v >= 1 for v in prefixes.values()), prefixes
+
+
+def test_changed_queries_are_reseated():
+    """VERDICT r9 #5: a query whose implementation fingerprint (transitive
+    function sources + reachable constants + oracle SQL, suite/_seating.py)
+    differs from its last-seated manifest entry must hold a slot in the
+    current DRIVER_WINDOW (or be queued in NEXT_ROUND_POOL) — a changed plan
+    needs a fresh driver record even when the oracle is unchanged."""
+    from movie_genre_data_pipeline_spark.suite import _seating
+
+    stale = _seating.stale_queries()
+    seated = set(DRIVER_WINDOW) | set(NEXT_ROUND_POOL)
+    unseated = sorted(set(stale) - seated)
+    assert unseated == [], (
+        f"edited since their last seating but not re-seated: {unseated} "
+        f"(rotate them into DRIVER_WINDOW, then run tools/update_seating.py)"
+    )
+
+
+def test_seating_detects_a_synthetic_edit(monkeypatch):
+    """The contract must actually fire: perturb one un-seated query's manifest
+    fingerprint (equivalent to editing its implementation without re-seating)
+    and assert the checker reports exactly that query as stale."""
+    from movie_genre_data_pipeline_spark.suite import _seating
+
+    manifest = _seating.load_manifest()
+    seated = set(DRIVER_WINDOW) | set(NEXT_ROUND_POOL)
+    victim = next(n for n in sorted(manifest) if n not in seated)
+    forged = dict(manifest)
+    forged[victim] = "0" * 64
+    monkeypatch.setattr(_seating, "load_manifest", lambda: forged)
+    assert victim in _seating.stale_queries()
