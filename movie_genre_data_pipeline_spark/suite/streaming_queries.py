@@ -2503,12 +2503,6 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch ranker (text_queries.bm25_from_counts) — shared oracle
     verbatim, split invariance gated."""
     from movie_genre_data_pipeline_spark.suite import load
-    from movie_genre_data_pipeline_spark.suite.text_queries import (
-        BM25_TERMS,
-        bm25_from_counts,
-    )
-
-    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
 
     base = tempfile.mkdtemp(prefix="stream_bm25_")
     src, led_tf, led_dl = f"{base}/src", f"{base}/tf", f"{base}/dl"
@@ -2529,21 +2523,43 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
-        docs.select(
-            "doc_id", F.size("__a").cast("bigint").alias("dl")
-        ).write.mode("append").parquet(led_dl)
-        (
-            docs.select("doc_id", F.explode("__a").alias("term"))
-            .filter(F.col("term").isin(list(BM25_TERMS)))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-            .write.mode("append")
-            .parquet(led_tf)
-        )
+        bm25_append_postings(batch_df, led_tf, led_dl)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
+
+    return bm25_fold_ledgers(spark, led_tf, led_dl)
+
+
+def bm25_append_postings(batch_df: DataFrame, led_tf: str, led_dl: str) -> None:
+    """One micro-batch's additive BM25 facts: (doc, term, tf) postings for
+    the query terms and (doc, dl) length rows, appended to the two parquet
+    ledgers. Module-level (not a closure) so the compaction test can replay
+    the exact production append path."""
+    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
+    from movie_genre_data_pipeline_spark.suite.text_queries import BM25_TERMS
+
+    docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
+    docs.select(
+        "doc_id", F.size("__a").cast("bigint").alias("dl")
+    ).write.mode("append").parquet(led_dl)
+    (
+        docs.select("doc_id", F.explode("__a").alias("term"))
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .write.mode("append")
+        .parquet(led_tf)
+    )
+
+
+def bm25_fold_ledgers(spark: SparkSession, led_tf: str, led_dl: str) -> DataFrame:
+    """Fold the append ledgers by SUM and run the identical scoring tail as
+    the batch ranker (text_queries.bm25_from_counts). The fold is a pure
+    function of the ledger ROWS — file layout is irrelevant, which is what
+    makes small-file compaction of a live ledger safe (pinned by
+    tests/test_compact.py's mid-stream compaction test)."""
+    from movie_genre_data_pipeline_spark.suite.text_queries import bm25_from_counts
 
     tf = (
         spark.read.parquet(led_tf)

@@ -214,3 +214,69 @@ def test_plan_bins_reject_bad_target(spark):
 
     with pytest.raises(ValueError):
         plan_compaction_bins(spark.range(1), "id", "id", target_bytes=0)
+
+
+def test_bm25_ledger_fold_survives_mid_stream_compaction(spark, tmp_path):
+    """VERDICT r9 #7: the continuous BM25 index appends postings ledgers per
+    micro-batch; a maintenance compaction of those ledgers while the stream
+    is live (small-file GC) must not change the fold — the readout is a pure
+    function of ledger ROWS, not file layout. Run the stream twin's exact
+    append path (bm25_append_postings) over a real availableNow stream,
+    compact BOTH ledgers inside foreachBatch after batch 1, and assert the
+    folded top-k equals the batch ranker's answer on the same corpus."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    from movie_genre_data_pipeline_spark.operators.compact import (
+        compact_parquet_dir,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.streaming_queries import (
+        bm25_append_postings,
+        bm25_fold_ledgers,
+    )
+    from movie_genre_data_pipeline_spark.suite.text_queries import q_bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    led_tf, led_dl = str(tmp_path / "tf"), str(tmp_path / "dl")
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    d.repartition(4).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    compactions: list[dict] = []
+
+    def apply_batch(batch_df, batch_id):
+        bm25_append_postings(batch_df, led_tf, led_dl)
+        if batch_id == 1:
+            # big target => everything into one file; the GC a live index runs
+            for led in (led_tf, led_dl):
+                compactions.append(
+                    compact_parquet_dir(spark, led, target_file_bytes=1 << 30)
+                )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(compactions) == 2
+    assert all(s["files_after"] < s["files_before"] for s in compactions), (
+        f"compaction was a no-op, the test proved nothing: {compactions}"
+    )
+    got = sorted(map(tuple, bm25_fold_ledgers(spark, led_tf, led_dl).collect()))
+    exp = sorted(map(tuple, q_bm25_topk(spark, sf).collect()))
+    assert got == exp
