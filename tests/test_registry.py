@@ -135,3 +135,32 @@ def test_seating_detects_a_synthetic_edit(monkeypatch):
     forged[victim] = "0" * 64
     monkeypatch.setattr(_seating, "load_manifest", lambda: forged)
     assert victim in _seating.stale_queries()
+
+
+def test_bench_headline_set_is_pinned_to_detail():
+    """VERDICT r9 #8: the bench headline list grew every round, which makes
+    cross-round totals apples-to-oranges and inflates wall-noise
+    sensitivity. bench.py's HEADLINE is the single pinned definition; every
+    name must exist in the registry, and the committed BENCH_DETAIL.json
+    must cover exactly that set — adding a headline query without re-running
+    bench.py (or editing the detail file by hand) fails here."""
+    import json
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root))
+    try:
+        import bench
+    finally:
+        sys.path.remove(str(root))
+
+    q = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert missing == [], f"HEADLINE names not in the registry: {missing}"
+
+    detail = json.loads((root / "BENCH_DETAIL.json").read_text())
+    assert sorted(detail["queries"]) == sorted(bench.HEADLINE), (
+        "BENCH_DETAIL.json and bench.HEADLINE diverged — re-run bench.py "
+        "after any headline change"
+    )
