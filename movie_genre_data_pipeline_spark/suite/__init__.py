@@ -89,6 +89,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_topk",
     "text_bpe_merges",
     "text_bpe_encode_stats",
+    # --- (b): skew top-k + compaction-plan prefix sum moved off
+    #     single-task windows (the same sweep, applied suite-wide) ---
+    "ops_skew_report",
+    "ops_compaction_plan",
     # --- stalest-record refresh: family canaries (r2-r4 greens) ---
     "dedup_ngram_jaccard",
     "sim_lsh_multi_top1",
@@ -106,7 +110,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_eq",
     "filter_sql_string",
     "flatten_exploded_struct",
-    "intersect",
     "lit_enrich",
     "merge_insert_missing",
     "null_handling",
@@ -122,7 +125,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "struct_expand",
     "topk_orders",
     "tpch_q17",
-    "tpch_q18",
+    # (tpch_q18 and intersect, also r1-stale, wait for the r11 refresh —
+    # their slots went to the rule-(b) ops queries above; set_ops keeps the
+    # set-operation family's refresh row, tpch_q17 the TPC-H family's)
 )
 
 # The r9 window, kept for the rotation ledger (all 50 hold r9 driver greens;

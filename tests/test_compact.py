@@ -280,3 +280,42 @@ def test_bm25_ledger_fold_survives_mid_stream_compaction(spark, tmp_path):
     got = sorted(map(tuple, bm25_fold_ledgers(spark, led_tf, led_dl).collect()))
     exp = sorted(map(tuple, q_bm25_topk(spark, sf).collect()))
     assert got == exp
+
+
+def test_plan_bins_unpartitioned_matches_single_task_window(spark):
+    """r10: the global (no partition_col) bin-packing runs through
+    ranged_running_sum instead of an unpartitioned window — bin assignment
+    must be bit-identical to the single-task-window formula it replaced."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from movie_genre_data_pipeline_spark.operators.compact import (
+        plan_compaction_bins,
+    )
+
+    manifest = spark.range(0, 500).selectExpr(
+        "concat('f', lpad(cast(id as string), 4, '0')) AS path",
+        "cast((id * 37) % 991 + 10 AS bigint) AS bytes",
+    )
+    got = plan_compaction_bins(
+        manifest, size_col="bytes", order_col="path", target_bytes=1500
+    )
+    prev = F.coalesce(
+        F.sum(F.col("bytes")).over(
+            Window.orderBy("path").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    exp = (
+        manifest.withColumn(
+            "bin_id", F.floor(prev / F.lit(1500)).cast("bigint")
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(F.col("bytes").cast("bigint")).alias("bin_bytes"),
+            F.min("path").alias("first_file"),
+            F.max("path").alias("last_file"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))

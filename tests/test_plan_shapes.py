@@ -117,11 +117,19 @@ def test_bm25_topk_is_take_ordered_not_a_global_window(spark):
     _assert_windows_partitioned(plan)
 
 
-@pytest.mark.parametrize("name", ["er_sorted_neighborhood", "layout_skipping_ratio"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "er_sorted_neighborhood",
+        "layout_skipping_ratio",
+        "ops_skew_report",
+        "ops_compaction_plan",
+    ],
+)
 def test_ranged_rank_queries_have_no_single_task_window(spark, name):
-    """r10 (VERDICT r9 #4): the sorted-neighborhood rank and the ntile file
-    assignment now run through operators/ranking (range shuffle + local
-    row_number + broadcast offsets) — no WindowExec in either plan may have
-    an empty partition spec."""
+    """r10 (VERDICT r9 #4 + the suite-wide sweep): the sorted-neighborhood
+    rank, the ntile file assignment, the skew top-k, and the compaction
+    prefix sum now run through operators/ranking or orderBy+limit — no
+    WindowExec in any of these plans may have an empty partition spec."""
     plan = _plan(spark, name)
     _assert_windows_partitioned(plan)

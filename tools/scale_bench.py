@@ -195,6 +195,28 @@ def main() -> None:
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
 
+    # Drift control (VERDICT r9 #3 — bench.py got this in r9, the scale tier
+    # didn't): a FIXED workload that never touches repo code or fixture
+    # files. Each query's base/scaled pair is timed back-to-back, so the
+    # RATIO is largely drift-immune within a run — the anchor's job is the
+    # CROSS-ROUND comparison: divide round-over-round ratio movement by the
+    # host's own movement before declaring a straggler real.
+    def _drift_run() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 1000 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.time() - t0, 3)
+
+    drift_runs = [_drift_run() for _ in range(3)]
+    drift_best = min(drift_runs)
+
     results = {}
     for name in SCALE_QUERIES:
         fn = specs[name].fn
@@ -212,12 +234,56 @@ def main() -> None:
         "base": base_dir,
         "gen_sec": gen_sec,
         "queries": results,
+        "drift_control": {
+            "workload": "range20M-mod1000-hashagg",
+            "runs": drift_runs,
+            "best": drift_best,
+        },
         "note": (
             "ratio ~= k means linear scaling; the paths are the "
             "scale-marketed bucketed/salted/sketched plans (VERDICT r05 #6) "
             "plus the r6 basket-mining fact-side growth"
         ),
     }
+    # cross-round view: ratio deltas plus drift-normalized wall-time ratios
+    # against the previous committed SCALE_BENCH.json (same contract as
+    # BENCH_DETAIL's vs_prev): a uniform host slowdown reads as ~1.0
+    # normalized for every query instead of masquerading as lost scaling.
+    prev_path = Path(out_json)
+    if prev_path.exists():
+        try:
+            prev = json.loads(prev_path.read_text())
+            prev_q = prev.get("queries", {})
+            prev_drift = prev.get("drift_control", {}).get("best")
+            vs_prev: dict = {
+                "ratio_delta": {
+                    n: round(r["ratio"] - prev_q[n]["ratio"], 2)
+                    for n, r in results.items()
+                    if n in prev_q and prev_q[n].get("ratio")
+                }
+            }
+            if prev_drift and prev.get("k") == k:
+                drift_ratio = drift_best / prev_drift
+                vs_prev["drift_ratio"] = round(drift_ratio, 3)
+                vs_prev["normalized_time_ratios"] = {
+                    n: {
+                        "base": round(
+                            (r["base_sec"] / prev_q[n]["base_sec"]) / drift_ratio, 3
+                        ),
+                        "scaled": round(
+                            (r["scaled_sec"] / prev_q[n]["scaled_sec"])
+                            / drift_ratio,
+                            3,
+                        ),
+                    }
+                    for n, r in results.items()
+                    if n in prev_q
+                    and prev_q[n].get("base_sec")
+                    and prev_q[n].get("scaled_sec")
+                }
+            blob["vs_prev"] = vs_prev
+        except (json.JSONDecodeError, OSError, KeyError, ZeroDivisionError):
+            pass
     with open(out_json, "w") as f:
         json.dump(blob, f, indent=2)
     print(json.dumps(blob))
