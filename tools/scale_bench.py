@@ -217,11 +217,15 @@ def main() -> None:
     drift_runs = [_drift_run() for _ in range(3)]
     drift_best = min(drift_runs)
 
+    # best-of-3 per tier: the r10 anchor runs showed the host swinging >2x
+    # between ADJACENT identical runs (drift runs 1.16/0.49/0.45), and
+    # unchanged-code queries moved +-0.3 in ratio round-over-round at
+    # best-of-2 — one extra sample per tier buys most of the variance back
     results = {}
     for name in SCALE_QUERIES:
         fn = specs[name].fn
-        base = min(_time_query(fn, spark, base_dir) for _ in range(2))
-        scaled = min(_time_query(fn, spark, scaled_dir) for _ in range(2))
+        base = min(_time_query(fn, spark, base_dir) for _ in range(3))
+        scaled = min(_time_query(fn, spark, scaled_dir) for _ in range(3))
         results[name] = {
             "base_sec": base,
             "scaled_sec": scaled,
