@@ -57,8 +57,14 @@ def blocked_candidate_pairs(
     |L_b| · |R_b| exceeds the cap is dropped from that pass entirely (an
     over-populated block is both the scale hazard and the least informative —
     membership in it says almost nothing). This is the same discipline as the
-    `max_df` stop-fingerprint cap in winnowing dedup (functions/dedup.py). The
-    per-key counts are vocabulary-sized, so the allow-list broadcasts.
+    `max_df` stop-fingerprint cap in winnowing dedup (functions/dedup.py).
+    The purge is applied as an ANTI-join on the VIOLATING keys (r10): the
+    violator set is bounded by total_volume/cap — a handful of stop-word
+    keys at any scale — where the ALLOWED set this replaces grows with key
+    cardinality (a unique-per-entity pass has n allowed keys; force-
+    broadcasting that was the r9 scale-bench straggler's cost). No broadcast
+    hint: AQE broadcasts the violator side when runtime stats confirm it is
+    small.
     """
     if not passes:
         raise ValueError("at least one blocking pass is required")
@@ -73,12 +79,16 @@ def blocked_candidate_pairs(
         if max_pair_volume is not None:
             lc = l_side.groupBy("__bk").agg(F.count("*").alias("__lc"))
             rc = r_side.groupBy("__bk").agg(F.count("*").alias("__rc"))
-            allowed = (
+            blocked = (
                 lc.join(rc, "__bk")
-                .filter(F.col("__lc") * F.col("__rc") <= max_pair_volume)
+                .filter(F.col("__lc") * F.col("__rc") > max_pair_volume)
                 .select("__bk")
             )
-            l_side = l_side.join(F.broadcast(allowed), "__bk")
+            # left-only / right-only keys never produce pairs in the inner
+            # join below, so anti-joining only the violators is equivalent
+            # to the allow-list — without materializing a key-cardinality-
+            # sized allowed set
+            l_side = l_side.join(blocked, "__bk", "left_anti")
         pairs = l_side.join(r_side, "__bk").select(left_id, right_id)
         out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()

@@ -75,9 +75,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- (b): BM25 TakeOrderedAndProject rewrite (batch + stream) ---
     "text_bm25_topk",
     "stream_bm25_topk",
-    # --- (b): ranged-rank rewrite (entity + layout) ---
+    # --- (b): ranged-rank rewrite (entity + layout) + the r10 purge
+    #     anti-join rewrite (blocked_candidate_pairs — every ER caller) ---
     "er_sorted_neighborhood",
     "er_union_recall",
+    "er_purged_recall",
+    "er_blocked_matches",
+    "er_match_recall",
     "layout_skipping_ratio",
     # --- (b): shared alpha_tokens/bigram_pairs refactor ---
     "posexplode_tokens",
@@ -112,11 +116,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flatten_exploded_struct",
     "lit_enrich",
     "merge_insert_missing",
-    "null_handling",
-    "pivot",
     "profile_percentiles",
     "quarantine_quarantined",
-    "rollup",
     "scalar_functions",
     "semi_join",
     "set_ops",
@@ -125,9 +126,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "struct_expand",
     "topk_orders",
     "tpch_q17",
-    # (tpch_q18 and intersect, also r1-stale, wait for the r11 refresh —
-    # their slots went to the rule-(b) ops queries above; set_ops keeps the
-    # set-operation family's refresh row, tpch_q17 the TPC-H family's)
+    # (tpch_q18, intersect, null_handling, pivot and rollup — also r1-stale —
+    # wait for the r11 refresh; their slots went to the rule-(b) ops/ER
+    # queries above. set_ops keeps the set-operation family's refresh row,
+    # cube the grouping-analytics family's, tpch_q17 the TPC-H family's.)
 )
 
 # The r9 window, kept for the rotation ledger (all 50 hold r9 driver greens;
@@ -220,7 +222,13 @@ _R9_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-NEXT_ROUND_POOL: tuple[str, ...] = ()
+NEXT_ROUND_POOL: tuple[str, ...] = (
+    # late-r10 additions after the window rotation froze for the round's
+    # final gates — locally exact-verified; seat in the r11 window
+    "ops_k_anonymity",
+    "text_rrf_fusion",
+    "stream_rrf_fusion",
+)
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

@@ -263,3 +263,77 @@ WHERE o.o_orderkey % {JV_DELETE_MOD} <> 0
 QUERIES.update({
     "cdc_join_ivm": QuerySpec(q_cdc_join_ivm, Q_CDC_JOIN_IVM_ORACLE),
 })
+
+
+# -- k-anonymity audit (r10) --------------------------------------------------------------
+# The privacy-governance sibling of ops_purge_cascade: BEFORE a customer
+# extract ships to analysts/training, audit how identifiable its
+# quasi-identifier combinations are. A row is "at risk" when its QI group
+# (nation x market segment x account-balance band) holds fewer than
+# K_ANONYMITY rows — the standard k-anonymity criterion (Sweeney 2002).
+# Scale shape: one fact-sized map-side-combined groupBy on the QI key, then
+# a segment-keyed rollup over the GROUP-cardinality table; nothing else
+# touches the fact.
+K_ANONYMITY = 5
+_BAL_BAND = (
+    "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    groups = (
+        c.selectExpr("c_nationkey", "c_mktsegment", f"{_BAL_BAND} AS bal_band")
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("g_size"))
+    )
+    at_risk = F.col("g_size") < K_ANONYMITY
+    return (
+        groups.groupBy("c_mktsegment")
+        .agg(
+            F.sum("g_size").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("g_size").cast("bigint").alias("min_group"),
+            F.sum(F.when(at_risk, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_at_risk"),
+            F.sum(F.when(at_risk, F.col("g_size")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .withColumn(
+            "risk_micro",
+            F.expr(
+                "CAST(ROUND(CAST(rows_at_risk AS DOUBLE)"
+                " / CAST(n_rows AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+    )
+
+
+Q_K_ANONYMITY_ORACLE = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, {_BAL_BAND} AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS g_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       CAST(SUM(g_size) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(g_size) AS BIGINT) AS min_group,
+       CAST(SUM(CASE WHEN g_size < {K_ANONYMITY} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_at_risk,
+       CAST(SUM(CASE WHEN g_size < {K_ANONYMITY} THEN g_size ELSE 0 END)
+         AS BIGINT) AS rows_at_risk,
+       CAST(ROUND(CAST(SUM(CASE WHEN g_size < {K_ANONYMITY} THEN g_size
+                             ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(g_size) AS DOUBLE)
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS risk_micro
+FROM groups GROUP BY c_mktsegment
+"""
+
+
+QUERIES.update({
+    "ops_k_anonymity": QuerySpec(q_k_anonymity, Q_K_ANONYMITY_ORACLE),
+})

@@ -512,6 +512,9 @@ def q_er_purged_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cat_key"), F.col("c_name").alias("cat_name")
     )
     catalog = catalog.select("*", *grams(catalog, "cat_name"))
+    # cand feeds BOTH the scoring join and the published volume aggregate;
+    # without a barrier the whole three-pass blocking (counts, purge,
+    # unions, distinct) runs twice (r10, the funnel lesson)
     cand = blocked_candidate_pairs(
         listings,
         catalog,
@@ -519,7 +522,7 @@ def q_er_purged_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cat_key",
         [("b1", "b1"), ("b2", "b2"), ("b3", "b3")],
         max_pair_volume=ER_PURGE_CAP,
-    )
+    ).localCheckpoint(eager=False)
     scored = score_pairs(
         cand.join(
             listings.select("listing_id", "listing_text", "true_name"),

@@ -2553,14 +2553,14 @@ def bm25_append_postings(batch_df: DataFrame, led_tf: str, led_dl: str) -> None:
     )
 
 
-def bm25_fold_ledgers(spark: SparkSession, led_tf: str, led_dl: str) -> DataFrame:
-    """Fold the append ledgers by SUM and run the identical scoring tail as
-    the batch ranker (text_queries.bm25_from_counts). The fold is a pure
-    function of the ledger ROWS — file layout is irrelevant, which is what
-    makes small-file compaction of a live ledger safe (pinned by
-    tests/test_compact.py's mid-stream compaction test)."""
-    from movie_genre_data_pipeline_spark.suite.text_queries import bm25_from_counts
-
+def bm25_ledger_counts(
+    spark: SparkSession, led_tf: str, led_dl: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, dl) count tables folded by SUM from the append ledgers — the
+    shared readout input for every ranker over these postings (BM25 and the
+    RRF fusion). A pure function of ledger ROWS: file layout is irrelevant,
+    which is what makes small-file compaction of a live ledger safe (pinned
+    by tests/test_compact.py's mid-stream compaction test)."""
     tf = (
         spark.read.parquet(led_tf)
         .groupBy("doc_id", "term")
@@ -2571,6 +2571,15 @@ def bm25_fold_ledgers(spark: SparkSession, led_tf: str, led_dl: str) -> DataFram
         .groupBy("doc_id")
         .agg(F.sum("dl").cast("bigint").alias("dl"))
     )
+    return tf, dl
+
+
+def bm25_fold_ledgers(spark: SparkSession, led_tf: str, led_dl: str) -> DataFrame:
+    """Fold the append ledgers and run the identical scoring tail as the
+    batch ranker (text_queries.bm25_from_counts)."""
+    from movie_genre_data_pipeline_spark.suite.text_queries import bm25_from_counts
+
+    tf, dl = bm25_ledger_counts(spark, led_tf, led_dl)
     return bm25_from_counts(tf, dl)
 
 
@@ -2980,3 +2989,55 @@ def _stream_pack_oracle() -> str:
 QUERIES["stream_pack_efficiency"] = QuerySpec(
     q_stream_pack_efficiency, _stream_pack_oracle()
 )
+
+
+def q_stream_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained hybrid retrieval (r10) — the RRF fusion of the
+    BM25 and query-likelihood rankers over the SAME postings ledgers the
+    continuous BM25 index already appends (bm25_append_postings: per-batch
+    (doc,term,tf) + (doc,dl) arrival facts). Both rankers, both top-k lists,
+    and the fused ordering are READOUT decisions over the folded counts
+    (text_queries.rrf_fusion_from_counts — the identical tail the batch
+    query runs). Shared oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        rrf_fusion_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_rrf_")
+    src, led_tf, led_dl = f"{base}/src", f"{base}/tf", f"{base}/dl"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bm25_append_postings(batch_df, led_tf, led_dl)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    tf, dl = bm25_ledger_counts(spark, led_tf, led_dl)
+    return rrf_fusion_from_counts(tf, dl)
+
+
+def _stream_rrf_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_RRF_FUSION_ORACLE,
+    )
+
+    return Q_RRF_FUSION_ORACLE
+
+
+QUERIES["stream_rrf_fusion"] = QuerySpec(q_stream_rrf_fusion, _stream_rrf_oracle())

@@ -982,8 +982,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-Q_BM25_TOPK_ORACLE = f"""
-WITH toks AS (
+# the postings/stats CTE spine shared by the BM25 oracle and the RRF-fusion
+# oracle (r10): tokenize, lengths, query-term postings, df, corpus stats, the
+# exact-micro BM25 scores, and the per-doc aggregate
+_BM25_BASE_CTES = f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')
            AS a
@@ -1008,6 +1010,10 @@ agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
          CAST(SUM(s_micro) AS BIGINT) AS score_micro
   FROM scored GROUP BY doc_id
+)"""
+
+Q_BM25_TOPK_ORACLE = f"""
+WITH {_BM25_BASE_CTES.rstrip().removesuffix(")")}
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INTEGER)
          AS rnk,
@@ -1118,3 +1124,148 @@ FROM cum
 QUERIES["text_heaps_vocab_growth"] = QuerySpec(
     q_heaps_vocab_growth, Q_HEAPS_VOCAB_GROWTH_ORACLE
 )
+
+
+# -- RRF hybrid retrieval fusion (r10) --------------------------------------------------------
+# The hybrid-retrieval readout a RAG stack runs: fuse two rankers' top-k lists
+# with Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+# rrf(d) = Σ_r 1/(RRF_K + rank_r(d)). Ranker 1 is the BM25 top-k; ranker 2 is
+# a Jelinek-Mercer query-likelihood model (λ=1/2) over the SAME postings:
+# score(d) = Σ_{t in Q} ln(tf·T + ctf·dl) − ln(2·dl·T) — integer numerator
+# and denominator, so each term component is one ln of an exact-integer ratio
+# quantized to micro-nats (the BM25/surprisal discipline; candidate docs are
+# those matching ≥1 query term, absent terms contribute the background-only
+# component). Both lists are TakeOrderedAndProject top-k; the fusion is a
+# full-outer join of two k-row frames — nothing corpus-sized past the
+# postings aggregates. RRF contributions are round(1e6/(60+rank)) exact
+# integers (no denominator in 61..70 can produce a .5, so cross-engine
+# rounding is safe).
+RRF_K = 60
+
+_QL_SCORE = (
+    "CAST(ROUND(ln(CAST(tf*total + ctf*dl AS DOUBLE)"
+    " / CAST(2*dl*total AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _rrf_contrib(rank_col: str) -> str:
+    return (
+        f"COALESCE(CAST(ROUND(CAST(1000000 AS DOUBLE)"
+        f" / CAST({RRF_K} + {rank_col} AS DOUBLE)) AS BIGINT), 0)"
+    )
+
+
+def rrf_fusion_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """The count-table form of the RRF fusion (same contract as
+    bm25_from_counts, same additive (doc,term,tf)/(doc,dl) FACTS — shared by
+    the batch query and its streaming ledger twin). Derives both rankers and
+    the fused ordering entirely from the folded counts."""
+    from pyspark.sql import Window
+
+    # tf feeds four branches (BM25, ctf, candidates, the QL left join) and dl
+    # three — one barrier each or Catalyst re-derives the upstream
+    # tokenize+explode (or ledger fold) per branch, the funnel lesson
+    tf = tf.localCheckpoint(eager=False)
+    dl = dl.localCheckpoint(eager=False)
+    bm = bm25_from_counts(tf, dl).select(
+        "doc_id", F.col("rnk").alias("bm_rnk")
+    )
+    stats = dl.agg(F.sum("dl").cast("bigint").alias("total"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("ctf"))
+    cand = tf.select("doc_id").distinct()
+    pairs = (
+        cand.crossJoin(F.broadcast(ctf))
+        .join(tf, ["doc_id", "term"], "left")
+        .withColumn("tf", F.coalesce("tf", F.lit(0)).cast("bigint"))
+    )
+    ql_agg = (
+        pairs.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", f"{_QL_SCORE} AS q_micro")
+        .groupBy("doc_id")
+        .agg(F.sum("q_micro").cast("bigint").alias("ql_micro"))
+    )
+    wq = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.col("ql_micro").desc(), F.col("doc_id").asc()
+    )
+    ql = (
+        ql_agg.orderBy(F.col("ql_micro").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+        .select("doc_id", F.row_number().over(wq).cast("int").alias("ql_rnk"))
+    )
+    fused = bm.join(ql, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "bm_rnk",
+        "ql_rnk",
+        f"{_rrf_contrib('bm_rnk')} + {_rrf_contrib('ql_rnk')} AS rrf_micro",
+    )
+    wf = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return fused.select(
+        F.row_number().over(wf).cast("int").alias("fused_rnk"),
+        "doc_id",
+        "bm_rnk",
+        "ql_rnk",
+        "rrf_micro",
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", alpha_tokens("text").alias("__a"))
+    dl = docs.select("doc_id", F.size("__a").cast("bigint").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("__a").alias("term"))
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return rrf_fusion_from_counts(tf, dl)
+
+
+Q_RRF_FUSION_ORACLE = f"""
+WITH {_BM25_BASE_CTES},
+bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)
+           AS INTEGER) AS bm_rnk
+  FROM agg
+  QUALIFY bm_rnk <= {BM25_TOPK}
+),
+ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+pairs AS (
+  SELECT c.doc_id, f.term, f.ctf, CAST(COALESCE(t.tf, 0) AS BIGINT) AS tf
+  FROM cand c
+  CROSS JOIN ctf f
+  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = f.term
+),
+qls AS (
+  SELECT p.doc_id, {_QL_SCORE} AS q_micro
+  FROM pairs p JOIN dl USING (doc_id) CROSS JOIN stats
+),
+qlagg AS (
+  SELECT doc_id, CAST(SUM(q_micro) AS BIGINT) AS ql_micro
+  FROM qls GROUP BY doc_id
+),
+ql AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY ql_micro DESC, doc_id ASC)
+           AS INTEGER) AS ql_rnk
+  FROM qlagg
+  QUALIFY ql_rnk <= {BM25_TOPK}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, ql.doc_id) AS doc_id, bm.bm_rnk, ql.ql_rnk,
+         {_rrf_contrib('bm.bm_rnk')} + {_rrf_contrib('ql.ql_rnk')} AS rrf_micro
+  FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS INTEGER)
+         AS fused_rnk,
+       doc_id, bm_rnk, ql_rnk, rrf_micro
+FROM fused
+"""
+
+QUERIES["text_rrf_fusion"] = QuerySpec(q_rrf_fusion, Q_RRF_FUSION_ORACLE)

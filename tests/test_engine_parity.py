@@ -78,6 +78,10 @@ _QUERIES = [
     # tokenizes to empty on purpose; ADVICE r9 medium)
     "text_heaps_vocab_growth",
     "stream_heaps_vocab_growth",
+    # r10: RRF hybrid retrieval (BM25 + query-likelihood over the same
+    # postings) — both rankers tokenize with the lowercase-alpha class
+    "text_rrf_fusion",
+    "stream_rrf_fusion",
 ]
 
 

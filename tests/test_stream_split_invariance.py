@@ -59,6 +59,9 @@ FOLDS = [
     # is a running-total readout decision, so batching must not move any
     # chunk boundary)
     "stream_pack_efficiency",
+    # r10: the RRF hybrid-retrieval readout over the BM25 postings ledgers
+    # (two rankers + fusion, all derived at readout from the same fold)
+    "stream_rrf_fusion",
 ]
 
 
