@@ -67,10 +67,14 @@ def _ranked(
         _PID, F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias(_OFFSET)
     )
     local_w = Window.partitionBy(_PID).orderBy(*order_cols)
+    # bigint on purpose: row_number() itself is int-typed, but a global rank
+    # that exists BECAUSE the input can exceed one task's capacity must not
+    # overflow at 2^31 rows (ANSI mode would kill the job; non-ANSI would
+    # silently wrap) — the r10 review's point
     ranked = (
         part.join(F.broadcast(offsets), _PID)
         .withColumn(_LOCAL, F.row_number().over(local_w))
-        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("int"))
+        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("bigint"))
         .drop(_PID, _LOCAL, _OFFSET)
     )
     return ranked, counts
@@ -83,9 +87,12 @@ def ranged_row_number(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """df + an `out_col` holding the 1-based global row number over
-    `order_cols` — equal to `F.row_number().over(Window.orderBy(*order_cols))`
-    for a total order, but computed with range partitioning + local ranks +
-    broadcast offsets (no stage ever holds all rows in one task)."""
+    `order_cols` — value-equal to
+    `F.row_number().over(Window.orderBy(*order_cols))` for a total order,
+    but computed with range partitioning + local ranks + broadcast offsets
+    (no stage ever holds all rows in one task) and typed BIGINT (the window
+    form's int would overflow at 2^31 rows — past the point the single-task
+    window could run at all)."""
     ranked, _ = _ranked(df, order_cols, out_col, num_partitions)
     return ranked
 

@@ -60,10 +60,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     flip every query built on them, including three a hand-rotation
     #     would have missed: er_union_recall, text_unigram_surprisal,
     #     posexplode_tokens).
-    # Slots 1-18: rule (a) debt — the 3 r9 NEXT_ROUND_POOL entries + the new
-    # stream_pack_efficiency — plus every rule-(b) fingerprint-stale query.
-    # Slots 19-50: the STALEST standing records refreshed — every remaining
-    # slot goes to the queries whose last green driver row is oldest (r1-r4:
+    # The first block is rule (a)+(b) debt — the 3 r9 NEXT_ROUND_POOL
+    # entries + the new stream_pack_efficiency, plus every fingerprint-stale
+    # query (no numeric slot counts here on purpose: hand counts drift, the
+    # r8 lesson — the two tests above are the authority).
+    # Every REMAINING slot refreshes the STALEST standing records — the
+    # queries whose last green driver row is oldest (r1-r4:
     # the relational/pipeline spine last checked in round 1, plus the oldest
     # dedup/sim/media family records), so multi-round-old evidence gets
     # re-earned instead of rotting while recent passers hold seats.

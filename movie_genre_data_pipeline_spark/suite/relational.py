@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from movie_genre_data_pipeline_spark.functions.text import ALPHA_TOKS_SQL
 from movie_genre_data_pipeline_spark.suite import QuerySpec, load
 
 
@@ -533,13 +534,12 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_POSEXPLODE_TOKENS_ORACLE = """
 WITH docs AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS toks
+  SELECT doc_id, __ALPHA_TOKS__ AS toks
   FROM documents
 )
 SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
 FROM docs, UNNEST(generate_series(1, len(toks))) AS t(i)
-"""
+""".replace("__ALPHA_TOKS__", ALPHA_TOKS_SQL)
 
 
 # -- generated range source -----------------------------------------------------------

@@ -15,6 +15,7 @@ from movie_genre_data_pipeline_spark.functions.dedup import exact_dedup_stats
 from movie_genre_data_pipeline_spark.functions.text import (
     BPE_ISH_PATTERN_SQL,
     LANG_LEXICONS,
+    ALPHA_TOKS_SQL,
     TOKS_SQL,
     alpha_tokens,
     bpe_ish_token_count,
@@ -322,8 +323,7 @@ Q_TFIDF_TOPK_ORACLE = """
 WITH toks AS (
   SELECT doc_id, t AS term
   FROM documents,
-       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                          x -> x != '')) AS u(t)
+       UNNEST(__ALPHA_TOKS__) AS u(t)
 ),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
 dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -340,7 +340,7 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
-"""
+""".replace("__ALPHA_TOKS__", ALPHA_TOKS_SQL)
 
 QUERIES["text_tfidf_topk"] = QuerySpec(q_tfidf_topk, Q_TFIDF_TOPK_ORACLE)
 
@@ -357,8 +357,7 @@ Q_UNIGRAM_SURPRISAL_ORACLE = """
 WITH toks AS (
   SELECT doc_id, t AS term
   FROM documents,
-       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                          x -> x != '')) AS u(t)
+       UNNEST(__ALPHA_TOKS__) AS u(t)
 ),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
 cnt AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
@@ -372,7 +371,7 @@ SELECT doc_id,
        CAST(SUM(tf) AS BIGINT) AS n_tokens,
        ROUND(-SUM(tf * s_term) / 1e6 / SUM(tf), 6) AS avg_surprisal
 FROM tf JOIN scaled USING (term) GROUP BY doc_id
-"""
+""".replace("__ALPHA_TOKS__", ALPHA_TOKS_SQL)
 
 QUERIES["text_unigram_surprisal"] = QuerySpec(q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_ORACLE)
 
@@ -610,9 +609,7 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_BIGRAM_SURPRISAL_ORACLE = """
 WITH tok AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')
-           AS a
+  SELECT doc_id, __ALPHA_TOKS__ AS a
   FROM documents
 ),
 pairs AS (
@@ -654,7 +651,7 @@ SELECT bf.doc_id,
          AS pct_backoff
 FROM bf JOIN s ON bf.w1 = s.w1 AND bf.w2 = s.w2
 GROUP BY bf.doc_id
-"""
+""".replace("__ALPHA_TOKS__", ALPHA_TOKS_SQL)
 
 QUERIES["text_bigram_surprisal"] = QuerySpec(
     q_bigram_surprisal, Q_BIGRAM_SURPRISAL_ORACLE
@@ -705,11 +702,10 @@ def _bpe_ctes(n_merges: int, apply_all: bool) -> list[str]:
     ctes = [
         """w0 AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                                  x -> x != '')) AS w
+  FROM (SELECT unnest(__ALPHA_TOKS__) AS w
         FROM documents)
   GROUP BY w
-)""",
+)""".replace("__ALPHA_TOKS__", ALPHA_TOKS_SQL),
         """s1 AS MATERIALIZED (
   SELECT w, freq, list_transform(generate_series(1, length(w)), i -> w[i]) AS s
   FROM w0
@@ -829,9 +825,7 @@ enc AS (
   FROM s{n + 1}
 ),
 dw AS (
-  SELECT source,
-         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                            x -> x != '')) AS w
+  SELECT source, unnest({ALPHA_TOKS_SQL}) AS w
   FROM documents
 )
 SELECT source,
@@ -949,16 +943,17 @@ def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
     # scale-up hits that single-task sort first). (score_micro, doc_id) is a
     # total order, so the k rows — and the ranks assigned over them — are
     # bit-identical to the global-window form. The rank window runs on <= k
-    # rows; its partition key is doc_id*0 — constant in VALUE (one group, the
-    # point of a top-k readout) but non-foldable, so Catalyst can't optimize
-    # the partition spec away into an unpartitioned WindowExec (F.lit(0)
-    # gets constant-folded and the single-task-sort warning returns).
+    # rows; its partition key is nullif(doc_id,-1)*0 — constant in VALUE (one
+    # group, the point of a top-k readout; doc ids are never -1) but
+    # non-foldable, so Catalyst can't erase the partition spec back into an
+    # unpartitioned WindowExec. nullif (not bare doc_id*0): a*0 folds when a
+    # is NON-NULLABLE, so the hardened form survives any source schema.
     top = agg.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
         BM25_TOPK
     )
-    w = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
-        F.col("score_micro").desc(), F.col("doc_id").asc()
-    )
+    w = Window.partitionBy(
+        F.nullif(F.col("doc_id"), F.lit(-1)) * F.lit(0)
+    ).orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
     return top.select(
         F.row_number().over(w).cast("int").alias("rnk"),
         "doc_id",
@@ -986,9 +981,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 # oracle (r10): tokenize, lengths, query-term postings, df, corpus stats, the
 # exact-micro BM25 scores, and the per-doc aggregate
 _BM25_BASE_CTES = f"""toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '')
-           AS a
+  SELECT doc_id, {ALPHA_TOKS_SQL} AS a
   FROM documents
 ),
 dl AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS dl FROM toks),
@@ -1013,8 +1006,7 @@ agg AS (
 )"""
 
 Q_BM25_TOPK_ORACLE = f"""
-WITH {_BM25_BASE_CTES.rstrip().removesuffix(")")}
-)
+WITH {_BM25_BASE_CTES}
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INTEGER)
          AS rnk,
        doc_id, n_terms, score_micro
@@ -1089,8 +1081,7 @@ toks AS (
   SELECT CAST(FLOOR(CAST(doc_id * {HEAPS_BUCKETS} AS DOUBLE)
               / CAST(n_ids AS DOUBLE)) AS BIGINT) AS bucket, t AS term
   FROM documents CROSS JOIN mx,
-       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                          x -> x != '')) AS u(t)
+       UNNEST({ALPHA_TOKS_SQL}) AS u(t)
 ),
 per_bucket AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY bucket
@@ -1186,9 +1177,9 @@ def rrf_fusion_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("q_micro").cast("bigint").alias("ql_micro"))
     )
-    wq = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
-        F.col("ql_micro").desc(), F.col("doc_id").asc()
-    )
+    wq = Window.partitionBy(
+        F.nullif(F.col("doc_id"), F.lit(-1)) * F.lit(0)
+    ).orderBy(F.col("ql_micro").desc(), F.col("doc_id").asc())
     ql = (
         ql_agg.orderBy(F.col("ql_micro").desc(), F.col("doc_id").asc())
         .limit(BM25_TOPK)
@@ -1200,9 +1191,9 @@ def rrf_fusion_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
         "ql_rnk",
         f"{_rrf_contrib('bm_rnk')} + {_rrf_contrib('ql_rnk')} AS rrf_micro",
     )
-    wf = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
-        F.col("rrf_micro").desc(), F.col("doc_id").asc()
-    )
+    wf = Window.partitionBy(
+        F.nullif(F.col("doc_id"), F.lit(-1)) * F.lit(0)
+    ).orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
     return fused.select(
         F.row_number().over(wf).cast("int").alias("fused_rnk"),
         "doc_id",

@@ -217,19 +217,28 @@ def main() -> None:
     drift_runs = [_drift_run() for _ in range(3)]
     drift_best = min(drift_runs)
 
-    # best-of-3 per tier: the r10 anchor runs showed the host swinging >2x
-    # between ADJACENT identical runs (drift runs 1.16/0.49/0.45), and
-    # unchanged-code queries moved +-0.3 in ratio round-over-round at
-    # best-of-2 — one extra sample per tier buys most of the variance back
+    # Sampling discipline (r10): the anchor runs showed the host swinging
+    # >2x between ADJACENT identical runs, which at best-of-2 moved
+    # unchanged-code queries +-0.3 in k=4 ratio round-over-round. Three
+    # samples per tier, INTERLEAVED base/scaled so a load spike lands on
+    # both tiers of a pair instead of inflating one side's whole window;
+    # raw samples are published so a reader can judge the noise floor
+    # (sub-second queries' ratios are fixed-overhead + noise dominated —
+    # the absolute times and the plan pins are the real signal there).
     results = {}
     for name in SCALE_QUERIES:
         fn = specs[name].fn
-        base = min(_time_query(fn, spark, base_dir) for _ in range(3))
-        scaled = min(_time_query(fn, spark, scaled_dir) for _ in range(3))
+        base_runs, scaled_runs = [], []
+        for _ in range(3):
+            base_runs.append(_time_query(fn, spark, base_dir))
+            scaled_runs.append(_time_query(fn, spark, scaled_dir))
+        base, scaled = min(base_runs), min(scaled_runs)
         results[name] = {
             "base_sec": base,
             "scaled_sec": scaled,
             "ratio": round(scaled / base, 2) if base else None,
+            "base_runs": base_runs,
+            "scaled_runs": scaled_runs,
         }
 
     blob = {
@@ -250,13 +259,31 @@ def main() -> None:
         ),
     }
     # cross-round view: ratio deltas plus drift-normalized wall-time ratios
-    # against the previous committed SCALE_BENCH.json (same contract as
+    # against the previous COMMITTED SCALE_BENCH.json (same contract as
     # BENCH_DETAIL's vs_prev): a uniform host slowdown reads as ~1.0
     # normalized for every query instead of masquerading as lost scaling.
-    prev_path = Path(out_json)
-    if prev_path.exists():
+    # The baseline comes from git HEAD, not the on-disk file — re-running the
+    # bench within a round must not silently rebase the comparison onto a
+    # discarded intermediate run (the r10 review caught exactly that in a
+    # pending artifact). Falls back to the disk file outside a git checkout.
+    import subprocess
+
+    prev_text: str | None = None
+    rel = Path(out_json).resolve()
+    repo_root = Path(__file__).resolve().parent.parent
+    try:
+        prev_text = subprocess.run(
+            ["git", "-C", str(repo_root), "show", f"HEAD:{rel.relative_to(repo_root)}"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, ValueError, OSError):
+        if Path(out_json).exists():
+            prev_text = Path(out_json).read_text()
+    if prev_text:
         try:
-            prev = json.loads(prev_path.read_text())
+            prev = json.loads(prev_text)
             prev_q = prev.get("queries", {})
             prev_drift = prev.get("drift_control", {}).get("best")
             vs_prev: dict = {
