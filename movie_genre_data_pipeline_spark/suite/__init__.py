@@ -230,6 +230,7 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "ops_k_anonymity",
     "text_rrf_fusion",
     "stream_rrf_fusion",
+    "ops_retention_policy",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

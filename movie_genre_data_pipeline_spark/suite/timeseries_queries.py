@@ -703,3 +703,63 @@ WHERE prk = 1
 QUERIES["ts_cusum_changepoint"] = QuerySpec(
     q_ts_cusum_changepoint, Q_TS_CUSUM_ORACLE
 )
+
+
+# -- retention-policy (TTL) audit (r10) ------------------------------------------------------
+# The GDPR/data-retention maintenance decision as a pure transform — the
+# governance sibling of ops_purge_cascade (key-level deletion) and
+# ops_compaction_plan (layout maintenance): which DAY PARTITIONS of the
+# events table fall wholly past the retention horizon and are due for drop.
+# Partition-level TTL is how lakehouse retention actually runs (drop whole
+# time partitions, never row-deletes), so the unit here is the UTC day
+# bucket. The horizon derives from the corpus itself (max event time minus
+# RETENTION_DAYS) so the report is deterministic at any SF; all comparisons
+# run in exact integer microseconds. One fact-sized day-keyed aggregate;
+# the max lands as a broadcast 1-row frame.
+RETENTION_DAYS = 14
+
+
+def q_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.operators.timeseries import (
+        epoch_micros,
+        time_bucket,
+    )
+
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max(epoch_micros("ts")).cast("bigint").alias("mx_us"))
+    per = e.groupBy(time_bucket("ts", DAY_S).alias("d_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    day_end_us = f"unix_micros(d_bucket) + CAST({DAY_S} AS BIGINT) * 1000000"
+    cutoff_us = f"mx_us - CAST({RETENTION_DAYS * DAY_S} AS BIGINT) * 1000000"
+    return per.crossJoin(F.broadcast(mx)).selectExpr(
+        "date_format(d_bucket, 'yyyy-MM-dd') AS day",
+        "n_rows",
+        "n_users",
+        f"CAST(CASE WHEN {day_end_us} <= {cutoff_us} THEN 1 ELSE 0 END"
+        " AS BIGINT) AS expired",
+    )
+
+
+Q_RETENTION_POLICY_ORACLE = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM events),
+per AS (
+  SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / {DAY_S}) AS BIGINT)
+                        * {DAY_S} * 1000000) AS d_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT strftime(d_bucket, '%Y-%m-%d') AS day,
+       n_rows,
+       n_users,
+       CAST(CASE WHEN epoch_us(d_bucket) + CAST({DAY_S} AS BIGINT) * 1000000
+                      <= mx_us - CAST({RETENTION_DAYS * DAY_S} AS BIGINT) * 1000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS expired
+FROM per CROSS JOIN mx
+"""
+
+QUERIES["ops_retention_policy"] = QuerySpec(
+    q_retention_policy, Q_RETENTION_POLICY_ORACLE
+)
