@@ -12,8 +12,13 @@ The fingerprint of a query is a sha256 over:
   (co_names, recursing into nested code consts — foreachBatch closures,
   comprehensions), so an edit to a shared helper (bm25_from_counts,
   alpha_tokens, ranged_row_number ...) flips every query built on it;
-- stable reprs of reachable module-level constants (thresholds, SQL
-  fragments, lexicons), so tuning a knob also flips the fingerprint;
+- the SOURCE SEGMENTS of reachable module-level assignments (thresholds,
+  SQL fragments, lexicons), so tuning a knob also flips the fingerprint.
+  Source text, NOT live module values, on purpose: runtime-mutated globals
+  (shipping's _zip_path/_shipped cache, set the first time any query runs)
+  would otherwise make every fingerprint depend on what executed earlier in
+  the process — the full pytest run flipped all 231 unseated fingerprints
+  before this was source-based;
 - the query's oracle SQL.
 
 Name resolution is by bare name across ALL package modules (suite style is
@@ -35,42 +40,44 @@ import importlib
 import inspect
 import json
 import pkgutil
-import re
 import types
 from pathlib import Path
 
 _PKG = "movie_genre_data_pipeline_spark"
 MANIFEST_PATH = Path(__file__).resolve().parent / "seating_manifest.json"
 
-_SIMPLE = (str, bytes, int, float, bool, type(None))
+def _module_assign_sources(py_path: str) -> dict[str, list[str]]:
+    """name -> [source segments] of module-level Assign/AnnAssign statements,
+    read from the FILE (never live module state — see module doc)."""
+    import ast
 
-
-def _stable_repr(v, depth: int = 0) -> str | None:
-    """repr for plain data only; None when the value (or any element) could
-    embed a memory address or other run-dependent state."""
-    if depth > 4:
-        return None
-    if isinstance(v, _SIMPLE):
-        return repr(v)
-    if isinstance(v, (tuple, list, frozenset, set)):
-        parts = [_stable_repr(x, depth + 1) for x in (sorted(v, key=repr) if isinstance(v, (set, frozenset)) else v)]
-        if any(p is None for p in parts):
-            return None
-        return f"{type(v).__name__}({', '.join(parts)})"
-    if isinstance(v, dict):
-        parts = []
-        for k in sorted(v, key=repr):
-            kr, vr = _stable_repr(k, depth + 1), _stable_repr(v[k], depth + 1)
-            if kr is None or vr is None:
-                return None
-            parts.append(f"{kr}: {vr}")
-        return "{" + ", ".join(parts) + "}"
-    return None
+    text = Path(py_path).read_text()
+    out: dict[str, list[str]] = {}
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:  # pragma: no cover
+        return out
+    for node in tree.body:
+        names: list[str] = []
+        if isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names = [node.target.id]
+        if not names:
+            continue
+        seg = ast.get_source_segment(text, node)
+        if seg is None:  # pragma: no cover
+            continue
+        for n in names:
+            out.setdefault(n, []).append(seg)
+    return out
 
 
 def _package_name_map() -> dict[str, list[tuple[str, str]]]:
-    """name -> [(module, source-or-repr)] over every module-level function
-    and plain-data constant in the package (cached per process)."""
+    """name -> [(module, source text)] over every module-level function and
+    assignment in the package (cached per process). Both kinds come from
+    source files, so the map is identical no matter what ran earlier in the
+    process."""
     global _NAME_MAP
     try:
         return _NAME_MAP
@@ -91,10 +98,14 @@ def _package_name_map() -> dict[str, list[tuple[str, str]]]:
                     out.setdefault(name, []).append((info.name, inspect.getsource(obj)))
                 except OSError:  # pragma: no cover
                     pass
-            elif isinstance(obj, _SIMPLE + (tuple, list, dict, frozenset, set)):
-                rep = _stable_repr(obj)
-                if rep is not None and not re.search(r"0x[0-9a-f]{6,}", rep):
-                    out.setdefault(name, []).append((info.name, f"const:{rep}"))
+        mod_file = getattr(mod, "__file__", None)
+        if mod_file and mod_file.endswith(".py"):
+            for name, segs in _module_assign_sources(mod_file).items():
+                if name.startswith("__"):
+                    continue
+                out.setdefault(name, []).append(
+                    (info.name, "const:" + "\n".join(segs))
+                )
     _NAME_MAP = out
     return out
 

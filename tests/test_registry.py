@@ -164,3 +164,26 @@ def test_bench_headline_set_is_pinned_to_detail():
         "BENCH_DETAIL.json and bench.HEADLINE diverged — re-run bench.py "
         "after any headline change"
     )
+
+
+def test_fingerprints_ignore_runtime_module_state():
+    """The full r10 pytest run flipped all 231 unseated fingerprints because
+    shipping's _zip_path/_shipped cache (set the first time any query runs)
+    leaked into the name map. Fingerprints are source-derived now: mutate
+    exactly those globals and assert no fingerprint moves."""
+    import movie_genre_data_pipeline_spark.shipping as sh
+    from movie_genre_data_pipeline_spark.suite import _seating
+
+    before = _seating.live_fingerprints()
+    old_zip, old_shipped = sh._zip_path, set(sh._shipped)
+    try:
+        sh._zip_path = "/tmp/fake_runtime_state.zip"
+        sh._shipped.add(("app-synthetic", 1))
+        if hasattr(_seating, "_NAME_MAP"):
+            del _seating._NAME_MAP  # force a rebuild under the mutated state
+        after = _seating.live_fingerprints()
+    finally:
+        sh._zip_path, sh._shipped = old_zip, old_shipped
+        if hasattr(_seating, "_NAME_MAP"):
+            del _seating._NAME_MAP
+    assert before == after
