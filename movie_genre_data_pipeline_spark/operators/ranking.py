@@ -13,10 +13,15 @@ The scale-correct plan — what a range-partitioned sorted write produces — is
 
 The result is bit-identical to the unpartitioned-window form whenever the
 order columns are a total order (every call site passes a unique tiebreaker);
-ties would be broken arbitrarily in BOTH forms. The partitioned frame is
-pinned with localCheckpoint so `spark_partition_id()` agrees between the
-offsets subquery and the ranked branch (range boundaries come from sampling;
-two independent recomputations are not guaranteed identical).
+ties would be broken arbitrarily in BOTH forms. `spark_partition_id()` must
+agree between the offsets subquery and the ranked branch — range boundaries
+come from sampling seeded per exchange instance, so two INDEPENDENT
+exchanges can disagree and misrank boundary rows. The partitioned frame is
+therefore pinned with localCheckpoint. (r10 tried relying on Spark's
+exchange reuse instead — it holds in a standalone rank, but inside the
+composed six-layout skipping-ratio query one consumer pair did NOT reuse
+and file assignments silently diverged; a ~0.3 s materialization per use is
+the price of determinism, visible only at micro-bench scale.)
 
 Used by functions/entity.sorted_neighborhood_pairs (candidate rank) and
 suite/layout_queries.q_skipping_ratio (ntile file assignment) — the two

@@ -56,3 +56,23 @@ def test_ranged_row_number_descending_order(spark):
     got = ranged_row_number(df, cols, "rn")
     exp = df.withColumn("rn", F.row_number().over(Window.orderBy(*cols)))
     assert sorted(got.collect()) == sorted(exp.collect())
+
+
+def test_ranged_rank_partitioning_is_pinned(spark):
+    """Correctness of the offsets join depends on the offsets subquery and
+    the ranked branch reading the SAME range-partitioning instance: sampled
+    boundaries are seeded per exchange instance, so two independent
+    exchanges can disagree and misrank boundary rows. r10 tried relying on
+    Spark's exchange reuse — it held in a standalone rank but silently broke
+    inside the composed six-layout skipping-ratio query — so the partitioned
+    frame must stay localCheckpoint-pinned. Assert the pin exists (an RDD
+    scan feeds the rank, not two live range exchanges)."""
+    import re
+
+    df = spark.range(0, 20_000).selectExpr("id % 97 AS k", "id AS v")
+    out = ranged_row_number(df, ["k", "v"], "rn")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Scan ExistingRDD|LocalCheckpointScan|Scan rdd", plan), (
+        plan[:2000]
+    )
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 0, plan[:2000]
