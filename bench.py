@@ -168,7 +168,28 @@ def main() -> None:
     # for every query instead of masquerading as a regression (VERDICT r08 #6).
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     drift_best = min(drift_runs)
+    # Baseline = the COMMITTED detail (git HEAD), not whatever run last landed
+    # on disk — re-running within a round must not silently rebase vs_prev
+    # (same fix as tools/scale_bench.py, r10 review). Run bench BEFORE
+    # committing the new detail so HEAD still carries the previous round's.
+    import subprocess
+
+    prev_text = None
+    try:
+        prev_text = subprocess.run(
+            ["git", "-C", str(detail_path.parent), "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, OSError):
+        if detail_path.exists():
+            prev_text = detail_path.read_text()
     detail: dict = {
+        # NB: the anchor is pure shuffle-CPU; when the HOST speeds up, fixed
+        # driver/JVM-latency-bound queries do not follow proportionally and
+        # normalized_ratios read uniformly >1 — judge deviations from the
+        # round's band, not the band itself (r10 lesson).
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -181,9 +202,9 @@ def main() -> None:
             "best": drift_best,
         },
     }
-    if detail_path.exists():
+    if prev_text:
         try:
-            prev = json.loads(detail_path.read_text())
+            prev = json.loads(prev_text)
             prev_drift = prev.get("drift_control", {}).get("best")
             prev_q = prev.get("queries", {})
             if prev_drift and prev.get("sf") == sf_val:
