@@ -231,6 +231,8 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "text_rrf_fusion",
     "stream_rrf_fusion",
     "ops_retention_policy",
+    "text_zipf_fit",
+    "stream_zipf_fit",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -3041,3 +3041,63 @@ def _stream_rrf_oracle() -> str:
 
 
 QUERIES["stream_rrf_fusion"] = QuerySpec(q_stream_rrf_fusion, _stream_rrf_oracle())
+
+
+def q_stream_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous Zipf rank-frequency fit (r10) — the simplest possible
+    member of the ledger family (per-batch unigram count facts, SUM fold)
+    feeding the same top-K + micro-nat OLS tail as the batch query
+    (text_queries.zipf_fit_from_counts): rank, both logs, and the fitted
+    line are all READOUT decisions, so the slope legitimately keeps moving
+    as the corpus grows. Shared oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        zipf_fit_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_zipf_")
+    src, led = f"{base}/src", f"{base}/counts"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.explode(alpha_tokens("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("append")
+            .parquet(led)
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    counts = (
+        spark.read.parquet(led)
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return zipf_fit_from_counts(counts)
+
+
+def _stream_zipf_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import Q_ZIPF_FIT_ORACLE
+
+    return Q_ZIPF_FIT_ORACLE
+
+
+QUERIES["stream_zipf_fit"] = QuerySpec(q_stream_zipf_fit, _stream_zipf_oracle())

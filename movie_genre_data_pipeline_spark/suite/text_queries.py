@@ -1260,3 +1260,111 @@ FROM fused
 """
 
 QUERIES["text_rrf_fusion"] = QuerySpec(q_rrf_fusion, Q_RRF_FUSION_ORACLE)
+
+
+# -- Zipf rank-frequency fit (r10) ------------------------------------------------------------
+# The companion corpus-statistics curve to text_heaps_vocab_growth: fit
+# ln(freq) = intercept + slope*ln(rank) over the top-K vocabulary by
+# frequency (Zipf's law predicts slope ~ -1). Scale shape: one corpus
+# tokenize into a vocabulary-sized count table, top-K by
+# orderBy+limit -> TakeOrderedAndProject (the top-k-readout discipline, never
+# a global rank window), then the OLS closed form over K rows. Exactness:
+# ln(rank) and ln(freq) quantize to integer micro-nats, the five OLS sums
+# run in exact BIGINT arithmetic, and the final divisions are shared
+# expression strings. Rounding uses FLOOR(x + 0.5): the slope is NEGATIVE
+# and Spark's ROUND (half-up) disagrees with DuckDB's (half-away) below
+# zero — floor(x+0.5) is the one half-up spell both engines share.
+ZIPF_TOPN = 20
+
+# the (micro x, micro y) units cancel in the slope ratio, so the slope is
+# NATURAL units and needs the x1e6 before rounding to slope_micro; sy/n and
+# slope*(sx/n) are both already micro-nats, so the intercept needs no rescale
+_ZIPF_SLOPE = (
+    "CAST(FLOOR((CAST(n*sxy - sx*sy AS DOUBLE)"
+    " / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS slope_micro"
+)
+_ZIPF_INTERCEPT = (
+    "CAST(FLOOR((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))"
+    " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS intercept_micro"
+)
+
+
+def zipf_fit_from_counts(counts: DataFrame) -> DataFrame:
+    """The count-table form of the Zipf fit: `counts` is (term, cnt) —
+    additive FACTS, however accumulated (one batch scan or a streaming
+    append ledger folded by SUM). Top-K selection, micro-nat quantization,
+    and the OLS fold all derive here; shared by the batch query and its
+    streaming twin."""
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
+        ZIPF_TOPN
+    )
+    w = Window.partitionBy(
+        F.nullif(F.col("cnt"), F.lit(-1)) * F.lit(0)
+    ).orderBy(F.col("cnt").desc(), F.col("term").asc())
+    pts = top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).selectExpr(
+        "CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT) AS x",
+        "CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT) AS y",
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.expr("CAST(SUM(x*y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(x*x) AS BIGINT)").alias("sxx"),
+    )
+    return sums.selectExpr("n AS n_ranks", _ZIPF_SLOPE, _ZIPF_INTERCEPT)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(alpha_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return zipf_fit_from_counts(counts)
+
+
+Q_ZIPF_FIT_ORACLE = f"""
+WITH counts AS (
+  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, UNNEST({{ALPHA}}) AS u(t)
+  GROUP BY 1
+),
+top AS (
+  SELECT term, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+           AS rnk
+  FROM counts
+  QUALIFY rnk <= {ZIPF_TOPN}
+),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+           AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+           AS BIGINT) AS y
+  FROM top
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_ranks, {_ZIPF_SLOPE}, {_ZIPF_INTERCEPT}
+FROM sums
+""".replace("{ALPHA}", ALPHA_TOKS_SQL)
+
+QUERIES["text_zipf_fit"] = QuerySpec(q_zipf_fit, Q_ZIPF_FIT_ORACLE)

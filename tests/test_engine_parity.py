@@ -82,6 +82,9 @@ _QUERIES = [
     # postings) — both rankers tokenize with the lowercase-alpha class
     "text_rrf_fusion",
     "stream_rrf_fusion",
+    # r10: the Zipf rank-frequency fit (batch + ledger twin)
+    "text_zipf_fit",
+    "stream_zipf_fit",
 ]
 
 
@@ -141,3 +144,44 @@ def test_hostile_whitespace_parity(spark, hostile_dir, name):
     assert sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
     for i, (sr, orow) in enumerate(zip(_rows(sdf), _rows(odf))):
         assert sr == orow, f"{name}: first diff at sorted row {i}: {sr} != {orow}"
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """Law test vs an independent implementation: shared-string math bugs
+    stay oracle-GREEN (both engines run the same wrong formula) — the r10
+    Zipf fit had two unit bugs (missing x1e6 on the slope, a spurious /1e6
+    on the intercept) that only this class of test can catch. Fit the same
+    top-K rank/frequency points with numpy.polyfit and require agreement
+    to ~1e-3 (the micro-nat quantization floor)."""
+    import math
+
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.suite.text_queries import ZIPF_TOPN
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["text_zipf_fit"].fn(spark, sf).collect()[0]
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""WITH counts AS (
+              SELECT t AS term, COUNT(*) AS cnt
+              FROM '{sf}/documents.parquet',
+                   UNNEST(list_filter(regexp_split_to_array(lower(text),
+                          '[^a-z]+'), x -> x != '')) AS u(t)
+              GROUP BY 1),
+            top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+                      AS rnk FROM counts QUALIFY rnk <= {ZIPF_TOPN})
+            SELECT rnk, cnt FROM top ORDER BY rnk"""
+    ).fetchall()
+    x = np.log([r for r, _ in pts])
+    y = np.log([c for _, c in pts])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert math.isclose(row["slope_micro"] / 1e6, slope, abs_tol=2e-3), (
+        row["slope_micro"] / 1e6,
+        slope,
+    )
+    assert math.isclose(row["intercept_micro"] / 1e6, intercept, abs_tol=2e-3), (
+        row["intercept_micro"] / 1e6,
+        intercept,
+    )
+    assert row["n_ranks"] == ZIPF_TOPN

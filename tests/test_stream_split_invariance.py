@@ -62,6 +62,8 @@ FOLDS = [
     # r10: the RRF hybrid-retrieval readout over the BM25 postings ledgers
     # (two rankers + fusion, all derived at readout from the same fold)
     "stream_rrf_fusion",
+    # r10: the unigram-count ledger behind the continuous Zipf fit
+    "stream_zipf_fit",
 ]
 
 
