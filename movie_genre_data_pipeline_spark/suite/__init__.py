@@ -99,6 +99,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     single-task windows (the same sweep, applied suite-wide) ---
     "ops_skew_report",
     "ops_compaction_plan",
+    # --- (b): shard-balance facts/readout refactor (stream twin added) ---
+    "media_shard_balance",
     # --- stalest-record refresh: family canaries (r2-r4 greens) ---
     "dedup_ngram_jaccard",
     "sim_lsh_multi_top1",
@@ -120,7 +122,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "merge_insert_missing",
     "profile_percentiles",
     "quarantine_quarantined",
-    "scalar_functions",
     "semi_join",
     "set_ops",
     "sliding_window",
@@ -128,7 +129,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "struct_expand",
     "topk_orders",
     "tpch_q17",
-    # (tpch_q18, intersect, null_handling, pivot and rollup — also r1-stale —
+    # (tpch_q18, intersect, null_handling, pivot, rollup and scalar_functions
+    # — also r1-stale —
     # wait for the r11 refresh; their slots went to the rule-(b) ops/ER
     # queries above. set_ops keeps the set-operation family's refresh row,
     # cube the grouping-analytics family's, tpch_q17 the TPC-H family's.)
@@ -233,6 +235,7 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "ops_retention_policy",
     "text_zipf_fit",
     "stream_zipf_fit",
+    "stream_shard_balance",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -254,8 +254,11 @@ QUERIES["media_phash_dedup"] = QuerySpec(q_media_phash_dedup, _phash_oracle())
 MEDIA_SHARDS = 8
 
 
-def q_media_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _media_df(spark, sf_dir)
+def media_shard_facts(media: DataFrame) -> DataFrame:
+    """One batch's additive shard-placement facts (shard, n_media,
+    total_bytes): the shard is a pure function of the id (an ARRIVAL
+    decision), so per-micro-batch partials fold by SUM. Shared by the batch
+    audit and its streaming ledger twin."""
     return (
         media.select(
             F.expr(
@@ -269,21 +272,30 @@ def q_media_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_media"),
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         )
-        .crossJoin(
-            F.broadcast(
-                media.agg(
-                    F.sum(F.length("payload")).cast("bigint").alias("corpus_bytes")
-                )
-            )
-        )
-        .selectExpr(
-            "shard",
-            "n_media",
-            "total_bytes",
-            "CAST(ROUND(CAST(total_bytes AS DOUBLE) / CAST(corpus_bytes AS DOUBLE)"
-            " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS byte_share_micro",
-        )
     )
+
+
+def shard_balance_from_facts(facts: DataFrame) -> DataFrame:
+    """The audit readout over folded facts. corpus_bytes derives from the
+    shard table itself (every blob has a shard), so the corpus is never
+    re-scanned — r10 also removed the batch query's second media scan this
+    way."""
+    per = facts.groupBy("shard").agg(
+        F.sum("n_media").cast("bigint").alias("n_media"),
+        F.sum("total_bytes").cast("bigint").alias("total_bytes"),
+    )
+    tot = per.agg(F.sum("total_bytes").cast("bigint").alias("corpus_bytes"))
+    return per.crossJoin(F.broadcast(tot)).selectExpr(
+        "shard",
+        "n_media",
+        "total_bytes",
+        "CAST(ROUND(CAST(total_bytes AS DOUBLE) / CAST(corpus_bytes AS DOUBLE)"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS byte_share_micro",
+    )
+
+
+def q_media_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_balance_from_facts(media_shard_facts(_media_df(spark, sf_dir)))
 
 
 Q_MEDIA_SHARD_BALANCE_ORACLE = f"""

@@ -3101,3 +3101,61 @@ def _stream_zipf_oracle() -> str:
 
 
 QUERIES["stream_zipf_fit"] = QuerySpec(q_stream_zipf_fit, _stream_zipf_oracle())
+
+
+def q_stream_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous blob shard-placement audit (r10) — the multimodal family's
+    first streaming member: a blob's shard is a pure md5 function of its id
+    (decided at ARRIVAL), so each micro-batch appends its (shard, n_media,
+    total_bytes) partials and the always-current balance report folds by SUM
+    at readout (multimodal_queries.shard_balance_from_facts — the identical
+    tail the batch audit runs). Shared oracle verbatim; split-invariance
+    gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.multimodal_queries import (
+        media_shard_facts,
+        shard_balance_from_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_shard_")
+    src, led = f"{base}/src", f"{base}/facts"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        media = batch_df.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        media_shard_facts(media).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return shard_balance_from_facts(spark.read.parquet(led))
+
+
+def _stream_shard_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.multimodal_queries import (
+        Q_MEDIA_SHARD_BALANCE_ORACLE,
+    )
+
+    return Q_MEDIA_SHARD_BALANCE_ORACLE
+
+
+QUERIES["stream_shard_balance"] = QuerySpec(
+    q_stream_shard_balance, _stream_shard_oracle()
+)

@@ -64,6 +64,9 @@ FOLDS = [
     "stream_rrf_fusion",
     # r10: the unigram-count ledger behind the continuous Zipf fit
     "stream_zipf_fit",
+    # r10: the blob shard-placement ledger (the multimodal family's first
+    # streaming member; facts are per-batch per-shard partials)
+    "stream_shard_balance",
 ]
 
 
