@@ -158,6 +158,19 @@ def main() -> None:
         )
         drift_runs.append(round(time.time() - t0, 3))
 
+    # Second anchor (VERDICT r10 #4): the shuffle anchor tracks executor CPU,
+    # but half the headline set is DRIVER-latency bound (plan round-trips,
+    # job scheduling) and the two host properties move independently — r10's
+    # normalized band swung 0.55<->1.77 on unchanged queries because one
+    # anchor corrected for the other's axis. 40 tiny jobs per run measure the
+    # scheduler/driver round-trip with negligible executor work.
+    latency_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(40):
+            spark.range(1).count()
+        latency_runs.append(round(time.time() - t0, 3))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -168,28 +181,19 @@ def main() -> None:
     # for every query instead of masquerading as a regression (VERDICT r08 #6).
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     drift_best = min(drift_runs)
+    latency_best = min(latency_runs)
     # Baseline = the COMMITTED detail (git HEAD), not whatever run last landed
-    # on disk — re-running within a round must not silently rebase vs_prev
-    # (same fix as tools/scale_bench.py, r10 review). Run bench BEFORE
+    # on disk (shared helper — tools/bench_common.py). Run bench BEFORE
     # committing the new detail so HEAD still carries the previous round's.
-    import subprocess
+    from tools.bench_common import committed_baseline
 
-    prev_text = None
-    try:
-        prev_text = subprocess.run(
-            ["git", "-C", str(detail_path.parent), "show", "HEAD:BENCH_DETAIL.json"],
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-    except (subprocess.CalledProcessError, OSError):
-        if detail_path.exists():
-            prev_text = detail_path.read_text()
+    prev_text = committed_baseline(detail_path.parent, "BENCH_DETAIL.json")
     detail: dict = {
-        # NB: the anchor is pure shuffle-CPU; when the HOST speeds up, fixed
-        # driver/JVM-latency-bound queries do not follow proportionally and
-        # normalized_ratios read uniformly >1 — judge deviations from the
-        # round's band, not the band itself (r10 lesson).
+        # Two anchors (r10 lesson): shuffle-CPU and driver-latency move
+        # INDEPENDENTLY between hosts, so each query's cross-round ratio is
+        # reported raw plus normalized under BOTH. A real regression deviates
+        # under both normalizations; a swing that one anchor fully explains
+        # is environment.
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -201,22 +205,38 @@ def main() -> None:
             "runs": drift_runs,
             "best": drift_best,
         },
+        "latency_control": {
+            "workload": "40x range(1).count() driver round-trips",
+            "runs": latency_runs,
+            "best": latency_best,
+        },
     }
     if prev_text:
         try:
             prev = json.loads(prev_text)
             prev_drift = prev.get("drift_control", {}).get("best")
+            prev_lat = prev.get("latency_control", {}).get("best")
             prev_q = prev.get("queries", {})
             if prev_drift and prev.get("sf") == sf_val:
                 drift_ratio = drift_best / prev_drift
+                raw = {
+                    n: round(t / prev_q[n], 3)
+                    for n, t in timings.items()
+                    if n in prev_q and prev_q[n] > 0
+                }
                 detail["vs_prev"] = {
                     "drift_ratio": round(drift_ratio, 3),
+                    "raw_ratios": raw,
                     "normalized_ratios": {
-                        n: round((t / prev_q[n]) / drift_ratio, 3)
-                        for n, t in timings.items()
-                        if n in prev_q and prev_q[n] > 0
+                        n: round(r / drift_ratio, 3) for n, r in raw.items()
                     },
                 }
+                if prev_lat:
+                    lat_ratio = latency_best / prev_lat
+                    detail["vs_prev"]["latency_ratio"] = round(lat_ratio, 3)
+                    detail["vs_prev"]["latency_normalized_ratios"] = {
+                        n: round(r / lat_ratio, 3) for n, r in raw.items()
+                    }
         except (json.JSONDecodeError, OSError, ZeroDivisionError):
             pass
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")

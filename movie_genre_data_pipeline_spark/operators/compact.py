@@ -153,8 +153,11 @@ def plan_compaction_bins(
         binned = ranged_running_sum(
             df, [order_col], F.col(size_col), "__prev_cum"
         )
+    # integer DIV (ADVICE r10): `/` is double division and floor over a
+    # double loses exactness past 2^53 — cumulative BYTES at 100 TB scale
+    # sit exactly in that range.
     binned = binned.withColumn(
-        "bin_id", F.floor(F.col("__prev_cum") / F.lit(target_bytes)).cast("bigint")
+        "bin_id", F.expr(f"__prev_cum DIV {int(target_bytes)}").cast("bigint")
     ).drop("__prev_cum")
     return binned.groupBy(*keys, "bin_id").agg(
         F.count("*").cast("bigint").alias("n_files"),

@@ -23,6 +23,14 @@ composed six-layout skipping-ratio query one consumer pair did NOT reuse
 and file assignments silently diverged; a ~0.3 s materialization per use is
 the price of determinism, visible only at micro-bench scale.)
 
+Fault-tolerance trade-off (ADVICE r10): localCheckpoint truncates lineage
+and keeps the pinned blocks ONLY on executors — losing an executor mid-job
+makes those partitions unrecoverable and fails the job (loudly; never a
+wrong answer). For multi-hour jobs on preemptible fleets, set
+`spark.sparkContext.setCheckpointDir(...)` and pass `reliable=True` to the
+public entry points: they switch to `.checkpoint()` (HDFS/object-store
+backed, survives executor loss) at the cost of a synchronous write barrier.
+
 Used by functions/entity.sorted_neighborhood_pairs (candidate rank) and
 suite/layout_queries.q_skipping_ratio (ntile file assignment) — the two
 single-task rank windows VERDICT r9 flagged.
@@ -38,11 +46,22 @@ _LOCAL = "__rrn_local"
 _OFFSET = "__rrn_offset"
 
 
+def _pin(df: DataFrame, reliable: bool) -> DataFrame:
+    """Determinism barrier for the range-partitioned frame. Default is
+    localCheckpoint (executor-local blocks, lineage truncated — an executor
+    loss mid-job fails the job loudly); `reliable=True` uses
+    `.checkpoint()` against the session's checkpoint dir so the pinned
+    partitions survive executor loss on long preemptible-fleet jobs, at the
+    cost of an eager write barrier."""
+    return df.checkpoint() if reliable else df.localCheckpoint(eager=False)
+
+
 def _ranked(
     df: DataFrame,
     order_cols: list[Column | str],
     out_col: str,
     num_partitions: int | None,
+    reliable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(ranked df with `out_col`, per-partition counts frame). The counts
     frame is (pid, __cnt) — callers needing the grand total fold it instead
@@ -51,10 +70,11 @@ def _ranked(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    part = _pin(
+        df.repartitionByRange(num_partitions, *order_cols).withColumn(
+            _PID, F.spark_partition_id()
+        ),
+        reliable,
     )
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
     # exclusive running sum over the <= num_partitions count rows; the
@@ -90,6 +110,7 @@ def ranged_row_number(
     order_cols: list[Column | str],
     out_col: str,
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """df + an `out_col` holding the 1-based global row number over
     `order_cols` — value-equal to
@@ -98,7 +119,7 @@ def ranged_row_number(
     (no stage ever holds all rows in one task) and typed BIGINT (the window
     form's int would overflow at 2^31 rows — past the point the single-task
     window could run at all)."""
-    ranked, _ = _ranked(df, order_cols, out_col, num_partitions)
+    ranked, _ = _ranked(df, order_cols, out_col, num_partitions, reliable)
     return ranked
 
 
@@ -108,6 +129,7 @@ def ranged_running_sum(
     value_col: Column,
     out_col: str,
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """df + an `out_col` holding the EXCLUSIVE prefix sum of `value_col` over
     the total order (the bin-packing shape: "how much did every PRIOR row
@@ -122,11 +144,11 @@ def ranged_running_sum(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     val = value_col.cast("bigint")
-    part = (
+    part = _pin(
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .withColumn("__rrn_val", val)
-        .localCheckpoint(eager=False)
+        .withColumn("__rrn_val", val),
+        reliable,
     )
     totals = part.groupBy(_PID).agg(F.sum("__rrn_val").alias("__cnt"))
     off_w = (
@@ -161,6 +183,7 @@ def ranged_ntile(
     n_tiles: int,
     out_col: str,
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """df + an `out_col` holding `F.ntile(n_tiles).over(Window.orderBy(...))`
     computed from the ranged global row number instead of a single-task
@@ -170,19 +193,24 @@ def ranged_ntile(
     distributed rank. The total folds from the per-partition counts (no
     second scan of the input)."""
     rn = "__rrn_rank"
-    ranked, counts = _ranked(df, order_cols, rn, num_partitions)
+    ranked, counts = _ranked(df, order_cols, rn, num_partitions, reliable)
     total = counts.agg(F.sum("__cnt").cast("bigint").alias("__total"))
-    base = F.floor(F.col("__total") / F.lit(n_tiles)).cast("bigint")
-    rem = (F.col("__total") % F.lit(n_tiles)).cast("bigint")
-    pivot = rem * (base + 1)  # rows 1..pivot live in the base+1-sized tiles
-    # the otherwise-branch divides by base, which is 0 when total < n_tiles —
+    # integer DIV throughout (ADVICE r10): `/` is double division in Spark,
+    # and floor over a double is exact only below 2^53 — this module exists
+    # for ranks past 2^31, so tile assignment must stay integral at any n.
+    # The ELSE branch divides by __base, which is 0 when total < n_tiles —
     # but then pivot = total, the branch covers no row, and CaseWhen
-    # evaluates branches per-row, so the division never executes
-    tile = F.when(
-        F.col(rn) <= pivot, F.floor((F.col(rn) - 1) / (base + 1)) + 1
-    ).otherwise(rem + F.floor((F.col(rn) - 1 - pivot) / base) + 1)
+    # evaluates branches per-row, so the division never executes.
+    tile = F.expr(
+        f"CAST(CASE WHEN {rn} <= __rem * (__base + 1)"
+        f" THEN ({rn} - 1) DIV (__base + 1) + 1"
+        f" ELSE __rem + ({rn} - 1 - __rem * (__base + 1)) DIV __base + 1"
+        f" END AS INT)"
+    )
     return (
         ranked.crossJoin(F.broadcast(total))
-        .withColumn(out_col, tile.cast("int"))
-        .drop(rn, "__total")
+        .withColumn("__base", F.expr(f"__total DIV {int(n_tiles)}"))
+        .withColumn("__rem", F.expr(f"__total % {int(n_tiles)}"))
+        .withColumn(out_col, tile)
+        .drop(rn, "__total", "__base", "__rem")
     )

@@ -350,7 +350,11 @@ def q_er_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         listings, catalog, "listing_id", "cat_key",
         "listing_text", "cat_name", SN_WINDOW,
     )
-    cand = blocked.unionByName(sn).distinct()
+    # cand feeds BOTH the scoring join and the published volume aggregate;
+    # without a barrier the three-pass blocking AND the sorted-neighborhood
+    # range shuffle run twice per action (same shape as er_purged_recall's
+    # pin below — VERDICT r10 #2)
+    cand = blocked.unionByName(sn).distinct().localCheckpoint(eager=False)
     scored = score_pairs(
         cand.join(
             listings.select("listing_id", "listing_text", "true_name"),

@@ -2419,8 +2419,6 @@ def q_stream_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same tail the batch query runs). Shared oracle verbatim; split
     invariance pinned in tests/test_stream_split_invariance.py."""
     from movie_genre_data_pipeline_spark.functions.text import (
-        alpha_tokens,
-        bigram_pairs,
         bigram_surprisal_from_counts,
     )
     from movie_genre_data_pipeline_spark.suite import load
@@ -2444,38 +2442,12 @@ def q_stream_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # the bigram LM tokenizes with the LOWERCASE ALPHA class, not the
-        # whitespace tokens() — alpha_tokens/bigram_pairs are the SHARED
-        # definitions (functions/text.py), so the ledger facts are
-        # bit-identical to functions/text.bigram_surprisal and the shared
-        # oracle by construction, on ANY text (case/digits/punct)
-        docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
-        bg = bigram_pairs("__a")
-        (
-            docs.select("doc_id", F.explode(bg).alias("b"))
-            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-            .groupBy("doc_id", "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("bf"))
-            .write.mode("append")
-            .parquet(led_bf)
-        )
-        (
-            docs.select(F.explode("__a").alias("w2"))
-            .groupBy("w2")
-            .agg(F.count(F.lit(1)).alias("cu"))
-            .write.mode("append")
-            .parquet(led_uni)
-        )
+        bigram_ledger_append(batch_df, led_bf, led_uni)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
 
-    bf = (
-        spark.read.parquet(led_bf)
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.sum("bf").alias("bf"))
-    )
-    uni = spark.read.parquet(led_uni).groupBy("w2").agg(F.sum("cu").alias("cu"))
+    bf, uni = bigram_ledger_counts(spark, led_bf, led_uni)
     return bigram_surprisal_from_counts(bf, uni)
 
 
@@ -2536,10 +2508,9 @@ def bm25_append_postings(batch_df: DataFrame, led_tf: str, led_dl: str) -> None:
     the query terms and (doc, dl) length rows, appended to the two parquet
     ledgers. Module-level (not a closure) so the compaction test can replay
     the exact production append path."""
-    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
     from movie_genre_data_pipeline_spark.suite.text_queries import BM25_TERMS
 
-    docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
+    docs = alpha_token_docs(batch_df)
     docs.select(
         "doc_id", F.size("__a").cast("bigint").alias("dl")
     ).write.mode("append").parquet(led_dl)
@@ -2700,6 +2671,60 @@ QUERIES["stream_ams_join_size"] = QuerySpec(
 )
 
 
+def alpha_token_docs(batch_df: DataFrame) -> DataFrame:
+    """(doc_id, __a) with the LOWERCASE ALPHA tokens — the shared tokenize
+    projection of every text-ledger append (bigram LM, BM25, Heaps, RRF).
+    alpha_tokens is the one definition in functions/text.py, so ledger facts
+    are bit-identical to the batch builders and the shared oracles by
+    construction, on ANY text (case/digits/punct)."""
+    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
+
+    return batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
+
+
+def bigram_ledger_append(batch_df: DataFrame, led_bf: str, led_uni: str) -> None:
+    """One micro-batch's additive bigram-LM facts — (doc_id, w1, w2, bf)
+    bigram counts and (w2, cu) unigram counts — appended to the two parquet
+    ledgers. Module-level (not a closure) so the four consumers
+    (stream_bigram_surprisal, stream_surprisal_filter and their readout
+    folds) share ONE definition; drift between copies would ship
+    oracle-green because both engines run the same string (VERDICT r10 #5)."""
+    from movie_genre_data_pipeline_spark.functions.text import bigram_pairs
+
+    docs = alpha_token_docs(batch_df)
+    bg = bigram_pairs("__a")
+    (
+        docs.select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bf"))
+        .write.mode("append")
+        .parquet(led_bf)
+    )
+    (
+        docs.select(F.explode("__a").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .write.mode("append")
+        .parquet(led_uni)
+    )
+
+
+def bigram_ledger_counts(
+    spark: SparkSession, led_bf: str, led_uni: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bf, uni) count tables folded by SUM from the append ledgers — the
+    shared readout input for bigram_surprisal_from_counts. A pure function
+    of ledger ROWS (file layout irrelevant), like bm25_ledger_counts."""
+    bf = (
+        spark.read.parquet(led_bf)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.sum("bf").alias("bf"))
+    )
+    uni = spark.read.parquet(led_uni).groupBy("w2").agg(F.sum("cu").alias("cu"))
+    return bf, uni
+
+
 def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous CCNet-style quality filtering (r9) — the twin of
     curate_surprisal_filter under the arrival/readout rule: a document's
@@ -2712,8 +2737,6 @@ def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final model — batch ≡ continuous bit-for-bit, shared oracle
     verbatim, split-invariance gated."""
     from movie_genre_data_pipeline_spark.functions.text import (
-        alpha_tokens,
-        bigram_pairs,
         bigram_surprisal_from_counts,
     )
     from movie_genre_data_pipeline_spark.suite import load
@@ -2742,39 +2765,13 @@ def q_stream_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # the bigram LM tokenizes with the LOWERCASE ALPHA class, not the
-        # whitespace tokens() — alpha_tokens/bigram_pairs are the SHARED
-        # definitions (functions/text.py), so the ledger facts are
-        # bit-identical to functions/text.bigram_surprisal and the shared
-        # oracle by construction, on ANY text (case/digits/punct)
-        docs = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
-        bg = bigram_pairs("__a")
-        (
-            docs.select("doc_id", F.explode(bg).alias("b"))
-            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-            .groupBy("doc_id", "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("bf"))
-            .write.mode("append")
-            .parquet(led_bf)
-        )
-        (
-            docs.select(F.explode("__a").alias("w2"))
-            .groupBy("w2")
-            .agg(F.count(F.lit(1)).alias("cu"))
-            .write.mode("append")
-            .parquet(led_uni)
-        )
+        bigram_ledger_append(batch_df, led_bf, led_uni)
         batch_df.select("doc_id", "source").write.mode("append").parquet(led_src)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
 
-    bf = (
-        spark.read.parquet(led_bf)
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.sum("bf").alias("bf"))
-    )
-    uni = spark.read.parquet(led_uni).groupBy("w2").agg(F.sum("cu").alias("cu"))
+    bf, uni = bigram_ledger_counts(spark, led_bf, led_uni)
     scored = bigram_surprisal_from_counts(bf, uni)
     srcdim = spark.read.parquet(led_src)
     keep = F.col("avg_surprisal") < F.lit(SURPRISAL_KEEP_MAX)
@@ -2817,7 +2814,6 @@ def q_stream_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     term maps to min-bucket because the bucket function is monotone in id.
     Batch ≡ continuous bit-for-bit; shares the batch oracle verbatim;
     split-invariance gated."""
-    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.text_queries import HEAPS_BUCKETS
 
@@ -2840,7 +2836,7 @@ def q_stream_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs_b = batch_df.select("doc_id", alpha_tokens("text").alias("__a"))
+        docs_b = alpha_token_docs(batch_df)
         docs_b.select("doc_id", F.explode("__a").alias("term")).groupBy(
             "term"
         ).agg(F.min("doc_id").alias("first_doc")).write.mode("append").parquet(
@@ -3050,7 +3046,6 @@ def q_stream_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_queries.zipf_fit_from_counts): rank, both logs, and the fitted
     line are all READOUT decisions, so the slope legitimately keeps moving
     as the corpus grows. Shared oracle verbatim; split-invariance gated."""
-    from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.text_queries import (
         zipf_fit_from_counts,
@@ -3076,7 +3071,8 @@ def q_stream_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.select(F.explode(alpha_tokens("text")).alias("term"))
+            alpha_token_docs(batch_df)
+            .select(F.explode("__a").alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
             .write.mode("append")

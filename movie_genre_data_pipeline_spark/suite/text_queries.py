@@ -1133,10 +1133,14 @@ QUERIES["text_heaps_vocab_growth"] = QuerySpec(
 # rounding is safe).
 RRF_K = 60
 
+# FLOOR(x + 0.5), not ROUND: QL scores are always <= 0 (ln of a ratio < 1),
+# and Spark/DuckDB ROUND disagree on negative halves — same spell as
+# _ZIPF_SLOPE (ADVICE r10; exact .5 from a double ln is practically
+# unreachable, but the shared-string discipline wants one rounding rule).
 _QL_SCORE = (
-    "CAST(ROUND(ln(CAST(tf*total + ctf*dl AS DOUBLE)"
+    "CAST(FLOOR(ln(CAST(tf*total + ctf*dl AS DOUBLE)"
     " / CAST(2*dl*total AS DOUBLE))"
-    " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 )
 
 

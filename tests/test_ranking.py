@@ -76,3 +76,14 @@ def test_ranged_rank_partitioning_is_pinned(spark):
         plan[:2000]
     )
     assert len(re.findall(r"Exchange rangepartitioning", plan)) == 0, plan[:2000]
+
+
+def test_ranged_row_number_reliable_checkpoint(spark, tmp_path):
+    """reliable=True swaps the executor-local pin for a reliable
+    `.checkpoint()` (survives executor loss on long jobs — ADVICE r10);
+    values must be identical to the default path."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = _base(spark, 211)
+    got = ranged_row_number(df, ["k", "v"], "rn", reliable=True)
+    exp = df.withColumn("rn", F.row_number().over(Window.orderBy("k", "v")))
+    assert sorted(got.collect()) == sorted(exp.collect())

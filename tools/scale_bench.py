@@ -95,11 +95,15 @@ TABLES: dict[str, tuple[list[str], list[str]]] = {
     "documents": (["doc_id"], ["text"]),
     "embeddings": (["vec_id"], []),
     "events": (["event_id", "user_id"], []),
-    # c_name word-suffixes so the customer entity space stays OPEN under
-    # replication (new customers have new names — er_purged_recall's blocks
-    # must not densify k-fold; no roster query's cost depends on c_name
-    # collisions otherwise)
-    "customer": (["c_custkey"], ["c_name"]),
+    # c_name is REGENERATED from the offset key (see REGEN_TEXT), not
+    # word-suffixed: the ER blocking keys are digit grams (substr 10..16 of
+    # the name), and an end-of-string suffix leaves the digit prefix space
+    # k-fold DENSER instead of open — r10's 1.58 k=4 ratio on
+    # er_purged_recall was exactly that artifact (candidate volume grew
+    # 18.7x under 4x rows because replicas repeated the base digit space).
+    # dbgen itself names customers 'Customer#%09d', so regeneration is the
+    # faithful larger-SF fixture, keeping block cardinality growing with n.
+    "customer": (["c_custkey"], []),
     "orders": (["o_orderkey", "o_custkey"], []),
     "lineitem": (["l_orderkey", "l_suppkey"], []),
     "supplier": (["s_suppkey"], []),
@@ -110,6 +114,14 @@ TABLES: dict[str, tuple[list[str], list[str]]] = {
     # not offset, so baskets attribute against replica-0 parts exactly as
     # they attributed against the verbatim copy before.
     "part": (["p_partkey"], ["p_name"]),
+}
+
+# text columns rebuilt from the (already offset) id column — the dbgen
+# naming rule, so replica entities are NEW entities end-to-end, digit grams
+# included. Applied to every replica (replica 0's value is identical by
+# construction: base c_name IS 'Customer#%09d' of the base key).
+REGEN_TEXT: dict[str, dict[str, str]] = {
+    "customer": {"c_name": "format_string('Customer#%09d', c_custkey)"},
 }
 
 # copied into the scaled tier VERBATIM: dimension catalogs whose realistic
@@ -136,6 +148,8 @@ def _replicate(
         rep = df
         for c in id_cols:
             rep = rep.withColumn(c, F.col(c) + F.lit(r * strides[c]))
+        for c, expr in REGEN_TEXT.get(table, {}).items():
+            rep = rep.withColumn(c, F.expr(expr))
         for c in text_cols:
             if r > 0:  # replica 0 is the base text verbatim
                 rep = rep.withColumn(
@@ -262,25 +276,17 @@ def main() -> None:
     # against the previous COMMITTED SCALE_BENCH.json (same contract as
     # BENCH_DETAIL's vs_prev): a uniform host slowdown reads as ~1.0
     # normalized for every query instead of masquerading as lost scaling.
-    # The baseline comes from git HEAD, not the on-disk file — re-running the
-    # bench within a round must not silently rebase the comparison onto a
-    # discarded intermediate run (the r10 review caught exactly that in a
-    # pending artifact). Falls back to the disk file outside a git checkout.
-    import subprocess
+    # The baseline comes from git HEAD, not the on-disk file (shared helper —
+    # tools/bench_common.py; see its docstring for the r10 rationale).
+    from tools.bench_common import committed_baseline
 
-    prev_text: str | None = None
     rel = Path(out_json).resolve()
     repo_root = Path(__file__).resolve().parent.parent
     try:
-        prev_text = subprocess.run(
-            ["git", "-C", str(repo_root), "show", f"HEAD:{rel.relative_to(repo_root)}"],
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-    except (subprocess.CalledProcessError, ValueError, OSError):
-        if Path(out_json).exists():
-            prev_text = Path(out_json).read_text()
+        relpath = str(rel.relative_to(repo_root))
+    except ValueError:
+        relpath = str(rel)
+    prev_text = committed_baseline(repo_root, relpath)
     if prev_text:
         try:
             prev = json.loads(prev_text)
