@@ -1887,3 +1887,169 @@ WHERE rn = 1
 QUERIES["sim_hard_negatives"] = QuerySpec(
     q_sim_hard_negatives, _sim_hard_negatives_oracle()
 )
+
+
+# -- ANN quality: recall@k (k=10) with the nprobe dial in one row (r11) -----------
+# VERDICT r10 #6: sim_kmeans_recall/sim_pq_recall measure recall@1 only; real
+# ANN evaluation reports recall@10. One row publishes recall@10 at nprobe=1
+# and nprobe=2 side by side, which makes the monotonicity law ORACLE-VISIBLE:
+# probed candidate sets are supersets, and under the shared (cos DESC, id ASC)
+# total order any newcomer that displaces an exact-top-10 member from the
+# approx top-10 must itself rank above that member globally — i.e. is itself
+# in the exact top-10 — so hits@10 can only grow with nprobe.
+RECALL_AT_K = 10
+
+
+def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 vs the exact brute-force baseline, at nprobe 1 and 2.
+
+    Scale shape: the exact baseline is the guarded O(n²) pass (evaluation runs
+    on a bounded query sample at 100 TB — here the whole fixture is the
+    sample); the IVF side is probe-projection + equi-join on the cell, the
+    same candidate generation every other IVF query uses. The learned cells
+    come from the exact-arithmetic Lloyd fit, so DuckDB replays everything
+    bit-for-bit."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        assign_clusters,
+        kmeans_fit_exact,
+        probe_cells,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.similarity import (
+        _as_double,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    cents = kmeans_fit_exact(q, KMEANS_K, KMEANS_ITERS)
+    corpus_cells = assign_clusters(q, "vid", "vq", cents).select(
+        F.col("vid").alias("neighbor"), "cluster"
+    )
+    ea = e.select(F.col("vec_id").alias("vid"), _as_double("embedding").alias("va"))
+    eb = e.select(
+        F.col("vec_id").alias("neighbor"), _as_double("embedding").alias("vb")
+    )
+    # the exact top-10 feeds one hit-join per nprobe setting — one barrier or
+    # the O(n²) baseline runs twice (the funnel lesson)
+    exact = (
+        brute_force_top_k(e, "vec_id", "embedding", k=RECALL_AT_K)
+        .select("vid", "neighbor")
+        .localCheckpoint(eager=False)
+    )
+
+    def hits_at(nprobe: int) -> DataFrame:
+        probes = probe_cells(q, cents, nprobe)
+        cand = (
+            probes.join(corpus_cells, "cluster")
+            .filter(F.col("vid") != F.col("neighbor"))
+            .select("vid", "neighbor")
+        )
+        scored = (
+            cand.join(ea, "vid")
+            .join(eb, "neighbor")
+            .select(
+                "vid",
+                "neighbor",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor").asc()
+        )
+        topk = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= RECALL_AT_K)
+            .select("vid", "neighbor")
+        )
+        return exact.join(topk, ["vid", "neighbor"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_hits_p{nprobe}")
+        )
+
+    n_q = exact.agg(F.count_distinct("vid").cast("bigint").alias("n_queries"))
+    recall = (
+        "CAST(FLOOR(CAST(n_hits_p{p} AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        f" / CAST(n_queries * {RECALL_AT_K} AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        n_q.crossJoin(F.broadcast(hits_at(1)))
+        .crossJoin(F.broadcast(hits_at(2)))
+        .selectExpr(
+            "n_queries",
+            "n_hits_p1",
+            "n_hits_p2",
+            recall.format(p=1) + " AS recall10_p1_micro",
+            recall.format(p=2) + " AS recall10_p2_micro",
+        )
+    )
+
+
+def _sim_ivf_recall_at_k_oracle() -> str:
+    dim = DIM
+
+    def sqd(v: str, c: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {dim}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+        )
+
+    def topk_cte(p: int) -> str:
+        return f"""cand{p} AS (
+  SELECT pr.vid, cb.vid AS neighbor
+  FROM pr JOIN cells cb ON cb.cluster = pr.cluster AND pr.vid <> cb.vid
+  WHERE pr.rn <= {p}
+),
+top{p} AS (
+  SELECT vid, neighbor FROM (
+    SELECT c.vid, c.neighbor,
+           ROW_NUMBER() OVER (PARTITION BY c.vid
+             ORDER BY {_cos_sql("ea.v", "eb.v")} DESC, c.neighbor ASC) AS rnk
+    FROM cand{p} c JOIN e ea ON ea.vec_id = c.vid
+         JOIN e eb ON eb.vec_id = c.neighbor)
+  WHERE rnk <= {RECALL_AT_K}
+),
+hits{p} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits_p{p}
+            FROM exactk x JOIN top{p} t USING (vid, neighbor))"""
+
+    recall = (
+        "CAST(FLOOR(CAST(n_hits_p{p} AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        f" / CAST(n_queries * {RECALL_AT_K} AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH {kmeans_cells_cte()},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exscored AS (
+  SELECT a.vec_id AS vid, b.vec_id AS neighbor,
+         {_cos_sql("a.v", "b.v")} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+exactk AS MATERIALIZED (
+  SELECT vid, neighbor FROM
+    (SELECT vid, neighbor,
+            ROW_NUMBER() OVER (PARTITION BY vid
+                               ORDER BY cos_sim DESC, neighbor ASC) AS rnk
+     FROM exscored)
+  WHERE rnk <= {RECALL_AT_K}
+),
+pd AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv")} AS dist
+       FROM eq e CROSS JOIN c{KMEANS_ITERS} c),
+pr AS MATERIALIZED (SELECT vid, cluster,
+            ROW_NUMBER() OVER (PARTITION BY vid
+                               ORDER BY dist ASC, cluster ASC) AS rn
+      FROM pd),
+{topk_cte(1)},
+{topk_cte(2)},
+nq AS (SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_queries FROM exactk)
+SELECT n_queries, n_hits_p1, n_hits_p2,
+       {recall.format(p=1)} AS recall10_p1_micro,
+       {recall.format(p=2)} AS recall10_p2_micro
+FROM nq, hits1, hits2
+"""
+
+
+QUERIES["sim_ivf_recall_at_k"] = QuerySpec(
+    q_sim_ivf_recall_at_k, _sim_ivf_recall_at_k_oracle()
+)

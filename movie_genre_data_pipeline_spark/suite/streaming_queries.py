@@ -3155,3 +3155,74 @@ def _stream_shard_oracle() -> str:
 QUERIES["stream_shard_balance"] = QuerySpec(
     q_stream_shard_balance, _stream_shard_oracle()
 )
+
+
+def q_stream_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous retention-policy (TTL) audit (r11, VERDICT r10 #7) — the
+    governance family's streaming member: a row's day bucket and user key are
+    pure projections (decided at ARRIVAL), while the retention horizon —
+    max event time minus RETENTION_DAYS — is corpus-global, so expiry is a
+    READOUT decision that legitimately re-judges every day partition as later
+    data lands. Each micro-batch appends (d_bucket, user_id, n_rows) partials
+    (the COUNT DISTINCT forces the user key into the fact grain — SUM-fold
+    then count rows) plus a 1-row max-ts fact (MAX fold, the HLL-style
+    sibling of the Heaps MIN fold). Readout folds and runs the identical
+    tail as the batch audit (timeseries_queries.retention_from_counts).
+    Shared oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_micros
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        retention_day_user_facts,
+        retention_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_retention_")
+    src, led_day, led_mx = f"{base}/src", f"{base}/day", f"{base}/mx"
+    e = load(spark, sf_dir, "events")
+    e.select("user_id", "ts").repartition(_split(4)).write.parquet(src)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        retention_day_user_facts(batch_df).write.mode("append").parquet(led_day)
+        batch_df.agg(
+            F.max(epoch_micros("ts")).cast("bigint").alias("mx_us")
+        ).write.mode("append").parquet(led_mx)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    per_user = (
+        spark.read.parquet(led_day)
+        .groupBy("d_bucket", "user_id")
+        .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+    )
+    mx = spark.read.parquet(led_mx).agg(
+        F.max("mx_us").cast("bigint").alias("mx_us")
+    )
+    return retention_from_counts(per_user, mx)
+
+
+def _stream_retention_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        Q_RETENTION_POLICY_ORACLE,
+    )
+
+    return Q_RETENTION_POLICY_ORACLE
+
+
+QUERIES["stream_retention_policy"] = QuerySpec(
+    q_stream_retention_policy, _stream_retention_oracle()
+)

@@ -719,17 +719,29 @@ QUERIES["ts_cusum_changepoint"] = QuerySpec(
 RETENTION_DAYS = 14
 
 
-def q_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from movie_genre_data_pipeline_spark.operators.timeseries import (
-        epoch_micros,
-        time_bucket,
-    )
+def retention_day_user_facts(events: DataFrame) -> DataFrame:
+    """(d_bucket, user_id, n_rows) — the ADDITIVE fact grain of the retention
+    audit. Per-day row counts fold by SUM, but n_users is a COUNT DISTINCT,
+    so the ledger fact must keep the user key: (day, user) partials merge by
+    SUM and the distinct count becomes a row count over the folded grain.
+    Shared by the batch query and its streaming ledger twin
+    (streaming_queries.q_stream_retention_policy)."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import time_bucket
 
-    e = load(spark, sf_dir, "events")
-    mx = e.agg(F.max(epoch_micros("ts")).cast("bigint").alias("mx_us"))
-    per = e.groupBy(time_bucket("ts", DAY_S).alias("d_bucket")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    return events.groupBy(
+        time_bucket("ts", DAY_S).alias("d_bucket"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+
+
+def retention_from_counts(per_user: DataFrame, mx: DataFrame) -> DataFrame:
+    """The retention-policy readout tail over folded facts: `per_user` is the
+    (d_bucket, user_id, n_rows) grain (retention_day_user_facts, possibly
+    SUM-folded from ledger appends), `mx` a 1-row (mx_us) frame holding the
+    corpus max event time in micros. All horizon comparisons in exact integer
+    microseconds; the max lands as a broadcast 1-row frame."""
+    per = per_user.groupBy("d_bucket").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
     )
     day_end_us = f"unix_micros(d_bucket) + CAST({DAY_S} AS BIGINT) * 1000000"
     cutoff_us = f"mx_us - CAST({RETENTION_DAYS * DAY_S} AS BIGINT) * 1000000"
@@ -740,6 +752,14 @@ def q_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN {day_end_us} <= {cutoff_us} THEN 1 ELSE 0 END"
         " AS BIGINT) AS expired",
     )
+
+
+def q_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_micros
+
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max(epoch_micros("ts")).cast("bigint").alias("mx_us"))
+    return retention_from_counts(retention_day_user_facts(e), mx)
 
 
 Q_RETENTION_POLICY_ORACLE = f"""

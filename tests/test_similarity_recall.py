@@ -72,3 +72,19 @@ def test_nprobe_recall_monotone(spark):
     assert multi["n_queries"] == one["n_queries"]
     assert multi["n_hits"] >= one["n_hits"], (multi, one)
     assert multi["recall_at_1"] >= one["recall_at_1"]
+
+
+def test_recall_at_10_nprobe_monotone(spark):
+    """recall@10 extends the monotonicity law past k=1 (VERDICT r10 #6): under
+    the shared (cos DESC, id ASC) total order, any candidate that displaces an
+    exact-top-10 member from the approx top-10 ranks above it globally — so it
+    is itself an exact-top-10 member and hits@10 cannot drop as nprobe grows.
+    The query publishes both nprobe settings in one row; assert the law and
+    the bounds."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    q = all_queries()
+    row = q["sim_ivf_recall_at_k"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_queries"] > 0
+    assert 0 <= row["n_hits_p1"] <= row["n_hits_p2"] <= row["n_queries"] * 10
+    assert row["recall10_p1_micro"] <= row["recall10_p2_micro"] <= 1_000_000

@@ -67,6 +67,10 @@ FOLDS = [
     # r10: the blob shard-placement ledger (the multimodal family's first
     # streaming member; facts are per-batch per-shard partials)
     "stream_shard_balance",
+    # r11: the retention-audit ledger — (day, user, n) partials SUM-fold and
+    # the distinct-user count becomes a row count over the folded grain; the
+    # horizon (max ts) is a MAX fold, so expiry re-judges at readout
+    "stream_retention_policy",
 ]
 
 
