@@ -76,6 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- (a): new r11 queries, seated immediately ---
     "sim_ivf_recall_at_k",
     "stream_retention_policy",
+    "stream_k_anonymity",
     # --- (b): fingerprint-stale (ER checkpoint pin + ranged-rank DIV +
     #     gram-ledger extraction + QL-score spell) ---
     "er_sorted_neighborhood",
@@ -120,8 +121,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q7",
     "tpch_q2",
     "tpch_q22",
-    "grouping_sets",
     "media_resize",
+    # (grouping_sets — also r4-stale — waits for the r12 refresh; its slot
+    # went to the new stream_k_anonymity twin.)
 )
 
 # The r10 window, kept for the rotation ledger (all 50 hold r10 driver

@@ -280,13 +280,25 @@ _BAL_BAND = (
 )
 
 
-def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    groups = (
-        c.selectExpr("c_nationkey", "c_mktsegment", f"{_BAL_BAND} AS bal_band")
+def k_anonymity_group_facts(customers: DataFrame) -> DataFrame:
+    """(c_nationkey, c_mktsegment, bal_band, g_size) — the ADDITIVE fact
+    grain of the k-anonymity audit: QI-group row counts SUM-fold across any
+    batching, so the at-risk verdict (g_size < k) is a READOUT decision — a
+    group under k at arrival may clear the bar as later rows land. Shared by
+    the batch audit and its streaming ledger twin
+    (streaming_queries.q_stream_k_anonymity)."""
+    return (
+        customers.selectExpr(
+            "c_nationkey", "c_mktsegment", f"{_BAL_BAND} AS bal_band"
+        )
         .groupBy("c_nationkey", "c_mktsegment", "bal_band")
         .agg(F.count(F.lit(1)).cast("bigint").alias("g_size"))
     )
+
+
+def k_anonymity_from_groups(groups: DataFrame) -> DataFrame:
+    """The segment-rollup readout tail over the (possibly SUM-folded) QI
+    group-cardinality table."""
     at_risk = F.col("g_size") < K_ANONYMITY
     return (
         groups.groupBy("c_mktsegment")
@@ -310,6 +322,11 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return k_anonymity_from_groups(k_anonymity_group_facts(c))
 
 
 Q_K_ANONYMITY_ORACLE = f"""

@@ -3226,3 +3226,71 @@ def _stream_retention_oracle() -> str:
 QUERIES["stream_retention_policy"] = QuerySpec(
     q_stream_retention_policy, _stream_retention_oracle()
 )
+
+
+def q_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous k-anonymity audit (r11) — the governance family's second
+    ledger twin: a row's quasi-identifier key (nation x segment x balance
+    band) is a pure projection (decided at ARRIVAL), while the at-risk
+    verdict g_size < k is corpus-global — a group under k in an early batch
+    may clear the bar as later rows land, so every group is re-judged at
+    READOUT over the SUM-folded cardinality ledger. Each micro-batch appends
+    its (QI, g_size) partials (cdc_queries.k_anonymity_group_facts); the
+    readout folds and runs the identical segment rollup
+    (cdc_queries.k_anonymity_from_groups). Shared oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        k_anonymity_from_groups,
+        k_anonymity_group_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_kanon_")
+    src, led = f"{base}/src", f"{base}/groups"
+    c = load(spark, sf_dir, "customer")
+    c.select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal").repartition(
+        _split(4)
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            # c_nationkey is INT32 in the fixture parquet; the file-source
+            # schema must match the physical type or the scan fails
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        k_anonymity_group_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(led)
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.sum("g_size").cast("bigint").alias("g_size"))
+    )
+    return k_anonymity_from_groups(folded)
+
+
+def _stream_k_anonymity_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        Q_K_ANONYMITY_ORACLE,
+    )
+
+    return Q_K_ANONYMITY_ORACLE
+
+
+QUERIES["stream_k_anonymity"] = QuerySpec(
+    q_stream_k_anonymity, _stream_k_anonymity_oracle()
+)

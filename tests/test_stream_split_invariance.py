@@ -71,6 +71,9 @@ FOLDS = [
     # the distinct-user count becomes a row count over the folded grain; the
     # horizon (max ts) is a MAX fold, so expiry re-judges at readout
     "stream_retention_policy",
+    # r11: the k-anonymity QI-group ledger (pure SUM fold; the at-risk
+    # verdict g_size < k is a readout re-judgment)
+    "stream_k_anonymity",
 ]
 
 
