@@ -77,6 +77,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_recall_at_k",
     "stream_retention_policy",
     "stream_k_anonymity",
+    "text_unigram_entropy",
+    "stream_unigram_entropy",
     # --- (b): fingerprint-stale (ER checkpoint pin + ranged-rank DIV +
     #     gram-ledger extraction + QL-score spell) ---
     "er_sorted_neighborhood",
@@ -119,11 +121,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "from_json_props",
     "sessionize",
     "tpch_q7",
-    "tpch_q2",
-    "tpch_q22",
     "media_resize",
-    # (grouping_sets — also r4-stale — waits for the r12 refresh; its slot
-    # went to the new stream_k_anonymity twin.)
+    # (grouping_sets, tpch_q22, tpch_q2 — also r4-stale — wait for the r12
+    # refresh; their slots went to the new r11 twins above.)
 )
 
 # The r10 window, kept for the rotation ledger (all 50 hold r10 driver

@@ -3294,3 +3294,68 @@ def _stream_k_anonymity_oracle() -> str:
 QUERIES["stream_k_anonymity"] = QuerySpec(
     q_stream_k_anonymity, _stream_k_anonymity_oracle()
 )
+
+
+def q_stream_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus-diversity report (r11) — the entropy/Simpson twin
+    over the SAME (term, cnt) unigram ledger the continuous Zipf fit
+    appends: counts are pure additive facts (decided at ARRIVAL), while
+    both diversity statistics are functions of the FINAL distribution, so
+    they fold at READOUT (text_queries.entropy_from_counts — the identical
+    tail the batch query runs). Shared oracle verbatim; split-invariance
+    gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        entropy_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_entropy_")
+    src, led = f"{base}/src", f"{base}/counts"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            alpha_token_docs(batch_df)
+            .select(F.explode("__a").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("append")
+            .parquet(led)
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    counts = (
+        spark.read.parquet(led)
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return entropy_from_counts(counts)
+
+
+def _stream_entropy_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_UNIGRAM_ENTROPY_ORACLE,
+    )
+
+    return Q_UNIGRAM_ENTROPY_ORACLE
+
+
+QUERIES["stream_unigram_entropy"] = QuerySpec(
+    q_stream_unigram_entropy, _stream_entropy_oracle()
+)

@@ -1372,3 +1372,89 @@ FROM sums
 """.replace("{ALPHA}", ALPHA_TOKS_SQL)
 
 QUERIES["text_zipf_fit"] = QuerySpec(q_zipf_fit, Q_ZIPF_FIT_ORACLE)
+
+
+# -- corpus diversity: unigram entropy + Simpson index (r11) ----------------------------------
+# The diversity report a training-data curator reads next to the Zipf fit:
+# Shannon entropy of the token distribution (in micro-nats) and the Simpson
+# collision index (probability two sampled tokens are the same type).
+# Exactness discipline: H = ln(T) − (Σ c·ln c)/T would be an accumulation-
+# order-sensitive float sum, so each term's ln(c) is quantized to micro-nats
+# BIGINT FIRST and multiplied by the integer count — the per-term
+# contribution is an exact integer, the corpus sum is order-free, and the
+# single final division uses the FLOOR(x+0.5) half-up spell. Simpson is the
+# exact rational Σ c(c−1) / T(T−1) in DECIMAL(38,0) (token-pair counts are
+# ~T² — past BIGINT at 100 TB), micro-quantized by one division. Both
+# formulas are law-tested against numpy (shared-string micro-unit bugs ship
+# oracle-green — the r10 Zipf lesson).
+
+
+def entropy_from_counts(counts: DataFrame) -> DataFrame:
+    """The count-table form of the diversity report: `counts` is (term, cnt)
+    — the SAME additive facts the Zipf fit consumes, however accumulated
+    (one batch scan or a streaming ledger folded by SUM). Shared by the
+    batch query and its streaming twin."""
+    sums = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE))"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT) * cnt) AS BIGINT)"
+        ).alias("sclnc"),
+        F.expr(
+            "SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt - 1 AS DECIMAL(38,0)))"
+        ).alias("spairs"),
+    )
+    return sums.selectExpr(
+        "n_types",
+        "n_tokens",
+        "CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT)"
+        " - CAST(FLOOR(CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS entropy_micro",
+        "CAST(FLOOR(CAST(spairs AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS simpson_micro",
+    )
+
+
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(alpha_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return entropy_from_counts(counts)
+
+
+Q_UNIGRAM_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, UNNEST({ALPHA}) AS u(t)
+  GROUP BY 1
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) * cnt) AS BIGINT) AS sclnc,
+         SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt - 1 AS DECIMAL(38,0)))
+           AS spairs
+  FROM counts
+)
+SELECT n_types,
+       n_tokens,
+       CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         AS BIGINT)
+       - CAST(FLOOR(CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS entropy_micro,
+       CAST(FLOOR(CAST(spairs AS DOUBLE) * CAST(1000000 AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS simpson_micro
+FROM sums
+""".replace("{ALPHA}", ALPHA_TOKS_SQL)
+
+QUERIES["text_unigram_entropy"] = QuerySpec(
+    q_unigram_entropy, Q_UNIGRAM_ENTROPY_ORACLE
+)

@@ -85,6 +85,9 @@ _QUERIES = [
     # r10: the Zipf rank-frequency fit (batch + ledger twin)
     "text_zipf_fit",
     "stream_zipf_fit",
+    # r11: the diversity report over the same unigram counts (batch + twin)
+    "text_unigram_entropy",
+    "stream_unigram_entropy",
 ]
 
 
@@ -185,3 +188,45 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
         intercept,
     )
     assert row["n_ranks"] == ZIPF_TOPN
+
+
+def test_unigram_entropy_matches_numpy(spark):
+    """Law test vs an independent implementation (the r10 Zipf lesson —
+    shared-string micro-unit bugs ship oracle-green): recompute Shannon
+    entropy and the Simpson index from the raw counts with numpy and require
+    agreement to the micro quantization floor."""
+    import math
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["text_unigram_entropy"].fn(spark, sf).collect()[0]
+    con = duckdb.connect()
+    cnts = np.array(
+        [
+            c
+            for (c,) in con.sql(
+                f"""SELECT COUNT(*) FROM '{sf}/documents.parquet',
+                UNNEST(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z]+'), x -> x != '')) AS u(t)
+                GROUP BY t"""
+            ).fetchall()
+        ],
+        dtype=np.float64,
+    )
+    T = cnts.sum()
+    p = cnts / T
+    H = float(-(p * np.log(p)).sum())
+    simpson = float((cnts * (cnts - 1)).sum() / (T * (T - 1)))
+    assert row["n_types"] == len(cnts)
+    assert row["n_tokens"] == int(T)
+    # per-term ln quantization adds <= 0.5 micro-nat weighted error plus the
+    # two final roundings — 5 micro is generous
+    assert math.isclose(row["entropy_micro"] / 1e6, H, abs_tol=5e-6), (
+        row["entropy_micro"] / 1e6,
+        H,
+    )
+    assert math.isclose(row["simpson_micro"] / 1e6, simpson, abs_tol=2e-6), (
+        row["simpson_micro"] / 1e6,
+        simpson,
+    )

@@ -74,6 +74,8 @@ FOLDS = [
     # r11: the k-anonymity QI-group ledger (pure SUM fold; the at-risk
     # verdict g_size < k is a readout re-judgment)
     "stream_k_anonymity",
+    # r11: the diversity readout over the zipf unigram ledger (SUM fold)
+    "stream_unigram_entropy",
 ]
 
 
