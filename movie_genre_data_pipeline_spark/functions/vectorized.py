@@ -123,6 +123,50 @@ def panel_min_sqdist(
     return partials.groupBy("vid").agg(F.min("d").alias("d_min"))
 
 
+def panel_range_count(
+    q: DataFrame,
+    panel: list[tuple[int, list[float]]],
+    r2: int,
+    id_col: str = "vid",
+    vec_col: str = "vq",
+) -> DataFrame:
+    """(vid, n_in_range): for each panel query, the EXACT count of OTHER
+    corpus vectors within squared L2 distance <= r2 — the FAISS range_search
+    ground truth, computed as one corpus scan emitting panel-sized partial
+    counts per Arrow batch plus one |panel|-keyed final SUM (counts are
+    additive, so the fold is order-free by construction). Same exactness
+    argument as panel_min_sqdist: quantize_vectors corpora are integral
+    doubles, pair distances integral < 2^53, so every <= comparison is
+    exact and the count matches the oracle bit-for-bit. Queries with zero
+    in-range neighbors still emit (vid, 0) — the caller needs the full
+    panel, not just covered queries."""
+    pvids = np.array([int(v) for v, _ in panel], dtype=np.int64)
+    P = np.array([vec for _, vec in panel], dtype=np.float64)
+    vid_field = q.schema[id_col].dataType.simpleString()
+    r2 = float(r2)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            D = sqdist_index_fold(V, P)  # (B × Q)
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            rows, cols = np.nonzero(vids[:, None] == pvids[None, :])
+            D[rows, cols] = np.inf  # self-exclusion
+            partial = (D <= r2).sum(axis=0).astype(np.int64)
+            import pandas as pd
+
+            yield pd.DataFrame({"vid": pvids, "n": partial})
+
+    partials = q.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"vid {vid_field}, n bigint"
+    )
+    return partials.groupBy("vid").agg(
+        F.sum("n").cast("bigint").alias("n_in_range")
+    )
+
+
 def assign_cells_two_level_np(
     df: DataFrame,
     id_col: str,

@@ -2053,3 +2053,113 @@ FROM nq, hits1, hits2
 QUERIES["sim_ivf_recall_at_k"] = QuerySpec(
     q_sim_ivf_recall_at_k, _sim_ivf_recall_at_k_oracle()
 )
+
+
+# -- ANN radius search: FAISS range_search surface (r11) ---------------------------------
+# Top-k answers "the k closest"; range search answers "EVERYTHING within r"
+# — the dedup/near-dup readout (all candidates above a similarity bar, count
+# unknown a priori). Same production shape as the IVFADC family: the probed
+# side scans only each panel query's PQ_NPROBE learned cells (nprobe·√n per
+# query), the exact baseline is ONE Arrow-batched corpus scan
+# (functions/vectorized.panel_range_count — additive partial counts, Q·n
+# never n²). The radius is an exact integer bound on the quantized squared
+# L2 (micro-scaled inputs ⇒ integral distances), sized at the ~5th
+# percentile of the pair-distance distribution so per-query counts are
+# nontrivial at every SF. Publishing n_exact next to n_probed prices the
+# probe recall honestly per query.
+RANGE_R2 = 1_600_000_000_000
+
+
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        kmeans_fit_exact_local,
+        probe_cells,
+        quantize_vectors,
+    )
+    from movie_genre_data_pipeline_spark.functions.vectorized import (
+        assign_cells_two_level_np,
+        panel_range_count,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding").cache()
+    k = _ivf_nlist(q.count())
+    cents = kmeans_fit_exact_local(_collect_train(q), k, IVF_ITERS)
+    cells = assign_cells_two_level_np(
+        q, "vid", "vq", cents, IVF_GROUP_ITERS
+    ).select(F.col("vid").alias("neighbor"), "cluster")
+    qs = _pq_query_panel(q)
+    panel = [
+        (r["vid"], list(r["vq"]))
+        for r in q.join(qs, "vid").select("vid", "vq").orderBy("vid").collect()
+    ]
+    exact = panel_range_count(q, panel, RANGE_R2).withColumnRenamed(
+        "n_in_range", "n_exact"
+    )
+    a = q.join(qs, "vid").select("vid", F.col("vq").alias("va"))
+    b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb")).join(
+        cells, "neighbor"
+    )
+    probes = probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE)
+    probed = (
+        probes.join(a, "vid")
+        .join(b, "cluster")
+        .filter(F.col("vid") != F.col("neighbor"))
+        .filter(
+            _pq_sqd_col(F.col("va"), F.col("vb")).cast("bigint")
+            <= F.lit(RANGE_R2)
+        )
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_probed"))
+    )
+    return exact.join(probed, "vid", "left").select(
+        "vid",
+        "n_exact",
+        F.coalesce(F.col("n_probed"), F.lit(0)).cast("bigint").alias("n_probed"),
+    )
+
+
+def _sim_range_search_oracle() -> str:
+    sqd = _pq_sqd
+    head = kmeans_cells_cte(
+        k=_IVF_NLIST_SQL,
+        iters=IVF_ITERS,
+        train_limit=IVF_TRAIN,
+        group_iters=IVF_GROUP_ITERS,
+    )
+    return f"""
+WITH {head},
+qs AS (SELECT vid FROM eq ORDER BY vid LIMIT {PQ_NQ}),
+exact AS (
+  SELECT a.vid,
+         CAST(SUM(CASE WHEN b.vid <> a.vid
+                        AND CAST({sqd("a.vq", "b.vq", DIM)} AS BIGINT)
+                            <= {RANGE_R2}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+  FROM eq a JOIN qs ON qs.vid = a.vid CROSS JOIN eq b
+  GROUP BY a.vid
+),
+qpd AS (SELECT e.vid, c.cluster, {sqd("e.vq", "c.cv", DIM)} AS dist
+        FROM eq e JOIN qs ON qs.vid = e.vid CROSS JOIN c{IVF_ITERS} c),
+probes AS (SELECT vid, cluster FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                      ORDER BY dist ASC, cluster ASC) AS rn FROM qpd)
+           WHERE rn <= {PQ_NPROBE}),
+probed AS (
+  SELECT p.vid, CAST(COUNT(*) AS BIGINT) AS n_probed
+  FROM probes p
+  JOIN eq a ON a.vid = p.vid
+  JOIN cells kb ON kb.cluster = p.cluster
+  JOIN eq b ON b.vid = kb.vid AND b.vid <> p.vid
+  WHERE CAST({sqd("a.vq", "b.vq", DIM)} AS BIGINT) <= {RANGE_R2}
+  GROUP BY p.vid
+)
+SELECT e.vid, e.n_exact, COALESCE(pr.n_probed, 0) AS n_probed
+FROM exact e LEFT JOIN probed pr USING (vid)
+"""
+
+
+QUERIES["sim_range_search"] = QuerySpec(
+    q_sim_range_search, _sim_range_search_oracle()
+)

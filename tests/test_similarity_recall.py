@@ -88,3 +88,22 @@ def test_recall_at_10_nprobe_monotone(spark):
     assert row["n_queries"] > 0
     assert 0 <= row["n_hits_p1"] <= row["n_hits_p2"] <= row["n_queries"] * 10
     assert row["recall10_p1_micro"] <= row["recall10_p2_micro"] <= 1_000_000
+
+
+def test_range_search_probed_subset_of_exact(spark):
+    """Range search law: probed candidates are a subset of the corpus, so
+    per-query n_probed <= n_exact always; the panel must emit one row per
+    query (zero-count queries included) and the radius must be nontrivial
+    at the fixture SF (some query finds some neighbor both ways)."""
+    from movie_genre_data_pipeline_spark.suite import all_queries
+    from movie_genre_data_pipeline_spark.suite.similarity_queries import PQ_NQ
+
+    rows = (
+        all_queries()["sim_range_search"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == min(PQ_NQ, 500)
+    assert all(0 <= r["n_probed"] <= r["n_exact"] for r in rows)
+    assert sum(r["n_exact"] for r in rows) > 0
+    assert sum(r["n_probed"] for r in rows) > 0
