@@ -80,6 +80,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_unigram_entropy",
     "stream_unigram_entropy",
     "sim_range_search",
+    "stream_phash_dedup",
     # --- (b): fingerprint-stale (ER checkpoint pin + ranged-rank DIV +
     #     gram-ledger extraction + QL-score spell) ---
     "er_sorted_neighborhood",
@@ -120,10 +121,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "interval_join",
     "window_topk_per_group",
     "from_json_props",
-    "sessionize",
     "media_resize",
-    # (grouping_sets, tpch_q22, tpch_q2, tpch_q7 — also r4-stale — wait for
-    # the r12 refresh; their slots went to the new r11 queries above.)
+    # (grouping_sets, tpch_q22, tpch_q2, tpch_q7, sessionize — also r4-stale
+    # — wait for the r12 refresh; their slots went to the new r11 queries
+    # above.)
 )
 
 # The r10 window, kept for the rotation ledger (all 50 hold r10 driver

@@ -3359,3 +3359,76 @@ def _stream_entropy_oracle() -> str:
 QUERIES["stream_unigram_entropy"] = QuerySpec(
     q_stream_unigram_entropy, _stream_entropy_oracle()
 )
+
+
+def q_stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained image near-dup index (r11) — the multimodal
+    family's second streaming member: a blob's dHash fingerprint is a pure
+    per-row projection (decided at ARRIVAL — the expensive decode+hash runs
+    exactly once per blob), while near-dup PAIRING is corpus-global (a new
+    image can collide with one that landed hours ago), so banding, candidate
+    joins, and hamming verdicts all run at READOUT over the accumulated
+    fingerprint ledger (multimodal.phash_near_dup_pairs — the identical tail
+    the batch query runs; ids are unique across batches so the ledger fold
+    is plain union). Shared oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.multimodal import (
+        phash_fingerprints,
+        phash_near_dup_pairs,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.multimodal_queries import (
+        PHASH_BANDS,
+        PHASH_MAX_HAMMING,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_phash_")
+    src, led = f"{base}/src", f"{base}/fps"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        media = batch_df.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        phash_fingerprints(media, fake_decode=True).write.mode(
+            "append"
+        ).parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    pairs = phash_near_dup_pairs(
+        spark.read.parquet(led),
+        max_hamming=PHASH_MAX_HAMMING,
+        bands=PHASH_BANDS,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def _stream_phash_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.multimodal_queries import (
+        _phash_oracle,
+    )
+
+    return _phash_oracle()
+
+
+QUERIES["stream_phash_dedup"] = QuerySpec(
+    q_stream_phash_dedup, _stream_phash_oracle()
+)

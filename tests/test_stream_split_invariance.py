@@ -76,6 +76,9 @@ FOLDS = [
     "stream_k_anonymity",
     # r11: the diversity readout over the zipf unigram ledger (SUM fold)
     "stream_unigram_entropy",
+    # r11: the dHash fingerprint ledger (union fold — ids unique across
+    # batches; pairing is entirely a readout decision)
+    "stream_phash_dedup",
 ]
 
 
