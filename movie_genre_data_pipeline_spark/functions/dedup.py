@@ -380,6 +380,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    blocking: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT over distinct word-k-gram sets — the
+    asymmetric sibling of ngram_jaccard_pairs: C(A→B) = |A∩B| / |A| (Broder's
+    containment), which catches doc-IN-doc duplication (a quote, a wrapped
+    article) that resemblance misses — a short document fully embedded in a
+    long one has Jaccard ≈ |A|/|B| (tiny) but containment 1.0.
+
+    Same blocking contract as the Jaccard scan (pass e.g. ["lang"]; exact
+    set intersection is the verification stage after LSH, never an unblocked
+    discovery scan — candidate pairs come from the shared-shingle equi-join,
+    which is containment-COMPLETE: any pair with |A∩B| >= 1 is a candidate).
+
+    Returns (id_a, id_b, n_a, n_b, inter, cont_a, cont_b) with id_a < id_b,
+    for pairs where max(cont_a, cont_b) >= threshold."""
+    blocking = blocking or []
+    sh = shingle_rows(
+        df, id_col, text_col, k, extra_cols=tuple(blocking), distinct=True
+    ).withColumnRenamed("s", "sh")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    join_cond = [F.col("a.sh") == F.col("b.sh")] + [
+        F.col(f"a.{c}") == F.col(f"b.{c}") for c in blocking
+    ]
+    inter = (
+        a.join(b, join_cond)
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.round(F.col("inter") / F.col("n_a").cast("double"), 6)
+    cont_b = F.round(F.col("inter") / F.col("n_b").cast("double"), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
 # -- embedding-cosine near-dup ---------------------------------------------------------
 def embedding_near_dup(
     df: DataFrame,

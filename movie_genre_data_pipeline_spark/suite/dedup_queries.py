@@ -737,3 +737,60 @@ cand_{b}_{r} AS MATERIALIZED (
 
 
 QUERIES["dedup_lsh_tuning"] = QuerySpec(q_dedup_lsh_tuning, _lsh_tuning_oracle())
+
+
+# -- shingle containment: doc-in-doc duplication (r11) ---------------------------------------
+# The asymmetric dedup verdict resemblance misses: a short document fully
+# embedded in a longer one (quote inclusion, wrapped article) has Jaccard
+# |A|/|B| — arbitrarily small — but containment |A∩B|/|A| = 1.0. Candidates
+# come from the same lang-blocked shared-shingle equi-join as the Jaccard
+# scan (containment-complete: any pair with a nonempty intersection is a
+# candidate); publishing both directions plus the raw set sizes makes the
+# keep/drop call (usually: drop the contained SHORTER doc) auditable.
+CONTAIN_THRESHOLD = 0.5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d,
+        "doc_id",
+        "text",
+        k=SHINGLE_K,
+        blocking=["lang"],
+        threshold=CONTAIN_THRESHOLD,
+    )
+
+
+Q_DEDUP_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+shrows AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_distinct(shingles)) AS s FROM sh
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shrows GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shrows a JOIN shrows b ON a.s = b.s AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       sa.n_sh AS n_a,
+       sb.n_sh AS n_b,
+       CAST(inter AS BIGINT) AS inter,
+       ROUND(inter / CAST(sa.n_sh AS DOUBLE), 6) AS cont_a,
+       ROUND(inter / CAST(sb.n_sh AS DOUBLE), 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE GREATEST(ROUND(inter / CAST(sa.n_sh AS DOUBLE), 6),
+               ROUND(inter / CAST(sb.n_sh AS DOUBLE), 6)) >= {CONTAIN_THRESHOLD}
+"""
+
+QUERIES["dedup_containment"] = QuerySpec(
+    q_dedup_containment, Q_DEDUP_CONTAINMENT_ORACLE
+)

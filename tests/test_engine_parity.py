@@ -72,6 +72,8 @@ _QUERIES = [
     "curate_span_scrub",
     "dedup_duplicate_spans",
     "dedup_lsh_tuning",
+    # r11: the asymmetric containment verdict (whitespace shingles)
+    "dedup_containment",
     "media_shard_balance",
     # r10: the Heaps'-law curve, batch AND streaming twin — the stream ledger
     # must derive n_ids from ALL documents (the corpus's max-id row above
