@@ -82,6 +82,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_range_search",
     "stream_phash_dedup",
     "dedup_containment",
+    "feat_mutual_info",
     # --- (b): fingerprint-stale (ER checkpoint pin + ranged-rank DIV +
     #     gram-ledger extraction + QL-score spell) ---
     "er_sorted_neighborhood",
@@ -120,8 +121,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_foreachbatch_merge",
     # --- stalest-record refresh: r4 + the media family floor (r5) ---
     "interval_join",
-    "window_topk_per_group",
     "media_resize",
+    # (window_topk_per_group joined the waiters too)
     # (from_json_props joined the waiters too)
     # (grouping_sets, tpch_q22, tpch_q2, tpch_q7, sessionize — also r4-stale
     # — wait for the r12 refresh; their slots went to the new r11 queries

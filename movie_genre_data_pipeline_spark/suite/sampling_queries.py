@@ -1908,3 +1908,105 @@ FROM chunks GROUP BY lang
 QUERIES["sample_pack_efficiency"] = QuerySpec(
     q_sample_pack_efficiency, Q_SAMPLE_PACK_EFFICIENCY_ORACLE
 )
+
+
+# -- mutual information between categorical features (r11) ------------------------------------
+# The information-theoretic member of the feature-relevance family (next to
+# Pearson corr and target encoding): MI(X;Y) = Σ p_xy · ln(p_xy / (p_x p_y))
+# over the contingency table — the standard feature-selection statistic for
+# categorical pairs. Exactness discipline: each cell's log-ratio argument is
+# the EXACT integer ratio N·n_xy / (n_x·n_y); its ln is quantized to
+# micro-nats with the FLOOR(x+0.5) half-up spell (the argument can be < 1,
+# so the negative-half ROUND divergence is live here), weighted by the
+# integer cell count, summed exactly in BIGINT, and divided by N once.
+# Marginal entropies publish alongside (same per-term quantization as
+# text_unigram_entropy) so normalized MI is one derived division away.
+# Scale shape: one |X|·|Y|-cell hash aggregate + two broadcast marginals —
+# nothing row-sized past the first groupBy. numpy law test in
+# tests/test_engine_parity.py.
+_MI_CELL = (
+    "CAST(FLOOR(ln(CAST(n_rows * n_xy AS DOUBLE)"
+    " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_H_TERM = (
+    "CAST(SUM(CAST(ROUND(ln(CAST({n} AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)) AS BIGINT) * {n}) AS BIGINT)"
+)
+
+
+def q_feat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n_rows"))
+    joined = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.expr(f"CAST(SUM({_MI_CELL} * n_xy) AS BIGINT)").alias("smi"),
+    )
+    hx = mx.agg(F.expr(_H_TERM.format(n="n_x")).alias("sx"))
+    hy = my.agg(F.expr(_H_TERM.format(n="n_y")).alias("sy"))
+    ent = (
+        "CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT)"
+        " - CAST(FLOOR(CAST({s} AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        sums.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .selectExpr(
+            "n_cells",
+            "n_rows",
+            "CAST(FLOOR(CAST(smi AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_micro",
+            ent.format(s="sx") + " AS h_x_micro",
+            ent.format(s="sy") + " AS h_y_micro",
+        )
+    )
+
+
+Q_FEAT_MUTUAL_INFO_ORACLE = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_rows FROM cells),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         MAX(n_rows) AS n_rows,
+         CAST(SUM({_MI_CELL} * n_xy) AS BIGINT) AS smi
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+),
+hx AS (SELECT {_H_TERM.format(n="n_x")} AS sx FROM mx),
+hy AS (SELECT {_H_TERM.format(n="n_y")} AS sy FROM my)
+SELECT n_cells,
+       n_rows,
+       CAST(FLOOR(CAST(smi AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_micro,
+       CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         AS BIGINT)
+       - CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS h_x_micro,
+       CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         AS BIGINT)
+       - CAST(FLOOR(CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS h_y_micro
+FROM sums CROSS JOIN hx CROSS JOIN hy
+"""
+
+QUERIES["feat_mutual_info"] = QuerySpec(
+    q_feat_mutual_info, Q_FEAT_MUTUAL_INFO_ORACLE
+)

@@ -232,3 +232,43 @@ def test_unigram_entropy_matches_numpy(spark):
         row["simpson_micro"] / 1e6,
         simpson,
     )
+
+
+def test_mutual_info_matches_numpy(spark):
+    """Law test vs an independent implementation: recompute MI and both
+    marginal entropies from the raw contingency table with numpy and require
+    agreement to the micro quantization floor (shared-string micro-unit bugs
+    ship oracle-green)."""
+    import math
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_mutual_info"].fn(spark, sf).collect()[0]
+    con = duckdb.connect()
+    cells = con.sql(
+        f"""SELECT o_orderpriority, o_orderstatus, COUNT(*)
+        FROM '{sf}/orders.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    xs = sorted({c[0] for c in cells})
+    ys = sorted({c[1] for c in cells})
+    M = np.zeros((len(xs), len(ys)))
+    for x, y, n in cells:
+        M[xs.index(x), ys.index(y)] = n
+    N = M.sum()
+    p = M / N
+    px = p.sum(axis=1)
+    py = p.sum(axis=0)
+    nz = p > 0
+    mi = float((p[nz] * np.log(p[nz] / np.outer(px, py)[nz])).sum())
+    hx = float(-(px * np.log(px)).sum())
+    hy = float(-(py * np.log(py)).sum())
+    assert row["n_rows"] == int(N)
+    assert math.isclose(row["mi_micro"] / 1e6, mi, abs_tol=5e-6), (
+        row["mi_micro"] / 1e6,
+        mi,
+    )
+    assert math.isclose(row["h_x_micro"] / 1e6, hx, abs_tol=5e-6)
+    assert math.isclose(row["h_y_micro"] / 1e6, hy, abs_tol=5e-6)
+    # information inequality: 0 <= MI <= min(H(X), H(Y)) (up to quantization)
+    assert -2 <= row["mi_micro"] <= min(row["h_x_micro"], row["h_y_micro"]) + 2
