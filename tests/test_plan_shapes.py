@@ -133,3 +133,13 @@ def test_ranged_rank_queries_have_no_single_task_window(spark, name):
     WindowExec in any of these plans may have an empty partition spec."""
     plan = _plan(spark, name)
     _assert_windows_partitioned(plan)
+
+
+def test_range_search_never_pairs_corpus(spark):
+    """The probed side is probe→cell equi-joins; the exact baseline is ONE
+    Arrow-batched corpus scan (panel_range_count), not a Q×n nested-loop
+    join — so the whole plan carries zero cartesian pairing and at most the
+    1-row-carrier BNLJ allowance."""
+    plan = _plan(spark, "sim_range_search")
+    assert _count(plan, "CartesianProduct") == 0, plan[:2000]
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 2, plan[:2000]
