@@ -219,14 +219,17 @@ def main() -> None:
             prev_q = prev.get("queries", {})
             if prev_drift and prev.get("sf") == sf_val:
                 drift_ratio = drift_best / prev_drift
+                # every published ratio derives from the UNROUNDED quotient
+                # and rounds once at publication — rounding raw first would
+                # leak quantization into the normalized band (r11 review)
                 raw = {
-                    n: round(t / prev_q[n], 3)
+                    n: t / prev_q[n]
                     for n, t in timings.items()
                     if n in prev_q and prev_q[n] > 0
                 }
                 detail["vs_prev"] = {
                     "drift_ratio": round(drift_ratio, 3),
-                    "raw_ratios": raw,
+                    "raw_ratios": {n: round(r, 3) for n, r in raw.items()},
                     "normalized_ratios": {
                         n: round(r / drift_ratio, 3) for n, r in raw.items()
                     },

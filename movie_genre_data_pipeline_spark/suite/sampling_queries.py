@@ -1924,14 +1924,21 @@ QUERIES["sample_pack_efficiency"] = QuerySpec(
 # Scale shape: one |X|·|Y|-cell hash aggregate + two broadcast marginals —
 # nothing row-sized past the first groupBy. numpy law test in
 # tests/test_engine_parity.py.
+# each factor cast to DOUBLE BEFORE the multiply: n_rows*n_xy in BIGINT
+# overflows 2^63 near 1.5e11 rows with a dominant cell (ANSI mode kills the
+# job; non-ANSI wraps negative and ln() silently drops cells) — the r11
+# review's point; the denominator already used this pattern
 _MI_CELL = (
-    "CAST(FLOOR(ln(CAST(n_rows * n_xy AS DOUBLE)"
+    "CAST(FLOOR(ln(CAST(n_rows AS DOUBLE) * CAST(n_xy AS DOUBLE)"
     " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
     " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 )
+# weighted log-sums accumulate in DECIMAL(38,0): a single term is
+# ~ln(c)*1e6*c ~ 3e19 at trillion-row marginals, past BIGINT (the Simpson
+# sum two modules over demonstrates the same fix)
 _H_TERM = (
-    "CAST(SUM(CAST(ROUND(ln(CAST({n} AS DOUBLE))"
-    " * CAST(1000000 AS DOUBLE)) AS BIGINT) * {n}) AS BIGINT)"
+    "SUM(CAST(CAST(ROUND(ln(CAST({n} AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0)) * {n})"
 )
 
 
@@ -1951,7 +1958,9 @@ def q_feat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.max("n_rows").cast("bigint").alias("n_rows"),
-        F.expr(f"CAST(SUM({_MI_CELL} * n_xy) AS BIGINT)").alias("smi"),
+        F.expr(
+            f"SUM(CAST({_MI_CELL} AS DECIMAL(38,0)) * n_xy)"
+        ).alias("smi"),
     )
     hx = mx.agg(F.expr(_H_TERM.format(n="n_x")).alias("sx"))
     hy = my.agg(F.expr(_H_TERM.format(n="n_y")).alias("sy"))
@@ -1987,7 +1996,7 @@ tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_rows FROM cells),
 sums AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
          MAX(n_rows) AS n_rows,
-         CAST(SUM({_MI_CELL} * n_xy) AS BIGINT) AS smi
+         SUM(CAST({_MI_CELL} AS DECIMAL(38,0)) * n_xy) AS smi
   FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
 ),
 hx AS (SELECT {_H_TERM.format(n="n_x")} AS sx FROM mx),

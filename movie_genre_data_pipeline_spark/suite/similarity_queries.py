@@ -1900,6 +1900,36 @@ QUERIES["sim_hard_negatives"] = QuerySpec(
 RECALL_AT_K = 10
 
 
+def _ranked_probes(quantized: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vid, rn, cluster): every vector's centroid cells ranked by
+    (distance, cluster) — probe_cells' math with the probe RANK kept, so one
+    computation serves every nprobe setting (filter rn <= p) instead of
+    re-running the corpus×k assignment per setting (the r11 review; the
+    oracle's shared `pr` MATERIALIZED CTE is the same shape)."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import (
+        _sq_dist_col,
+        with_centroid_matrix,
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1)).cast("array<int>")
+    pairs = F.zip_with(
+        F.col("__cm"),
+        idx,
+        lambda c, i: F.struct(
+            _sq_dist_col(F.col("vq"), c).alias("d"), i.alias("c")
+        ),
+    )
+    return (
+        with_centroid_matrix(quantized, centroids)
+        .select("vid", F.posexplode(F.array_sort(pairs)).alias("rn0", "__p"))
+        .select(
+            "vid",
+            (F.col("rn0") + 1).alias("rn"),
+            F.col("__p.c").alias("cluster"),
+        )
+    )
+
+
 def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall@10 vs the exact brute-force baseline, at nprobe 1 and 2.
 
@@ -1912,7 +1942,6 @@ def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.functions.kmeans import (
         assign_clusters,
         kmeans_fit_exact,
-        probe_cells,
         quantize_vectors,
     )
     from movie_genre_data_pipeline_spark.functions.similarity import (
@@ -1927,6 +1956,10 @@ def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells = assign_clusters(q, "vid", "vq", cents).select(
         F.col("vid").alias("neighbor"), "cluster"
     )
+    # ranked once, pinned once — both nprobe settings filter the same frame
+    probes_all = _ranked_probes(q, cents).filter(F.col("rn") <= 2).localCheckpoint(
+        eager=False
+    )
     ea = e.select(F.col("vec_id").alias("vid"), _as_double("embedding").alias("va"))
     eb = e.select(
         F.col("vec_id").alias("neighbor"), _as_double("embedding").alias("vb")
@@ -1940,7 +1973,7 @@ def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def hits_at(nprobe: int) -> DataFrame:
-        probes = probe_cells(q, cents, nprobe)
+        probes = probes_all.filter(F.col("rn") <= nprobe).select("vid", "cluster")
         cand = (
             probes.join(corpus_cells, "cluster")
             .filter(F.col("vid") != F.col("neighbor"))

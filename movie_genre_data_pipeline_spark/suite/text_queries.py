@@ -1397,9 +1397,12 @@ def entropy_from_counts(counts: DataFrame) -> DataFrame:
     sums = counts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.sum("cnt").cast("bigint").alias("n_tokens"),
+        # DECIMAL(38,0) accumulate: a top token at c~1.2e12 makes one term
+        # ln(c)*1e6*c ~ 3.3e19 > 2^63 (the r11 review; Simpson below already
+        # used the decimal spell)
         F.expr(
-            "CAST(SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE))"
-            " * CAST(1000000 AS DOUBLE)) AS BIGINT) * cnt) AS BIGINT)"
+            "SUM(CAST(CAST(ROUND(ln(CAST(cnt AS DOUBLE))"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0)) * cnt)"
         ).alias("sclnc"),
         F.expr(
             "SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt - 1 AS DECIMAL(38,0)))"
@@ -1437,8 +1440,9 @@ WITH counts AS (
 sums AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
          CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-         CAST(SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE))
-             * CAST(1000000 AS DOUBLE)) AS BIGINT) * cnt) AS BIGINT) AS sclnc,
+         SUM(CAST(CAST(ROUND(ln(CAST(cnt AS DOUBLE))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0)) * cnt)
+           AS sclnc,
          SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt - 1 AS DECIMAL(38,0)))
            AS spairs
   FROM counts

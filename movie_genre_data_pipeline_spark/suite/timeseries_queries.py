@@ -739,9 +739,14 @@ def retention_from_counts(per_user: DataFrame, mx: DataFrame) -> DataFrame:
     SUM-folded from ledger appends), `mx` a 1-row (mx_us) frame holding the
     corpus max event time in micros. All horizon comparisons in exact integer
     microseconds; the max lands as a broadcast 1-row frame."""
+    # n_users counts NON-NULL user keys (F.count(col) skips NULLs): the
+    # folded grain gives one row per (day, user) INCLUDING a NULL-user row,
+    # but the oracle's COUNT(DISTINCT user_id) ignores NULLs — counting rows
+    # with COUNT(*) would read +1 on any day holding anonymous events (the
+    # r11 review; n_rows keeps counting every event, NULL user or not)
     per = per_user.groupBy("d_bucket").agg(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("user_id").cast("bigint").alias("n_users"),
     )
     day_end_us = f"unix_micros(d_bucket) + CAST({DAY_S} AS BIGINT) * 1000000"
     cutoff_us = f"mx_us - CAST({RETENTION_DAYS * DAY_S} AS BIGINT) * 1000000"
