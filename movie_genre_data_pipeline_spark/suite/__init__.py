@@ -83,6 +83,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_phash_dedup",
     "dedup_containment",
     "feat_mutual_info",
+    "stream_mutual_info",
     # --- (b): fingerprint-stale (ER checkpoint pin + ranged-rank DIV +
     #     gram-ledger extraction + QL-score spell) ---
     "er_sorted_neighborhood",
@@ -120,8 +121,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funnel_conversion",
     "stream_foreachbatch_merge",
     # --- stalest-record refresh: r4 + the media family floor (r5) ---
-    "interval_join",
     "media_resize",
+    # (interval_join joined the r12 waiters too)
     # (window_topk_per_group joined the waiters too)
     # (from_json_props joined the waiters too)
     # (grouping_sets, tpch_q22, tpch_q2, tpch_q7, sessionize — also r4-stale

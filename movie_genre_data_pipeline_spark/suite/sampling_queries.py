@@ -1942,11 +1942,12 @@ _H_TERM = (
 )
 
 
-def q_feat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    cells = o.groupBy(
-        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+def mutual_info_from_cells(cells: DataFrame) -> DataFrame:
+    """The count-table form of the MI report: `cells` is (x, y, n_xy) — the
+    ADDITIVE contingency facts, however accumulated (one batch scan or a
+    streaming ledger folded by SUM). Marginals, totals, the per-cell
+    log-ratio quantization, and both entropies all derive here; shared by
+    the batch query and its streaming twin."""
     mx = cells.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
     my = cells.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
     tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n_rows"))
@@ -1982,6 +1983,14 @@ def q_feat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ent.format(s="sy") + " AS h_y_micro",
         )
     )
+
+
+def q_feat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    return mutual_info_from_cells(cells)
 
 
 Q_FEAT_MUTUAL_INFO_ORACLE = f"""

@@ -3432,3 +3432,70 @@ def _stream_phash_oracle() -> str:
 QUERIES["stream_phash_dedup"] = QuerySpec(
     q_stream_phash_dedup, _stream_phash_oracle()
 )
+
+
+def q_stream_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained mutual information (r11) — the feature-
+    relevance statistic kept fresh as facts land: a row's contingency cell
+    (priority, status) is a pure projection (decided at ARRIVAL), while MI,
+    both marginals, and the entropies are functions of the FINAL joint
+    distribution, so everything folds at READOUT from the SUM-folded cell
+    ledger (sampling_queries.mutual_info_from_cells — the identical tail
+    the batch query runs). Shared oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        mutual_info_from_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_mi_")
+    src, led = f"{base}/src", f"{base}/cells"
+    o = load(spark, sf_dir, "orders")
+    o.select("o_orderkey", "o_orderpriority", "o_orderstatus").repartition(
+        _split(4)
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.col("o_orderpriority").alias("x"),
+                F.col("o_orderstatus").alias("y"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+            .write.mode("append")
+            .parquet(led)
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    cells = (
+        spark.read.parquet(led)
+        .groupBy("x", "y")
+        .agg(F.sum("n_xy").cast("bigint").alias("n_xy"))
+    )
+    return mutual_info_from_cells(cells)
+
+
+def _stream_mi_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        Q_FEAT_MUTUAL_INFO_ORACLE,
+    )
+
+    return Q_FEAT_MUTUAL_INFO_ORACLE
+
+
+QUERIES["stream_mutual_info"] = QuerySpec(q_stream_mutual_info, _stream_mi_oracle())

@@ -79,6 +79,9 @@ FOLDS = [
     # r11: the dHash fingerprint ledger (union fold — ids unique across
     # batches; pairing is entirely a readout decision)
     "stream_phash_dedup",
+    # r11: the MI contingency-cell ledger (pure SUM fold; MI/entropies are
+    # readout functions of the final joint distribution)
+    "stream_mutual_info",
 ]
 
 

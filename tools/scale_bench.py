@@ -88,6 +88,15 @@ SCALE_QUERIES = [
     # r9 (verdict r8 #5): the second gold mart's IVM — scalar-FK signed-delta
     # fold; its genre sibling measures 0.87, prove the language mart matches
     "gold_language_revenue_ivm",
+    # r11: range search — probed-cell equi-join + ONE Arrow-batched exact
+    # count scan (Q·n, counts fold additively); must stay linear like the
+    # rerank sibling. (sim_ivf_recall_at_k is deliberately NOT here: its
+    # exact baseline is the guarded O(n²) evaluation pass — quadratic by
+    # design on the bounded fixture, meaningless as a scale law.)
+    "sim_range_search",
+    # r11: the diversity readout over the unigram fold — one token explode +
+    # term-keyed aggregate + a 1-row reduction; the flattest text path
+    "text_unigram_entropy",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
