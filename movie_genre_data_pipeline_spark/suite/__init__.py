@@ -84,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_containment",
     "feat_mutual_info",
     "stream_mutual_info",
+    "text_js_divergence",
     # --- (b): fingerprint-stale (ER checkpoint pin + ranged-rank DIV +
     #     gram-ledger extraction + QL-score spell) ---
     "er_sorted_neighborhood",
@@ -118,8 +119,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curate_gopher_flags",
     "sim_quantize_int8",
     "sketch_cms_heavy_hitters",
-    "funnel_conversion",
     "stream_foreachbatch_merge",
+    # (funnel_conversion — r3-stale — joined the r12 waiters; its slot went
+    # to text_js_divergence)
     # --- stalest-record refresh: r4 + the media family floor (r5) ---
     "media_resize",
     # (interval_join joined the r12 waiters too)

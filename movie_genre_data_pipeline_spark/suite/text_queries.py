@@ -1462,3 +1462,127 @@ FROM sums
 QUERIES["text_unigram_entropy"] = QuerySpec(
     q_unigram_entropy, Q_UNIGRAM_ENTROPY_ORACLE
 )
+
+
+# -- Jensen-Shannon divergence between source unigram distributions (r11) ---------------------
+# The corpus-MIXING diagnostic a curator reads before setting mixture rates:
+# how far apart each pair of sources' token distributions sit, in
+# [0, ln 2] nats. JS(P,Q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with m=(p+q)/2 is
+# exactly quantizable because every inner ratio clears its denominators:
+# with integer counts a,b and totals Ta,Tb, p/m = 2·a·Tb / (a·Tb + b·Ta) —
+# an integer ratio (absent terms: b=0 ⇒ the ratio is exactly 2, ln 2).
+# Per-term logs quantize to micro-nats with FLOOR(x+0.5) (arguments < 1 are
+# live), weighted by the integer count, accumulated in DECIMAL(38,0) (the
+# r11 overflow lesson), and each pair closes with two exact divisions.
+# Every factor casts to DOUBLE BEFORE multiplying (a·Tb alone passes 2^63 at
+# trillion-token sources). Scale shape: one (source, term) aggregate, a
+# broadcast pair/total frame, one full-outer term join per pair — row volume
+# Σ_pairs |vocab_a ∪ vocab_b|, never corpus-sized.
+_JS_LN = (
+    "CAST(FLOOR(ln(CAST(2 AS DOUBLE) * CAST({c} AS DOUBLE) * CAST({to} AS DOUBLE)"
+    " / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)"
+    " + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(alpha_tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).localCheckpoint(eager=False)  # feeds both pair sides + totals
+    totals = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
+    pairs = (
+        totals.select(F.col("source").alias("sa"), F.col("t").alias("ta"))
+        .crossJoin(
+            totals.select(F.col("source").alias("sb"), F.col("t").alias("tb"))
+        )
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    A = counts.select(
+        F.col("source").alias("sa"), "term", F.col("c").alias("a")
+    )
+    B = counts.select(
+        F.col("source").alias("sb"), "term", F.col("c").alias("b")
+    )
+    joined = pairs.join(A, "sa").join(B, ["sb", "term"], "left")
+    # union of both vocabularies per pair: left join A then UNION the
+    # b-only terms (a=0) — a full outer on (pair, term) would need the pair
+    # frame replicated into both sides; two lefts keep it equi-join-only
+    b_only = (
+        pairs.join(B, "sb")
+        .join(A, ["sa", "term"], "left_anti")
+        .withColumn("a", F.lit(0).cast("bigint"))
+    )
+    rows = joined.withColumn(
+        "b", F.coalesce(F.col("b"), F.lit(0)).cast("bigint")
+    ).unionByName(b_only.select(*joined.columns))
+    contrib_a = f"CASE WHEN a > 0 THEN CAST({_JS_LN.format(c='a', to='tb')} AS DECIMAL(38,0)) * a ELSE CAST(0 AS DECIMAL(38,0)) END"
+    contrib_b = f"CASE WHEN b > 0 THEN CAST({_JS_LN.format(c='b', to='ta')} AS DECIMAL(38,0)) * b ELSE CAST(0 AS DECIMAL(38,0)) END"
+    sums = rows.groupBy("sa", "sb", "ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.expr(f"SUM({contrib_a})").alias("sca"),
+        F.expr(f"SUM({contrib_b})").alias("scb"),
+    )
+    return sums.selectExpr(
+        "sa AS source_a",
+        "sb AS source_b",
+        "n_terms",
+        "CAST(FLOOR((CAST(sca AS DOUBLE) / CAST(ta AS DOUBLE)"
+        " + CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE))"
+        " / CAST(2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS js_micro",
+    )
+
+
+Q_JS_DIVERGENCE_ORACLE = ("""
+WITH counts AS (
+  SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents, UNNEST({ALPHA}) AS u(t)
+  GROUP BY 1, 2
+),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY 1),
+pairs AS (
+  SELECT x.source AS sa, x.t AS ta, y.source AS sb, y.t AS tb
+  FROM totals x JOIN totals y ON x.source < y.source
+),
+rows_a AS (
+  SELECT p.sa, p.sb, p.ta, p.tb, a.term,
+         a.c AS a, COALESCE(b.c, 0) AS b
+  FROM pairs p
+  JOIN counts a ON a.source = p.sa
+  LEFT JOIN counts b ON b.source = p.sb AND b.term = a.term
+),
+rows_b AS (
+  SELECT p.sa, p.sb, p.ta, p.tb, b.term,
+         CAST(0 AS BIGINT) AS a, b.c AS b
+  FROM pairs p
+  JOIN counts b ON b.source = p.sb
+  ANTI JOIN counts a ON a.source = p.sa AND a.term = b.term
+),
+rows_all AS (SELECT * FROM rows_a UNION ALL SELECT * FROM rows_b),
+sums AS (
+  SELECT sa, sb, ta, tb,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(CASE WHEN a > 0 THEN CAST({LN_A} AS DECIMAL(38,0)) * a
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS sca,
+         SUM(CASE WHEN b > 0 THEN CAST({LN_B} AS DECIMAL(38,0)) * b
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS scb
+  FROM rows_all
+  GROUP BY 1, 2, 3, 4
+)
+SELECT sa AS source_a,
+       sb AS source_b,
+       n_terms,
+       CAST(FLOOR((CAST(sca AS DOUBLE) / CAST(ta AS DOUBLE)
+         + CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE))
+         / CAST(2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS js_micro
+FROM sums
+"""
+    .replace("{ALPHA}", ALPHA_TOKS_SQL)
+    .replace("{LN_A}", _JS_LN.format(c="a", to="tb"))
+    .replace("{LN_B}", _JS_LN.format(c="b", to="ta"))
+)
+
+QUERIES["text_js_divergence"] = QuerySpec(q_js_divergence, Q_JS_DIVERGENCE_ORACLE)

@@ -90,6 +90,8 @@ _QUERIES = [
     # r11: the diversity report over the same unigram counts (batch + twin)
     "text_unigram_entropy",
     "stream_unigram_entropy",
+    # r11: the source-pair mixing diagnostic (lowercase-alpha class)
+    "text_js_divergence",
 ]
 
 
@@ -272,3 +274,54 @@ def test_mutual_info_matches_numpy(spark):
     assert math.isclose(row["h_y_micro"] / 1e6, hy, abs_tol=5e-6)
     # information inequality: 0 <= MI <= min(H(X), H(Y)) (up to quantization)
     assert -2 <= row["mi_micro"] <= min(row["h_x_micro"], row["h_y_micro"]) + 2
+
+
+def test_js_divergence_matches_numpy(spark):
+    """Law test vs an independent implementation: recompute every source
+    pair's JS divergence from the raw counts with numpy and require
+    agreement to the micro quantization floor, plus the 0 <= JS <= ln 2
+    bound and symmetry-by-construction (each unordered pair appears once)."""
+    import math
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["text_js_divergence"].fn(spark, sf).collect()
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT source, t, COUNT(*) FROM '{sf}/documents.parquet',
+        UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x != '')) AS u(t)
+        GROUP BY 1, 2"""
+    ).fetchall()
+    by_src: dict = {}
+    for s, t, c in raw:
+        by_src.setdefault(s, {})[t] = c
+
+    def js(ca, cb):
+        terms = sorted(set(ca) | set(cb))
+        a = np.array([ca.get(t, 0) for t in terms], dtype=np.float64)
+        b = np.array([cb.get(t, 0) for t in terms], dtype=np.float64)
+        p, q = a / a.sum(), b / b.sum()
+        m = (p + q) / 2
+        pa = p > 0
+        qb = q > 0
+        return float(
+            0.5 * (p[pa] * np.log(p[pa] / m[pa])).sum()
+            + 0.5 * (q[qb] * np.log(q[qb] / m[qb])).sum()
+        )
+
+    seen = set()
+    for r in rows:
+        key = (r["source_a"], r["source_b"])
+        assert key not in seen and r["source_a"] < r["source_b"]
+        seen.add(key)
+        expect = js(by_src[r["source_a"]], by_src[r["source_b"]])
+        assert math.isclose(r["js_micro"] / 1e6, expect, abs_tol=5e-6), (
+            key,
+            r["js_micro"] / 1e6,
+            expect,
+        )
+        assert -2 <= r["js_micro"] <= round(math.log(2) * 1e6) + 2
+    n_src = len(by_src)
+    assert len(rows) == n_src * (n_src - 1) // 2
