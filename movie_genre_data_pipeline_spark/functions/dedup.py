@@ -347,9 +347,15 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     blocking = blocking or []
-    sh = shingle_rows(
-        df, id_col, text_col, k, extra_cols=tuple(blocking), distinct=True
-    ).withColumnRenamed("s", "sh")
+    # same four-consumer shape as the containment scan below: pin the
+    # shingle frame or the tokenize+explode runs 4x per action (r11 audit)
+    sh = (
+        shingle_rows(
+            df, id_col, text_col, k, extra_cols=tuple(blocking), distinct=True
+        )
+        .withColumnRenamed("s", "sh")
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -402,9 +408,16 @@ def ngram_containment_pairs(
     Returns (id_a, id_b, n_a, n_b, inter, cont_a, cont_b) with id_a < id_b,
     for pairs where max(cont_a, cont_b) >= threshold."""
     blocking = blocking or []
-    sh = shingle_rows(
-        df, id_col, text_col, k, extra_cols=tuple(blocking), distinct=True
-    ).withColumnRenamed("s", "sh")
+    # the shingle frame feeds FOUR consumers (both join sides + both size
+    # lookups) — one barrier or the tokenize+shingle explode runs 4x per
+    # action (plan audit: 4 corpus scans without it; the funnel lesson)
+    sh = (
+        shingle_rows(
+            df, id_col, text_col, k, extra_cols=tuple(blocking), distinct=True
+        )
+        .withColumnRenamed("s", "sh")
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

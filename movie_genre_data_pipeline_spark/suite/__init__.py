@@ -85,6 +85,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "feat_mutual_info",
     "stream_mutual_info",
     "text_js_divergence",
+    # --- (b) late wave: the shingle-frame barrier (4x tokenize fix) flips
+    #     the two ngram_jaccard_pairs consumers ---
+    "dedup_ngram_jaccard",
+    "dedup_lsh_tuning",
     # --- (b): fingerprint-stale (ER checkpoint pin + ranged-rank DIV +
     #     gram-ledger extraction + QL-score spell) ---
     "er_sorted_neighborhood",
@@ -112,11 +116,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q16",
     "tpch_q13",
     "tpch_q6",
-    "text_lang_id_hist",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "sample_corpus_shuffle",
     "curate_gopher_flags",
+    # (text_lang_id_hist, sample_corpus_shuffle — r3-stale — joined the r12
+    # waiters; their slots went to the re-seated jaccard consumers)
     "sim_quantize_int8",
     "sketch_cms_heavy_hitters",
     "stream_foreachbatch_merge",

@@ -1948,6 +1948,11 @@ def mutual_info_from_cells(cells: DataFrame) -> DataFrame:
     streaming ledger folded by SUM). Marginals, totals, the per-cell
     log-ratio quantization, and both entropies all derive here; shared by
     the batch query and its streaming twin."""
+    # cells feeds FIVE consumers (both marginals, the total, the joined
+    # frame, and — through the marginals — both entropy sums): one barrier
+    # or the fact scan + cell aggregate re-run per consumer (plan audit: 6
+    # orders scans without it)
+    cells = cells.localCheckpoint(eager=False)
     mx = cells.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
     my = cells.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
     tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n_rows"))
