@@ -3450,13 +3450,12 @@ def q_stream_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_mi_")
     src, led = f"{base}/src", f"{base}/cells"
     o = load(spark, sf_dir, "orders")
-    o.select("o_orderkey", "o_orderpriority", "o_orderstatus").repartition(
+    o.select("o_orderpriority", "o_orderstatus").repartition(
         _split(4)
     ).write.parquet(src)
 
     schema = T.StructType(
         [
-            T.StructField("o_orderkey", T.LongType()),
             T.StructField("o_orderpriority", T.StringType()),
             T.StructField("o_orderstatus", T.StringType()),
         ]

@@ -1507,6 +1507,9 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = counts.select(
         F.col("source").alias("sb"), "term", F.col("c").alias("b")
     )
+    pairs = F.broadcast(pairs)  # S²-row frame; pin the strategy (AQE-free
+    # sessions would otherwise estimate the agg-over-crossJoin huge and
+    # sort-merge-shuffle the vocabulary frame on a handful of source keys)
     joined = pairs.join(A, "sa").join(B, ["sb", "term"], "left")
     # union of both vocabularies per pair: left join A then UNION the
     # b-only terms (a=0) — a full outer on (pair, term) would need the pair
