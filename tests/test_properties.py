@@ -955,3 +955,78 @@ def test_bpe_word_symbols_concatenation_invariant(spark):
             "3 merges over 'th'-heavy text must compress every multi-char word"
         )
     assert any(len(sym) > 1 for r in syms for sym in r["s"])
+
+
+@FAST
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=2, max_size=12)
+)
+def test_entropy_from_counts_matches_numpy_on_random_corpora(spark, counts):
+    """r11: the diversity formulas under RANDOM count tables, not just the
+    fixture — per-term micro-nat quantization must track numpy's entropy and
+    the exact-rational Simpson within the quantization floor for any counts."""
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        entropy_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(f"t{i}", int(c)) for i, c in enumerate(counts)], "term string, cnt long"
+    )
+    row = entropy_from_counts(df).collect()[0]
+    a = np.array(counts, dtype=np.float64)
+    T = a.sum()
+    p = a / T
+    H = float(-(p * np.log(p)).sum())
+    simpson = float((a * (a - 1)).sum() / (T * (T - 1))) if T > 1 else 0.0
+    assert row["n_types"] == len(counts) and row["n_tokens"] == int(T)
+    assert math.isclose(row["entropy_micro"] / 1e6, H, abs_tol=5e-6)
+    assert math.isclose(row["simpson_micro"] / 1e6, simpson, abs_tol=2e-6)
+
+
+@FAST
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=9,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_mutual_info_from_cells_matches_numpy_on_random_tables(spark, cells):
+    """r11: MI under RANDOM contingency tables — the quantized engine-side MI
+    and both entropies must track numpy for any joint distribution, and the
+    information inequality 0 <= MI <= min(H) must hold up to quantization."""
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        mutual_info_from_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(f"x{x}", f"y{y}", int(n)) for x, y, n in cells],
+        "x string, y string, n_xy long",
+    )
+    row = mutual_info_from_cells(df).collect()[0]
+    xs = sorted({c[0] for c in cells})
+    ys = sorted({c[1] for c in cells})
+    M = np.zeros((len(xs), len(ys)))
+    for x, y, n in cells:
+        M[xs.index(x), ys.index(y)] = n
+    N = M.sum()
+    p = M / N
+    px, py = p.sum(axis=1), p.sum(axis=0)
+    nz = p > 0
+    mi = float((p[nz] * np.log(p[nz] / np.outer(px, py)[nz])).sum())
+    hx = float(-(px[px > 0] * np.log(px[px > 0])).sum())
+    hy = float(-(py[py > 0] * np.log(py[py > 0])).sum())
+    assert row["n_rows"] == int(N)
+    assert math.isclose(row["mi_micro"] / 1e6, mi, abs_tol=5e-6)
+    assert math.isclose(row["h_x_micro"] / 1e6, hx, abs_tol=5e-6)
+    assert math.isclose(row["h_y_micro"] / 1e6, hy, abs_tol=5e-6)
+    assert -2 <= row["mi_micro"] <= min(row["h_x_micro"], row["h_y_micro"]) + 2
