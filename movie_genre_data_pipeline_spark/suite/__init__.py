@@ -315,7 +315,16 @@ _R9_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-NEXT_ROUND_POOL: tuple[str, ...] = ()
+# Late-r11 additions after the window rotation froze for the round's final
+# gates — all locally verified exact at sf0.01 --vanilla; seat in the r12
+# window (the r10->r11 precedent: pool entries earned driver greens first
+# thing next round).
+NEXT_ROUND_POOL: tuple[str, ...] = (
+    "stream_js_divergence",
+    "ops_l_diversity",
+    "stream_l_diversity",
+    "dedup_cluster_sizes",
+)
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

@@ -354,3 +354,98 @@ FROM groups GROUP BY c_mktsegment
 QUERIES.update({
     "ops_k_anonymity": QuerySpec(q_k_anonymity, Q_K_ANONYMITY_ORACLE),
 })
+
+
+# -- l-diversity audit (r11) ----------------------------------------------------------------
+# k-anonymity's sibling criterion (Machanavajjhala et al. 2006): identity
+# disclosure is not the only risk — a QI group can be large (k-anonymous)
+# yet expose its members' SENSITIVE attribute if everyone in it shares one
+# value. A group is l-diverse when its sensitive attribute (here the market
+# segment) takes >= L distinct values. Same additive-fact shape as the
+# k-anonymity audit one query up: the (QI, sensitive, n) cell counts are
+# pure SUM folds, distinct-sensitive-per-group is a row count over the
+# folded cell grain, and the at-risk verdict re-judges as data lands (a
+# homogeneous early group usually diversifies with volume — the published
+# per-nation report makes that visible across SFs). Scale: one fact-sized
+# map-side-combined cell groupBy, one group rollup, one nation rollup.
+L_DIVERSITY = 3
+
+
+def l_diversity_cell_facts(customers: DataFrame) -> DataFrame:
+    """(c_nationkey, bal_band, c_mktsegment, n_cell) — the additive fact
+    grain: QI group x sensitive value."""
+    return (
+        customers.selectExpr(
+            "c_nationkey", f"{_BAL_BAND} AS bal_band", "c_mktsegment"
+        )
+        .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell"))
+    )
+
+
+def l_diversity_from_cells(cells: DataFrame) -> DataFrame:
+    """The per-nation rollup over the (possibly SUM-folded) cell table."""
+    groups = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n_cell").cast("bigint").alias("g_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    at_risk = F.col("n_distinct") < L_DIVERSITY
+    return (
+        groups.groupBy("c_nationkey")
+        .agg(
+            F.sum("g_rows").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("n_distinct").cast("bigint").alias("min_diversity"),
+            F.sum(F.when(at_risk, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_at_risk"),
+            F.sum(F.when(at_risk, F.col("g_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .withColumn(
+            "risk_micro",
+            F.expr(
+                "CAST(ROUND(CAST(rows_at_risk AS DOUBLE)"
+                " / CAST(n_rows AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+    )
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return l_diversity_from_cells(l_diversity_cell_facts(c))
+
+
+Q_L_DIVERSITY_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, {_BAL_BAND} AS bal_band, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_cell
+  FROM customer GROUP BY 1, 2, 3
+),
+groups AS (
+  SELECT c_nationkey, bal_band,
+         CAST(SUM(n_cell) AS BIGINT) AS g_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM cells GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       CAST(SUM(g_rows) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n_distinct) AS BIGINT) AS min_diversity,
+       CAST(SUM(CASE WHEN n_distinct < {L_DIVERSITY} THEN 1 ELSE 0 END)
+         AS BIGINT) AS groups_at_risk,
+       CAST(SUM(CASE WHEN n_distinct < {L_DIVERSITY} THEN g_rows ELSE 0 END)
+         AS BIGINT) AS rows_at_risk,
+       CAST(ROUND(CAST(SUM(CASE WHEN n_distinct < {L_DIVERSITY} THEN g_rows
+                             ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(g_rows) AS DOUBLE)
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS risk_micro
+FROM groups GROUP BY c_nationkey
+"""
+
+QUERIES.update({
+    "ops_l_diversity": QuerySpec(q_l_diversity, Q_L_DIVERSITY_ORACLE),
+})

@@ -794,3 +794,59 @@ WHERE GREATEST(ROUND(inter / CAST(sa.n_sh AS DOUBLE), 6),
 QUERIES["dedup_containment"] = QuerySpec(
     q_dedup_containment, Q_DEDUP_CONTAINMENT_ORACLE
 )
+
+
+# -- dedup impact report: cluster-size histogram (r11) ----------------------------------------
+# The report a curator reads BEFORE materializing the dedup: how much will
+# it remove, and is the duplication long-tail (pairs) or pathological (one
+# giant component)? One row per cluster SIZE: how many clusters have that
+# size, how many documents they hold, and how many rows dedup would drop
+# (size − 1 keepers per cluster). Derived entirely from the same
+# LSH-candidate connected components dedup_clusters publishes, so the
+# recursive-CTE oracle replays it; singleton clusters appear as size 1 with
+# removable 0, making total_docs == corpus size an oracle-checked identity.
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import duplicate_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", bands=BANDS, rows_per_band=ROWS_PER_BAND, k=SHINGLE_K
+    )
+    clusters = duplicate_clusters(d, pairs, "doc_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .selectExpr(
+            "cluster_size",
+            "n_clusters",
+            "cluster_size * n_clusters AS n_docs",
+            "(cluster_size - 1) * n_clusters AS n_removable",
+        )
+    )
+
+
+Q_DEDUP_CLUSTER_SIZES_ORACLE = (
+    Q_DEDUP_CLUSTERS_ORACLE.rstrip()
+    .replace(
+        "SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node",
+        """, clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size""",
+    )
+)
+
+QUERIES["dedup_cluster_sizes"] = QuerySpec(
+    q_dedup_cluster_sizes, Q_DEDUP_CLUSTER_SIZES_ORACLE
+)

@@ -1486,13 +1486,15 @@ _JS_LN = (
 )
 
 
-def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    counts = (
-        d.select("source", F.explode(alpha_tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    ).localCheckpoint(eager=False)  # feeds both pair sides + totals
+def js_divergence_from_counts(counts: DataFrame) -> DataFrame:
+    """The count-table form of the mixing diagnostic: `counts` is
+    (source, term, c) — additive facts, however accumulated (one batch scan
+    or a streaming ledger folded by SUM). Pair construction, the
+    denominator-clearing per-term logs, and both weighted sums all derive
+    here; shared by the batch query and its streaming twin."""
+    # counts feeds both pair sides + totals — one barrier or the upstream
+    # (tokenize+explode, or the ledger fold) re-runs per consumer
+    counts = counts.localCheckpoint(eager=False)
     totals = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
     pairs = (
         totals.select(F.col("source").alias("sa"), F.col("t").alias("ta"))
@@ -1537,6 +1539,16 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE))"
         " / CAST(2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS js_micro",
     )
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(alpha_tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return js_divergence_from_counts(counts)
 
 
 Q_JS_DIVERGENCE_ORACLE = ("""

@@ -90,8 +90,10 @@ _QUERIES = [
     # r11: the diversity report over the same unigram counts (batch + twin)
     "text_unigram_entropy",
     "stream_unigram_entropy",
-    # r11: the source-pair mixing diagnostic (lowercase-alpha class)
+    # r11: the source-pair mixing diagnostic (lowercase-alpha class),
+    # batch + ledger twin
     "text_js_divergence",
+    "stream_js_divergence",
 ]
 
 

@@ -82,6 +82,10 @@ FOLDS = [
     # r11: the MI contingency-cell ledger (pure SUM fold; MI/entropies are
     # readout functions of the final joint distribution)
     "stream_mutual_info",
+    # r11 late wave: the JS mixing matrix over (source, term) count facts
+    # and the l-diversity (QI, sensitive) cell ledger
+    "stream_js_divergence",
+    "stream_l_diversity",
 ]
 
 
