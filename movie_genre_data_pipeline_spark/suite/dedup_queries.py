@@ -265,7 +265,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(d, pairs, "doc_id")
 
 
-Q_DEDUP_CLUSTERS_ORACLE = f"""
+# The shared LSH-candidate connected-components CTE chain (up to and
+# including `reach`). Three oracles APPEND their own final SELECT to it —
+# append, never str.replace-on-a-literal, so a rewording of one oracle can
+# never silently no-op another's derivation (r11 review).
+_CLUSTERS_CTE_CHAIN = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
 {_SIG_CTE},
 bands AS (
@@ -290,9 +294,14 @@ reach(node, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
-)
+)"""
+
+Q_DEDUP_CLUSTERS_ORACLE = (
+    _CLUSTERS_CTE_CHAIN
+    + """
 SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
+)
 
 
 # -- materialize the deduplicated corpus (one keeper per cluster) -----------------------
@@ -829,10 +838,8 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_DEDUP_CLUSTER_SIZES_ORACLE = (
-    Q_DEDUP_CLUSTERS_ORACLE.rstrip()
-    .replace(
-        "SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node",
-        """, clusters AS (
+    _CLUSTERS_CTE_CHAIN
+    + """, clusters AS (
   SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 ),
 sizes AS (
@@ -843,8 +850,7 @@ SELECT cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters,
        cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
        (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_removable
-FROM sizes GROUP BY cluster_size""",
-    )
+FROM sizes GROUP BY cluster_size"""
 )
 
 QUERIES["dedup_cluster_sizes"] = QuerySpec(

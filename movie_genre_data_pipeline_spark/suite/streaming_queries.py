@@ -3533,10 +3533,13 @@ def q_stream_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # join-free: source rides the projection (the batch query's shape) —
+        # re-attaching it by doc_id self-join cost a shuffle per micro-batch
+        # (r11 review)
+        from movie_genre_data_pipeline_spark.functions.text import alpha_tokens
+
         (
-            alpha_token_docs(batch_df.select("doc_id", "text"))
-            .join(batch_df.select("doc_id", "source"), "doc_id")
-            .select("source", F.explode("__a").alias("term"))
+            batch_df.select("source", F.explode(alpha_tokens("text")).alias("term"))
             .groupBy("source", "term")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
             .write.mode("append")
