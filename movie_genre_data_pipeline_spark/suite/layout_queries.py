@@ -265,10 +265,10 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_COMPACTION_PLAN_ORACLE = f"""
 WITH binned AS (
   SELECT source, doc_id, n_chars,
-         CAST(FLOOR(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+         CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin_id
+           // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
   FROM documents
 )
 SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,

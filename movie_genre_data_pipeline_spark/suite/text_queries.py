@@ -1408,6 +1408,10 @@ def entropy_from_counts(counts: DataFrame) -> DataFrame:
             "SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt - 1 AS DECIMAL(38,0)))"
         ).alias("spairs"),
     )
+    # n_tokens <= 1 guard (ADVICE r11): T(T-1) = 0 makes the Simpson ratio
+    # 0/0 — Spark (non-ANSI) yields NULL while DuckDB errors casting nan to
+    # BIGINT, so the shared string diverges on a degenerate corpus. A
+    # single-token corpus has zero collision probability: pin 0 both sides.
     return sums.selectExpr(
         "n_types",
         "n_tokens",
@@ -1415,9 +1419,11 @@ def entropy_from_counts(counts: DataFrame) -> DataFrame:
         " AS BIGINT)"
         " - CAST(FLOOR(CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
         " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS entropy_micro",
-        "CAST(FLOOR(CAST(spairs AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        "CASE WHEN n_tokens > 1 THEN"
+        " CAST(FLOOR(CAST(spairs AS DOUBLE) * CAST(1000000 AS DOUBLE)"
         " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))"
-        " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS simpson_micro",
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS simpson_micro",
     )
 
 
@@ -1453,9 +1459,11 @@ SELECT n_types,
          AS BIGINT)
        - CAST(FLOOR(CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE)
          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS entropy_micro,
-       CAST(FLOOR(CAST(spairs AS DOUBLE) * CAST(1000000 AS DOUBLE)
-         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
-         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS simpson_micro
+       CASE WHEN n_tokens > 1 THEN
+         CAST(FLOOR(CAST(spairs AS DOUBLE) * CAST(1000000 AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS simpson_micro
 FROM sums
 """.replace("{ALPHA}", ALPHA_TOKS_SQL)
 

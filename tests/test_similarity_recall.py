@@ -103,7 +103,10 @@ def test_range_search_probed_subset_of_exact(spark):
         .fn(spark, "/root/testdata/sf0.001")
         .collect()
     )
-    assert len(rows) == min(PQ_NQ, 500)
+    # one row per sampled query — PQ_NQ exactly, which also checks the
+    # sf0.001 embeddings fixture holds >= PQ_NQ rows (ADVICE r11: the old
+    # min(PQ_NQ, 500) was a dead constant that hid that assumption)
+    assert len(rows) == PQ_NQ
     assert all(0 <= r["n_probed"] <= r["n_exact"] for r in rows)
     assert sum(r["n_exact"] for r in rows) > 0
     assert sum(r["n_probed"] for r in rows) > 0

@@ -158,6 +158,22 @@ def _replicate(
         for c in id_cols:
             rep = rep.withColumn(c, F.col(c) + F.lit(r * strides[c]))
         for c, expr in REGEN_TEXT.get(table, {}).items():
+            if r == 0:
+                # replica 0 must BE the base tier: if the fixture ever stops
+                # being dbgen-format ('Customer#%09d'), regeneration would
+                # silently rewrite the base workload and the base-vs-scaled
+                # comparison loses its identity baseline (ADVICE r11) — fail
+                # loudly instead.
+                n_diff = rep.filter(
+                    ~F.expr(expr).eqNullSafe(F.col(c))
+                ).count()
+                if n_diff:
+                    raise AssertionError(
+                        f"{table}.{c}: REGEN_TEXT rule does not reproduce "
+                        f"the base fixture ({n_diff} rows differ) — fixture "
+                        "is not dbgen-format; update REGEN_TEXT"
+                    )
+                continue
             rep = rep.withColumn(c, F.expr(expr))
         for c in text_cols:
             if r > 0:  # replica 0 is the base text verbatim
