@@ -79,22 +79,22 @@ def sqdist_index_fold(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     return out
 
 
-def panel_min_sqdist(
+def _panel_scan(
     q: DataFrame,
     panel: list[tuple[int, list[float]]],
-    id_col: str = "vid",
-    vec_col: str = "vq",
+    reduce_batch,
+    out_decl: str,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """(vid, d_min): for each panel query (vid, vector), the EXACT minimum
-    squared L2 distance to every OTHER corpus vector — the recall-measurement
-    ground truth, computed as one corpus scan emitting panel-sized partial
-    minima per Arrow batch (≤|panel| rows each) plus one |panel|-keyed final
-    min. Replaces the broadcast-nested-loop + interpreted-fold shape that
-    materialized Q·n pairs (suite/similarity_queries._pq_recall_tail pre-r9).
-
-    Exact because the corpus is `quantize_vectors` output: integral doubles,
-    pair distances integral < 2^53, so minima are order-free and equal to the
-    oracle's MIN(d) bit-for-bit."""
+    """The shared shell of the panel kernels (merged r12; the two consumers
+    previously duplicated it): ONE corpus scan; per Arrow batch, the (B × Q)
+    index-order squared-distance matrix against the driver-bounded panel with
+    self-pairs masked to +inf (a panel query never counts itself as a
+    neighbor); ``reduce_batch(D, pvids) -> pandas.DataFrame`` collapses each
+    batch to ≤|panel| partial rows under ``out_decl``'s schema. Partials are
+    panel-keyed, so callers finish with one |panel|-sized agg — nothing
+    fact-sized is collected or re-shuffled."""
     pvids = np.array([int(v) for v, _ in panel], dtype=np.int64)
     P = np.array([vec for _, vec in panel], dtype=np.float64)
     vid_field = q.schema[id_col].dataType.simpleString()
@@ -106,20 +106,40 @@ def panel_min_sqdist(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             D = sqdist_index_fold(V, P)  # (B × Q)
             vids = pdf[id_col].to_numpy(dtype=np.int64)
-            # self-exclusion: a panel query never counts itself as a neighbor
             rows, cols = np.nonzero(vids[:, None] == pvids[None, :])
-            D[rows, cols] = np.inf
-            partial = D.min(axis=0)
-            finite = np.isfinite(partial)
-            import pandas as pd
+            D[rows, cols] = np.inf  # self-exclusion
+            yield reduce_batch(D, pvids)
 
-            yield pd.DataFrame(
-                {"vid": pvids[finite], "d": partial[finite]}
-            )
-
-    partials = q.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"vid {vid_field}, d double"
+    return q.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"vid {vid_field}, {out_decl}"
     )
+
+
+def panel_min_sqdist(
+    q: DataFrame,
+    panel: list[tuple[int, list[float]]],
+    id_col: str = "vid",
+    vec_col: str = "vq",
+) -> DataFrame:
+    """(vid, d_min): for each panel query (vid, vector), the EXACT minimum
+    squared L2 distance to every OTHER corpus vector — the recall-measurement
+    ground truth, computed as one `_panel_scan` emitting panel-sized partial
+    minima per Arrow batch plus one |panel|-keyed final min. Replaces the
+    broadcast-nested-loop + interpreted-fold shape that materialized Q·n
+    pairs (suite/similarity_queries._pq_recall_tail pre-r9).
+
+    Exact because the corpus is `quantize_vectors` output: integral doubles,
+    pair distances integral < 2^53, so minima are order-free and equal to the
+    oracle's MIN(d) bit-for-bit."""
+
+    def reduce_batch(D, pvids):
+        import pandas as pd
+
+        partial = D.min(axis=0)
+        finite = np.isfinite(partial)
+        return pd.DataFrame({"vid": pvids[finite], "d": partial[finite]})
+
+    partials = _panel_scan(q, panel, reduce_batch, "d double", id_col, vec_col)
     return partials.groupBy("vid").agg(F.min("d").alias("d_min"))
 
 
@@ -132,7 +152,7 @@ def panel_range_count(
 ) -> DataFrame:
     """(vid, n_in_range): for each panel query, the EXACT count of OTHER
     corpus vectors within squared L2 distance <= r2 — the FAISS range_search
-    ground truth, computed as one corpus scan emitting panel-sized partial
+    ground truth, computed as one `_panel_scan` emitting panel-sized partial
     counts per Arrow batch plus one |panel|-keyed final SUM (counts are
     additive, so the fold is order-free by construction). Same exactness
     argument as panel_min_sqdist: quantize_vectors corpora are integral
@@ -140,28 +160,16 @@ def panel_range_count(
     exact and the count matches the oracle bit-for-bit. Queries with zero
     in-range neighbors still emit (vid, 0) — the caller needs the full
     panel, not just covered queries."""
-    pvids = np.array([int(v) for v, _ in panel], dtype=np.int64)
-    P = np.array([vec for _, vec in panel], dtype=np.float64)
-    vid_field = q.schema[id_col].dataType.simpleString()
     r2 = float(r2)
 
-    def gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            D = sqdist_index_fold(V, P)  # (B × Q)
-            vids = pdf[id_col].to_numpy(dtype=np.int64)
-            rows, cols = np.nonzero(vids[:, None] == pvids[None, :])
-            D[rows, cols] = np.inf  # self-exclusion
-            partial = (D <= r2).sum(axis=0).astype(np.int64)
-            import pandas as pd
+    def reduce_batch(D, pvids):
+        import pandas as pd
 
-            yield pd.DataFrame({"vid": pvids, "n": partial})
+        return pd.DataFrame(
+            {"vid": pvids, "n": (D <= r2).sum(axis=0).astype(np.int64)}
+        )
 
-    partials = q.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"vid {vid_field}, n bigint"
-    )
+    partials = _panel_scan(q, panel, reduce_batch, "n bigint", id_col, vec_col)
     return partials.groupBy("vid").agg(
         F.sum("n").cast("bigint").alias("n_in_range")
     )
