@@ -1931,7 +1931,11 @@ def _ranked_probes(quantized: DataFrame, centroids: list[list[float]]) -> DataFr
 
 
 def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF recall@10 vs the exact brute-force baseline, at nprobe 1 and 2.
+    """IVF recall@10 vs the exact brute-force baseline, at nprobe 1, 2 and 4
+    — the ann-benchmarks-style recall/cost ladder (r12 extends the r11 pair
+    with the third rung; candidates at nprobe p are a SUPERSET of nprobe p-1's
+    under the shared probe ranking, so hits@10 is provably monotone up the
+    ladder and the oracle re-checks that law numerically).
 
     Scale shape: the exact baseline is the guarded O(n²) pass (evaluation runs
     on a bounded query sample at 100 TB — here the whole fixture is the
@@ -1956,8 +1960,8 @@ def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells = assign_clusters(q, "vid", "vq", cents).select(
         F.col("vid").alias("neighbor"), "cluster"
     )
-    # ranked once, pinned once — both nprobe settings filter the same frame
-    probes_all = _ranked_probes(q, cents).filter(F.col("rn") <= 2).localCheckpoint(
+    # ranked once, pinned once — every nprobe rung filters the same frame
+    probes_all = _ranked_probes(q, cents).filter(F.col("rn") <= 4).localCheckpoint(
         eager=False
     )
     ea = e.select(F.col("vec_id").alias("vid"), _as_double("embedding").alias("va"))
@@ -2009,12 +2013,15 @@ def q_sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_q.crossJoin(F.broadcast(hits_at(1)))
         .crossJoin(F.broadcast(hits_at(2)))
+        .crossJoin(F.broadcast(hits_at(4)))
         .selectExpr(
             "n_queries",
             "n_hits_p1",
             "n_hits_p2",
+            "n_hits_p4",
             recall.format(p=1) + " AS recall10_p1_micro",
             recall.format(p=2) + " AS recall10_p2_micro",
+            recall.format(p=4) + " AS recall10_p4_micro",
         )
     )
 
@@ -2075,11 +2082,13 @@ pr AS MATERIALIZED (SELECT vid, cluster,
       FROM pd),
 {topk_cte(1)},
 {topk_cte(2)},
+{topk_cte(4)},
 nq AS (SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_queries FROM exactk)
-SELECT n_queries, n_hits_p1, n_hits_p2,
+SELECT n_queries, n_hits_p1, n_hits_p2, n_hits_p4,
        {recall.format(p=1)} AS recall10_p1_micro,
-       {recall.format(p=2)} AS recall10_p2_micro
-FROM nq, hits1, hits2
+       {recall.format(p=2)} AS recall10_p2_micro,
+       {recall.format(p=4)} AS recall10_p4_micro
+FROM nq, hits1, hits2, hits4
 """
 
 

@@ -86,8 +86,19 @@ def test_recall_at_10_nprobe_monotone(spark):
     q = all_queries()
     row = q["sim_ivf_recall_at_k"].fn(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["n_queries"] > 0
-    assert 0 <= row["n_hits_p1"] <= row["n_hits_p2"] <= row["n_queries"] * 10
-    assert row["recall10_p1_micro"] <= row["recall10_p2_micro"] <= 1_000_000
+    assert (
+        0
+        <= row["n_hits_p1"]
+        <= row["n_hits_p2"]
+        <= row["n_hits_p4"]
+        <= row["n_queries"] * 10
+    )
+    assert (
+        row["recall10_p1_micro"]
+        <= row["recall10_p2_micro"]
+        <= row["recall10_p4_micro"]
+        <= 1_000_000
+    )
 
 
 def test_range_search_probed_subset_of_exact(spark):
