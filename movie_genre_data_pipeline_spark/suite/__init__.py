@@ -49,6 +49,89 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # similarity / streaming / multimodal) so every operator family gets a
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
+# r12 ROTATION. Same two test-enforced seating rules:
+# (a) never-driver-checked queries here or in NEXT_ROUND_POOL
+#     (test_rotation_pool_matches_computed_debt) — the 4 r11 pool entries
+#     (stream_js_divergence, ops_l_diversity, stream_l_diversity,
+#     dedup_cluster_sizes, all judge-verified exact in r11) plus this
+#     round's privacy-triple completion (ops_t_closeness,
+#     stream_t_closeness);
+# (b) fingerprint-stale queries must re-earn a driver record
+#     (test_changed_queries_are_reseated) — this round: the _panel_scan
+#     kernel-shell merge flows into the six PQ/panel consumers, the nprobe
+#     ladder extension flips sim_ivf_recall_at_k, the Simpson degenerate-
+#     corpus guard flips the two entropy queries, and the integer-DIV
+#     oracle-parity fix flips ops_compaction_plan.
+# Every remaining slot refreshes the STALEST standing records (computed
+# from the CORRECTNESS_r*.json history): the three r3 greens, all eleven
+# r4 greens, the nineteen alphabetically-first r5 greens, and
+# media_frame_sample_plan (r6 — the media family's stalest record, keeping
+# the family floor). The r5 leftovers — sketch_hll_distinct,
+# sketch_kmv_vocab_overlap, skew_salted_agg, stream_stateful_user_stats,
+# stream_stream_join, text_quality_scores, time_bucket_gapfill, tpch_q21,
+# ts_anomaly_zscore — wait for r13.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- (a): the r11 NEXT_ROUND_POOL ---
+    "stream_js_divergence",
+    "ops_l_diversity",
+    "stream_l_diversity",
+    "dedup_cluster_sizes",
+    # --- (a): new r12 queries, seated immediately ---
+    "ops_t_closeness",
+    "stream_t_closeness",
+    # --- (b): fingerprint-stale ---
+    "ops_compaction_plan",
+    "sim_ivf_recall_at_k",
+    "sim_pq_ivfadc",
+    "sim_pq_ivfadc_residual",
+    "sim_pq_recall",
+    "sim_range_search",
+    "sim_topk_projected",
+    "sim_topk_rerank",
+    "stream_unigram_entropy",
+    "text_unigram_entropy",
+    # --- stalest-record refresh: r3 greens ---
+    "funnel_conversion",
+    "sample_corpus_shuffle",
+    "text_lang_id_hist",
+    # --- stalest-record refresh: r4 greens ---
+    "curate_chunk_documents",
+    "from_json_props",
+    "grouping_sets",
+    "interval_join",
+    "sample_mixture_rebalance",
+    "sessionize",
+    "text_token_stats",
+    "tpch_q2",
+    "tpch_q22",
+    "tpch_q7",
+    "window_topk_per_group",
+    # --- stalest-record refresh: r5 greens (alphabetical; first twenty) ---
+    "asof_join",
+    "curate_bloom_decontaminate",
+    "curate_decontaminate",
+    "curate_pii_redaction",
+    "dedup_corpus",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dq_expectations",
+    "grouped_pandas_norm",
+    "layout_zorder_stats",
+    "pack_token_budget",
+    "rollup_cascade",
+    "sample_stratified_split",
+    "sample_weighted_reservoir",
+    "sim_lsh_recall",
+    "sim_lsh_top1",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sketch_histogram_quantiles",
+    # --- the media family floor: its stalest record (r6) ---
+    "media_frame_sample_plan",
+)
+
+# The r11 window, kept for the rotation ledger (all 50 hold r11 driver
+# greens; they now sit just past the window under the full local gate):
 # r11 ROTATION. Same two test-enforced seating rules as r10:
 # (a) never-driver-checked queries here or in NEXT_ROUND_POOL
 #     (test_rotation_pool_matches_computed_debt) — the 7 r10 pool entries
@@ -64,7 +147,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # r1-r4: the window/sql/TPC-H spine last checked in round 1, the r2-r3
 # text/dedup/sketch canaries, the r4 join/session family), plus media_resize
 # (r5, the stalest media record) for the family floor.
-DRIVER_WINDOW: tuple[str, ...] = (
+_R11_WINDOW: tuple[str, ...] = (
     # --- (a): the r10 NEXT_ROUND_POOL, judge-verified exact in r10 ---
     "ops_k_anonymity",
     "text_rrf_fusion",
@@ -319,12 +402,7 @@ _R9_WINDOW: tuple[str, ...] = (
 # gates — all locally verified exact at sf0.01 --vanilla; seat in the r12
 # window (the r10->r11 precedent: pool entries earned driver greens first
 # thing next round).
-NEXT_ROUND_POOL: tuple[str, ...] = (
-    "stream_js_divergence",
-    "ops_l_diversity",
-    "stream_l_diversity",
-    "dedup_cluster_sizes",
-)
+NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

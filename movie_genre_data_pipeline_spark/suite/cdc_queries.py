@@ -449,3 +449,191 @@ FROM groups GROUP BY c_nationkey
 QUERIES.update({
     "ops_l_diversity": QuerySpec(q_l_diversity, Q_L_DIVERSITY_ORACLE),
 })
+
+
+# -- t-closeness audit (r12) ----------------------------------------------------------------
+# The third standard privacy criterion (Li/Li/Venkatasubramanian 2007),
+# completing the k-anonymity / l-diversity family: a QI group can be large
+# AND diverse yet still leak — if its sensitive-attribute DISTRIBUTION skews
+# far from the global one, membership itself updates an attacker's belief.
+# A group is t-close when the distance between its sensitive distribution
+# and the global distribution is <= t. The sensitive attribute here is the
+# ORDERED account-balance band, so the canonical distance is the Earth
+# Mover's Distance with unit adjacent-bin ground distance:
+#   EMD = (1/(m-1)) * SUM_j | SUM_{i<=j} (P_i - Q_i) |
+# — a prefix sum of probability differences. Exactness discipline: with
+# P_i = g_i/G and Q_i = n_i/N, each difference is the exact integer
+# (g_i*N - n_i*G) over the common denominator G*N; counts at 100 TB are
+# ~1e12 so the products pass 2^63 — accumulate in DECIMAL(38,0) (HUGEINT in
+# DuckDB, the r11 overflow lesson) and divide ONCE at micro-quantization.
+# Scale shape: one fact-sized map-side-combined cell groupBy; everything
+# after runs on the bounded QI-space x band-space lattice (|nations| x
+# |segments| x |bands| rows regardless of data volume), with the global
+# band distribution broadcast. The per-group window partitions on the QI
+# key over ~a dozen band rows — bounded, never a single-task window.
+T_CLOSENESS_MICRO = 200_000  # t = 0.20
+
+
+def t_closeness_cell_facts(customers: DataFrame) -> DataFrame:
+    """(c_nationkey, c_mktsegment, bal_band, n_cell) — the additive fact
+    grain: QI group (nation x segment) x ordered sensitive band. Pure SUM
+    folds across any batching; the distance verdict is a READOUT decision
+    (distributions converge to the global one as volume lands). Shared by
+    the batch audit and its streaming ledger twin."""
+    return (
+        customers.selectExpr(
+            "c_nationkey", "c_mktsegment", f"{_BAL_BAND} AS bal_band"
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell"))
+    )
+
+
+def t_closeness_from_cells(cells: DataFrame) -> DataFrame:
+    """The per-nation rollup over the (possibly SUM-folded) cell table."""
+    glob = cells.groupBy("bal_band").agg(
+        F.sum("n_cell").cast("bigint").alias("n_glob")
+    )
+    tot = glob.agg(
+        F.sum("n_glob").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("m_bands"),
+    )
+    grp = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cell").cast("bigint").alias("g_rows")
+    )
+    # full lattice: every group x every GLOBAL band (a group missing a band
+    # contributes n_cell = 0 — skipping it would shift every later prefix
+    # sum). glob/tot are band-bounded one-row/dozen-row frames: broadcast.
+    lattice = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
+        .withColumn("n_cell", F.coalesce(F.col("n_cell"), F.lit(0)))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = lattice.withColumn(
+        "cum",
+        F.sum(
+            F.expr(
+                "CAST(n_cell AS DECIMAL(38,0)) * n_total"
+                " - CAST(n_glob AS DECIMAL(38,0)) * g_rows"
+            )
+        ).over(w),
+    )
+    gemd = pref.groupBy(
+        "c_nationkey", "c_mktsegment", "g_rows", "n_total", "m_bands"
+    ).agg(F.sum(F.abs(F.col("cum"))).alias("emd_num"))
+    scored = gemd.selectExpr(
+        "c_nationkey",
+        "c_mktsegment",
+        "g_rows",
+        # m_bands = 1 guard: a single-band corpus has zero transport distance
+        # by definition and (m-1) would divide by zero (the Simpson lesson)
+        "CASE WHEN m_bands > 1 THEN"
+        " CAST(FLOOR(CAST(emd_num AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        " / (CAST(m_bands - 1 AS DOUBLE) * CAST(g_rows AS DOUBLE)"
+        " * CAST(n_total AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS emd_micro",
+    )
+    at_risk = F.col("emd_micro") > T_CLOSENESS_MICRO
+    return (
+        scored.groupBy("c_nationkey")
+        .agg(
+            F.sum("g_rows").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.max("emd_micro").cast("bigint").alias("max_emd_micro"),
+            F.sum(F.when(at_risk, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_at_risk"),
+            F.sum(F.when(at_risk, F.col("g_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .withColumn(
+            "risk_micro",
+            F.expr(
+                "CAST(ROUND(CAST(rows_at_risk AS DOUBLE)"
+                " / CAST(n_rows AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return t_closeness_from_cells(t_closeness_cell_facts(c))
+
+
+Q_T_CLOSENESS_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, {_BAL_BAND} AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n_cell
+  FROM customer GROUP BY 1, 2, 3
+),
+globd AS (
+  SELECT bal_band, CAST(SUM(n_cell) AS BIGINT) AS n_glob
+  FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_glob) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS m_bands
+  FROM globd
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(n_cell) AS BIGINT) AS g_rows
+  FROM cells GROUP BY 1, 2
+),
+lattice AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.g_rows, b.bal_band, b.n_glob,
+         t.n_total, t.m_bands, COALESCE(c.n_cell, 0) AS n_cell
+  FROM grp g CROSS JOIN globd b CROSS JOIN tot t
+  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+    AND c.c_mktsegment = g.c_mktsegment AND c.bal_band = b.bal_band
+),
+pref AS (
+  SELECT c_nationkey, c_mktsegment, g_rows, n_total, m_bands,
+         SUM(CAST(n_cell AS DECIMAL(38,0)) * n_total
+             - CAST(n_glob AS DECIMAL(38,0)) * g_rows) OVER (
+           PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lattice
+),
+gemd AS (
+  SELECT c_nationkey, c_mktsegment, g_rows, n_total, m_bands,
+         SUM(ABS(cum)) AS emd_num
+  FROM pref GROUP BY 1, 2, 3, 4, 5
+),
+scored AS (
+  SELECT c_nationkey, c_mktsegment, g_rows,
+         CASE WHEN m_bands > 1 THEN
+           CAST(FLOOR(CAST(emd_num AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             / (CAST(m_bands - 1 AS DOUBLE) * CAST(g_rows AS DOUBLE)
+             * CAST(n_total AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS emd_micro
+  FROM gemd
+)
+SELECT c_nationkey,
+       CAST(SUM(g_rows) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MAX(emd_micro) AS BIGINT) AS max_emd_micro,
+       CAST(SUM(CASE WHEN emd_micro > {T_CLOSENESS_MICRO} THEN 1 ELSE 0 END)
+         AS BIGINT) AS groups_at_risk,
+       CAST(SUM(CASE WHEN emd_micro > {T_CLOSENESS_MICRO} THEN g_rows ELSE 0
+         END) AS BIGINT) AS rows_at_risk,
+       CAST(ROUND(CAST(SUM(CASE WHEN emd_micro > {T_CLOSENESS_MICRO}
+                             THEN g_rows ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(g_rows) AS DOUBLE)
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS risk_micro
+FROM scored GROUP BY c_nationkey
+"""
+
+QUERIES.update({
+    "ops_t_closeness": QuerySpec(q_t_closeness, Q_T_CLOSENESS_ORACLE),
+})

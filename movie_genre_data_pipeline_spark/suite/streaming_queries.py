@@ -3632,3 +3632,69 @@ def _stream_ldiv_oracle() -> str:
 QUERIES["stream_l_diversity"] = QuerySpec(
     q_stream_l_diversity, _stream_ldiv_oracle()
 )
+
+
+def q_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous t-closeness audit (r12) — the distribution-disclosure twin
+    completing the streaming privacy family (k-anonymity r11, l-diversity
+    r11): the (QI, band) cell counts are pure SUM folds (decided at
+    ARRIVAL), while BOTH distributions the EMD compares — the group's and
+    the GLOBAL one — are functions of the final folded ledger, so the whole
+    distance is a READOUT re-derivation (a skewed early group converges
+    toward the corpus distribution as volume lands; so does the corpus
+    itself). Each micro-batch appends its cell partials
+    (cdc_queries.t_closeness_cell_facts); the readout folds and runs the
+    identical rollup (cdc_queries.t_closeness_from_cells). Shared oracle
+    verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        t_closeness_cell_facts,
+        t_closeness_from_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_tclose_")
+    src, led = f"{base}/src", f"{base}/cells"
+    c = load(spark, sf_dir, "customer")
+    c.select("c_nationkey", "c_mktsegment", "c_acctbal").repartition(
+        _split(4)
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t_closeness_cell_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(led)
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.sum("n_cell").cast("bigint").alias("n_cell"))
+    )
+    return t_closeness_from_cells(folded)
+
+
+def _stream_tclose_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        Q_T_CLOSENESS_ORACLE,
+    )
+
+    return Q_T_CLOSENESS_ORACLE
+
+
+QUERIES["stream_t_closeness"] = QuerySpec(
+    q_stream_t_closeness, _stream_tclose_oracle()
+)

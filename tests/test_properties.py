@@ -1030,3 +1030,73 @@ def test_mutual_info_from_cells_matches_numpy_on_random_tables(spark, cells):
     assert math.isclose(row["h_x_micro"] / 1e6, hx, abs_tol=5e-6)
     assert math.isclose(row["h_y_micro"] / 1e6, hy, abs_tol=5e-6)
     assert -2 <= row["mi_micro"] <= min(row["h_x_micro"], row["h_y_micro"]) + 2
+
+
+@FAST
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+def test_t_closeness_from_cells_matches_numpy_on_random_tables(spark, cells):
+    """r12: the EMD under RANDOM (QI, band) cell tables — the exact-integer
+    prefix-sum formulation must track numpy's ordered-bin Wasserstein for any
+    joint distribution (shared-string micro-unit bugs ship oracle-green, the
+    r10 Zipf lesson), and the rollup's group/row accounting must be exact."""
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        T_CLOSENESS_MICRO,
+        t_closeness_from_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(nat, f"s{seg}", band, int(n)) for nat, seg, band, n in cells],
+        "c_nationkey int, c_mktsegment string, bal_band long, n_cell long",
+    )
+    rows = {r["c_nationkey"]: r for r in t_closeness_from_cells(df).collect()}
+
+    bands = sorted({c[2] for c in cells})
+    m = len(bands)
+    glob = np.array(
+        [sum(n for *_k, b, n in cells if b == band) for band in bands],
+        dtype=np.float64,
+    )
+    Q = glob / glob.sum()
+    groups = sorted({(c[0], c[1]) for c in cells})
+    per_nation: dict[int, list[tuple[int, int]]] = {}
+    for nat, seg in groups:
+        g = np.array(
+            [
+                sum(n for gn, gs, b, n in cells if (gn, gs, b) == (nat, seg, band))
+                for band in bands
+            ],
+            dtype=np.float64,
+        )
+        g_rows = int(g.sum())
+        emd = (
+            float(np.abs(np.cumsum(g / g.sum() - Q)).sum() / (m - 1))
+            if m > 1
+            else 0.0
+        )
+        per_nation.setdefault(nat, []).append((g_rows, emd))
+    for nat, members in per_nation.items():
+        row = rows[nat]
+        assert row["n_groups"] == len(members)
+        assert row["n_rows"] == sum(g for g, _ in members)
+        max_emd = max(e for _, e in members)
+        assert math.isclose(row["max_emd_micro"] / 1e6, max_emd, abs_tol=2e-6)
+        at_risk = [g for g, e in members if round(e * 1e6) > T_CLOSENESS_MICRO]
+        # judge at-risk away from the threshold edge only (quantization can
+        # flip a group sitting within 2 micro of T either way)
+        if all(abs(e * 1e6 - T_CLOSENESS_MICRO) > 2 for _, e in members):
+            assert row["groups_at_risk"] == len(at_risk)
+            assert row["rows_at_risk"] == sum(at_risk)

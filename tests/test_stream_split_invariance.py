@@ -86,6 +86,9 @@ FOLDS = [
     # and the l-diversity (QI, sensitive) cell ledger
     "stream_js_divergence",
     "stream_l_diversity",
+    # r12: the t-closeness cell ledger (pure SUM fold; the EMD compares two
+    # distributions BOTH re-derived from the final fold at readout)
+    "stream_t_closeness",
 ]
 
 
