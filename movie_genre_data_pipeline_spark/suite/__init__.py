@@ -64,9 +64,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #     oracle-parity fix flips ops_compaction_plan.
 # Every remaining slot refreshes the STALEST standing records (computed
 # from the CORRECTNESS_r*.json history): the three r3 greens, all eleven
-# r4 greens, the nineteen alphabetically-first r5 greens, and
+# r4 greens, the fifteen alphabetically-first r5 greens, and
 # media_frame_sample_plan (r6 — the media family's stalest record, keeping
-# the family floor). The r5 leftovers — sketch_hll_distinct,
+# the family floor). The r5 leftovers — sim_lsh_recall, sim_lsh_top1,
+# sim_topk_bruteforce, sim_topk_ivf (displaced by the second-wave r12
+# queries; the sim family keeps 8 seats), sketch_hll_distinct,
 # sketch_kmv_vocab_overlap, skew_salted_agg, stream_stateful_user_stats,
 # stream_stream_join, text_quality_scores, time_bucket_gapfill, tpch_q21,
 # ts_anomaly_zscore — wait for r13.
@@ -79,6 +81,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- (a): new r12 queries, seated immediately ---
     "ops_t_closeness",
     "stream_t_closeness",
+    "sample_priority_estimator",
+    "stream_priority_sample",
+    "feat_leakage_screen",
+    "stream_leakage_screen",
     # --- (b): fingerprint-stale ---
     "ops_compaction_plan",
     "sim_ivf_recall_at_k",
@@ -121,10 +127,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_cascade",
     "sample_stratified_split",
     "sample_weighted_reservoir",
-    "sim_lsh_recall",
-    "sim_lsh_top1",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
     "sketch_histogram_quantiles",
     # --- the media family floor: its stalest record (r6) ---
     "media_frame_sample_plan",

@@ -2033,3 +2033,310 @@ FROM sums CROSS JOIN hx CROSS JOIN hy
 QUERIES["feat_mutual_info"] = QuerySpec(
     q_feat_mutual_info, Q_FEAT_MUTUAL_INFO_ORACLE
 )
+
+
+# -- priority-sample threshold estimator (r12) -------------------------------------------------
+# sample_weighted_reservoir keeps the top-k priority sample; this query adds
+# the other half of Duffield/Lund/Thorup priority sampling — the THRESHOLD
+# ESTIMATOR: with tau = the (k+1)-th priority, each sampled row's
+# Horvitz-Thompson weight is max(w_i, tau) and the sample's est_total is an
+# unbiased estimate of the stratum's TRUE total weight. Publishing the
+# estimate next to the true per-language totals makes the estimator's
+# accuracy the oracle-checked value. Exactness: priorities are one IEEE
+# division of exact integers (the reservoir's 48-bit md5 fraction, same salt
+# — so this IS the same sample, deliberately: one draw, two readouts);
+# per-row estimates are micro-quantized BEFORE the k-term sum, so the sum is
+# an exact BIGINT. Scale shape: two column-pruned fact scans (rank + totals
+# — re-scanning 3 columns is cheaper than checkpointing a fact table), both
+# windows partitioned by the stratum; nothing larger than |lang| rows after.
+PRIORITY_EST_K = 25  # matches RESERVOIR_K: the same published sample
+
+
+def priority_estimator_report(cands: DataFrame, totals: DataFrame) -> DataFrame:
+    """The report tail over (lang, doc_id, n_chars) CANDIDATE rows and
+    (lang, n_docs, total_chars) totals. Batch passes the full documents
+    frame; the streaming twin passes its folded candidate ledger (per-batch
+    top-(k+1) per stratum — a mergeable bound: any global top-(k+1) row is
+    in its own batch's top-(k+1)) and SUM-folded totals. Priorities are a
+    pure function of doc_id, so re-deriving them at readout is batching-
+    invariant by construction."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.sampling import sample_tag
+
+    u = (
+        F.conv(F.substring(sample_tag("doc_id", "priority"), 1, 12), 16, 10)
+        .cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 48))
+    tagged = cands.withColumn(
+        "priority", F.col("n_chars").cast("double") / u
+    )
+    wlang = Window.partitionBy("lang")
+    ranked = tagged.withColumn(
+        "rn",
+        F.row_number().over(
+            wlang.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        ),
+    ).withColumn(
+        "tau",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("rn") == PRIORITY_EST_K + 1, F.col("priority")
+                )
+            ).over(wlang),
+            F.lit(0.0).cast("double"),
+        ),
+    )
+    sampled = ranked.filter(F.col("rn") <= PRIORITY_EST_K).withColumn(
+        "est_micro",
+        F.expr(
+            "CAST(FLOOR(GREATEST(CAST(n_chars AS DOUBLE), tau)"
+            " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ),
+    )
+    rep = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        F.expr(
+            "CAST(FLOOR(MAX(tau) * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("tau_micro"),
+        F.sum("est_micro").cast("bigint").alias("est_total_micro"),
+    )
+    return rep.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "n_sampled",
+        "sampled_chars",
+        "tau_micro",
+        "est_total_micro",
+        "n_docs",
+        "total_chars",
+    )
+
+
+def q_sample_priority_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    totals = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return priority_estimator_report(d, totals)
+
+
+Q_PRIORITY_ESTIMATOR_ORACLE = f"""
+WITH tagged AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(n_chars AS DOUBLE) /
+           ((CAST(concat('0x', substring(md5(doc_id || ':priority'), 1, 12))
+                  AS BIGINT) + 1) / {float(1 << 48)!r}) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars, priority,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM tagged
+),
+taus AS (
+  SELECT lang,
+         COALESCE(MAX(CASE WHEN rn = {PRIORITY_EST_K + 1} THEN priority END),
+                  CAST(0 AS DOUBLE)) AS tau
+  FROM ranked GROUP BY lang
+),
+sampled AS (
+  SELECT r.lang, r.n_chars, t.tau,
+         CAST(FLOOR(GREATEST(CAST(r.n_chars AS DOUBLE), t.tau)
+              * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS est_micro
+  FROM ranked r JOIN taus t USING (lang) WHERE r.rn <= {PRIORITY_EST_K}
+),
+rep AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+         CAST(FLOOR(MAX(tau) * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tau_micro,
+         CAST(SUM(est_micro) AS BIGINT) AS est_total_micro
+  FROM sampled GROUP BY lang
+),
+totals AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+)
+SELECT r.lang, r.n_sampled, r.sampled_chars, r.tau_micro, r.est_total_micro,
+       t.n_docs, t.total_chars
+FROM rep r JOIN totals t USING (lang)
+"""
+
+QUERIES["sample_priority_estimator"] = QuerySpec(
+    q_sample_priority_estimator, Q_PRIORITY_ESTIMATOR_ORACLE
+)
+
+
+# -- target-leakage screen: per-feature MI against a label (r12) -------------------------------
+# feat_mutual_info prices ONE feature pair; the screen a modeler actually
+# runs before training prices EVERY candidate feature against the label in
+# one report, ranked by how much of the label's entropy the feature already
+# explains — the standard pre-training leakage/relevance triage (a feature
+# with nmi ~= 1 is leakage; ~0 is noise). Same exact-integer MI arithmetic
+# as feat_mutual_info (per-cell ln of an exact integer ratio, micro-nat
+# quantization, DECIMAL(38,0) weighted sums), generalized to a per-feature
+# grain. Scale shape: ONE fact scan unpivoted via stack (5x rows map-side,
+# collapsed by the map-side-combined cell groupBy before any shuffle);
+# everything after runs on bounded (feature x value) tables with broadcast
+# marginals.
+LEAKAGE_FEATURES: list[tuple[str, str]] = [
+    # (feature name, engine-portable expression over orders)
+    ("order_priority", "o_orderpriority"),
+    ("order_year", "CAST(year(o_orderdate) AS STRING)"),
+    ("order_month", "CAST(month(o_orderdate) AS STRING)"),
+    ("cust_mod10", "CAST(o_custkey % 10 AS STRING)"),
+    (
+        "price_band",
+        "CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)"
+        " / CAST(50000 AS DOUBLE)) AS BIGINT) AS STRING)",
+    ),
+]
+
+
+def mutual_info_screen_from_cells(cells: DataFrame) -> DataFrame:
+    """The per-feature MI tail: `cells` is (feature, x, y, n_xy) — additive
+    contingency facts for EVERY screened feature, however accumulated (one
+    stacked batch scan or a streaming ledger folded by SUM). Same five-
+    consumer fan-out as mutual_info_from_cells, so the same barrier pin."""
+    cells = cells.localCheckpoint(eager=False)
+    mx = cells.groupBy("feature", "x").agg(
+        F.sum("n_xy").cast("bigint").alias("n_x")
+    )
+    my = cells.groupBy("feature", "y").agg(
+        F.sum("n_xy").cast("bigint").alias("n_y")
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("n_xy").cast("bigint").alias("n_rows")
+    )
+    joined = (
+        cells.join(F.broadcast(mx), ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(tot), "feature")
+    )
+    sums = joined.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.expr(f"SUM(CAST({_MI_CELL} AS DECIMAL(38,0)) * n_xy)").alias("smi"),
+    )
+    hx = mx.groupBy("feature").agg(F.expr(_H_TERM.format(n="n_x")).alias("sx"))
+    hy = my.groupBy("feature").agg(F.expr(_H_TERM.format(n="n_y")).alias("sy"))
+    ent = (
+        "CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT)"
+        " - CAST(FLOOR(CAST({s} AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        sums.join(F.broadcast(hx), "feature")
+        .join(F.broadcast(hy), "feature")
+        .selectExpr(
+            "feature",
+            "n_cells",
+            "n_rows",
+            "CAST(FLOOR(CAST(smi AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_micro",
+            ent.format(s="sx") + " AS h_x_micro",
+            ent.format(s="sy") + " AS h_y_micro",
+        )
+        .selectExpr(
+            "feature",
+            "n_cells",
+            "n_rows",
+            "mi_micro",
+            "h_x_micro",
+            "h_y_micro",
+            # share of label entropy the feature explains — the leakage dial;
+            # derived from already-quantized integers, so exact cross-engine
+            "CASE WHEN h_y_micro > 0 THEN"
+            " CAST(FLOOR(CAST(mi_micro AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+            " / CAST(h_y_micro AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END AS nmi_y_micro",
+        )
+    )
+
+
+def leakage_cell_facts(orders: DataFrame) -> DataFrame:
+    """(feature, x, y, n_xy) — the stacked additive contingency facts over
+    one orders scan (stack unpivots the feature expressions map-side)."""
+    stack_expr = ", ".join(
+        f"'{name}', {expr}" for name, expr in LEAKAGE_FEATURES
+    )
+    return (
+        orders.selectExpr(
+            f"stack({len(LEAKAGE_FEATURES)}, {stack_expr}) AS (feature, x)",
+            "o_orderstatus AS y",
+        )
+        .groupBy("feature", "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    )
+
+
+def q_feat_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return mutual_info_screen_from_cells(leakage_cell_facts(o))
+
+
+def _leakage_oracle() -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr.replace('AS STRING', 'AS VARCHAR')}"
+        f" AS x, o_orderstatus AS y FROM orders"
+        for name, expr in LEAKAGE_FEATURES
+    )
+    return f"""
+WITH stacked AS (
+{sel}
+),
+cells AS (
+  SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM stacked GROUP BY 1, 2, 3
+),
+mx AS (SELECT feature, x, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       FROM cells GROUP BY 1, 2),
+my AS (SELECT feature, y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+       FROM cells GROUP BY 1, 2),
+tot AS (SELECT feature, CAST(SUM(n_xy) AS BIGINT) AS n_rows
+        FROM cells GROUP BY 1),
+sums AS (
+  SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         MAX(n_rows) AS n_rows,
+         SUM(CAST({_MI_CELL} AS DECIMAL(38,0)) * n_xy) AS smi
+  FROM cells JOIN mx USING (feature, x) JOIN my USING (feature, y)
+       JOIN tot USING (feature)
+  GROUP BY feature
+),
+hx AS (SELECT feature, {_H_TERM.format(n="n_x")} AS sx FROM mx GROUP BY feature),
+hy AS (SELECT feature, {_H_TERM.format(n="n_y")} AS sy FROM my GROUP BY feature),
+ents AS (
+  SELECT feature, n_cells, n_rows,
+         CAST(FLOOR(CAST(smi AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_micro,
+         CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+           AS BIGINT)
+         - CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS h_x_micro,
+         CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+           AS BIGINT)
+         - CAST(FLOOR(CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS h_y_micro
+  FROM sums JOIN hx USING (feature) JOIN hy USING (feature)
+)
+SELECT feature, n_cells, n_rows, mi_micro, h_x_micro, h_y_micro,
+       CASE WHEN h_y_micro > 0 THEN
+         CAST(FLOOR(CAST(mi_micro AS DOUBLE) * CAST(1000000 AS DOUBLE)
+           / CAST(h_y_micro AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS nmi_y_micro
+FROM ents
+"""
+
+
+QUERIES["feat_leakage_screen"] = QuerySpec(
+    q_feat_leakage_screen, _leakage_oracle()
+)

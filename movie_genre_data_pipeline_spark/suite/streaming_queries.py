@@ -3698,3 +3698,146 @@ def _stream_tclose_oracle() -> str:
 QUERIES["stream_t_closeness"] = QuerySpec(
     q_stream_t_closeness, _stream_tclose_oracle()
 )
+
+
+def q_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous weighted sampling (r12) — the streaming half of the
+    priority-sampling pair: top-k-by-priority is a MERGEABLE selection (any
+    row in the global top-(k+1) is in its own batch's top-(k+1)), so the
+    candidate ledger appends each micro-batch's per-stratum top-(k+1) and
+    the readout re-ranks the union — while the true per-stratum totals the
+    estimator is judged against are plain additive facts in a second ledger.
+    Priorities are a pure function of doc_id (48-bit md5 fraction), so
+    re-deriving them at readout is batching-invariant by construction.
+    Shared oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        priority_sample,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        PRIORITY_EST_K,
+        priority_estimator_report,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_prio_")
+    src, cand_led, tot_led = f"{base}/src", f"{base}/cands", f"{base}/totals"
+    d = load(spark, sf_dir, "documents")
+    d.select("lang", "doc_id", "n_chars").repartition(_split(4)).write.parquet(
+        src
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        priority_sample(
+            batch_df, "doc_id", "n_chars", PRIORITY_EST_K + 1, strata_col="lang"
+        ).select("lang", "doc_id", "n_chars").write.mode("append").parquet(
+            cand_led
+        )
+        batch_df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        ).write.mode("append").parquet(tot_led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    totals = (
+        spark.read.parquet(tot_led)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    return priority_estimator_report(spark.read.parquet(cand_led), totals)
+
+
+def _stream_prio_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        Q_PRIORITY_ESTIMATOR_ORACLE,
+    )
+
+    return Q_PRIORITY_ESTIMATOR_ORACLE
+
+
+QUERIES["stream_priority_sample"] = QuerySpec(
+    q_stream_priority_sample, _stream_prio_oracle()
+)
+
+
+def q_stream_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous target-leakage screen (r12) — the per-feature MI report
+    over a contingency ledger: the stacked (feature, x, y) cell counts are
+    pure SUM folds (decided at ARRIVAL), while every marginal, entropy, and
+    the nmi leakage dial are functions of the FINAL joint distributions, so
+    the whole screen re-derives at READOUT (an early-window spurious
+    correlation legitimately washes out as volume lands). Shared oracle
+    verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        leakage_cell_facts,
+        mutual_info_screen_from_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_leak_")
+    src, led = f"{base}/src", f"{base}/cells"
+    o = load(spark, sf_dir, "orders")
+    o.select(
+        "o_orderpriority", "o_orderdate", "o_custkey", "o_totalprice",
+        "o_orderstatus",
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        leakage_cell_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(led)
+        .groupBy("feature", "x", "y")
+        .agg(F.sum("n_xy").cast("bigint").alias("n_xy"))
+    )
+    return mutual_info_screen_from_cells(folded)
+
+
+def _stream_leak_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _leakage_oracle,
+    )
+
+    return _leakage_oracle()
+
+
+QUERIES["stream_leakage_screen"] = QuerySpec(
+    q_stream_leakage_screen, _stream_leak_oracle()
+)

@@ -1100,3 +1100,67 @@ def test_t_closeness_from_cells_matches_numpy_on_random_tables(spark, cells):
         if all(abs(e * 1e6 - T_CLOSENESS_MICRO) > 2 for _, e in members):
             assert row["groups_at_risk"] == len(at_risk)
             assert row["rows_at_risk"] == sum(at_risk)
+
+
+@FAST
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=1, max_value=5_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_priority_estimator_matches_hashlib_twin(spark, docs):
+    """r12: the threshold estimator under RANDOM corpora — selection, tau,
+    and every Horvitz-Thompson column must equal an independent pure-python
+    implementation (hashlib md5 + floats), including the n <= k stratum edge
+    where tau = 0 and the estimate degenerates to the exact total."""
+    import hashlib
+
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        PRIORITY_EST_K,
+        priority_estimator_report,
+    )
+
+    df = spark.createDataFrame(
+        [(f"l{lang}", int(d), int(n)) for d, lang, n in docs],
+        "lang string, doc_id long, n_chars long",
+    )
+    totals = df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    got = {r["lang"]: r for r in priority_estimator_report(df, totals).collect()}
+
+    def prio(doc_id: int, w: int) -> float:
+        h = hashlib.md5(f"{doc_id}:priority".encode()).hexdigest()[:12]
+        return w / ((int(h, 16) + 1) / float(1 << 48))
+
+    langs = sorted({f"l{lang}" for _, lang, _ in docs})
+    for lang in langs:
+        rows = sorted(
+            (
+                (prio(d, n), d, n)
+                for d, lg, n in docs
+                if f"l{lg}" == lang
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        tau = rows[PRIORITY_EST_K][0] if len(rows) > PRIORITY_EST_K else 0.0
+        sample = rows[:PRIORITY_EST_K]
+        est = sum(
+            int(math.floor(max(float(n), tau) * 1e6 + 0.5))
+            for _, _, n in sample
+        )
+        row = got[lang]
+        assert row["n_sampled"] == len(sample)
+        assert row["sampled_chars"] == sum(n for _, _, n in sample)
+        assert row["tau_micro"] == int(math.floor(tau * 1e6 + 0.5))
+        assert row["est_total_micro"] == est
+        assert row["n_docs"] == len(rows)
+        assert row["total_chars"] == sum(n for _, _, n in rows)

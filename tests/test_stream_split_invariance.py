@@ -89,6 +89,14 @@ FOLDS = [
     # r12: the t-closeness cell ledger (pure SUM fold; the EMD compares two
     # distributions BOTH re-derived from the final fold at readout)
     "stream_t_closeness",
+    # r12: the priority-sampling pair of ledgers — per-batch top-(k+1)
+    # candidates (a MERGEABLE selection: re-ranking the union recovers the
+    # global top-(k+1)) + SUM-folded stratum totals; priorities re-derive
+    # from doc_id at readout
+    "stream_priority_sample",
+    # r12: the stacked contingency ledger behind the per-feature MI screen
+    # (pure SUM fold; marginals/entropies/nmi all readout re-derivations)
+    "stream_leakage_screen",
 ]
 
 

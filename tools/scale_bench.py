@@ -20,8 +20,12 @@ within-replica workload character while staying disjoint across replicas:
   BOTH sides, so per-key fanout, skew shape, and SCD2 version-chain lengths
   match the base tier exactly; only the key count scales.
 
-Usage: python tools/scale_bench.py [k] [base_sf_dir] [out_json]
-Writes one JSON blob (default SCALE_BENCH.json at the repo root).
+Usage: python tools/scale_bench.py [k] [base_sf_dir] [out_json] [q1,q2,...]
+Writes one JSON blob (default SCALE_BENCH.json at the repo root). The
+optional 4th arg restricts the run to a comma-separated subset of
+SCALE_QUERIES — the k=16 spot tier (VERDICT r11 #7) times only the three
+scale-marketed paths there, since generating 16x sf0.1 for all 23 would
+dominate the round's wall-clock without adding signal.
 """
 
 from __future__ import annotations
@@ -209,6 +213,13 @@ def main() -> None:
         else str(Path(__file__).resolve().parent.parent / "SCALE_BENCH.json")
     )
     scaled_dir = os.path.join("/tmp", f"mgdp_scale_x{k}")
+    run_queries = SCALE_QUERIES
+    if len(sys.argv) > 4:
+        subset = sys.argv[4].split(",")
+        unknown = sorted(set(subset) - set(SCALE_QUERIES))
+        if unknown:
+            raise SystemExit(f"not in SCALE_QUERIES: {unknown}")
+        run_queries = subset
 
     from movie_genre_data_pipeline_spark.session import build_session
     from movie_genre_data_pipeline_spark.suite import all_queries
@@ -265,7 +276,7 @@ def main() -> None:
     # (sub-second queries' ratios are fixed-overhead + noise dominated —
     # the absolute times and the plan pins are the real signal there).
     results = {}
-    for name in SCALE_QUERIES:
+    for name in run_queries:
         fn = specs[name].fn
         base_runs, scaled_runs = [], []
         for _ in range(3):
