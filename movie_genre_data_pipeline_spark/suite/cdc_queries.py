@@ -491,6 +491,11 @@ def t_closeness_cell_facts(customers: DataFrame) -> DataFrame:
 
 def t_closeness_from_cells(cells: DataFrame) -> DataFrame:
     """The per-nation rollup over the (possibly SUM-folded) cell table."""
+    # cells feeds FOUR consumers (the global band distribution, the totals
+    # through it, the group sizes, and the lattice's left-join side): one
+    # barrier or the fact scan + cell aggregate re-run per consumer (the
+    # plan audit counted 4 customer scans without it)
+    cells = cells.localCheckpoint(eager=False)
     glob = cells.groupBy("bal_band").agg(
         F.sum("n_cell").cast("bigint").alias("n_glob")
     )
