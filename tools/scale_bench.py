@@ -308,6 +308,25 @@ def main() -> None:
             "plus the r6 basket-mining fact-side growth"
         ),
     }
+    # Spot tiers (VERDICT r11 #7): a subset run at a non-default k merges
+    # under blob["spot_tiers"]["k{k}"] instead of replacing the full-roster
+    # k=4 blob — the main section stays the one-quiet-run coherent dataset,
+    # and the spot tier documents the super-linearity check at larger k
+    # (no vs_prev: spot tiers are one-off probes, not round-over-round
+    # anchors).
+    if run_queries is not SCALE_QUERIES and Path(out_json).exists():
+        with open(out_json) as f:
+            existing = json.load(f)
+        existing.setdefault("spot_tiers", {})[f"k{k}"] = {
+            "k": k,
+            "gen_sec": gen_sec,
+            "queries": results,
+            "drift_control": blob["drift_control"],
+        }
+        with open(out_json, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(json.dumps(existing["spot_tiers"][f"k{k}"]))
+        return
     # cross-round view: ratio deltas plus drift-normalized wall-time ratios
     # against the previous COMMITTED SCALE_BENCH.json (same contract as
     # BENCH_DETAIL's vs_prev): a uniform host slowdown reads as ~1.0
