@@ -404,7 +404,18 @@ _R9_WINDOW: tuple[str, ...] = (
 # gates — all locally verified exact at sf0.01 --vanilla; seat in the r12
 # window (the r10->r11 precedent: pool entries earned driver greens first
 # thing next round).
-NEXT_ROUND_POOL: tuple[str, ...] = ()
+# The r12 second wave (WoE/IV feature pricing, term burstiness, the ACF
+# ladder, + their ledger twins) lands after the r12 window was rotated and
+# locked; all six are judge/locally verified exact at sf0.01 and wait here
+# for r13 seats.
+NEXT_ROUND_POOL: tuple[str, ...] = (
+    "feat_woe_iv",
+    "stream_woe_iv",
+    "text_burstiness",
+    "stream_burstiness",
+    "ts_acf_lags",
+    "stream_acf_lags",
+)
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

@@ -2340,3 +2340,149 @@ FROM ents
 QUERIES["feat_leakage_screen"] = QuerySpec(
     q_feat_leakage_screen, _leakage_oracle()
 )
+
+
+# -- feature pricing: weight-of-evidence / information value (r12) -----------------------
+# The credit-scoring companion to the MI leakage screen: per feature bin,
+# WoE = ln(P(bin|pos) / P(bin|neg)) prices how hard the bin separates the
+# binary target, and IV = Σ (pos_share − neg_share)·WoE summarizes the
+# feature (IV < 0.02 noise, > 0.5 suspicious/leaky — the standard triage
+# bands). Exactness discipline: WoE uses the Laplace-smoothed EXACT integer
+# ratio ((2·n_pos+1)·(2·N+B)) / ((2·n_neg+1)·(2·P+B)) so no bin divides by
+# zero, each factor cast to DOUBLE before the multiply (the _MI_CELL
+# overflow spell); the distribution shares are micro-quantized integers
+# FIRST, so every IV contribution is an exact (share_diff × woe_micro)
+# integer and the corpus sum is accumulation-order-free. Scale shape: one
+# stacked orders scan collapsed map-side into (feature, bin) cells; the
+# report runs on bounded cell tables with broadcast per-feature totals.
+_WOE_MICRO = (
+    "CAST(ROUND(ln((CAST(2 * n_pos + 1 AS DOUBLE)"
+    " * CAST(2 * t_neg + n_bins AS DOUBLE))"
+    " / (CAST(2 * n_neg + 1 AS DOUBLE)"
+    " * CAST(2 * t_pos + n_bins AS DOUBLE)))"
+    " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+)
+_SHARE_MICRO = (
+    "CAST(FLOOR(CAST({n} AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST({t} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_IV_MICRO = (
+    "CAST(FLOOR(CAST(iv_sum AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def woe_cell_facts(orders: DataFrame) -> DataFrame:
+    """(feature, x, n_pos, n_neg) — stacked additive per-bin target counts
+    over ONE orders scan (y = order finalized, the same binary the target
+    encoder prices); SUM-foldable, so the streaming twin appends these."""
+    stack_expr = ", ".join(
+        f"'{name}', {expr}" for name, expr in LEAKAGE_FEATURES
+    )
+    return (
+        orders.selectExpr(
+            f"stack({len(LEAKAGE_FEATURES)}, {stack_expr}) AS (feature, x)",
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+        )
+        .groupBy("feature", "x")
+        .agg(
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+        )
+    )
+
+
+def woe_iv_report_from_cells(cells: DataFrame) -> DataFrame:
+    """The WoE/IV tail over additive (feature, x, n_pos, n_neg) facts,
+    however accumulated (one stacked batch scan or a streaming ledger folded
+    by SUM). Two consumers of `cells` (the totals aggregate and the bin
+    join), so the cell fan-out is barrier-pinned."""
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n_pos").cast("bigint").alias("t_pos"),
+        F.sum("n_neg").cast("bigint").alias("t_neg"),
+    )
+    bins = cells.join(F.broadcast(tot), "feature").selectExpr(
+        "feature",
+        "n_bins",
+        "t_pos",
+        "t_neg",
+        f"{_WOE_MICRO} AS woe_micro",
+        f"{_SHARE_MICRO.format(n='n_pos', t='t_pos')} AS pos_share_micro",
+        f"{_SHARE_MICRO.format(n='n_neg', t='t_neg')} AS neg_share_micro",
+    )
+    return (
+        bins.groupBy("feature")
+        .agg(
+            F.max("n_bins").alias("n_bins"),
+            F.max("t_pos").alias("n_pos"),
+            F.max("t_neg").alias("n_neg"),
+            F.expr(
+                "SUM((pos_share_micro - neg_share_micro) * woe_micro)"
+            ).alias("iv_sum"),
+            F.min("woe_micro").alias("woe_min_micro"),
+            F.max("woe_micro").alias("woe_max_micro"),
+        )
+        .selectExpr(
+            "feature",
+            "n_bins",
+            "n_pos",
+            "n_neg",
+            f"{_IV_MICRO} AS iv_micro",
+            "woe_min_micro",
+            "woe_max_micro",
+        )
+    )
+
+
+def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return woe_iv_report_from_cells(woe_cell_facts(o))
+
+
+def _woe_oracle() -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr.replace('AS STRING', 'AS VARCHAR')}"
+        f" AS x, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y"
+        f" FROM orders"
+        for name, expr in LEAKAGE_FEATURES
+    )
+    return f"""
+WITH stacked AS (
+{sel}
+),
+cells AS (
+  SELECT feature, x,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM stacked GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS t_neg
+  FROM cells GROUP BY 1
+),
+bins AS (
+  SELECT feature, n_bins, t_pos, t_neg,
+         {_WOE_MICRO} AS woe_micro,
+         {_SHARE_MICRO.format(n="n_pos", t="t_pos")} AS pos_share_micro,
+         {_SHARE_MICRO.format(n="n_neg", t="t_neg")} AS neg_share_micro
+  FROM cells JOIN tot USING (feature)
+),
+folded AS (
+  SELECT feature, MAX(n_bins) AS n_bins, MAX(t_pos) AS n_pos,
+         MAX(t_neg) AS n_neg,
+         SUM((pos_share_micro - neg_share_micro) * woe_micro) AS iv_sum,
+         MIN(woe_micro) AS woe_min_micro,
+         MAX(woe_micro) AS woe_max_micro
+  FROM bins GROUP BY feature
+)
+SELECT feature, n_bins, n_pos, n_neg, {_IV_MICRO} AS iv_micro,
+       woe_min_micro, woe_max_micro
+FROM folded
+"""
+
+
+QUERIES["feat_woe_iv"] = QuerySpec(q_feat_woe_iv, _woe_oracle())

@@ -3841,3 +3841,197 @@ def _stream_leak_oracle() -> str:
 QUERIES["stream_leakage_screen"] = QuerySpec(
     q_stream_leakage_screen, _stream_leak_oracle()
 )
+
+
+def q_stream_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous WoE/IV feature pricing (r12) — the credit-scoring twin of
+    stream_leakage_screen over the same contingency-ledger decomposition:
+    per-bin (n_pos, n_neg) target counts are pure SUM folds (decided at
+    ARRIVAL), while smoothing, every WoE log-ratio, the quantized shares,
+    and the IV fold are functions of the FINAL distributions, so the whole
+    report re-derives at READOUT. Shared oracle verbatim; split-invariance
+    gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        woe_cell_facts,
+        woe_iv_report_from_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_woe_")
+    src, led = f"{base}/src", f"{base}/cells"
+    o = load(spark, sf_dir, "orders")
+    o.select(
+        "o_orderpriority", "o_orderdate", "o_custkey", "o_totalprice",
+        "o_orderstatus",
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        woe_cell_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(led)
+        .groupBy("feature", "x")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_neg").cast("bigint").alias("n_neg"),
+        )
+    )
+    return woe_iv_report_from_cells(folded)
+
+
+def _stream_woe_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _woe_oracle,
+    )
+
+    return _woe_oracle()
+
+
+QUERIES["stream_woe_iv"] = QuerySpec(q_stream_woe_iv, _stream_woe_oracle())
+
+
+def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous term-burstiness report (r12) — a TWO-ledger member: the
+    per-term dispersion facts (df, Σx, Σx²) and the 1-row document count
+    both SUM-fold (each document lives wholly in one micro-batch, so its
+    within-doc counts — hence their squares — are batch-local facts), while
+    the top-N rank cut and the Fano arithmetic re-derive at READOUT (a term
+    can enter or leave the board as volume lands — the correct semantics
+    for a monitoring surface). Shared oracle verbatim; split-invariance
+    gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        burstiness_report_from_facts,
+        burstiness_term_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_burst_")
+    src, led, dled = f"{base}/src", f"{base}/facts", f"{base}/docs"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        burstiness_term_facts(batch_df).write.mode("append").parquet(led)
+        batch_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ).write.mode("append").parquet(dled)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    facts = (
+        spark.read.parquet(led)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("bigint").alias("df"),
+            F.sum("sum_x").cast("bigint").alias("sum_x"),
+            F.sum("sum_x2").cast("bigint").alias("sum_x2"),
+        )
+    )
+    n_docs = spark.read.parquet(dled).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
+    )
+    return burstiness_report_from_facts(facts, n_docs)
+
+
+def _stream_burst_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_BURSTINESS_ORACLE,
+    )
+
+    return Q_BURSTINESS_ORACLE
+
+
+QUERIES["stream_burstiness"] = QuerySpec(
+    q_stream_burstiness, _stream_burst_oracle()
+)
+
+
+def q_stream_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous autocorrelation ladder (r12) — the calendar-grain member
+    of the additive family: per-batch hourly count partials SUM-fold
+    (an event's hour is decided at ARRIVAL), while the dense spine, every
+    lag pairing, the five moments, and r itself re-derive at READOUT —
+    which is exactly why batching can't move the answer: the spine bounds
+    come from the FOLDED series, and a zero-filled hour stays a real 0
+    whichever micro-batch its neighbors arrived in. Shared oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        acf_report_from_counts,
+        hourly_event_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_acf_")
+    src, led = f"{base}/src", f"{base}/counts"
+    ev = load(spark, sf_dir, "events")
+    ev.select("ts", "event_id").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hourly_event_counts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    counts = (
+        spark.read.parquet(led)
+        .groupBy("hour_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return acf_report_from_counts(counts)
+
+
+def _stream_acf_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        Q_TS_ACF_ORACLE,
+    )
+
+    return Q_TS_ACF_ORACLE
+
+
+QUERIES["stream_acf_lags"] = QuerySpec(q_stream_acf_lags, _stream_acf_oracle())

@@ -1609,3 +1609,122 @@ FROM sums
 )
 
 QUERIES["text_js_divergence"] = QuerySpec(q_js_divergence, Q_JS_DIVERGENCE_ORACLE)
+
+
+# -- term burstiness: Fano factor of per-doc counts (r12) ---------------------------------
+# The dispersion diagnostic next to the Zipf fit and the entropy report: a
+# term whose per-document counts have variance ≫ mean (Fano factor ≫ 1) is
+# BURSTY — topical, concentrated in few documents — while function words sit
+# near 1 (Poisson-like scatter). Curators read it to separate content terms
+# from glue when building stopword lists and quality features (Church &
+# Gale's burstiness observation). Exactness: over D docs with per-doc counts
+# x (zeros included), Fano = var/mean = (D·Σx² − (Σx)²) / ((D−1)·Σx) — an
+# exact integer ratio resolved by ONE double division + the FLOOR(x+0.5)
+# half-up spell. Σx/Σx² accumulate in DECIMAL(38,0) (a 1e12-doc corpus puts
+# Σx² past 2^63). Scale shape: one doc scan exploded to (doc, term) counts
+# (map-side combine), one term-keyed aggregate; the rank cut keeps the
+# report bounded at every tier (a TOP-N, not a threshold, so scale tiers
+# stay comparable — the kcore precedent).
+BURST_TOPN = 40
+
+_FANO_MICRO = (
+    "CASE WHEN n_docs > 1 AND sum_x > 0 THEN"
+    " CAST(FLOOR((CAST(n_docs AS DOUBLE) * CAST(sum_x2 AS DOUBLE)"
+    " - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)"
+    " / (CAST(n_docs - 1 AS DOUBLE) * CAST(sum_x AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_MEAN_MICRO = (
+    "CAST(FLOOR(CAST(sum_x AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_docs AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def burstiness_term_facts(docs: DataFrame) -> DataFrame:
+    """(term, df, sum_x, sum_x2) — additive per-term dispersion facts over
+    ONE documents scan. Each document lives wholly in one batch, so per-doc
+    counts x (hence x²) are batch-local and the facts SUM-fold — the
+    streaming twin appends exactly these."""
+    per_doc = (
+        docs.select("doc_id", F.explode(alpha_tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.expr("SUM(x * x)").cast("bigint").alias("sum_x2"),
+    )
+
+
+def burstiness_report_from_facts(
+    facts: DataFrame, n_docs: DataFrame
+) -> DataFrame:
+    """The Fano-factor tail over additive term facts + a 1-row doc count,
+    however accumulated. Top-N by corpus frequency (ties by term), then the
+    exact integer dispersion arithmetic."""
+    from pyspark.sql import Window
+
+    top = facts.orderBy(
+        F.col("sum_x").desc(), F.col("term").asc()
+    ).limit(BURST_TOPN)
+    w = Window.partitionBy(
+        F.nullif(F.col("sum_x"), F.lit(-1)) * F.lit(0)
+    ).orderBy(F.col("sum_x").desc(), F.col("term").asc())
+    return (
+        top.select(
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "term",
+            "df",
+            F.col("sum_x").cast("decimal(38,0)").alias("sum_x"),
+            F.col("sum_x2").cast("decimal(38,0)").alias("sum_x2"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "rnk",
+            "term",
+            "df",
+            "CAST(sum_x AS BIGINT) AS n_occurrences",
+            f"{_MEAN_MICRO} AS mean_micro",
+            f"{_FANO_MICRO} AS fano_micro",
+        )
+    )
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return burstiness_report_from_facts(burstiness_term_facts(d), n_docs)
+
+
+Q_BURSTINESS_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS x
+  FROM documents, UNNEST({{ALPHA}}) AS u(t)
+  GROUP BY 1, 2
+),
+facts AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sum_x,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sum_x2
+  FROM per_doc GROUP BY 1
+),
+top AS (
+  SELECT term, df, sum_x, sum_x2,
+         CAST(ROW_NUMBER() OVER (ORDER BY sum_x DESC, term ASC) AS BIGINT)
+           AS rnk
+  FROM facts
+  QUALIFY rnk <= {BURST_TOPN}
+),
+dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT rnk, term, df,
+       CAST(sum_x AS BIGINT) AS n_occurrences,
+       {_MEAN_MICRO} AS mean_micro,
+       {_FANO_MICRO} AS fano_micro
+FROM top CROSS JOIN dd
+""".replace("{ALPHA}", ALPHA_TOKS_SQL)
+
+QUERIES["text_burstiness"] = QuerySpec(q_text_burstiness, Q_BURSTINESS_ORACLE)

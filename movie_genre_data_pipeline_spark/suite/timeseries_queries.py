@@ -788,3 +788,149 @@ FROM per CROSS JOIN mx
 QUERIES["ops_retention_policy"] = QuerySpec(
     q_retention_policy, Q_RETENTION_POLICY_ORACLE
 )
+
+
+# -- autocorrelation ladder over the hourly event series (r12) ----------------------------
+# The seasonality detector a forecaster runs BEFORE choosing a model: Pearson
+# autocorrelation of the dense hourly event-count series at a ladder of lags
+# (adjacent hours, quarter/half-day, the diurnal 24 h and 48 h harmonics, the
+# weekly 168 h). A diurnal workload prints r(24) ≫ r(1); white noise prints
+# ~0 everywhere — this is what justified ts_seasonal_naive_backtest's season
+# choice. Exactness: counts are integers on a dense spine (zeros filled), so
+# every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact integer accumulated in
+# DECIMAL(38,0) (Σxy ~ n·c² passes 2^63 at ~1e9 events/hour); r is resolved
+# by IEEE-exact double arithmetic + the FLOOR(x+0.5) half-up spell, identical
+# text both engines. Scale shape: ONE fact scan collapsed map-side to the
+# calendar-sized hourly grain; the spine, the lag self-joins (8 lags), and
+# the moment folds all run on ≤ |hours| rows — broadcast-sized forever.
+ACF_LAGS = [1, 2, 3, 6, 12, 24, 48, 168]
+
+_ACF_R_MICRO = (
+    "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0 AS DOUBLE)"
+    " AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > CAST(0 AS DOUBLE) THEN"
+    " CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """(hour_id, cnt) — additive hourly facts over ONE events scan
+    (hour_id = epoch-micros DIV an hour of micros: exact BIGINT arithmetic,
+    NTZ/LTZ-agnostic via operators.timeseries.epoch_micros — the fixture's
+    ts physical encoding has drifted between rounds, so never tz-dependent
+    unix_timestamp here). SUM-foldable, so the streaming twin appends these
+    partials."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_micros
+
+    return (
+        events.select(
+            F.call_function(
+                "div", epoch_micros("ts"), F.lit(3_600_000_000)
+            ).alias("hour_id")
+        )
+        .groupBy("hour_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def acf_report_from_counts(counts: DataFrame) -> DataFrame:
+    """The ACF tail over additive (hour_id, cnt) facts, however accumulated:
+    densify onto the min..max hour spine (zeros filled — a silent-outage
+    hour is a real 0, not a dropped point), pair each point with its
+    lag-shifted sibling per ladder rung, fold the five moments, resolve r.
+    `counts` feeds three consumers (the spine scalars and both join sides),
+    so the hourly fan-out is barrier-pinned."""
+    counts = counts.localCheckpoint(eager=False)
+    spine = (
+        counts.agg(
+            F.min("hour_id").alias("min_h"), F.max("hour_id").alias("max_h")
+        )
+        .selectExpr("explode(sequence(min_h, max_h)) AS hour_id")
+    )
+    dense = spine.join(F.broadcast(counts), "hour_id", "left").select(
+        "hour_id", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)
+    lags = counts.sparkSession.createDataFrame(
+        [(lag,) for lag in ACF_LAGS], "lag_hours bigint"
+    )
+    d1 = dense.select(
+        F.col("hour_id").alias("h1"), F.col("cnt").alias("x")
+    )
+    d2 = dense.select(
+        F.col("hour_id").alias("h2"), F.col("cnt").alias("y")
+    )
+    pairs = (
+        d1.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(d2),
+            F.col("h2") == F.col("h1") + F.col("lag_hours"),
+        )
+    )
+    sums = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    return sums.selectExpr(
+        "lag_hours",
+        "n AS n_pairs",
+        f"{_ACF_R_MICRO} AS r_micro",
+    )
+
+
+def q_ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return acf_report_from_counts(hourly_event_counts(ev))
+
+
+_ACF_LAG_VALUES = ", ".join(f"({lag})" for lag in ACF_LAGS)
+
+Q_TS_ACF_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_id) AS min_h, MAX(hour_id) AS max_h FROM counts),
+spine AS (
+  SELECT UNNEST(generate_series(min_h, max_h)) AS hour_id FROM bounds
+),
+dense AS (
+  SELECT s.hour_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c ON c.hour_id = s.hour_id
+),
+lags(lag_hours) AS (VALUES {_ACF_LAG_VALUES}),
+pairs AS (
+  SELECT l.lag_hours, d1.cnt AS x, d2.cnt AS y
+  FROM dense d1
+  CROSS JOIN lags l
+  JOIN dense d2 ON d2.hour_id = d1.hour_id + l.lag_hours
+),
+sums AS (
+  SELECT lag_hours,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag_hours AS BIGINT) AS lag_hours, n AS n_pairs,
+       {_ACF_R_MICRO} AS r_micro
+FROM sums
+"""
+
+QUERIES["ts_acf_lags"] = QuerySpec(q_ts_acf_lags, Q_TS_ACF_ORACLE)

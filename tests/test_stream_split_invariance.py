@@ -97,6 +97,15 @@ FOLDS = [
     # r12: the stacked contingency ledger behind the per-feature MI screen
     # (pure SUM fold; marginals/entropies/nmi all readout re-derivations)
     "stream_leakage_screen",
+    # r12 second wave: the WoE/IV contingency ledger (same cell facts as the
+    # leakage screen, different readout), the two-ledger burstiness report
+    # (term dispersion facts + doc count; the Σx² fold relies on docs being
+    # batch-local — exactly what splitting must not break), and the hourly
+    # ACF ladder (calendar-grain counts; the dense spine is a readout
+    # decision over the FOLDED series)
+    "stream_woe_iv",
+    "stream_burstiness",
+    "stream_acf_lags",
 ]
 
 
