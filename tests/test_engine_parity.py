@@ -327,3 +327,138 @@ def test_js_divergence_matches_numpy(spark):
         assert -2 <= r["js_micro"] <= round(math.log(2) * 1e6) + 2
     n_src = len(by_src)
     assert len(rows) == n_src * (n_src - 1) // 2
+
+
+def test_woe_iv_matches_numpy(spark):
+    """Law test vs an independent implementation (the r10 Zipf lesson —
+    shared-string micro-unit bugs ship oracle-green): recompute the smoothed
+    WoE extremes and the IV fold from the raw contingency with numpy floats
+    and require agreement to the quantization floor (shares quantize to
+    1e-6 each before the IV product, so the fold tolerance is
+    n_bins·share_err·|woe| plus the final rounding)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["feature"]: r
+        for r in all_queries()["feat_woe_iv"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    feats = {
+        "order_priority": "o_orderpriority",
+        "order_year": "CAST(year(o_orderdate) AS VARCHAR)",
+        "order_month": "CAST(month(o_orderdate) AS VARCHAR)",
+        "cust_mod10": "CAST(o_custkey % 10 AS VARCHAR)",
+        "price_band": (
+            "CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)"
+            " / CAST(50000 AS DOUBLE)) AS BIGINT) AS VARCHAR)"
+        ),
+    }
+    assert set(rows) == set(feats)
+    for name, expr in feats.items():
+        cells = con.sql(
+            f"""SELECT {expr} AS x,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+            FROM '{sf}/orders.parquet' GROUP BY 1"""
+        ).fetchall()
+        npos = np.array([c[1] for c in cells], dtype=np.float64)
+        nneg = np.array([c[2] for c in cells], dtype=np.float64)
+        B, P, N = len(cells), npos.sum(), nneg.sum()
+        woe = np.log(
+            ((2 * npos + 1) * (2 * N + B)) / ((2 * nneg + 1) * (2 * P + B))
+        )
+        iv = float(((npos / P - nneg / N) * woe).sum())
+        r = rows[name]
+        assert r["n_bins"] == B and r["n_pos"] == int(P) and r["n_neg"] == int(N)
+        assert math.isclose(r["woe_min_micro"] / 1e6, float(woe.min()), abs_tol=2e-6)
+        assert math.isclose(r["woe_max_micro"] / 1e6, float(woe.max()), abs_tol=2e-6)
+        tol = B * 2e-6 * float(np.abs(woe).max()) + 2e-6
+        assert math.isclose(r["iv_micro"] / 1e6, iv, abs_tol=tol), (
+            name, r["iv_micro"] / 1e6, iv, tol,
+        )
+        # IV is nonnegative by construction up to quantization (each term is
+        # (p−q)·ln of a monotone-in-(p/q) ratio, smoothing aside)
+        assert r["iv_micro"] >= -len(feats)
+
+
+def test_burstiness_matches_numpy(spark):
+    """Law test: recompute every published Fano factor from the raw per-doc
+    count vectors (zeros included) with numpy var(ddof=1)/mean and require
+    agreement to the quantization floor; pin the rank cut against the
+    independently-sorted frequency table."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["text_burstiness"].fn(spark, sf).collect()
+    con = duckdb.connect()
+    per_doc = con.sql(
+        f"""SELECT t, doc_id, COUNT(*) AS x
+        FROM '{sf}/documents.parquet',
+             UNNEST(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z]+'), x -> x != '')) AS u(t)
+        GROUP BY 1, 2"""
+    ).fetchall()
+    (D,) = con.sql(f"SELECT COUNT(*) FROM '{sf}/documents.parquet'").fetchone()
+    by_term: dict[str, list[int]] = {}
+    for t, _doc, x in per_doc:
+        by_term.setdefault(t, []).append(x)
+    ranked = sorted(by_term.items(), key=lambda kv: (-sum(kv[1]), kv[0]))
+    assert [r["term"] for r in rows] == [t for t, _ in ranked[: len(rows)]]
+    for r in rows:
+        xs = np.zeros(D, dtype=np.float64)
+        vals = by_term[r["term"]]
+        xs[: len(vals)] = vals  # zeros for the D-df absent docs
+        fano = float(xs.var(ddof=1) / xs.mean())
+        assert r["df"] == len(vals)
+        assert r["n_occurrences"] == int(xs.sum())
+        assert math.isclose(r["fano_micro"] / 1e6, fano, abs_tol=2e-6), (
+            r["term"], r["fano_micro"] / 1e6, fano,
+        )
+
+
+def test_acf_lags_matches_numpy_and_periodicity_law(spark):
+    """Two laws for the ACF ladder: (1) the fixture report equals numpy's
+    Pearson r on independently-rebuilt dense hourly pairs at every lag;
+    (2) a synthetic exactly-24-periodic series prints r_micro(24) =
+    r_micro(48) = 1e6 exactly (x_{t+24} == x_t makes Pearson r exactly 1)."""
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        ACF_LAGS,
+        acf_report_from_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["lag_hours"]: r
+        for r in all_queries()["ts_acf_lags"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"""SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+               COUNT(*) AS c
+        FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    h0, h1 = pairs[0][0], pairs[-1][0]
+    dense = np.zeros(h1 - h0 + 1, dtype=np.float64)
+    for h, c in pairs:
+        dense[h - h0] = c
+    for lag in ACF_LAGS:
+        x, y = dense[:-lag], dense[lag:]
+        r_np = float(np.corrcoef(x, y)[0, 1])
+        r = rows[lag]
+        assert r["n_pairs"] == len(x)
+        assert math.isclose(r["r_micro"] / 1e6, r_np, abs_tol=2e-6), (
+            lag, r["r_micro"] / 1e6, r_np,
+        )
+
+    periodic = spark.createDataFrame(
+        [(h, 10 + (h % 24)) for h in range(24 * 5)], "hour_id bigint, cnt bigint"
+    )
+    out = {
+        r["lag_hours"]: r["r_micro"]
+        for r in acf_report_from_counts(periodic).collect()
+    }
+    assert out[24] == 1_000_000 and out[48] == 1_000_000
+    assert out[12] < 0  # the anti-phase half-period is negative
