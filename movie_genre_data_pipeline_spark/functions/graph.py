@@ -190,3 +190,69 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .orderBy("node")
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, label): synchronous label propagation (Raghavan et al. 2007)
+    on the undirected simple graph — `rounds` rounds of every node adopting
+    the MOST FREQUENT label among its neighbors (ties by smallest label),
+    from singleton labels. The community-detection sibling of the min-label
+    connected components in functions/dedup.duplicate_clusters: mode-consensus
+    finds dense communities where min-propagation only finds connectivity —
+    the web-graph spam/burst-cluster primitive.
+
+    Determinism: synchronous updates (every round reads ONLY the previous
+    round's labels) + the (count DESC, label ASC) tiebreak make the whole
+    trajectory an unrollable, engine-replayable plan — the
+    pagerank_fixed_point discipline; a fixed round count, not a convergence
+    test.
+
+    Scale shape: a round is one edge⋈label equi-join on the node key + one
+    (node, label) count aggregate (map-side combined) + one per-node top-1
+    window — all keyed on the node, so state is O(|edges|) per round and the
+    per-round label frame is localCheckpoint'd to keep lineage flat."""
+    from pyspark.sql import Window
+
+    und = (
+        orient_edges(edges, src, dst)
+        .selectExpr("lo AS e_src", "hi AS e_dst")
+        .unionAll(
+            orient_edges(edges, src, dst).selectExpr(
+                "hi AS e_src", "lo AS e_dst"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("e_src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        counts = (
+            und.join(
+                labels.withColumnRenamed("node", "e_dst"), "e_dst"
+            )
+            .groupBy(F.col("e_src").alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        pick = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")

@@ -415,6 +415,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "stream_burstiness",
     "ts_acf_lags",
     "stream_acf_lags",
+    "sample_ess_report",
+    "stream_ess_report",
+    "graph_label_propagation",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -280,3 +280,120 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["graph_reachability"] = QuerySpec(q_graph_reachability, _REACH_SQL)
+
+
+# -- community detection: synchronous label propagation (r12) -----------------------------
+LPA_ROUNDS = 4
+LPA_CUT_DEN = 6  # keep the top 1/6 of directed edges by weight — sparser than
+# the kcore cut so real community structure (not one dense blob) survives
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the STRONG-trade subgraph by synchronous
+    label propagation (functions/graph.label_propagation): weight every
+    directed nation pair by distinct orders, keep the top sixth of edges by
+    (weight, src, dst) — the same rank-cut discipline as the kcore query,
+    tightened so the surviving graph has genuine cluster structure — then 4
+    rounds of mode-label consensus from singleton labels. The
+    dense-community sibling of min-label connected components (dedup
+    clustering): where CC answers "reachable?", LPA answers "densely tied?"
+    — the web-graph spam/burst-community primitive. Deterministic end to
+    end ((count DESC, label ASC) tiebreaks, synchronous rounds), so the
+    DuckDB oracle replays the whole trajectory round for round."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.functions.graph import (
+        label_propagation,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    nc = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    weighted = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(ns, s["s_nationkey"] == F.col("sk"))
+        .join(nc, c["c_nationkey"] == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct(o["o_orderkey"]).alias("wt"))
+    )
+    w = Window.orderBy(F.col("wt").desc(), "src", "dst")
+    ranked = weighted.select(
+        "src",
+        "dst",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    )
+    strong = ranked.filter(
+        F.col("rn") <= F.floor(F.col("total") / LPA_CUT_DEN)
+    ).select("src", "dst")
+    return label_propagation(strong, rounds=LPA_ROUNDS)
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH w AS MATERIALIZED (
+  SELECT ns.n_name AS src, nc.n_name AS dst,
+         COUNT(DISTINCT o.o_orderkey) AS wt
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE ns.n_name <> nc.n_name
+  GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (ORDER BY wt DESC, src, dst) AS rn,
+         COUNT(*) OVER () AS total
+  FROM ranked_src
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ranked WHERE rn <= total // {LPA_CUT_DEN}
+),
+u AS MATERIALIZED (
+  SELECT lo AS e_src, hi AS e_dst FROM e
+  UNION ALL SELECT hi, lo FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT e_src AS node, e_src AS label FROM u
+)""".replace("ranked_src", "w")
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f""",
+c{r} AS MATERIALIZED (
+  SELECT u.e_src AS node, l.label, COUNT(*) AS c
+  FROM u JOIN {prev} l ON l.node = u.e_dst
+  GROUP BY 1, 2
+),
+p{r} AS MATERIALIZED (
+  SELECT node, label FROM c{r}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT o.node, COALESCE(p.label, o.label) AS label
+  FROM {prev} o LEFT JOIN p{r} p ON p.node = o.node
+)"""
+        )
+        prev = f"l{r}"
+    tail = f"""
+SELECT node, label FROM {prev} ORDER BY node
+"""
+    return head + "".join(rounds) + tail
+
+
+QUERIES["graph_label_propagation"] = QuerySpec(
+    q_graph_label_propagation, _lpa_oracle()
+)

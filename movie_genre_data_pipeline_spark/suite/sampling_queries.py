@@ -2486,3 +2486,105 @@ FROM folded
 
 
 QUERIES["feat_woe_iv"] = QuerySpec(q_feat_woe_iv, _woe_oracle())
+
+
+# -- weighting audit: Kish effective sample size (r12) ------------------------------------
+# The audit a curator runs before trusting a WEIGHTED corpus: if documents
+# enter the loss (or a sampler) weighted by quality, the effective number of
+# documents per language is Kish's ESS = (Σw)²/Σw² — equal weights give
+# ESS = n, one dominant document drives it toward 1, and a low ESS/n ratio
+# says the weighting collapsed the stratum onto a few documents (variance
+# inflation). Exactness: w is the ALREADY-ORACLED 6dp quality score snapped
+# to integer micro-units, so Σw and Σw² are exact DECIMAL(38,0) integer
+# sums and ESS resolves in one IEEE-exact double expression + the
+# FLOOR(x+0.5) spell. Scale shape: ONE documents scan with scan-local
+# feature extraction collapsed map-side into |languages| rows.
+_ESS_MICRO = (
+    "CASE WHEN sum_w2 > 0 THEN"
+    " CAST(FLOOR(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)"
+    " * CAST(1000000 AS DOUBLE) / CAST(sum_w2 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_ESS_RATIO_MICRO = (
+    "CAST(FLOOR(CAST(ess_micro AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def quality_weight_facts(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, sum_w, sum_w2) — additive per-language weight moments
+    over ONE documents scan (w = micro-quantized quality, a scan-local
+    arrival decision). SUM-foldable, so the streaming twin appends these."""
+    from movie_genre_data_pipeline_spark.functions.text import quality_score
+
+    w = (
+        F.round(quality_score("text") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("w")
+    )
+    return (
+        docs.select("lang", w)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("sum_w"),
+            F.expr("SUM(CAST(w AS DECIMAL(38,0)) * w)").alias("sum_w2"),
+        )
+    )
+
+
+def ess_report_from_facts(facts: DataFrame) -> DataFrame:
+    """The ESS tail over additive per-language weight moments, however
+    accumulated (one batch scan or a streaming ledger folded by SUM)."""
+    return facts.selectExpr(
+        "lang",
+        "n_docs",
+        "CAST(sum_w AS BIGINT) AS sum_w_micro",
+        f"{_ESS_MICRO} AS ess_micro",
+    ).selectExpr(
+        "lang",
+        "n_docs",
+        "sum_w_micro",
+        "ess_micro",
+        f"{_ESS_RATIO_MICRO} AS ess_ratio_micro",
+    )
+
+
+def q_sample_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return ess_report_from_facts(quality_weight_facts(d))
+
+
+def _ess_oracle() -> str:
+    # the weight IS text_quality_scores' oracled formula — embedded as a
+    # nested CTE (never re-spelled), so the two strings cannot drift
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_QUALITY_SCORES_ORACLE,
+    )
+
+    return f"""
+WITH q AS ({Q_QUALITY_SCORES_ORACLE}),
+w AS (
+  SELECT d.lang, CAST(ROUND(q.quality * 1000000.0) AS BIGINT) AS w
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+facts AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS DECIMAL(38,0)) AS sum_w,
+         SUM(CAST(w AS DECIMAL(38,0)) * w) AS sum_w2
+  FROM w GROUP BY 1
+),
+ess AS (
+  SELECT lang, n_docs, CAST(sum_w AS BIGINT) AS sum_w_micro,
+         {_ESS_MICRO} AS ess_micro
+  FROM facts
+)
+SELECT lang, n_docs, sum_w_micro, ess_micro,
+       {_ESS_RATIO_MICRO} AS ess_ratio_micro
+FROM ess
+"""
+
+
+QUERIES["sample_ess_report"] = QuerySpec(q_sample_ess_report, _ess_oracle())

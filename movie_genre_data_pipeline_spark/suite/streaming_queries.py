@@ -4035,3 +4035,66 @@ def _stream_acf_oracle() -> str:
 
 
 QUERIES["stream_acf_lags"] = QuerySpec(q_stream_acf_lags, _stream_acf_oracle())
+
+
+def q_stream_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous effective-sample-size audit (r12) — the weighting-health
+    dial maintained over a single additive ledger: each document's
+    micro-quantized quality weight is a scan-local ARRIVAL decision, the
+    per-language (n, Σw, Σw²) moments SUM-fold, and Kish's ESS re-derives at
+    READOUT — so a stratum collapsing onto a few heavy documents is visible
+    the moment it happens. Shared oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        ess_report_from_facts,
+        quality_weight_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ess_")
+    src, led = f"{base}/src", f"{base}/facts"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        quality_weight_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(led)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_w").cast("bigint").alias("sum_w"),
+            F.expr("SUM(sum_w2)").cast("decimal(38,0)").alias("sum_w2"),
+        )
+    )
+    return ess_report_from_facts(folded)
+
+
+def _stream_ess_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _ess_oracle,
+    )
+
+    return _ess_oracle()
+
+
+QUERIES["stream_ess_report"] = QuerySpec(
+    q_stream_ess_report, _stream_ess_oracle()
+)

@@ -462,3 +462,42 @@ def test_acf_lags_matches_numpy_and_periodicity_law(spark):
     }
     assert out[24] == 1_000_000 and out[48] == 1_000_000
     assert out[12] < 0  # the anti-phase half-period is negative
+
+
+def test_ess_report_matches_numpy(spark):
+    """Law test: recompute Kish ESS per language from the independently-
+    collected per-doc quality weights with numpy and require agreement to
+    the quantization floor; pin ESS <= n (Cauchy-Schwarz) and the
+    equal-weights edge (any language whose weights are all equal must print
+    ESS == n exactly)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["lang"]: r
+        for r in all_queries()["sample_ess_report"].fn(spark, sf).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in all_queries()["text_quality_scores"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    langs = con.sql(
+        f"SELECT doc_id, lang FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    by_lang: dict[str, list[int]] = {}
+    for doc_id, lang in langs:
+        by_lang.setdefault(lang, []).append(round(quality[doc_id] * 1e6))
+    assert set(rows) == set(by_lang)
+    for lang, ws in by_lang.items():
+        w = np.array(ws, dtype=np.float64)
+        ess = float(w.sum() ** 2 / (w * w).sum()) if (w * w).sum() else 0.0
+        r = rows[lang]
+        assert r["n_docs"] == len(ws)
+        assert r["sum_w_micro"] == int(w.sum())
+        assert math.isclose(r["ess_micro"] / 1e6, ess, abs_tol=2e-6), (
+            lang, r["ess_micro"] / 1e6, ess,
+        )
+        assert r["ess_micro"] <= r["n_docs"] * 1_000_000 + 1  # ESS <= n
+        if len(set(ws)) == 1 and ws[0] > 0:
+            assert r["ess_micro"] == r["n_docs"] * 1_000_000

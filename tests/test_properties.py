@@ -1164,3 +1164,40 @@ def test_priority_estimator_matches_hashlib_twin(spark, docs):
         assert row["est_total_micro"] == est
         assert row["n_docs"] == len(rows)
         assert row["total_chars"] == sum(n for _, _, n in rows)
+
+
+# -- label_propagation: matches a pure-python synchronous reference ---------------------
+@FAST
+@given(
+    n=st.integers(2, 10),
+    edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=14),
+    rounds=st.integers(1, 3),
+)
+def test_label_propagation_matches_reference(spark, n, edges, rounds):
+    """Synchronous mode-label LPA with the (count DESC, label ASC) tiebreak
+    is fully deterministic — the Spark trajectory must equal a dict-based
+    reference round for round on random graphs (incl. isolated-free graphs:
+    nodes are induced from edges, matching the library contract)."""
+    from collections import Counter
+
+    from movie_genre_data_pipeline_spark.functions.graph import label_propagation
+
+    simple = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b and a < n and b < n})
+    if not simple:
+        return  # node set is induced from edges; empty graph has no output
+    df = spark.createDataFrame(simple, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=rounds).collect()}
+
+    nbrs: dict[int, list[int]] = {}
+    for a, b in simple:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nbrs:
+            cnt = Counter(labels[u] for u in nbrs[v])
+            # most frequent, ties by smallest label
+            nxt[v] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        labels = nxt
+    assert got == labels

@@ -106,6 +106,10 @@ FOLDS = [
     "stream_woe_iv",
     "stream_burstiness",
     "stream_acf_lags",
+    # r12 third wave: the ESS weighting audit (per-language weight moments —
+    # the simplest possible additive ledger; the weight is an arrival
+    # decision, Kish's ratio a readout one)
+    "stream_ess_report",
 ]
 
 
