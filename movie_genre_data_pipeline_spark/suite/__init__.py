@@ -418,6 +418,8 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "sample_ess_report",
     "stream_ess_report",
     "graph_label_propagation",
+    "ts_seasonal_decompose",
+    "stream_seasonal_decompose",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

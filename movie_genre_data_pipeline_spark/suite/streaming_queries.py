@@ -4098,3 +4098,61 @@ def _stream_ess_oracle() -> str:
 QUERIES["stream_ess_report"] = QuerySpec(
     q_stream_ess_report, _stream_ess_oracle()
 )
+
+
+def q_stream_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous seasonal-index decomposition (r12) — the SAME hourly
+    count ledger as stream_acf_lags with a different readout (the point of
+    the ledger decomposition: one arrival-scoped fold, many derived
+    reports): per-batch hourly partials SUM-fold, and the spine, the
+    hour-of-day bucketing, and every index re-derive at READOUT. Shared
+    oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        hourly_event_counts,
+        seasonal_decompose_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_seasonal_")
+    src, led = f"{base}/src", f"{base}/counts"
+    ev = load(spark, sf_dir, "events")
+    ev.select("ts", "event_id").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hourly_event_counts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    counts = (
+        spark.read.parquet(led)
+        .groupBy("hour_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return seasonal_decompose_from_counts(counts)
+
+
+def _stream_seasonal_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        Q_TS_SEASONAL_DECOMPOSE_ORACLE,
+    )
+
+    return Q_TS_SEASONAL_DECOMPOSE_ORACLE
+
+
+QUERIES["stream_seasonal_decompose"] = QuerySpec(
+    q_stream_seasonal_decompose, _stream_seasonal_oracle()
+)

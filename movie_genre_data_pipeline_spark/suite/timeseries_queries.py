@@ -934,3 +934,103 @@ FROM sums
 """
 
 QUERIES["ts_acf_lags"] = QuerySpec(q_ts_acf_lags, Q_TS_ACF_ORACLE)
+
+
+# -- seasonal-index decomposition over the hourly series (r12) ----------------------------
+# The readout that acts on what the ACF ladder detects: per hour-of-day
+# seasonal indices over the dense hourly series — index > 1 means that wall
+# hour runs hot relative to the overall mean (the diurnal shape a capacity
+# planner or a seasonal-naive forecaster consumes directly). Exactness:
+# mean_h / mean_global = (sum_h · N) / (n_h · S) is an exact integer ratio
+# (every factor a BIGINT count), resolved by one double expression + the
+# FLOOR(x+0.5) spell — no trend smoothing, no float recursion. Scale shape:
+# the same calendar-grain fold as the ACF (ONE fact scan map-side to
+# ≤ |hours| rows), then a 24-row aggregate with a broadcast 1-row global.
+_SEASONAL_IDX_MICRO = (
+    "CASE WHEN total_sum > 0 THEN"
+    " CAST(FLOOR(CAST(sum_h AS DOUBLE) * CAST(n_total AS DOUBLE)"
+    " * CAST(1000000 AS DOUBLE)"
+    " / (CAST(n_h AS DOUBLE) * CAST(total_sum AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_HOUR_MEAN_MICRO = (
+    "CAST(FLOOR(CAST(sum_h AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_h AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def seasonal_decompose_from_counts(counts: DataFrame) -> DataFrame:
+    """The seasonal-index tail over additive (hour_id, cnt) facts, however
+    accumulated: densify onto the min..max spine (a silent hour is a real
+    0 — dropping it would bias every index up), bucket by hour-of-day
+    (hour_id % 24 — hour_id is UTC epoch hours, so bucket 0 is midnight
+    UTC), fold per-bucket sums, divide once against the broadcast global."""
+    counts = counts.localCheckpoint(eager=False)
+    spine = (
+        counts.agg(
+            F.min("hour_id").alias("min_h"), F.max("hour_id").alias("max_h")
+        )
+        .selectExpr("explode(sequence(min_h, max_h)) AS hour_id")
+    )
+    dense = spine.join(F.broadcast(counts), "hour_id", "left").select(
+        "hour_id", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    )
+    per_hour = dense.groupBy(
+        F.expr("hour_id % 24").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("cnt").cast("bigint").alias("sum_h"),
+    )
+    glob = per_hour.agg(
+        F.sum("n_h").cast("bigint").alias("n_total"),
+        F.sum("sum_h").cast("bigint").alias("total_sum"),
+    )
+    return per_hour.crossJoin(F.broadcast(glob)).selectExpr(
+        "hour_of_day",
+        "n_h AS n_hours",
+        "sum_h AS n_events",
+        f"{_HOUR_MEAN_MICRO} AS mean_micro",
+        f"{_SEASONAL_IDX_MICRO} AS seasonal_index_micro",
+    )
+
+
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return seasonal_decompose_from_counts(hourly_event_counts(ev))
+
+
+Q_TS_SEASONAL_DECOMPOSE_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_id) AS min_h, MAX(hour_id) AS max_h FROM counts),
+spine AS (
+  SELECT UNNEST(generate_series(min_h, max_h)) AS hour_id FROM bounds
+),
+dense AS (
+  SELECT s.hour_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c ON c.hour_id = s.hour_id
+),
+per_hour AS (
+  SELECT CAST(hour_id % 24 AS BIGINT) AS hour_of_day,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(cnt) AS BIGINT) AS sum_h
+  FROM dense GROUP BY 1
+),
+gtot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n_total,
+         CAST(SUM(sum_h) AS BIGINT) AS total_sum
+  FROM per_hour
+)
+SELECT hour_of_day, n_h AS n_hours, sum_h AS n_events,
+       {_HOUR_MEAN_MICRO} AS mean_micro,
+       {_SEASONAL_IDX_MICRO} AS seasonal_index_micro
+FROM per_hour CROSS JOIN gtot
+"""
+
+QUERIES["ts_seasonal_decompose"] = QuerySpec(
+    q_ts_seasonal_decompose, Q_TS_SEASONAL_DECOMPOSE_ORACLE
+)

@@ -110,6 +110,9 @@ FOLDS = [
     # the simplest possible additive ledger; the weight is an arrival
     # decision, Kish's ratio a readout one)
     "stream_ess_report",
+    # r12 fourth wave: the seasonal-index readout over the SAME hourly
+    # ledger the ACF twin folds (one fold, many reports)
+    "stream_seasonal_decompose",
 ]
 
 
