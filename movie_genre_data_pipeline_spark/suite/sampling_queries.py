@@ -2528,7 +2528,9 @@ def quality_weight_facts(docs: DataFrame) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("w").cast("bigint").alias("sum_w"),
+            # DECIMAL(38,0) accumulate: w ≤ 1e6 micro, so a BIGINT Σw wraps
+            # past ~9e12 documents (non-ANSI SUM is silent about it)
+            F.expr("SUM(CAST(w AS DECIMAL(38,0)))").alias("sum_w"),
             F.expr("SUM(CAST(w AS DECIMAL(38,0)) * w)").alias("sum_w2"),
         )
     )

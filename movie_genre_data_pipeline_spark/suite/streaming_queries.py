@@ -3957,7 +3957,8 @@ def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("df").cast("bigint").alias("df"),
             F.sum("sum_x").cast("bigint").alias("sum_x"),
-            F.sum("sum_x2").cast("bigint").alias("sum_x2"),
+            # the ledger partials land as DECIMAL(38,0); the fold stays there
+            F.sum("sum_x2").cast("decimal(38,0)").alias("sum_x2"),
         )
     )
     n_docs = spark.read.parquet(dled).agg(
@@ -4080,8 +4081,9 @@ def q_stream_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
-            F.sum("sum_w").cast("bigint").alias("sum_w"),
-            F.expr("SUM(sum_w2)").cast("decimal(38,0)").alias("sum_w2"),
+            # ledger partials land as DECIMAL(38,0); the fold stays there
+            F.sum("sum_w").cast("decimal(38,0)").alias("sum_w"),
+            F.sum("sum_w2").cast("decimal(38,0)").alias("sum_w2"),
         )
     )
     return ess_report_from_facts(folded)

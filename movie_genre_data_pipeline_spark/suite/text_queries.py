@@ -1655,7 +1655,9 @@ def burstiness_term_facts(docs: DataFrame) -> DataFrame:
     return per_doc.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.sum("x").cast("bigint").alias("sum_x"),
-        F.expr("SUM(x * x)").cast("bigint").alias("sum_x2"),
+        # DECIMAL(38,0) accumulate: x² ≤ 1e12 per doc and a 1e12-doc corpus
+        # puts the sum past 2^63 (non-ANSI BIGINT SUM wraps silently)
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sum_x2"),
     )
 
 
@@ -1679,7 +1681,7 @@ def burstiness_report_from_facts(
             "term",
             "df",
             F.col("sum_x").cast("decimal(38,0)").alias("sum_x"),
-            F.col("sum_x2").cast("decimal(38,0)").alias("sum_x2"),
+            F.col("sum_x2").cast("decimal(38,0)").alias("sum_x2"),  # idempotent
         )
         .crossJoin(F.broadcast(n_docs))
         .selectExpr(
