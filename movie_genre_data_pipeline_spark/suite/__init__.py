@@ -420,6 +420,7 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "graph_label_propagation",
     "ts_seasonal_decompose",
     "stream_seasonal_decompose",
+    "feat_auc_report",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -2590,3 +2590,109 @@ FROM ess
 
 
 QUERIES["sample_ess_report"] = QuerySpec(q_sample_ess_report, _ess_oracle())
+
+
+# -- selector evaluation: exact Mann-Whitney AUC (r12) ------------------------------------
+# The ranking-evaluation readout the selection family was missing: AUC of
+# the DSIR log-weight as a classifier score for the target domain —
+# P[score(random target doc) > score(random non-target doc)] with ties at
+# half, i.e. the probability the selector RANKS a target doc above a
+# non-target one (0.5 = blind, 1.0 = perfect separation). Computed exactly
+# by the grouped Mann-Whitney identity: group docs by distinct score, take
+# the exclusive prefix sum of negative counts in score order, and fold
+# U2 = Σ c_pos·(2·cum_neg_below + c_neg) (twice U so ties stay integral);
+# AUC = U2 / (2·P·N) resolves in one IEEE-exact double expression + the
+# FLOOR(x+0.5) spell. Scale shape: one doc-keyed score aggregate, then the
+# distinct-score table's prefix sum runs RANGE-PARTITIONED
+# (operators/ranking.ranged_running_sum — no single-task window even if
+# every doc scores uniquely), and the readout is a 1-row reduction.
+_AUC_MICRO = (
+    "CASE WHEN n_pos > 0 AND n_neg > 0 THEN"
+    " CAST(FLOOR(CAST(u2 AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def q_feat_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    scored = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+    )
+    groups = scored.groupBy(F.col("logw_micro").alias("s")).agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    cum = ranged_running_sum(
+        groups, ["s"], F.col("c_neg"), "cum_neg_below"
+    )
+    sums = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
+        # DECIMAL(38,0): U2 is O(P·N) pair counts — quadratic in docs, past
+        # 2^63 the moment both classes clear ~2e9
+        F.expr(
+            "SUM(CAST(c_pos AS DECIMAL(38,0))"
+            " * (2 * cum_neg_below + c_neg))"
+        ).alias("u2"),
+    )
+    return sums.selectExpr(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        f"{_AUC_MICRO} AS auc_micro",
+    ).selectExpr(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "auc_micro",
+        "auc_micro * 2 - 1000000 AS gini_micro",
+    )
+
+
+def _auc_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()},
+labeled AS (
+  SELECT w.doc_id, w.logw_micro, d.lang = 'en' AS y
+  FROM w JOIN documents d USING (doc_id)
+),
+groups AS (
+  SELECT logw_micro AS s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM labeled GROUP BY 1
+),
+cum AS (
+  SELECT s, c_pos, c_neg,
+         CAST(COALESCE(SUM(c_neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_neg_below
+  FROM groups
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_scores,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         SUM(CAST(c_pos AS DECIMAL(38,0))
+             * (2 * cum_neg_below + c_neg)) AS u2
+  FROM cum
+)
+SELECT n_pos, n_neg, n_scores, {_AUC_MICRO} AS auc_micro,
+       {_AUC_MICRO} * 2 - 1000000 AS gini_micro
+FROM sums
+"""
+
+
+QUERIES["feat_auc_report"] = QuerySpec(q_feat_auc_report, _auc_oracle())

