@@ -2615,21 +2615,15 @@ _AUC_MICRO = (
 )
 
 
-def q_feat_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+def auc_report_from_labeled(labeled: DataFrame) -> DataFrame:
+    """The Mann-Whitney tail over (y BOOLEAN, logw_micro) rows, however the
+    scores were derived (one batch scoring pass or a readout over the DSIR
+    ledgers). Grouped-tie identity + range-partitioned prefix sum."""
     from movie_genre_data_pipeline_spark.operators.ranking import (
         ranged_running_sum,
     )
 
-    d = load(spark, sf_dir, "documents")
-    w = dsir_importance(
-        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
-    )
-    scored = (
-        d.select("doc_id", (F.col("lang") == "en").alias("y"))
-        .join(w, "doc_id")
-    )
-    groups = scored.groupBy(F.col("logw_micro").alias("s")).agg(
+    groups = labeled.groupBy(F.col("logw_micro").alias("s")).agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
     )
@@ -2659,6 +2653,21 @@ def q_feat_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auc_micro",
         "auc_micro * 2 - 1000000 AS gini_micro",
     )
+
+
+def q_feat_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    labeled = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("y", "logw_micro")
+    )
+    return auc_report_from_labeled(labeled)
 
 
 def _auc_oracle() -> str:

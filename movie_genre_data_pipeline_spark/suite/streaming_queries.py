@@ -4158,3 +4158,125 @@ def _stream_seasonal_oracle() -> str:
 QUERIES["stream_seasonal_decompose"] = QuerySpec(
     q_stream_seasonal_decompose, _stream_seasonal_oracle()
 )
+
+
+def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained selector evaluation (r12): the exact
+    Mann-Whitney AUC of the DSIR selector, re-derived at READOUT over the
+    SAME three additive ledgers stream_importance_weights folds (doc dim —
+    here carrying the label, term postings, bucket-model counts). The
+    honest streaming form: every document's score is re-judged under the
+    FINAL folded model (the stream_surprisal_filter discipline — an early
+    doc's score legitimately moves as the model learns), so the continuous
+    AUC equals the batch AUC bit-for-bit and shares its oracle verbatim.
+    Split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        DSIR_BUCKETS,
+        auc_report_from_labeled,
+    )
+
+    b = DSIR_BUCKETS
+    base = tempfile.mkdtemp(prefix="stream_auc_")
+    src = f"{base}/src"
+    led_doc, led_tf, led_bkt = f"{base}/docs", f"{base}/tf", f"{base}/buckets"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "doc_id", (F.col("lang") == "en").alias("y")
+        ).write.mode("append").parquet(led_doc)
+        terms = batch_df.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__tgt"),
+            F.explode(tokens("text")).alias("__term"),
+        ).select(
+            "doc_id",
+            "__tgt",
+            (
+                F.conv(F.substring(F.md5("__term"), 1, 12), 16, 10).cast("bigint")
+                % F.lit(b)
+            ).alias("bucket"),
+        )
+        terms.groupBy("doc_id", "bucket").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).write.mode("append").parquet(led_tf)
+        terms.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "tgt_c"
+            ),
+        ).write.mode("append").parquet(led_bkt)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    buckets = (
+        spark.read.parquet(led_bkt)
+        .groupBy("bucket")
+        .agg(F.sum("raw_c").alias("raw_c"), F.sum("tgt_c").alias("tgt_c"))
+    )
+    totals = buckets.agg(
+        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
+    )
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_c") + F.lit(1.0)) / (F.col("t_tgt") + F.lit(float(b)))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0)) / (F.col("t_raw") + F.lit(float(b)))
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    tf = (
+        spark.read.parquet(led_tf)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro"))
+    )
+    labeled = (
+        spark.read.parquet(led_doc)
+        .join(scored, "doc_id", "left")
+        .select(
+            "y",
+            F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
+        )
+    )
+    return auc_report_from_labeled(labeled)
+
+
+def _stream_auc_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import _auc_oracle
+
+    return _auc_oracle()
+
+
+QUERIES["stream_auc_report"] = QuerySpec(q_stream_auc_report, _stream_auc_oracle())

@@ -113,6 +113,9 @@ FOLDS = [
     # r12 fourth wave: the seasonal-index readout over the SAME hourly
     # ledger the ACF twin folds (one fold, many reports)
     "stream_seasonal_decompose",
+    # r12 fifth wave: the AUC readout over the SAME DSIR ledgers the
+    # importance twin folds (scores re-judged under the final model)
+    "stream_auc_report",
 ]
 
 
