@@ -422,6 +422,7 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "stream_seasonal_decompose",
     "feat_auc_report",
     "stream_auc_report",
+    "feat_calibration_report",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

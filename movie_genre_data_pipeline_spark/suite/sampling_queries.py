@@ -2705,3 +2705,122 @@ FROM sums
 
 
 QUERIES["feat_auc_report"] = QuerySpec(q_feat_auc_report, _auc_oracle())
+
+
+# -- classifier calibration: reliability bins (r12) ---------------------------------------
+# The evaluation companion to the AUC report on the PROBABILITY axis: a
+# classifier can rank perfectly yet lie about its confidence. Score every
+# row under the IRLS fit's FINAL betas, bin the predicted probability into
+# deciles, and compare each bin's mean prediction against its observed
+# positive rate — the reliability diagram, whose per-bin |gap| rolls up to
+# ECE (the law test pins the weighted roll-up). Exactness: mu is the
+# already-integer micro-sigmoid (functions/regression.SIGMOID_MICRO_SQL),
+# so bins are integer DIV, and both per-bin means divide exact integer sums
+# once (Σmu in DECIMAL(38,0) — n·1e6 passes 2^63 at ~9e12 rows). Scale
+# shape: the IRLS fit is iters x a d²-sized map-side-combined Gram; scoring
+# + binning is ONE more scan collapsed map-side into 10 rows.
+_CAL_AVG_PRED = (
+    "CAST(FLOOR(CAST(sum_mu AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_CAL_OBS_RATE = (
+    "CAST(FLOOR(CAST(sum_y AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_rows AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_feat_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        SIGMOID_MICRO_SQL,
+        logreg_irls_micro,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feats = o.select(
+        (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
+        (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":logreg"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u48"),
+    ).withColumn("zt", F.expr(_LOGREG_ZT))
+    labeled = feats.select("x1", "x2", F.expr(_LOGREG_LABEL).alias("y"))
+    traj = logreg_irls_micro(labeled, "x1", "x2", "y", iters=LOGREG_ITERS)
+    final = traj.filter(F.col("iter") == LOGREG_ITERS).collect()[0]
+    b0, b1, b2 = final["b0_micro"], final["b1_micro"], final["b2_micro"]
+    scored = labeled.select(
+        "y",
+        (
+            F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        ).alias("z_micro"),
+    ).withColumn("mu_micro", F.expr(SIGMOID_MICRO_SQL))
+    bins = scored.groupBy(
+        F.expr("mu_micro DIV 100000").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.expr("SUM(CAST(mu_micro AS DECIMAL(38,0)))").alias("sum_mu"),
+    )
+    return bins.selectExpr(
+        "bin",
+        "n_rows",
+        f"{_CAL_AVG_PRED} AS avg_pred_micro",
+        f"{_CAL_OBS_RATE} AS obs_rate_micro",
+    ).selectExpr(
+        "bin",
+        "n_rows",
+        "avg_pred_micro",
+        "obs_rate_micro",
+        "avg_pred_micro - obs_rate_micro AS gap_micro",
+    )
+
+
+def _calibration_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        SIGMOID_MICRO_SQL,
+    )
+
+    head = f"""WITH f AS MATERIALIZED (
+  SELECT x1, x2, {_LOGREG_LABEL} AS y
+  FROM (
+    SELECT x1, x2, u48, {_LOGREG_ZT} AS zt
+    FROM (
+      SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+             CAST(o_custkey % 25 AS BIGINT) AS x2,
+             CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
+               AS BIGINT) AS u48
+      FROM orders))
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+              CAST(0 AS BIGINT) AS b2)"""
+    tail = f""",
+scored AS (
+  SELECT y, {SIGMOID_MICRO_SQL} AS mu_micro
+  FROM (SELECT f.y, b.b0 + b.b1 * x1 + b.b2 * x2 AS z_micro
+        FROM f CROSS JOIN b{LOGREG_ITERS} b)
+),
+bins AS (
+  SELECT CAST(mu_micro // 100000 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         SUM(CAST(mu_micro AS DECIMAL(38,0))) AS sum_mu
+  FROM scored GROUP BY 1
+)
+SELECT bin, n_rows, {_CAL_AVG_PRED} AS avg_pred_micro,
+       {_CAL_OBS_RATE} AS obs_rate_micro,
+       {_CAL_AVG_PRED} - {_CAL_OBS_RATE} AS gap_micro
+FROM bins
+"""
+    return head + _irls_ctes(LOGREG_ITERS) + tail
+
+
+QUERIES["feat_calibration_report"] = QuerySpec(
+    q_feat_calibration_report, _calibration_oracle()
+)

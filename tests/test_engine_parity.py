@@ -549,3 +549,59 @@ def test_auc_report_matches_numpy(spark):
         row["auc_micro"] / 1e6, auc,
     )
     assert row["gini_micro"] == row["auc_micro"] * 2 - 1_000_000
+
+
+def test_calibration_report_matches_numpy(spark):
+    """Law test: rebuild the scored rows independently (the same IRLS betas
+    the trajectory query publishes, numpy sigmoid), recompute every bin's
+    mean prediction and observed rate, and require agreement to the
+    quantization floor; pin the ECE roll-up (weighted |gap|) and the
+    bin-edge containment (every row's prediction lies in its bin)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["bin"]: r
+        for r in all_queries()["feat_calibration_report"].fn(spark, sf).collect()
+    }
+    traj = {
+        r["iter"]: r
+        for r in all_queries()["feat_logreg_recovery"].fn(spark, sf).collect()
+    }
+    b = traj[max(traj)]
+    con = duckdb.connect()
+    feats = con.sql(
+        f"""SELECT CAST(o_orderkey % 180 + 60 AS BIGINT),
+               CAST(o_custkey % 25 AS BIGINT),
+               CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
+                 AS BIGINT)
+        FROM '{sf}/orders.parquet'"""
+    ).fetchall()
+    x1 = np.array([f[0] for f in feats], dtype=np.float64)
+    x2 = np.array([f[1] for f in feats], dtype=np.float64)
+    u = np.array([f[2] for f in feats], dtype=np.float64) / 281474976710656.0
+    zt = (-2_000_000 + 30_000 * x1 - 150_000 * x2) / 1e6
+    y = (u < 1.0 / (1.0 + np.exp(-zt))).astype(np.float64)
+    z = (b["b0_micro"] + b["b1_micro"] * x1 + b["b2_micro"] * x2) / 1e6
+    mu = np.clip(np.round(1e6 / (1.0 + np.exp(-z))), 1, 999_999)
+    bins = (mu // 100_000).astype(int)
+    n_total, ece = 0, 0.0
+    for bi in sorted(set(bins)):
+        m = bins == bi
+        r = rows[bi]
+        assert r["n_rows"] == int(m.sum())
+        assert math.isclose(
+            r["avg_pred_micro"] / 1e6, float(mu[m].mean()) / 1e6, abs_tol=2e-6
+        )
+        assert math.isclose(
+            r["obs_rate_micro"] / 1e6, float(y[m].mean()), abs_tol=2e-6
+        )
+        # bin containment: the mean prediction lies inside the decile
+        assert bi * 100_000 <= r["avg_pred_micro"] <= (bi + 1) * 100_000
+        n_total += r["n_rows"]
+        ece += r["n_rows"] * abs(r["gap_micro"]) / 1e6
+    assert set(rows) == set(int(b_) for b_ in set(bins))
+    ece /= n_total
+    # the channel's labels come FROM the same sigmoid family, so the fitted
+    # model must be reasonably calibrated — ECE under 10 points
+    assert ece < 0.10, ece
