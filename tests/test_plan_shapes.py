@@ -143,3 +143,32 @@ def test_range_search_never_pairs_corpus(spark):
     plan = _plan(spark, "sim_range_search")
     assert _count(plan, "CartesianProduct") == 0, plan[:2000]
     assert _count(plan, "BroadcastNestedLoopJoin") <= 2, plan[:2000]
+
+
+def test_auc_report_has_no_single_task_window(spark):
+    """r12: the Mann-Whitney prefix sum over the distinct-score table runs
+    range-partitioned (operators/ranking.ranged_running_sum) — every doc
+    scoring uniquely must NOT produce an unpartitioned WindowExec (the
+    single-task sort the grouped identity exists to avoid)."""
+    plan = _plan(spark, "feat_auc_report")
+    _assert_windows_partitioned(plan)
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_acf_joins_are_broadcast_on_the_calendar_grain(spark):
+    """r12: after the map-side hourly collapse, the lag pairing must join
+    broadcast-sized calendar frames — no SortMergeJoin anywhere in the
+    ladder and no cartesian pairing (the lags frame rides the 1-row-carrier
+    BNLJ allowance)."""
+    plan = _plan(spark, "ts_acf_lags")
+    assert _count(plan, "SortMergeJoin") == 0, plan[:2000]
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_woe_iv_scans_orders_once(spark):
+    """r12: the stacked (feature, bin) cell table is barrier-pinned — the
+    totals aggregate and the bin join must both read the checkpointed cells,
+    not re-derive the 5x-stacked orders scan per consumer."""
+    plan = _plan(spark, "feat_woe_iv")
+    assert _count(plan, "Scan parquet") == 0, plan[:2000]  # cells RDD only
+    assert _count(plan, "SortMergeJoin") == 0
