@@ -404,10 +404,13 @@ _R9_WINDOW: tuple[str, ...] = (
 # gates — all locally verified exact at sf0.01 --vanilla; seat in the r12
 # window (the r10->r11 precedent: pool entries earned driver greens first
 # thing next round).
-# The r12 second wave (WoE/IV feature pricing, term burstiness, the ACF
-# ladder, + their ledger twins) lands after the r12 window was rotated and
-# locked; all six are judge/locally verified exact at sf0.01 and wait here
-# for r13 seats.
+# The r12 second-through-fifth waves (WoE/IV feature pricing, term
+# burstiness, the ACF ladder, the ESS weighting audit, label-propagation
+# communities, the seasonal-index decomposition, the Mann-Whitney AUC and
+# calibration evaluations, + every ledger twin) land after the r12 window
+# was rotated and locked; all fourteen are locally verified exact at
+# sf0.01 AND sf0.001 (tools/verify_local.py --vanilla --exact) and wait
+# here for r13 seats.
 NEXT_ROUND_POOL: tuple[str, ...] = (
     "feat_woe_iv",
     "stream_woe_iv",
