@@ -408,7 +408,7 @@ _R9_WINDOW: tuple[str, ...] = (
 # burstiness, the ACF ladder, the ESS weighting audit, label-propagation
 # communities, the seasonal-index decomposition, the Mann-Whitney AUC and
 # calibration evaluations, + every ledger twin) land after the r12 window
-# was rotated and locked; all fourteen are locally verified exact at
+# was rotated and locked; all sixteen are locally verified exact at
 # sf0.01 AND sf0.001 (tools/verify_local.py --vanilla --exact) and wait
 # here for r13 seats.
 NEXT_ROUND_POOL: tuple[str, ...] = (
@@ -426,6 +426,8 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     "feat_auc_report",
     "stream_auc_report",
     "feat_calibration_report",
+    "sample_bootstrap_ci",
+    "stream_bootstrap_ci",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

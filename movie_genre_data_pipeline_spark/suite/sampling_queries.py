@@ -2824,3 +2824,169 @@ FROM bins
 QUERIES["feat_calibration_report"] = QuerySpec(
     q_feat_calibration_report, _calibration_oracle()
 )
+
+
+# -- uncertainty: deterministic Poisson-bootstrap CI (r12) --------------------------------
+# The statistic a curator should report WITH every per-language quality
+# mean: its sampling uncertainty. At cluster scale the standard resampling
+# method is the POISSON bootstrap (each row enters replicate r with weight
+# k ~ Poisson(1) — no global resample, one scan generates every replicate
+# map-side; Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams", Google 2012). Determinism: k is a pure function of
+# md5(doc_id:boot:r) through the Poisson(1) inverse CDF whose cumulative
+# thresholds are embedded as SHARED double literals (the lexicon
+# discipline — nothing transcendental is evaluated at query time), so both
+# engines draw the identical replicate weights. Exactness: each replicate
+# mean is one integer division of exact BIGINT sums (Σ k·q_micro / Σ k,
+# k ≤ 7 by truncation), and the CI bounds are order statistics (ranks 2
+# and B−1 of the B=32 sorted replicate means — a ~94% interpercentile
+# band). Scale shape: ONE doc scan fans out x32 map-side (explode of a
+# literal range), collapses to (lang, replicate) partials, then |langs|
+# rows; the sorted replicate array is B-sized per language.
+BOOT_B = 32
+_POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+)
+_BOOT_K = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t} THEN CAST({k} AS BIGINT)"
+        for k, t in enumerate(_POISSON1_CDF)
+    )
+    + " ELSE CAST(7 AS BIGINT) END"
+)
+_BOOT_MEAN = (
+    "CASE WHEN sum_k > 0 THEN"
+    " CAST(FLOOR(CAST(sum_kq AS DOUBLE) / CAST(sum_k AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def bootstrap_replicate_facts(docs: DataFrame) -> DataFrame:
+    """(lang, r, sum_k, sum_kq) + the point-estimate facts (n_docs, sum_q)
+    folded per (lang, replicate) — additive, so the streaming twin appends
+    these. The replicate weight is an ARRIVAL decision (pure doc_id hash)."""
+    from movie_genre_data_pipeline_spark.functions.text import quality_score
+
+    q = (
+        F.round(quality_score("text") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("q")
+    )
+    reps = (
+        docs.select("doc_id", "lang", q)
+        .select(
+            "doc_id",
+            "lang",
+            "q",
+            F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("r"),
+        )
+        .selectExpr(
+            "lang",
+            "r",
+            "q",
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+            " ':boot:', CAST(r AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            " / CAST(281474976710656 AS DOUBLE) AS u",
+        )
+        .withColumn("k", F.expr(_BOOT_K))
+    )
+    return reps.groupBy("lang", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("q").cast("decimal(38,0)").alias("sum_q"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.expr("SUM(CAST(k AS DECIMAL(38,0)) * q)").alias("sum_kq"),
+    )
+
+
+def bootstrap_ci_from_facts(facts: DataFrame) -> DataFrame:
+    """The CI tail over additive (lang, r) replicate facts: replicate means,
+    then order statistics over the B-sized sorted array per language."""
+    means = facts.selectExpr(
+        "lang",
+        "r",
+        "n_docs",
+        "sum_q",
+        f"{_BOOT_MEAN} AS mean_r_micro",
+    )
+    return (
+        means.groupBy("lang")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("sum_q").alias("sum_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            F.sort_array(F.collect_list("mean_r_micro")).alias("ms"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_replicates",
+            "CAST(FLOOR(CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mean_micro",
+            "element_at(ms, 2) AS ci_lo_micro",
+            f"element_at(ms, {BOOT_B - 1}) AS ci_hi_micro",
+        )
+    )
+
+
+def q_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return bootstrap_ci_from_facts(bootstrap_replicate_facts(d))
+
+
+def _bootstrap_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_QUALITY_SCORES_ORACLE,
+    )
+
+    return f"""
+WITH qv AS ({Q_QUALITY_SCORES_ORACLE}),
+base AS (
+  SELECT d.doc_id, d.lang, CAST(ROUND(qv.quality * 1000000.0) AS BIGINT) AS q
+  FROM documents d JOIN qv ON qv.doc_id = d.doc_id
+),
+reps AS (
+  SELECT lang, r, q,
+         CAST(concat('0x', substring(md5(doc_id || ':boot:' || r), 1, 12))
+           AS BIGINT) / CAST(281474976710656 AS DOUBLE) AS u
+  FROM base, UNNEST(generate_series(0, {BOOT_B - 1})) AS g(r)
+),
+weighted AS (SELECT lang, r, q, {_BOOT_K} AS k FROM reps),
+facts AS (
+  SELECT lang, r,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS sum_q,
+         CAST(SUM(k) AS BIGINT) AS sum_k,
+         SUM(CAST(k AS DECIMAL(38,0)) * q) AS sum_kq
+  FROM weighted GROUP BY 1, 2
+),
+means AS (
+  SELECT lang, r, n_docs, sum_q, {_BOOT_MEAN} AS mean_r_micro FROM facts
+),
+folded AS (
+  SELECT lang,
+         CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         MAX(sum_q) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         list_sort(list(mean_r_micro)) AS ms
+  FROM means GROUP BY 1
+)
+SELECT lang, n_docs, n_replicates,
+       CAST(FLOOR(CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mean_micro,
+       ms[2] AS ci_lo_micro,
+       ms[{BOOT_B - 1}] AS ci_hi_micro
+FROM folded
+"""
+
+
+QUERIES["sample_bootstrap_ci"] = QuerySpec(
+    q_sample_bootstrap_ci, _bootstrap_oracle()
+)

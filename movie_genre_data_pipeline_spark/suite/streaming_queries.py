@@ -4280,3 +4280,69 @@ def _stream_auc_oracle() -> str:
 
 
 QUERIES["stream_auc_report"] = QuerySpec(q_stream_auc_report, _stream_auc_oracle())
+
+
+def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained bootstrap uncertainty (r12): every document's
+    32 Poisson replicate weights are pure doc_id hashes (ARRIVAL
+    decisions), so the per-(language, replicate) weighted moments SUM-fold
+    and the replicate means, order statistics, and CI all re-derive at
+    READOUT — the uncertainty band legitimately narrows as volume lands.
+    This is the streaming form Chamandy et al. built the Poisson bootstrap
+    FOR (uncertainty over a stream without a global resample). Shared
+    oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        bootstrap_ci_from_facts,
+        bootstrap_replicate_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_boot_")
+    src, led = f"{base}/src", f"{base}/facts"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bootstrap_replicate_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(led)
+        .groupBy("lang", "r")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_q").cast("decimal(38,0)").alias("sum_q"),
+            F.sum("sum_k").cast("bigint").alias("sum_k"),
+            F.sum("sum_kq").cast("decimal(38,0)").alias("sum_kq"),
+        )
+    )
+    return bootstrap_ci_from_facts(folded)
+
+
+def _stream_boot_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _bootstrap_oracle,
+    )
+
+    return _bootstrap_oracle()
+
+
+QUERIES["stream_bootstrap_ci"] = QuerySpec(
+    q_stream_bootstrap_ci, _stream_boot_oracle()
+)

@@ -605,3 +605,64 @@ def test_calibration_report_matches_numpy(spark):
     # the channel's labels come FROM the same sigmoid family, so the fitted
     # model must be reasonably calibrated — ECE under 10 points
     assert ece < 0.10, ece
+
+
+def test_bootstrap_ci_matches_hashlib_replicas(spark):
+    """Law test: re-draw every Poisson replicate weight independently with
+    hashlib + the embedded CDF literals, recompute all 32 replicate means
+    and the order-statistic CI in pure Python, and require exact integer
+    agreement; pin the statistical sanity (lo <= point mean <= hi for every
+    language on this fixture)."""
+    import hashlib
+
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        BOOT_B,
+        _POISSON1_CDF,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["lang"]: r
+        for r in all_queries()["sample_bootstrap_ci"].fn(spark, sf).collect()
+    }
+    quality = {
+        r["doc_id"]: round(r["quality"] * 1e6)
+        for r in all_queries()["text_quality_scores"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    langs = con.sql(
+        f"SELECT doc_id, lang FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    cdf = [float(t) for t in _POISSON1_CDF]
+
+    def draw_k(doc_id: int, r: int) -> int:
+        u = (
+            int(hashlib.md5(f"{doc_id}:boot:{r}".encode()).hexdigest()[:12], 16)
+            / 281474976710656.0
+        )
+        for k, t in enumerate(cdf):
+            if u < t:
+                return k
+        return 7
+
+    by_lang: dict[str, list[int]] = {}
+    for doc_id, lang in langs:
+        by_lang.setdefault(lang, []).append(doc_id)
+    for lang, ids in by_lang.items():
+        means = []
+        for r in range(BOOT_B):
+            sk = skq = 0
+            for doc_id in ids:
+                k = draw_k(doc_id, r)
+                sk += k
+                skq += k * quality[doc_id]
+            means.append(int(skq / sk + 0.5) if sk > 0 else 0)
+        means.sort()
+        row = rows[lang]
+        assert row["n_docs"] == len(ids)
+        assert row["n_replicates"] == BOOT_B
+        assert row["ci_lo_micro"] == means[1], (lang, row["ci_lo_micro"], means[1])
+        assert row["ci_hi_micro"] == means[BOOT_B - 2]
+        point = int(sum(quality[d] for d in ids) / len(ids) + 0.5)
+        assert row["mean_micro"] == point
+        assert row["ci_lo_micro"] <= point <= row["ci_hi_micro"]

@@ -116,6 +116,10 @@ FOLDS = [
     # r12 fifth wave: the AUC readout over the SAME DSIR ledgers the
     # importance twin folds (scores re-judged under the final model)
     "stream_auc_report",
+    # r12 sixth wave: the Poisson-bootstrap replicate ledger (weights are
+    # arrival-time doc_id hashes; means/order-statistic CI re-derive at
+    # readout)
+    "stream_bootstrap_ci",
 ]
 
 
