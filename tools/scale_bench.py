@@ -101,6 +101,14 @@ SCALE_QUERIES = [
     # r11: the diversity readout over the unigram fold — one token explode +
     # term-keyed aggregate + a 1-row reduction; the flattest text path
     "text_unigram_entropy",
+    # r12: the new operator families' scale laws — the per-doc-count explode
+    # behind the Fano report (linear in tokens), the 32x map-side replicate
+    # fan-out behind the Poisson bootstrap (linear, no global resample), and
+    # the Mann-Whitney prefix sum (distinct-score-sized, range-partitioned —
+    # must stay linear-or-flatter in docs)
+    "text_burstiness",
+    "sample_bootstrap_ci",
+    "feat_auc_report",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
@@ -327,6 +335,17 @@ def main() -> None:
             json.dump(existing, f, indent=2)
         print(json.dumps(existing["spot_tiers"][f"k{k}"]))
         return
+    # a full-roster run replaces the main blob but must CARRY the standing
+    # spot tiers (they are one-off probes at other k values, not superseded
+    # by a k=4 refresh — dropping them silently erases the k16 evidence)
+    if Path(out_json).exists():
+        try:
+            with open(out_json) as f:
+                prev_blob = json.load(f)
+            if "spot_tiers" in prev_blob:
+                blob["spot_tiers"] = prev_blob["spot_tiers"]
+        except (json.JSONDecodeError, OSError):
+            pass
     # cross-round view: ratio deltas plus drift-normalized wall-time ratios
     # against the previous COMMITTED SCALE_BENCH.json (same contract as
     # BENCH_DETAIL's vs_prev): a uniform host slowdown reads as ~1.0
