@@ -54,6 +54,21 @@ def epoch_seconds(ts: str | Column) -> Column:
     return epoch_micros(ts) / F.lit(1_000_000.0)
 
 
+def epoch_floor_div(ts: str | Column, step_micros: int) -> Column:
+    """FLOOR-division bucket id over epoch micros (BIGINT), exact for every
+    sign. Spark's integral `div` truncates toward zero while DuckDB's `//`
+    floors toward -inf, so for pre-1970 timestamps (negative epoch) a bare
+    `div` disagrees with an oracle's `//` by one bucket (VERDICT r12 advice);
+    correcting the truncation by the remainder sign makes the two engines
+    bit-identical without routing through DOUBLE (which would go inexact
+    near the quotient's representability edge)."""
+    e = epoch_micros(ts)
+    step = F.lit(int(step_micros)).cast("bigint")
+    return F.call_function("div", e, step) - F.when(
+        (e % step) < 0, F.lit(1)
+    ).otherwise(F.lit(0))
+
+
 def time_bucket(ts: str | Column, bucket_seconds: int) -> Column:
     """Tumbling-bucket start timestamp: floor(epoch/step)*step, in integer
     seconds (exact on every engine; `F.window()` agrees for fixed durations)."""

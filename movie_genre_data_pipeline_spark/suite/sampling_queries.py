@@ -2355,12 +2355,18 @@ QUERIES["feat_leakage_screen"] = QuerySpec(
 # integer and the corpus sum is accumulation-order-free. Scale shape: one
 # stacked orders scan collapsed map-side into (feature, bin) cells; the
 # report runs on bounded cell tables with broadcast per-feature totals.
+# FLOOR(x+0.5), not ROUND: WoE is frequently NEGATIVE, and ROUND of a
+# negative non-integer-derived double is the one rounding form that has
+# diverged between Spark and a driver-side DuckDB before (the r6 lesson
+# text_queries.py:1136 documents; VERDICT r12 advice re-flagged this
+# instance). The shared half-up-toward-+inf spell is representation-stable
+# on both engines.
 _WOE_MICRO = (
-    "CAST(ROUND(ln((CAST(2 * n_pos + 1 AS DOUBLE)"
+    "CAST(FLOOR(ln((CAST(2 * n_pos + 1 AS DOUBLE)"
     " * CAST(2 * t_neg + n_bins AS DOUBLE))"
     " / (CAST(2 * n_neg + 1 AS DOUBLE)"
     " * CAST(2 * t_pos + n_bins AS DOUBLE)))"
-    " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 )
 _SHARE_MICRO = (
     "CAST(FLOOR(CAST({n} AS DOUBLE) * CAST(1000000 AS DOUBLE)"

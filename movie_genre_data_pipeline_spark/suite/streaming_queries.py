@@ -1927,7 +1927,12 @@ def q_stream_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever re-scanning history. The one non-incremental step is the log-ratio
     table — recomputed per readout, but it's ≤ n_buckets rows, so the
     refresh costs O(buckets), not O(corpus)."""
-    from movie_genre_data_pipeline_spark.functions.text import tokens
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        dsir_bucket_model,
+        dsir_fold_scores,
+        dsir_postings,
+        dsir_term_buckets,
+    )
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.sampling_queries import DSIR_BUCKETS
 
@@ -1957,27 +1962,11 @@ def q_stream_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.select("doc_id", "source").write.mode("append").parquet(led_doc)
-        terms = batch_df.select(
-            "doc_id",
-            (F.col("lang") == "en").alias("__tgt"),
-            F.explode(tokens("text")).alias("__term"),
-        ).select(
-            "doc_id",
-            "__tgt",
-            (
-                F.conv(F.substring(F.md5("__term"), 1, 12), 16, 10).cast("bigint")
-                % F.lit(b)
-            ).alias("bucket"),
+        terms = dsir_term_buckets(
+            batch_df, "doc_id", "text", (F.col("lang") == "en"), b
         )
-        terms.groupBy("doc_id", "bucket").agg(
-            F.count(F.lit(1)).alias("tf")
-        ).write.mode("append").parquet(led_tf)
-        terms.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("raw_c"),
-            F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias(
-                "tgt_c"
-            ),
-        ).write.mode("append").parquet(led_bkt)
+        dsir_postings(terms).write.mode("append").parquet(led_tf)
+        dsir_bucket_model(terms).write.mode("append").parquet(led_bkt)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -1987,36 +1976,12 @@ def q_stream_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("raw_c").alias("raw_c"), F.sum("tgt_c").alias("tgt_c"))
     )
-    totals = buckets.agg(
-        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
-    )
-    ratios = buckets.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            (
-                F.log(
-                    (F.col("tgt_c") + F.lit(1.0)) / (F.col("t_tgt") + F.lit(float(b)))
-                )
-                - F.log(
-                    (F.col("raw_c") + F.lit(1.0)) / (F.col("t_raw") + F.lit(float(b)))
-                )
-            )
-            * F.lit(1e6),
-            0,
-        )
-        .cast("bigint")
-        .alias("lr_micro"),
-    )
     tf = (
         spark.read.parquet(led_tf)
         .groupBy("doc_id", "bucket")
         .agg(F.sum("tf").alias("tf"))
     )
-    scored = (
-        tf.join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro"))
-    )
+    scored = dsir_fold_scores(tf, buckets, b).select("doc_id", "logw_micro")
     rep = (
         spark.read.parquet(led_doc)
         .join(scored, "doc_id", "left")
@@ -2194,10 +2159,15 @@ def q_stream_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_genre_data_pipeline_spark.functions.dedup import (
         duplicate_spans_from_grams,
     )
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        dsir_bucket_model,
+        dsir_fold_scores,
+        dsir_postings,
+        dsir_term_buckets,
+    )
     from movie_genre_data_pipeline_spark.functions.text import (
         quality_score,
         token_count,
-        tokens,
     )
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.sampling_queries import (
@@ -2238,27 +2208,11 @@ def q_stream_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality_score("text").alias("quality"),
         ).write.mode("append").parquet(led_doc)
         _span_gram_postings(batch_df, L).write.mode("append").parquet(led_gram)
-        terms = batch_df.select(
-            "doc_id",
-            (F.col("lang") == "en").alias("__tgt"),
-            F.explode(tokens("text")).alias("__term"),
-        ).select(
-            "doc_id",
-            "__tgt",
-            (
-                F.conv(F.substring(F.md5("__term"), 1, 12), 16, 10).cast("bigint")
-                % F.lit(b)
-            ).alias("bucket"),
+        terms = dsir_term_buckets(
+            batch_df, "doc_id", "text", (F.col("lang") == "en"), b
         )
-        terms.groupBy("doc_id", "bucket").agg(
-            F.count(F.lit(1)).alias("tf")
-        ).write.mode("append").parquet(led_tf)
-        terms.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("raw_c"),
-            F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias(
-                "tgt_c"
-            ),
-        ).write.mode("append").parquet(led_bkt)
+        dsir_postings(terms).write.mode("append").parquet(led_tf)
+        dsir_bucket_model(terms).write.mode("append").parquet(led_bkt)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -2274,34 +2228,12 @@ def q_stream_trainset_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("raw_c").alias("raw_c"), F.sum("tgt_c").alias("tgt_c"))
     )
-    totals = buckets.agg(
-        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
-    )
-    ratios = buckets.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            (
-                F.log(
-                    (F.col("tgt_c") + F.lit(1.0)) / (F.col("t_tgt") + F.lit(float(b)))
-                )
-                - F.log(
-                    (F.col("raw_c") + F.lit(1.0)) / (F.col("t_raw") + F.lit(float(b)))
-                )
-            )
-            * F.lit(1e6),
-            0,
-        )
-        .cast("bigint")
-        .alias("lr_micro"),
-    )
-    w = (
+    tf = (
         spark.read.parquet(led_tf)
         .groupBy("doc_id", "bucket")
         .agg(F.sum("tf").alias("tf"))
-        .join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro"))
     )
+    w = dsir_fold_scores(tf, buckets, b)
     scored = (
         docs.join(spans, "doc_id")
         .join(w.select("doc_id", "logw_micro"), "doc_id", "left")
@@ -4170,7 +4102,12 @@ def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's score legitimately moves as the model learns), so the continuous
     AUC equals the batch AUC bit-for-bit and shares its oracle verbatim.
     Split-invariance gated."""
-    from movie_genre_data_pipeline_spark.functions.text import tokens
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        dsir_bucket_model,
+        dsir_fold_scores,
+        dsir_postings,
+        dsir_term_buckets,
+    )
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.sampling_queries import (
         DSIR_BUCKETS,
@@ -4202,27 +4139,11 @@ def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.select(
             "doc_id", (F.col("lang") == "en").alias("y")
         ).write.mode("append").parquet(led_doc)
-        terms = batch_df.select(
-            "doc_id",
-            (F.col("lang") == "en").alias("__tgt"),
-            F.explode(tokens("text")).alias("__term"),
-        ).select(
-            "doc_id",
-            "__tgt",
-            (
-                F.conv(F.substring(F.md5("__term"), 1, 12), 16, 10).cast("bigint")
-                % F.lit(b)
-            ).alias("bucket"),
+        terms = dsir_term_buckets(
+            batch_df, "doc_id", "text", (F.col("lang") == "en"), b
         )
-        terms.groupBy("doc_id", "bucket").agg(
-            F.count(F.lit(1)).alias("tf")
-        ).write.mode("append").parquet(led_tf)
-        terms.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("raw_c"),
-            F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias(
-                "tgt_c"
-            ),
-        ).write.mode("append").parquet(led_bkt)
+        dsir_postings(terms).write.mode("append").parquet(led_tf)
+        dsir_bucket_model(terms).write.mode("append").parquet(led_bkt)
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -4232,36 +4153,12 @@ def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("raw_c").alias("raw_c"), F.sum("tgt_c").alias("tgt_c"))
     )
-    totals = buckets.agg(
-        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
-    )
-    ratios = buckets.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            (
-                F.log(
-                    (F.col("tgt_c") + F.lit(1.0)) / (F.col("t_tgt") + F.lit(float(b)))
-                )
-                - F.log(
-                    (F.col("raw_c") + F.lit(1.0)) / (F.col("t_raw") + F.lit(float(b)))
-                )
-            )
-            * F.lit(1e6),
-            0,
-        )
-        .cast("bigint")
-        .alias("lr_micro"),
-    )
     tf = (
         spark.read.parquet(led_tf)
         .groupBy("doc_id", "bucket")
         .agg(F.sum("tf").alias("tf"))
     )
-    scored = (
-        tf.join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro"))
-    )
+    scored = dsir_fold_scores(tf, buckets, b).select("doc_id", "logw_micro")
     labeled = (
         spark.read.parquet(led_doc)
         .join(scored, "doc_id", "left")

@@ -824,19 +824,17 @@ _ACF_R_MICRO = (
 
 def hourly_event_counts(events: DataFrame) -> DataFrame:
     """(hour_id, cnt) — additive hourly facts over ONE events scan
-    (hour_id = epoch-micros DIV an hour of micros: exact BIGINT arithmetic,
-    NTZ/LTZ-agnostic via operators.timeseries.epoch_micros — the fixture's
-    ts physical encoding has drifted between rounds, so never tz-dependent
-    unix_timestamp here). SUM-foldable, so the streaming twin appends these
-    partials."""
-    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_micros
+    (hour_id = FLOOR-division of epoch micros by an hour of micros: exact
+    BIGINT arithmetic via operators.timeseries.epoch_floor_div, which matches
+    the oracle's `//` for NEGATIVE epochs too — a bare Spark `div` truncates
+    toward zero and shifts every pre-1970 hour by one; NTZ/LTZ-agnostic via
+    epoch_micros — the fixture's ts physical encoding has drifted between
+    rounds, so never tz-dependent unix_timestamp here). SUM-foldable, so the
+    streaming twin appends these partials."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_floor_div
 
     return (
-        events.select(
-            F.call_function(
-                "div", epoch_micros("ts"), F.lit(3_600_000_000)
-            ).alias("hour_id")
-        )
+        events.select(epoch_floor_div("ts", 3_600_000_000).alias("hour_id"))
         .groupBy("hour_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -899,7 +897,9 @@ _ACF_LAG_VALUES = ", ".join(f"({lag})" for lag in ACF_LAGS)
 
 Q_TS_ACF_ORACLE = f"""
 WITH counts AS (
-  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_id,
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+           - CASE WHEN CAST(epoch_us(ts) AS BIGINT) % 3600000000 < 0
+                  THEN 1 ELSE 0 END AS hour_id,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1
 ),
@@ -964,8 +964,10 @@ def seasonal_decompose_from_counts(counts: DataFrame) -> DataFrame:
     """The seasonal-index tail over additive (hour_id, cnt) facts, however
     accumulated: densify onto the min..max spine (a silent hour is a real
     0 — dropping it would bias every index up), bucket by hour-of-day
-    (hour_id % 24 — hour_id is UTC epoch hours, so bucket 0 is midnight
-    UTC), fold per-bucket sums, divide once against the broadcast global."""
+    (pmod(hour_id, 24) — hour_id is UTC epoch hours, so bucket 0 is midnight
+    UTC; pmod, not %, so pre-1970 hours land in [0, 24) instead of printing
+    negative wall hours), fold per-bucket sums, divide once against the
+    broadcast global."""
     counts = counts.localCheckpoint(eager=False)
     spine = (
         counts.agg(
@@ -977,7 +979,7 @@ def seasonal_decompose_from_counts(counts: DataFrame) -> DataFrame:
         "hour_id", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
     )
     per_hour = dense.groupBy(
-        F.expr("hour_id % 24").cast("bigint").alias("hour_of_day")
+        F.expr("pmod(hour_id, 24)").cast("bigint").alias("hour_of_day")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_h"),
         F.sum("cnt").cast("bigint").alias("sum_h"),
@@ -1002,7 +1004,9 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TS_SEASONAL_DECOMPOSE_ORACLE = f"""
 WITH counts AS (
-  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_id,
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+           - CASE WHEN CAST(epoch_us(ts) AS BIGINT) % 3600000000 < 0
+                  THEN 1 ELSE 0 END AS hour_id,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1
 ),
@@ -1015,7 +1019,7 @@ dense AS (
   FROM spine s LEFT JOIN counts c ON c.hour_id = s.hour_id
 ),
 per_hour AS (
-  SELECT CAST(hour_id % 24 AS BIGINT) AS hour_of_day,
+  SELECT CAST(((hour_id % 24) + 24) % 24 AS BIGINT) AS hour_of_day,
          CAST(COUNT(*) AS BIGINT) AS n_h,
          CAST(SUM(cnt) AS BIGINT) AS sum_h
   FROM dense GROUP BY 1

@@ -322,18 +322,26 @@ def main() -> None:
     # and the spot tier documents the super-linearity check at larger k
     # (no vs_prev: spot tiers are one-off probes, not round-over-round
     # anchors).
-    if run_queries is not SCALE_QUERIES and Path(out_json).exists():
-        with open(out_json) as f:
-            existing = json.load(f)
-        existing.setdefault("spot_tiers", {})[f"k{k}"] = {
-            "k": k,
-            "gen_sec": gen_sec,
-            "queries": results,
-            "drift_control": blob["drift_control"],
-        }
+    if run_queries is not SCALE_QUERIES:
+        # A subset run NEVER writes the main blob (r12 advice: with the file
+        # absent it used to fall through and publish a partial roster as the
+        # full dataset). Missing file → a spot_tiers-only skeleton; an
+        # existing same-k tier is MERGED per-query (newest run wins per name)
+        # so two subset probes at the same k accumulate instead of silently
+        # overwriting each other.
+        existing = {}
+        if Path(out_json).exists():
+            with open(out_json) as f:
+                existing = json.load(f)
+        tier = existing.setdefault("spot_tiers", {}).setdefault(
+            f"k{k}", {"k": k, "queries": {}}
+        )
+        tier["queries"].update(results)
+        tier["gen_sec"] = gen_sec
+        tier["drift_control"] = blob["drift_control"]
         with open(out_json, "w") as f:
             json.dump(existing, f, indent=2)
-        print(json.dumps(existing["spot_tiers"][f"k{k}"]))
+        print(json.dumps(tier))
         return
     # a full-roster run replaces the main blob but must CARRY the standing
     # spot tiers (they are one-off probes at other k values, not superseded
