@@ -49,6 +49,87 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # similarity / streaming / multimodal) so every operator family gets a
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
+# r13 ROTATION. Same two test-enforced seating rules:
+# (a) never-driver-checked queries here or in NEXT_ROUND_POOL
+#     (test_rotation_pool_matches_computed_debt) — the 16 r12 pool entries
+#     (WoE/IV, burstiness, ACF ladder, ESS, label propagation, seasonal
+#     decompose, AUC, calibration, bootstrap CI + ledger twins — all
+#     judge-verified exact in r12) plus this round's five additions
+#     (the PR-AUC pair, the ledger-GC query, and the KS pair);
+# (b) fingerprint-stale queries must re-earn a driver record
+#     (test_changed_queries_are_reseated) — this round: the DSIR
+#     helper extraction (VERDICT r12 advice #4) flips every dsir_importance
+#     consumer and the three ledger twins that now share the helpers.
+#     (The WoE FLOOR-spell and the hourly floor-div/pmod fixes flip only
+#     pool members, already seated under rule (a).)
+# Every remaining slot refreshes the STALEST standing records (computed
+# from the CORRECTNESS_r*.json history): ALL thirteen r5-green leftovers
+# the r12 comment queued (the sim/sketch/skew/stream/text/ts wave below),
+# the twelve alphabetically-first r6 greens, and media_block_chunks (r7 —
+# the media family's stalest record, keeping the family floor).
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- (a): the r12 NEXT_ROUND_POOL ---
+    "feat_woe_iv",
+    "stream_woe_iv",
+    "text_burstiness",
+    "stream_burstiness",
+    "ts_acf_lags",
+    "stream_acf_lags",
+    "sample_ess_report",
+    "stream_ess_report",
+    "graph_label_propagation",
+    "ts_seasonal_decompose",
+    "stream_seasonal_decompose",
+    "feat_auc_report",
+    "stream_auc_report",
+    "feat_calibration_report",
+    "sample_bootstrap_ci",
+    "stream_bootstrap_ci",
+    # --- (a): new r13 queries, seated immediately ---
+    "feat_pr_auc_report",
+    "stream_pr_auc_report",
+    "stream_ledger_compact",
+    "feat_ks_report",
+    "stream_ks_report",
+    # --- (b): fingerprint-stale (DSIR helper extraction) ---
+    "sample_importance_select",
+    "curate_classifier_distill",
+    "curate_trainset_funnel",
+    "stream_importance_weights",
+    "stream_trainset_funnel",
+    # --- stalest-record refresh: the full r5-green leftover wave ---
+    "sim_lsh_recall",
+    "sim_lsh_top1",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sketch_hll_distinct",
+    "sketch_kmv_vocab_overlap",
+    "skew_salted_agg",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "text_quality_scores",
+    "time_bucket_gapfill",
+    "tpch_q21",
+    "ts_anomaly_zscore",
+    # --- stalest-record refresh: r6 greens (alphabetical; first ten —
+    #     graph_triangle_count and merge_scd2 displaced by the late-r13 KS
+    #     pair, the seats-go-to-new-queries precedent) ---
+    "ab_experiment_report",
+    "cdc_snapshot_diff",
+    "curate_fuzzy_decontaminate",
+    "dedup_semantic",
+    "dedup_winnow",
+    "dq_drift_report",
+    "dq_schema_tests",
+    "flagship_revenue_by_flag_status",
+    "gold_genre_revenue",
+    "graph_pagerank_trade",
+    # --- the media family floor: its stalest record (r7) ---
+    "media_block_chunks",
+)
+
+# The r12 window, kept for the rotation ledger (all 50 hold r12 driver
+# greens; they now sit just past the window under the full local gate):
 # r12 ROTATION. Same two test-enforced seating rules:
 # (a) never-driver-checked queries here or in NEXT_ROUND_POOL
 #     (test_rotation_pool_matches_computed_debt) — the 4 r11 pool entries
@@ -72,7 +153,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sketch_kmv_vocab_overlap, skew_salted_agg, stream_stateful_user_stats,
 # stream_stream_join, text_quality_scores, time_bucket_gapfill, tpch_q21,
 # ts_anomaly_zscore — wait for r13.
-DRIVER_WINDOW: tuple[str, ...] = (
+_R12_WINDOW: tuple[str, ...] = (
     # --- (a): the r11 NEXT_ROUND_POOL ---
     "stream_js_divergence",
     "ops_l_diversity",
@@ -400,35 +481,10 @@ _R9_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-# Late-r11 additions after the window rotation froze for the round's final
-# gates — all locally verified exact at sf0.01 --vanilla; seat in the r12
-# window (the r10->r11 precedent: pool entries earned driver greens first
-# thing next round).
-# The r12 second-through-fifth waves (WoE/IV feature pricing, term
-# burstiness, the ACF ladder, the ESS weighting audit, label-propagation
-# communities, the seasonal-index decomposition, the Mann-Whitney AUC and
-# calibration evaluations, + every ledger twin) land after the r12 window
-# was rotated and locked; all sixteen are locally verified exact at
-# sf0.01 AND sf0.001 (tools/verify_local.py --vanilla --exact) and wait
-# here for r13 seats.
-NEXT_ROUND_POOL: tuple[str, ...] = (
-    "feat_woe_iv",
-    "stream_woe_iv",
-    "text_burstiness",
-    "stream_burstiness",
-    "ts_acf_lags",
-    "stream_acf_lags",
-    "sample_ess_report",
-    "stream_ess_report",
-    "graph_label_propagation",
-    "ts_seasonal_decompose",
-    "stream_seasonal_decompose",
-    "feat_auc_report",
-    "stream_auc_report",
-    "feat_calibration_report",
-    "sample_bootstrap_ci",
-    "stream_bootstrap_ci",
-)
+# r13: EMPTY — the 16-query r12 pool is seated in the r13 window above, and
+# every r13 addition (the PR-AUC pair, the ledger-GC query, the KS pair)
+# was seated immediately.
+NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

@@ -2713,6 +2713,305 @@ FROM sums
 QUERIES["feat_auc_report"] = QuerySpec(q_feat_auc_report, _auc_oracle())
 
 
+# -- selector evaluation: average precision / PR-AUC (r13) --------------------------------
+# The imbalanced-regime companion to the ROC AUC (VERDICT r12 #4): when the
+# positive class is tiny — the regime an LLM-data selector actually runs in —
+# ROC AUC stays optimistic because true negatives dominate both axes, while
+# the precision-recall curve prices exactly what the curator pays for: of the
+# documents the selector ranks highest, how many are really target-domain?
+# AP = Σ_k ΔR_k·P_k over distinct scores DESCENDING (the step-wise
+# average_precision convention, ties grouped), via the same (s, c_pos, c_neg)
+# table as the AUC: TP_k = P − pos_below(k) and at-or-above_k = N_tot −
+# all_below(k) re-derive both curve axes from two range-partitioned exclusive
+# prefix sums. Exactness: each group's term is quantized ONCE to pico units
+# (FLOOR(c_pos·TP·1e12/at_or_above + 0.5) — one deterministic double
+# expression, identical text both engines), accumulated in DECIMAL(38,0)
+# (terms reach c_pos·1e12, past BIGINT the moment one tie group holds ~9e6
+# positives), and AP resolves in one final double divide + the half-up
+# spell. The random-classifier baseline for AP is the PREVALENCE P/(P+N)
+# (not 0.5) — published alongside so the lift is readable. Scale shape: one
+# doc-keyed score aggregate, two ranged prefix sums over the distinct-score
+# table (operators/ranking — no single-task window), broadcast 1-row totals,
+# 1-row readout.
+_AP_TERM_PICO = (
+    "CASE WHEN c_pos > 0 THEN"
+    " CAST(FLOOR(CAST(c_pos AS DOUBLE)"
+    " * CAST(n_pos - cum_pos_below AS DOUBLE)"
+    " * CAST(1000000000000 AS DOUBLE)"
+    " / CAST(n_pos + n_neg - cum_all_below AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))"
+    " ELSE CAST(0 AS DECIMAL(38,0)) END"
+)
+_AP_MICRO = (
+    "CASE WHEN n_pos > 0 AND n_neg > 0 THEN"
+    " CAST(FLOOR(CAST(ap_sum AS DOUBLE)"
+    " / (CAST(1000000 AS DOUBLE) * CAST(n_pos AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_PREVALENCE_MICRO = (
+    "CAST(FLOOR(CAST(n_pos AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_pos + n_neg AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def pr_auc_report_from_labeled(labeled: DataFrame) -> DataFrame:
+    """The average-precision tail over (y BOOLEAN, logw_micro) rows, however
+    the scores were derived — shared by the batch query and the streaming
+    ledger readout, exactly like auc_report_from_labeled."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    groups = labeled.groupBy(F.col("logw_micro").alias("s")).agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    cum = ranged_running_sum(groups, ["s"], F.col("c_pos"), "cum_pos_below")
+    cum = ranged_running_sum(
+        cum, ["s"], F.col("c_pos") + F.col("c_neg"), "cum_all_below"
+    )
+    tot = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
+    )
+    sums = (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_pos",
+            "n_neg",
+            "n_scores",
+            f"{_AP_TERM_PICO} AS term_pico",
+        )
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            F.max("n_neg").alias("n_neg"),
+            F.max("n_scores").alias("n_scores"),
+            F.sum("term_pico").alias("ap_sum"),
+        )
+    )
+    return sums.selectExpr(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        f"{_AP_MICRO} AS ap_micro",
+        f"{_PREVALENCE_MICRO} AS prevalence_micro",
+    )
+
+
+def q_feat_pr_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    labeled = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("y", "logw_micro")
+    )
+    return pr_auc_report_from_labeled(labeled)
+
+
+def _pr_auc_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()},
+labeled AS (
+  SELECT w.doc_id, w.logw_micro, d.lang = 'en' AS y
+  FROM w JOIN documents d USING (doc_id)
+),
+groups AS (
+  SELECT logw_micro AS s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM labeled GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_scores,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg
+  FROM groups
+),
+cum AS (
+  SELECT s, c_pos, c_neg,
+         CAST(COALESCE(SUM(c_pos) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_pos_below,
+         CAST(COALESCE(SUM(c_pos + c_neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_all_below
+  FROM groups
+),
+sums AS (
+  SELECT MAX(t.n_pos) AS n_pos, MAX(t.n_neg) AS n_neg,
+         MAX(t.n_scores) AS n_scores,
+         SUM({_AP_TERM_PICO}) AS ap_sum
+  FROM cum CROSS JOIN tot t
+)
+SELECT n_pos, n_neg, n_scores, {_AP_MICRO} AS ap_micro,
+       {_PREVALENCE_MICRO} AS prevalence_micro
+FROM sums
+"""
+
+
+QUERIES["feat_pr_auc_report"] = QuerySpec(q_feat_pr_auc_report, _pr_auc_oracle())
+
+
+# -- selector evaluation: Kolmogorov-Smirnov separation (r13) -----------------------------
+# The third leg of the scorecard-evaluation triple (AUC ranks, calibration
+# prices confidence, KS localizes): KS = max_s |F_pos(s) − F_neg(s)| over the
+# score axis — the single best cutoff's class separation, THE standard
+# scorecard acceptance statistic, and unlike AUC it also says WHERE to cut
+# (the published ks_at_score). Exactness: with the same (s, c_pos, c_neg)
+# grouped table, inclusive-ascending CDFs make each gap an EXACT integer
+# cross-product |cum_pos·n_neg − cum_neg·n_pos| (DECIMAL(38,0) — the product
+# is O(n²) past 2^63 when both classes clear ~3e9) and the max is
+# order-free, so KS needs NO per-term double quantization at all: one double
+# divide at the very end. The argmax score is tie-broken by MIN(s) so both
+# engines publish the same cutoff. Scale shape: identical to the AUC — one
+# doc-keyed score aggregate, one range-partitioned prefix sum (inclusive =
+# exclusive + own count), a 1-row max-reduce, and one broadcast-back join to
+# recover the argmax score.
+_KS_MICRO = (
+    "CASE WHEN n_pos > 0 AND n_neg > 0 THEN"
+    " CAST(FLOOR(CAST(ks_num AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def ks_report_from_labeled(labeled: DataFrame) -> DataFrame:
+    """The KS tail over (y BOOLEAN, logw_micro) rows, however the scores were
+    derived — shared by the batch query and the streaming ledger readout.
+    `gaps` feeds two consumers (the max-reduce and the argmax join-back), so
+    the prefix-sum fan-out is barrier-pinned."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    groups = labeled.groupBy(F.col("logw_micro").alias("s")).agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    cum = ranged_running_sum(groups, ["s"], F.col("c_pos"), "pos_below")
+    cum = ranged_running_sum(cum, ["s"], F.col("c_neg"), "neg_below")
+    tot = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
+    )
+    # inclusive CDFs (exclusive prefix + the group's own count); each gap is
+    # the exact integer cross-product, so the max is integer-ordered and no
+    # per-term quantization exists anywhere.
+    gaps = (
+        cum.selectExpr(
+            "s",
+            "CAST(pos_below + c_pos AS BIGINT) AS cum_pos",
+            "CAST(neg_below + c_neg AS BIGINT) AS cum_neg",
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "s",
+            "n_pos",
+            "n_neg",
+            "n_scores",
+            "abs(CAST(cum_pos AS DECIMAL(38,0)) * n_neg"
+            " - CAST(cum_neg AS DECIMAL(38,0)) * n_pos) AS gap_num",
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = gaps.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.max("n_scores").alias("n_scores"),
+        F.max("gap_num").alias("ks_num"),
+    )
+    at = (
+        gaps.join(
+            F.broadcast(best.select(F.col("ks_num").alias("__best"))),
+            F.col("gap_num") == F.col("__best"),
+        )
+        .agg(F.min("s").cast("bigint").alias("ks_at_score"))
+    )
+    return best.crossJoin(F.broadcast(at)).selectExpr(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        f"{_KS_MICRO} AS ks_micro",
+        "ks_at_score",
+    )
+
+
+def q_feat_ks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    labeled = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("y", "logw_micro")
+    )
+    return ks_report_from_labeled(labeled)
+
+
+def _ks_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()},
+labeled AS (
+  SELECT w.doc_id, w.logw_micro, d.lang = 'en' AS y
+  FROM w JOIN documents d USING (doc_id)
+),
+groups AS (
+  SELECT logw_micro AS s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM labeled GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_scores,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg
+  FROM groups
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(c_pos) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_pos,
+         CAST(SUM(c_neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_neg
+  FROM groups
+),
+gaps AS (
+  SELECT s, t.n_pos, t.n_neg, t.n_scores,
+         abs(CAST(cum_pos AS DECIMAL(38,0)) * t.n_neg
+             - CAST(cum_neg AS DECIMAL(38,0)) * t.n_pos) AS gap_num
+  FROM cum CROSS JOIN tot t
+),
+best AS (
+  SELECT MAX(n_pos) AS n_pos, MAX(n_neg) AS n_neg,
+         MAX(n_scores) AS n_scores, MAX(gap_num) AS ks_num
+  FROM gaps
+),
+at AS (
+  SELECT CAST(MIN(g.s) AS BIGINT) AS ks_at_score
+  FROM gaps g JOIN best b ON g.gap_num = b.ks_num
+)
+SELECT n_pos, n_neg, n_scores, {_KS_MICRO} AS ks_micro, ks_at_score
+FROM best CROSS JOIN at
+"""
+
+
+QUERIES["feat_ks_report"] = QuerySpec(q_feat_ks_report, _ks_oracle())
+
+
 # -- classifier calibration: reliability bins (r12) ---------------------------------------
 # The evaluation companion to the AUC report on the PROBABILITY axis: a
 # classifier can rank perfectly yet lie about its confidence. Score every

@@ -4092,16 +4092,18 @@ QUERIES["stream_seasonal_decompose"] = QuerySpec(
 )
 
 
-def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuously-maintained selector evaluation (r12): the exact
-    Mann-Whitney AUC of the DSIR selector, re-derived at READOUT over the
-    SAME three additive ledgers stream_importance_weights folds (doc dim —
-    here carrying the label, term postings, bucket-model counts). The
-    honest streaming form: every document's score is re-judged under the
-    FINAL folded model (the stream_surprisal_filter discipline — an early
-    doc's score legitimately moves as the model learns), so the continuous
-    AUC equals the batch AUC bit-for-bit and shares its oracle verbatim.
-    Split-invariance gated."""
+def _dsir_labeled_from_stream(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame:
+    """The shared front half of every DSIR-selector evaluation twin: stream
+    documents through an availableNow pass that appends the three additive
+    ledgers (doc dim carrying the label, term postings, bucket-model counts —
+    the same triple stream_importance_weights folds), then fold them under
+    the FINAL model into the (y, logw_micro) labeled frame. The honest
+    streaming form: every document's score is re-judged under the folded
+    model (the stream_surprisal_filter discipline — an early doc's score
+    legitimately moves as the model learns), so any readout over this frame
+    equals its batch twin bit-for-bit."""
     from movie_genre_data_pipeline_spark.functions.sampling import (
         dsir_bucket_model,
         dsir_fold_scores,
@@ -4109,13 +4111,10 @@ def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_term_buckets,
     )
     from movie_genre_data_pipeline_spark.suite import load
-    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
-        DSIR_BUCKETS,
-        auc_report_from_labeled,
-    )
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import DSIR_BUCKETS
 
     b = DSIR_BUCKETS
-    base = tempfile.mkdtemp(prefix="stream_auc_")
+    base = tempfile.mkdtemp(prefix=prefix)
     src = f"{base}/src"
     led_doc, led_tf, led_bkt = f"{base}/docs", f"{base}/tf", f"{base}/buckets"
     d = load(spark, sf_dir, "documents")
@@ -4159,7 +4158,7 @@ def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").alias("tf"))
     )
     scored = dsir_fold_scores(tf, buckets, b).select("doc_id", "logw_micro")
-    labeled = (
+    return (
         spark.read.parquet(led_doc)
         .join(scored, "doc_id", "left")
         .select(
@@ -4167,7 +4166,20 @@ def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
         )
     )
-    return auc_report_from_labeled(labeled)
+
+
+def q_stream_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained selector evaluation (r12): the exact
+    Mann-Whitney AUC of the DSIR selector, re-derived at READOUT over the
+    same additive ledger triple (see _dsir_labeled_from_stream). Shares the
+    batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        auc_report_from_labeled,
+    )
+
+    return auc_report_from_labeled(
+        _dsir_labeled_from_stream(spark, sf_dir, "stream_auc_")
+    )
 
 
 def _stream_auc_oracle() -> str:
@@ -4177,6 +4189,145 @@ def _stream_auc_oracle() -> str:
 
 
 QUERIES["stream_auc_report"] = QuerySpec(q_stream_auc_report, _stream_auc_oracle())
+
+
+def q_stream_pr_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained average precision (r13): the PR-AUC of the
+    DSIR selector — the imbalanced-regime companion to stream_auc_report —
+    re-derived at READOUT over the same additive ledger triple (see
+    _dsir_labeled_from_stream). Shares the batch oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        pr_auc_report_from_labeled,
+    )
+
+    return pr_auc_report_from_labeled(
+        _dsir_labeled_from_stream(spark, sf_dir, "stream_pr_auc_")
+    )
+
+
+def _stream_pr_auc_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _pr_auc_oracle,
+    )
+
+    return _pr_auc_oracle()
+
+
+QUERIES["stream_pr_auc_report"] = QuerySpec(
+    q_stream_pr_auc_report, _stream_pr_auc_oracle()
+)
+
+
+def q_stream_ks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained KS separation (r13): the third leg of the
+    scorecard triple (AUC ranks, calibration prices confidence, KS localizes
+    the best cutoff), re-derived at READOUT over the same additive ledger
+    triple (see _dsir_labeled_from_stream). Shares the batch oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        ks_report_from_labeled,
+    )
+
+    return ks_report_from_labeled(
+        _dsir_labeled_from_stream(spark, sf_dir, "stream_ks_")
+    )
+
+
+def _stream_ks_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import _ks_oracle
+
+    return _ks_oracle()
+
+
+QUERIES["stream_ks_report"] = QuerySpec(q_stream_ks_report, _stream_ks_oracle())
+
+
+def q_stream_ledger_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger compaction/GC (r13 — VERDICT r12 #5): the streaming ledgers
+    grow one shard per micro-batch FOREVER, so readout cost grows with
+    batches-ever, not live state. This query exercises the fix end-to-end on
+    real arrivals: a first availableNow pass appends per-batch hourly-count
+    partials; streaming/ledger.compact_ledger folds the shard pile into ONE
+    generation in place (stage-and-swap — readers never see a gap); a second
+    pass over the SAME checkpoint appends the remaining arrivals; the readout
+    folds compacted-prefix + fresh-suffix. Additivity makes the identity
+    exact — fold(compact(prefix) ∪ suffix) == fold(prefix ∪ suffix) — and the
+    published result IS that readout, so the shared batch oracle gates the
+    fold-then-append == append-only equality on driver data, not just in the
+    pytest (tests/test_ledger_compact.py proves the shard-count reduction and
+    dtype preservation)."""
+    from movie_genre_data_pipeline_spark.streaming.ledger import compact_ledger
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        hourly_event_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ledgc_")
+    src, led, ckpt = f"{base}/src", f"{base}/counts", f"{base}/ckpt"
+    ev = load(spark, sf_dir, "events").select("ts", "event_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    def run_pass() -> None:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            hourly_event_counts(batch_df).write.mode("append").parquet(led)
+
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # first half of the feed arrives (even event ids), sharded into
+    # micro-batches ...
+    ev.filter(F.col("event_id") % 2 == 0).repartition(_split(2)).write.mode(
+        "append"
+    ).parquet(src)
+    run_pass()
+    # ... GC the shard pile mid-stream ...
+    compact_ledger(spark, led, ["hour_id"], ["cnt"])
+    # ... then the rest arrives and the SAME checkpoint processes only the
+    # new files — appends land next to the compacted generation.
+    ev.filter(F.col("event_id") % 2 == 1).repartition(_split(2)).write.mode(
+        "append"
+    ).parquet(src)
+    run_pass()
+
+    return (
+        spark.read.parquet(led)
+        .groupBy("hour_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def _stream_ledger_compact_oracle() -> str:
+    return """
+SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+         - CASE WHEN CAST(epoch_us(ts) AS BIGINT) % 3600000000 < 0
+                THEN 1 ELSE 0 END AS hour_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1
+"""
+
+
+QUERIES["stream_ledger_compact"] = QuerySpec(
+    q_stream_ledger_compact, _stream_ledger_compact_oracle()
+)
 
 
 def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:

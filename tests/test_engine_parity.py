@@ -551,6 +551,113 @@ def test_auc_report_matches_numpy(spark):
     assert row["gini_micro"] == row["auc_micro"] * 2 - 1_000_000
 
 
+def _labeled_pairs(spark, sf):
+    import numpy as np
+
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+    from movie_genre_data_pipeline_spark.suite import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf, "documents")
+    w = dsir_importance(d, "doc_id", "text", (F.col("lang") == "en"))
+    pairs = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("y", "logw_micro")
+        .collect()
+    )
+    s = np.array([p["logw_micro"] for p in pairs], dtype=np.int64)
+    y = np.array([p["y"] for p in pairs], dtype=bool)
+    return s, y
+
+
+def test_pr_auc_report_matches_numpy(spark):
+    """Law test: recompute step-wise average precision from the
+    independently-collected (score, label) pairs — distinct scores
+    descending, ties grouped, AP = Σ ΔR·P — and require agreement to the
+    quantization floor; pin the two closed-form edges via the report core:
+    a constant scorer prints AP == prevalence EXACTLY (one group, term =
+    P/(P+N)) and a perfect separator prints AP == 1."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_pr_auc_report"].fn(spark, sf).collect()[0]
+    s, y = _labeled_pairs(spark, sf)
+    P, N = int(y.sum()), int((~y).sum())
+    ap = 0.0
+    tp = 0
+    seen = 0
+    for v in np.unique(s)[::-1]:
+        mask = s == v
+        cp = int((y & mask).sum())
+        seen += int(mask.sum())
+        tp += cp
+        if cp:
+            ap += cp * (tp / seen)
+    ap /= P
+    assert row["n_pos"] == P and row["n_neg"] == N
+    assert math.isclose(row["ap_micro"] / 1e6, ap, abs_tol=2e-6), (
+        row["ap_micro"] / 1e6,
+        ap,
+    )
+    assert row["prevalence_micro"] == round(P * 1e6 / (P + N))
+
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        pr_auc_report_from_labeled,
+    )
+
+    const = spark.createDataFrame(
+        [(True, 0)] * 3 + [(False, 0)] * 7, "y boolean, logw_micro bigint"
+    )
+    r = pr_auc_report_from_labeled(const).collect()[0]
+    assert r["ap_micro"] == r["prevalence_micro"] == 300000
+    perfect = spark.createDataFrame(
+        [(True, 10), (True, 9), (False, 2), (False, 1)],
+        "y boolean, logw_micro bigint",
+    )
+    assert pr_auc_report_from_labeled(perfect).collect()[0]["ap_micro"] == 1_000_000
+
+
+def test_ks_report_matches_numpy(spark):
+    """Law test: recompute KS = max |F_pos − F_neg| (and its MIN-score
+    argmax) from the independently-collected pairs and require exact
+    agreement — KS has NO per-term quantization, so the tolerance is one
+    final-divide ULP; pin the edges via the report core: a constant scorer
+    prints 0 and a perfect separator prints exactly 1e6 at the top negative
+    score."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_ks_report"].fn(spark, sf).collect()[0]
+    s, y = _labeled_pairs(spark, sf)
+    P, N = int(y.sum()), int((~y).sum())
+    uniq = np.unique(s)  # ascending
+    cp = np.cumsum([(y & (s == v)).sum() for v in uniq]).astype(np.int64)
+    cn = np.cumsum([((~y) & (s == v)).sum() for v in uniq]).astype(np.int64)
+    nums = np.abs(cp * N - cn * P)
+    k = int(np.argmax(nums))  # first max == MIN(s) tie-break
+    assert row["n_pos"] == P and row["n_neg"] == N
+    assert row["ks_micro"] == round(float(nums[k]) * 1e6 / (P * N) + 0.0) or (
+        math.isclose(row["ks_micro"] / 1e6, nums[k] / (P * N), abs_tol=1e-6)
+    )
+    assert row["ks_at_score"] == int(uniq[k])
+
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        ks_report_from_labeled,
+    )
+
+    const = spark.createDataFrame(
+        [(True, 0)] * 3 + [(False, 0)] * 7, "y boolean, logw_micro bigint"
+    )
+    assert ks_report_from_labeled(const).collect()[0]["ks_micro"] == 0
+    perfect = spark.createDataFrame(
+        [(True, 10), (True, 9), (False, 2), (False, 1)],
+        "y boolean, logw_micro bigint",
+    )
+    r = ks_report_from_labeled(perfect).collect()[0]
+    assert r["ks_micro"] == 1_000_000 and r["ks_at_score"] == 2
+
+
 def test_calibration_report_matches_numpy(spark):
     """Law test: rebuild the scored rows independently (the same IRLS betas
     the trajectory query publishes, numpy sigmoid), recompute every bin's

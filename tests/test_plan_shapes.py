@@ -155,6 +155,17 @@ def test_auc_report_has_no_single_task_window(spark):
     assert _count(plan, "CartesianProduct") == 0
 
 
+def test_pr_auc_report_has_no_single_task_window(spark):
+    """r13: the average-precision readout runs BOTH curve axes (pos-below and
+    all-below) through range-partitioned exclusive prefix sums — same
+    contract as the AUC pin: no unpartitioned WindowExec even when every doc
+    scores uniquely, and no cartesian pairing (the 1-row totals ride the
+    broadcast allowance)."""
+    plan = _plan(spark, "feat_pr_auc_report")
+    _assert_windows_partitioned(plan)
+    assert _count(plan, "CartesianProduct") == 0
+
+
 def test_acf_joins_are_broadcast_on_the_calendar_grain(spark):
     """r12: after the map-side hourly collapse, the lag pairing must join
     broadcast-sized calendar frames — no SortMergeJoin anywhere in the

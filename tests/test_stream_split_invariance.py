@@ -120,6 +120,14 @@ FOLDS = [
     # arrival-time doc_id hashes; means/order-statistic CI re-derive at
     # readout)
     "stream_bootstrap_ci",
+    # r13: the PR-AUC and KS readouts over the SAME DSIR ledgers as the AUC
+    # twin (one fold, three evaluation readouts)
+    "stream_pr_auc_report",
+    "stream_ks_report",
+    # r13: the ledger-GC query — split invariance must hold THROUGH a
+    # mid-stream compaction (fold(compact(prefix) ∪ suffix) is the identity
+    # the whole operator stands on)
+    "stream_ledger_compact",
 ]
 
 
