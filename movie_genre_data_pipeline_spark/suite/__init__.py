@@ -54,8 +54,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #     (test_rotation_pool_matches_computed_debt) — the 16 r12 pool entries
 #     (WoE/IV, burstiness, ACF ladder, ESS, label propagation, seasonal
 #     decompose, AUC, calibration, bootstrap CI + ledger twins — all
-#     judge-verified exact in r12) plus this round's five additions
-#     (the PR-AUC pair, the ledger-GC query, and the KS pair);
+#     judge-verified exact in r12) plus this round's seven additions
+#     (the PR-AUC pair, the ledger-GC query, the KS pair, and the
+#     AUC-bootstrap-CI pair);
 # (b) fingerprint-stale queries must re-earn a driver record
 #     (test_changed_queries_are_reseated) — this round: the DSIR
 #     helper extraction (VERDICT r12 advice #4) flips every dsir_importance
@@ -91,6 +92,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_ledger_compact",
     "feat_ks_report",
     "stream_ks_report",
+    "feat_auc_bootstrap_ci",
+    "stream_auc_bootstrap_ci",
     # --- (b): fingerprint-stale (DSIR helper extraction) ---
     "sample_importance_select",
     "curate_classifier_distill",
@@ -111,9 +114,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "time_bucket_gapfill",
     "tpch_q21",
     "ts_anomaly_zscore",
-    # --- stalest-record refresh: r6 greens (alphabetical; first ten —
-    #     graph_triangle_count and merge_scd2 displaced by the late-r13 KS
-    #     pair, the seats-go-to-new-queries precedent) ---
+    # --- stalest-record refresh: r6 greens (alphabetical; first eight —
+    #     graph_triangle_count/merge_scd2/gold_genre_revenue/
+    #     graph_pagerank_trade displaced by the late-r13 KS and
+    #     AUC-bootstrap pairs, the seats-go-to-new-queries precedent) ---
     "ab_experiment_report",
     "cdc_snapshot_diff",
     "curate_fuzzy_decontaminate",
@@ -122,8 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dq_drift_report",
     "dq_schema_tests",
     "flagship_revenue_by_flag_status",
-    "gold_genre_revenue",
-    "graph_pagerank_trade",
     # --- the media family floor: its stalest record (r7) ---
     "media_block_chunks",
 )
@@ -482,8 +484,8 @@ _R9_WINDOW: tuple[str, ...] = (
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
 # r13: EMPTY — the 16-query r12 pool is seated in the r13 window above, and
-# every r13 addition (the PR-AUC pair, the ledger-GC query, the KS pair)
-# was seated immediately.
+# every r13 addition (the PR-AUC pair, the ledger-GC query, the KS pair,
+# the AUC-bootstrap-CI pair) was seated immediately.
 NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -3295,3 +3295,198 @@ FROM folded
 QUERIES["sample_bootstrap_ci"] = QuerySpec(
     q_sample_bootstrap_ci, _bootstrap_oracle()
 )
+
+
+# -- uncertainty on the evaluation itself: bootstrap CI of the AUC (r13) ------------------
+# An AUC without an error bar is how selector "improvements" ship on noise:
+# at realistic positive-class sizes the Mann-Whitney statistic's sampling
+# spread easily exceeds the deltas teams act on. This composes the two r12
+# families — each document enters replicate r with the deterministic
+# Poisson(1) weight k(doc_id, ':aucboot:', r) (one scan fans out ×B
+# map-side, Chamandy et al.), and each replicate's WEIGHTED AUC runs through
+# the same grouped Mann-Whitney identity with k-weighted class counts. The
+# per-replicate prefix sum stays RANGE-PARTITIONED at corpus scale: ONE
+# global exclusive prefix over (r, s) order, then each replicate subtracts
+# its base (the sum of all earlier replicates' negatives — a B-row table,
+# broadcast) to recover its own exclusive prefix; U2 folds in DECIMAL(38,0)
+# per replicate and the CI is order statistics over the B sorted replicate
+# AUCs (ranks 2 and B−1 — the ~94% band, the bootstrap family's shared
+# convention). The point estimate is the plain unweighted AUC in the same
+# row. Scale shape: ×B fan-out map-side, one (r, s)-keyed aggregate, one
+# ranged prefix sum, B-row readout.
+def auc_bootstrap_from_labeled(labeled: DataFrame) -> DataFrame:
+    """The bootstrap-AUC tail over (doc_id, y, logw_micro) rows, however the
+    scores were derived. `labeled` feeds the replicate fan-out AND the plain
+    point-estimate pass, so it is barrier-pinned."""
+    from pyspark.sql import Window
+
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    labeled = labeled.localCheckpoint(eager=False)
+    reps = (
+        labeled.select(
+            "doc_id",
+            "y",
+            F.col("logw_micro").alias("s"),
+            F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("r"),
+        )
+        .selectExpr(
+            "r",
+            "s",
+            "y",
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+            " ':aucboot:', CAST(r AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            " / CAST(281474976710656 AS DOUBLE) AS u",
+        )
+        .withColumn("k", F.expr(_BOOT_K))
+    )
+    groups = reps.groupBy("r", "s").agg(
+        F.sum(F.when(F.col("y"), F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(F.col("k")))
+        .cast("bigint")
+        .alias("c_neg"),
+    )
+    cum = ranged_running_sum(
+        groups, [F.col("r"), F.col("s")], F.col("c_neg"), "g_neg_below"
+    )
+    rep_tot = groups.groupBy("r").agg(
+        F.sum("c_neg").cast("bigint").alias("rep_neg")
+    )
+    base_w = (
+        Window.partitionBy(F.nullif(F.col("r"), F.lit(-1)) * F.lit(0))
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = rep_tot.select(
+        "r",
+        F.coalesce(F.sum("rep_neg").over(base_w), F.lit(0))
+        .cast("bigint")
+        .alias("neg_base"),
+    )
+    per_rep = (
+        cum.join(F.broadcast(bases), "r")
+        .withColumn(
+            "cum_neg_below", (F.col("g_neg_below") - F.col("neg_base"))
+        )
+        .groupBy("r")
+        .agg(
+            F.sum("c_pos").cast("bigint").alias("n_pos"),
+            F.sum("c_neg").cast("bigint").alias("n_neg"),
+            F.expr(
+                "SUM(CAST(c_pos AS DECIMAL(38,0))"
+                " * (2 * cum_neg_below + c_neg))"
+            ).alias("u2"),
+        )
+    )
+    aucs = per_rep.selectExpr("r", f"{_AUC_MICRO} AS auc_r_micro")
+    band = aucs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.sort_array(F.collect_list("auc_r_micro")).alias("ms"),
+    ).selectExpr(
+        "n_replicates",
+        "element_at(ms, 2) AS ci_lo_micro",
+        f"element_at(ms, {BOOT_B - 1}) AS ci_hi_micro",
+    )
+    point = auc_report_from_labeled(labeled.select("y", "logw_micro")).select(
+        "n_pos", "n_neg", "auc_micro"
+    )
+    return point.crossJoin(F.broadcast(band)).select(
+        "n_pos",
+        "n_neg",
+        "auc_micro",
+        "n_replicates",
+        "ci_lo_micro",
+        "ci_hi_micro",
+    )
+
+
+def q_feat_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    labeled = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("doc_id", "y", "logw_micro")
+    )
+    return auc_bootstrap_from_labeled(labeled)
+
+
+def _auc_bootstrap_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()},
+labeled AS (
+  SELECT w.doc_id, w.logw_micro, d.lang = 'en' AS y
+  FROM w JOIN documents d USING (doc_id)
+),
+reps AS (
+  SELECT r, logw_micro AS s, y,
+         CAST(concat('0x', substring(md5(doc_id || ':aucboot:' || r), 1, 12))
+           AS BIGINT) / CAST(281474976710656 AS DOUBLE) AS u
+  FROM labeled, UNNEST(generate_series(0, {BOOT_B - 1})) AS g(r)
+),
+weighted AS (SELECT r, s, y, {_BOOT_K} AS k FROM reps),
+rgroups AS (
+  SELECT r, s,
+         CAST(SUM(CASE WHEN y THEN k ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE k END) AS BIGINT) AS c_neg
+  FROM weighted GROUP BY 1, 2
+),
+rcum AS (
+  SELECT r, s, c_pos, c_neg,
+         CAST(COALESCE(SUM(c_neg) OVER (PARTITION BY r ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_neg_below
+  FROM rgroups
+),
+per_rep AS (
+  SELECT r,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         SUM(CAST(c_pos AS DECIMAL(38,0))
+             * (2 * cum_neg_below + c_neg)) AS u2
+  FROM rcum GROUP BY 1
+),
+aucs AS (SELECT r, {_AUC_MICRO} AS auc_r_micro FROM per_rep),
+band AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         list_sort(list(auc_r_micro)) AS ms
+  FROM aucs
+),
+pgroups AS (
+  SELECT logw_micro AS s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM labeled GROUP BY 1
+),
+pcum AS (
+  SELECT s, c_pos, c_neg,
+         CAST(COALESCE(SUM(c_neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_neg_below
+  FROM pgroups
+),
+point AS (
+  SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         SUM(CAST(c_pos AS DECIMAL(38,0))
+             * (2 * cum_neg_below + c_neg)) AS u2
+  FROM pcum
+)
+SELECT p.n_pos, p.n_neg, {_AUC_MICRO} AS auc_micro,
+       b.n_replicates, b.ms[2] AS ci_lo_micro,
+       b.ms[{BOOT_B - 1}] AS ci_hi_micro
+FROM point p CROSS JOIN band b
+"""
+
+
+QUERIES["feat_auc_bootstrap_ci"] = QuerySpec(
+    q_feat_auc_bootstrap_ci, _auc_bootstrap_oracle()
+)

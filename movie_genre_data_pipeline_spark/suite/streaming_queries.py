@@ -4162,6 +4162,7 @@ def _dsir_labeled_from_stream(
         spark.read.parquet(led_doc)
         .join(scored, "doc_id", "left")
         .select(
+            "doc_id",
             "y",
             F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
         )
@@ -4241,6 +4242,35 @@ def _stream_ks_oracle() -> str:
 
 
 QUERIES["stream_ks_report"] = QuerySpec(q_stream_ks_report, _stream_ks_oracle())
+
+
+def q_stream_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained AUC uncertainty (r13): the Poisson-bootstrap
+    CI of the selector's AUC, re-derived at READOUT over the same additive
+    ledger triple — the replicate weights are pure doc_id hashes (arrival
+    decisions re-derivable at any time), so the band legitimately narrows
+    as volume lands, the streaming form the Poisson bootstrap was built
+    for. Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        auc_bootstrap_from_labeled,
+    )
+
+    return auc_bootstrap_from_labeled(
+        _dsir_labeled_from_stream(spark, sf_dir, "stream_aucboot_")
+    )
+
+
+def _stream_auc_bootstrap_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _auc_bootstrap_oracle,
+    )
+
+    return _auc_bootstrap_oracle()
+
+
+QUERIES["stream_auc_bootstrap_ci"] = QuerySpec(
+    q_stream_auc_bootstrap_ci, _stream_auc_bootstrap_oracle()
+)
 
 
 def q_stream_ledger_compact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -658,6 +658,83 @@ def test_ks_report_matches_numpy(spark):
     assert r["ks_micro"] == 1_000_000 and r["ks_at_score"] == 2
 
 
+def test_auc_bootstrap_ci_matches_hashlib_replicas(spark):
+    """Law test: recompute all 32 replicate AUCs in pure python — hashlib
+    md5 replicate weights through the same Poisson(1) CDF thresholds, the
+    grouped Mann-Whitney identity per replicate — and require the published
+    band ends EXACTLY (integer arithmetic + one double divide, bit-replicable
+    in python floats); the point estimate must equal feat_auc_report's."""
+    import hashlib
+    import math as m
+
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        BOOT_B,
+        _POISSON1_CDF,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_auc_bootstrap_ci"].fn(spark, sf).collect()[0]
+    plain = all_queries()["feat_auc_report"].fn(spark, sf).collect()[0]
+    assert row["auc_micro"] == plain["auc_micro"]
+    assert row["n_pos"] == plain["n_pos"] and row["n_neg"] == plain["n_neg"]
+    assert row["n_replicates"] == BOOT_B
+
+    s, y = _labeled_pairs(spark, sf)
+    # doc ids travel with the pairs only implicitly — re-collect with ids
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+    from movie_genre_data_pipeline_spark.suite import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf, "documents")
+    w = dsir_importance(d, "doc_id", "text", (F.col("lang") == "en"))
+    rows = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("doc_id", "y", "logw_micro")
+        .collect()
+    )
+    thresholds = [float(t) for t in _POISSON1_CDF]
+
+    def poisson_k(doc_id: int, r: int) -> int:
+        u = (
+            int(
+                hashlib.md5(f"{doc_id}:aucboot:{r}".encode()).hexdigest()[:12], 16
+            )
+            / 281474976710656.0
+        )
+        for k, t in enumerate(thresholds):
+            if u < t:
+                return k
+        return 7
+
+    aucs = []
+    for r in range(BOOT_B):
+        groups: dict[int, list[int]] = {}
+        for rec in rows:
+            k = poisson_k(rec["doc_id"], r)
+            g = groups.setdefault(rec["logw_micro"], [0, 0])
+            g[0 if rec["y"] else 1] += k
+        P = sum(g[0] for g in groups.values())
+        N = sum(g[1] for g in groups.values())
+        u2 = 0
+        cum_neg = 0
+        for sv in sorted(groups):
+            cp, cn = groups[sv]
+            u2 += cp * (2 * cum_neg + cn)
+            cum_neg += cn
+        if P > 0 and N > 0:
+            aucs.append(int(m.floor(float(u2) * 1e6 / (2.0 * P * N) + 0.5)))
+        else:
+            aucs.append(0)
+    aucs.sort()
+    assert row["ci_lo_micro"] == aucs[1], (row["ci_lo_micro"], aucs[:3])
+    assert row["ci_hi_micro"] == aucs[BOOT_B - 2], (
+        row["ci_hi_micro"],
+        aucs[-3:],
+    )
+    assert row["ci_lo_micro"] <= row["ci_hi_micro"]
+
+
 def test_calibration_report_matches_numpy(spark):
     """Law test: rebuild the scored rows independently (the same IRLS betas
     the trajectory query publishes, numpy sigmoid), recompute every bin's

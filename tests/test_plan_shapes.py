@@ -166,6 +166,18 @@ def test_pr_auc_report_has_no_single_task_window(spark):
     assert _count(plan, "CartesianProduct") == 0
 
 
+def test_auc_bootstrap_prefix_sum_is_range_partitioned(spark):
+    """r13: the ×32 replicate fan-out must keep its prefix sum
+    range-partitioned over (r, s) — per-replicate exclusive prefixes are
+    recovered by subtracting broadcast replicate bases, never by an
+    unpartitioned (or corpus-cardinality single-partition) WindowExec; the
+    only windows allowed are partitioned ones (the B-row base offset rides
+    the non-foldable-constant partition spec)."""
+    plan = _plan(spark, "feat_auc_bootstrap_ci")
+    _assert_windows_partitioned(plan)
+    assert _count(plan, "CartesianProduct") == 0
+
+
 def test_acf_joins_are_broadcast_on_the_calendar_grain(spark):
     """r12: after the map-side hourly collapse, the lag pairing must join
     broadcast-sized calendar frames — no SortMergeJoin anywhere in the

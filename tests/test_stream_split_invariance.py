@@ -120,10 +120,12 @@ FOLDS = [
     # arrival-time doc_id hashes; means/order-statistic CI re-derive at
     # readout)
     "stream_bootstrap_ci",
-    # r13: the PR-AUC and KS readouts over the SAME DSIR ledgers as the AUC
-    # twin (one fold, three evaluation readouts)
+    # r13: the PR-AUC, KS, and bootstrap-CI readouts over the SAME DSIR
+    # ledgers as the AUC twin (one fold, four evaluation readouts; the
+    # bootstrap's replicate weights are arrival-time doc_id hashes)
     "stream_pr_auc_report",
     "stream_ks_report",
+    "stream_auc_bootstrap_ci",
     # r13: the ledger-GC query — split invariance must hold THROUGH a
     # mid-stream compaction (fold(compact(prefix) ∪ suffix) is the identity
     # the whole operator stands on)
