@@ -109,6 +109,14 @@ SCALE_QUERIES = [
     "text_burstiness",
     "sample_bootstrap_ci",
     "feat_auc_report",
+    # r13: the evaluation family's new members — the double prefix sum
+    # behind average precision, the integer-cross-product KS max (both must
+    # track the AUC row's law), and the x32 replicate fan-out + single
+    # ranged prefix behind the bootstrap AUC CI (must stay ~linear like its
+    # sample_bootstrap_ci sibling)
+    "feat_pr_auc_report",
+    "feat_ks_report",
+    "feat_auc_bootstrap_ci",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
