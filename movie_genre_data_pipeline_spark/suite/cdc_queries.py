@@ -642,3 +642,116 @@ FROM scored GROUP BY c_nationkey
 QUERIES.update({
     "ops_t_closeness": QuerySpec(q_t_closeness, Q_T_CLOSENESS_ORACLE),
 })
+
+
+# -- differentially-private count release (r13) --------------------------------------------
+# The modern fourth member of the privacy family (k-anonymity / l-diversity
+# / t-closeness audit WHETHER an extract is safe; DP RELEASES it safely):
+# the (nation x market segment) customer marginal published under the
+# epsilon-DP Laplace mechanism (Dwork et al. 2006) — each cell's true count
+# gets Laplace(1/eps) noise and is post-processed to a nonnegative integer,
+# the standard noisy-marginal release a data curator hands to analysts
+# instead of raw counts. DETERMINISM CAVEAT, stated loudly: the noise here
+# is a pure md5 hash of the CELL KEY through the Laplace inverse CDF — a
+# deterministic TEST HARNESS that lets two engines (and the driver's
+# oracle) replay the release bit-for-bit and lets the pytest verify the
+# mechanism's shape (zero-centered, scale-1/eps, clamping). A production
+# release draws from a CSPRNG and publishes ONLY (cell, released_n) — with
+# a public seed the "noise" is removable and the release is NOT private
+# (the multimodal fake-decode precedent: real plumbing, stubbed entropy).
+# Exactness: u = (h48 + 0.5)/2^48 is strictly inside (0,1) and never
+# exactly 0.5 (h48 is an integer), so sign/ln never hit an edge; the noise
+# is quantized ONCE to integer micro with the FLOOR(x+0.5) half-up spell
+# (Laplace noise is negative half the time — the ROUND divergence class),
+# and the released integer is one shared double expression + GREATEST.
+# Scale shape: one fact-sized map-side-combined groupBy to |cells| rows;
+# noise/release are scan-local projections over the cell table.
+DP_EPSILON_MICRO = 500_000  # eps = 0.5 => b = 1/eps = 2.0 (exact double)
+
+_DP_U = (
+    "(CAST(conv(substring(md5(concat(CAST(c_nationkey AS STRING), ':',"
+    " c_mktsegment, ':dp')), 1, 12), 16, 10) AS BIGINT)"
+    " + CAST(0.5 AS DOUBLE)) / CAST(281474976710656 AS DOUBLE)"
+)
+_DP_NOISE_MICRO = (
+    "CAST(FLOOR(-CAST(2 AS DOUBLE) * SIGN(u - CAST(0.5 AS DOUBLE))"
+    " * LN(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)"
+    " * ABS(u - CAST(0.5 AS DOUBLE)))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_DP_RELEASED = (
+    "GREATEST(CAST(0 AS BIGINT),"
+    " CAST(FLOOR(CAST(n AS DOUBLE)"
+    " + CAST(noise_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+)
+
+
+def dp_marginal_facts(customers: DataFrame) -> DataFrame:
+    """(c_nationkey, c_mktsegment, n) — the additive true-count grain.
+    SUM-foldable, so the streaming twin appends these; the noise is a pure
+    CELL-KEY hash, re-drawn identically at any readout (an arrival-
+    independent decision — the same property the bootstrap weights use)."""
+    return (
+        customers.select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def dp_release_from_facts(facts: DataFrame) -> DataFrame:
+    """The release tail over (possibly SUM-folded) true-count cells."""
+    return (
+        facts.selectExpr(
+            "c_nationkey", "c_mktsegment", "n", f"{_DP_U} AS u"
+        )
+        .selectExpr(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            f"{_DP_NOISE_MICRO} AS noise_micro",
+        )
+        .selectExpr(
+            "c_nationkey",
+            "c_mktsegment",
+            f"{_DP_RELEASED} AS released_n",
+            "noise_micro",
+            f"CAST({DP_EPSILON_MICRO} AS BIGINT) AS epsilon_micro",
+        )
+    )
+
+
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return dp_release_from_facts(dp_marginal_facts(c))
+
+
+Q_DP_RELEASE_ORACLE = f"""
+WITH facts AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+uu AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         (CAST(concat('0x', substring(md5(c_nationkey || ':' ||
+            c_mktsegment || ':dp'), 1, 12)) AS BIGINT)
+          + CAST(0.5 AS DOUBLE)) / CAST(281474976710656 AS DOUBLE) AS u
+  FROM facts
+),
+noisy AS (
+  SELECT c_nationkey, c_mktsegment, n, {_DP_NOISE_MICRO} AS noise_micro
+  FROM uu
+)
+SELECT c_nationkey, c_mktsegment, {_DP_RELEASED} AS released_n,
+       noise_micro, CAST({DP_EPSILON_MICRO} AS BIGINT) AS epsilon_micro
+FROM noisy
+"""
+
+
+QUERIES.update({
+    "ops_dp_release": QuerySpec(q_dp_release, Q_DP_RELEASE_ORACLE),
+})

@@ -3314,16 +3314,61 @@ QUERIES["sample_bootstrap_ci"] = QuerySpec(
 # convention). The point estimate is the plain unweighted AUC in the same
 # row. Scale shape: ×B fan-out map-side, one (r, s)-keyed aggregate, one
 # ranged prefix sum, B-row readout.
-def auc_bootstrap_from_labeled(labeled: DataFrame) -> DataFrame:
-    """The bootstrap-AUC tail over (doc_id, y, logw_micro) rows, however the
-    scores were derived. `labeled` feeds the replicate fan-out AND the plain
-    point-estimate pass, so it is barrier-pinned."""
+def partitioned_mann_whitney_sums(groups: DataFrame, part_col: str) -> DataFrame:
+    """Per-partition Mann-Whitney folds over a (part, s, c_pos, c_neg)
+    grouped-score table: (part, n_pos, n_neg, n_scores, u2), with EVERY
+    partition's exclusive negative-prefix recovered from ONE global
+    range-partitioned prefix sum over (part, s) order minus broadcast
+    per-partition bases — |parts| replicate/segment slices never become
+    |parts| single-task windows, and the base offsets are a |parts|-row
+    window over a non-foldable-constant partition spec (the
+    ranged_running_sum offset discipline). Shared by the bootstrap
+    replicates (part = r) and the by-segment evaluation (part = source)."""
     from pyspark.sql import Window
 
     from movie_genre_data_pipeline_spark.operators.ranking import (
         ranged_running_sum,
     )
 
+    cum = ranged_running_sum(
+        groups, [F.col(part_col), F.col("s")], F.col("c_neg"), "g_neg_below"
+    )
+    part_tot = groups.groupBy(part_col).agg(
+        F.sum("c_neg").cast("bigint").alias("part_neg")
+    )
+    base_w = (
+        Window.partitionBy(
+            F.expr(f"substring(CAST({part_col} AS STRING), 1, 0)")
+        )
+        .orderBy(part_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = part_tot.select(
+        part_col,
+        F.coalesce(F.sum("part_neg").over(base_w), F.lit(0))
+        .cast("bigint")
+        .alias("neg_base"),
+    )
+    return (
+        cum.join(F.broadcast(bases), part_col)
+        .withColumn("cum_neg_below", F.col("g_neg_below") - F.col("neg_base"))
+        .groupBy(part_col)
+        .agg(
+            F.sum("c_pos").cast("bigint").alias("n_pos"),
+            F.sum("c_neg").cast("bigint").alias("n_neg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+            F.expr(
+                "SUM(CAST(c_pos AS DECIMAL(38,0))"
+                " * (2 * cum_neg_below + c_neg))"
+            ).alias("u2"),
+        )
+    )
+
+
+def auc_bootstrap_from_labeled(labeled: DataFrame) -> DataFrame:
+    """The bootstrap-AUC tail over (doc_id, y, logw_micro) rows, however the
+    scores were derived. `labeled` feeds the replicate fan-out AND the plain
+    point-estimate pass, so it is barrier-pinned."""
     labeled = labeled.localCheckpoint(eager=False)
     reps = (
         labeled.select(
@@ -3350,38 +3395,7 @@ def auc_bootstrap_from_labeled(labeled: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("c_neg"),
     )
-    cum = ranged_running_sum(
-        groups, [F.col("r"), F.col("s")], F.col("c_neg"), "g_neg_below"
-    )
-    rep_tot = groups.groupBy("r").agg(
-        F.sum("c_neg").cast("bigint").alias("rep_neg")
-    )
-    base_w = (
-        Window.partitionBy(F.nullif(F.col("r"), F.lit(-1)) * F.lit(0))
-        .orderBy("r")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = rep_tot.select(
-        "r",
-        F.coalesce(F.sum("rep_neg").over(base_w), F.lit(0))
-        .cast("bigint")
-        .alias("neg_base"),
-    )
-    per_rep = (
-        cum.join(F.broadcast(bases), "r")
-        .withColumn(
-            "cum_neg_below", (F.col("g_neg_below") - F.col("neg_base"))
-        )
-        .groupBy("r")
-        .agg(
-            F.sum("c_pos").cast("bigint").alias("n_pos"),
-            F.sum("c_neg").cast("bigint").alias("n_neg"),
-            F.expr(
-                "SUM(CAST(c_pos AS DECIMAL(38,0))"
-                " * (2 * cum_neg_below + c_neg))"
-            ).alias("u2"),
-        )
-    )
+    per_rep = partitioned_mann_whitney_sums(groups, "r")
     aucs = per_rep.selectExpr("r", f"{_AUC_MICRO} AS auc_r_micro")
     band = aucs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
@@ -3489,4 +3503,87 @@ FROM point p CROSS JOIN band b
 
 QUERIES["feat_auc_bootstrap_ci"] = QuerySpec(
     q_feat_auc_bootstrap_ci, _auc_bootstrap_oracle()
+)
+
+
+# -- selector evaluation: per-segment AUC (r13) -------------------------------------------
+# The slicing every aggregate evaluation hides: a corpus-level AUC can be
+# carried entirely by the head segment while the selector is blind on the
+# tail — the "works on every source or just the web crawl?" check a curator
+# runs before trusting a selector fleet-wide. One pass computes the exact
+# Mann-Whitney AUC PER SOURCE: groups keyed by (source, score), then the
+# shared partitioned fold (partitioned_mann_whitney_sums — one global ranged
+# prefix + broadcast per-source bases, never |sources| single-task windows).
+# Segments where the label is one-sided (n_pos or n_neg = 0) print 0 rather
+# than NULL — the CASE both engines share.
+def q_feat_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    labeled = (
+        d.select("doc_id", "source", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("source", "y", "logw_micro")
+    )
+    groups = labeled.groupBy("source", F.col("logw_micro").alias("s")).agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    sums = partitioned_mann_whitney_sums(groups, "source")
+    return sums.selectExpr(
+        "source",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        f"{_AUC_MICRO} AS auc_micro",
+    ).selectExpr(
+        "source",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "auc_micro",
+        "auc_micro * 2 - 1000000 AS gini_micro",
+    )
+
+
+def _auc_by_segment_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()},
+labeled AS (
+  SELECT w.source, w.logw_micro, d.lang = 'en' AS y
+  FROM w JOIN documents d USING (doc_id)
+),
+groups AS (
+  SELECT source, logw_micro AS s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM labeled GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, s, c_pos, c_neg,
+         CAST(COALESCE(SUM(c_neg) OVER (PARTITION BY source ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_neg_below
+  FROM groups
+),
+sums AS (
+  SELECT source,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_scores,
+         SUM(CAST(c_pos AS DECIMAL(38,0))
+             * (2 * cum_neg_below + c_neg)) AS u2
+  FROM cum GROUP BY 1
+)
+SELECT source, n_pos, n_neg, n_scores, {_AUC_MICRO} AS auc_micro,
+       {_AUC_MICRO} * 2 - 1000000 AS gini_micro
+FROM sums
+"""
+
+
+QUERIES["feat_auc_by_segment"] = QuerySpec(
+    q_feat_auc_by_segment, _auc_by_segment_oracle()
 )

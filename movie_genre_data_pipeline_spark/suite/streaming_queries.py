@@ -4118,13 +4118,16 @@ def _dsir_labeled_from_stream(
     src = f"{base}/src"
     led_doc, led_tf, led_bkt = f"{base}/docs", f"{base}/tf", f"{base}/buckets"
     d = load(spark, sf_dir, "documents")
-    d.select("doc_id", "text", "lang").repartition(_split(4)).write.parquet(src)
+    d.select("doc_id", "text", "lang", "source").repartition(_split(4)).write.parquet(
+        src
+    )
 
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("text", T.StringType()),
             T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
         ]
     )
     stream = (
@@ -4136,7 +4139,7 @@ def _dsir_labeled_from_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.select(
-            "doc_id", (F.col("lang") == "en").alias("y")
+            "doc_id", "source", (F.col("lang") == "en").alias("y")
         ).write.mode("append").parquet(led_doc)
         terms = dsir_term_buckets(
             batch_df, "doc_id", "text", (F.col("lang") == "en"), b
@@ -4163,6 +4166,7 @@ def _dsir_labeled_from_stream(
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
+            "source",
             "y",
             F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
         )
@@ -4270,6 +4274,120 @@ def _stream_auc_bootstrap_oracle() -> str:
 
 QUERIES["stream_auc_bootstrap_ci"] = QuerySpec(
     q_stream_auc_bootstrap_ci, _stream_auc_bootstrap_oracle()
+)
+
+
+def q_stream_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-segment AUC (r13): the sliced selector
+    evaluation re-derived at READOUT over the same additive ledger triple
+    (the doc ledger carries the segment as an arrival fact). Shares the
+    batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _AUC_MICRO,
+        partitioned_mann_whitney_sums,
+    )
+
+    labeled = _dsir_labeled_from_stream(spark, sf_dir, "stream_auc_seg_")
+    groups = labeled.groupBy("source", F.col("logw_micro").alias("s")).agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    sums = partitioned_mann_whitney_sums(groups, "source")
+    return sums.selectExpr(
+        "source",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        f"{_AUC_MICRO} AS auc_micro",
+    ).selectExpr(
+        "source",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "auc_micro",
+        "auc_micro * 2 - 1000000 AS gini_micro",
+    )
+
+
+def _stream_auc_by_segment_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _auc_by_segment_oracle,
+    )
+
+    return _auc_by_segment_oracle()
+
+
+QUERIES["stream_auc_by_segment"] = QuerySpec(
+    q_stream_auc_by_segment, _stream_auc_by_segment_oracle()
+)
+
+
+def q_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained DP count release (r13): the true-count cell
+    ledger SUM-folds per micro-batch, and the Laplace noise — a pure
+    CELL-KEY hash through the inverse CDF — is re-drawn identically at
+    every readout, so the always-current noisy marginal equals the batch
+    release bit-for-bit (the arrival-independent-decision discipline the
+    bootstrap weights use). Note this is the deterministic TEST-HARNESS
+    noise (see ops_dp_release's caveat); the streaming shape itself — fold
+    true counts, noise at readout — is exactly how a production continual-
+    release mechanism bounds its state. Shares the batch oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        dp_marginal_facts,
+        dp_release_from_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_dp_")
+    src, led = f"{base}/src", f"{base}/cells"
+    c = load(spark, sf_dir, "customer")
+    # pin the staged types to the declared stream schema (the fixture's
+    # c_nationkey is int32; the file-source reader does not widen)
+    c.select(
+        F.col("c_custkey").cast("bigint"),
+        F.col("c_nationkey").cast("bigint"),
+        "c_mktsegment",
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_nationkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dp_marginal_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    facts = (
+        spark.read.parquet(led)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    return dp_release_from_facts(facts)
+
+
+def _stream_dp_release_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.cdc_queries import (
+        Q_DP_RELEASE_ORACLE,
+    )
+
+    return Q_DP_RELEASE_ORACLE
+
+
+QUERIES["stream_dp_release"] = QuerySpec(
+    q_stream_dp_release, _stream_dp_release_oracle()
 )
 
 

@@ -735,6 +735,54 @@ def test_auc_bootstrap_ci_matches_hashlib_replicas(spark):
     assert row["ci_lo_micro"] <= row["ci_hi_micro"]
 
 
+def test_dp_release_matches_hashlib_and_mechanism_shape(spark):
+    """Law test: replay every cell's Laplace draw in pure python (hashlib
+    md5 u, math.log inverse CDF, the same micro quantization) and require
+    the published noise and released counts EXACTLY; then check the
+    mechanism's shape on the draws — both signs occur, mean |noise| within
+    a loose band of the scale b = 1/eps = 2, and clamping never produces a
+    negative release."""
+    import hashlib
+    import math as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["ops_dp_release"].fn(spark, sf).collect()
+
+    from movie_genre_data_pipeline_spark.suite import load
+    from pyspark.sql import functions as F
+
+    c = load(spark, sf, "customer")
+    true_n = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["n"]
+        for r in c.groupBy(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(true_n) > 20
+    noises = []
+    for r in rows:
+        key = f"{r['c_nationkey']}:{r['c_mktsegment']}:dp"
+        h48 = int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+        u = (h48 + 0.5) / 281474976710656.0
+        sign = 1.0 if u > 0.5 else (-1.0 if u < 0.5 else 0.0)
+        noise = -2.0 * sign * m.log(1.0 - 2.0 * abs(u - 0.5))
+        noise_micro = int(m.floor(noise * 1e6 + 0.5))
+        assert r["noise_micro"] == noise_micro, (key, r["noise_micro"], noise_micro)
+        n = true_n[(r["c_nationkey"], r["c_mktsegment"])]
+        released = max(0, int(m.floor(n + noise_micro / 1e6 + 0.5)))
+        assert r["released_n"] == released
+        assert r["released_n"] >= 0
+        assert r["epsilon_micro"] == 500_000
+        noises.append(noise)
+    assert any(x > 0 for x in noises) and any(x < 0 for x in noises)
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    # E|Laplace(b)| = b = 2; ~125 cells → a loose 3x band either side
+    assert 0.7 < mean_abs < 6.0, mean_abs
+
+
 def test_calibration_report_matches_numpy(spark):
     """Law test: rebuild the scored rows independently (the same IRLS betas
     the trajectory query publishes, numpy sigmoid), recompute every bin's

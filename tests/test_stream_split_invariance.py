@@ -126,6 +126,11 @@ FOLDS = [
     "stream_pr_auc_report",
     "stream_ks_report",
     "stream_auc_bootstrap_ci",
+    # r13: the by-segment AUC readout (the doc ledger carries the segment
+    # as an arrival fact) and the DP release (true-count cells SUM-fold,
+    # noise re-drawn from the cell key at readout)
+    "stream_auc_by_segment",
+    "stream_dp_release",
     # r13: the ledger-GC query — split invariance must hold THROUGH a
     # mid-stream compaction (fold(compact(prefix) ∪ suffix) is the identity
     # the whole operator stands on)
