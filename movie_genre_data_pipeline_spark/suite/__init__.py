@@ -54,10 +54,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #     (test_rotation_pool_matches_computed_debt) — the 16 r12 pool entries
 #     (WoE/IV, burstiness, ACF ladder, ESS, label propagation, seasonal
 #     decompose, AUC, calibration, bootstrap CI + ledger twins — all
-#     judge-verified exact in r12) plus this round's eleven additions
+#     judge-verified exact in r12) plus this round's thirteen additions
 #     (the PR-AUC pair, the ledger-GC query, the KS pair, the
-#     AUC-bootstrap-CI pair, the by-segment AUC pair, and the DP-release
-#     pair);
+#     AUC-bootstrap-CI pair, the by-segment AUC pair, the DP-release
+#     pair, and the leave-one-fold-out CV AUC pair);
 # (b) fingerprint-stale queries must re-earn a driver record
 #     (test_changed_queries_are_reseated) — this round: the DSIR
 #     helper extraction (VERDICT r12 advice #4) flips every dsir_importance
@@ -99,6 +99,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_auc_by_segment",
     "ops_dp_release",
     "stream_dp_release",
+    "feat_auc_cv",
+    "stream_auc_cv",
     # --- (b): fingerprint-stale (DSIR helper extraction) ---
     "sample_importance_select",
     "curate_classifier_distill",
@@ -119,13 +121,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "time_bucket_gapfill",
     "tpch_q21",
     "ts_anomaly_zscore",
-    # --- stalest-record refresh: r6 greens (alphabetical; first four —
-    #     the rest displaced by the late-r13 waves (KS, AUC-bootstrap,
-    #     by-segment AUC, DP release), the seats-go-to-new-queries
-    #     precedent; dedup_semantic keeps the dedup family floor) ---
+    # --- stalest-record refresh: r6 greens (two remain — the rest
+    #     displaced by the late-r13 waves (KS, AUC-bootstrap, by-segment
+    #     AUC, DP release, CV AUC), the seats-go-to-new-queries precedent;
+    #     dedup_semantic keeps the dedup family floor) ---
     "ab_experiment_report",
-    "cdc_snapshot_diff",
-    "curate_fuzzy_decontaminate",
     "dedup_semantic",
     # --- the media family floor: its stalest record (r7) ---
     "media_block_chunks",
@@ -486,8 +486,8 @@ _R9_WINDOW: tuple[str, ...] = (
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
 # r13: EMPTY — the 16-query r12 pool is seated in the r13 window above, and
 # every r13 addition (the PR-AUC pair, the ledger-GC query, the KS pair,
-# the AUC-bootstrap-CI pair, the by-segment AUC pair, the DP-release pair)
-# was seated immediately.
+# the AUC-bootstrap-CI pair, the by-segment AUC pair, the DP-release pair,
+# the CV AUC pair) was seated immediately.
 NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -3587,3 +3587,222 @@ FROM sums
 QUERIES["feat_auc_by_segment"] = QuerySpec(
     q_feat_auc_by_segment, _auc_by_segment_oracle()
 )
+
+
+# -- selector evaluation: leakage-free cross-validated AUC (r13) --------------------------
+# Every AUC above scores documents under a model that SAW them — the
+# resubstitution optimism every ML practitioner is taught to distrust. This
+# is the leakage-free form: 5-fold leave-one-fold-out DSIR evaluation where
+# each document is scored under the bucket model built from the OTHER four
+# folds, at the cost of ZERO extra corpus scans — additivity again: the
+# per-(fold, bucket) cell counts are one grouped scan, and fold f's
+# training model is the GLOBAL model minus fold f's own cells (a 5×256-row
+# subtraction, not a refit). Each fold's complement log-ratio table
+# broadcasts into the postings, each doc scores under its own fold's
+# complement model, and the per-fold exact Mann-Whitney runs through the
+# shared partitioned fold. A cv AUC materially below the resubstitution AUC
+# is the overfit signal this query exists to print. Scale shape: the same
+# two corpus-sized steps as plain DSIR (term explode, doc-keyed score
+# fold); everything fold-related is ≤ 5×buckets rows.
+CV_FOLDS = 5
+_CV_FOLD_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':cvfold')),"
+    " 1, 12), 16, 10) AS BIGINT) % " + str(CV_FOLDS)
+)
+_CV_FOLD_DUCK = (
+    "CAST(concat('0x', substring(md5(doc_id || ':cvfold'), 1, 12))"
+    " AS BIGINT) % " + str(CV_FOLDS)
+)
+
+
+def auc_cv_from_parts(
+    docs: DataFrame, cells: DataFrame, tf: DataFrame
+) -> DataFrame:
+    """The leave-one-fold-out AUC tail over the three additive parts —
+    docs (doc_id, fold, y), per-fold bucket cells (fold, bucket, raw_c,
+    tgt_c), postings (doc_id, bucket, tf) — however accumulated (one batch
+    scan or SUM-folded ledgers). Fold models are complement subtractions of
+    the global model; `cells` feeds the global fold AND the left side of
+    the complement join, so it is barrier-pinned."""
+    b = DSIR_BUCKETS
+    cells = cells.localCheckpoint(eager=False)
+    glob = cells.groupBy("bucket").agg(
+        F.sum("raw_c").cast("bigint").alias("raw_tot"),
+        F.sum("tgt_c").cast("bigint").alias("tgt_tot"),
+    )
+    comp = (
+        glob.selectExpr(
+            "bucket",
+            "raw_tot",
+            "tgt_tot",
+            f"explode(sequence(0, {CV_FOLDS - 1})) AS fold",
+        )
+        .join(cells, ["fold", "bucket"], "left")
+        .selectExpr(
+            "fold",
+            "bucket",
+            "raw_tot - coalesce(raw_c, 0) AS raw_c",
+            "tgt_tot - coalesce(tgt_c, 0) AS tgt_c",
+        )
+        .localCheckpoint(eager=False)
+    )
+    ftot = comp.groupBy("fold").agg(
+        F.sum("raw_c").cast("bigint").alias("t_raw"),
+        F.sum("tgt_c").cast("bigint").alias("t_tgt"),
+    )
+    ratios = comp.join(F.broadcast(ftot), "fold").select(
+        "fold",
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_c") + F.lit(1.0))
+                    / (F.col("t_tgt") + F.lit(float(b)))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0))
+                    / (F.col("t_raw") + F.lit(float(b)))
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        tf.selectExpr("doc_id", "bucket", "tf", f"{_CV_FOLD_SPARK} AS fold")
+        .join(F.broadcast(ratios), ["fold", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro")
+        )
+    )
+    labeled = docs.join(scored, "doc_id", "left").select(
+        "fold",
+        "y",
+        F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
+    )
+    groups = labeled.groupBy("fold", F.col("logw_micro").alias("s")).agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    sums = partitioned_mann_whitney_sums(groups, "fold")
+    return sums.selectExpr(
+        "CAST(fold AS BIGINT) AS fold",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        f"{_AUC_MICRO} AS auc_micro",
+    )
+
+
+def q_feat_auc_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        dsir_postings,
+        dsir_term_buckets,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.selectExpr(
+        "doc_id", "lang = 'en' AS y", f"{_CV_FOLD_SPARK} AS fold"
+    )
+    terms = dsir_term_buckets(
+        d, "doc_id", "text", (F.col("lang") == "en"), DSIR_BUCKETS
+    ).selectExpr("doc_id", "__tgt", "bucket", f"{_CV_FOLD_SPARK} AS fold")
+    cells = terms.groupBy("fold", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tgt_c"),
+    )
+    tf = dsir_postings(terms)
+    return auc_cv_from_parts(docs, cells, tf)
+
+
+def _auc_cv_oracle() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang = 'en' AS y, {_CV_FOLD_DUCK} AS fold, {_TOKS} AS toks
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, y, fold,
+         CAST(concat('0x', substring(md5(t.term), 1, 12)) AS BIGINT) % {b}
+           AS bucket
+  FROM docs, unnest(toks) AS t(term)
+),
+cells AS (
+  SELECT fold, bucket,
+         CAST(COUNT(*) AS BIGINT) AS raw_c,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+  FROM terms GROUP BY 1, 2
+),
+gcells AS (
+  SELECT bucket, CAST(SUM(raw_c) AS BIGINT) AS raw_tot,
+         CAST(SUM(tgt_c) AS BIGINT) AS tgt_tot
+  FROM cells GROUP BY 1
+),
+allf AS (
+  SELECT g.bucket, g.raw_tot, g.tgt_tot, f.fold
+  FROM gcells g, UNNEST(generate_series(0, {CV_FOLDS - 1})) AS f(fold)
+),
+comp AS (
+  SELECT a.fold, a.bucket,
+         a.raw_tot - COALESCE(c.raw_c, 0) AS raw_c,
+         a.tgt_tot - COALESCE(c.tgt_c, 0) AS tgt_c
+  FROM allf a LEFT JOIN cells c ON c.fold = a.fold AND c.bucket = a.bucket
+),
+ftot AS (
+  SELECT fold, CAST(SUM(raw_c) AS BIGINT) AS t_raw,
+         CAST(SUM(tgt_c) AS BIGINT) AS t_tgt
+  FROM comp GROUP BY 1
+),
+ratios AS (
+  SELECT comp.fold, bucket,
+         CAST(ROUND((LN((tgt_c + 1.0) / (t_tgt + CAST({b} AS DOUBLE)))
+                   - LN((raw_c + 1.0) / (t_raw + CAST({b} AS DOUBLE))))
+                    * 1000000.0, 0) AS BIGINT) AS lr_micro
+  FROM comp JOIN ftot USING (fold)
+),
+tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+tff AS (SELECT doc_id, {_CV_FOLD_DUCK} AS fold, bucket, tf FROM tf),
+scored AS (
+  SELECT t.doc_id, CAST(SUM(t.tf * r.lr_micro) AS BIGINT) AS logw_micro
+  FROM tff t JOIN ratios r ON r.fold = t.fold AND r.bucket = t.bucket
+  GROUP BY 1
+),
+labeled AS (
+  SELECT d.fold, d.y, COALESCE(s.logw_micro, 0) AS logw_micro
+  FROM docs d LEFT JOIN scored s USING (doc_id)
+),
+groups AS (
+  SELECT fold, logw_micro AS s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM labeled GROUP BY 1, 2
+),
+cum AS (
+  SELECT fold, s, c_pos, c_neg,
+         CAST(COALESCE(SUM(c_neg) OVER (PARTITION BY fold ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_neg_below
+  FROM groups
+),
+sums AS (
+  SELECT fold,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_scores,
+         SUM(CAST(c_pos AS DECIMAL(38,0))
+             * (2 * cum_neg_below + c_neg)) AS u2
+  FROM cum GROUP BY 1
+)
+SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg, n_scores,
+       {_AUC_MICRO} AS auc_micro
+FROM sums
+"""
+
+
+QUERIES["feat_auc_cv"] = QuerySpec(q_feat_auc_cv, _auc_cv_oracle())

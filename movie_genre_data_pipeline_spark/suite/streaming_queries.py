@@ -4391,6 +4391,95 @@ QUERIES["stream_dp_release"] = QuerySpec(
 )
 
 
+def q_stream_auc_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained leakage-free CV evaluation (r13): the
+    leave-one-fold-out AUC re-derived at READOUT from three additive
+    ledgers — doc labels, (fold, bucket) model cells, term postings. The
+    fold is a pure doc_id hash (arrival decision re-derivable anywhere),
+    the complement models are subtractions of the FOLDED global cells, and
+    every doc re-scores under its fold's complement of the final model —
+    so the continuous CV equals the batch CV bit-for-bit. Shares the batch
+    oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        dsir_postings,
+        dsir_term_buckets,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _CV_FOLD_SPARK,
+        DSIR_BUCKETS,
+        auc_cv_from_parts,
+    )
+
+    b = DSIR_BUCKETS
+    base = tempfile.mkdtemp(prefix="stream_auc_cv_")
+    src = f"{base}/src"
+    led_doc, led_tf, led_cell = f"{base}/docs", f"{base}/tf", f"{base}/cells"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "doc_id", (F.col("lang") == "en").alias("y")
+        ).write.mode("append").parquet(led_doc)
+        terms = dsir_term_buckets(
+            batch_df, "doc_id", "text", (F.col("lang") == "en"), b
+        ).selectExpr("doc_id", "__tgt", "bucket", f"{_CV_FOLD_SPARK} AS fold")
+        dsir_postings(terms).write.mode("append").parquet(led_tf)
+        terms.groupBy("fold", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tgt_c"),
+        ).write.mode("append").parquet(led_cell)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    docs = spark.read.parquet(led_doc).selectExpr(
+        "doc_id", "y", f"{_CV_FOLD_SPARK} AS fold"
+    )
+    cells = (
+        spark.read.parquet(led_cell)
+        .groupBy("fold", "bucket")
+        .agg(
+            F.sum("raw_c").cast("bigint").alias("raw_c"),
+            F.sum("tgt_c").cast("bigint").alias("tgt_c"),
+        )
+    )
+    tf = (
+        spark.read.parquet(led_tf)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    return auc_cv_from_parts(docs, cells, tf)
+
+
+def _stream_auc_cv_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _auc_cv_oracle,
+    )
+
+    return _auc_cv_oracle()
+
+
+QUERIES["stream_auc_cv"] = QuerySpec(q_stream_auc_cv, _stream_auc_cv_oracle())
+
+
 def q_stream_ledger_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ledger compaction/GC (r13 — VERDICT r12 #5): the streaming ledgers
     grow one shard per micro-batch FOREVER, so readout cost grows with

@@ -735,6 +735,21 @@ def test_auc_bootstrap_ci_matches_hashlib_replicas(spark):
     assert row["ci_lo_micro"] <= row["ci_hi_micro"]
 
 
+def test_auc_cv_folds_partition_the_corpus(spark):
+    """Law test: the five out-of-fold reports must PARTITION the corpus —
+    folds 0..4 each present, Σ(n_pos) == corpus positives, Σ(n_pos+n_neg)
+    == corpus size — and the resubstitution AUC must be computed on the
+    same label split (cross-checked against feat_auc_report's row)."""
+    sf = "/root/testdata/sf0.001"
+    rows = {r["fold"]: r for r in all_queries()["feat_auc_cv"].fn(spark, sf).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    plain = all_queries()["feat_auc_report"].fn(spark, sf).collect()[0]
+    assert sum(r["n_pos"] for r in rows.values()) == plain["n_pos"]
+    assert sum(r["n_pos"] + r["n_neg"] for r in rows.values()) == (
+        plain["n_pos"] + plain["n_neg"]
+    )
+
+
 def test_dp_release_matches_hashlib_and_mechanism_shape(spark):
     """Law test: replay every cell's Laplace draw in pure python (hashlib
     md5 u, math.log inverse CDF, the same micro quantization) and require

@@ -166,6 +166,16 @@ def test_pr_auc_report_has_no_single_task_window(spark):
     assert _count(plan, "CartesianProduct") == 0
 
 
+@pytest.mark.parametrize("name", ["feat_auc_by_segment", "feat_auc_cv"])
+def test_partitioned_auc_variants_have_no_single_task_window(spark, name):
+    """r13: every consumer of partitioned_mann_whitney_sums (by-segment,
+    by-fold) inherits the AUC pin — range-partitioned prefix, broadcast
+    bases, no unpartitioned WindowExec, no cartesian pairing."""
+    plan = _plan(spark, name)
+    _assert_windows_partitioned(plan)
+    assert _count(plan, "CartesianProduct") == 0
+
+
 def test_auc_bootstrap_prefix_sum_is_range_partitioned(spark):
     """r13: the ×32 replicate fan-out must keep its prefix sum
     range-partitioned over (r, s) — per-replicate exclusive prefixes are

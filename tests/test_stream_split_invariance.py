@@ -131,6 +131,10 @@ FOLDS = [
     # noise re-drawn from the cell key at readout)
     "stream_auc_by_segment",
     "stream_dp_release",
+    # r13: the leave-one-fold-out CV readout — fold models are complement
+    # subtractions of the FOLDED global cells, so batching must be
+    # invisible through the model-minus-own-fold arithmetic too
+    "stream_auc_cv",
     # r13: the ledger-GC query — split invariance must hold THROUGH a
     # mid-stream compaction (fold(compact(prefix) ∪ suffix) is the identity
     # the whole operator stands on)
