@@ -101,6 +101,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_dp_release",
     "feat_auc_cv",
     "stream_auc_cv",
+    "feat_score_psi",
+    "stream_score_psi",
     # --- (b): fingerprint-stale (DSIR helper extraction) ---
     "sample_importance_select",
     "curate_classifier_distill",
@@ -113,7 +115,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "sketch_hll_distinct",
-    "sketch_kmv_vocab_overlap",
+    # (sketch_kmv_vocab_overlap — displaced by the late-r13 score-PSI pair;
+    # it keeps its r5 green under the full local gate and becomes the
+    # stalest r5 record for the r14 refresh)
     "skew_salted_agg",
     "stream_stateful_user_stats",
     "stream_stream_join",
@@ -121,11 +125,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "time_bucket_gapfill",
     "tpch_q21",
     "ts_anomaly_zscore",
-    # --- stalest-record refresh: r6 greens (two remain — the rest
-    #     displaced by the late-r13 waves (KS, AUC-bootstrap, by-segment
-    #     AUC, DP release, CV AUC), the seats-go-to-new-queries precedent;
-    #     dedup_semantic keeps the dedup family floor) ---
-    "ab_experiment_report",
+    # --- stalest-record refresh: r6 greens (dedup_semantic keeps the
+    #     dedup family floor — every other r6 seat was displaced by the
+    #     late-r13 waves (KS, AUC-bootstrap, by-segment AUC, DP release,
+    #     CV AUC, score PSI), the seats-go-to-new-queries precedent) ---
     "dedup_semantic",
     # --- the media family floor: its stalest record (r7) ---
     "media_block_chunks",

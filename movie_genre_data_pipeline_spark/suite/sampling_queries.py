@@ -3806,3 +3806,149 @@ FROM sums
 
 
 QUERIES["feat_auc_cv"] = QuerySpec(q_feat_auc_cv, _auc_cv_oracle())
+
+
+# -- selector monitoring: population stability index (r13) --------------------------------
+# The monitoring metric the scorecard world runs NIGHTLY: PSI between the
+# score distribution a model was calibrated on and the one it serves today
+# (< 0.1 stable, 0.1-0.25 watch, > 0.25 recalibrate — the standard triage
+# bands). PSI IS the IV machinery applied between two SNAPSHOTS instead of
+# two classes — Σ (cur_share − ref_share)·ln(cur/ref) over score deciles —
+# so the cell tail here is literally woe_iv_report_from_cells reused with
+# (ref, cur) in the (neg, pos) seats: the same Laplace-smoothed exact
+# integer ratios, micro-quantized shares, and order-free integer IV fold.
+# Snapshots on the bounded fixture are the deterministic doc_id-parity
+# halves (production: two corpus snapshots); bin edges are the REFERENCE
+# half's score deciles — ranked by the range-partitioned ntile
+# (operators/ranking, the SQL-standard remainder rule both engines share),
+# then BOTH halves re-bin by the same pure `count of edges strictly below`
+# function of the score, so binning is deterministic even at ties. Scale
+# shape: scoring is the plain DSIR pipeline; the decile rank is a ranged
+# ntile over the ref half; binning is a broadcast 9-row edge join; the
+# readout is a 10-cell WoE fold.
+PSI_BINS = 10
+
+
+def score_psi_from_scored(scored: DataFrame) -> DataFrame:
+    """The PSI tail over (doc_id, s, is_ref) rows, however scored. `scored`
+    feeds the ranked-edges pass AND the binning pass, so it is
+    barrier-pinned."""
+    from movie_genre_data_pipeline_spark.operators.ranking import ranged_ntile
+
+    scored = scored.localCheckpoint(eager=False)
+    ranked = ranged_ntile(
+        scored.filter(F.col("is_ref")),
+        [F.col("s"), F.col("doc_id")],
+        PSI_BINS,
+        "tile",
+    )
+    edges = (
+        ranked.filter(F.col("tile") <= PSI_BINS - 1)
+        .groupBy("tile")
+        .agg(F.max("s").alias("e"))
+        .select("e")
+    )
+    binned = (
+        scored.crossJoin(F.broadcast(edges))
+        .groupBy("doc_id", "is_ref")
+        .agg(
+            F.sum(F.when(F.col("s") > F.col("e"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bin")
+        )
+    )
+    cells = (
+        binned.groupBy(F.col("bin").cast("string").alias("x"))
+        .agg(
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+        .select(F.lit("dsir_score").alias("feature"), "x", "n_pos", "n_neg")
+    )
+    return woe_iv_report_from_cells(cells).selectExpr(
+        "feature",
+        "n_bins",
+        "n_pos AS n_cur",
+        "n_neg AS n_ref",
+        "iv_micro AS psi_micro",
+        "woe_min_micro AS lnratio_min_micro",
+        "woe_max_micro AS lnratio_max_micro",
+    )
+
+
+def q_feat_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    scored = w.select(
+        "doc_id",
+        F.col("logw_micro").alias("s"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+    return score_psi_from_scored(scored)
+
+
+def _score_psi_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()},
+pscored AS (
+  SELECT doc_id, logw_micro AS s, doc_id % 2 = 0 AS is_ref FROM w
+),
+ranked AS (
+  SELECT doc_id, s,
+         NTILE({PSI_BINS}) OVER (ORDER BY s, doc_id) AS tile
+  FROM pscored WHERE is_ref
+),
+edges AS (
+  SELECT tile, MAX(s) AS e FROM ranked WHERE tile <= {PSI_BINS - 1}
+  GROUP BY 1
+),
+binned AS (
+  SELECT sc.doc_id, sc.is_ref,
+         CAST(SUM(CASE WHEN sc.s > ed.e THEN 1 ELSE 0 END) AS BIGINT) AS bin
+  FROM pscored sc CROSS JOIN edges ed
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT 'dsir_score' AS feature, CAST(bin AS VARCHAR) AS x,
+         CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS t_neg
+  FROM cells GROUP BY 1
+),
+bins AS (
+  SELECT feature, n_bins, t_pos, t_neg,
+         {_WOE_MICRO} AS woe_micro,
+         {_SHARE_MICRO.format(n="n_pos", t="t_pos")} AS pos_share_micro,
+         {_SHARE_MICRO.format(n="n_neg", t="t_neg")} AS neg_share_micro
+  FROM cells JOIN tot USING (feature)
+),
+folded AS (
+  SELECT feature, MAX(n_bins) AS n_bins, MAX(t_pos) AS n_pos,
+         MAX(t_neg) AS n_neg,
+         SUM((pos_share_micro - neg_share_micro) * woe_micro) AS iv_sum,
+         MIN(woe_micro) AS woe_min_micro,
+         MAX(woe_micro) AS woe_max_micro
+  FROM bins GROUP BY feature
+)
+SELECT feature, n_bins, n_pos AS n_cur, n_neg AS n_ref,
+       {_IV_MICRO} AS psi_micro,
+       woe_min_micro AS lnratio_min_micro,
+       woe_max_micro AS lnratio_max_micro
+FROM folded
+"""
+
+
+QUERIES["feat_score_psi"] = QuerySpec(q_feat_score_psi, _score_psi_oracle())

@@ -4480,6 +4480,41 @@ def _stream_auc_cv_oracle() -> str:
 QUERIES["stream_auc_cv"] = QuerySpec(q_stream_auc_cv, _stream_auc_cv_oracle())
 
 
+def q_stream_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained score-drift monitoring (r13): the PSI of the
+    DSIR score distribution (reference vs current snapshot halves),
+    re-derived at READOUT over the same additive ledger triple — every
+    document re-scores under the final folded model, the reference deciles
+    re-rank, and both halves re-bin, so the continuous PSI equals the batch
+    PSI bit-for-bit (the always-current form a nightly monitoring job
+    folds from the ledgers instead of re-scanning the corpus). Shares the
+    batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        score_psi_from_scored,
+    )
+
+    labeled = _dsir_labeled_from_stream(spark, sf_dir, "stream_psi_")
+    scored = labeled.select(
+        "doc_id",
+        F.col("logw_micro").alias("s"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+    return score_psi_from_scored(scored)
+
+
+def _stream_score_psi_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _score_psi_oracle,
+    )
+
+    return _score_psi_oracle()
+
+
+QUERIES["stream_score_psi"] = QuerySpec(
+    q_stream_score_psi, _stream_score_psi_oracle()
+)
+
+
 def q_stream_ledger_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ledger compaction/GC (r13 — VERDICT r12 #5): the streaming ledgers
     grow one shard per micro-batch FOREVER, so readout cost grows with

@@ -135,6 +135,10 @@ FOLDS = [
     # subtractions of the FOLDED global cells, so batching must be
     # invisible through the model-minus-own-fold arithmetic too
     "stream_auc_cv",
+    # r13: the PSI readout — reference deciles re-rank and both halves
+    # re-bin at readout, so batching must be invisible through the edge
+    # derivation as well
+    "stream_score_psi",
     # r13: the ledger-GC query — split invariance must hold THROUGH a
     # mid-stream compaction (fold(compact(prefix) ∪ suffix) is the identity
     # the whole operator stands on)
