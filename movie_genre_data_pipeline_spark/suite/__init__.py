@@ -54,10 +54,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #     (test_rotation_pool_matches_computed_debt) — the 16 r12 pool entries
 #     (WoE/IV, burstiness, ACF ladder, ESS, label propagation, seasonal
 #     decompose, AUC, calibration, bootstrap CI + ledger twins — all
-#     judge-verified exact in r12) plus this round's thirteen additions
+#     judge-verified exact in r12) plus this round's sixteen additions
 #     (the PR-AUC pair, the ledger-GC query, the KS pair, the
 #     AUC-bootstrap-CI pair, the by-segment AUC pair, the DP-release
-#     pair, and the leave-one-fold-out CV AUC pair);
+#     pair, the leave-one-fold-out CV AUC pair, the score-PSI pair, and
+#     the Adamic-Adar link predictor);
 # (b) fingerprint-stale queries must re-earn a driver record
 #     (test_changed_queries_are_reseated) — this round: the DSIR
 #     helper extraction (VERDICT r12 advice #4) flips every dsir_importance
@@ -103,6 +104,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_auc_cv",
     "feat_score_psi",
     "stream_score_psi",
+    "graph_adamic_adar",
     # --- (b): fingerprint-stale (DSIR helper extraction) ---
     "sample_importance_select",
     "curate_classifier_distill",
@@ -122,7 +124,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stateful_user_stats",
     "stream_stream_join",
     "text_quality_scores",
-    "time_bucket_gapfill",
+    # (time_bucket_gapfill — displaced by the late-r13 graph_adamic_adar;
+    # the ts family keeps four seats (anomaly, ACF pair, seasonal pair) and
+    # gapfill waits as an r5-stale record for r14)
     "tpch_q21",
     "ts_anomaly_zscore",
     # --- stalest-record refresh: r6 greens (dedup_semantic keeps the
@@ -490,7 +494,8 @@ _R9_WINDOW: tuple[str, ...] = (
 # r13: EMPTY — the 16-query r12 pool is seated in the r13 window above, and
 # every r13 addition (the PR-AUC pair, the ledger-GC query, the KS pair,
 # the AUC-bootstrap-CI pair, the by-segment AUC pair, the DP-release pair,
-# the CV AUC pair) was seated immediately.
+# the CV AUC pair, the score-PSI pair, graph_adamic_adar) was seated
+# immediately.
 NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -397,3 +397,119 @@ SELECT node, label FROM {prev} ORDER BY node
 QUERIES["graph_label_propagation"] = QuerySpec(
     q_graph_label_propagation, _lpa_oracle()
 )
+
+
+# -- link prediction: Adamic-Adar over the supplier co-service graph (r13) ----------------
+# The recommendation-shaped graph workload the family was missing: predict
+# which SUPPLIER pairs are likely to co-serve, scored by Adamic-Adar
+# (Σ_z 1/ln deg(z) over shared customers z — the classic link-prediction
+# baseline that discounts promiscuous neighbors; Adamic & Adar 2003). The
+# bipartite supplier→customer edge list comes from one lineitem⋈orders
+# pass DISTINCT-reduced to the (supplier, customer) grain; pair generation
+# is an EQUI-JOIN on the shared customer, never a supplier×supplier cross —
+# and the one quadratic danger (a hot customer served by thousands of
+# suppliers contributes deg² pairs) is handled with the LSH/ER family's
+# honest-capping discipline: customers with deg > AA_DEG_CAP are EXCLUDED
+# from pair generation (they carry almost no Adamic-Adar mass anyway —
+# that is the point of the 1/ln weight) and the excluded count is
+# published as an oracle-checked column, so the coverage trade is visible,
+# not silent. Exactness: each neighbor's weight is quantized ONCE
+# (FLOOR(1e6/ln(deg) + 0.5), deg ≥ 2 so ln > 0) and per-pair scores are
+# exact integer sums; the top-20 readout uses the (score DESC, s1, s2)
+# total order both engines share. Scale shape: one fact scan → distinct
+# bipartite edges; deg is a customer-keyed count; pair volume ≤ cap ×
+# |edges|; the readout is TakeOrderedAndProject, never a global sort.
+AA_DEG_CAP = 64
+AA_TOP = 20
+_AA_W_MICRO = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) / LN(CAST(deg AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("s"),
+            F.col("o_custkey").cast("bigint").alias("c"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    kept = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= AA_DEG_CAP)
+    ).selectExpr("c", "deg", f"{_AA_W_MICRO} AS w_micro")
+    e2 = edges.join(kept, "c")
+    a = e2.select(F.col("c"), F.col("s").alias("s1"), F.col("w_micro"))
+    b = e2.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    pairs = a.join(b, (F.col("c") == F.col("c2")) & (F.col("s1") < F.col("s2")))
+    scored = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        F.sum("w_micro").cast("bigint").alias("aa_micro"),
+    )
+    scored = scored.localCheckpoint(eager=False)
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    ).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.sum(F.when(F.col("deg") > AA_DEG_CAP, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_hot_excluded")
+            )
+        )
+    )
+    top = scored.orderBy(
+        F.col("aa_micro").desc(), F.col("s1"), F.col("s2")
+    ).limit(AA_TOP)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "s1",
+        "s2",
+        "n_shared",
+        "aa_micro",
+        "n_candidate_pairs",
+        "n_hot_excluded",
+    )
+
+
+Q_ADAMIC_ADAR_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+         CAST(o.o_custkey AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+kept AS (
+  SELECT c, deg, {_AA_W_MICRO} AS w_micro
+  FROM deg WHERE deg >= 2 AND deg <= {AA_DEG_CAP}
+),
+e2 AS (SELECT e.c, e.s, k.w_micro FROM edges e JOIN kept k USING (c)),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, a.w_micro
+  FROM e2 a JOIN e2 b ON a.c = b.c AND a.s < b.s
+),
+scored AS (
+  SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(w_micro) AS BIGINT) AS aa_micro
+  FROM pairs GROUP BY 1, 2
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_candidate_pairs,
+         (SELECT CAST(SUM(CASE WHEN deg > {AA_DEG_CAP} THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM deg) AS n_hot_excluded
+)
+SELECT s1, s2, n_shared, aa_micro, n_candidate_pairs, n_hot_excluded
+FROM (SELECT * FROM scored
+      ORDER BY aa_micro DESC, s1, s2 LIMIT {AA_TOP}) t
+CROSS JOIN stats
+"""
+
+
+QUERIES["graph_adamic_adar"] = QuerySpec(q_graph_adamic_adar, Q_ADAMIC_ADAR_ORACLE)
