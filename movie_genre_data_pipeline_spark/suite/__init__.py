@@ -491,12 +491,19 @@ _R9_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-# r13: EMPTY — the 16-query r12 pool is seated in the r13 window above, and
-# every r13 addition (the PR-AUC pair, the ledger-GC query, the KS pair,
+# r13: the 16-query r12 pool is seated in the r13 window above, and the
+# first r13 wave (the PR-AUC pair, the ledger-GC query, the KS pair,
 # the AUC-bootstrap-CI pair, the by-segment AUC pair, the DP-release pair,
 # the CV AUC pair, the score-PSI pair, graph_adamic_adar) was seated
-# immediately.
-NEXT_ROUND_POOL: tuple[str, ...] = ()
+# immediately. The late-r13 wave below landed after the 50 seats filled
+# (the 32 never-checked entries above cannot be displaced), so it queues
+# here for the r14 window; each was verified at sf0.001 AND sf0.01
+# --vanilla --exact when it landed.
+NEXT_ROUND_POOL: tuple[str, ...] = (
+    # late r13: the decile lift / cumulative-gains table (batch + ledger twin)
+    "feat_lift_gains",
+    "stream_lift_gains",
+)
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

@@ -3952,3 +3952,144 @@ FROM folded
 
 
 QUERIES["feat_score_psi"] = QuerySpec(q_feat_score_psi, _score_psi_oracle())
+
+
+# -- selector evaluation: decile lift / cumulative gains (r13) ----------------------------
+# The table a curation review actually reads: rank the corpus by the DSIR
+# selector's score, cut it into ten deciles, and for each top-k prefix report
+# how much of the target class it captures (cumulative gain = recall@decile)
+# and how much better than random that is (lift = precision@decile over
+# prevalence). AUC/PR-AUC price the whole curve; the gains table prices the
+# operating points a budgeted curator can actually choose ("take the top 20%").
+# Determinism at ties: deciles come from the range-partitioned ntile over
+# (score DESC, doc_id) — the SQL-standard remainder bucketing both engines
+# share, with doc_id as the total-order tiebreak, so equal scores land
+# identically in both engines. Exactness: per-decile counts are exact BIGINTs;
+# cumulative counts are a ranged exclusive prefix sum over the 10-row decile
+# table; gain/lift each quantize ONCE via DECIMAL(38,0) numerators cast to
+# DOUBLE for a single divide + the FLOOR(x+0.5) spell. Scale shape: scoring is
+# the plain DSIR pipeline, the decile rank is a ranged ntile
+# (operators/ranking — no single-task window at any row count), the decile
+# table is 10 rows, totals broadcast.
+GAINS_TILES = 10
+
+_GAIN_MICRO = (
+    "CASE WHEN t_pos > 0 THEN"
+    " CAST(FLOOR(CAST(CAST(cum_pos AS DECIMAL(38,0))"
+    " * 1000000 AS DOUBLE) / CAST(t_pos AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_LIFT_MICRO = (
+    "CASE WHEN t_pos > 0 AND cum_rows > 0 THEN"
+    " CAST(FLOOR(CAST(CAST(cum_pos AS DECIMAL(38,0))"
+    " * t_rows * 1000000 AS DOUBLE)"
+    " / (CAST(cum_rows AS DOUBLE) * CAST(t_pos AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def lift_gains_from_labeled(labeled: DataFrame) -> DataFrame:
+    """The gains-table tail over (doc_id, y BOOLEAN, s) rows, however the
+    scores were derived — shared by the batch query and the streaming ledger
+    twin. Ranged ntile -> 10-row decile cells -> ranged prefix sums ->
+    broadcast totals."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_ntile,
+        ranged_running_sum,
+    )
+
+    tiled = ranged_ntile(
+        labeled,
+        [F.col("s").desc(), F.col("doc_id")],
+        GAINS_TILES,
+        "tile",
+    )
+    cells = tiled.groupBy(F.col("tile").cast("bigint").alias("tile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    cum = ranged_running_sum(
+        ranged_running_sum(cells, ["tile"], F.col("n_rows"), "rows_below"),
+        ["tile"],
+        F.col("n_pos"),
+        "pos_below",
+    ).selectExpr(
+        "tile",
+        "n_rows",
+        "n_pos",
+        "rows_below + n_rows AS cum_rows",
+        "pos_below + n_pos AS cum_pos",
+    )
+    tot = cells.agg(
+        F.sum("n_rows").cast("bigint").alias("t_rows"),
+        F.sum("n_pos").cast("bigint").alias("t_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "tile",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        f"{_GAIN_MICRO} AS gain_micro",
+        f"{_LIFT_MICRO} AS lift_micro",
+    )
+
+
+def q_feat_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    labeled = (
+        d.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(w, "doc_id")
+        .select("doc_id", "y", F.col("logw_micro").alias("s"))
+    )
+    return lift_gains_from_labeled(labeled)
+
+
+def _lift_gains_oracle() -> str:
+    return f"""
+WITH {_dsir_w_ctes()},
+labeled AS (
+  SELECT w.doc_id, w.logw_micro AS s, d.lang = 'en' AS y
+  FROM w JOIN documents d USING (doc_id)
+),
+tiled AS (
+  SELECT doc_id, s, y,
+         NTILE({GAINS_TILES}) OVER (ORDER BY s DESC, doc_id) AS tile
+  FROM labeled
+),
+cells AS (
+  SELECT CAST(tile AS BIGINT) AS tile,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM tiled GROUP BY 1
+),
+cum AS (
+  SELECT tile, n_rows, n_pos,
+         CAST(COALESCE(SUM(n_rows) OVER (ORDER BY tile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           + n_rows AS cum_rows,
+         CAST(COALESCE(SUM(n_pos) OVER (ORDER BY tile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           + n_pos AS cum_pos
+  FROM cells
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS t_rows,
+         CAST(SUM(n_pos) AS BIGINT) AS t_pos
+  FROM cells
+)
+SELECT tile, n_rows, n_pos, cum_rows, cum_pos,
+       {_GAIN_MICRO} AS gain_micro,
+       {_LIFT_MICRO} AS lift_micro
+FROM cum CROSS JOIN tot
+"""
+
+
+QUERIES["feat_lift_gains"] = QuerySpec(q_feat_lift_gains, _lift_gains_oracle())

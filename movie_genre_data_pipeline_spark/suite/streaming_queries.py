@@ -4666,3 +4666,33 @@ def _stream_boot_oracle() -> str:
 QUERIES["stream_bootstrap_ci"] = QuerySpec(
     q_stream_bootstrap_ci, _stream_boot_oracle()
 )
+
+
+def q_stream_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained gains table (r13): the decile lift/cumulative-
+    gains readout of the DSIR selector, re-derived at READOUT over the same
+    additive ledger triple as the AUC family (see _dsir_labeled_from_stream)
+    — every doc re-judged under the final folded model, then the ranged
+    ntile + prefix-sum tail prices each top-k operating point. Shares the
+    batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        lift_gains_from_labeled,
+    )
+
+    labeled = _dsir_labeled_from_stream(spark, sf_dir, "stream_lift_").select(
+        "doc_id", "y", F.col("logw_micro").alias("s")
+    )
+    return lift_gains_from_labeled(labeled)
+
+
+def _stream_lift_gains_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _lift_gains_oracle,
+    )
+
+    return _lift_gains_oracle()
+
+
+QUERIES["stream_lift_gains"] = QuerySpec(
+    q_stream_lift_gains, _stream_lift_gains_oracle()
+)

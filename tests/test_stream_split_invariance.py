@@ -143,6 +143,9 @@ FOLDS = [
     # mid-stream compaction (fold(compact(prefix) ∪ suffix) is the identity
     # the whole operator stands on)
     "stream_ledger_compact",
+    # late r13: the gains-table readout over the SAME DSIR ledgers (scores
+    # re-judged under the final model, deciles a readout decision)
+    "stream_lift_gains",
 ]
 
 
