@@ -503,6 +503,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the decile lift / cumulative-gains table (batch + ledger twin)
     "feat_lift_gains",
     "stream_lift_gains",
+    # late r13: the Brier score + generalized Murphy decomposition (batch
+    # only — the IRLS probability-axis family, like the calibration report)
+    "feat_brier_decomposition",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -3034,7 +3034,12 @@ _CAL_OBS_RATE = (
 )
 
 
-def q_feat_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, mu_micro) for every order under the IRLS fit's FINAL betas — the
+    shared front half of the probability-axis evaluations (calibration
+    report, Brier decomposition). The fit is iters x the d²-sized
+    map-side-combined Gram; only the d+1 final micro-betas are collected;
+    scoring is one more scan-local projection."""
     from movie_genre_data_pipeline_spark.functions.regression import (
         SIGMOID_MICRO_SQL,
         logreg_irls_micro,
@@ -3060,12 +3065,16 @@ def q_feat_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     traj = logreg_irls_micro(labeled, "x1", "x2", "y", iters=LOGREG_ITERS)
     final = traj.filter(F.col("iter") == LOGREG_ITERS).collect()[0]
     b0, b1, b2 = final["b0_micro"], final["b1_micro"], final["b2_micro"]
-    scored = labeled.select(
+    return labeled.select(
         "y",
         (
             F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
         ).alias("z_micro"),
     ).withColumn("mu_micro", F.expr(SIGMOID_MICRO_SQL))
+
+
+def q_feat_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _logreg_scored(spark, sf_dir)
     bins = scored.groupBy(
         F.expr("mu_micro DIV 100000").cast("bigint").alias("bin")
     ).agg(
@@ -3087,7 +3096,11 @@ def q_feat_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _calibration_oracle() -> str:
+def _logreg_scored_ctes() -> str:
+    """The fit-and-score chain as WITH-body text ending at
+    scored(y, mu_micro) — the oracle twin of _logreg_scored, shared by the
+    calibration and Brier-decomposition oracles so the scoring chain is
+    spelled exactly once."""
     from movie_genre_data_pipeline_spark.functions.regression import (
         SIGMOID_MICRO_SQL,
     )
@@ -3105,12 +3118,17 @@ def _calibration_oracle() -> str:
 ),
 b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
               CAST(0 AS BIGINT) AS b2)"""
-    tail = f""",
+    scored = f""",
 scored AS (
   SELECT y, {SIGMOID_MICRO_SQL} AS mu_micro
   FROM (SELECT f.y, b.b0 + b.b1 * x1 + b.b2 * x2 AS z_micro
         FROM f CROSS JOIN b{LOGREG_ITERS} b)
-),
+)"""
+    return head + _irls_ctes(LOGREG_ITERS) + scored
+
+
+def _calibration_oracle() -> str:
+    tail = f""",
 bins AS (
   SELECT CAST(mu_micro // 100000 AS BIGINT) AS bin,
          CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3123,11 +3141,181 @@ SELECT bin, n_rows, {_CAL_AVG_PRED} AS avg_pred_micro,
        {_CAL_AVG_PRED} - {_CAL_OBS_RATE} AS gap_micro
 FROM bins
 """
-    return head + _irls_ctes(LOGREG_ITERS) + tail
+    return _logreg_scored_ctes() + tail
 
 
 QUERIES["feat_calibration_report"] = QuerySpec(
     q_feat_calibration_report, _calibration_oracle()
+)
+
+
+# -- classifier evaluation: Brier score + Murphy decomposition (r13) ----------------------
+# The scalar that prices the WHOLE probability axis at once: the Brier score
+# (mean squared error of the predicted probability) and its Murphy (1973)
+# decomposition over the calibration deciles — reliability (how far bin
+# confidence sits from bin truth; lower is better, the ECE's squared
+# cousin), resolution (how far bin truths spread from the base rate; HIGHER
+# is better — a classifier can be perfectly calibrated and useless), and
+# uncertainty (the base rate's own variance, the floor no model beats
+# without information). With binned predictions the 3-term identity is
+# exact; with raw scores it carries two extra terms (Stephenson et al.'s
+# generalized decomposition) which we PUBLISH instead of hiding — the
+# within-bin prediction variance and the within-bin prediction-outcome
+# covariance: brier ≈ reliability − resolution + uncertainty + within_bin
+# − 2·within_cov (law-tested to quantization tolerance). Exactness: mu is the
+# integer micro-sigmoid, so Σ(mu − 1e6·y)², per-bin (Σmu − 1e6·Σy)², and
+# Σmu² are exact DECIMAL(38,0) integers; each per-bin term quantizes ONCE
+# through a shared double expression + FLOOR(x+0.5), and each readout
+# divides once by 1e6·N. Scale shape: the IRLS fit (iters × d² Gram), then
+# ONE more scan collapsed map-side into 10 bin rows + a 1-row global.
+_BRIER_MICRO = (
+    "CAST(FLOOR(CAST(sum_sq AS DOUBLE)"
+    " / (CAST(1000000 AS DOUBLE) * CAST(n_rows AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_YBAR_MICRO = (
+    "CAST(FLOOR(CAST(sum_y AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_rows AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_UNC_MICRO = (
+    "CAST(FLOOR(CAST(ybar_micro * (1000000 - ybar_micro) AS DOUBLE)"
+    " / CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+# per-bin n_k·(p̄_k − ȳ_k)² in micro² units = (Σmu_k − 1e6·Σy_k)²/n_k —
+# the numerator squared exactly in DECIMAL(38,0), ONE double divide
+_REL_TERM = (
+    "CAST(FLOOR(CAST(CAST(b_sum_mu - 1000000 * b_sum_y AS DECIMAL(38,0))"
+    " * (b_sum_mu - 1000000 * b_sum_y) AS DOUBLE)"
+    " / CAST(b_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))"
+)
+# per-bin n_k·(ȳ_k − ȳ)² in micro² units = (1e6·Σy_k − n_k·ȳ_micro)²/n_k
+_RES_TERM = (
+    "CAST(FLOOR(CAST(CAST(1000000 * b_sum_y - b_n * ybar_micro"
+    " AS DECIMAL(38,0))"
+    " * (1000000 * b_sum_y - b_n * ybar_micro) AS DOUBLE)"
+    " / CAST(b_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))"
+)
+# per-bin within-bin prediction variance Σmu² − (Σmu)²/n_k in micro² units
+_WB_TERM = (
+    "CAST(FLOOR(CAST(b_sum_mu2 AS DOUBLE)"
+    " - CAST(CAST(b_sum_mu AS DECIMAL(38,0)) * b_sum_mu AS DOUBLE)"
+    " / CAST(b_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))"
+)
+# per-bin within-bin prediction-outcome covariance, micro² units:
+# 1e6·(Σmu·y − Σmu·Σy/n_k) — signed, so FLOOR(x+0.5) is the half-up spell
+_WC_TERM = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) * (CAST(b_sum_mu_y AS DOUBLE)"
+    " - CAST(CAST(b_sum_mu AS DECIMAL(38,0)) * b_sum_y AS DOUBLE)"
+    " / CAST(b_n AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))"
+)
+_TERM_TO_MICRO = (
+    "CAST(FLOOR(CAST({t} AS DOUBLE)"
+    " / (CAST(1000000 AS DOUBLE) * CAST(n_rows AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_feat_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _logreg_scored(spark, sf_dir).localCheckpoint(eager=False)
+    glob = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.expr(
+            "SUM(CAST(mu_micro - 1000000 * y AS DECIMAL(38,0))"
+            " * (mu_micro - 1000000 * y))"
+        ).alias("sum_sq"),
+    ).selectExpr(
+        "n_rows",
+        "sum_y",
+        "sum_sq",
+        f"{_YBAR_MICRO} AS ybar_micro",
+    )
+    bins = scored.groupBy(
+        F.expr("mu_micro DIV 100000").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_n"),
+        F.sum("y").cast("bigint").alias("b_sum_y"),
+        F.expr("SUM(CAST(mu_micro AS DECIMAL(38,0)))").alias("b_sum_mu"),
+        F.expr("SUM(CAST(mu_micro AS DECIMAL(38,0)) * mu_micro)").alias(
+            "b_sum_mu2"
+        ),
+        F.expr("SUM(CAST(mu_micro AS DECIMAL(38,0)) * y)").alias("b_sum_mu_y"),
+    )
+    terms = (
+        bins.crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "n_rows",
+            "sum_y",
+            "sum_sq",
+            "ybar_micro",
+            f"{_REL_TERM} AS rel_term",
+            f"{_RES_TERM} AS res_term",
+            f"{_WB_TERM} AS wb_term",
+            f"{_WC_TERM} AS wc_term",
+        )
+        .groupBy("n_rows", "sum_y", "sum_sq", "ybar_micro")
+        .agg(
+            F.sum("rel_term").alias("rel_sum"),
+            F.sum("res_term").alias("res_sum"),
+            F.sum("wb_term").alias("wb_sum"),
+            F.sum("wc_term").alias("wc_sum"),
+        )
+    )
+    return terms.selectExpr(
+        "n_rows",
+        "ybar_micro",
+        f"{_BRIER_MICRO} AS brier_micro",
+        f"{_UNC_MICRO} AS unc_micro",
+        f"{_TERM_TO_MICRO.format(t='rel_sum')} AS reliability_micro",
+        f"{_TERM_TO_MICRO.format(t='res_sum')} AS resolution_micro",
+        f"{_TERM_TO_MICRO.format(t='wb_sum')} AS within_bin_micro",
+        f"{_TERM_TO_MICRO.format(t='wc_sum')} AS within_cov_micro",
+    )
+
+
+def _brier_oracle() -> str:
+    tail = f""",
+gtot AS (
+  SELECT n_rows, sum_y, sum_sq, {_YBAR_MICRO} AS ybar_micro
+  FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           SUM(CAST(mu_micro - 1000000 * y AS DECIMAL(38,0))
+               * (mu_micro - 1000000 * y)) AS sum_sq
+    FROM scored)
+),
+bins AS (
+  SELECT CAST(mu_micro // 100000 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS b_n,
+         CAST(SUM(y) AS BIGINT) AS b_sum_y,
+         SUM(CAST(mu_micro AS DECIMAL(38,0))) AS b_sum_mu,
+         SUM(CAST(mu_micro AS DECIMAL(38,0)) * mu_micro) AS b_sum_mu2,
+         SUM(CAST(mu_micro AS DECIMAL(38,0)) * y) AS b_sum_mu_y
+  FROM scored GROUP BY 1
+),
+terms AS (
+  SELECT n_rows, sum_y, sum_sq, ybar_micro,
+         SUM({_REL_TERM}) AS rel_sum,
+         SUM({_RES_TERM}) AS res_sum,
+         SUM({_WB_TERM}) AS wb_sum,
+         SUM({_WC_TERM}) AS wc_sum
+  FROM bins CROSS JOIN gtot
+  GROUP BY 1, 2, 3, 4
+)
+SELECT n_rows, ybar_micro,
+       {_BRIER_MICRO} AS brier_micro,
+       {_UNC_MICRO} AS unc_micro,
+       {_TERM_TO_MICRO.format(t='rel_sum')} AS reliability_micro,
+       {_TERM_TO_MICRO.format(t='res_sum')} AS resolution_micro,
+       {_TERM_TO_MICRO.format(t='wb_sum')} AS within_bin_micro,
+       {_TERM_TO_MICRO.format(t='wc_sum')} AS within_cov_micro
+FROM terms
+"""
+    return _logreg_scored_ctes() + tail
+
+
+QUERIES["feat_brier_decomposition"] = QuerySpec(
+    q_feat_brier_decomposition, _brier_oracle()
 )
 
 

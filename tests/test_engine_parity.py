@@ -913,3 +913,71 @@ def test_bootstrap_ci_matches_hashlib_replicas(spark):
         point = int(sum(quality[d] for d in ids) / len(ids) + 0.5)
         assert row["mean_micro"] == point
         assert row["ci_lo_micro"] <= point <= row["ci_hi_micro"]
+
+
+def test_brier_decomposition_matches_numpy_and_murphy_identity(spark):
+    """Law test: rebuild the scored rows independently (numpy sigmoid under
+    the published final betas), recompute the raw Brier score and every
+    Murphy component from scratch, and require agreement to the quantization
+    floor; then pin the Murphy identity itself — brier = reliability −
+    resolution + uncertainty + within_bin − 2·within_cov (the generalized
+    form with raw, non-constant within-bin predictions) — to the
+    stacked-rounding tolerance of its independent micro quantizations."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_brier_decomposition"].fn(spark, sf).collect()[0]
+    traj = {
+        r["iter"]: r
+        for r in all_queries()["feat_logreg_recovery"].fn(spark, sf).collect()
+    }
+    b = traj[max(traj)]
+    con = duckdb.connect()
+    feats = con.sql(
+        f"""SELECT CAST(o_orderkey % 180 + 60 AS BIGINT),
+               CAST(o_custkey % 25 AS BIGINT),
+               CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
+                 AS BIGINT)
+        FROM '{sf}/orders.parquet'"""
+    ).fetchall()
+    x1 = np.array([f[0] for f in feats], dtype=np.float64)
+    x2 = np.array([f[1] for f in feats], dtype=np.float64)
+    u = np.array([f[2] for f in feats], dtype=np.float64) / 281474976710656.0
+    zt = (-2_000_000 + 30_000 * x1 - 150_000 * x2) / 1e6
+    y = (u < 1.0 / (1.0 + np.exp(-zt))).astype(np.float64)
+    z = (b["b0_micro"] + b["b1_micro"] * x1 + b["b2_micro"] * x2) / 1e6
+    mu = np.clip(np.round(1e6 / (1.0 + np.exp(-z))), 1, 999_999)
+    p = mu / 1e6
+    n = len(y)
+    assert row["n_rows"] == n
+    ybar = y.mean()
+    assert math.isclose(row["ybar_micro"] / 1e6, ybar, abs_tol=2e-6)
+    brier = float(((p - y) ** 2).mean())
+    assert math.isclose(row["brier_micro"] / 1e6, brier, abs_tol=2e-6)
+    assert math.isclose(
+        row["unc_micro"] / 1e6, ybar * (1 - ybar), abs_tol=3e-6
+    )
+    bins = (mu // 100_000).astype(int)
+    rel = res = wb = wc = 0.0
+    for bi in sorted(set(bins)):
+        m = bins == bi
+        rel += m.sum() * float((p[m].mean() - y[m].mean()) ** 2)
+        res += m.sum() * float((y[m].mean() - ybar) ** 2)
+        wb += float(((p[m] - p[m].mean()) ** 2).sum())
+        wc += float(((p[m] - p[m].mean()) * (y[m] - y[m].mean())).sum())
+    assert math.isclose(row["reliability_micro"] / 1e6, rel / n, abs_tol=3e-6)
+    assert math.isclose(row["resolution_micro"] / 1e6, res / n, abs_tol=3e-6)
+    assert math.isclose(row["within_bin_micro"] / 1e6, wb / n, abs_tol=3e-6)
+    assert math.isclose(row["within_cov_micro"] / 1e6, wc / n, abs_tol=3e-6)
+    # the generalized Murphy identity, on the published integers
+    lhs = row["brier_micro"]
+    rhs = (
+        row["reliability_micro"]
+        - row["resolution_micro"]
+        + row["unc_micro"]
+        + row["within_bin_micro"]
+        - 2 * row["within_cov_micro"]
+    )
+    assert abs(lhs - rhs) <= 12, (lhs, rhs)
+    # a useful classifier resolves more than it miscalibrates
+    assert row["resolution_micro"] > 0
