@@ -506,6 +506,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the Brier score + generalized Murphy decomposition (batch
     # only — the IRLS probability-axis family, like the calibration report)
     "feat_brier_decomposition",
+    # late r13: Gini revenue concentration + top shares (batch + ledger twin)
+    "ops_gini_concentration",
+    "stream_gini_concentration",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

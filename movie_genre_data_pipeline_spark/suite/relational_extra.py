@@ -1382,6 +1382,142 @@ ORDER BY rank
 QUERIES["ops_skew_report"] = QuerySpec(q_skew_report, Q_SKEW_REPORT_ORACLE)
 
 
+# -- concentration observability: Gini coefficient of customer revenue (r13) ------------
+# The inequality readout next to ops_skew_report's top-k view: HOW
+# concentrated is revenue across customers, as one standardized number plus
+# the top-1%/top-10% shares an analyst actually quotes. Gini via the exact
+# rank identity G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+# per-customer integer cents (tie-safe: equal x contribute the same Σ i·x
+# under any tie ordering). Exactness: cents are the shared
+# ROUND(price·100) spell (positive doubles — the half-up hazard class
+# doesn't bite), ranks come from the range-partitioned row number
+# (operators/ranking — no single-task window at any customer count),
+# Σ i·x accumulates in DECIMAL(38,0) (rank·cents is O(n·total) — past
+# 2^63 the moment both clear ~3e9), and each published ratio quantizes
+# ONCE via a DECIMAL numerator cast to DOUBLE for a single divide + the
+# FLOOR(x+0.5) spell. Scale shape: one custkey-keyed aggregate, one ranged
+# rank, two 1-row reductions; customers without orders are out of frame
+# (revenue concentration is over revenue-bearing customers).
+_GINI_MICRO = (
+    "CASE WHEN n_customers > 1 AND total_cents > 0 THEN"
+    " CAST(FLOOR(CAST(2 * s_rank_cents"
+    " - (CAST(n_customers AS DECIMAL(38,0)) + 1) * total_cents AS DOUBLE)"
+    " * CAST(1000000 AS DOUBLE)"
+    " / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_TOP_SHARE_MICRO = (
+    "CASE WHEN total_cents > 0 THEN"
+    " CAST(FLOOR(CAST(CAST({t} AS DECIMAL(38,0)) * 1000000 AS DOUBLE)"
+    " / CAST(total_cents AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+# integer head counts via FLOOR over an exact double (< 2^53) — shared text
+# because Spark spells integer division DIV and DuckDB spells it // (the
+# hourly floor-div lesson)
+_TOP1_K = (
+    "GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(CAST(n_customers AS DOUBLE)"
+    " / CAST(100 AS DOUBLE)) AS BIGINT))"
+)
+_TOP10_K = (
+    "CAST(FLOOR(CAST(n_customers AS DOUBLE) / CAST(10 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def gini_from_customer_cents(per_cust: DataFrame) -> DataFrame:
+    """The concentration tail over (c, cents) rows, however the per-customer
+    totals were accumulated — shared by the batch query and the streaming
+    ledger twin."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_row_number,
+    )
+
+    ranked = ranged_row_number(
+        per_cust, [F.col("cents"), F.col("c")], "i"
+    ).localCheckpoint(eager=False)
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr("SUM(CAST(i AS DECIMAL(38,0)) * cents)").alias("s_rank_cents"),
+    )
+    tops = (
+        ranked.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_customers",
+            "total_cents",
+            "s_rank_cents",
+            f"CASE WHEN i > n_customers - ({_TOP1_K}) THEN cents"
+            " ELSE CAST(0 AS BIGINT) END AS c1",
+            f"CASE WHEN i > n_customers - ({_TOP10_K}) THEN cents"
+            " ELSE CAST(0 AS BIGINT) END AS c10",
+        )
+        .groupBy("n_customers", "total_cents", "s_rank_cents")
+        .agg(
+            F.sum("c1").cast("bigint").alias("top1_cents"),
+            F.sum("c10").cast("bigint").alias("top10_cents"),
+        )
+    )
+    return tops.selectExpr(
+        "n_customers",
+        "total_cents",
+        f"{_GINI_MICRO} AS gini_micro",
+        f"{_TOP_SHARE_MICRO.format(t='top1_cents')} AS top1pct_share_micro",
+        f"{_TOP_SHARE_MICRO.format(t='top10_cents')} AS top10pct_share_micro",
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return gini_from_customer_cents(per_cust)
+
+
+Q_GINI_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT c, cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, c) AS BIGINT) AS i
+  FROM per_cust
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(i AS DECIMAL(38,0)) * cents) AS s_rank_cents
+  FROM ranked
+),
+tops AS (
+  SELECT n_customers, total_cents, s_rank_cents,
+         CAST(SUM(CASE WHEN i > n_customers - ({_TOP1_K}) THEN cents
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS top1_cents,
+         CAST(SUM(CASE WHEN i > n_customers - ({_TOP10_K}) THEN cents
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS top10_cents
+  FROM ranked CROSS JOIN tot
+  GROUP BY 1, 2, 3
+)
+SELECT n_customers, total_cents,
+       {_GINI_MICRO} AS gini_micro,
+       {_TOP_SHARE_MICRO.format(t='top1_cents')} AS top1pct_share_micro,
+       {_TOP_SHARE_MICRO.format(t='top10_cents')} AS top10pct_share_micro
+FROM tops
+"""
+
+
+QUERIES["ops_gini_concentration"] = QuerySpec(
+    q_gini_concentration, Q_GINI_ORACLE
+)
+
+
 def q_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT surface: build a nested document per event, parse it
     into a VARIANT, and extract typed paths back out — the semi-structured

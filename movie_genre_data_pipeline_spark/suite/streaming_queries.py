@@ -4696,3 +4696,67 @@ def _stream_lift_gains_oracle() -> str:
 QUERIES["stream_lift_gains"] = QuerySpec(
     q_stream_lift_gains, _stream_lift_gains_oracle()
 )
+
+
+def q_stream_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained revenue-concentration report (r13): per-batch
+    per-customer cent partials append to a ledger (each order lands in
+    exactly one micro-batch, so the per-customer totals SUM-fold — the
+    simplest additive fact), and the Gini/top-share readout re-ranks the
+    FOLDED totals (rank is a readout decision, never streamed state).
+    Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.relational_extra import (
+        gini_from_customer_cents,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_gini_")
+    src, led = f"{base}/src", f"{base}/cents"
+    o = load(spark, sf_dir, "orders")
+    o.select(
+        F.col("o_custkey").cast("bigint"),
+        F.col("o_totalprice").cast("double"),
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy(F.col("o_custkey").alias("c")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        ).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    per_cust = (
+        spark.read.parquet(led)
+        .groupBy("c")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    return gini_from_customer_cents(per_cust)
+
+
+def _stream_gini_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.relational_extra import (
+        Q_GINI_ORACLE,
+    )
+
+    return Q_GINI_ORACLE
+
+
+QUERIES["stream_gini_concentration"] = QuerySpec(
+    q_stream_gini_concentration, _stream_gini_oracle()
+)

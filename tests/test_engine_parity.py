@@ -981,3 +981,41 @@ def test_brier_decomposition_matches_numpy_and_murphy_identity(spark):
     assert abs(lhs - rhs) <= 12, (lhs, rhs)
     # a useful classifier resolves more than it miscalibrates
     assert row["resolution_micro"] > 0
+
+
+def test_gini_concentration_matches_numpy(spark):
+    """Law test: rebuild the per-customer cent totals independently in
+    DuckDB, recompute the Gini rank identity and both top shares in numpy,
+    and require agreement to the quantization floor; pin the range laws
+    (0 <= G < 1, top10 share >= top1 share >= its population floor)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["ops_gini_concentration"].fn(spark, sf).collect()[0]
+    con = duckdb.connect()
+    cents = np.array(
+        [
+            r[0]
+            for r in con.sql(
+                f"""SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT)
+                FROM '{sf}/orders.parquet' GROUP BY o_custkey"""
+            ).fetchall()
+        ],
+        dtype=np.int64,
+    )
+    x = np.sort(cents)
+    n, t = len(x), int(x.sum())
+    assert row["n_customers"] == n and row["total_cents"] == t
+    i = np.arange(1, n + 1, dtype=np.float64)
+    gini = (2.0 * float((i * x).sum()) - (n + 1) * t) / (n * t)
+    assert math.isclose(row["gini_micro"] / 1e6, gini, abs_tol=2e-6)
+    k1, k10 = max(1, n // 100), n // 10
+    top1 = float(x[n - k1 :].sum()) / t
+    top10 = float(x[n - k10 :].sum()) / t if k10 else 0.0
+    assert math.isclose(row["top1pct_share_micro"] / 1e6, top1, abs_tol=2e-6)
+    assert math.isclose(row["top10pct_share_micro"] / 1e6, top10, abs_tol=2e-6)
+    assert 0 <= row["gini_micro"] < 1_000_000
+    assert row["top10pct_share_micro"] >= row["top1pct_share_micro"]
+    # the top 10% cannot hold less than 10% of a nonnegative distribution
+    assert row["top10pct_share_micro"] >= 100_000 - 1

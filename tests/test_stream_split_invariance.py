@@ -146,6 +146,9 @@ FOLDS = [
     # late r13: the gains-table readout over the SAME DSIR ledgers (scores
     # re-judged under the final model, deciles a readout decision)
     "stream_lift_gains",
+    # late r13: the concentration readout over the per-customer cent ledger
+    # (totals SUM-fold; ranks and shares are readout decisions)
+    "stream_gini_concentration",
 ]
 
 
