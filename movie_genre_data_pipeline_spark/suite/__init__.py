@@ -509,6 +509,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: Gini revenue concentration + top shares (batch + ledger twin)
     "ops_gini_concentration",
     "stream_gini_concentration",
+    # late r13: Mann-Kendall trend + Theil-Sen slope (batch + ledger twin)
+    "ts_mann_kendall",
+    "stream_mann_kendall",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -4760,3 +4760,61 @@ def _stream_gini_oracle() -> str:
 QUERIES["stream_gini_concentration"] = QuerySpec(
     q_stream_gini_concentration, _stream_gini_oracle()
 )
+
+
+def q_stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained trend test (r13): per-batch DAILY count
+    partials SUM-fold (an event's day is decided at arrival — the ACF
+    ladder's calendar-grain discipline one tier up), while the dense spine,
+    the S fold, the tie correction, and the Theil-Sen slope median all
+    re-derive at READOUT from the folded series. Shares the batch oracle
+    verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        daily_event_counts,
+        mann_kendall_from_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_mk_")
+    src, led = f"{base}/src", f"{base}/counts"
+    ev = load(spark, sf_dir, "events")
+    ev.select("ts", "event_id").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        daily_event_counts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    counts = (
+        spark.read.parquet(led)
+        .groupBy("day_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return mann_kendall_from_counts(counts)
+
+
+def _stream_mk_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        Q_TS_MANN_KENDALL_ORACLE,
+    )
+
+    return Q_TS_MANN_KENDALL_ORACLE
+
+
+QUERIES["stream_mann_kendall"] = QuerySpec(
+    q_stream_mann_kendall, _stream_mk_oracle()
+)

@@ -1038,3 +1038,210 @@ FROM per_hour CROSS JOIN gtot
 QUERIES["ts_seasonal_decompose"] = QuerySpec(
     q_ts_seasonal_decompose, Q_TS_SEASONAL_DECOMPOSE_ORACLE
 )
+
+
+# -- Mann-Kendall trend test + Sen's slope over the daily series (r13) --------------------
+# The nonparametric trend detector the monitoring world runs when it cannot
+# assume normality or linear residuals (Mann 1945 / Kendall 1975, the
+# hydrology standard): S = Σ_{i<j} sign(x_j − x_i) over the dense DAILY
+# event-count series, its tie-corrected variance, the continuity-corrected z
+# statistic, and the Theil-Sen slope (the median of all pairwise slopes —
+# 29.3% breakdown point, the robust trend magnitude OLS can't give under
+# outliers). Exactness: S, the tie term Σ t(t−1)(2t+5), and 18·Var are exact
+# BIGINTs; z resolves in one shared double expression (sqrt of an exact
+# integer ratio) + the FLOOR(x+0.5) spell; each pairwise slope quantizes
+# ONCE to micro-units (signed — the half-up spell again) and the published
+# slope is the LOWER median at rank (m+1)/2 under the (slope, d1, d2) total
+# order (the dq_mad_outliers discipline), so both engines name the same
+# pair. Scale shape: ONE fact scan collapses map-side to the calendar-sized
+# daily grain; the pairwise fan-out is GRAIN-bounded (days², not rows² —
+# ~66k pairs even at a full year), never data-sized; the slope median ranks
+# through the range-partitioned row number; readout is one row.
+_MK_Z_MICRO = (
+    "CASE WHEN var18 > 0 AND s_stat > 0 THEN"
+    " CAST(FLOOR((CAST(s_stat AS DOUBLE) - CAST(1 AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)"
+    " / sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " WHEN var18 > 0 AND s_stat < 0 THEN"
+    " CAST(FLOOR((CAST(s_stat AS DOUBLE) + CAST(1 AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)"
+    " / sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_MK_SLOPE_MICRO = (
+    "CAST(FLOOR(CAST(x2 - x1 AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(d2 - d1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_MK_MEDIAN_RANK = (
+    "CAST(FLOOR((CAST(m AS DOUBLE) + CAST(1 AS DOUBLE))"
+    " / CAST(2 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def daily_event_counts(events: DataFrame) -> DataFrame:
+    """(day_id, cnt) — additive daily facts over ONE events scan (day_id =
+    FLOOR-division of epoch micros by a day of micros, sign-exact via
+    operators.timeseries.epoch_floor_div). SUM-foldable, so the streaming
+    twin appends these partials."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_floor_div
+
+    return (
+        events.select(epoch_floor_div("ts", 86_400_000_000).alias("day_id"))
+        .groupBy("day_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def mann_kendall_from_counts(counts: DataFrame) -> DataFrame:
+    """The Mann-Kendall + Theil-Sen tail over additive (day_id, cnt) facts,
+    however accumulated: densify onto the min..max day spine (a silent-outage
+    day is a real 0), fold S and the tie correction, rank the pairwise
+    slopes, publish one row. `counts` feeds several consumers, so the daily
+    fan-out is barrier-pinned."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_row_number,
+    )
+
+    counts = counts.localCheckpoint(eager=False)
+    spine = (
+        counts.agg(
+            F.min("day_id").alias("min_d"), F.max("day_id").alias("max_d")
+        )
+        .selectExpr("explode(sequence(min_d, max_d)) AS day_id")
+    )
+    dense = (
+        spine.join(F.broadcast(counts), "day_id", "left")
+        .select(
+            "day_id", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+        )
+        .localCheckpoint(eager=False)
+    )
+    d1 = dense.select(F.col("day_id").alias("d1"), F.col("cnt").alias("x1"))
+    d2 = dense.select(F.col("day_id").alias("d2"), F.col("cnt").alias("x2"))
+    pairs = d1.join(F.broadcast(d2), F.col("d2") > F.col("d1")).localCheckpoint(
+        eager=False
+    )
+    s_fold = pairs.agg(
+        F.sum(F.expr("CAST(sign(x2 - x1) AS BIGINT)")).cast("bigint").alias(
+            "s_stat"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    base = dense.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(COUNT(*) AS BIGINT) * (COUNT(*) - 1) * (2 * COUNT(*) + 5)"
+        ).alias("d_term"),
+    )
+    ties = (
+        dense.groupBy("cnt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    slopes = pairs.selectExpr(f"{_MK_SLOPE_MICRO} AS slope_micro", "d1", "d2")
+    ranked = ranged_row_number(
+        slopes, [F.col("slope_micro"), F.col("d1"), F.col("d2")], "rn"
+    )
+    median = (
+        ranked.crossJoin(
+            F.broadcast(s_fold.selectExpr("n_pairs AS m"))
+        )
+        .filter(F.expr(f"rn = {_MK_MEDIAN_RANK}"))
+        .select(F.col("slope_micro").alias("sen_slope_micro"))
+    )
+    return (
+        s_fold.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(median))
+        .selectExpr(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "d_term - tie_term AS var18",
+            "sen_slope_micro",
+        )
+        .selectExpr(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "var18",
+            f"{_MK_Z_MICRO} AS z_micro",
+            "sen_slope_micro",
+        )
+    )
+
+
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return mann_kendall_from_counts(daily_event_counts(ev))
+
+
+Q_TS_MANN_KENDALL_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+           - CASE WHEN CAST(epoch_us(ts) AS BIGINT) % 86400000000 < 0
+                  THEN 1 ELSE 0 END AS day_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day_id) AS min_d, MAX(day_id) AS max_d FROM counts),
+spine AS (
+  SELECT UNNEST(generate_series(min_d, max_d)) AS day_id FROM bounds
+),
+dense AS MATERIALIZED (
+  SELECT s.day_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c ON c.day_id = s.day_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.day_id AS d1, b.day_id AS d2, a.cnt AS x1, b.cnt AS x2
+  FROM dense a JOIN dense b ON b.day_id > a.day_id
+),
+s_fold AS (
+  SELECT CAST(SUM(CAST(sign(x2 - x1) AS BIGINT)) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(COUNT(*) AS BIGINT) * (COUNT(*) - 1) * (2 * COUNT(*) + 5)
+           AS d_term
+  FROM dense
+),
+ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM dense GROUP BY cnt)
+),
+slopes AS (
+  SELECT {_MK_SLOPE_MICRO} AS slope_micro, d1, d2 FROM pairs
+),
+ranked AS (
+  SELECT slope_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY slope_micro, d1, d2) AS BIGINT)
+           AS rn
+  FROM slopes
+),
+median AS (
+  SELECT r.slope_micro AS sen_slope_micro
+  FROM ranked r CROSS JOIN (SELECT n_pairs AS m FROM s_fold)
+  WHERE rn = {_MK_MEDIAN_RANK}
+),
+folded AS (
+  SELECT n_days, n_pairs, s_stat, d_term - tie_term AS var18,
+         sen_slope_micro
+  FROM s_fold CROSS JOIN base CROSS JOIN ties CROSS JOIN median
+)
+SELECT n_days, n_pairs, s_stat, var18,
+       {_MK_Z_MICRO} AS z_micro,
+       sen_slope_micro
+FROM folded
+"""
+
+QUERIES["ts_mann_kendall"] = QuerySpec(
+    q_ts_mann_kendall, Q_TS_MANN_KENDALL_ORACLE
+)

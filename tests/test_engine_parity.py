@@ -1019,3 +1019,47 @@ def test_gini_concentration_matches_numpy(spark):
     assert row["top10pct_share_micro"] >= row["top1pct_share_micro"]
     # the top 10% cannot hold less than 10% of a nonnegative distribution
     assert row["top10pct_share_micro"] >= 100_000 - 1
+
+
+def test_mann_kendall_matches_numpy(spark):
+    """Law test: rebuild the dense daily series independently in DuckDB,
+    recompute S, the tie-corrected variance, the continuity-corrected z, and
+    the Theil-Sen lower-median slope in pure numpy, and require agreement to
+    the quantization floor; pin the pair-count identity and the sign law
+    (z and the Sen slope agree in sign when both are nonzero)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["ts_mann_kendall"].fn(spark, sf).collect()[0]
+    con = duckdb.connect()
+    day_counts = dict(
+        con.sql(
+            f"""SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                   COUNT(*)
+            FROM '{sf}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    lo, hi = min(day_counts), max(day_counts)
+    x = np.array([day_counts.get(d, 0) for d in range(lo, hi + 1)], dtype=np.int64)
+    n = len(x)
+    assert row["n_days"] == n
+    assert row["n_pairs"] == n * (n - 1) // 2
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += int(np.sign(x[j] - x[i]))
+            slopes.append(
+                math.floor((int(x[j]) - int(x[i])) * 1e6 / (j - i) + 0.5)
+            )
+    assert row["s_stat"] == s
+    _, t = np.unique(x, return_counts=True)
+    var18 = n * (n - 1) * (2 * n + 5) - int((t * (t - 1) * (2 * t + 5)).sum())
+    assert row["var18"] == var18
+    var = var18 / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    assert math.isclose(row["z_micro"] / 1e6, z, abs_tol=2e-6)
+    slopes.sort()
+    assert row["sen_slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
+    if row["z_micro"] != 0 and row["sen_slope_micro"] != 0:
+        assert (row["z_micro"] > 0) == (row["sen_slope_micro"] > 0)

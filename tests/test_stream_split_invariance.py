@@ -149,6 +149,10 @@ FOLDS = [
     # late r13: the concentration readout over the per-customer cent ledger
     # (totals SUM-fold; ranks and shares are readout decisions)
     "stream_gini_concentration",
+    # late r13: the trend test over the daily-count ledger (calendar-grain
+    # SUM fold; the spine, S, ties, and the slope median are readout
+    # decisions)
+    "stream_mann_kendall",
 ]
 
 
