@@ -512,6 +512,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: Mann-Kendall trend + Theil-Sen slope (batch + ledger twin)
     "ts_mann_kendall",
     "stream_mann_kendall",
+    # late r13: chi-squared independence + Cramér's V (batch + ledger twin)
+    "feat_chi2_independence",
+    "stream_chi2_independence",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -2035,6 +2035,137 @@ QUERIES["feat_mutual_info"] = QuerySpec(
 )
 
 
+# -- chi-squared independence test + Cramér's V (r13) -------------------------------------
+# The frequentist companion to feat_mutual_info's information-theoretic
+# readout: Pearson's χ² test of independence between two categorical
+# columns (is the language mix the same across sources?) with its effect
+# size, Cramér's V — the pair every drift review quotes (χ² says "not
+# independent", V says "by how much" on a 0..1 scale). The grid is the FULL
+# |X|×|Y| cross of observed levels (a structurally-absent cell is a real
+# O=0 with E>0 — dropping it inflates independence), built as a broadcast
+# margin cross-join, never a fact-side fan-out. Exactness: O and both
+# margins are exact BIGINTs; each cell's (O·N − r·c)²/(N·r·c) term
+# evaluates in ONE shared double expression quantized once to micro
+# (deliberately double throughout — the cross-moment O·N reaches ~1e24 at
+# petabyte counts, past DECIMAL(38)'s square headroom; at the driver's SFs
+# every factor is exactly representable), then χ² folds as a BIGINT sum of
+# per-cell micros and V resolves by one shared sqrt. Scale shape: one fact
+# scan collapses map-side to |X|·|Y| cells; margins, grid, and readout are
+# all broadcast-sized.
+_CHI2_TERM_MICRO = (
+    "CAST(FLOOR("
+    "(CAST(o AS DOUBLE) * CAST(n_rows AS DOUBLE)"
+    " - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE))"
+    " * (CAST(o AS DOUBLE) * CAST(n_rows AS DOUBLE)"
+    " - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)"
+    " / (CAST(n_rows AS DOUBLE) * CAST(r_tot AS DOUBLE)"
+    " * CAST(c_tot AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_CRAMERS_V_MICRO = (
+    "CASE WHEN n_rows > 0 AND LEAST(r_levels, c_levels) > 1 THEN"
+    " CAST(FLOOR(sqrt(CAST(chi2_micro AS DOUBLE)"
+    " / (CAST(1000000 AS DOUBLE) * CAST(n_rows AS DOUBLE)"
+    " * CAST(LEAST(r_levels, c_levels) - 1 AS DOUBLE)))"
+    " * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """The independence-test tail over ADDITIVE (x, y, n_xy) contingency
+    facts, however accumulated — shared by the batch query and the
+    streaming ledger twin. Margins, the zero-filled grid, per-cell terms,
+    and the V readout all derive here."""
+    cells = cells.localCheckpoint(eager=False)
+    mx = cells.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("r_tot"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("c_tot"))
+    tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n_rows"))
+    grid = (
+        mx.crossJoin(F.broadcast(my))
+        .join(F.broadcast(cells), ["x", "y"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "r_tot",
+            "c_tot",
+            "n_rows",
+            F.coalesce("n_xy", F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
+    folded = grid.selectExpr(
+        "n_rows", f"{_CHI2_TERM_MICRO} AS term_micro"
+    ).agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+    )
+    levels = mx.agg(F.count(F.lit(1)).cast("bigint").alias("r_levels")).crossJoin(
+        F.broadcast(my.agg(F.count(F.lit(1)).cast("bigint").alias("c_levels")))
+    )
+    return (
+        folded.crossJoin(F.broadcast(levels))
+        .selectExpr(
+            "n_rows",
+            "n_cells",
+            "r_levels",
+            "c_levels",
+            "(r_levels - 1) * (c_levels - 1) AS dof",
+            "chi2_micro",
+            f"{_CRAMERS_V_MICRO} AS cramers_v_micro",
+        )
+    )
+
+
+def q_feat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        F.col("lang").alias("x"), F.col("source").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    return chi2_from_cells(cells)
+
+
+Q_FEAT_CHI2_ORACLE = f"""
+WITH cells AS (
+  SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS r_tot FROM cells GROUP BY x),
+my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS c_tot FROM cells GROUP BY y),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_rows FROM cells),
+grid AS (
+  SELECT mx.x, my.y, r_tot, c_tot, n_rows,
+         CAST(COALESCE(c.n_xy, 0) AS BIGINT) AS o
+  FROM mx CROSS JOIN my
+  LEFT JOIN cells c ON c.x = mx.x AND c.y = my.y
+  CROSS JOIN tot
+),
+folded AS (
+  SELECT MAX(n_rows) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM({_CHI2_TERM_MICRO}) AS BIGINT) AS chi2_micro
+  FROM grid
+),
+levels AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS r_levels,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM my) AS c_levels
+)
+SELECT n_rows, n_cells, r_levels, c_levels,
+       (r_levels - 1) * (c_levels - 1) AS dof,
+       chi2_micro,
+       {_CRAMERS_V_MICRO} AS cramers_v_micro
+FROM folded CROSS JOIN levels
+"""
+
+
+QUERIES["feat_chi2_independence"] = QuerySpec(
+    q_feat_chi2_independence, Q_FEAT_CHI2_ORACLE
+)
+
+
 # -- priority-sample threshold estimator (r12) -------------------------------------------------
 # sample_weighted_reservoir keeps the top-k priority sample; this query adds
 # the other half of Duffield/Lund/Thorup priority sampling — the THRESHOLD

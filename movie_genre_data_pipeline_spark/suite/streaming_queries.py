@@ -4818,3 +4818,64 @@ def _stream_mk_oracle() -> str:
 QUERIES["stream_mann_kendall"] = QuerySpec(
     q_stream_mann_kendall, _stream_mk_oracle()
 )
+
+
+def q_stream_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained independence test (r13): (lang, source) cell
+    partials SUM-fold per micro-batch (the stream_mutual_info ledger shape),
+    while margins, the zero-filled grid, every χ² term, and Cramér's V all
+    re-derive at READOUT from the folded contingency. Shares the batch
+    oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        chi2_from_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_chi2_")
+    src, led = f"{base}/src", f"{base}/cells"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "source").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy(
+            F.col("lang").alias("x"), F.col("source").alias("y")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy")).write.mode(
+            "append"
+        ).parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    cells = (
+        spark.read.parquet(led)
+        .groupBy("x", "y")
+        .agg(F.sum("n_xy").cast("bigint").alias("n_xy"))
+    )
+    return chi2_from_cells(cells)
+
+
+def _stream_chi2_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        Q_FEAT_CHI2_ORACLE,
+    )
+
+    return Q_FEAT_CHI2_ORACLE
+
+
+QUERIES["stream_chi2_independence"] = QuerySpec(
+    q_stream_chi2_independence, _stream_chi2_oracle()
+)

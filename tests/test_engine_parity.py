@@ -1063,3 +1063,37 @@ def test_mann_kendall_matches_numpy(spark):
     assert row["sen_slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
     if row["z_micro"] != 0 and row["sen_slope_micro"] != 0:
         assert (row["z_micro"] > 0) == (row["sen_slope_micro"] > 0)
+
+
+def test_chi2_independence_matches_numpy(spark):
+    """Law test: rebuild the lang×source contingency independently in
+    DuckDB, recompute χ² (zero cells included) and Cramér's V in numpy, and
+    require agreement to the quantization floor; pin the grid identity
+    (n_cells = |X|·|Y|) and the V range law (0 <= V <= 1)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_chi2_independence"].fn(spark, sf).collect()[0]
+    con = duckdb.connect()
+    obs = con.sql(
+        f"""SELECT lang, source, COUNT(*)
+        FROM '{sf}/documents.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    langs = sorted({r[0] for r in obs})
+    srcs = sorted({r[1] for r in obs})
+    o = np.zeros((len(langs), len(srcs)), dtype=np.int64)
+    for lang, src, n in obs:
+        o[langs.index(lang), srcs.index(src)] = n
+    n = int(o.sum())
+    r_tot, c_tot = o.sum(axis=1), o.sum(axis=0)
+    e = np.outer(r_tot, c_tot) / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    assert row["n_rows"] == n
+    assert row["n_cells"] == len(langs) * len(srcs)
+    assert row["r_levels"] == len(langs) and row["c_levels"] == len(srcs)
+    assert row["dof"] == (len(langs) - 1) * (len(srcs) - 1)
+    # per-cell micro quantization: ±0.5µ per grid cell
+    assert abs(row["chi2_micro"] / 1e6 - chi2) <= len(langs) * len(srcs) * 5e-7 + 1e-6
+    v = math.sqrt(chi2 / (n * (min(len(langs), len(srcs)) - 1)))
+    assert math.isclose(row["cramers_v_micro"] / 1e6, v, abs_tol=3e-6)
+    assert 0 <= row["cramers_v_micro"] <= 1_000_000

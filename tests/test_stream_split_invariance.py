@@ -153,6 +153,10 @@ FOLDS = [
     # SUM fold; the spine, S, ties, and the slope median are readout
     # decisions)
     "stream_mann_kendall",
+    # late r13: the independence test over the (lang, source) cell ledger
+    # (pure SUM fold; margins, the zero-filled grid, and V are readout
+    # re-derivations)
+    "stream_chi2_independence",
 ]
 
 
