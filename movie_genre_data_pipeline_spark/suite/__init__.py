@@ -515,6 +515,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: chi-squared independence + Cramér's V (batch + ledger twin)
     "feat_chi2_independence",
     "stream_chi2_independence",
+    # late r13: degree assortativity of the co-service graph (batch — the
+    # graph-family precedent)
+    "graph_degree_assortativity",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -513,3 +513,100 @@ CROSS JOIN stats
 
 
 QUERIES["graph_adamic_adar"] = QuerySpec(q_graph_adamic_adar, Q_ADAMIC_ADAR_ORACLE)
+
+
+# -- degree assortativity of the co-service graph (r13) -----------------------------------
+# The mixing-structure readout next to the link predictor: do high-degree
+# suppliers serve high-degree customers (assortative, r > 0) or do hubs
+# attach to leaves (disassortative, r < 0 — the typical bipartite
+# commerce/web shape, Newman 2002)? Computed as the Pearson correlation of
+# the endpoint degrees ACROSS EDGES of the supplier–customer bipartite
+# graph — the quantity that decides whether degree-targeted sampling or
+# hub-first dedup will starve one side. Exactness: degrees are exact
+# BIGINTs, the five moments are exact DECIMAL(38,0) sums (Σxy ~ E·d² passes
+# 2^63 early), and r resolves through the SAME shared double expression the
+# ACF ladder uses (_ACF_R_MICRO — one spell, every Pearson readout). Scale
+# shape: edges stay data-sized end to end — two degree aggregates, two
+# keyed joins back onto the edge list, one map-side-combined 1-row moment
+# fold; no pairwise fan-out anywhere (contrast Adamic-Adar, which must cap).
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        _ACF_R_MICRO,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("s"),
+            F.col("o_custkey").cast("bigint").alias("c"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    joined = edges.join(sdeg, "s").join(cdeg, "c")
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    counts = sdeg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers")
+    ).crossJoin(
+        F.broadcast(
+            cdeg.agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        )
+    )
+    return sums.crossJoin(F.broadcast(counts)).selectExpr(
+        "n AS n_edges",
+        "n_suppliers",
+        "n_customers",
+        f"{_ACF_R_MICRO} AS assortativity_micro",
+    )
+
+
+def _assortativity_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        _ACF_R_MICRO,
+    )
+
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+         CAST(o.o_custkey AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+sdeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS x FROM edges GROUP BY 1),
+cdeg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS y FROM edges GROUP BY 1),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM edges JOIN sdeg USING (s) JOIN cdeg USING (c)
+),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sdeg) AS n_suppliers,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cdeg) AS n_customers
+)
+SELECT n AS n_edges, n_suppliers, n_customers,
+       {_ACF_R_MICRO} AS assortativity_micro
+FROM sums CROSS JOIN counts
+"""
+
+
+QUERIES["graph_degree_assortativity"] = QuerySpec(
+    q_graph_degree_assortativity, _assortativity_oracle()
+)

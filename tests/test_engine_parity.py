@@ -1097,3 +1097,35 @@ def test_chi2_independence_matches_numpy(spark):
     v = math.sqrt(chi2 / (n * (min(len(langs), len(srcs)) - 1)))
     assert math.isclose(row["cramers_v_micro"] / 1e6, v, abs_tol=3e-6)
     assert 0 <= row["cramers_v_micro"] <= 1_000_000
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    """Law test: rebuild the distinct supplier-customer edge list in DuckDB,
+    recompute the across-edges degree correlation in numpy, and require
+    agreement to the quantization floor; pin the range law (|r| <= 1) and
+    the moment identities (n_edges = Σ deg on either side)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        all_queries()["graph_degree_assortativity"].fn(spark, sf).collect()[0]
+    )
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT CAST(l.l_suppkey AS BIGINT),
+               CAST(o.o_custkey AS BIGINT)
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/orders.parquet' o ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    from collections import Counter
+
+    sdeg = Counter(e[0] for e in edges)
+    cdeg = Counter(e[1] for e in edges)
+    x = np.array([sdeg[e[0]] for e in edges], dtype=np.float64)
+    y = np.array([cdeg[e[1]] for e in edges], dtype=np.float64)
+    assert row["n_edges"] == len(edges)
+    assert row["n_suppliers"] == len(sdeg)
+    assert row["n_customers"] == len(cdeg)
+    r = float(np.corrcoef(x, y)[0, 1])
+    assert math.isclose(row["assortativity_micro"] / 1e6, r, abs_tol=2e-6)
+    assert -1_000_000 <= row["assortativity_micro"] <= 1_000_000
