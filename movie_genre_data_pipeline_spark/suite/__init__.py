@@ -518,6 +518,10 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: degree assortativity of the co-service graph (batch — the
     # graph-family precedent)
     "graph_degree_assortativity",
+    # late r13: split-conformal threshold + coverage audit (batch — the
+    # IRLS probability-axis family; its k-threading also flips the
+    # calibration/Brier fingerprints, both already seated)
+    "feat_conformal_threshold",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -3166,9 +3166,10 @@ _CAL_OBS_RATE = (
 
 
 def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(y, mu_micro) for every order under the IRLS fit's FINAL betas — the
-    shared front half of the probability-axis evaluations (calibration
-    report, Brier decomposition). The fit is iters x the d²-sized
+    """(k, y, mu_micro) for every order under the IRLS fit's FINAL betas —
+    the shared front half of the probability-axis evaluations (calibration
+    report, Brier decomposition, conformal threshold; k = the orderkey, the
+    deterministic split handle). The fit is iters x the d²-sized
     map-side-combined Gram; only the d+1 final micro-betas are collected;
     scoring is one more scan-local projection."""
     from movie_genre_data_pipeline_spark.functions.regression import (
@@ -3178,6 +3179,7 @@ def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     feats = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
         (F.col("o_orderkey") % 180 + 60).cast("bigint").alias("x1"),
         (F.col("o_custkey") % 25).cast("bigint").alias("x2"),
         F.conv(
@@ -3192,11 +3194,12 @@ def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("u48"),
     ).withColumn("zt", F.expr(_LOGREG_ZT))
-    labeled = feats.select("x1", "x2", F.expr(_LOGREG_LABEL).alias("y"))
+    labeled = feats.select("k", "x1", "x2", F.expr(_LOGREG_LABEL).alias("y"))
     traj = logreg_irls_micro(labeled, "x1", "x2", "y", iters=LOGREG_ITERS)
     final = traj.filter(F.col("iter") == LOGREG_ITERS).collect()[0]
     b0, b1, b2 = final["b0_micro"], final["b1_micro"], final["b2_micro"]
     return labeled.select(
+        "k",
         "y",
         (
             F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
@@ -3237,11 +3240,12 @@ def _logreg_scored_ctes() -> str:
     )
 
     head = f"""WITH f AS MATERIALIZED (
-  SELECT x1, x2, {_LOGREG_LABEL} AS y
+  SELECT k, x1, x2, {_LOGREG_LABEL} AS y
   FROM (
-    SELECT x1, x2, u48, {_LOGREG_ZT} AS zt
+    SELECT k, x1, x2, u48, {_LOGREG_ZT} AS zt
     FROM (
-      SELECT CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_orderkey % 180 + 60 AS BIGINT) AS x1,
              CAST(o_custkey % 25 AS BIGINT) AS x2,
              CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
                AS BIGINT) AS u48
@@ -3251,8 +3255,8 @@ b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
               CAST(0 AS BIGINT) AS b2)"""
     scored = f""",
 scored AS (
-  SELECT y, {SIGMOID_MICRO_SQL} AS mu_micro
-  FROM (SELECT f.y, b.b0 + b.b1 * x1 + b.b2 * x2 AS z_micro
+  SELECT k, y, {SIGMOID_MICRO_SQL} AS mu_micro
+  FROM (SELECT f.k, f.y, b.b0 + b.b1 * x1 + b.b2 * x2 AS z_micro
         FROM f CROSS JOIN b{LOGREG_ITERS} b)
 )"""
     return head + _irls_ctes(LOGREG_ITERS) + scored
@@ -4412,3 +4416,119 @@ FROM cum CROSS JOIN tot
 
 
 QUERIES["feat_lift_gains"] = QuerySpec(q_feat_lift_gains, _lift_gains_oracle())
+
+
+# -- split-conformal threshold + coverage audit (r13) -------------------------------------
+# The distribution-free uncertainty wrapper the modern evaluation stack puts
+# AROUND any classifier (Vovk et al.; Angelopoulos & Bates 2022): on a held
+# calibration half, take the ⌈(n+1)(1−α)⌉-th smallest nonconformity score
+# (here the absolute probability residual |1e6·y − mu|, an exact integer);
+# on the disjoint test half, the share of rows whose score falls within that
+# threshold is guaranteed ≥ 1−α in expectation under exchangeability — with
+# NO assumption the sigmoid is calibrated. The query publishes the
+# threshold, its rank, and the measured test coverage next to the 1−α
+# target, so the guarantee is an oracle-checked row, not a claim.
+# Determinism: the split is orderkey parity; the order statistic is picked
+# under the (score, k) total order so both engines name the same row; the
+# rank ⌈0.9·(n+1)⌉ is exact integer arithmetic through the shared
+# FLOOR((9(n+1)+9)/10) spell. Scale shape: the IRLS fit + one scoring scan;
+# the calibration rank runs through the range-partitioned row number (no
+# single-task window at any calibration size); coverage is one conditional
+# fold; readout one row.
+CONFORMAL_ALPHA_PCT = 10  # α = 0.10 → 90% target coverage
+
+_CONF_Q_RANK = (
+    "CAST(FLOOR((CAST(9 * (n_cal + 1) AS DOUBLE) + CAST(9 AS DOUBLE))"
+    " / CAST(10 AS DOUBLE)) AS BIGINT)"
+)
+_CONF_COVERAGE_MICRO = (
+    "CASE WHEN n_test > 0 THEN"
+    " CAST(FLOOR(CAST(n_covered AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_test AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def q_feat_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_row_number,
+    )
+
+    scored = (
+        _logreg_scored(spark, sf_dir)
+        .selectExpr(
+            "k",
+            "ABS(1000000 * y - mu_micro) AS r",
+            "k % 2 = 0 AS is_cal",
+        )
+        .localCheckpoint(eager=False)
+    )
+    cal = scored.filter(F.col("is_cal"))
+    n_cal = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    ranked = ranged_row_number(cal, [F.col("r"), F.col("k")], "rn")
+    q = (
+        ranked.crossJoin(F.broadcast(n_cal))
+        .filter(F.expr(f"rn = {_CONF_Q_RANK}"))
+        .selectExpr("n_cal", "rn AS q_rank", "r AS q_micro")
+    )
+    cov = (
+        scored.filter(~F.col("is_cal"))
+        .crossJoin(F.broadcast(q))
+        .groupBy("n_cal", "q_rank", "q_micro")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q_micro"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return cov.selectExpr(
+        "n_cal",
+        "n_test",
+        "q_rank",
+        "q_micro",
+        "n_covered",
+        f"{_CONF_COVERAGE_MICRO} AS coverage_micro",
+        f"CAST({(100 - CONFORMAL_ALPHA_PCT) * 10_000} AS BIGINT)"
+        " AS target_micro",
+    )
+
+
+def _conformal_oracle() -> str:
+    tail = f""",
+nonconf AS (
+  SELECT k, ABS(1000000 * y - mu_micro) AS r, k % 2 = 0 AS is_cal
+  FROM scored
+),
+ncal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM nonconf WHERE is_cal
+),
+ranked AS (
+  SELECT r, CAST(ROW_NUMBER() OVER (ORDER BY r, k) AS BIGINT) AS rn
+  FROM nonconf WHERE is_cal
+),
+q AS (
+  SELECT n_cal, rn AS q_rank, r AS q_micro
+  FROM ranked CROSS JOIN ncal
+  WHERE rn = {_CONF_Q_RANK}
+),
+cov AS (
+  SELECT n_cal, q_rank, q_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN t.r <= q.q_micro THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM nonconf t CROSS JOIN q
+  WHERE NOT t.is_cal
+  GROUP BY 1, 2, 3
+)
+SELECT n_cal, n_test, q_rank, q_micro, n_covered,
+       {_CONF_COVERAGE_MICRO} AS coverage_micro,
+       CAST({(100 - CONFORMAL_ALPHA_PCT) * 10_000} AS BIGINT) AS target_micro
+FROM cov
+"""
+    return _logreg_scored_ctes() + tail
+
+
+QUERIES["feat_conformal_threshold"] = QuerySpec(
+    q_feat_conformal_threshold, _conformal_oracle()
+)

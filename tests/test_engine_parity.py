@@ -1129,3 +1129,63 @@ def test_degree_assortativity_matches_numpy(spark):
     r = float(np.corrcoef(x, y)[0, 1])
     assert math.isclose(row["assortativity_micro"] / 1e6, r, abs_tol=2e-6)
     assert -1_000_000 <= row["assortativity_micro"] <= 1_000_000
+
+
+def test_conformal_threshold_matches_numpy_and_coverage_law(spark):
+    """Law test: rebuild the nonconformity scores independently (numpy
+    sigmoid under the published final betas), recompute the split-conformal
+    order statistic and the test coverage in pure Python, and require exact
+    integer agreement; then pin the conformal guarantee itself — measured
+    test coverage within sampling slack of the 1−α target (the whole point
+    of the wrapper), and the rank/threshold consistency laws."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        all_queries()["feat_conformal_threshold"].fn(spark, sf).collect()[0]
+    )
+    traj = {
+        r["iter"]: r
+        for r in all_queries()["feat_logreg_recovery"].fn(spark, sf).collect()
+    }
+    b = traj[max(traj)]
+    con = duckdb.connect()
+    feats = con.sql(
+        f"""SELECT CAST(o_orderkey AS BIGINT),
+               CAST(o_orderkey % 180 + 60 AS BIGINT),
+               CAST(o_custkey % 25 AS BIGINT),
+               CAST(concat('0x', substring(md5(o_orderkey || ':logreg'), 1, 12))
+                 AS BIGINT)
+        FROM '{sf}/orders.parquet'"""
+    ).fetchall()
+    k = np.array([f[0] for f in feats], dtype=np.int64)
+    x1 = np.array([f[1] for f in feats], dtype=np.float64)
+    x2 = np.array([f[2] for f in feats], dtype=np.float64)
+    u = np.array([f[3] for f in feats], dtype=np.float64) / 281474976710656.0
+    zt = (-2_000_000 + 30_000 * x1 - 150_000 * x2) / 1e6
+    y = (u < 1.0 / (1.0 + np.exp(-zt))).astype(np.int64)
+    z = (b["b0_micro"] + b["b1_micro"] * x1 + b["b2_micro"] * x2) / 1e6
+    mu = np.clip(np.round(1e6 / (1.0 + np.exp(-z))), 1, 999_999).astype(np.int64)
+    r = np.abs(1_000_000 * y - mu)
+    cal_mask = k % 2 == 0
+    cal = sorted(zip(r[cal_mask].tolist(), k[cal_mask].tolist()))
+    n_cal = len(cal)
+    assert row["n_cal"] == n_cal
+    q_rank = (9 * (n_cal + 1) + 9) // 10
+    assert row["q_rank"] == q_rank
+    q = cal[q_rank - 1][0]
+    assert row["q_micro"] == q
+    test_r = r[~cal_mask]
+    assert row["n_test"] == len(test_r)
+    covered = int((test_r <= q).sum())
+    assert row["n_covered"] == covered
+    assert row["coverage_micro"] == math.floor(
+        covered * 1e6 / len(test_r) + 0.5
+    )
+    # the conformal guarantee: coverage ~ 1−α, within binomial slack
+    slack = 4.0 * math.sqrt(0.1 * 0.9 / len(test_r))
+    assert row["coverage_micro"] / 1e6 >= 0.9 - slack, (
+        row["coverage_micro"],
+        slack,
+    )
+    assert 0 <= row["q_micro"] <= 1_000_000
