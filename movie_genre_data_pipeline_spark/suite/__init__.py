@@ -522,6 +522,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # IRLS probability-axis family; its k-threading also flips the
     # calibration/Brier fingerprints, both already seated)
     "feat_conformal_threshold",
+    # late r13: Neyman optimal stratified allocation (batch + ledger twin)
+    "sample_neyman_allocation",
+    "stream_neyman_allocation",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -4532,3 +4532,138 @@ FROM cov
 QUERIES["feat_conformal_threshold"] = QuerySpec(
     q_feat_conformal_threshold, _conformal_oracle()
 )
+
+
+# -- Neyman optimal stratified allocation (r13) -------------------------------------------
+# The design question BEFORE any stratified sample is drawn: given a budget
+# of n draws, how many should each stratum get? Proportional allocation
+# wastes budget on homogeneous strata; Neyman (1934) allocation n_h ∝
+# N_h·S_h is the variance-minimizing answer, and this query computes it
+# EXACTLY: per-language doc counts and n_chars moments fold to exact
+# integers, S_h quantizes once (one shared sqrt expression over exact
+# DECIMAL(38,0) moments + the FLOOR(x+0.5) spell), the weight w_h = N_h·S_h
+# stays a BIGINT, and the integer apportionment uses the largest-remainder
+# (Hamilton) method — base_h = (n·w_h) DIV Σw and one extra seat to the L
+# largest remainders under the (remainder DESC, lang) total order — so the
+# allocations are integers that sum to the budget EXACTLY (a law test, not
+# a rounding hope). All quantities are positive, so Spark's DIV and the
+# oracle's // agree (the sign caveat that bit the hourly bucketing can't
+# arise). Scale shape: one fact scan collapses map-side to |languages|
+# moment rows; the remainder rank runs through the range-partitioned row
+# number; everything downstream is broadcast-sized.
+NEYMAN_BUDGET = 1000
+
+_NEYMAN_STD_MICRO = (
+    "CASE WHEN n_docs > 1 THEN"
+    " CAST(FLOOR(sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)))"
+    " * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def neyman_from_moments(facts: DataFrame) -> DataFrame:
+    """The allocation tail over ADDITIVE per-stratum moment facts
+    (lang, n_docs, sx, sxx), however accumulated — shared by the batch query
+    and the streaming ledger twin."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_row_number,
+    )
+
+    strata = facts.selectExpr(
+        "lang",
+        "n_docs",
+        f"{_NEYMAN_STD_MICRO} AS std_micro",
+    ).selectExpr(
+        "lang", "n_docs", "std_micro", "n_docs * std_micro AS w_micro"
+    ).localCheckpoint(eager=False)
+    tot = strata.agg(F.sum("w_micro").cast("bigint").alias("tw"))
+    based = (
+        strata.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "std_micro",
+            "w_micro",
+            "CASE WHEN tw > 0 THEN"
+            f" ({NEYMAN_BUDGET} * w_micro) DIV tw"
+            " ELSE CAST(0 AS BIGINT) END AS base_n",
+            "CASE WHEN tw > 0 THEN"
+            f" ({NEYMAN_BUDGET} * w_micro) % tw"
+            " ELSE CAST(0 AS BIGINT) END AS rem",
+        )
+        .localCheckpoint(eager=False)
+    )
+    left = based.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base_n")).cast("bigint").alias("l_seats"),
+        F.sum("w_micro").cast("bigint").alias("tw_check"),
+    )
+    ranked = ranged_row_number(
+        based, [F.col("rem").desc(), F.col("lang")], "rr"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(left))
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "std_micro",
+            "w_micro",
+            "CAST(base_n + CASE WHEN tw_check > 0 AND rr <= l_seats"
+            " THEN 1 ELSE 0 END AS BIGINT) AS alloc",
+        )
+    )
+
+
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    facts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("sx"),
+        F.expr("SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)").alias("sxx"),
+    )
+    return neyman_from_moments(facts)
+
+
+Q_NEYMAN_ORACLE = f"""
+WITH facts AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS DECIMAL(38,0)) AS sx,
+         SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS sxx
+  FROM documents GROUP BY 1
+),
+strata AS (
+  SELECT lang, n_docs, std_micro, n_docs * std_micro AS w_micro
+  FROM (SELECT lang, n_docs, {_NEYMAN_STD_MICRO} AS std_micro FROM facts)
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM strata),
+based AS (
+  SELECT lang, n_docs, std_micro, w_micro,
+         CASE WHEN tw > 0 THEN ({NEYMAN_BUDGET} * w_micro) // tw
+              ELSE CAST(0 AS BIGINT) END AS base_n,
+         CASE WHEN tw > 0 THEN ({NEYMAN_BUDGET} * w_micro) % tw
+              ELSE CAST(0 AS BIGINT) END AS rem
+  FROM strata CROSS JOIN tot
+),
+leftover AS (
+  SELECT CAST({NEYMAN_BUDGET} - SUM(base_n) AS BIGINT) AS l_seats,
+         CAST(SUM(w_micro) AS BIGINT) AS tw_check
+  FROM based
+),
+ranked AS (
+  SELECT b.*,
+         CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rr
+  FROM based b
+)
+SELECT lang, n_docs, std_micro, w_micro,
+       CAST(base_n + CASE WHEN tw_check > 0 AND rr <= l_seats
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked CROSS JOIN leftover
+"""
+
+
+QUERIES["sample_neyman_allocation"] = QuerySpec(
+    q_sample_neyman_allocation, Q_NEYMAN_ORACLE
+)

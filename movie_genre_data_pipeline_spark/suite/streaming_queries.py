@@ -4879,3 +4879,71 @@ def _stream_chi2_oracle() -> str:
 QUERIES["stream_chi2_independence"] = QuerySpec(
     q_stream_chi2_independence, _stream_chi2_oracle()
 )
+
+
+def q_stream_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Neyman allocation (r13): per-batch per-language
+    n_chars moment partials (n, Σx, Σx²) SUM-fold — the Gram-ledger shape —
+    and the S_h quantization, the weights, and the whole largest-remainder
+    apportionment re-derive at READOUT from the folded moments, so the
+    always-current design equals the batch design bit-for-bit. Shares the
+    batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        neyman_from_moments,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_neyman_")
+    src, led = f"{base}/src", f"{base}/moments"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "n_chars").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("decimal(38,0)").alias("sx"),
+            F.expr("SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)").alias(
+                "sxx"
+            ),
+        ).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    facts = (
+        spark.read.parquet(led)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sx").cast("decimal(38,0)").alias("sx"),
+            F.sum("sxx").cast("decimal(38,0)").alias("sxx"),
+        )
+    )
+    return neyman_from_moments(facts)
+
+
+def _stream_neyman_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        Q_NEYMAN_ORACLE,
+    )
+
+    return Q_NEYMAN_ORACLE
+
+
+QUERIES["stream_neyman_allocation"] = QuerySpec(
+    q_stream_neyman_allocation, _stream_neyman_oracle()
+)

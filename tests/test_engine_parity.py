@@ -1189,3 +1189,53 @@ def test_conformal_threshold_matches_numpy_and_coverage_law(spark):
         slack,
     )
     assert 0 <= row["q_micro"] <= 1_000_000
+
+
+def test_neyman_allocation_matches_numpy_and_sums_to_budget(spark):
+    """Law test: rebuild the per-language n_chars moments independently in
+    DuckDB, recompute S_h, the Neyman weights, and the Hamilton
+    apportionment in pure Python, and require exact integer agreement; pin
+    the budget identity (Σ alloc == n, the point of largest-remainder) and
+    the proportionality law (allocations ordered like the weights, up to
+    the one-seat remainder)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["lang"]: r
+        for r in all_queries()["sample_neyman_allocation"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    facts = con.sql(
+        f"""SELECT lang, COUNT(*), SUM(n_chars),
+               SUM(CAST(n_chars AS HUGEINT) * n_chars)
+        FROM '{sf}/documents.parquet' GROUP BY 1"""
+    ).fetchall()
+    budget = 1000
+    w = {}
+    for lang, n, sx, sxx in facts:
+        if n > 1:
+            var = (n * float(sxx) - float(sx) ** 2) / (n * (n - 1))
+            std_micro = math.floor(math.sqrt(var) * 1e6 + 0.5)
+        else:
+            std_micro = 0
+        assert rows[lang]["n_docs"] == n
+        assert rows[lang]["std_micro"] == std_micro
+        w[lang] = n * std_micro
+    tw = sum(w.values())
+    base = {l: (budget * wl) // tw for l, wl in w.items()}
+    rem = {l: (budget * wl) % tw for l, wl in w.items()}
+    seats = budget - sum(base.values())
+    order = sorted(w, key=lambda l: (-rem[l], l))
+    alloc = {
+        l: base[l] + (1 if i < seats else 0) for i, l in enumerate(order)
+    }
+    for lang in w:
+        assert rows[lang]["w_micro"] == w[lang]
+        assert rows[lang]["alloc"] == alloc[lang], lang
+    assert sum(r["alloc"] for r in rows.values()) == budget
+    # proportionality: a strictly heavier stratum never gets 2+ fewer seats
+    for a in w:
+        for b in w:
+            if w[a] > w[b]:
+                assert rows[a]["alloc"] >= rows[b]["alloc"] - 1

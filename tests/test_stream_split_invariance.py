@@ -157,6 +157,10 @@ FOLDS = [
     # (pure SUM fold; margins, the zero-filled grid, and V are readout
     # re-derivations)
     "stream_chi2_independence",
+    # late r13: the allocation design over the per-language moment ledger
+    # (Gram-shape SUM fold; S_h, weights, and the Hamilton seats are
+    # readout decisions)
+    "stream_neyman_allocation",
 ]
 
 
