@@ -525,6 +525,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: Neyman optimal stratified allocation (batch + ledger twin)
     "sample_neyman_allocation",
     "stream_neyman_allocation",
+    # late r13: Hill tail-index of the document-length tail (batch + twin)
+    "text_hill_tail_index",
+    "stream_hill_tail_index",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -4947,3 +4947,55 @@ def _stream_neyman_oracle() -> str:
 QUERIES["stream_neyman_allocation"] = QuerySpec(
     q_stream_neyman_allocation, _stream_neyman_oracle()
 )
+
+
+def q_stream_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained tail-index estimate (r13): per-doc length
+    facts append to a ledger (doc_ids unique across batches — the
+    stream_phash_dedup union-fold shape), and the top-k order statistics,
+    the threshold, and the Hill fold all re-derive at READOUT over the
+    folded lengths. Shares the batch oracle verbatim; split-invariance
+    gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        hill_from_lengths,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_hill_")
+    src, led = f"{base}/src", f"{base}/lengths"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "n_chars").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "doc_id", F.col("n_chars").cast("bigint").alias("x")
+        ).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return hill_from_lengths(spark.read.parquet(led))
+
+
+def _stream_hill_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import Q_HILL_ORACLE
+
+    return Q_HILL_ORACLE
+
+
+QUERIES["stream_hill_tail_index"] = QuerySpec(
+    q_stream_hill_tail_index, _stream_hill_oracle()
+)

@@ -1730,3 +1730,114 @@ FROM top CROSS JOIN dd
 """.replace("{ALPHA}", ALPHA_TOKS_SQL)
 
 QUERIES["text_burstiness"] = QuerySpec(q_text_burstiness, Q_BURSTINESS_ORACLE)
+
+
+# -- Hill tail-index estimator over document lengths (r13) --------------------------------
+# The heavy-tail dial next to the Zipf fit: IS the document-length
+# distribution power-law-tailed, and how heavy? The Hill (1975) estimator
+# over the k largest lengths — H = (1/k) Σ ln(x_(i)/x_(k+1)), α̂ = 1/H —
+# is the standard answer (α ≤ 2 means infinite variance: mean document
+# cost is dominated by a few giants, the shuffle-skew early warning for a
+# packing/sharding plan). Determinism: the top-k set is picked under the
+# (n_chars DESC, doc_id) total order via the range-partitioned row number
+# (no single-task window at any corpus size); each of the k log-ratio terms
+# quantizes ONCE to micro-nats (positive by construction — x_(i) ≥
+# x_(k+1) — so the FLOOR(x+0.5) spell is the plain half-up), the fold is a
+# BIGINT sum of k integers, and H/α̂ resolve in one double divide each.
+# Scale shape: one scan projects (doc_id, n_chars); the rank is ranged;
+# everything after row k+1 is never touched again; readout one row.
+HILL_K = 200
+
+_HILL_TERM_MICRO = (
+    "CAST(FLOOR(ln(CAST(x AS DOUBLE) / CAST(x_thr AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_HILL_MICRO = (
+    f"CAST(FLOOR(CAST(sum_terms AS DOUBLE) / CAST({HILL_K} AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_HILL_ALPHA_MICRO = (
+    "CASE WHEN hill_micro > 0 THEN"
+    " CAST(FLOOR(CAST(1000000000000 AS DOUBLE) / CAST(hill_micro AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def hill_from_lengths(lengths: DataFrame) -> DataFrame:
+    """The tail-index tail over (doc_id, x) length facts, however
+    accumulated — shared by the batch query and the streaming ledger twin."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_row_number,
+    )
+
+    ranked = ranged_row_number(
+        lengths, [F.col("x").desc(), F.col("doc_id")], "rn"
+    ).localCheckpoint(eager=False)
+    thr = ranked.filter(F.col("rn") == HILL_K + 1).select(
+        F.col("x").alias("x_thr")
+    )
+    n_docs = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    folded = (
+        ranked.filter(F.col("rn") <= HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .selectExpr(f"{_HILL_TERM_MICRO} AS term_micro", "x_thr")
+        .groupBy("x_thr")
+        .agg(F.sum("term_micro").cast("bigint").alias("sum_terms"))
+    )
+    return (
+        folded.crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "n_docs",
+            f"CAST({HILL_K} AS BIGINT) AS k",
+            "x_thr AS threshold_chars",
+            f"{_HILL_MICRO} AS hill_micro",
+        )
+        .selectExpr(
+            "n_docs",
+            "k",
+            "threshold_chars",
+            "hill_micro",
+            f"{_HILL_ALPHA_MICRO} AS alpha_micro",
+        )
+    )
+
+
+def q_text_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return hill_from_lengths(
+        d.select("doc_id", F.col("n_chars").cast("bigint").alias("x"))
+    )
+
+
+Q_HILL_ORACLE = f"""
+WITH lengths AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+ranked AS (
+  SELECT doc_id, x,
+         CAST(ROW_NUMBER() OVER (ORDER BY x DESC, doc_id) AS BIGINT) AS rn
+  FROM lengths
+),
+thr AS (SELECT x AS x_thr FROM ranked WHERE rn = {HILL_K + 1}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lengths),
+folded AS (
+  SELECT x_thr, CAST(SUM({_HILL_TERM_MICRO}) AS BIGINT) AS sum_terms
+  FROM ranked CROSS JOIN thr
+  WHERE rn <= {HILL_K}
+  GROUP BY 1
+),
+h AS (
+  SELECT n_docs, CAST({HILL_K} AS BIGINT) AS k, x_thr AS threshold_chars,
+         {_HILL_MICRO} AS hill_micro
+  FROM folded CROSS JOIN nd
+)
+SELECT n_docs, k, threshold_chars, hill_micro,
+       {_HILL_ALPHA_MICRO} AS alpha_micro
+FROM h
+"""
+
+QUERIES["text_hill_tail_index"] = QuerySpec(
+    q_text_hill_tail_index, Q_HILL_ORACLE
+)

@@ -1239,3 +1239,40 @@ def test_neyman_allocation_matches_numpy_and_sums_to_budget(spark):
         for b in w:
             if w[a] > w[b]:
                 assert rows[a]["alloc"] >= rows[b]["alloc"] - 1
+
+
+def test_hill_tail_index_matches_numpy(spark):
+    """Law test: rebuild the length ranking independently in DuckDB,
+    recompute the Hill estimator and its alpha in numpy, and require
+    agreement to the quantization floor; pin the positivity laws (every
+    log-ratio term >= 0, alpha > 0) and the threshold identity."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["text_hill_tail_index"].fn(spark, sf).collect()[0]
+    con = duckdb.connect()
+    x = np.array(
+        [
+            r[0]
+            for r in con.sql(
+                f"SELECT n_chars FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ],
+        dtype=np.int64,
+    )
+    xs = np.sort(x)[::-1]
+    k = 200
+    thr = int(xs[k])
+    assert row["n_docs"] == len(x)
+    assert row["k"] == k
+    assert row["threshold_chars"] == thr
+    terms = [
+        math.floor(math.log(int(v) / thr) * 1e6 + 0.5) for v in xs[:k]
+    ]
+    assert all(t >= 0 for t in terms)
+    hill = math.floor(sum(terms) / k + 0.5)
+    assert row["hill_micro"] == hill
+    assert row["alpha_micro"] == math.floor(1e12 / hill + 0.5)
+    h_float = float(np.log(xs[:k].astype(np.float64) / thr).mean())
+    assert math.isclose(row["hill_micro"] / 1e6, h_float, abs_tol=2e-6)
+    assert row["alpha_micro"] > 0

@@ -161,6 +161,10 @@ FOLDS = [
     # (Gram-shape SUM fold; S_h, weights, and the Hamilton seats are
     # readout decisions)
     "stream_neyman_allocation",
+    # late r13: the tail-index readout over the doc-length ledger (union
+    # fold — ids unique across batches; the top-k order statistics and the
+    # Hill fold are readout decisions)
+    "stream_hill_tail_index",
 ]
 
 
