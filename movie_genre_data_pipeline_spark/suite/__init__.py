@@ -528,6 +528,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: Hill tail-index of the document-length tail (batch + twin)
     "text_hill_tail_index",
     "stream_hill_tail_index",
+    # late r13: Kendall tau-b selector-agreement audit (batch — the binned
+    # grid makes a naive doc-pair tau unnecessary at any scale)
+    "feat_rank_tau",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

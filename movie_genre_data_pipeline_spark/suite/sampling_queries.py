@@ -4667,3 +4667,185 @@ FROM ranked CROSS JOIN leftover
 QUERIES["sample_neyman_allocation"] = QuerySpec(
     q_sample_neyman_allocation, Q_NEYMAN_ORACLE
 )
+
+
+# -- selector agreement: Kendall tau-b on the decile grid (r13) ----------------------------
+# Do the corpus's two quality signals — the DSIR target-domain selector and
+# the heuristic quality score — RANK documents the same way? Pearson on raw
+# scores answers a different (linearity) question; the curator's question is
+# ordinal, and Kendall's tau-b is its standard answer. Exact at scale by the
+# GRID identity: each doc lands in a (selector-decile, quality-decile) cell
+# via two range-partitioned ntiles (the SQL-standard remainder rule, doc_id
+# tiebreak), and tau-b of the binned rankings is a pure function of the
+# ≤100-cell contingency table — concordant/discordant pair mass folds over
+# cell PAIRS (≤ C(100,2), grain-bounded forever — never the C(n,2) doc-pair
+# explosion a naive tau needs), ties come from the marginals, and every
+# count is an exact DECIMAL(38,0) (pair masses are O(n²), past BIGINT at
+# ~4.3e9 docs). tau_b = (C − D)/sqrt((n0 − T_x)(n0 − T_y)) resolves in one
+# shared double expression + the signed FLOOR(x+0.5) spell. Scale shape:
+# one DSIR scoring pass + one quality pass, two ranged ntiles, a 100-cell
+# aggregate, a ≤4950-row broadcast cell self-join, 1-row readout.
+RANK_TAU_TILES = 10
+
+_TAU_B_MICRO = (
+    "CASE WHEN (n0 - tx) > 0 AND (n0 - ty) > 0 THEN"
+    " CAST(FLOOR(CAST(conc - disc AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def rank_tau_from_scores(scored: DataFrame) -> DataFrame:
+    """The tau-b tail over (doc_id, s1, s2) rows, however the two scores were
+    derived. Two ranged ntiles -> cell table -> cell-pair fold."""
+    from movie_genre_data_pipeline_spark.operators.ranking import ranged_ntile
+
+    t = ranged_ntile(
+        ranged_ntile(
+            scored, [F.col("s1"), F.col("doc_id")], RANK_TAU_TILES, "bx"
+        ),
+        [F.col("s2"), F.col("doc_id")],
+        RANK_TAU_TILES,
+        "by",
+    )
+    cells = (
+        t.groupBy(
+            F.col("bx").cast("bigint").alias("bx"),
+            F.col("by").cast("bigint").alias("by"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.selectExpr("bx AS x1", "by AS y1", "n_xy AS n1")
+    b = cells.selectExpr("bx AS x2", "by AS y2", "n_xy AS n2")
+    cd = (
+        a.join(F.broadcast(b), F.col("x2") > F.col("x1"))
+        .selectExpr(
+            "CASE WHEN y2 > y1 THEN CAST(n1 AS DECIMAL(38,0)) * n2"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END AS c_term",
+            "CASE WHEN y2 < y1 THEN CAST(n1 AS DECIMAL(38,0)) * n2"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END AS d_term",
+        )
+        .agg(
+            F.sum("c_term").alias("conc"),
+            F.sum("d_term").alias("disc"),
+        )
+    )
+    tx = (
+        cells.groupBy("bx")
+        .agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+        .agg(
+            F.expr(
+                "SUM(CAST(n_x AS DECIMAL(38,0)) * (n_x - 1) / 2)"
+            ).cast("decimal(38,0)").alias("tx")
+        )
+    )
+    ty = (
+        cells.groupBy("by")
+        .agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+        .agg(
+            F.expr(
+                "SUM(CAST(n_y AS DECIMAL(38,0)) * (n_y - 1) / 2)"
+            ).cast("decimal(38,0)").alias("ty")
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_xy").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    ).selectExpr(
+        "n_docs",
+        "n_cells",
+        "CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) / 2"
+        " AS DECIMAL(38,0)) AS n0",
+    )
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_docs",
+            "n_cells",
+            f"{_TAU_B_MICRO} AS tau_b_micro",
+        )
+    )
+
+
+def q_feat_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import dsir_importance
+    from movie_genre_data_pipeline_spark.functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", (F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    scored = (
+        d.select(
+            "doc_id",
+            F.round(quality_score("text") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("s2"),
+        )
+        .join(w, "doc_id")
+        .select("doc_id", F.col("logw_micro").alias("s1"), "s2")
+    )
+    return rank_tau_from_scores(scored)
+
+
+def _rank_tau_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_QUALITY_SCORES_ORACLE,
+    )
+
+    return f"""
+WITH {_dsir_w_ctes()},
+q AS ({Q_QUALITY_SCORES_ORACLE}),
+joined AS (
+  SELECT w.doc_id, w.logw_micro AS s1,
+         CAST(ROUND(q.quality * 1000000.0) AS BIGINT) AS s2
+  FROM w JOIN q ON q.doc_id = w.doc_id
+),
+tiled AS (
+  SELECT doc_id,
+         CAST(NTILE({RANK_TAU_TILES}) OVER (ORDER BY s1, doc_id) AS BIGINT)
+           AS bx,
+         CAST(NTILE({RANK_TAU_TILES}) OVER (ORDER BY s2, doc_id) AS BIGINT)
+           AS by
+  FROM joined
+),
+cells AS MATERIALIZED (
+  SELECT bx, by, CAST(COUNT(*) AS BIGINT) AS n_xy FROM tiled GROUP BY 1, 2
+),
+cd AS (
+  SELECT SUM(CASE WHEN b.by > a.by
+             THEN CAST(a.n_xy AS DECIMAL(38,0)) * b.n_xy
+             ELSE CAST(0 AS DECIMAL(38,0)) END) AS conc,
+         SUM(CASE WHEN b.by < a.by
+             THEN CAST(a.n_xy AS DECIMAL(38,0)) * b.n_xy
+             ELSE CAST(0 AS DECIMAL(38,0)) END) AS disc
+  FROM cells a JOIN cells b ON b.bx > a.bx
+),
+txc AS (
+  SELECT CAST(SUM(CAST(n_x AS DECIMAL(38,0)) * (n_x - 1) / 2)
+              AS DECIMAL(38,0)) AS tx
+  FROM (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY bx)
+),
+tyc AS (
+  SELECT CAST(SUM(CAST(n_y AS DECIMAL(38,0)) * (n_y - 1) / 2)
+              AS DECIMAL(38,0)) AS ty
+  FROM (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY by)
+),
+tot AS (
+  SELECT n_docs, n_cells,
+         CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) / 2
+              AS DECIMAL(38,0)) AS n0
+  FROM (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells)
+)
+SELECT n_docs, n_cells, {_TAU_B_MICRO} AS tau_b_micro
+FROM cd CROSS JOIN txc CROSS JOIN tyc CROSS JOIN tot
+"""
+
+
+QUERIES["feat_rank_tau"] = QuerySpec(q_feat_rank_tau, _rank_tau_oracle())

@@ -1276,3 +1276,72 @@ def test_hill_tail_index_matches_numpy(spark):
     h_float = float(np.log(xs[:k].astype(np.float64) / thr).mean())
     assert math.isclose(row["hill_micro"] / 1e6, h_float, abs_tol=2e-6)
     assert row["alpha_micro"] > 0
+
+
+def test_rank_tau_matches_pure_python(spark):
+    """Law test: rebuild both decile assignments independently (DuckDB DSIR
+    scores + quality scores, NTILE replayed in pure Python), recompute
+    concordant/discordant/tie masses from the contingency cells, and require
+    exact integer agreement on n/cells and quantization-floor agreement on
+    tau; pin the range law |tau_b| <= 1 and the grid bound n_cells <= 100."""
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["feat_rank_tau"].fn(spark, sf).collect()[0]
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _dsir_w_ctes,
+    )
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        Q_QUALITY_SCORES_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    pairs = con.sql(
+        f"""WITH {_dsir_w_ctes()},
+        q AS ({Q_QUALITY_SCORES_ORACLE})
+        SELECT w.doc_id, w.logw_micro,
+               CAST(ROUND(q.quality * 1000000.0) AS BIGINT)
+        FROM w JOIN q ON q.doc_id = w.doc_id"""
+    ).fetchall()
+
+    def ntile(keyed, tiles=10):
+        order = sorted(keyed)
+        n = len(order)
+        base, rem = n // tiles, n % tiles
+        out = {}
+        pos = 0
+        for t in range(1, tiles + 1):
+            size = base + (1 if t <= rem else 0)
+            for _, doc in order[pos : pos + size]:
+                out[doc] = t
+            pos += size
+        return out
+
+    bx = ntile([(p[1], p[0]) for p in pairs])
+    by = ntile([(p[2], p[0]) for p in pairs])
+    from collections import Counter
+
+    cells = Counter((bx[p[0]], by[p[0]]) for p in pairs)
+    assert row["n_docs"] == len(pairs)
+    assert row["n_cells"] == len(cells)
+    assert row["n_cells"] <= 100
+    conc = disc = 0
+    items = list(cells.items())
+    for (x1, y1), n1 in items:
+        for (x2, y2), n2 in items:
+            if x2 > x1 and y2 > y1:
+                conc += n1 * n2
+            elif x2 > x1 and y2 < y1:
+                disc += n1 * n2
+    n = len(pairs)
+    n0 = n * (n - 1) // 2
+    tx = sum(
+        v * (v - 1) // 2 for v in Counter(bx.values()).values()
+    )
+    ty = sum(
+        v * (v - 1) // 2 for v in Counter(by.values()).values()
+    )
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert math.isclose(row["tau_b_micro"] / 1e6, tau, abs_tol=2e-6)
+    assert -1_000_000 <= row["tau_b_micro"] <= 1_000_000
