@@ -117,6 +117,20 @@ SCALE_QUERIES = [
     "feat_pr_auc_report",
     "feat_ks_report",
     "feat_auc_bootstrap_ci",
+    # late r13: the decile-gains ntile + 10-row prefix (must track the AUC
+    # row's law), the ranged customer-rank Gini (linear in customers), the
+    # calendar-grain Mann-Kendall (flat-to-linear: the pairwise fan-out is
+    # days², fixed, while the fact fold is linear), the grid-bounded χ²
+    # (flattest: |X|·|Y| cells regardless of n), the Gram-shape Neyman
+    # moments (flat like the OLS family), the top-k Hill rank (linear), and
+    # the double-ntile tau grid (linear scans, 100-cell fold)
+    "feat_lift_gains",
+    "ops_gini_concentration",
+    "ts_mann_kendall",
+    "feat_chi2_independence",
+    "sample_neyman_allocation",
+    "text_hill_tail_index",
+    "feat_rank_tau",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
