@@ -531,6 +531,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: Kendall tau-b selector-agreement audit (batch — the binned
     # grid makes a naive doc-pair tau unnecessary at any scale)
     "feat_rank_tau",
+    # late r13: the MinHash estimator reliability diagram (batch — exact
+    # Jaccard is candidate-restricted verification, not a streamable fold)
+    "dedup_minhash_calibration",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

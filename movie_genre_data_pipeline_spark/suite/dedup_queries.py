@@ -856,3 +856,197 @@ FROM sizes GROUP BY cluster_size"""
 QUERIES["dedup_cluster_sizes"] = QuerySpec(
     q_dedup_cluster_sizes, Q_DEDUP_CLUSTER_SIZES_ORACLE
 )
+
+
+# -- MinHash estimator calibration (r13) ----------------------------------------------------
+# The audit every sketch deserves: the LSH fleet ACTS on the MinHash
+# estimate matches/H ≈ Jaccard, so publish the reliability diagram of that
+# estimate — bin candidate pairs by what the sketch CLAIMS (estimated-J
+# deciles) and report each bin's mean claim against the mean EXACT Jaccard
+# (Broder's theorem says E[est] = J with var J(1−J)/H; H = 12 here, so
+# honest noise is visible and quantified, not assumed away). A biased bin
+# is a miscalibrated dedup threshold — this is what justifies the number a
+# dedup review picks in dedup_lsh_tuning. Exactness: matches is an exact
+# integer over the 12 signature columns, the exact Jaccard quantizes once
+# per pair (FLOOR(inter·1e6/union + 0.5) — inter/union exact BIGINT shingle
+# counts), and per-bin means divide exact sums once. Scale shape: ONE
+# corpus hashing pass (the signature table feeds banding AND both estimate
+# joins, barrier-pinned); exact Jaccard is computed ONLY for LSH candidate
+# pairs (the verification-after-discovery discipline — the co-shingle join
+# is semi-joined down to candidate docs first, so its volume is
+# candidate-bounded, never corpus-quadratic).
+_EST_J_MICRO = (
+    "CAST(FLOOR(CAST(matches AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    f" / CAST({BANDS * ROWS_PER_BAND} AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_TRUE_J_MICRO = (
+    "CAST(FLOOR(CAST(inter AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_a + n_b - inter AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_CAL_MEAN = (
+    "CAST(FLOOR(CAST(sum_{x} AS DOUBLE) / CAST(n_pairs AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.dedup import (
+        band_keys_from_signature,
+        minhash_signature_table,
+        shingle_rows,
+    )
+
+    h = BANDS * ROWS_PER_BAND
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signature_table(
+        d, "doc_id", "text", num_hashes=h, k=SHINGLE_K
+    ).localCheckpoint(eager=False)
+    keyed = band_keys_from_signature(sig, BANDS, ROWS_PER_BAND)
+    ka, kb = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        ka.join(kb, "band_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    siga = sig.select(
+        F.col("doc").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(h)]
+    )
+    sigb = sig.select(
+        F.col("doc").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(h)]
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(h)
+    )
+    est = (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .selectExpr("id_a", "id_b", f"CAST({match_expr} AS BIGINT) AS matches")
+    )
+    # exact Jaccard for CANDIDATE pairs only: shingle rows semi-joined down
+    # to candidate docs, co-shingle join inner-joined back to the pairs
+    docs_in_play = cand.selectExpr("id_a AS doc").union(
+        cand.selectExpr("id_b AS doc")
+    ).distinct()
+    sh = (
+        shingle_rows(d, "doc_id", "text", SHINGLE_K, distinct=True)
+        .join(docs_in_play, "doc", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    inter = (
+        cand.join(sh.selectExpr("doc AS id_a", "s"), "id_a")
+        .join(sh.selectExpr("doc AS id_b", "s AS s2"), "id_b")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    paired = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.selectExpr("doc AS id_a", "n_sh AS n_a"), "id_a")
+        .join(sizes.selectExpr("doc AS id_b", "n_sh AS n_b"), "id_b")
+        .selectExpr(
+            "COALESCE(inter, CAST(0 AS BIGINT)) AS inter",
+            "n_a",
+            "n_b",
+            "matches",
+        )
+        .selectExpr(
+            f"{_EST_J_MICRO} AS est_micro",
+            f"{_TRUE_J_MICRO} AS true_micro",
+        )
+    )
+    bins = paired.selectExpr(
+        "LEAST(CAST(9 AS BIGINT), est_micro DIV 100000) AS bin",
+        "est_micro",
+        "true_micro",
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("est_micro").cast("bigint").alias("sum_est"),
+        F.sum("true_micro").cast("bigint").alias("sum_true"),
+    )
+    return bins.selectExpr(
+        "bin",
+        "n_pairs",
+        f"{_CAL_MEAN.format(x='est')} AS mean_est_micro",
+        f"{_CAL_MEAN.format(x='true')} AS mean_true_micro",
+    ).selectExpr(
+        "bin",
+        "n_pairs",
+        "mean_est_micro",
+        "mean_true_micro",
+        "mean_est_micro - mean_true_micro AS bias_micro",
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    h = BANDS * ROWS_PER_BAND
+    return f"""
+WITH {_SHINGLES_CTE},
+{_SIG_CTE},
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {BANDS - 1}),
+                b -> md5(b || '|' || array_to_string(
+                       sig[b*{ROWS_PER_BAND}+1 : b*{ROWS_PER_BAND}+{ROWS_PER_BAND}], '|'))))
+           AS band_key
+  FROM sig
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(generate_series(1, {h}),
+              i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+),
+shrows AS (
+  SELECT DISTINCT doc_id AS doc, unnest(list_distinct(shingles)) AS s
+  FROM sh
+  WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shrows GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shrows a ON a.doc = c.id_a
+  JOIN shrows b ON b.doc = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT {_EST_J_MICRO} AS est_micro, {_TRUE_J_MICRO} AS true_micro
+  FROM (
+    SELECT COALESCE(i.inter, CAST(0 AS BIGINT)) AS inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b, e.matches
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.doc = e.id_a
+    JOIN sizes sb ON sb.doc = e.id_b
+  )
+),
+bins AS (
+  SELECT LEAST(CAST(9 AS BIGINT), est_micro // 100000) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(est_micro) AS BIGINT) AS sum_est,
+         CAST(SUM(true_micro) AS BIGINT) AS sum_true
+  FROM paired GROUP BY 1
+)
+SELECT bin, n_pairs,
+       {_CAL_MEAN.format(x='est')} AS mean_est_micro,
+       {_CAL_MEAN.format(x='true')} AS mean_true_micro,
+       {_CAL_MEAN.format(x='est')} - {_CAL_MEAN.format(x='true')} AS bias_micro
+FROM bins
+"""
+
+
+QUERIES["dedup_minhash_calibration"] = QuerySpec(
+    q_dedup_minhash_calibration, _minhash_calibration_oracle()
+)

@@ -1345,3 +1345,30 @@ def test_rank_tau_matches_pure_python(spark):
     tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
     assert math.isclose(row["tau_b_micro"] / 1e6, tau, abs_tol=2e-6)
     assert -1_000_000 <= row["tau_b_micro"] <= 1_000_000
+
+
+def test_minhash_calibration_is_unbiased_in_the_mean(spark):
+    """Law test (Broder's theorem, empirically): over the LSH candidate
+    pairs, the MinHash estimate matches/H is an unbiased estimator of the
+    exact Jaccard — so the PAIR-WEIGHTED global bias must sit within a few
+    standard errors of zero (var <= J(1-J)/H per pair, H = 12), and every
+    published bin must satisfy the bin-edge containment law (the mean claim
+    lies inside its decile)."""
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        all_queries()["dedup_minhash_calibration"].fn(spark, sf).collect()
+    )
+    n = sum(r["n_pairs"] for r in rows)
+    assert n > 0
+    global_bias = (
+        sum(r["n_pairs"] * r["bias_micro"] for r in rows) / n / 1e6
+    )
+    # per-pair std <= sqrt(0.25/12) ~ 0.144; allow 4 standard errors
+    se = 0.144 / math.sqrt(n)
+    assert abs(global_bias) <= 4 * se + 1e-5, (global_bias, se, n)
+    for r in rows:
+        lo, hi = r["bin"] * 100_000, (r["bin"] + 1) * 100_000
+        if r["bin"] == 9:
+            hi = 1_000_001
+        assert lo <= r["mean_est_micro"] < hi + 1, r
+        assert 0 <= r["mean_true_micro"] <= 1_000_000
