@@ -205,3 +205,56 @@ def test_woe_iv_scans_orders_once(spark):
     plan = _plan(spark, "feat_woe_iv")
     assert _count(plan, "Scan parquet") == 0, plan[:2000]  # cells RDD only
     assert _count(plan, "SortMergeJoin") == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "feat_lift_gains",
+        "ops_gini_concentration",
+        "text_hill_tail_index",
+        "feat_rank_tau",
+        "feat_conformal_threshold",
+        "sample_neyman_allocation",
+    ],
+)
+def test_late_r13_ranked_readouts_have_no_single_task_window(spark, name):
+    """Late r13: every new ranked readout — the gains-table ntile, the Gini
+    rank, the Hill top-k, both tau ntiles, the conformal order statistic,
+    and the Hamilton remainder rank — runs through operators/ranking, so no
+    WindowExec in any of these plans may carry an empty partition spec, and
+    none of them may pair fact-sized frames."""
+    plan = _plan(spark, name)
+    _assert_windows_partitioned(plan)
+    assert _count(plan, "CartesianProduct") == 0, plan[:2000]
+
+
+def test_mann_kendall_pairs_only_the_calendar_grain(spark):
+    """Late r13: the Mann-Kendall pairwise fan-out must stay on the
+    broadcast calendar grain (days × days) — no SortMergeJoin and no
+    cartesian product may appear even though the logical shape is a
+    triangular self-join; the slope median ranks through operators/ranking
+    (no unpartitioned WindowExec)."""
+    plan = _plan(spark, "ts_mann_kendall")
+    assert _count(plan, "SortMergeJoin") == 0, plan[:2000]
+    assert _count(plan, "CartesianProduct") == 0
+    _assert_windows_partitioned(plan)
+
+
+def test_chi2_grid_is_broadcast_sized(spark):
+    """Late r13: the zero-filled |X|×|Y| grid is built from broadcast margin
+    frames — no SortMergeJoin, no cartesian product (the margin cross ride
+    the BNLJ allowance on cell-sized frames), and the only corpus-sized
+    stage is the map-side cell collapse."""
+    plan = _plan(spark, "feat_chi2_independence")
+    assert _count(plan, "SortMergeJoin") == 0, plan[:2000]
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_minhash_calibration_is_candidate_bounded(spark):
+    """Late r13: the estimator audit must never pair the corpus — zero
+    cartesian products and zero fact-sized BNLJ (candidates come from the
+    banded equi-join; exact Jaccard joins are candidate-keyed equi-joins)."""
+    plan = _plan(spark, "dedup_minhash_calibration")
+    assert _count(plan, "CartesianProduct") == 0, plan[:2000]
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan[:2000]
