@@ -534,6 +534,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the MinHash estimator reliability diagram (batch — exact
     # Jaccard is candidate-restricted verification, not a streamable fold)
     "dedup_minhash_calibration",
+    # late r13: the sample-ratio-mismatch guardrail (batch + ledger twin)
+    "ab_srm_check",
+    "stream_srm_check",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

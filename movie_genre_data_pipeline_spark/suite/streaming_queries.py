@@ -4999,3 +4999,60 @@ def _stream_hill_oracle() -> str:
 QUERIES["stream_hill_tail_index"] = QuerySpec(
     q_stream_hill_tail_index, _stream_hill_oracle()
 )
+
+
+def q_stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained SRM guardrail (r13): per-batch per-user event
+    counts SUM-fold into the user grain (a user seen in many micro-batches
+    folds to one row), and the arm assignment — a pure user_id hash — plus
+    the χ² verdict re-derive at READOUT, so the always-current guardrail
+    equals the batch check bit-for-bit. Shares the batch oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        srm_check_from_users,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_srm_")
+    src, led = f"{base}/src", f"{base}/users"
+    ev = load(spark, sf_dir, "events")
+    ev.select("user_id", "event_id").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events")
+        ).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    per_user = (
+        spark.read.parquet(led)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+    )
+    return srm_check_from_users(per_user)
+
+
+def _stream_srm_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        _srm_oracle,
+    )
+
+    return _srm_oracle()
+
+
+QUERIES["stream_srm_check"] = QuerySpec(q_stream_srm_check, _stream_srm_oracle())

@@ -1245,3 +1245,105 @@ FROM folded
 QUERIES["ts_mann_kendall"] = QuerySpec(
     q_ts_mann_kendall, Q_TS_MANN_KENDALL_ORACLE
 )
+
+
+# -- A/B guardrail: sample-ratio-mismatch check (r13) --------------------------------------
+# The FIRST check every experimentation platform runs before reading any
+# metric: did the 50/50 assignment actually deliver 50/50? A sample-ratio
+# mismatch (SRM) means the randomization itself is broken (bot filtering,
+# redirect loss, logging bias) and every downstream t-test is invalid —
+# Microsoft/LinkedIn/Airbnb all gate on it (Fabijan et al. 2019). For a
+# two-arm 50/50 split the goodness-of-fit χ² collapses to the EXACT integer
+# ratio (n_t − n_c)²/N (one quantization via the FLOOR(x+0.5) spell), |z| is
+# its square root, and the p<0.05 verdict compares against the χ²₁ critical
+# value embedded as a shared Python-computed literal (the Benford-constant
+# discipline — nothing transcendental evaluates at query time). Arms are the
+# SAME md5 assignment ab_experiment_report reads, so this is the guardrail
+# FOR that scorecard. Scale shape: one user-keyed fold + a 1-row reduction.
+SRM_CHI2_CRIT_MICRO = 3_841_459  # chi2(1 dof) 0.95 quantile, in micro units
+
+_SRM_CHI2_MICRO = (
+    "CASE WHEN n_users > 0 THEN"
+    " CAST(FLOOR(CAST(CAST(n_t - n_c AS DECIMAL(38,0))"
+    " * (n_t - n_c) * 1000000 AS DOUBLE)"
+    " / CAST(n_users AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_SRM_Z_MICRO = (
+    "CAST(FLOOR(sqrt(CAST(chi2_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def srm_check_from_users(per_user: DataFrame) -> DataFrame:
+    """The SRM tail over a (user_id, ...) per-user table, however
+    accumulated — arms are assigned AFTER folding (a pure user_id hash), so
+    the batch query and the streaming ledger twin share it."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        hex_threshold,
+        sample_tag,
+    )
+
+    t50 = hex_threshold(0.5)
+    armed = per_user.withColumn(
+        "is_t", sample_tag("user_id", AB_SALT) < t50
+    )
+    agg = armed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("n_t"),
+    )
+    return agg.selectExpr(
+        "n_users",
+        "n_c",
+        "n_t",
+        f"{_SRM_CHI2_MICRO} AS chi2_micro",
+    ).selectExpr(
+        "n_users",
+        "n_c",
+        "n_t",
+        "chi2_micro",
+        f"{_SRM_Z_MICRO} AS z_micro",
+        f"chi2_micro > {SRM_CHI2_CRIT_MICRO} AS srm_flag",
+    )
+
+
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return srm_check_from_users(per_user)
+
+
+def _srm_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.sampling import hex_threshold
+
+    t50 = hex_threshold(0.5)
+    return f"""
+WITH per_user AS (
+  SELECT user_id FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT CASE WHEN md5(CAST(user_id AS VARCHAR) || ':{AB_SALT}') < '{t50}'
+              THEN 1 ELSE 0 END AS is_t
+  FROM per_user
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(1 - is_t) AS BIGINT) AS n_c,
+         CAST(SUM(is_t) AS BIGINT) AS n_t
+  FROM armed
+),
+c AS (
+  SELECT n_users, n_c, n_t, {_SRM_CHI2_MICRO} AS chi2_micro FROM agg
+)
+SELECT n_users, n_c, n_t, chi2_micro,
+       {_SRM_Z_MICRO} AS z_micro,
+       chi2_micro > {SRM_CHI2_CRIT_MICRO} AS srm_flag
+FROM c
+"""
+
+
+QUERIES["ab_srm_check"] = QuerySpec(q_ab_srm_check, _srm_oracle())

@@ -1372,3 +1372,45 @@ def test_minhash_calibration_is_unbiased_in_the_mean(spark):
             hi = 1_000_001
         assert lo <= r["mean_est_micro"] < hi + 1, r
         assert 0 <= r["mean_true_micro"] <= 1_000_000
+
+
+def test_srm_check_matches_hashlib(spark):
+    """Law test: re-assign every user's arm independently with hashlib and
+    the embedded 50% threshold, recompute the two-arm goodness-of-fit χ²
+    and |z| in pure Python, and require exact integer agreement; pin the
+    collapse identity χ² = (n_t − n_c)²/N and the verdict consistency law
+    (the flag IS the threshold compare — on a small fixture population a
+    fair split legitimately flags ~5% of the time, so the verdict itself
+    is not a law; rough balance is)."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["ab_srm_check"].fn(spark, sf).collect()[0]
+    from movie_genre_data_pipeline_spark.functions.sampling import hex_threshold
+
+    t50 = hex_threshold(0.5)
+    con = duckdb.connect()
+    users = [
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT user_id FROM '{sf}/events.parquet'"
+        ).fetchall()
+    ]
+    n_t = sum(
+        1
+        for u in users
+        if hashlib.md5(f"{u}:ab".encode()).hexdigest() < t50
+    )
+    n_c = len(users) - n_t
+    assert row["n_users"] == len(users)
+    assert row["n_c"] == n_c and row["n_t"] == n_t
+    chi2 = math.floor((n_t - n_c) ** 2 * 1e6 / len(users) + 0.5)
+    assert row["chi2_micro"] == chi2
+    assert row["z_micro"] == math.floor(
+        math.sqrt(chi2 / 1e6) * 1e6 + 0.5
+    )
+    assert row["srm_flag"] == (chi2 > 3_841_459)
+    # rough-balance sanity only where the LLN has any grip (sf0.001 has
+    # just 15 distinct users — a 3/12 split there is unremarkable)
+    if len(users) >= 200:
+        assert min(n_c, n_t) >= 0.3 * len(users), (n_c, n_t)

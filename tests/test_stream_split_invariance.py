@@ -165,6 +165,10 @@ FOLDS = [
     # fold — ids unique across batches; the top-k order statistics and the
     # Hill fold are readout decisions)
     "stream_hill_tail_index",
+    # late r13: the SRM guardrail over the per-user count ledger (SUM fold
+    # to the user grain; arm assignment and the chi-squared verdict are
+    # readout decisions)
+    "stream_srm_check",
 ]
 
 
