@@ -4759,14 +4759,28 @@ def rank_tau_from_scores(scored: DataFrame) -> DataFrame:
         "CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) / 2"
         " AS DECIMAL(38,0)) AS n0",
     )
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        _ACF_R_MICRO,
+    )
+
+    rho = cells.agg(
+        F.sum("n_xy").cast("bigint").alias("n"),
+        F.expr("SUM(CAST(n_xy AS DECIMAL(38,0)) * bx)").alias("sx"),
+        F.expr("SUM(CAST(n_xy AS DECIMAL(38,0)) * by)").alias("sy"),
+        F.expr("SUM(CAST(n_xy AS DECIMAL(38,0)) * bx * by)").alias("sxy"),
+        F.expr("SUM(CAST(n_xy AS DECIMAL(38,0)) * bx * bx)").alias("sxx"),
+        F.expr("SUM(CAST(n_xy AS DECIMAL(38,0)) * by * by)").alias("syy"),
+    ).selectExpr(f"{_ACF_R_MICRO} AS grid_rho_micro")
     return (
         cd.crossJoin(F.broadcast(tx))
         .crossJoin(F.broadcast(ty))
         .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rho))
         .selectExpr(
             "n_docs",
             "n_cells",
             f"{_TAU_B_MICRO} AS tau_b_micro",
+            "grid_rho_micro",
         )
     )
 
@@ -4795,6 +4809,9 @@ def q_feat_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rank_tau_oracle() -> str:
     from movie_genre_data_pipeline_spark.suite.text_queries import (
         Q_QUALITY_SCORES_ORACLE,
+    )
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        _ACF_R_MICRO,
     )
 
     return f"""
@@ -4842,9 +4859,20 @@ tot AS (
   FROM (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_cells
         FROM cells)
+),
+rho AS (
+  SELECT {_ACF_R_MICRO} AS grid_rho_micro
+  FROM (
+    SELECT CAST(SUM(n_xy) AS BIGINT) AS n,
+           SUM(CAST(n_xy AS DECIMAL(38,0)) * bx) AS sx,
+           SUM(CAST(n_xy AS DECIMAL(38,0)) * by) AS sy,
+           SUM(CAST(n_xy AS DECIMAL(38,0)) * bx * by) AS sxy,
+           SUM(CAST(n_xy AS DECIMAL(38,0)) * bx * bx) AS sxx,
+           SUM(CAST(n_xy AS DECIMAL(38,0)) * by * by) AS syy
+    FROM cells)
 )
-SELECT n_docs, n_cells, {_TAU_B_MICRO} AS tau_b_micro
-FROM cd CROSS JOIN txc CROSS JOIN tyc CROSS JOIN tot
+SELECT n_docs, n_cells, {_TAU_B_MICRO} AS tau_b_micro, grid_rho_micro
+FROM cd CROSS JOIN txc CROSS JOIN tyc CROSS JOIN tot CROSS JOIN rho
 """
 
 

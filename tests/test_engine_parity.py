@@ -1345,6 +1345,17 @@ def test_rank_tau_matches_pure_python(spark):
     tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
     assert math.isclose(row["tau_b_micro"] / 1e6, tau, abs_tol=2e-6)
     assert -1_000_000 <= row["tau_b_micro"] <= 1_000_000
+    # the grid-rho companion: count-weighted Pearson of the decile indices
+    import numpy as np
+
+    bxv = np.array([bx[p[0]] for p in pairs], dtype=np.float64)
+    byv = np.array([by[p[0]] for p in pairs], dtype=np.float64)
+    rho = float(np.corrcoef(bxv, byv)[0, 1])
+    assert math.isclose(row["grid_rho_micro"] / 1e6, rho, abs_tol=2e-6)
+    assert -1_000_000 <= row["grid_rho_micro"] <= 1_000_000
+    # the two rank correlations must agree in sign on a real association
+    if abs(row["tau_b_micro"]) > 50_000:
+        assert (row["tau_b_micro"] > 0) == (row["grid_rho_micro"] > 0)
 
 
 def test_minhash_calibration_is_unbiased_in_the_mean(spark):
