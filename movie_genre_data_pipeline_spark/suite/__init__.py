@@ -111,8 +111,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curate_trainset_funnel",
     "stream_importance_weights",
     "stream_trainset_funnel",
-    # --- stalest-record refresh: the full r5-green leftover wave ---
-    "sim_lsh_recall",
+    # --- (b): fingerprint-stale late-r13 — the CUSUM tail extraction for
+    #     the streaming twin flips ts_cusum_changepoint; it takes the
+    #     sim_lsh_recall refresh seat (sim_lsh_recall keeps its r5 green
+    #     under the full local gate and joins the r14 refresh queue) ---
+    "ts_cusum_changepoint",
     "sim_lsh_top1",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
@@ -537,6 +540,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the sample-ratio-mismatch guardrail (batch + ledger twin)
     "ab_srm_check",
     "stream_srm_check",
+    # late r13: the continuous CUSUM changepoint monitor (the event log is
+    # the ledger; the trajectory and argmax are readout decisions)
+    "stream_cusum_changepoint",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -5056,3 +5056,67 @@ def _stream_srm_oracle() -> str:
 
 
 QUERIES["stream_srm_check"] = QuerySpec(q_stream_srm_check, _stream_srm_oracle())
+
+
+def q_stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained changepoint monitor (r13): the event log IS
+    the ledger — per-batch (event_type, ts, event_id, v) facts append
+    (event_ids unique across batches, a union fold), and the whole Page
+    CUSUM trajectory, the per-series mean clearing, and the peak argmax
+    re-derive at READOUT, so the always-current changepoint equals the
+    batch answer bit-for-bit however arrivals were batched (an early
+    point's deviation legitimately moves as later points shift the series
+    mean — exactly why the statistic must be a readout, not streamed
+    state). Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        cusum_from_base,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="stream_cusum_")
+    src, led = f"{base_dir}/src", f"{base_dir}/facts"
+    ev = load(spark, sf_dir, "events")
+    ev.select("event_type", "ts", "event_id", "value").repartition(
+        _split(4)
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        ).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return cusum_from_base(spark.read.parquet(led))
+
+
+def _stream_cusum_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        Q_TS_CUSUM_ORACLE,
+    )
+
+    return Q_TS_CUSUM_ORACLE
+
+
+QUERIES["stream_cusum_changepoint"] = QuerySpec(
+    q_stream_cusum_changepoint, _stream_cusum_oracle()
+)

@@ -633,16 +633,13 @@ QUERIES["ts_ewma_events"] = QuerySpec(q_ts_ewma_events, Q_TS_EWMA_ORACLE)
 # n·v_i − S — the same argmax, every partial sum an exact BIGINT. One ranked
 # running-sum window per series + one aggregate; the peak position publishes
 # deterministically (max |cusum|, ties to the earliest position).
-def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cusum_from_base(base: DataFrame) -> DataFrame:
+    """The CUSUM readout over (event_type, ts, event_id, v) facts, however
+    accumulated — the event log IS the ledger (event_ids unique across
+    micro-batches, a union fold), and the whole trajectory + argmax are
+    readout decisions; shared by the batch query and the streaming twin."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("v"),
-    )
     wn = Window.partitionBy("event_type")
     wrun = Window.partitionBy("event_type").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -667,6 +664,17 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("peak_rn"),
         )
     )
+
+
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    return cusum_from_base(base)
 
 
 Q_TS_CUSUM_ORACLE = """

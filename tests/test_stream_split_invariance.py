@@ -169,6 +169,11 @@ FOLDS = [
     # to the user grain; arm assignment and the chi-squared verdict are
     # readout decisions)
     "stream_srm_check",
+    # late r13: the CUSUM monitor over the raw event-fact ledger (union
+    # fold; the mean clearing, trajectory, and peak argmax are readout
+    # decisions — an early point's deviation moves as the series mean
+    # shifts, which is exactly why)
+    "stream_cusum_changepoint",
 ]
 
 
