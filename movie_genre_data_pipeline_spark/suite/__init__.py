@@ -543,6 +543,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the continuous CUSUM changepoint monitor (the event log is
     # the ledger; the trajectory and argmax are readout decisions)
     "stream_cusum_changepoint",
+    # late r13: the ARI readability profile (batch + ledger twin)
+    "text_readability_ari",
+    "stream_readability_ari",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

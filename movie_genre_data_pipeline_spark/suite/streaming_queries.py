@@ -5120,3 +5120,63 @@ def _stream_cusum_oracle() -> str:
 QUERIES["stream_cusum_changepoint"] = QuerySpec(
     q_stream_cusum_changepoint, _stream_cusum_oracle()
 )
+
+
+def q_stream_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained readability profile (r13): per-batch
+    per-language ARI moments (n, Σari, n_hard) SUM-fold — per-doc ARI is a
+    scan-local arrival decision, so the moments are the simplest additive
+    ledger (the ESS shape) — and the means/shares re-derive at readout.
+    Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        ari_facts,
+        ari_report_from_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ari_")
+    src, led = f"{base}/src", f"{base}/moments"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ari_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    facts = (
+        spark.read.parquet(led)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_ari").cast("decimal(38,0)").alias("sum_ari"),
+            F.sum("n_hard").cast("bigint").alias("n_hard"),
+        )
+    )
+    return ari_report_from_facts(facts)
+
+
+def _stream_ari_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import Q_ARI_ORACLE
+
+    return Q_ARI_ORACLE
+
+
+QUERIES["stream_readability_ari"] = QuerySpec(
+    q_stream_readability_ari, _stream_ari_oracle()
+)

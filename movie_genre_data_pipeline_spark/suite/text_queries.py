@@ -1841,3 +1841,119 @@ FROM h
 QUERIES["text_hill_tail_index"] = QuerySpec(
     q_text_hill_tail_index, Q_HILL_ORACLE
 )
+
+
+# -- readability profile: Automated Readability Index per language (r13) -------------------
+# The corpus-difficulty dial a curriculum/mixing policy consumes: the
+# Automated Readability Index (Senter & Smith 1967) is the one classic
+# readability formula that is PURE COUNTS — ARI = 4.71·(chars/words) +
+# 0.5·(words/sentences) − 21.43 — no syllable heuristics, so it is exactly
+# reproducible cross-engine. Definitions pinned to the shared spells:
+# words = whitespace tokens (functions/text.tokens), chars = summed token
+# lengths (whitespace never counts), sentences = count of [.!?] characters
+# floored at 1 (the quality-score punct discipline). Per-doc ARI quantizes
+# once through one shared double expression (constants as literals, signed
+# FLOOR(x+0.5)); the per-language report publishes mean ARI and the share
+# of college+ docs (ARI ≥ 14 — an integer compare on already-quantized
+# micros). Scale shape: one scan collapses map-side to |languages| additive
+# moment rows — the ESS/Neyman ledger shape, so the twin SUM-folds.
+ARI_HARD_MICRO = 14_000_000
+
+_ARI_MICRO = (
+    "CAST(FLOOR((CAST(4.71 AS DOUBLE) * CAST(c AS DOUBLE) / CAST(w AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE) * CAST(w AS DOUBLE) / CAST(s AS DOUBLE)"
+    " - CAST(21.43 AS DOUBLE)) * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_ARI_MEAN = (
+    "CAST(FLOOR(CAST(sum_ari AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_ARI_HARD_SHARE = (
+    "CAST(FLOOR(CAST(n_hard AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(n_docs AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def ari_facts(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, sum_ari, n_hard) — additive per-language ARI moments
+    over ONE documents scan (per-doc ARI is a scan-local arrival decision;
+    zero-token docs carry no readability and are out of frame). SUM-foldable,
+    so the streaming twin appends these."""
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+
+    toks = tokens("text")
+    base = docs.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("w"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("c"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.length(F.regexp_replace("text", "[^.!?]", "")).cast("bigint"),
+        ).alias("s"),
+    ).filter(F.col("w") > 0)
+    scored = base.selectExpr("lang", f"{_ARI_MICRO} AS ari_micro")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("SUM(CAST(ari_micro AS DECIMAL(38,0)))").alias("sum_ari"),
+        F.sum(F.when(F.col("ari_micro") >= ARI_HARD_MICRO, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard"),
+    )
+
+
+def ari_report_from_facts(facts: DataFrame) -> DataFrame:
+    """The readability report over additive (lang, n_docs, sum_ari, n_hard)
+    moments, however accumulated — shared by the batch query and the
+    streaming ledger twin."""
+    return facts.selectExpr(
+        "lang",
+        "n_docs",
+        f"{_ARI_MEAN} AS mean_ari_micro",
+        "n_hard",
+        f"{_ARI_HARD_SHARE} AS hard_share_micro",
+    )
+
+
+def q_text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return ari_report_from_facts(ari_facts(d))
+
+
+Q_ARI_ORACLE = f"""
+WITH base AS (
+  SELECT lang, w, c, s FROM (
+    SELECT lang,
+           CAST(len(toks) AS BIGINT) AS w,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(toks, t -> length(t)), 'sum'), 0)
+                AS BIGINT) AS c,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+                         AS BIGINT)) AS s
+    FROM (SELECT lang, text, {{TOKS}} AS toks FROM documents))
+  WHERE w > 0
+),
+scored AS (
+  SELECT lang, {_ARI_MICRO} AS ari_micro FROM base
+),
+facts AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(ari_micro AS DECIMAL(38,0))) AS sum_ari,
+         CAST(SUM(CASE WHEN ari_micro >= {ARI_HARD_MICRO} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hard
+  FROM scored GROUP BY 1
+)
+SELECT lang, n_docs, {_ARI_MEAN} AS mean_ari_micro, n_hard,
+       {_ARI_HARD_SHARE} AS hard_share_micro
+FROM facts
+""".replace("{TOKS}", _TOKS)
+
+QUERIES["text_readability_ari"] = QuerySpec(
+    q_text_readability_ari, Q_ARI_ORACLE
+)

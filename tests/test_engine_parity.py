@@ -1425,3 +1425,40 @@ def test_srm_check_matches_hashlib(spark):
     # just 15 distinct users — a 3/12 split there is unremarkable)
     if len(users) >= 200:
         assert min(n_c, n_t) >= 0.3 * len(users), (n_c, n_t)
+
+
+def test_readability_ari_matches_pure_python(spark):
+    """Law test: recompute every document's ARI from scratch with the same
+    count definitions (whitespace tokens, summed token lengths, [.!?]
+    characters floored at 1) in pure Python, and require exact integer
+    agreement on every per-language row; pin the hard-share identity."""
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["lang"]: r
+        for r in all_queries()["text_readability_ari"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT lang, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_ari, n_hard
+    for lang, text in docs:
+        toks = [t for t in __import__("re").split(r"[ \t\n\r\f\v]+", text) if t]
+        w = len(toks)
+        if w == 0:
+            continue
+        c = sum(len(t) for t in toks)
+        s = max(1, sum(1 for ch in text if ch in ".!?"))
+        ari = math.floor((4.71 * c / w + 0.5 * w / s - 21.43) * 1e6 + 0.5)
+        agg[lang][0] += 1
+        agg[lang][1] += ari
+        agg[lang][2] += 1 if ari >= 14_000_000 else 0
+    assert set(rows) == set(agg)
+    for lang, (n, sum_ari, n_hard) in agg.items():
+        r = rows[lang]
+        assert r["n_docs"] == n
+        assert r["mean_ari_micro"] == math.floor(sum_ari / n + 0.5)
+        assert r["n_hard"] == n_hard
+        assert r["hard_share_micro"] == math.floor(n_hard * 1e6 / n + 0.5)

@@ -174,6 +174,9 @@ FOLDS = [
     # decisions — an early point's deviation moves as the series mean
     # shifts, which is exactly why)
     "stream_cusum_changepoint",
+    # late r13: the readability profile over the per-language ARI moment
+    # ledger (the ESS shape; means and hard shares are readout decisions)
+    "stream_readability_ari",
 ]
 
 
