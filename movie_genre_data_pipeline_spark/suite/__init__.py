@@ -546,6 +546,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the ARI readability profile (batch + ledger twin)
     "text_readability_ari",
     "stream_readability_ari",
+    # late r13: all-pairs harmonic centrality (batch — the verbatim-shared
+    # recursive-CTE form, like graph_reachability)
+    "graph_harmonic_centrality",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -610,3 +610,55 @@ FROM sums CROSS JOIN counts
 QUERIES["graph_degree_assortativity"] = QuerySpec(
     q_graph_degree_assortativity, _assortativity_oracle()
 )
+
+
+# -- harmonic centrality via all-pairs recursive BFS (r13) ---------------------------------
+# The centrality that stays defined on DISCONNECTED graphs (Boldi & Vigna
+# 2014): H(s) = Σ_{v≠s} 1/d(s,v), with unreachable nodes contributing an
+# honest 0 instead of poisoning the sum the way closeness' Σd does. Like
+# graph_reachability, the WHOLE statement is ONE ANSI string executed
+# VERBATIM by both engines (Spark 4's native WITH RECURSIVE over temp
+# views; DuckDB over its views) — the strongest oracle form. The recursion
+# seeds EVERY node (all-pairs BFS) and the hop cap bounds path blowup; the
+# frontier is the dimension-sized edge list (≤ |nations|² after the
+# fact-side DISTINCT reduction), so all-pairs stays a broadcast-scale
+# iteration however large the fact side grows — the same grain-bound
+# argument as the k-core peel. Per-distance terms quantize once
+# (FLOOR(1e6/d + 0.5), d a positive integer) and fold as BIGINTs.
+_HARMONIC_SQL = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r(s, node, hops) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION ALL
+  SELECT r.s, e.dst, r.hops + 1
+  FROM r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 3
+),
+m AS (
+  SELECT s, node, CAST(MIN(hops) AS BIGINT) AS d
+  FROM r GROUP BY s, node
+)
+SELECT s AS nation,
+       CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+       CAST(SUM(CASE WHEN d > 0
+            THEN CAST(FLOOR(1000000.0 / d + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS harmonic_micro
+FROM m
+GROUP BY s
+ORDER BY s
+"""
+
+
+def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs BFS harmonic centrality over the nation trade graph — see
+    _HARMONIC_SQL (one shared ANSI string, executed verbatim by both
+    engines)."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_HARMONIC_SQL)
+
+
+QUERIES["graph_harmonic_centrality"] = QuerySpec(
+    q_graph_harmonic_centrality, _HARMONIC_SQL
+)

@@ -1462,3 +1462,51 @@ def test_readability_ari_matches_pure_python(spark):
         assert r["mean_ari_micro"] == math.floor(sum_ari / n + 0.5)
         assert r["n_hard"] == n_hard
         assert r["hard_share_micro"] == math.floor(n_hard * 1e6 / n + 0.5)
+
+
+def test_harmonic_centrality_matches_pure_python_bfs(spark):
+    """Law test: rebuild the nation trade edge list in DuckDB, run a plain
+    BFS per source in pure Python (hop cap 3, matching the recursion), and
+    require exact integer agreement on reach counts and harmonic sums; pin
+    the range law (harmonic <= 1e6 * (|nodes|-1)) and the reachability
+    consistency (n_reached matches the BFS frontier size)."""
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["nation"]: r
+        for r in all_queries()["graph_harmonic_centrality"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT ns.n_name, nc.n_name
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+        JOIN '{sf}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        JOIN '{sf}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{sf}/nation.parquet' ns ON ns.n_nationkey = s.s_nationkey
+        JOIN '{sf}/nation.parquet' nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name"""
+    ).fetchall()
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        adj[a].add(b)
+        nodes.update((a, b))
+    assert set(rows) == nodes
+    for s in nodes:
+        dist = {s: 0}
+        frontier = [s]
+        for hop in range(1, 4):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        reached = [d for d in dist.values() if d > 0]
+        h = sum(math.floor(1e6 / d + 0.5) for d in reached)
+        assert rows[s]["n_reached"] == len(reached), s
+        assert rows[s]["harmonic_micro"] == h, s
+        assert rows[s]["harmonic_micro"] <= 1_000_000 * (len(nodes) - 1)
