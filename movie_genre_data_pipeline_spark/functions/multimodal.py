@@ -323,3 +323,42 @@ def phash_near_dup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+BYTE_HISTOGRAM_SCHEMA = "byte_value long, n_occurrences long"
+
+
+def byte_histogram(df: DataFrame) -> DataFrame:
+    """Corpus byte-value histogram over (media_id, payload) — the
+    corrupt-encoding / format-drift detector a blob-ingest pipeline runs
+    before any decode (a spike at 0x00 or in the non-ASCII range on a
+    "text" corpus is an upstream bug, not data). mapInPandas Arrow kernel:
+    each batch collapses to AT MOST 256 partial rows via one vectorized
+    numpy bincount over the concatenated payload bytes (no per-row Python
+    loop over bytes), then a 256-key hash aggregate folds the partials —
+    the additive-cell shape, so the streaming twin appends the same
+    partials. Only byte values actually present are emitted."""
+    import numpy as np
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = [p for p in pdf["payload"] if p is not None and len(p) > 0]
+            if not bufs:
+                continue
+            counts = np.bincount(
+                np.frombuffer(b"".join(bufs), dtype=np.uint8), minlength=256
+            )
+            present = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "byte_value": present.astype("int64"),
+                    "n_occurrences": counts[present].astype("int64"),
+                }
+            )
+
+    partials = df.select("payload").mapInPandas(
+        hist, schema=BYTE_HISTOGRAM_SCHEMA
+    )
+    return partials.groupBy("byte_value").agg(
+        F.sum("n_occurrences").cast("bigint").alias("n_occurrences")
+    )

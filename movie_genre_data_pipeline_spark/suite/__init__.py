@@ -549,6 +549,10 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: all-pairs harmonic centrality (batch — the verbatim-shared
     # recursive-CTE form, like graph_reachability)
     "graph_harmonic_centrality",
+    # late r13: the corpus byte-value histogram via the Arrow bincount
+    # kernel (batch + ledger twin — the media family's cheapest cell fold)
+    "media_byte_histogram",
+    "stream_byte_histogram",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

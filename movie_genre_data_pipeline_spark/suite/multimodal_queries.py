@@ -318,3 +318,68 @@ GROUP BY shard, corpus_bytes
 QUERIES["media_shard_balance"] = QuerySpec(
     q_media_shard_balance, Q_MEDIA_SHARD_BALANCE_ORACLE
 )
+
+
+# -- corpus byte-value histogram via the Arrow kernel (r13) --------------------------------
+# The encoding-sanity readout run BEFORE any decode: the byte-value
+# distribution of every payload in the corpus (functions/multimodal.
+# byte_histogram — one vectorized numpy bincount per Arrow batch, at most
+# 256 partial rows out per batch, a 256-key fold after; the additive-cell
+# shape). Shares reported per value from exact integer counts. The oracle
+# replays it character-wise (the payloads are ASCII document text, byte ==
+# codepoint — the media_features_full precedent); a non-ASCII payload would
+# make the two sides diverge, which is exactly the drift this query exists
+# to catch.
+_BYTE_SHARE_MICRO = (
+    "CAST(FLOOR(CAST(n_occurrences AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(total_bytes AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def byte_histogram_report(counts: DataFrame) -> DataFrame:
+    """The report tail over additive (byte_value, n_occurrences) cells,
+    however accumulated — shared by the batch query and the streaming
+    ledger twin."""
+    counts = counts.localCheckpoint(eager=False)
+    tot = counts.agg(
+        F.sum("n_occurrences").cast("bigint").alias("total_bytes")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "byte_value",
+            "n_occurrences",
+            f"{_BYTE_SHARE_MICRO} AS share_micro",
+        )
+    )
+
+
+def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.multimodal import (
+        byte_histogram,
+    )
+
+    media = _media_df(spark, sf_dir)
+    return byte_histogram_report(byte_histogram(media))
+
+
+Q_MEDIA_BYTE_HISTOGRAM_ORACLE = """
+WITH chars AS (
+  SELECT unnest(split(text, '')) AS c FROM documents
+),
+counts AS (
+  SELECT CAST(ord(c) AS BIGINT) AS byte_value,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM chars GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total_bytes FROM counts)
+SELECT byte_value, n_occurrences,
+       CAST(FLOOR(CAST(n_occurrences AS DOUBLE) * CAST(1000000 AS DOUBLE)
+         / CAST(total_bytes AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS share_micro
+FROM counts CROSS JOIN tot
+"""
+
+QUERIES["media_byte_histogram"] = QuerySpec(
+    q_media_byte_histogram, Q_MEDIA_BYTE_HISTOGRAM_ORACLE
+)

@@ -5180,3 +5180,66 @@ def _stream_ari_oracle() -> str:
 QUERIES["stream_readability_ari"] = QuerySpec(
     q_stream_readability_ari, _stream_ari_oracle()
 )
+
+
+def q_stream_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained encoding-sanity histogram (r13): per-batch
+    byte-value cell partials from the Arrow bincount kernel SUM-fold (at
+    most 256 cells per batch — the cheapest additive ledger in the suite),
+    and the shares re-derive at readout over the folded counts. Shares the
+    batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.multimodal import (
+        byte_histogram,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.multimodal_queries import (
+        byte_histogram_report,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_bytehist_")
+    src, led = f"{base}/src", f"{base}/cells"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        media = batch_df.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        byte_histogram(media).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    counts = (
+        spark.read.parquet(led)
+        .groupBy("byte_value")
+        .agg(F.sum("n_occurrences").cast("bigint").alias("n_occurrences"))
+    )
+    return byte_histogram_report(counts)
+
+
+def _stream_bytehist_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.multimodal_queries import (
+        Q_MEDIA_BYTE_HISTOGRAM_ORACLE,
+    )
+
+    return Q_MEDIA_BYTE_HISTOGRAM_ORACLE
+
+
+QUERIES["stream_byte_histogram"] = QuerySpec(
+    q_stream_byte_histogram, _stream_bytehist_oracle()
+)

@@ -177,6 +177,9 @@ FOLDS = [
     # late r13: the readability profile over the per-language ARI moment
     # ledger (the ESS shape; means and hard shares are readout decisions)
     "stream_readability_ari",
+    # late r13: the byte-value histogram over the Arrow bincount cell
+    # ledger (at most 256 cells per batch; shares are readout decisions)
+    "stream_byte_histogram",
 ]
 
 
