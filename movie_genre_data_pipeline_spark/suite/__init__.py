@@ -553,6 +553,10 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # kernel (batch + ledger twin — the media family's cheapest cell fold)
     "media_byte_histogram",
     "stream_byte_histogram",
+    # late r13: leave-one-source-out AUC ablation — data valuation by
+    # complement-model subtraction (batch + ledger twin)
+    "feat_auc_source_ablation",
+    "stream_auc_source_ablation",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -4877,3 +4877,247 @@ FROM cd CROSS JOIN txc CROSS JOIN tyc CROSS JOIN tot CROSS JOIN rho
 
 
 QUERIES["feat_rank_tau"] = QuerySpec(q_feat_rank_tau, _rank_tau_oracle())
+
+
+# -- data valuation: leave-one-source-out AUC ablation (r13) -------------------------------
+# The question a corpus buyer actually asks: WHICH SOURCE is earning its
+# storage — if source s had never existed, how well would the selector
+# separate the target domain on everything else? For each source, the
+# bucket model retrains WITHOUT s at ZERO extra corpus scans (the CV
+# trick: a source's model is the global cell table minus its own
+# (source, bucket) cells — additivity makes retraining a ≤|sources|·B-row
+# subtraction, never a re-scan), every surviving doc re-scores under that
+# complement, and the exact Mann-Whitney AUC folds per ablation through
+# the shared partitioned prefix (no per-source single-task window). The
+# '__full__' sentinel row carries the un-ablated baseline so every
+# delta_micro (baseline − ablated: positive means the source was HELPING
+# separation) is derived in-query from oracle-checked numbers. Scale
+# shape: the per-ablation doc fan-out is |sources|-bounded (a dimension,
+# not data — production audits a shortlist of sources the same way);
+# ratios broadcast at |sources|·B rows; one corpus-sized postings join.
+ABLATION_FULL = "__full__"
+
+
+def auc_source_ablation_from_parts(
+    docs: DataFrame, cells: DataFrame, tf: DataFrame
+) -> DataFrame:
+    """The ablation tail over three additive parts — docs (doc_id, y,
+    source), per-source bucket cells (source, bucket, raw_c, tgt_c),
+    postings (doc_id, bucket, tf) — however accumulated (one batch scan or
+    SUM-folded ledgers)."""
+    b = DSIR_BUCKETS
+    cells = cells.localCheckpoint(eager=False)
+    docs = docs.localCheckpoint(eager=False)
+    abls = (
+        cells.select(F.col("source").alias("abl"))
+        .distinct()
+        .union(docs.sparkSession.createDataFrame([(ABLATION_FULL,)], "abl string"))
+        .localCheckpoint(eager=False)
+    )
+    glob = cells.groupBy("bucket").agg(
+        F.sum("raw_c").cast("bigint").alias("raw_tot"),
+        F.sum("tgt_c").cast("bigint").alias("tgt_tot"),
+    )
+    comp = (
+        glob.crossJoin(F.broadcast(abls))
+        .join(
+            cells.selectExpr(
+                "source AS abl", "bucket", "raw_c AS r0", "tgt_c AS t0"
+            ),
+            ["abl", "bucket"],
+            "left",
+        )
+        .selectExpr(
+            "abl",
+            "bucket",
+            "raw_tot - coalesce(r0, 0) AS raw_c",
+            "tgt_tot - coalesce(t0, 0) AS tgt_c",
+        )
+        .localCheckpoint(eager=False)
+    )
+    ftot = comp.groupBy("abl").agg(
+        F.sum("raw_c").cast("bigint").alias("t_raw"),
+        F.sum("tgt_c").cast("bigint").alias("t_tgt"),
+    )
+    ratios = comp.join(F.broadcast(ftot), "abl").select(
+        "abl",
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_c") + F.lit(1.0))
+                    / (F.col("t_tgt") + F.lit(float(b)))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0))
+                    / (F.col("t_raw") + F.lit(float(b)))
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(ratios), "bucket")
+        .groupBy("abl", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias("logw_micro")
+        )
+    )
+    labeled = (
+        docs.crossJoin(F.broadcast(abls))
+        .filter(
+            (F.col("source") != F.col("abl"))
+            | (F.col("abl") == ABLATION_FULL)
+        )
+        .join(scored, ["abl", "doc_id"], "left")
+        .select(
+            "abl",
+            "y",
+            F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
+        )
+    )
+    groups = labeled.groupBy("abl", F.col("logw_micro").alias("s")).agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    sums = partitioned_mann_whitney_sums(groups, "abl").selectExpr(
+        "abl",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        f"{_AUC_MICRO} AS auc_micro",
+    ).localCheckpoint(eager=False)
+    base = sums.filter(F.col("abl") == ABLATION_FULL).selectExpr(
+        "auc_micro AS base_auc_micro"
+    )
+    return sums.crossJoin(F.broadcast(base)).selectExpr(
+        "abl AS ablated_source",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "auc_micro",
+        "base_auc_micro - auc_micro AS delta_micro",
+    )
+
+
+def q_feat_auc_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        dsir_postings,
+        dsir_term_buckets,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.selectExpr("doc_id", "lang = 'en' AS y", "source")
+    terms = dsir_term_buckets(
+        d, "doc_id", "text", (F.col("lang") == "en"), DSIR_BUCKETS
+    ).join(d.select("doc_id", "source"), "doc_id")
+    cells = terms.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tgt_c"),
+    )
+    tf = dsir_postings(terms.select("doc_id", "__tgt", "bucket"))
+    return auc_source_ablation_from_parts(docs, cells, tf)
+
+
+def _source_ablation_oracle() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang = 'en' AS y, source, {_TOKS} AS toks
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, y, source,
+         CAST(concat('0x', substring(md5(t.term), 1, 12)) AS BIGINT) % {b}
+           AS bucket
+  FROM docs, unnest(toks) AS t(term)
+),
+cells AS MATERIALIZED (
+  SELECT source, bucket,
+         CAST(COUNT(*) AS BIGINT) AS raw_c,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+  FROM terms GROUP BY 1, 2
+),
+abls AS (
+  SELECT DISTINCT source AS abl FROM cells
+  UNION ALL SELECT '{ABLATION_FULL}'
+),
+gcells AS (
+  SELECT bucket, CAST(SUM(raw_c) AS BIGINT) AS raw_tot,
+         CAST(SUM(tgt_c) AS BIGINT) AS tgt_tot
+  FROM cells GROUP BY 1
+),
+comp AS (
+  SELECT a.abl, g.bucket,
+         g.raw_tot - COALESCE(c.raw_c, 0) AS raw_c,
+         g.tgt_tot - COALESCE(c.tgt_c, 0) AS tgt_c
+  FROM gcells g CROSS JOIN abls a
+  LEFT JOIN cells c ON c.source = a.abl AND c.bucket = g.bucket
+),
+ftot AS (
+  SELECT abl, CAST(SUM(raw_c) AS BIGINT) AS t_raw,
+         CAST(SUM(tgt_c) AS BIGINT) AS t_tgt
+  FROM comp GROUP BY 1
+),
+ratios AS (
+  SELECT comp.abl, bucket,
+         CAST(ROUND((LN((tgt_c + 1.0) / (t_tgt + CAST({b} AS DOUBLE)))
+                   - LN((raw_c + 1.0) / (t_raw + CAST({b} AS DOUBLE))))
+                    * 1000000.0, 0) AS BIGINT) AS lr_micro
+  FROM comp JOIN ftot USING (abl)
+),
+tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+scored AS (
+  SELECT r.abl, t.doc_id, CAST(SUM(t.tf * r.lr_micro) AS BIGINT) AS logw_micro
+  FROM tf t JOIN ratios r USING (bucket)
+  GROUP BY 1, 2
+),
+labeled AS (
+  SELECT a.abl, d.y, COALESCE(s.logw_micro, 0) AS logw_micro
+  FROM docs d CROSS JOIN abls a
+  LEFT JOIN scored s ON s.abl = a.abl AND s.doc_id = d.doc_id
+  WHERE d.source <> a.abl OR a.abl = '{ABLATION_FULL}'
+),
+groups AS (
+  SELECT abl, logw_micro AS s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM labeled GROUP BY 1, 2
+),
+cum AS (
+  SELECT abl, s, c_pos, c_neg,
+         CAST(COALESCE(SUM(c_neg) OVER (PARTITION BY abl ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_neg_below
+  FROM groups
+),
+sums AS (
+  SELECT abl,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_scores,
+         SUM(CAST(c_pos AS DECIMAL(38,0))
+             * (2 * cum_neg_below + c_neg)) AS u2
+  FROM cum GROUP BY 1
+),
+final AS (
+  SELECT abl, n_pos, n_neg, n_scores, {_AUC_MICRO} AS auc_micro FROM sums
+),
+base AS (
+  SELECT auc_micro AS base_auc_micro FROM final
+  WHERE abl = '{ABLATION_FULL}'
+)
+SELECT abl AS ablated_source, n_pos, n_neg, n_scores, auc_micro,
+       base_auc_micro - auc_micro AS delta_micro
+FROM final CROSS JOIN base
+"""
+
+
+QUERIES["feat_auc_source_ablation"] = QuerySpec(
+    q_feat_auc_source_ablation, _source_ablation_oracle()
+)

@@ -5243,3 +5243,94 @@ def _stream_bytehist_oracle() -> str:
 QUERIES["stream_byte_histogram"] = QuerySpec(
     q_stream_byte_histogram, _stream_bytehist_oracle()
 )
+
+
+def q_stream_auc_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained data valuation (r13): the leave-one-source-out
+    AUC ablation re-derived at READOUT from three additive ledgers — the doc
+    dim (carrying source + label as arrival facts), the postings, and the
+    PER-SOURCE bucket cells (the model ledger keyed one level finer, so any
+    source's complement model is a subtraction of the fold). Shares the
+    batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.functions.sampling import (
+        dsir_postings,
+        dsir_term_buckets,
+    )
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        DSIR_BUCKETS,
+        auc_source_ablation_from_parts,
+    )
+
+    b = DSIR_BUCKETS
+    base = tempfile.mkdtemp(prefix="stream_ablation_")
+    src = f"{base}/src"
+    led_doc, led_tf, led_cells = f"{base}/docs", f"{base}/tf", f"{base}/cells"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang", "source").repartition(_split(4)).write.parquet(
+        src
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.selectExpr(
+            "doc_id", "lang = 'en' AS y", "source"
+        ).write.mode("append").parquet(led_doc)
+        terms = dsir_term_buckets(
+            batch_df, "doc_id", "text", (F.col("lang") == "en"), b
+        ).join(batch_df.select("doc_id", "source"), "doc_id")
+        dsir_postings(terms.select("doc_id", "__tgt", "bucket")).write.mode(
+            "append"
+        ).parquet(led_tf)
+        terms.groupBy("source", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tgt_c"),
+        ).write.mode("append").parquet(led_cells)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    docs = spark.read.parquet(led_doc)
+    cells = (
+        spark.read.parquet(led_cells)
+        .groupBy("source", "bucket")
+        .agg(
+            F.sum("raw_c").cast("bigint").alias("raw_c"),
+            F.sum("tgt_c").cast("bigint").alias("tgt_c"),
+        )
+    )
+    tf = (
+        spark.read.parquet(led_tf)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    return auc_source_ablation_from_parts(docs, cells, tf)
+
+
+def _stream_ablation_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _source_ablation_oracle,
+    )
+
+    return _source_ablation_oracle()
+
+
+QUERIES["stream_auc_source_ablation"] = QuerySpec(
+    q_stream_auc_source_ablation, _stream_ablation_oracle()
+)

@@ -1510,3 +1510,36 @@ def test_harmonic_centrality_matches_pure_python_bfs(spark):
         assert rows[s]["n_reached"] == len(reached), s
         assert rows[s]["harmonic_micro"] == h, s
         assert rows[s]["harmonic_micro"] <= 1_000_000 * (len(nodes) - 1)
+
+
+def test_auc_source_ablation_partitions_and_delta_laws(spark):
+    """Law test: the '__full__' sentinel row evaluates the whole corpus
+    (n_pos + n_neg == |docs|) under the un-ablated model and must equal
+    feat_auc_report's point estimate on the same fixture; every ablated
+    row excludes exactly its source's docs (n_pos + n_neg == |docs| −
+    |source|); delta_micro is exactly base − ablated; and the full row's
+    delta is 0."""
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["ablated_source"]: r
+        for r in all_queries()["feat_auc_source_ablation"].fn(spark, sf).collect()
+    }
+    auc_full = (
+        all_queries()["feat_auc_report"].fn(spark, sf).collect()[0]["auc_micro"]
+    )
+    con = duckdb.connect()
+    sizes = dict(
+        con.sql(
+            f"SELECT source, COUNT(*) FROM '{sf}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    n_docs = sum(sizes.values())
+    full = rows["__full__"]
+    assert full["n_pos"] + full["n_neg"] == n_docs
+    assert full["auc_micro"] == auc_full
+    assert full["delta_micro"] == 0
+    assert set(rows) == set(sizes) | {"__full__"}
+    for src, n in sizes.items():
+        r = rows[src]
+        assert r["n_pos"] + r["n_neg"] == n_docs - n, src
+        assert r["delta_micro"] == full["auc_micro"] - r["auc_micro"], src

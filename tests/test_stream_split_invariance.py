@@ -180,6 +180,11 @@ FOLDS = [
     # late r13: the byte-value histogram over the Arrow bincount cell
     # ledger (at most 256 cells per batch; shares are readout decisions)
     "stream_byte_histogram",
+    # late r13: the source-ablation readout over the doc dim + postings +
+    # PER-SOURCE cell ledgers (every complement model is a subtraction of
+    # the fold, so batching must be invisible through |sources|+1
+    # evaluations at once)
+    "stream_auc_source_ablation",
 ]
 
 
