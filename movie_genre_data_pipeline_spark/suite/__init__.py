@@ -557,6 +557,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # complement-model subtraction (batch + ledger twin)
     "feat_auc_source_ablation",
     "stream_auc_source_ablation",
+    # late r13: the PQ quantization-distortion audit (batch — the encoded
+    # corpus is a projection, not a streamable fold)
+    "sim_pq_distortion",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -2205,3 +2205,94 @@ FROM exact e LEFT JOIN probed pr USING (vid)
 QUERIES["sim_range_search"] = QuerySpec(
     q_sim_range_search, _sim_range_search_oracle()
 )
+
+
+# -- PQ distortion audit: per-subspace quantization error (r13) ----------------------------
+# The vector-side sibling of the MinHash reliability diagram: product
+# quantization ACTS on the claim that a vector is well-approximated by its
+# per-subspace nearest centroids, and this query prices that claim — the
+# per-subspace mean/max squared quantization error over the WHOLE encoded
+# corpus (the FAISS "imbalance/quantization error" readout that decides
+# whether m/k need raising before anyone trusts ADC distances). Exactness:
+# vectors are the integral-double quantization (round(x·scale)) and the
+# codebooks replay the exact Lloyd loop, so every distance is the same
+# IEEE-exact double in both engines; the per-vector error is array_min of
+# the final-codebook distance row (the encoder's own argmin), quantized
+# ONCE to an integer (FLOOR(e+0.5) — the value is ≤ dsub·(2·scale)² < 2^53,
+# so the double is exact and the half-up is deterministic) and folded in
+# DECIMAL(38,0) so the corpus roll-up is accumulation-order-free (a plain
+# double AVG here diverged between engines in the last ulp). Scale
+# shape: training touches only the 512-row sample; the corpus is ONE
+# projection pass per subspace (codebooks are plan literals — no join, no
+# shuffle) collapsed map-side to m rows.
+def q_sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.kmeans import quantize_vectors
+    from movie_genre_data_pipeline_spark.functions.pq import (
+        _cent_lit,
+        _sq_dist_col,
+        pq_train_local,
+        subvector,
+    )
+
+    _pq_tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_vectors(e, "vec_id", "embedding")
+    books = pq_train_local(_collect_train(q), DIM, PQ_M, PQ_K, PQ_ITERS)
+    dsub = _PQ_DSUB
+    err_cols = []
+    for j, book in enumerate(books):
+        sub = subvector(F.col("vq"), j, dsub)
+        dists = F.transform(_cent_lit(book), lambda c: _sq_dist_col(sub, c))
+        err_cols.append(F.array_min(dists).alias(f"e{j}"))
+    errs = q.select(*err_cols).selectExpr(
+        *[
+            f"CAST(FLOOR(e{j} + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0)) AS e{j}"
+            for j in range(PQ_M)
+        ]
+    )
+    out = None
+    for j in range(PQ_M):
+        row = errs.agg(
+            F.lit(j).cast("bigint").alias("subspace"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.col(f"e{j}")).alias("sum_sqerr"),
+            F.max(F.col(f"e{j}")).cast("bigint").alias("max_sqerr"),
+        ).selectExpr(
+            "subspace",
+            "n_vectors",
+            "CAST(FLOOR(CAST(sum_sqerr AS DOUBLE) / CAST(n_vectors AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mse",
+            "max_sqerr",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _pq_distortion_oracle() -> str:
+    tr = f"tr AS (SELECT vid, vq FROM eq ORDER BY vid LIMIT {IVF_TRAIN})"
+    rows = []
+    for j in range(PQ_M):
+        rows.append(
+            f"""(
+  SELECT CAST({j} AS BIGINT) AS subspace,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(FLOOR(CAST(SUM(sqerr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mse,
+         CAST(MAX(sqerr) AS BIGINT) AS max_sqerr
+  FROM (SELECT vid,
+               CAST(FLOOR(MIN(dist) + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))
+                 AS sqerr
+        FROM de{j} GROUP BY vid)
+)"""
+        )
+    return (
+        f"WITH {_PQ_EQ_CTE},\n{tr},\n"
+        + _pq_codes_cte()
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+QUERIES["sim_pq_distortion"] = QuerySpec(
+    q_sim_pq_distortion, _pq_distortion_oracle()
+)

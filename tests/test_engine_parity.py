@@ -1543,3 +1543,48 @@ def test_auc_source_ablation_partitions_and_delta_laws(spark):
         r = rows[src]
         assert r["n_pos"] + r["n_neg"] == n_docs - n, src
         assert r["delta_micro"] == full["auc_micro"] - r["auc_micro"], src
+
+
+def test_pq_distortion_matches_numpy(spark):
+    """Law test: retrain the codebooks independently (pq_train_local on the
+    same 512-row sample), recompute every vector's per-subspace quantization
+    error in numpy, and require exact integer agreement on the quantized
+    sums and maxima; pin the geometry law (m rows, every mse <= its
+    subspace max) and the nonnegativity of every error."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["subspace"]: r
+        for r in all_queries()["sim_pq_distortion"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    vecs = con.sql(
+        f"""SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> round(x * 1000000.0))
+        FROM '{sf}/embeddings.parquet' ORDER BY vec_id"""
+    ).fetchall()
+    from movie_genre_data_pipeline_spark.functions.pq import pq_train_local
+    from movie_genre_data_pipeline_spark.suite.similarity_queries import (
+        DIM,
+        IVF_TRAIN,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+
+    train = [(v[0], list(v[1])) for v in vecs[:IVF_TRAIN]]
+    books = pq_train_local(train, DIM, PQ_M, PQ_K, PQ_ITERS)
+    dsub = DIM // PQ_M
+    x = np.array([v[1] for v in vecs], dtype=np.float64)
+    assert set(rows) == set(range(PQ_M))
+    for j in range(PQ_M):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = np.array(books[j], dtype=np.float64)
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        e = np.floor(d.min(axis=1) + 0.5).astype(np.int64)
+        r = rows[j]
+        assert r["n_vectors"] == len(vecs)
+        assert r["mse"] == math.floor(int(e.sum()) / len(vecs) + 0.5), j
+        assert r["max_sqerr"] == int(e.max()), j
+        assert 0 <= r["mse"] <= r["max_sqerr"]
