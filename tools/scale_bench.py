@@ -131,6 +131,19 @@ SCALE_QUERIES = [
     "sample_neyman_allocation",
     "text_hill_tail_index",
     "feat_rank_tau",
+    # late r13 second wave: the |sources|-bounded ablation fan-out (must
+    # stay ~linear — |sources| is a dimension), the candidate-bounded
+    # MinHash calibration (co-shingle verification semi-joined to LSH
+    # candidates — the volume the docstring promises is candidate-, not
+    # corpus-, shaped), the Arrow bincount histogram (linear kernel, ≤256
+    # cells out per batch), the per-language ARI moments (the ESS shape),
+    # and the recursive-CTE harmonic centrality (grain-bounded recursion:
+    # the edge list is dimension-sized however large the fact side grows)
+    "feat_auc_source_ablation",
+    "dedup_minhash_calibration",
+    "media_byte_histogram",
+    "text_readability_ari",
+    "graph_harmonic_centrality",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
