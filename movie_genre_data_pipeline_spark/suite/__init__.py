@@ -560,6 +560,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the PQ quantization-distortion audit (batch — the encoded
     # corpus is a projection, not a streamable fold)
     "sim_pq_distortion",
+    # late r13: the per-feature PSI drift sweep (batch + ledger twin)
+    "feat_drift_screen",
+    "stream_drift_screen",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

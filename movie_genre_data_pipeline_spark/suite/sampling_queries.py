@@ -5121,3 +5121,110 @@ FROM final CROSS JOIN base
 QUERIES["feat_auc_source_ablation"] = QuerySpec(
     q_feat_auc_source_ablation, _source_ablation_oracle()
 )
+
+
+# -- feature drift screen: per-feature PSI between snapshots (r13) -------------------------
+# The monitoring sibling of feat_leakage_screen on the TIME axis: the
+# leakage screen asks "which feature predicts the label?", this asks "which
+# feature's DISTRIBUTION moved between snapshots?" — the nightly per-feature
+# PSI sweep a feature-store team runs before retraining (the same < 0.1 /
+# 0.1–0.25 / > 0.25 triage bands as the score PSI). One stacked orders scan
+# lands every feature's (feature, bin) cells with the orderkey-parity
+# snapshot halves in the (cur, ref) seats (production: two snapshot dates),
+# and the readout IS woe_iv_report_from_cells — PSI is IV between snapshots
+# (the feat_score_psi identity), so the Laplace-smoothed exact integer
+# ratios and the order-free integer fold carry over unchanged, per feature,
+# ranked by drift. Scale shape: one fact scan stacked map-side into
+# |features|·|bins| cells; everything after is broadcast-sized.
+def drift_cell_facts(orders: DataFrame) -> DataFrame:
+    """(feature, x, n_pos=cur half, n_neg=ref half) — the stacked additive
+    snapshot-contingency facts over one orders scan. SUM-foldable, so the
+    streaming twin appends these."""
+    stack_expr = ", ".join(
+        f"'{name}', {expr}" for name, expr in LEAKAGE_FEATURES
+    )
+    return (
+        orders.selectExpr(
+            f"stack({len(LEAKAGE_FEATURES)}, {stack_expr}) AS (feature, x)",
+            "o_orderkey % 2 = 1 AS is_cur",
+        )
+        .groupBy("feature", "x")
+        .agg(
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("is_cur"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+    )
+
+
+def drift_screen_from_cells(cells: DataFrame) -> DataFrame:
+    """The per-feature PSI report over the stacked snapshot cells, however
+    accumulated — woe_iv_report_from_cells re-seated with (cur, ref) in the
+    (pos, neg) seats, columns renamed to the monitoring vocabulary."""
+    return woe_iv_report_from_cells(cells).selectExpr(
+        "feature",
+        "n_bins",
+        "n_pos AS n_cur",
+        "n_neg AS n_ref",
+        "iv_micro AS psi_micro",
+        "woe_min_micro AS lnratio_min_micro",
+        "woe_max_micro AS lnratio_max_micro",
+    )
+
+
+def q_feat_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return drift_screen_from_cells(drift_cell_facts(o))
+
+
+def _drift_screen_oracle() -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr.replace('AS STRING', 'AS VARCHAR')}"
+        f" AS x, o_orderkey % 2 = 1 AS is_cur FROM orders"
+        for name, expr in LEAKAGE_FEATURES
+    )
+    return f"""
+WITH stacked AS (
+{sel}
+),
+cells AS (
+  SELECT feature, x,
+         CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM stacked GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS t_neg
+  FROM cells GROUP BY 1
+),
+bins AS (
+  SELECT feature, n_bins, t_pos, t_neg,
+         {_WOE_MICRO} AS woe_micro,
+         {_SHARE_MICRO.format(n="n_pos", t="t_pos")} AS pos_share_micro,
+         {_SHARE_MICRO.format(n="n_neg", t="t_neg")} AS neg_share_micro
+  FROM cells JOIN tot USING (feature)
+),
+folded AS (
+  SELECT feature, MAX(n_bins) AS n_bins, MAX(t_pos) AS n_pos,
+         MAX(t_neg) AS n_neg,
+         SUM((pos_share_micro - neg_share_micro) * woe_micro) AS iv_sum,
+         MIN(woe_micro) AS woe_min_micro,
+         MAX(woe_micro) AS woe_max_micro
+  FROM bins GROUP BY feature
+)
+SELECT feature, n_bins, n_pos AS n_cur, n_neg AS n_ref,
+       {_IV_MICRO} AS psi_micro,
+       woe_min_micro AS lnratio_min_micro,
+       woe_max_micro AS lnratio_max_micro
+FROM folded
+"""
+
+
+QUERIES["feat_drift_screen"] = QuerySpec(
+    q_feat_drift_screen, _drift_screen_oracle()
+)

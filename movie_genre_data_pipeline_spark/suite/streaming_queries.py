@@ -5334,3 +5334,68 @@ def _stream_ablation_oracle() -> str:
 QUERIES["stream_auc_source_ablation"] = QuerySpec(
     q_stream_auc_source_ablation, _stream_ablation_oracle()
 )
+
+
+def q_stream_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-feature drift sweep (r13): the stacked
+    snapshot-contingency cells SUM-fold per micro-batch (snapshot membership
+    is an arrival decision — an orderkey hash), and every feature's PSI
+    re-derives at readout through the shared woe_iv_report_from_cells fold.
+    Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        drift_cell_facts,
+        drift_screen_from_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_drift_scr_")
+    src, led = f"{base}/src", f"{base}/cells"
+    o = load(spark, sf_dir, "orders")
+    o.select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        drift_cell_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    cells = (
+        spark.read.parquet(led)
+        .groupBy("feature", "x")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_neg").cast("bigint").alias("n_neg"),
+        )
+    )
+    return drift_screen_from_cells(cells)
+
+
+def _stream_drift_screen_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _drift_screen_oracle,
+    )
+
+    return _drift_screen_oracle()
+
+
+QUERIES["stream_drift_screen"] = QuerySpec(
+    q_stream_drift_screen, _stream_drift_screen_oracle()
+)

@@ -185,6 +185,10 @@ FOLDS = [
     # the fold, so batching must be invisible through |sources|+1
     # evaluations at once)
     "stream_auc_source_ablation",
+    # late r13: the per-feature PSI sweep over the stacked snapshot-cell
+    # ledger (snapshot membership is an arrival decision; every feature's
+    # PSI a readout re-derivation)
+    "stream_drift_screen",
 ]
 
 
