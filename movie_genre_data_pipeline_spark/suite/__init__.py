@@ -563,6 +563,10 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: the per-feature PSI drift sweep (batch + ledger twin)
     "feat_drift_screen",
     "stream_drift_screen",
+    # late r13: the graph family's first ledger twin — assortativity over a
+    # distinct-edge union fold (its tail extraction also flips
+    # graph_degree_assortativity, already queued here)
+    "stream_degree_assortativity",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -529,26 +529,15 @@ QUERIES["graph_adamic_adar"] = QuerySpec(q_graph_adamic_adar, Q_ADAMIC_ADAR_ORAC
 # shape: edges stay data-sized end to end — two degree aggregates, two
 # keyed joins back onto the edge list, one map-side-combined 1-row moment
 # fold; no pairwise fan-out anywhere (contrast Adamic-Adar, which must cap).
-def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def assortativity_from_edges(edges: DataFrame) -> DataFrame:
+    """The mixing-coefficient tail over a DISTINCT (s, c) edge set, however
+    accumulated (one batch reduction or a union-folded edge ledger) —
+    shared by the batch query and the streaming twin."""
     from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
         _ACF_R_MICRO,
     )
 
-    li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
-    edges = (
-        li.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_suppkey").cast("bigint").alias("s"),
-            F.col("o_custkey").cast("bigint").alias("c"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = edges.localCheckpoint(eager=False)
     sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     joined = edges.join(sdeg, "s").join(cdeg, "c")
@@ -573,6 +562,24 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         f"{_ACF_R_MICRO} AS assortativity_micro",
     )
+
+
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("s"),
+            F.col("o_custkey").cast("bigint").alias("c"),
+        )
+        .distinct()
+    )
+    return assortativity_from_edges(edges)
 
 
 def _assortativity_oracle() -> str:

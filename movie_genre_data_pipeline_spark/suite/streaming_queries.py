@@ -5399,3 +5399,64 @@ def _stream_drift_screen_oracle() -> str:
 QUERIES["stream_drift_screen"] = QuerySpec(
     q_stream_drift_screen, _stream_drift_screen_oracle()
 )
+
+
+def q_stream_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained graph mixing coefficient (r13) — the graph
+    family's first ledger twin: per-batch DISTINCT (supplier, customer)
+    edge partials append (a set-union fold — re-DISTINCTing the union
+    recovers the corpus edge set exactly, the stream_phash discipline for
+    pairs), and the degrees + the Pearson fold re-derive at READOUT, so
+    the always-current assortativity equals the batch answer bit-for-bit.
+    Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.graph_queries import (
+        assortativity_from_edges,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_assort_")
+    src, led = f"{base}/src", f"{base}/edges"
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    li.select("l_orderkey", "l_suppkey").join(
+        o.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.col("l_suppkey").cast("bigint").alias("s"),
+        F.col("o_custkey").cast("bigint").alias("c"),
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("s", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("s", "c").distinct().write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    edges = spark.read.parquet(led).distinct()
+    return assortativity_from_edges(edges)
+
+
+def _stream_assort_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.graph_queries import (
+        _assortativity_oracle,
+    )
+
+    return _assortativity_oracle()
+
+
+QUERIES["stream_degree_assortativity"] = QuerySpec(
+    q_stream_degree_assortativity, _stream_assort_oracle()
+)

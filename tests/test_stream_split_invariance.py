@@ -189,6 +189,10 @@ FOLDS = [
     # ledger (snapshot membership is an arrival decision; every feature's
     # PSI a readout re-derivation)
     "stream_drift_screen",
+    # late r13: the graph mixing coefficient over the distinct-edge union
+    # ledger (re-DISTINCT of the union recovers the edge set; degrees and
+    # the Pearson fold are readout decisions)
+    "stream_degree_assortativity",
 ]
 
 
