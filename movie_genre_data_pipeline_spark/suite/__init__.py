@@ -567,6 +567,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # distinct-edge union fold (its tail extraction also flips
     # graph_degree_assortativity, already queued here)
     "stream_degree_assortativity",
+    # late r13: PPS systematic sampling design (batch + ledger twin)
+    "sample_pps_systematic",
+    "stream_pps_systematic",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

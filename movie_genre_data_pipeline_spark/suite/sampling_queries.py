@@ -5228,3 +5228,90 @@ FROM folded
 QUERIES["feat_drift_screen"] = QuerySpec(
     q_feat_drift_screen, _drift_screen_oracle()
 )
+
+
+# -- PPS systematic sampling (r13) ----------------------------------------------------------
+# The other classical survey design next to Neyman allocation: probability-
+# proportional-to-size SYSTEMATIC selection (Madow 1949) — walk the corpus
+# in a fixed total order, drop n equally-spaced selection points on the
+# cumulative-size axis, and a document is hit once per point inside its
+# span, so inclusion probability is exactly proportional to size with NO
+# randomness to reproduce. All integer arithmetic: with T = Σ sizes and n
+# points, doc i (exclusive prefix cum_i, size s_i) receives
+# points_i = ((cum_i + s_i)·n) DIV T − (cum_i·n) DIV T — every quantity a
+# positive BIGINT (cum·n ≤ T·n stays far under 2^63 until ~9e15 total
+# chars·points), DIV and // agree on positives, and Σ points_i = n is an
+# IDENTITY (telescoping), pinned as a law. A document larger than the
+# sampling interval legitimately absorbs multiple points (the
+# with-multiplicity convention); n_sel_docs counts it once. Scale shape:
+# one size projection, one range-partitioned exclusive prefix sum
+# (operators/ranking — no single-task window), one |languages| roll-up.
+PPS_POINTS = 1000
+
+
+def pps_report_from_sizes(sizes: DataFrame) -> DataFrame:
+    """The PPS tail over (doc_id, lang, sz) rows, however accumulated —
+    shared by the batch query and the streaming ledger twin."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    cum = ranged_running_sum(
+        sizes, ["doc_id"], F.col("sz"), "cum_before"
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(F.sum("sz").cast("bigint").alias("t_sz"))
+    pts = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang",
+        "sz",
+        f"((cum_before + sz) * {PPS_POINTS}) DIV t_sz"
+        f" - (cum_before * {PPS_POINTS}) DIV t_sz AS points",
+    )
+    return pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sz").cast("bigint").alias("total_size"),
+        F.sum("points").cast("bigint").alias("n_points"),
+        F.sum(F.when(F.col("points") >= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sel_docs"),
+    )
+
+
+def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sizes = d.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("sz")
+    )
+    return pps_report_from_sizes(sizes)
+
+
+Q_PPS_ORACLE = f"""
+WITH sizes AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS sz FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, sz,
+         CAST(COALESCE(SUM(sz) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM sizes
+),
+tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS t_sz FROM sizes),
+pts AS (
+  SELECT lang, sz,
+         ((cum_before + sz) * {PPS_POINTS}) // t_sz
+           - (cum_before * {PPS_POINTS}) // t_sz AS points
+  FROM cum CROSS JOIN tot
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sz) AS BIGINT) AS total_size,
+       CAST(SUM(points) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN points >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sel_docs
+FROM pts GROUP BY 1
+"""
+
+
+QUERIES["sample_pps_systematic"] = QuerySpec(
+    q_sample_pps_systematic, Q_PPS_ORACLE
+)

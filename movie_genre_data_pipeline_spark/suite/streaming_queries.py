@@ -5460,3 +5460,59 @@ def _stream_assort_oracle() -> str:
 QUERIES["stream_degree_assortativity"] = QuerySpec(
     q_stream_degree_assortativity, _stream_assort_oracle()
 )
+
+
+def q_stream_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained PPS systematic design (r13): per-doc size
+    facts union-fold (doc_ids unique across batches — the Hill ledger
+    shape), and the total order, the prefix sums, the selection points,
+    and every per-language count re-derive at READOUT — selection points
+    move as the corpus grows, which is exactly why a systematic design
+    must be a readout, not streamed state. Shares the batch oracle
+    verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        pps_report_from_sizes,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_pps_")
+    src, led = f"{base}/src", f"{base}/sizes"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "n_chars").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "doc_id", "lang", F.col("n_chars").cast("bigint").alias("sz")
+        ).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return pps_report_from_sizes(spark.read.parquet(led))
+
+
+def _stream_pps_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        Q_PPS_ORACLE,
+    )
+
+    return Q_PPS_ORACLE
+
+
+QUERIES["stream_pps_systematic"] = QuerySpec(
+    q_stream_pps_systematic, _stream_pps_oracle()
+)

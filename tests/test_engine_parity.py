@@ -1588,3 +1588,49 @@ def test_pq_distortion_matches_numpy(spark):
         assert r["mse"] == math.floor(int(e.sum()) / len(vecs) + 0.5), j
         assert r["max_sqerr"] == int(e.max()), j
         assert 0 <= r["mse"] <= r["max_sqerr"]
+
+
+def test_pps_systematic_matches_pure_python_and_telescopes(spark):
+    """Law test: replay the systematic walk in pure Python (doc_id order,
+    exclusive prefix sums, integer point arithmetic) and require exact
+    per-language agreement; pin the telescoping identity Σ points == n
+    (the design's defining property) and the PPS monotonicity sanity
+    (selected docs can never outnumber selection points)."""
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["lang"]: r
+        for r in all_queries()["sample_pps_systematic"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    docs = con.sql(
+        f"""SELECT doc_id, lang, CAST(n_chars AS BIGINT)
+        FROM '{sf}/documents.parquet' ORDER BY doc_id"""
+    ).fetchall()
+    n = 1000
+    t = sum(d[2] for d in docs)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    cum = 0
+    total_points = 0
+    for _, lang, sz in docs:
+        pts = ((cum + sz) * n) // t - (cum * n) // t
+        cum += sz
+        total_points += pts
+        a = agg[lang]
+        a[0] += 1
+        a[1] += sz
+        a[2] += pts
+        a[3] += 1 if pts >= 1 else 0
+    assert total_points == n
+    assert set(rows) == set(agg)
+    for lang, (nd, tsz, np_, nsel) in agg.items():
+        r = rows[lang]
+        assert (r["n_docs"], r["total_size"], r["n_points"], r["n_sel_docs"]) == (
+            nd,
+            tsz,
+            np_,
+            nsel,
+        ), lang
+        assert r["n_sel_docs"] <= r["n_points"]
+    assert sum(r["n_points"] for r in rows.values()) == n

@@ -193,6 +193,10 @@ FOLDS = [
     # ledger (re-DISTINCT of the union recovers the edge set; degrees and
     # the Pearson fold are readout decisions)
     "stream_degree_assortativity",
+    # late r13: the systematic design over the doc-size ledger (union fold;
+    # selection points legitimately MOVE as the corpus grows, so the whole
+    # walk is a readout decision)
+    "stream_pps_systematic",
 ]
 
 
