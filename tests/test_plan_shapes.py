@@ -258,3 +258,40 @@ def test_minhash_calibration_is_candidate_bounded(spark):
     plan = _plan(spark, "dedup_minhash_calibration")
     assert _count(plan, "CartesianProduct") == 0, plan[:2000]
     assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sample_pps_systematic",
+        "feat_auc_source_ablation",
+    ],
+)
+def test_late_r13_second_wave_has_no_single_task_window(spark, name):
+    """Late r13 second wave: the PPS prefix sum and the per-ablation
+    Mann-Whitney folds run through operators/ranking — no WindowExec with an
+    empty partition spec, no cartesian pairing."""
+    plan = _plan(spark, name)
+    _assert_windows_partitioned(plan)
+    assert _count(plan, "CartesianProduct") == 0, plan[:2000]
+
+
+def test_drift_screen_scans_orders_once(spark):
+    """Late r13: the stacked snapshot-cell table is barrier-pinned — the
+    per-feature totals and the bin join both read the checkpointed cells,
+    never a re-derived 5x-stacked orders scan (the woe_iv pin, applied to
+    the drift sweep)."""
+    plan = _plan(spark, "feat_drift_screen")
+    assert _count(plan, "Scan parquet") == 0, plan[:2000]
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_pq_distortion_is_projection_only(spark):
+    """Late r13: the distortion audit's corpus pass is a literal-codebook
+    projection — no join of any kind may appear over the corpus (the
+    codebooks are plan literals, trained driver-side on the bounded
+    sample)."""
+    plan = _plan(spark, "sim_pq_distortion")
+    assert _count(plan, "SortMergeJoin") == 0, plan[:2000]
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastHashJoin") == 0, plan[:2000]
