@@ -570,6 +570,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: PPS systematic sampling design (batch + ledger twin)
     "sample_pps_systematic",
     "stream_pps_systematic",
+    # late r13: HLL set algebra (batch — the union IS the ledger-merge
+    # operation the stream_hll twin already exercises)
+    "sketch_hll_set_algebra",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -508,3 +508,154 @@ FROM est CROSS JOIN tj
 """
 
 QUERIES["sketch_ams_join_size"] = QuerySpec(q_ams_join_size, Q_AMS_JOIN_SIZE_ORACLE)
+
+
+# -- HLL set algebra: union by register max, intersection by inclusion-exclusion (r13) -----
+# The operation that makes HLL the warehouse's distinct sketch of choice:
+# register tables MERGE — |A∪B| is the bucket-wise MAX of the two tables
+# (exactly the property the streaming ledger twin folds on), and |A∩B|
+# falls out of inclusion-exclusion on three estimates. This query runs the
+# algebra on two real populations (viewers vs purchasers), publishes all
+# three estimates NEXT TO their exact truths and the I-E intersection next
+# to the exact overlap — the audited-sketch discipline (CMS overcount, HLL
+# rel_err, MinHash calibration) extended to set operations, with the
+# documented caveat visible in-row: I-E inherits the ABSOLUTE error of all
+# three estimates, so small intersections of large sets are where it
+# degrades (the reason KMV serves the overlap-RATIO readout next door).
+# Determinism: md5 registers, integral register sums, one double division
+# per estimate — both engines replay everything bit-for-bit. Scale shape:
+# one events scan to (pop, bucket, rho) partials; every later stage runs on
+# ≤ 3·m register rows; exact truths are two distinct aggregates.
+HLL_SET_A = "view"
+HLL_SET_B = "purchase"
+
+
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    regs = (
+        hll_registers(
+            ev.filter(F.col("event_type").isin(HLL_SET_A, HLL_SET_B)),
+            "user_id",
+            ["event_type"],
+            p=HLL_P,
+        )
+        .withColumnRenamed("event_type", "pop")
+        .localCheckpoint(eager=False)
+    )
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .selectExpr("'union' AS pop", "bucket", "rho")
+    )
+    est = hll_estimate(
+        regs.unionByName(union_regs), ["pop"], p=HLL_P
+    ).select("pop", "hll_est")
+    wide = est.groupBy().pivot(
+        "pop", [HLL_SET_A, HLL_SET_B, "union"]
+    ).agg(F.first("hll_est")).selectExpr(
+        f"`{HLL_SET_A}` AS est_a",
+        f"`{HLL_SET_B}` AS est_b",
+        "`union` AS est_union",
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin(HLL_SET_A, HLL_SET_B))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == HLL_SET_A, 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("event_type") == HLL_SET_B, 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+        .agg(
+            F.sum("in_a").cast("bigint").alias("exact_a"),
+            F.sum("in_b").cast("bigint").alias("exact_b"),
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("bigint")
+            .alias("exact_intersect"),
+        )
+    )
+    return wide.crossJoin(F.broadcast(exact)).selectExpr(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        "est_a",
+        "est_b",
+        "est_union",
+        "round(est_a + est_b - est_union, 2) AS est_intersect",
+    )
+
+
+def _hll_set_algebra_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.hll import hll_alpha
+
+    alpha_num = hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)
+    est_expr = f"""CASE WHEN {alpha_num!r} / register_sum <= {2.5 * _HLL_M!r}
+                   AND n_zero > 0
+              THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / n_zero), 2)
+              ELSE round({alpha_num!r} / register_sum, 2) END"""
+    return f"""
+WITH h AS (
+  SELECT event_type AS pop,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h48
+  FROM events WHERE event_type IN ('{HLL_SET_A}', '{HLL_SET_B}')
+),
+r AS (
+  SELECT pop, h48 // {_HLL_REST_MOD} AS bucket,
+         CASE WHEN h48 % {_HLL_REST_MOD} = 0 THEN {_HLL_SCALE}
+              ELSE {_HLL_SCALE} - length(format('{{:b}}', h48 % {_HLL_REST_MOD}))
+         END AS rho
+  FROM h
+),
+regs AS MATERIALIZED (SELECT pop, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+all_regs AS (
+  SELECT pop, bucket, rho FROM regs
+  UNION ALL
+  SELECT 'union' AS pop, bucket, MAX(rho) AS rho FROM regs GROUP BY 2
+),
+agg AS (
+  SELECT pop,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS n_zero,
+         CAST(SUM(CAST(power(2.0, {_HLL_SCALE} - rho) AS BIGINT))
+              + ({_HLL_M} - COUNT(*)) * CAST({1 << _HLL_SCALE} AS BIGINT)
+              AS BIGINT) AS register_sum
+  FROM all_regs GROUP BY 1
+),
+est AS (SELECT pop, {est_expr} AS hll_est FROM agg),
+wide AS (
+  SELECT MAX(CASE WHEN pop = '{HLL_SET_A}' THEN hll_est END) AS est_a,
+         MAX(CASE WHEN pop = '{HLL_SET_B}' THEN hll_est END) AS est_b,
+         MAX(CASE WHEN pop = 'union' THEN hll_est END) AS est_union
+  FROM est
+),
+ex AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+         CAST(SUM(in_b) AS BIGINT) AS exact_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersect
+  FROM (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = '{HLL_SET_A}' THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN event_type = '{HLL_SET_B}' THEN 1 ELSE 0 END) AS in_b
+    FROM events WHERE event_type IN ('{HLL_SET_A}', '{HLL_SET_B}')
+    GROUP BY user_id)
+)
+SELECT exact_a, exact_b, exact_union, exact_intersect,
+       est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 2) AS est_intersect
+FROM wide CROSS JOIN ex
+"""
+
+
+QUERIES["sketch_hll_set_algebra"] = QuerySpec(
+    q_hll_set_algebra, _hll_set_algebra_oracle()
+)

@@ -1634,3 +1634,27 @@ def test_pps_systematic_matches_pure_python_and_telescopes(spark):
         ), lang
         assert r["n_sel_docs"] <= r["n_points"]
     assert sum(r["n_points"] for r in rows.values()) == n
+
+
+def test_hll_set_algebra_laws(spark):
+    """Law test: the union estimate must be monotone (>= each side's
+    estimate — register max can only raise registers), the I-E intersection
+    must equal est_a + est_b − est_union exactly (on the published
+    2-decimal numbers), the exact columns must satisfy inclusion-exclusion
+    as an identity, and every estimate must sit within the sketch's
+    documented error band of its exact truth (~1.04/√256 ≈ 6.5%; allow 4σ
+    on the fixture's small populations)."""
+    sf = "/root/testdata/sf0.001"
+    r = all_queries()["sketch_hll_set_algebra"].fn(spark, sf).collect()[0]
+    assert r["exact_a"] + r["exact_b"] - r["exact_union"] == r["exact_intersect"]
+    assert r["est_union"] >= r["est_a"] - 1e-9
+    assert r["est_union"] >= r["est_b"] - 1e-9
+    assert math.isclose(
+        r["est_intersect"], r["est_a"] + r["est_b"] - r["est_union"], abs_tol=0.011
+    )
+    for est, exact in (
+        (r["est_a"], r["exact_a"]),
+        (r["est_b"], r["exact_b"]),
+        (r["est_union"], r["exact_union"]),
+    ):
+        assert abs(est - exact) <= max(5.0, 0.26 * exact), (est, exact)
