@@ -573,6 +573,9 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # late r13: HLL set algebra (batch — the union IS the ledger-merge
     # operation the stream_hll twin already exercises)
     "sketch_hll_set_algebra",
+    # late r13: the data-freshness SLA audit (batch + MAX-fold ledger twin)
+    "dq_freshness_sla",
+    "stream_freshness_sla",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

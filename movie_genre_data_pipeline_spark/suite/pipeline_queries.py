@@ -1355,3 +1355,67 @@ ORDER BY 1, 2
 QUERIES["gold_language_parity_mode"] = QuerySpec(
     q_gold_language_parity_mode, Q_GOLD_LANGUAGE_PARITY_ORACLE
 )
+
+
+# -- data-freshness SLA audit (r13) ----------------------------------------------------------
+# The observability row every ingestion on-call reads first: per event
+# type, WHEN did data last arrive, how far does it lag the freshest type,
+# and does that breach the freshness SLA? Lag is measured against the
+# corpus's own max event time (the bounded-fixture stand-in for "now" —
+# production substitutes the clock, same arithmetic), in exact integer
+# epoch micros via operators.timeseries.epoch_micros (NTZ/LTZ-agnostic —
+# the fixture's ts encoding has drifted between rounds). The SLA breach is
+# an integer compare, so the verdict is oracle-exact. Scale shape: one
+# fact scan collapses map-side to |types| MAX rows + a broadcast 1-row
+# global max — and MAX is a fold, so the streaming twin appends per-batch
+# (type, max) partials and re-MAXes at readout (the retention-policy
+# horizon discipline).
+FRESHNESS_SLA_US = 3_600_000_000  # 1 hour
+
+
+def freshness_facts(events: DataFrame) -> DataFrame:
+    """(event_type, last_us) — per-type MAX event-time facts over ONE events
+    scan. MAX-foldable, so the streaming twin appends these."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_micros
+
+    return events.groupBy("event_type").agg(
+        F.max(epoch_micros("ts")).cast("bigint").alias("last_us")
+    )
+
+
+def freshness_report_from_facts(facts: DataFrame) -> DataFrame:
+    """The SLA report over per-type MAX facts, however accumulated — shared
+    by the batch query and the streaming ledger twin."""
+    facts = facts.localCheckpoint(eager=False)
+    horizon = facts.agg(F.max("last_us").cast("bigint").alias("now_us"))
+    return (
+        facts.crossJoin(F.broadcast(horizon))
+        .selectExpr(
+            "event_type",
+            "last_us",
+            "now_us - last_us AS lag_us",
+            f"now_us - last_us > {FRESHNESS_SLA_US} AS sla_breach",
+        )
+    )
+
+
+def q_dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return freshness_report_from_facts(freshness_facts(ev))
+
+
+Q_DQ_FRESHNESS_ORACLE = f"""
+WITH facts AS (
+  SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT CAST(MAX(last_us) AS BIGINT) AS now_us FROM facts)
+SELECT event_type, last_us,
+       now_us - last_us AS lag_us,
+       now_us - last_us > {FRESHNESS_SLA_US} AS sla_breach
+FROM facts CROSS JOIN horizon
+"""
+
+QUERIES["dq_freshness_sla"] = QuerySpec(
+    q_dq_freshness_sla, Q_DQ_FRESHNESS_ORACLE
+)

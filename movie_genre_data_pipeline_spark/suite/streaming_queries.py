@@ -5516,3 +5516,63 @@ def _stream_pps_oracle() -> str:
 QUERIES["stream_pps_systematic"] = QuerySpec(
     q_stream_pps_systematic, _stream_pps_oracle()
 )
+
+
+def q_stream_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained freshness SLA audit (r13): per-batch per-type
+    MAX event-time partials append (the retention-policy horizon fold — MAX
+    re-MAXes), and the horizon, every lag, and every breach verdict
+    re-derive at readout over the folded facts. Shares the batch oracle
+    verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        freshness_facts,
+        freshness_report_from_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_fresh_")
+    src, led = f"{base}/src", f"{base}/facts"
+    ev = load(spark, sf_dir, "events")
+    ev.select("event_type", "ts", "event_id").repartition(_split(4)).write.parquet(
+        src
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        freshness_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    facts = (
+        spark.read.parquet(led)
+        .groupBy("event_type")
+        .agg(F.max("last_us").cast("bigint").alias("last_us"))
+    )
+    return freshness_report_from_facts(facts)
+
+
+def _stream_freshness_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.pipeline_queries import (
+        Q_DQ_FRESHNESS_ORACLE,
+    )
+
+    return Q_DQ_FRESHNESS_ORACLE
+
+
+QUERIES["stream_freshness_sla"] = QuerySpec(
+    q_stream_freshness_sla, _stream_freshness_oracle()
+)

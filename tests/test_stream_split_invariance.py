@@ -197,6 +197,9 @@ FOLDS = [
     # selection points legitimately MOVE as the corpus grows, so the whole
     # walk is a readout decision)
     "stream_pps_systematic",
+    # late r13: the freshness audit over the per-type MAX ledger (the
+    # retention-horizon fold; lags and verdicts are readout decisions)
+    "stream_freshness_sla",
 ]
 
 
