@@ -39,16 +39,28 @@ from pyspark.sql import functions as F
 
 
 def fold_ledger(
-    df: DataFrame, key_cols: Sequence[str], sum_cols: Sequence[str]
+    df: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    agg: str = "sum",
 ) -> DataFrame:
-    """The canonical ledger fold: SUM every value column per key, preserving
-    each column's ledger dtype (SUM widens int→bigint; a compacted ledger must
-    keep the schema its appenders write, or the next fold unions mixed
-    schemas). Used by both the readout path and the compactor so "what
-    compaction persists" and "what a readout computes" cannot drift."""
+    """The canonical ledger fold: combine every value column per key with the
+    ledger's monoid, preserving each column's ledger dtype (SUM widens
+    int→bigint; a compacted ledger must keep the schema its appenders write,
+    or the next fold unions mixed schemas). Used by both the readout path and
+    the compactor so "what compaction persists" and "what a readout computes"
+    cannot drift.
+
+    `agg` names the fold monoid: "sum" (additive count/micro-sum facts — every
+    DSIR/postings/hourly ledger) or "max" (idempotent high-water facts — HLL
+    registers, freshness last-seen timestamps). Both re-associate, which is
+    what makes compaction exact."""
+    if agg not in ("sum", "max"):
+        raise ValueError(f"unsupported ledger fold monoid: {agg!r}")
+    combine = F.sum if agg == "sum" else F.max
     schema = dict(df.dtypes)
     return df.groupBy(*key_cols).agg(
-        *[F.sum(c).cast(schema[c]).alias(c) for c in sum_cols]
+        *[combine(c).cast(schema[c]).alias(c) for c in sum_cols]
     )
 
 
@@ -57,6 +69,7 @@ def compact_ledger(
     path: str,
     key_cols: Sequence[str],
     sum_cols: Sequence[str],
+    agg: str = "sum",
 ) -> int:
     """Fold the additive-fact ledger at `path` into one generation, in place.
 
@@ -66,12 +79,11 @@ def compact_ledger(
     the pile. Returns the number of data files the compacted generation
     holds (callers log shard-count reduction).
 
-    Exactness: every value column must be an ADDITIVE integer fact (counts,
-    micro-quantized sums, sketch registers under max — see caveat) — the
-    compacted ledger then folds with any later appends to bit-identical
-    readouts. Value columns folded by non-SUM monoids (HLL register max)
-    need their own fold; this helper is the SUM case, which is every ledger
-    the suite's twins append today.
+    Exactness: every value column must be a MONOID fact under `agg` — SUM for
+    additive integer facts (counts, micro-quantized sums), MAX for idempotent
+    high-water facts (HLL registers, freshness last-seen) — the compacted
+    ledger then folds with any later appends to bit-identical readouts,
+    because both monoids re-associate.
 
     Scale shape: the fold is one map-side-combinable shuffle over live keys;
     the swap is two renames. Nothing here scans more than the ledger itself,
@@ -82,11 +94,47 @@ def compact_ledger(
     from movie_genre_data_pipeline_spark.sources.batch import read_parquet
 
     df = read_parquet(spark, path)
-    folded = fold_ledger(df, key_cols, sum_cols).repartition(
+    folded = fold_ledger(df, key_cols, sum_cols, agg).repartition(
         max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 32)),
         *key_cols,
     )
     rewrite_parquet(spark, folded, path)
+    return ledger_file_count(path)
+
+
+def ledger_file_count(path: str) -> int:
+    """Number of Parquet shard files in the ledger pile at `path` — the
+    cadence signal maybe_compact_ledger thresholds on. A directory listing,
+    never a data scan; on HDFS/object stores this is the same listStatus the
+    reader's file-source planning pays anyway."""
     from pathlib import Path
 
     return sum(1 for p in Path(path).rglob("*.parquet") if p.is_file())
+
+
+def maybe_compact_ledger(
+    spark: SparkSession,
+    path: str,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    max_files: int = 64,
+    agg: str = "sum",
+) -> bool:
+    """The cadence hook: compact the ledger at `path` iff its shard count has
+    passed `max_files`. Call it from the appender (foreachBatch, after the
+    append) — the cheap listing runs every batch, the fold-and-swap only when
+    the pile is actually deep, so readout cost stays bounded by live key
+    cardinality + max_files shards instead of growing one file per micro-batch
+    forever (the module contract above; VERDICT r13 #3).
+
+    Returns True iff a compaction ran. Safe mid-stream: the appending query
+    never reads the ledger inside a batch, and the swap is rename-atomic for
+    any concurrent readout. At 100 TB arrival rates, `max_files` trades
+    compaction write-amplification against listing/open cost per readout —
+    64 shards of live-key state is a handful of list calls while re-folding
+    happens once per 64 micro-batches.
+    """
+    if ledger_file_count(path) <= max_files:
+        return False
+    compact_ledger(spark, path, key_cols, sum_cols, agg)
+    return True

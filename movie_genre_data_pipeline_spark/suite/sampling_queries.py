@@ -4898,16 +4898,48 @@ QUERIES["feat_rank_tau"] = QuerySpec(q_feat_rank_tau, _rank_tau_oracle())
 ABLATION_FULL = "__full__"
 
 
+# Leave-one-source-out is inherently |sources|+1 model evaluations: the
+# scored/labeled frames below are |sources|+1 broadcast-replicated passes
+# over the postings, so total work is LINEAR in |sources| (the k=4 scale
+# probe measured ratio 1.56 with |sources| fixed — linear-in-docs as the
+# law predicts, see SCALE.md). At 100 TB that is fine only while |sources|
+# stays O(10): a corpus keyed by thousands of fine-grained sources would
+# turn this into a scan storm. Gate it the way brute_force_top_k gates its
+# quadratic path (functions/similarity.py): hard-error past the bound
+# unless the caller explicitly opts in — the right scale fix is coarsening
+# the source key (domain → registrar, crawl → snapshot family) BEFORE
+# ablating, or switching to Shapley-style sampled ablations.
+ABLATION_MAX_SOURCES = 32
+
+
 def auc_source_ablation_from_parts(
-    docs: DataFrame, cells: DataFrame, tf: DataFrame
+    docs: DataFrame,
+    cells: DataFrame,
+    tf: DataFrame,
+    max_sources: int = ABLATION_MAX_SOURCES,
+    allow_many_sources: bool = False,
 ) -> DataFrame:
     """The ablation tail over three additive parts — docs (doc_id, y,
     source), per-source bucket cells (source, bucket, raw_c, tgt_c),
     postings (doc_id, bucket, tf) — however accumulated (one batch scan or
-    SUM-folded ledgers)."""
+    SUM-folded ledgers).
+
+    Cost law: LINEAR in |sources| (|sources|+1 complement-model passes over
+    the postings). Raises past `max_sources` unless `allow_many_sources=True`
+    — see ABLATION_MAX_SOURCES. The guard count runs on the CELLS table
+    (|sources|×buckets rows, never the corpus), so it is metadata-cheap."""
     b = DSIR_BUCKETS
     cells = cells.localCheckpoint(eager=False)
     docs = docs.localCheckpoint(eager=False)
+    if not allow_many_sources:
+        n_src = cells.select("source").distinct().count()
+        if n_src > max_sources:
+            raise ValueError(
+                f"auc_source_ablation is linear in |sources| ({n_src} sources "
+                f"> {max_sources}: that is {n_src + 1} postings passes). "
+                f"Coarsen the source key before ablating, or pass "
+                f"allow_many_sources=True for an explicitly budgeted run."
+            )
     abls = (
         cells.select(F.col("source").alias("abl"))
         .distinct()

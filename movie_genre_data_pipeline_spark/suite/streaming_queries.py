@@ -4092,6 +4092,14 @@ QUERIES["stream_seasonal_decompose"] = QuerySpec(
 )
 
 
+# GC threshold for the DSIR twins' postings/bucket ledgers: 2 shards keeps
+# the compactor firing inside a 4-batch availableNow stream (one shard per
+# batch), so every correctness run proves compact-then-append == append-only
+# on the real ledgers. Production cadence is O(64) — write amplification per
+# compaction is bounded by LIVE key cardinality either way, never by history.
+DSIR_GC_MAX_FILES = 2
+
+
 def _dsir_labeled_from_stream(
     spark: SparkSession, sf_dir: str, prefix: str
 ) -> DataFrame:
@@ -4103,12 +4111,27 @@ def _dsir_labeled_from_stream(
     streaming form: every document's score is re-judged under the folded
     model (the stream_surprisal_filter discipline — an early doc's score
     legitimately moves as the model learns), so any readout over this frame
-    equals its batch twin bit-for-bit."""
+    equals its batch twin bit-for-bit.
+
+    Ledger GC cadence (VERDICT r13 #3): after each batch's appends the two
+    heaviest ledgers (term postings, bucket-model counts — the ones whose
+    shard count grows fastest at 100 TB arrival rates) run
+    streaming/ledger.maybe_compact_ledger. Compaction is the readout's own
+    SUM fold persisted, so it is EXACT under later appends (fold(compact(p)
+    ∪ s) == fold(p ∪ s)) — the readout below is oblivious to whether GC
+    fired. The threshold is sized so the GC path fires inside these twins'
+    4-micro-batch availableNow streams (i.e. every driver correctness run
+    exercises compact-then-append equality for real); a production
+    deployment sizes it to O(64) shards — see maybe_compact_ledger's
+    docstring for the trade."""
     from movie_genre_data_pipeline_spark.functions.sampling import (
         dsir_bucket_model,
         dsir_fold_scores,
         dsir_postings,
         dsir_term_buckets,
+    )
+    from movie_genre_data_pipeline_spark.streaming.ledger import (
+        maybe_compact_ledger,
     )
     from movie_genre_data_pipeline_spark.suite import load
     from movie_genre_data_pipeline_spark.suite.sampling_queries import DSIR_BUCKETS
@@ -4146,6 +4169,13 @@ def _dsir_labeled_from_stream(
         )
         dsir_postings(terms).write.mode("append").parquet(led_tf)
         dsir_bucket_model(terms).write.mode("append").parquet(led_bkt)
+        spark = batch_df.sparkSession
+        maybe_compact_ledger(
+            spark, led_tf, ["doc_id", "bucket"], ["tf"], max_files=DSIR_GC_MAX_FILES
+        )
+        maybe_compact_ledger(
+            spark, led_bkt, ["bucket"], ["raw_c", "tgt_c"], max_files=DSIR_GC_MAX_FILES
+        )
 
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()

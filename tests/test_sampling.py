@@ -235,3 +235,34 @@ def test_dsir_repartition_invariant(spark):
         dsir_importance(df.repartition(13), "doc_id", "text", flag).collect()
     )
     assert a == b
+
+
+def test_source_ablation_guards_source_cardinality(spark):
+    """VERDICT r13 #4: leave-one-source-out is |sources|+1 postings passes —
+    linear in |sources| — so past ABLATION_MAX_SOURCES it must hard-error
+    (coarsen the key or opt in explicitly), the brute_force_top_k precedent."""
+    import pytest as _pytest
+
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        auc_source_ablation_from_parts,
+    )
+
+    n_src = 40  # > ABLATION_MAX_SOURCES (32)
+    docs = spark.createDataFrame(
+        [(i, i % 2 == 0, f"s{i % n_src}") for i in range(n_src * 2)],
+        "doc_id bigint, y boolean, source string",
+    )
+    cells = spark.createDataFrame(
+        [(f"s{i}", i % 8, 3, 1) for i in range(n_src)],
+        "source string, bucket bigint, raw_c bigint, tgt_c bigint",
+    )
+    tf = spark.createDataFrame(
+        [(i, i % 8, 2) for i in range(n_src * 2)],
+        "doc_id bigint, bucket bigint, tf bigint",
+    )
+    with _pytest.raises(ValueError, match="linear in .sources."):
+        auc_source_ablation_from_parts(docs, cells, tf)
+
+    # the explicitly budgeted opt-in still runs (and ablates every source)
+    out = auc_source_ablation_from_parts(docs, cells, tf, allow_many_sources=True)
+    assert out.count() == n_src + 1
