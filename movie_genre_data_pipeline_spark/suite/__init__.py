@@ -49,6 +49,99 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # similarity / streaming / multimodal) so every operator family gets a
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
+# r14 ROTATION — the pool-drain round (VERDICT r13 next-round #1/#2).
+# Same two test-enforced seating rules:
+# (a) never-driver-checked queries here or in NEXT_ROUND_POOL
+#     (test_rotation_pool_matches_computed_debt) — ALL 36 late-r13
+#     NEXT_ROUND_POOL entries are seated below (lift/gains, Brier, Gini,
+#     Mann-Kendall, chi², assortativity + its ledger twin, conformal,
+#     Neyman, Hill, rank-tau, MinHash calibration, SRM, CUSUM monitor,
+#     ARI, harmonic centrality, PQ distortion, HLL set algebra, PPS,
+#     byte histogram, freshness SLA, drift screen, AUC source ablation
+#     + ledger twins — every one judge-verified exact at sf0.01 --exact
+#     in the r13 session, 0 failures). The pool drains to EMPTY;
+#     test_rotation_pool_is_bounded now caps future pools at 14 (window
+#     slack) so never-checked debt can't compound across rounds.
+# (b) fingerprint-stale queries must re-earn a driver record
+#     (test_changed_queries_are_reseated) — this round: the ledger GC
+#     cadence wired into _dsir_labeled_from_stream (VERDICT r13 #3) flips
+#     its six standing r13-green consumers (stream AUC/PR-AUC/KS/
+#     AUC-bootstrap/by-segment/score-PSI readouts), and the fold-monoid
+#     parameter on streaming/ledger.py flips stream_ledger_compact.
+#     (stream_lift_gains and the two AUC-source-ablation queries are also
+#     flipped — by the GC wiring and the |sources| guard, VERDICT r13 #4 —
+#     but they are pool members, already seated under rule (a).)
+# The remaining 7 slots refresh the STALEST standing records (computed
+# from the CORRECTNESS_r*.json history): the three r5-green leftovers the
+# r13 comment queued (sim_lsh_recall, sketch_kmv_vocab_overlap,
+# time_bucket_gapfill), tpch_q9 (r6 — the window's TPC-H family floor:
+# no pool/stale entry carries the tpch_ prefix this round), and the three
+# alphabetically-first r6 greens (ab_experiment_report, cdc_snapshot_diff,
+# curate_fuzzy_decontaminate). The 33 remaining r6 greens queue for r15.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- (a): the 36 late-r13 NEXT_ROUND_POOL entries, seated in pool order ---
+    "feat_lift_gains",
+    "stream_lift_gains",
+    "feat_brier_decomposition",
+    "ops_gini_concentration",
+    "stream_gini_concentration",
+    "ts_mann_kendall",
+    "stream_mann_kendall",
+    "feat_chi2_independence",
+    "stream_chi2_independence",
+    "graph_degree_assortativity",
+    "feat_conformal_threshold",
+    "sample_neyman_allocation",
+    "stream_neyman_allocation",
+    "text_hill_tail_index",
+    "stream_hill_tail_index",
+    "feat_rank_tau",
+    "dedup_minhash_calibration",
+    "ab_srm_check",
+    "stream_srm_check",
+    "stream_cusum_changepoint",
+    "text_readability_ari",
+    "stream_readability_ari",
+    "graph_harmonic_centrality",
+    "media_byte_histogram",
+    "stream_byte_histogram",
+    "feat_auc_source_ablation",
+    "stream_auc_source_ablation",
+    "sim_pq_distortion",
+    "feat_drift_screen",
+    "stream_drift_screen",
+    "stream_degree_assortativity",
+    "sample_pps_systematic",
+    "stream_pps_systematic",
+    "sketch_hll_set_algebra",
+    "dq_freshness_sla",
+    "stream_freshness_sla",
+    # --- (b): fingerprint-stale — the DSIR-ledger GC cadence consumers
+    #     (r13 greens whose plan now runs maybe_compact_ledger mid-stream;
+    #     compaction is exact by algebra, and the driver record proves it) ---
+    "stream_auc_report",
+    "stream_pr_auc_report",
+    "stream_ks_report",
+    "stream_auc_bootstrap_ci",
+    "stream_auc_by_segment",
+    "stream_score_psi",
+    # --- (b): fingerprint-stale — the fold-monoid parameter on
+    #     streaming/ledger.py (compact_ledger signature) ---
+    "stream_ledger_compact",
+    # --- stalest-record refresh: the three r5 leftovers ---
+    "sim_lsh_recall",
+    "sketch_kmv_vocab_overlap",
+    "time_bucket_gapfill",
+    # --- the TPC-H family floor: its stalest record (r6) ---
+    "tpch_q9",
+    # --- stalest-record refresh: r6 greens (alphabetically first) ---
+    "ab_experiment_report",
+    "cdc_snapshot_diff",
+    "curate_fuzzy_decontaminate",
+)
+
+# The r13 window, kept for the rotation ledger (all 50 hold r13 driver
+# greens; they now sit just past the window under the full local gate):
 # r13 ROTATION. Same two test-enforced seating rules:
 # (a) never-driver-checked queries here or in NEXT_ROUND_POOL
 #     (test_rotation_pool_matches_computed_debt) — the 16 r12 pool entries
@@ -70,7 +163,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # the r12 comment queued (the sim/sketch/skew/stream/text/ts wave below),
 # the twelve alphabetically-first r6 greens, and media_block_chunks (r7 —
 # the media family's stalest record, keeping the family floor).
-DRIVER_WINDOW: tuple[str, ...] = (
+_R13_WINDOW: tuple[str, ...] = (
     # --- (a): the r12 NEXT_ROUND_POOL ---
     "feat_woe_iv",
     "stream_woe_iv",
@@ -494,89 +587,13 @@ _R9_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-# r13: the 16-query r12 pool is seated in the r13 window above, and the
-# first r13 wave (the PR-AUC pair, the ledger-GC query, the KS pair,
-# the AUC-bootstrap-CI pair, the by-segment AUC pair, the DP-release pair,
-# the CV AUC pair, the score-PSI pair, graph_adamic_adar) was seated
-# immediately. The late-r13 wave below landed after the 50 seats filled
-# (the 32 never-checked entries above cannot be displaced), so it queues
-# here for the r14 window; each was verified at sf0.001 AND sf0.01
-# --vanilla --exact when it landed.
-NEXT_ROUND_POOL: tuple[str, ...] = (
-    # late r13: the decile lift / cumulative-gains table (batch + ledger twin)
-    "feat_lift_gains",
-    "stream_lift_gains",
-    # late r13: the Brier score + generalized Murphy decomposition (batch
-    # only — the IRLS probability-axis family, like the calibration report)
-    "feat_brier_decomposition",
-    # late r13: Gini revenue concentration + top shares (batch + ledger twin)
-    "ops_gini_concentration",
-    "stream_gini_concentration",
-    # late r13: Mann-Kendall trend + Theil-Sen slope (batch + ledger twin)
-    "ts_mann_kendall",
-    "stream_mann_kendall",
-    # late r13: chi-squared independence + Cramér's V (batch + ledger twin)
-    "feat_chi2_independence",
-    "stream_chi2_independence",
-    # late r13: degree assortativity of the co-service graph (batch — the
-    # graph-family precedent)
-    "graph_degree_assortativity",
-    # late r13: split-conformal threshold + coverage audit (batch — the
-    # IRLS probability-axis family; its k-threading also flips the
-    # calibration/Brier fingerprints, both already seated)
-    "feat_conformal_threshold",
-    # late r13: Neyman optimal stratified allocation (batch + ledger twin)
-    "sample_neyman_allocation",
-    "stream_neyman_allocation",
-    # late r13: Hill tail-index of the document-length tail (batch + twin)
-    "text_hill_tail_index",
-    "stream_hill_tail_index",
-    # late r13: Kendall tau-b selector-agreement audit (batch — the binned
-    # grid makes a naive doc-pair tau unnecessary at any scale)
-    "feat_rank_tau",
-    # late r13: the MinHash estimator reliability diagram (batch — exact
-    # Jaccard is candidate-restricted verification, not a streamable fold)
-    "dedup_minhash_calibration",
-    # late r13: the sample-ratio-mismatch guardrail (batch + ledger twin)
-    "ab_srm_check",
-    "stream_srm_check",
-    # late r13: the continuous CUSUM changepoint monitor (the event log is
-    # the ledger; the trajectory and argmax are readout decisions)
-    "stream_cusum_changepoint",
-    # late r13: the ARI readability profile (batch + ledger twin)
-    "text_readability_ari",
-    "stream_readability_ari",
-    # late r13: all-pairs harmonic centrality (batch — the verbatim-shared
-    # recursive-CTE form, like graph_reachability)
-    "graph_harmonic_centrality",
-    # late r13: the corpus byte-value histogram via the Arrow bincount
-    # kernel (batch + ledger twin — the media family's cheapest cell fold)
-    "media_byte_histogram",
-    "stream_byte_histogram",
-    # late r13: leave-one-source-out AUC ablation — data valuation by
-    # complement-model subtraction (batch + ledger twin)
-    "feat_auc_source_ablation",
-    "stream_auc_source_ablation",
-    # late r13: the PQ quantization-distortion audit (batch — the encoded
-    # corpus is a projection, not a streamable fold)
-    "sim_pq_distortion",
-    # late r13: the per-feature PSI drift sweep (batch + ledger twin)
-    "feat_drift_screen",
-    "stream_drift_screen",
-    # late r13: the graph family's first ledger twin — assortativity over a
-    # distinct-edge union fold (its tail extraction also flips
-    # graph_degree_assortativity, already queued here)
-    "stream_degree_assortativity",
-    # late r13: PPS systematic sampling design (batch + ledger twin)
-    "sample_pps_systematic",
-    "stream_pps_systematic",
-    # late r13: HLL set algebra (batch — the union IS the ledger-merge
-    # operation the stream_hll twin already exercises)
-    "sketch_hll_set_algebra",
-    # late r13: the data-freshness SLA audit (batch + MAX-fold ledger twin)
-    "dq_freshness_sla",
-    "stream_freshness_sla",
-)
+# r14: EMPTY — all 36 late-r13 entries are seated in the r14 window above
+# (VERDICT r13 #1), and r14 throttles new-query velocity until the debt
+# cycle is re-established (VERDICT r13 #2): any r14 additions are seated
+# immediately, and test_rotation_pool_is_bounded caps this tuple at 14
+# (the window slack left after pool + rule-(b) seats this round) so
+# never-checked debt can never again compound past one round's window.
+NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

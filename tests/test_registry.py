@@ -86,6 +86,20 @@ def test_rotation_pool_matches_computed_debt():
     )
 
 
+def test_rotation_pool_is_bounded():
+    """VERDICT r13 #2: the r13 pool grew to 36 of 50 window slots — one more
+    round at that velocity and never-driver-checked debt compounds across
+    rounds for the first time. Cap the pool at 14 (the window slack left
+    after the r14 pool-drain + rule-(b) seats): new queries must be seated
+    in DRIVER_WINDOW immediately, and a wave bigger than the slack has to
+    wait for the next round's additions instead of queueing unchecked."""
+    assert len(NEXT_ROUND_POOL) <= 14, (
+        f"NEXT_ROUND_POOL holds {len(NEXT_ROUND_POOL)} queries (> 14): "
+        "throttle new-query velocity — seat additions in DRIVER_WINDOW "
+        "immediately or defer them to the next round"
+    )
+
+
 def test_driver_window_samples_every_family():
     # r8: floor relaxed from >=2 to >=1 — the debt-clearing rotation packs 45
     # of 50 slots with fixed-reds + never-driver-checked entries (VERDICT r7
