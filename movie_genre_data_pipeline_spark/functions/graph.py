@@ -256,3 +256,36 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.orderBy("node")
+
+
+def local_triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, degree, n_tri): per-node degree and triangle membership over the
+    undirected simple graph — the inputs of the local clustering coefficient
+    (watts-strogatz) without materializing neighborhoods.
+
+    Same degree-ordered wedge-close joins as triangle_count, but each closed
+    triangle (a<b<c) is credited to ALL THREE corners before the per-node
+    fold, so the count arrives via one explode of a 3-array — no second pass
+    over the edge list. Skew cost is the same |N(v)|² join-row bound as the
+    census; per-node state is two integers."""
+    und = orient_edges(edges, src, dst).localCheckpoint(eager=True)
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_nodes = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+    )

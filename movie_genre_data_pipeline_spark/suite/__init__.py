@@ -587,13 +587,36 @@ _R9_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-# r14: EMPTY — all 36 late-r13 entries are seated in the r14 window above
-# (VERDICT r13 #1), and r14 throttles new-query velocity until the debt
-# cycle is re-established (VERDICT r13 #2): any r14 additions are seated
-# immediately, and test_rotation_pool_is_bounded caps this tuple at 14
-# (the window slack left after pool + rule-(b) seats this round) so
+# r14: all 36 late-r13 entries are seated in the r14 window above
+# (VERDICT r13 #1), and r14 throttles new-query velocity (VERDICT r13 #2):
+# ONE 9-query wave below — test_rotation_pool_is_bounded caps this tuple at
+# 14 (the window slack left after pool + rule-(b) seats this round) so
 # never-checked debt can never again compound past one round's window.
-NEXT_ROUND_POOL: tuple[str, ...] = ()
+# Each r14 entry was verified at sf0.001 AND sf0.01 --vanilla --exact when
+# it landed; the full 378-query registry also holds a committed
+# full-local-gate pass this round (VERIFY_FULL_r14.log, 0 failures).
+NEXT_ROUND_POOL: tuple[str, ...] = (
+    # r14: Kaplan-Meier retention survival (censoring-aware; spans fold by
+    # MIN/MAX — the two-monoid ledger twin)
+    "ts_kaplan_meier",
+    "stream_kaplan_meier",
+    # r14: Yule's K vocabulary richness (batch + unigram-postings ledger twin)
+    "text_yule_k",
+    "stream_yule_k",
+    # r14: local clustering coefficients (per-node transitivity — the
+    # triangle census at node grain; batch, nation-grain node set)
+    "graph_clustering_coeff",
+    # r14: Spearman rank-correlation matrix (batch — ranks are corpus-global
+    # order statistics, not a streamable fold)
+    "feat_spearman_matrix",
+    # r14: Mahalanobis joint-outlier screen (batch + dims/moment ledger twin
+    # re-judged under the final covariance)
+    "feat_mahalanobis_screen",
+    "stream_mahalanobis_screen",
+    # r14: Horvitz-Thompson total estimation under the PPS design (batch —
+    # the estimator readout of sample_pps_systematic's deterministic design)
+    "sample_horvitz_thompson",
+)
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

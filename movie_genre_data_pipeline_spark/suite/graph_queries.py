@@ -669,3 +669,75 @@ def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["graph_harmonic_centrality"] = QuerySpec(
     q_graph_harmonic_centrality, _HARMONIC_SQL
 )
+
+
+# -- local clustering coefficients (r14) ---------------------------------------------------
+# The transitivity profile of the trade graph: per-node Watts-Strogatz local
+# clustering C(v) = 2·T(v)/(deg(v)·(deg(v)−1)) — how close each nation's
+# trading neighborhood is to a clique. Community density structure at node
+# grain (the census gives one number; spam/collusion screens want to know
+# WHICH node sits in an abnormally closed neighborhood). Exactness: degree
+# and per-node triangle membership are exact integers from the same
+# degree-ordered wedge-close joins as graph_triangle_count; C quantizes once
+# through one shared double division with the half-up spell (deg < 2 ⇒ 0 by
+# convention — no wedges to close). Scale shape: the census joins' |N(v)|²
+# bound; per-node state is two integers, and the node set here is nation-
+# grain (the harmonic-centrality precedent — edges derive from one linear
+# lineitem scan).
+_LCC_MICRO = (
+    "CASE WHEN degree < 2 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(FLOOR(CAST(2000000 AS DOUBLE) * CAST(n_tri AS DOUBLE)"
+    " / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT) END"
+)
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.graph import (
+        local_triangle_counts,
+    )
+
+    counts = local_triangle_counts(_trade_edges(spark, sf_dir), "src", "dst")
+    return counts.selectExpr(
+        "node AS nation",
+        "degree",
+        "n_tri",
+        f"{_LCC_MICRO} AS lcc_micro",
+    ).orderBy("nation")
+
+
+_CLUSTERING_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM edges
+),
+tris AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+tri_nodes AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und
+  ) GROUP BY 1
+),
+joined AS (
+  SELECT d.node, d.degree,
+         CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri
+  FROM deg d LEFT JOIN tri_nodes t ON t.node = d.node
+)
+SELECT node AS nation, degree, n_tri, {_LCC_MICRO} AS lcc_micro
+FROM joined ORDER BY nation
+"""
+
+QUERIES["graph_clustering_coeff"] = QuerySpec(
+    q_graph_clustering_coeff, _CLUSTERING_SQL
+)

@@ -5347,3 +5347,365 @@ FROM pts GROUP BY 1
 QUERIES["sample_pps_systematic"] = QuerySpec(
     q_sample_pps_systematic, Q_PPS_ORACLE
 )
+
+
+# -- Spearman rank-correlation matrix (r14) ------------------------------------------------
+# The monotone-association screen Pearson misses: Spearman's rho is Pearson
+# over AVERAGE RANKS (ties mid-ranked), robust to the heavy-tailed/
+# nonlinearly-scaled features training corpora are full of. Rank discipline:
+# avg-rank(v) = (#below) + (#equal+1)/2, computed as the INTEGER doubled
+# rank 2·below + cnt + 1 from each column's value-grain frequency map — no
+# per-row window anywhere (the rank map is |distinct values| rows, its
+# exclusive prefix sum runs range-partitioned via operators/ranking.py, and
+# rows collect their rank by an equi-join on the value). Doubling keeps
+# every moment exact-integer; scaling both variables by 2 leaves rho
+# invariant, so the published micro value IS Spearman. The Pearson tail
+# reuses corr_matrix_micro / corr_pair_sql verbatim (decimal-exact moments,
+# one shared double expression). Scale shape: 3 value-grain maps + 3
+# equi-joins + one map-side-combined moment aggregate; at >2^31-row facts
+# the doubled ranks still fit BIGINT (2n+1), though rank² products then
+# want decimal-first multiplication — the corr-matrix caveat, noted there.
+SPEARMAN_COLS = ("qty", "price_c", "disc_c")
+
+
+def _spearman_ranked(feats: DataFrame) -> DataFrame:
+    """feats(col -> bigint) with each column replaced by its doubled
+    average rank."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    out = feats
+    for c in SPEARMAN_COLS:
+        vals = out.groupBy(c).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        ranks = ranged_running_sum(vals, [c], F.col("cnt"), "below").select(
+            c,
+            (2 * F.col("below") + F.col("cnt") + 1).cast("bigint").alias(f"__r2_{c}"),
+        )
+        out = out.join(ranks, c)
+    return out.select(
+        *[F.col(f"__r2_{c}").alias(c) for c in SPEARMAN_COLS]
+    )
+
+
+def q_feat_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        corr_matrix_micro,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_c"),
+    )
+    return corr_matrix_micro(_spearman_ranked(feats), SPEARMAN_COLS)
+
+
+def _spearman_oracle() -> str:
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        corr_pair_sql,
+    )
+
+    cols = SPEARMAN_COLS
+    maps = []
+    for c in cols:
+        maps.append(
+            f"""m_{c} AS (SELECT {c} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM f GROUP BY 1),
+r_{c} AS (SELECT v,
+  CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1
+    AS BIGINT) AS r2
+  FROM m_{c})"""
+        )
+    joins = " ".join(f"JOIN r_{c} ON r_{c}.v = f.{c}" for c in cols)
+    ranked_cols = ", ".join(f"r_{c}.r2 AS {c}" for c in cols)
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        moments.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            lo, hi = sorted((a, b))
+            moments.append(
+                f"CAST(SUM(CAST({a} AS HUGEINT) * {b}) AS DOUBLE) AS p_{lo}_{hi}"
+            )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"{corr_pair_sql(a, b)} AS corr_micro FROM g"
+        for a, b in pairs
+    )
+    maps_sql = ",\n".join(maps)
+    return f"""
+WITH f AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c
+  FROM lineitem
+),
+{maps_sql},
+ranked AS (SELECT {ranked_cols} FROM f {joins}),
+g AS (SELECT {", ".join(moments)} FROM ranked)
+{rows}
+"""
+
+
+QUERIES["feat_spearman_matrix"] = QuerySpec(
+    q_feat_spearman_matrix, _spearman_oracle()
+)
+
+
+# -- Mahalanobis outlier screen (r14) ------------------------------------------------------
+# The covariance-aware 2-D outlier audit a per-feature z-score can't do:
+# squared Mahalanobis distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) under the population
+# covariance, with Σ⁻¹ in closed form (2×2 — det/adjugate, no iterative
+# solver). Flags rows that are individually unremarkable but jointly
+# inconsistent (a cheap order, years late — the correlation carries the
+# signal). Exactness: the six moments (n, Σx1, Σx2, Σx1², Σx1x2, Σx2²)
+# accumulate as exact integers/DECIMAL(38,0) (squares overflow BIGINT at
+# fact scale) on both engines; every double appears in ONE shared
+# fixed-parenthesization expression, and d² quantizes once to micro before
+# the integer bin compare (χ²₂ edges 1/4/9). Scale shape: one map-side
+# combine to 6 numbers + one scoring scan against the broadcast moments —
+# the screen is inherently two-pass (scores are judged under GLOBAL
+# statistics); the twin ledgers the moments AND the dims, and re-judges at
+# readout (the DSIR doc-ledger precedent).
+_MAHA_MU1 = "(s1 / n)"
+_MAHA_MU2 = "(s2 / n)"
+_MAHA_C11 = f"(p11 / n - {_MAHA_MU1} * {_MAHA_MU1})"
+_MAHA_C12 = f"(p12 / n - {_MAHA_MU1} * {_MAHA_MU2})"
+_MAHA_C22 = f"(p22 / n - {_MAHA_MU2} * {_MAHA_MU2})"
+_MAHA_DET = f"({_MAHA_C11} * {_MAHA_C22} - {_MAHA_C12} * {_MAHA_C12})"
+_MAHA_D2_MICRO = (
+    "CAST(FLOOR(("
+    f"{_MAHA_C22} * (CAST(x1 AS DOUBLE) - {_MAHA_MU1})"
+    f" * (CAST(x1 AS DOUBLE) - {_MAHA_MU1})"
+    f" - CAST(2 AS DOUBLE) * {_MAHA_C12}"
+    f" * (CAST(x1 AS DOUBLE) - {_MAHA_MU1})"
+    f" * (CAST(x2 AS DOUBLE) - {_MAHA_MU2})"
+    f" + {_MAHA_C11} * (CAST(x2 AS DOUBLE) - {_MAHA_MU2})"
+    f" * (CAST(x2 AS DOUBLE) - {_MAHA_MU2})"
+    f") / {_MAHA_DET} * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_MAHA_BIN = (
+    "CASE WHEN d2_micro < 1000000 THEN 'a_d2_lt_1'"
+    " WHEN d2_micro < 4000000 THEN 'b_d2_1_4'"
+    " WHEN d2_micro < 9000000 THEN 'c_d2_4_9'"
+    " ELSE 'd_d2_ge_9' END"
+)
+
+
+def maha_dims(orders: DataFrame) -> DataFrame:
+    """(x1, x2) exact-integer feature rows: order value in cents, order date
+    in epoch days — arrival facts, the twin ledgers them as-is."""
+    return orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x1"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x2"),
+    )
+
+
+def maha_moments(dims: DataFrame) -> DataFrame:
+    """One additive moment row (n, s1, s2, p11, p12, p22) — SUM-foldable, the
+    OLS-Gram ledger shape."""
+    return dims.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.expr("CAST(x1 AS DECIMAL(38,0)) * x1")).alias("p11"),
+        F.sum(F.expr("CAST(x1 AS DECIMAL(38,0)) * x2")).alias("p12"),
+        F.sum(F.expr("CAST(x2 AS DECIMAL(38,0)) * x2")).alias("p22"),
+    )
+
+
+def maha_report_from_parts(dims: DataFrame, moments: DataFrame) -> DataFrame:
+    """The χ²₂-binned d² histogram over (x1, x2) dims judged under folded
+    global moments, however both accumulated — shared by batch and twin."""
+    g = moments.selectExpr(
+        "CAST(n AS DOUBLE) AS n",
+        "CAST(s1 AS DOUBLE) AS s1",
+        "CAST(s2 AS DOUBLE) AS s2",
+        "CAST(p11 AS DOUBLE) AS p11",
+        "CAST(p12 AS DOUBLE) AS p12",
+        "CAST(p22 AS DOUBLE) AS p22",
+    )
+    scored = dims.crossJoin(F.broadcast(g)).selectExpr(
+        f"{_MAHA_D2_MICRO} AS d2_micro"
+    )
+    return (
+        scored.selectExpr(f"{_MAHA_BIN} AS d2_bin", "d2_micro")
+        .groupBy("d2_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("d2_micro").cast("bigint").alias("max_d2_micro"),
+        )
+        .orderBy("d2_bin")
+    )
+
+
+def q_feat_mahalanobis_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = maha_dims(load(spark, sf_dir, "orders"))
+    return maha_report_from_parts(dims, maha_moments(dims))
+
+
+Q_MAHA_ORACLE = f"""
+WITH dims AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x1,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x2
+  FROM orders
+),
+moments AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS p11,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS p12,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS p22
+  FROM dims
+),
+scored AS (
+  SELECT {_MAHA_D2_MICRO} AS d2_micro FROM dims CROSS JOIN moments
+)
+SELECT {_MAHA_BIN} AS d2_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(d2_micro) AS BIGINT) AS max_d2_micro
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["feat_mahalanobis_screen"] = QuerySpec(
+    q_feat_mahalanobis_screen, Q_MAHA_ORACLE
+)
+
+
+# -- Horvitz-Thompson estimation under the PPS design (r14) --------------------------------
+# What the PPS sample is FOR: estimate a corpus total you didn't scan (here
+# the token count) from only the systematically-selected docs, weighting
+# each by its inverse inclusion intensity. Under sample_pps_systematic's
+# design a doc of size sz at corpus total T receives points_i systematic
+# hits with E[points_i] = K·sz/T, so the Hansen-Hurwitz/HT form is
+# ŷ = (T/K)·Σ points_i·y_i/sz_i — unbiased, and exact-deterministic here
+# because the design itself is deterministic. Per-doc ratios quantize once
+# (numerators points·y·1e6 stay exact BIGINT well past fact scale, one
+# double divide + half-up), the micro ratios SUM exactly as BIGINTs, and
+# the final T/K unscale is one shared double expression per language.
+# The per-language report publishes the estimate beside the TRUE total —
+# the design-effect audit (relative error in micro) a sampling pipeline
+# watches before trusting the estimator on totals it can't afford to scan.
+_HT_RATIO_MICRO = (
+    "CAST(FLOOR(CAST(points * y * 1000000 AS DOUBLE) / CAST(sz AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_HT_EST_TOKENS = (
+    "CAST(FLOOR(CAST(t_sz AS DOUBLE) * CAST(sum_ratio AS DOUBLE)"
+    f" / CAST({{K}} AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_HT_ERR_MICRO = (
+    "CAST(FLOOR((CAST(est_tokens AS DOUBLE) - CAST(true_tokens AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE) / CAST(true_tokens AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sizes = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("sz"),
+        F.size(tokens("text")).cast("bigint").alias("y"),
+    )
+    cum = ranged_running_sum(
+        sizes, ["doc_id"], F.col("sz"), "cum_before"
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(F.sum("sz").cast("bigint").alias("t_sz"))
+    pts = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang",
+        "sz",
+        "y",
+        "t_sz",
+        f"((cum_before + sz) * {PPS_POINTS}) DIV t_sz"
+        f" - (cum_before * {PPS_POINTS}) DIV t_sz AS points",
+    )
+    facts = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("true_tokens"),
+        F.sum(F.when(F.col("points") >= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.expr(f"CASE WHEN points >= 1 THEN {_HT_RATIO_MICRO} ELSE 0 END"))
+        .cast("bigint")
+        .alias("sum_ratio"),
+        F.max("t_sz").cast("bigint").alias("t_sz"),
+    )
+    est = facts.selectExpr(
+        "lang",
+        "n_docs",
+        "true_tokens",
+        "n_sampled",
+        _HT_EST_TOKENS.format(K=PPS_POINTS) + " AS est_tokens",
+    )
+    return est.selectExpr(
+        "lang",
+        "n_docs",
+        "true_tokens",
+        "n_sampled",
+        "est_tokens",
+        f"{_HT_ERR_MICRO} AS err_micro",
+    ).orderBy("lang")
+
+
+def _ht_oracle() -> str:
+    return f"""
+WITH sizes AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS sz,
+         CAST(len({_TOKS}) AS BIGINT) AS y
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, sz, y,
+         CAST(COALESCE(SUM(sz) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM sizes
+),
+tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS t_sz FROM sizes),
+pts AS (
+  SELECT lang, sz, y, t_sz,
+         ((cum_before + sz) * {PPS_POINTS}) // t_sz
+           - (cum_before * {PPS_POINTS}) // t_sz AS points
+  FROM cum CROSS JOIN tot
+),
+facts AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS true_tokens,
+         CAST(SUM(CASE WHEN points >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+         CAST(SUM(CASE WHEN points >= 1 THEN {_HT_RATIO_MICRO} ELSE 0 END)
+           AS BIGINT) AS sum_ratio,
+         CAST(MAX(t_sz) AS BIGINT) AS t_sz
+  FROM pts GROUP BY 1
+),
+est AS (
+  SELECT lang, n_docs, true_tokens, n_sampled,
+         {_HT_EST_TOKENS.format(K=PPS_POINTS)} AS est_tokens
+  FROM facts
+)
+SELECT lang, n_docs, true_tokens, n_sampled, est_tokens,
+       {_HT_ERR_MICRO} AS err_micro
+FROM est ORDER BY lang
+"""
+
+
+QUERIES["sample_horvitz_thompson"] = QuerySpec(
+    q_sample_horvitz_thompson, _ht_oracle()
+)

@@ -5606,3 +5606,193 @@ def _stream_freshness_oracle() -> str:
 QUERIES["stream_freshness_sla"] = QuerySpec(
     q_stream_freshness_sla, _stream_freshness_oracle()
 )
+
+
+# -- continuously-maintained Kaplan-Meier survival curve (r14) -----------------------------
+def q_stream_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous KM retention monitoring: each micro-batch appends per-user
+    span partials (user_id, MIN first-seen, MAX last-seen epoch micros — the
+    two-monoid ledger: f_us folds by MIN, l_us by MAX, both re-associating),
+    and EVERYTHING else — the corpus horizon, each user's death/censor
+    verdict, durations, at-risk counts, the ln-domain cumulative product —
+    re-derives at readout from the folded spans (a user's status legitimately
+    flips from dead to alive when a later batch shows them active again, so
+    the verdict can only be a readout decision). Shares the batch oracle
+    verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        km_report_from_spans,
+        km_user_spans,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_km_")
+    src, led = f"{base}/src", f"{base}/spans"
+    ev = load(spark, sf_dir, "events")
+    ev.select("ts", "user_id").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        km_user_spans(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    spans = (
+        spark.read.parquet(led)
+        .groupBy("user_id")
+        .agg(
+            F.min("f_us").cast("bigint").alias("f_us"),
+            F.max("l_us").cast("bigint").alias("l_us"),
+        )
+    )
+    return km_report_from_spans(spans)
+
+
+def _stream_km_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import Q_KM_ORACLE
+
+    return Q_KM_ORACLE
+
+
+QUERIES["stream_kaplan_meier"] = QuerySpec(q_stream_kaplan_meier, _stream_km_oracle())
+
+
+# -- continuously-maintained Yule's K richness profile (r14) -------------------------------
+def q_stream_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vocabulary-richness monitoring: each micro-batch appends its
+    (lang, term, tf) unigram postings (the Zipf/BM25 ledger shape — tf is the
+    additive fact); N, the type count, Σtf², and K itself are all readout
+    re-derivations over the SUM-folded postings (tf² doesn't re-associate, so
+    squaring before the fold would be wrong — the fact is tf, the square is a
+    readout decision). Shares the batch oracle verbatim; split-invariance
+    gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        yule_postings,
+        yule_report_from_postings,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_yule_")
+    src, led = f"{base}/src", f"{base}/postings"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "text").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        yule_postings(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    postings = (
+        spark.read.parquet(led)
+        .groupBy("lang", "term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    return yule_report_from_postings(postings)
+
+
+def _stream_yule_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.text_queries import Q_YULE_ORACLE
+
+    return Q_YULE_ORACLE
+
+
+QUERIES["stream_yule_k"] = QuerySpec(q_stream_yule_k, _stream_yule_oracle())
+
+
+# -- continuously-maintained Mahalanobis screen (r14) --------------------------------------
+def q_stream_mahalanobis_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous joint-outlier monitoring: each micro-batch appends (a) its
+    exact-integer feature dims and (b) its six-number moment partial (the
+    OLS-Gram ledger shape — counts and DECIMAL(38,0) sums, pure SUM fold).
+    Every d² is re-judged at readout under the FINAL folded covariance (an
+    early order's verdict legitimately moves as the distribution fills in —
+    the DSIR re-judging discipline), so the histogram equals the batch twin
+    bit-for-bit. Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        maha_dims,
+        maha_moments,
+        maha_report_from_parts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_maha_")
+    src = f"{base}/src"
+    led_dims, led_mom = f"{base}/dims", f"{base}/moments"
+    o = load(spark, sf_dir, "orders")
+    # the fixture's o_orderdate is a physical INT96 timestamp — pin DATE at
+    # the staging write so the declared stream schema matches the footer
+    o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    ).repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.DateType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dims = maha_dims(batch_df)
+        dims.write.mode("append").parquet(led_dims)
+        maha_moments(dims).write.mode("append").parquet(led_mom)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    moments = spark.read.parquet(led_mom).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("bigint").alias("s2"),
+        F.sum("p11").cast("decimal(38,0)").alias("p11"),
+        F.sum("p12").cast("decimal(38,0)").alias("p12"),
+        F.sum("p22").cast("decimal(38,0)").alias("p22"),
+    )
+    return maha_report_from_parts(spark.read.parquet(led_dims), moments)
+
+
+def _stream_maha_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import Q_MAHA_ORACLE
+
+    return Q_MAHA_ORACLE
+
+
+QUERIES["stream_mahalanobis_screen"] = QuerySpec(
+    q_stream_mahalanobis_screen, _stream_maha_oracle()
+)

@@ -1957,3 +1957,78 @@ FROM facts
 QUERIES["text_readability_ari"] = QuerySpec(
     q_text_readability_ari, Q_ARI_ORACLE
 )
+
+
+# -- Yule's K vocabulary-richness characteristic (r14) -------------------------------------
+# The repetitiveness dial duplication-heavy corpora move first: Yule's K
+# (Yule 1944) is the classic scale-free richness statistic, K = 10^4 ·
+# (Σ_t tf_t² − N)/N² over corpus term frequencies tf_t with N total tokens —
+# equivalently 10^4·(Σ_i i²V_i − N)/N² over the frequency spectrum, but the
+# tf² form folds straight off the unigram postings. Low K ⇒ rich vocabulary;
+# spammy/templated sources spike it, which makes the per-language profile a
+# cheap source-quality screen beside the entropy/Zipf members. Exactness:
+# tf and N are exact integers; Σtf² accumulates in DECIMAL(38,0) (tf² at
+# corpus scale overflows BIGINT), and K quantizes once through one shared
+# double division with the half-up spell. Scale shape: one documents scan →
+# (lang, term)-grain postings (the BM25/Zipf ledger shape) → |lang| rows;
+# the twin appends per-batch postings and SUM-folds.
+_YULE_K_MICRO = (
+    "CAST(FLOOR(CAST(10000000000 AS DOUBLE)"
+    " * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))"
+    " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def yule_postings(docs: DataFrame) -> DataFrame:
+    """(lang, term, tf) unigram postings — the additive Yule ledger (tf
+    SUM-folds across batches; tf² is a READOUT decision, never a fact,
+    because squares don't re-associate)."""
+    from movie_genre_data_pipeline_spark.functions.text import tokens
+
+    return (
+        docs.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def yule_report_from_postings(postings: DataFrame) -> DataFrame:
+    """The per-language richness report over folded (lang, term, tf)
+    postings, however accumulated — shared by batch and the ledger twin."""
+    facts = postings.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.expr("SUM(CAST(tf AS DECIMAL(38,0)) * tf)").alias("s2"),
+    )
+    return facts.selectExpr(
+        "lang",
+        "n_types",
+        "n_tokens",
+        f"{_YULE_K_MICRO} AS yule_k_micro",
+    ).orderBy("lang")
+
+
+def q_text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return yule_report_from_postings(yule_postings(d))
+
+
+Q_YULE_ORACLE = f"""
+WITH postings AS (
+  SELECT lang, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT lang, {_TOKS} AS toks FROM documents), unnest(toks) AS t(term)
+  GROUP BY 1, 2
+),
+facts AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(CAST(tf AS HUGEINT) * tf) AS s2
+  FROM postings GROUP BY 1
+)
+SELECT lang, n_types, n_tokens, {_YULE_K_MICRO} AS yule_k_micro
+FROM facts ORDER BY lang
+"""
+
+QUERIES["text_yule_k"] = QuerySpec(q_text_yule_k, Q_YULE_ORACLE)

@@ -1355,3 +1355,162 @@ FROM c
 
 
 QUERIES["ab_srm_check"] = QuerySpec(q_ab_srm_check, _srm_oracle())
+
+
+# -- Kaplan-Meier retention survival curve (r14) -------------------------------------------
+# The censoring-aware retention readout cohort tables can't give: empirical
+# survival S(t) = Π_{death times t_i <= t} (1 - d_i/n_i) over per-user
+# observation spans, where a user whose last event sits a churn-gap before
+# the corpus end is a DEATH at their active span and everyone else is
+# CENSORED at the corpus end (still alive when observation stopped — the
+# population a naive "days active" histogram silently miscounts).
+# Exactness discipline: spans fold from MIN/MAX epoch-micros facts (the
+# ledger twin's monoids), durations floor-divide positive micro diffs (both
+# engines agree on positive //), each death time's ln(1 - d/n) quantizes
+# once through the shared signed FLOOR(x+0.5) micro spell, and the KM
+# cumulative product is an EXACT BIGINT prefix sum of those micro-nats
+# (exp'd once at publish). Scale shape: one events scan collapses map-side
+# to |users| span rows, then to |distinct durations| <= observation-hours
+# rows — the readout windows below run on that TIME-grain table (bounded by
+# calendar span, never by event or user cardinality; the hourly-rollup
+# precedent).
+KM_H_US = 3_600_000_000  # duration grain: hours
+KM_GAP_US = 86_400_000_000  # churn gap: a user silent for >24h at corpus end died
+
+_KM_TERM_MICRO = (
+    "CAST(FLOOR((LN(CAST(n_risk - n_deaths AS DOUBLE))"
+    " - LN(CAST(n_risk AS DOUBLE))) * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_KM_SURV_MICRO = (
+    "CAST(FLOOR(EXP(CAST(km_lnmicro AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def km_user_spans(events: DataFrame) -> DataFrame:
+    """(user_id, f_us, l_us) — each user's first/last epoch-micros. The
+    additive KM facts: f_us folds by MIN, l_us by MAX, so per-batch partials
+    from the streaming twin fold to the batch table exactly."""
+    from movie_genre_data_pipeline_spark.operators.timeseries import epoch_micros
+
+    e = epoch_micros("ts")
+    return events.groupBy("user_id").agg(
+        F.min(e).cast("bigint").alias("f_us"),
+        F.max(e).cast("bigint").alias("l_us"),
+    )
+
+
+def km_report_from_spans(spans: DataFrame) -> DataFrame:
+    """The Kaplan-Meier readout over (user_id, f_us, l_us) spans, however
+    accumulated (one batch scan or a MIN/MAX-folded ledger). Emits one row
+    per death time with n_risk > n_deaths (the ln-domain KM steps)."""
+    from pyspark.sql import Window
+
+    end = spans.agg(F.max("l_us").alias("end_us"))
+    per_user = spans.crossJoin(F.broadcast(end)).selectExpr(
+        "CASE WHEN end_us - l_us > {gap} THEN 1 ELSE 0 END AS death".format(
+            gap=KM_GAP_US
+        ),
+        # positive micro diffs, so integral div == floor-div on both engines
+        "CAST((CASE WHEN end_us - l_us > {gap} THEN l_us - f_us"
+        "      ELSE end_us - f_us END) DIV {h} AS BIGINT) AS dur_h".format(
+            gap=KM_GAP_US, h=KM_H_US
+        ),
+    )
+    counts = per_user.groupBy("dur_h").agg(
+        F.sum("death").cast("bigint").alias("n_deaths"),
+        F.sum(1 - F.col("death")).cast("bigint").alias("n_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    # duration-grain windows: the table is <= observation-window hours rows
+    w_before = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    total = counts.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    at_risk = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_obs").over(w_before), F.lit(0))
+            ).cast("bigint"),
+        )
+        .filter((F.col("n_deaths") >= 1) & (F.col("n_risk") > F.col("n_deaths")))
+    )
+    terms = at_risk.selectExpr(
+        "dur_h",
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        f"{_KM_TERM_MICRO} AS term_micro",
+    )
+    w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        terms.withColumn(
+            "km_lnmicro", F.sum("term_micro").over(w_cum).cast("bigint")
+        )
+        .selectExpr(
+            "dur_h",
+            "n_risk",
+            "n_deaths",
+            "n_censored",
+            "km_lnmicro",
+            f"{_KM_SURV_MICRO} AS surv_micro",
+        )
+        .orderBy("dur_h")
+    )
+
+
+def q_ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return km_report_from_spans(km_user_spans(ev))
+
+
+Q_KM_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS f_us,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS l_us
+  FROM events GROUP BY 1
+),
+endt AS (SELECT CAST(MAX(l_us) AS BIGINT) AS end_us FROM spans),
+per_user AS (
+  SELECT CASE WHEN end_us - l_us > {KM_GAP_US} THEN 1 ELSE 0 END AS death,
+         CAST((CASE WHEN end_us - l_us > {KM_GAP_US} THEN l_us - f_us
+               ELSE end_us - f_us END) // {KM_H_US} AS BIGINT) AS dur_h
+  FROM spans CROSS JOIN endt
+),
+counts AS (
+  SELECT dur_h,
+         CAST(SUM(death) AS BIGINT) AS n_deaths,
+         CAST(SUM(1 - death) AS BIGINT) AS n_censored,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM per_user GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts),
+at_risk AS (
+  SELECT dur_h, n_deaths, n_censored,
+         CAST(n_total - CAST(COALESCE(SUM(n_obs) OVER (ORDER BY dur_h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS BIGINT) AS n_risk
+  FROM counts CROSS JOIN tot
+),
+terms AS (
+  SELECT dur_h, n_risk, n_deaths, n_censored,
+         {_KM_TERM_MICRO} AS term_micro
+  FROM at_risk
+  WHERE n_deaths >= 1 AND n_risk > n_deaths
+),
+cum AS (
+  SELECT dur_h, n_risk, n_deaths, n_censored,
+         CAST(SUM(term_micro) OVER (ORDER BY dur_h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS km_lnmicro
+  FROM terms
+)
+SELECT dur_h, n_risk, n_deaths, n_censored, km_lnmicro,
+       {_KM_SURV_MICRO} AS surv_micro
+FROM cum ORDER BY dur_h
+"""
+
+QUERIES["ts_kaplan_meier"] = QuerySpec(q_ts_kaplan_meier, Q_KM_ORACLE)

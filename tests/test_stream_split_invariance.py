@@ -200,6 +200,20 @@ FOLDS = [
     # late r13: the freshness audit over the per-type MAX ledger (the
     # retention-horizon fold; lags and verdicts are readout decisions)
     "stream_freshness_sla",
+    # r14: the Kaplan-Meier survival readout over the per-user span ledger
+    # (the TWO-monoid fold — first-seen by MIN, last-seen by MAX; the
+    # horizon, every death/censor verdict, and the ln-domain cumulative
+    # product are readout decisions — an early user's verdict legitimately
+    # flips when a later batch shows them active)
+    "stream_kaplan_meier",
+    # r14: the Yule richness readout over the (lang, term) unigram postings
+    # ledger (tf SUM-folds; tf² is a readout decision — squares don't
+    # re-associate, which is exactly what splitting must not break)
+    "stream_yule_k",
+    # r14: the Mahalanobis histogram over the dims + six-number moment
+    # ledgers (Gram-shape SUM fold; every d² re-judged at readout under the
+    # final folded covariance)
+    "stream_mahalanobis_screen",
 ]
 
 
