@@ -1404,8 +1404,14 @@ def km_user_spans(events: DataFrame) -> DataFrame:
 def km_report_from_spans(spans: DataFrame) -> DataFrame:
     """The Kaplan-Meier readout over (user_id, f_us, l_us) spans, however
     accumulated (one batch scan or a MIN/MAX-folded ledger). Emits one row
-    per death time with n_risk > n_deaths (the ln-domain KM steps)."""
-    from pyspark.sql import Window
+    per death time with n_risk > n_deaths (the ln-domain KM steps). Both
+    prefix sums (the at-risk suffix and the KM cumulative product's BIGINT
+    ln fold) run through operators/ranking's range-partitioned form — the
+    no-single-task-window house rule, even though the duration grain is
+    calendar-bounded."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
 
     end = spans.agg(F.max("l_us").alias("end_us"))
     per_user = spans.crossJoin(F.broadcast(end)).selectExpr(
@@ -1423,17 +1429,12 @@ def km_report_from_spans(spans: DataFrame) -> DataFrame:
         F.sum(1 - F.col("death")).cast("bigint").alias("n_censored"),
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
     )
-    # duration-grain windows: the table is <= observation-window hours rows
-    w_before = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
     total = counts.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
     at_risk = (
-        counts.crossJoin(F.broadcast(total))
+        ranged_running_sum(counts, ["dur_h"], F.col("n_obs"), "cum_before")
+        .crossJoin(F.broadcast(total))
         .withColumn(
-            "n_risk",
-            (
-                F.col("n_total")
-                - F.coalesce(F.sum("n_obs").over(w_before), F.lit(0))
-            ).cast("bigint"),
+            "n_risk", (F.col("n_total") - F.col("cum_before")).cast("bigint")
         )
         .filter((F.col("n_deaths") >= 1) & (F.col("n_risk") > F.col("n_deaths")))
     )
@@ -1444,10 +1445,11 @@ def km_report_from_spans(spans: DataFrame) -> DataFrame:
         "n_censored",
         f"{_KM_TERM_MICRO} AS term_micro",
     )
-    w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        terms.withColumn(
-            "km_lnmicro", F.sum("term_micro").over(w_cum).cast("bigint")
+        ranged_running_sum(terms, ["dur_h"], F.col("term_micro"), "ln_before")
+        .withColumn(
+            "km_lnmicro",
+            (F.col("ln_before") + F.col("term_micro")).cast("bigint"),
         )
         .selectExpr(
             "dur_h",

@@ -295,3 +295,44 @@ def test_pq_distortion_is_projection_only(spark):
     assert _count(plan, "SortMergeJoin") == 0, plan[:2000]
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastHashJoin") == 0, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ts_kaplan_meier",
+        "feat_spearman_matrix",
+        "sample_horvitz_thompson",
+    ],
+)
+def test_r14_ranked_readouts_have_no_single_task_window(spark, name):
+    """r14: every new prefix-sum readout — the KM at-risk suffix and ln-fold,
+    the three Spearman rank maps, the HT design's size walk — runs through
+    operators/ranking's range-partitioned form; no WindowExec may carry an
+    empty partition spec and nothing may pair fact-sized frames."""
+    plan = _plan(spark, name)
+    _assert_windows_partitioned(plan)
+    assert _count(plan, "CartesianProduct") == 0, plan[:2000]
+
+
+def test_mahalanobis_moments_are_broadcast(spark):
+    """The screen's second pass judges rows against ONE six-number moment
+    row — that carrier must arrive by broadcast (a 1-row BNLJ), never a
+    shuffle join, and the plan must stay free of fact-sized pairing."""
+    plan = _plan(spark, "feat_mahalanobis_screen")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "SortMergeJoin") == 0, plan[:2000]
+
+
+def test_yule_k_tokenizes_the_corpus_once(spark):
+    """K folds straight off one (lang, term) postings aggregate — a second
+    tokenize+explode subtree (the r9 BM25 regression class) fails here."""
+    plan = _plan(spark, "text_yule_k")
+    assert _count(plan, "FileScan parquet") <= 1, plan[:2000]
+
+
+def test_clustering_coeff_joins_stay_on_node_keys(spark):
+    """Wedge-close joins are equi-joins on node keys over the checkpointed
+    oriented edge list; no cartesian pairing anywhere."""
+    plan = _plan(spark, "graph_clustering_coeff")
+    assert _count(plan, "CartesianProduct") == 0
