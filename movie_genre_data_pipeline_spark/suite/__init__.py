@@ -616,6 +616,10 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # r14: Horvitz-Thompson total estimation under the PPS design (batch —
     # the estimator readout of sample_pps_systematic's deterministic design)
     "sample_horvitz_thompson",
+    # r14: Theil inequality index with the exact between/within group
+    # decomposition (batch + a three-fact SUM ledger twin)
+    "ops_theil_decomposition",
+    "stream_theil_decomposition",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

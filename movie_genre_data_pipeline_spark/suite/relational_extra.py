@@ -1672,3 +1672,115 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 QUERIES["sql_pipe_syntax"] = QuerySpec(q_sql_pipe_syntax, Q_SQL_PIPE_SYNTAX_ORACLE)
+
+
+# -- Theil index with between/within decomposition (r14) -----------------------------------
+# The inequality readout Gini can't give: Theil's T is the ONE standard
+# inequality measure that decomposes EXACTLY by group — T = T_between +
+# Σ_g (X_g/X)·T_g — so a corpus-balance audit can say how much of the
+# document-length inequality lives BETWEEN sources (fix the mixture) vs
+# WITHIN them (fix the sources). T = Σ (x_i/X)·ln(x_i/μ) reduces to three
+# additive facts per group: N_g, X_g = Σx, and L_g = Σ x·⌊ln(x)·1e6⌉ — the
+# per-doc ln quantizes ONCE at arrival (scan-local, the micro-nat
+# discipline) and the x-weighted sum stays an exact DECIMAL(38,0), which is
+# what makes the ledger twin a pure SUM fold: T_g, the between term, and
+# every share re-derive at readout through shared double spells. Scale
+# shape: one scan → |sources| fact rows; every readout division is
+# |sources|-grain. The exact decomposition identity (micro-rounded) is
+# pinned as a law test.
+_THEIL_TG_MICRO = (
+    "CAST(FLOOR(CAST(l_g AS DOUBLE) / CAST(x_g AS DOUBLE)"
+    " - LN(CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE)) * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_THEIL_BT_MICRO = (
+    "CAST(FLOOR(CAST(x_g AS DOUBLE) / CAST(x_tot AS DOUBLE)"
+    " * LN((CAST(x_g AS DOUBLE) / CAST(x_tot AS DOUBLE))"
+    " / (CAST(n_g AS DOUBLE) / CAST(n_tot AS DOUBLE)))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_THEIL_XSHARE_MICRO = (
+    "CAST(FLOOR(CAST(x_g AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(x_tot AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_THEIL_LNX_MICRO = (
+    "CAST(FLOOR(LN(CAST(x AS DOUBLE)) * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def theil_facts(docs: DataFrame) -> DataFrame:
+    """(source, n_g, x_g, l_g) — the additive Theil facts over one documents
+    scan (x = n_chars, zero-length docs carry no mass and are out of frame;
+    the per-doc ln is an arrival decision). SUM-foldable; the twin appends
+    these."""
+    base = docs.select(
+        "source", F.col("n_chars").cast("bigint").alias("x")
+    ).filter(F.col("x") > 0)
+    return base.selectExpr(
+        "source", "x", f"{_THEIL_LNX_MICRO} AS lnx_micro"
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("x_g"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * lnx_micro)").alias("l_g"),
+    )
+
+
+def theil_report_from_facts(facts: DataFrame) -> DataFrame:
+    """The decomposition report over folded (source, n_g, x_g, l_g) facts,
+    however accumulated — shared by batch and the ledger twin."""
+    tot = facts.agg(
+        F.sum("n_g").cast("bigint").alias("n_tot"),
+        F.sum("x_g").cast("bigint").alias("x_tot"),
+    )
+    return (
+        facts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_g AS n_docs",
+            "x_g AS total_chars",
+            f"{_THEIL_XSHARE_MICRO} AS x_share_micro",
+            f"{_THEIL_TG_MICRO} AS theil_within_micro",
+            f"{_THEIL_BT_MICRO} AS between_term_micro",
+        )
+        .orderBy("source")
+    )
+
+
+def q_ops_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_report_from_facts(theil_facts(load(spark, sf_dir, "documents")))
+
+
+Q_THEIL_ORACLE = f"""
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+  WHERE n_chars > 0
+),
+scored AS (
+  SELECT source, x, {_THEIL_LNX_MICRO} AS lnx_micro FROM base
+),
+facts AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(x) AS BIGINT) AS x_g,
+         SUM(CAST(x AS HUGEINT) * lnx_micro) AS l_g
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+         CAST(SUM(x_g) AS BIGINT) AS x_tot
+  FROM facts
+)
+SELECT source,
+       n_g AS n_docs,
+       x_g AS total_chars,
+       {_THEIL_XSHARE_MICRO} AS x_share_micro,
+       {_THEIL_TG_MICRO} AS theil_within_micro,
+       {_THEIL_BT_MICRO} AS between_term_micro
+FROM facts CROSS JOIN tot
+ORDER BY source
+"""
+
+QUERIES["ops_theil_decomposition"] = QuerySpec(
+    q_ops_theil_decomposition, Q_THEIL_ORACLE
+)

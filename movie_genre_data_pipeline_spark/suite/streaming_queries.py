@@ -5796,3 +5796,64 @@ def _stream_maha_oracle() -> str:
 QUERIES["stream_mahalanobis_screen"] = QuerySpec(
     q_stream_mahalanobis_screen, _stream_maha_oracle()
 )
+
+
+# -- continuously-maintained Theil decomposition (r14) -------------------------------------
+def q_stream_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus-balance inequality monitoring: each micro-batch
+    appends its per-source Theil facts (n, Σx, Σx·⌊ln x·1e6⌉ — the per-doc
+    ln is an arrival decision, the x-weighted sum an exact DECIMAL fact), and
+    T_g, the between terms, and every share re-derive at readout from the SUM
+    fold. Shares the batch oracle verbatim; split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.relational_extra import (
+        theil_facts,
+        theil_report_from_facts,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_theil_")
+    src, led = f"{base}/src", f"{base}/facts"
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "source", "n_chars").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        theil_facts(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    facts = (
+        spark.read.parquet(led)
+        .groupBy("source")
+        .agg(
+            F.sum("n_g").cast("bigint").alias("n_g"),
+            F.sum("x_g").cast("bigint").alias("x_g"),
+            F.sum("l_g").cast("decimal(38,0)").alias("l_g"),
+        )
+    )
+    return theil_report_from_facts(facts)
+
+
+def _stream_theil_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.relational_extra import Q_THEIL_ORACLE
+
+    return Q_THEIL_ORACLE
+
+
+QUERIES["stream_theil_decomposition"] = QuerySpec(
+    q_stream_theil_decomposition, _stream_theil_oracle()
+)

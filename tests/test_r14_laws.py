@@ -216,3 +216,42 @@ def test_horvitz_thompson_estimator_laws(spark):
         assert abs(r["err_micro"]) < 250_000, r
     pps = q_sample_pps_systematic(spark, SF_DIR).collect()
     assert sum(r["n_points"] for r in pps) == PPS_POINTS
+
+
+def test_theil_decomposition_identity(spark):
+    """The whole point of Theil over Gini: T_total == T_between + Σ (X_g/X)·T_g
+    EXACTLY (up to micro rounding of each published term), recomputed from
+    the collected facts in pure python; every within term is ≥ 0."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.relational_extra import (
+        q_ops_theil_decomposition,
+        theil_facts,
+    )
+
+    facts = {
+        r["source"]: r
+        for r in theil_facts(load(spark, SF_DIR, "documents")).collect()
+    }
+    rep = {
+        r["source"]: r for r in q_ops_theil_decomposition(spark, SF_DIR).collect()
+    }
+    assert set(rep) == set(facts)
+
+    n_tot = sum(f["n_g"] for f in facts.values())
+    x_tot = sum(f["x_g"] for f in facts.values())
+    t_between = 0.0
+    t_within_weighted = 0.0
+    for s, f in facts.items():
+        n_g, x_g, l_g = f["n_g"], f["x_g"], float(f["l_g"])
+        tg = l_g / x_g / 1e6 - math.log(x_g / n_g)
+        bt = x_g / x_tot * math.log((x_g / x_tot) / (n_g / n_tot))
+        assert tg >= -1e-6, "within-group Theil is nonnegative"
+        assert rep[s]["theil_within_micro"] / 1e6 == pytest.approx(tg, abs=2e-6)
+        assert rep[s]["between_term_micro"] / 1e6 == pytest.approx(bt, abs=2e-6)
+        t_between += bt
+        t_within_weighted += x_g / x_tot * tg
+
+    # total Theil recomputed from the pooled facts equals the decomposition
+    l_tot = sum(float(f["l_g"]) for f in facts.values())
+    t_total = l_tot / x_tot / 1e6 - math.log(x_tot / n_tot)
+    assert t_total == pytest.approx(t_between + t_within_weighted, abs=1e-9)

@@ -214,6 +214,10 @@ FOLDS = [
     # ledgers (Gram-shape SUM fold; every d² re-judged at readout under the
     # final folded covariance)
     "stream_mahalanobis_screen",
+    # r14: the Theil decomposition over the per-source three-fact ledger
+    # (n, Σx, Σx·lnx-micro — the per-doc ln is an arrival decision; T_g,
+    # between terms, and shares are readout re-derivations)
+    "stream_theil_decomposition",
 ]
 
 
