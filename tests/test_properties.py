@@ -713,7 +713,12 @@ def test_histogram_drift_stat_bounds(spark, vals_a, vals_b):
     assert sum(r["n_old"] for r in rows) == len(vals_a)
     assert sum(r["n_new"] for r in rows) == len(vals_b)
     tvd = sum(r["tvd_term"] for r in rows)
-    assert 0.0 <= tvd <= 1.0 + 1e-9
+    # tvd_term is deliberately ROUND(·, 6)-quantized per bin (the portable-
+    # rounding rule), so the mathematical [0,1] bound holds up to one half
+    # unit in the last place PER BIN — n_bins·5e-7, not float epsilon
+    # (hypothesis found the exact case: disjoint snapshots, true TVD 1.0,
+    # quantized terms summing to 1.000001).
+    assert 0.0 <= tvd <= 1.0 + len(rows) * 5e-7
     for r in rows:
         assert 0.0 <= r["ks_cum"] <= 1.0 + 1e-9
         if r["chi2_term"] is not None:
