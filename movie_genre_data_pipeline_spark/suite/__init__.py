@@ -620,6 +620,10 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # decomposition (batch + a three-fact SUM ledger twin)
     "ops_theil_decomposition",
     "stream_theil_decomposition",
+    # r14: isotonic calibration by PAV's minimax identity on the score-decile
+    # grain (batch — the IRLS probability-axis family, like the calibration
+    # and Brier reports)
+    "feat_isotonic_calibration",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -5709,3 +5709,140 @@ FROM est ORDER BY lang
 QUERIES["sample_horvitz_thompson"] = QuerySpec(
     q_sample_horvitz_thompson, _ht_oracle()
 )
+
+
+# -- isotonic calibration via PAV's minimax identity (r14) ---------------------------------
+# The calibration FIXER next to the reliability diagram's auditor: isotonic
+# regression of the observed label rate on the model score — the standard
+# nonparametric recalibration map (sklearn's isotonic; Zadrozny-Elkan 2002).
+# The pool-adjacent-violators solution has an exact closed form,
+#   f(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k),
+# and on the SCORE-DECILE grain (<= 11 bins, the calibration report's own
+# axis) that minimax is a few-hundred-combination join — grain-bounded like
+# the chi² grid, never corpus-quadratic. Exactness: bin facts are exact
+# integers; prefix sums run range-partitioned (house rule, even at this
+# grain); every block average is ONE double divide of exact ints (identical
+# both engines, MIN/MAX order-free); the fitted value quantizes once at
+# publish. The law tests pin monotonicity and equality with a pure-python
+# PAV. Scale shape: one scored scan collapses map-side to <=11 bin rows;
+# everything after is bin-grain.
+_ISO_MICRO = (
+    "CAST(FLOOR(iso_raw * CAST(1000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def isotonic_from_bins(bins: DataFrame) -> DataFrame:
+    """The PAV minimax over (bin, n_rows, sum_y) facts, however accumulated —
+    shared by batch and the ledger twin. Returns one nondecreasing fitted
+    rate per bin beside the raw observed rate."""
+    from movie_genre_data_pipeline_spark.operators.ranking import (
+        ranged_running_sum,
+    )
+
+    pre = ranged_running_sum(bins, ["bin"], F.col("n_rows"), "cn_excl")
+    pre = ranged_running_sum(pre, ["bin"], F.col("sum_y"), "cy_excl").selectExpr(
+        "bin",
+        "n_rows",
+        "sum_y",
+        "cn_excl",
+        "cy_excl",
+        "cn_excl + n_rows AS cn",
+        "cy_excl + sum_y AS cy",
+    ).localCheckpoint(eager=False)
+    j = pre.selectExpr(
+        "bin AS j_bin", "cn_excl AS j_cn_excl", "cy_excl AS j_cy_excl"
+    )
+    k = pre.selectExpr("bin AS k_bin", "cn AS k_cn", "cy AS k_cy")
+    pairs = j.join(k, F.col("j_bin") <= F.col("k_bin")).selectExpr(
+        "j_bin",
+        "k_bin",
+        "CAST(k_cy - j_cy_excl AS DOUBLE) / CAST(k_cn - j_cn_excl AS DOUBLE)"
+        " AS avg_jk",
+    )
+    i = pre.selectExpr("bin AS i_bin")
+    inner = (
+        i.join(
+            pairs,
+            (F.col("j_bin") <= F.col("i_bin")) & (F.col("k_bin") >= F.col("i_bin")),
+        )
+        .groupBy("i_bin", "j_bin")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    fit = inner.groupBy("i_bin").agg(F.max("m").alias("iso_raw"))
+    return (
+        bins.join(fit, bins["bin"] == fit["i_bin"])
+        .selectExpr(
+            "bin",
+            "n_rows",
+            f"{_CAL_OBS_RATE} AS obs_rate_micro",
+            f"{_ISO_MICRO} AS iso_micro",
+        )
+        .orderBy("bin")
+    )
+
+
+def _cal_bins(scored: DataFrame) -> DataFrame:
+    """(bin, n_rows, sum_y) — the additive calibration facts on the score-
+    decile axis (the reliability diagram's own binning); the twin appends
+    these."""
+    return scored.groupBy(
+        F.expr("mu_micro DIV 100000").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+
+
+def q_feat_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return isotonic_from_bins(_cal_bins(_logreg_scored(spark, sf_dir)))
+
+
+def _isotonic_oracle() -> str:
+    tail = f""",
+bins AS (
+  SELECT CAST(mu_micro // 100000 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM scored GROUP BY 1
+),
+pre AS (
+  SELECT bin, n_rows, sum_y,
+         CAST(COALESCE(SUM(n_rows) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cn_excl,
+         CAST(COALESCE(SUM(sum_y) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cy_excl,
+         CAST(SUM(n_rows) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(SUM(sum_y) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+  FROM bins
+),
+pairs AS (
+  SELECT j.bin AS j_bin, k.bin AS k_bin,
+         CAST(k.cy - j.cy_excl AS DOUBLE) / CAST(k.cn - j.cn_excl AS DOUBLE)
+           AS avg_jk
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+),
+inner_min AS (
+  SELECT i.bin AS i_bin, p.j_bin, MIN(p.avg_jk) AS m
+  FROM pre i JOIN pairs p ON p.j_bin <= i.bin AND p.k_bin >= i.bin
+  GROUP BY 1, 2
+),
+fit AS (
+  SELECT i_bin, MAX(m) AS iso_raw FROM inner_min GROUP BY 1
+)
+SELECT b.bin, b.n_rows,
+       {_CAL_OBS_RATE} AS obs_rate_micro,
+       {_ISO_MICRO} AS iso_micro
+FROM bins b JOIN fit ON fit.i_bin = b.bin
+ORDER BY b.bin
+"""
+    return _logreg_scored_ctes() + tail
+
+
+QUERIES["feat_isotonic_calibration"] = QuerySpec(
+    q_feat_isotonic_calibration, _isotonic_oracle()
+)

@@ -255,3 +255,51 @@ def test_theil_decomposition_identity(spark):
     l_tot = sum(float(f["l_g"]) for f in facts.values())
     t_total = l_tot / x_tot / 1e6 - math.log(x_tot / n_tot)
     assert t_total == pytest.approx(t_between + t_within_weighted, abs=1e-9)
+
+
+def test_isotonic_matches_pure_python_pav(spark):
+    """The minimax join must equal the classic pool-adjacent-violators sweep
+    (weighted), and the fit must be nondecreasing and mean-preserving."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _cal_bins,
+        _logreg_scored,
+        isotonic_from_bins,
+    )
+
+    bins = _cal_bins(_logreg_scored(spark, SF_DIR))
+    facts = sorted(
+        (r["bin"], r["n_rows"], r["sum_y"]) for r in bins.collect()
+    )
+    # weighted PAV sweep: blocks of (weight, value-sum) merged while violating
+    blocks: list[list[float]] = []  # [n, y]
+    for _, n, y in facts:
+        blocks.append([n, y])
+        while len(blocks) > 1 and (
+            blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+        ):
+            n2, y2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += y2
+    # expand block rates back over the member bins
+    rates = []
+    it = iter(facts)
+    for n_blk, y_blk in blocks:
+        acc = 0
+        while acc < n_blk:
+            _, n, _ = next(it)
+            acc += n
+            rates.append(y_blk / n_blk)
+    got = sorted(
+        (r["bin"], r["n_rows"], r["iso_micro"])
+        for r in isotonic_from_bins(bins).collect()
+    )
+    assert [b for b, _, _ in got] == [b for b, _, _ in facts]
+    prev = -1
+    total_fit = 0.0
+    for (bin_, n, iso), rate in zip(got, rates):
+        assert iso / 1e6 == pytest.approx(rate, abs=2e-6), (bin_, iso, rate)
+        assert iso >= prev, "isotonic fit must be nondecreasing"
+        prev = iso
+        total_fit += n * rate
+    # mean preservation: sum of fitted rates weighted by bin mass == sum_y
+    assert total_fit == pytest.approx(sum(y for _, _, y in facts), rel=1e-9)
