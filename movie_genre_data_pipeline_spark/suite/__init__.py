@@ -593,8 +593,8 @@ _R9_WINDOW: tuple[str, ...] = (
 # 14 (the window slack left after pool + rule-(b) seats this round) so
 # never-checked debt can never again compound past one round's window.
 # Each r14 entry was verified at sf0.001 AND sf0.01 --vanilla --exact when
-# it landed; the full 378-query registry also holds a committed
-# full-local-gate pass this round (VERIFY_FULL_r14.log, 0 failures).
+# it landed; the FULL registry also holds a committed full-local-gate pass
+# this round (VERIFY_FULL_r14.log, 0 failures).
 NEXT_ROUND_POOL: tuple[str, ...] = (
     # r14: Kaplan-Meier retention survival (censoring-aware; spans fold by
     # MIN/MAX — the two-monoid ledger twin)
