@@ -192,9 +192,12 @@ def corr_matrix_micro(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     INTEGER columns from ONE map-side-combined aggregate — the feature-audit
     primitive (collinearity screen before a fit, drift detection between
     snapshots). The scan reduces the corpus to k + k(k+1)/2 moments; product
-    moments accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB oracle)
-    because integer cross-products overflow BIGINT at fact-table scale, and
-    both engines cast the identical exact integer to the identical double.
+    moments MULTIPLY decimal-first — one operand widens to DECIMAL(38,0)
+    before the product, matching the oracle's HUGEINT-first form — because a
+    BIGINT×BIGINT product wraps silently under non-ANSI Spark past ~3e9 rows
+    of 1e9-scale features, while DECIMAL(38,0)×BIGINT is exact for every
+    int64 pair (|product| < 8.5e37 < 1e38). Both engines then cast the
+    identical exact integer to the identical double.
     The k(k-1)/2 output rows unfold via one stack() projection — no second
     scan, no join, no shuffle beyond the d²-sized combine."""
     if len(cols) < 2:
@@ -207,9 +210,10 @@ def corr_matrix_micro(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
             lo, hi = sorted((a, b))
             aggs.append(
                 F.sum(
-                    (F.col(a).cast("bigint") * F.col(b).cast("bigint")).cast(
-                        "decimal(38,0)"
-                    )
+                    (
+                        F.col(a).cast("bigint").cast("decimal(38,0)")
+                        * F.col(b).cast("bigint")
+                    ).cast("decimal(38,0)")
                 )
                 .cast("double")
                 .alias(f"p_{lo}_{hi}")

@@ -70,6 +70,7 @@ def compact_ledger(
     key_cols: Sequence[str],
     sum_cols: Sequence[str],
     agg: str = "sum",
+    max_files: int | None = None,
 ) -> int:
     """Fold the additive-fact ledger at `path` into one generation, in place.
 
@@ -89,13 +90,24 @@ def compact_ledger(
     the swap is two renames. Nothing here scans more than the ledger itself,
     and the POINT is to keep "the ledger itself" proportional to live keys
     rather than to history.
+
+    `max_files` (when given — maybe_compact_ledger threads its own) clamps
+    the compacted generation's shard width so the post-compaction file count
+    is ALWAYS at or below the caller's cadence threshold: without the clamp,
+    a caller with max_files below the default width (e.g. max_files=2 on a
+    32-partition session) would stay above threshold after every compaction
+    and re-fold the full ledger on every subsequent batch — unbounded write
+    amplification, the r14 advice finding.
     """
     from movie_genre_data_pipeline_spark.fsutil import rewrite_parquet
     from movie_genre_data_pipeline_spark.sources.batch import read_parquet
 
+    width = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 32))
+    if max_files is not None:
+        width = max(1, min(width, max_files))
     df = read_parquet(spark, path)
     folded = fold_ledger(df, key_cols, sum_cols, agg).repartition(
-        max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 32)),
+        width,
         *key_cols,
     )
     rewrite_parquet(spark, folded, path)
@@ -136,5 +148,5 @@ def maybe_compact_ledger(
     """
     if ledger_file_count(path) <= max_files:
         return False
-    compact_ledger(spark, path, key_cols, sum_cols, agg)
+    compact_ledger(spark, path, key_cols, sum_cols, agg, max_files=max_files)
     return True

@@ -49,6 +49,96 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # similarity / streaming / multimodal) so every operator family gets a
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
+# r15 ROTATION (VERDICT r14 next-round #1). Same two test-enforced rules:
+# (a) never-driver-checked queries here or in NEXT_ROUND_POOL
+#     (test_rotation_pool_matches_computed_debt) — ALL 12 r14
+#     NEXT_ROUND_POOL entries are seated below (Kaplan-Meier pair, Yule's K
+#     pair, clustering coefficient, Spearman matrix, Mahalanobis pair,
+#     Horvitz-Thompson, Theil pair, isotonic calibration — every one
+#     judge-verified exact at sf0.01 --exact in the r14 session, 0
+#     failures). Seating them drains the pool to empty: 390/390
+#     driver-green-ever once CORRECTNESS_r15 lands.
+# (b) fingerprint-stale queries must re-earn a driver record
+#     (test_changed_queries_are_reseated) — this round the two r14 ADVICE
+#     fixes flip ten: the decimal-first product in corr_matrix_micro
+#     (functions/regression.py) flips feat_corr_matrix and
+#     feat_spearman_matrix (the latter already seated under rule (a)),
+#     and the max_files clamp on compact_ledger's output width
+#     (streaming/ledger.py) flips stream_ledger_compact plus the eight
+#     DSIR-ledger GC consumers (stream AUC/PR-AUC/KS/bootstrap/by-segment/
+#     score-PSI/lift-gains readouts).
+# The remaining 29 slots refresh the STALEST standing records (computed
+# from the CORRECTNESS_r*.json history): media_features_full (r8) and
+# tpch_q10 (r7) keep the media_/tpch_ family floors (neither family
+# appears in the rule-(a)/(b) seats), and the 27 alphabetically-first of
+# the 33 r6 greens the r14 comment queued take the rest. The 6 remaining
+# r6 greens (stream_scd2_incremental, stream_watermarked_append,
+# text_hash_embeddings, text_token_runs, text_winnow_fingerprints,
+# ts_retention_cohorts) queue for r16.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- (a): the 12 r14 NEXT_ROUND_POOL entries, seated in pool order ---
+    "ts_kaplan_meier",
+    "stream_kaplan_meier",
+    "text_yule_k",
+    "stream_yule_k",
+    "graph_clustering_coeff",
+    "feat_spearman_matrix",
+    "feat_mahalanobis_screen",
+    "stream_mahalanobis_screen",
+    "sample_horvitz_thompson",
+    "ops_theil_decomposition",
+    "stream_theil_decomposition",
+    "feat_isotonic_calibration",
+    # --- (b): fingerprint-stale — the corr_matrix_micro decimal-first
+    #     product (r14 ADVICE #2; values identical where BIGINT never
+    #     wrapped, so the r15 driver record proves the rewrite) ---
+    "feat_corr_matrix",
+    # --- (b): fingerprint-stale — compact_ledger's max_files width clamp
+    #     (r14 ADVICE #3; compaction stays exact by the fold monoid, the
+    #     clamp only bounds the compacted generation's shard count) ---
+    "stream_ledger_compact",
+    "stream_auc_report",
+    "stream_pr_auc_report",
+    "stream_ks_report",
+    "stream_auc_bootstrap_ci",
+    "stream_auc_by_segment",
+    "stream_score_psi",
+    "stream_lift_gains",
+    # --- family floors: stalest media_ (r8) and tpch_ (r7) records ---
+    "media_features_full",
+    "tpch_q10",
+    # --- stalest-record refresh: the 27 alphabetically-first r6 greens ---
+    "dedup_winnow",
+    "dq_drift_report",
+    "dq_schema_tests",
+    "flagship_revenue_by_flag_status",
+    "gold_genre_revenue",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "merge_scd2",
+    "merge_scd2_pit_join",
+    "mine_brand_pairs",
+    "ops_dataset_fingerprint",
+    "ops_purge_cascade",
+    "pysource_bulk_scan",
+    "pysource_jsonl_commit",
+    "pysource_stream",
+    "pysource_stream_sink",
+    "pysource_synthetic_events",
+    "sample_temperature_mixture",
+    "schema_evolution",
+    "sim_kmeans_recall",
+    "sim_topk_hashed",
+    "skew_salted_join",
+    "stream_cms_heavy",
+    "stream_dq_drift",
+    "stream_histogram_quantiles",
+    "stream_hll_distinct",
+    "stream_kmv_distinct",
+)
+
+# The r14 window, kept for the rotation ledger (all 50 hold r14 driver
+# greens; they now sit just past the window under the full local gate):
 # r14 ROTATION — the pool-drain round (VERDICT r13 next-round #1/#2).
 # Same two test-enforced seating rules:
 # (a) never-driver-checked queries here or in NEXT_ROUND_POOL
@@ -78,7 +168,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # no pool/stale entry carries the tpch_ prefix this round), and the three
 # alphabetically-first r6 greens (ab_experiment_report, cdc_snapshot_diff,
 # curate_fuzzy_decontaminate). The 33 remaining r6 greens queue for r15.
-DRIVER_WINDOW: tuple[str, ...] = (
+_R14_WINDOW: tuple[str, ...] = (
     # --- (a): the 36 late-r13 NEXT_ROUND_POOL entries, seated in pool order ---
     "feat_lift_gains",
     "stream_lift_gains",
@@ -587,44 +677,12 @@ _R9_WINDOW: tuple[str, ...] = (
 # pins this tuple to the COMPUTED never-driver-checked set (registry minus
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
-# r14: all 36 late-r13 entries are seated in the r14 window above
-# (VERDICT r13 #1), and r14 throttles new-query velocity (VERDICT r13 #2):
-# ONE 9-query wave below — test_rotation_pool_is_bounded caps this tuple at
-# 14 (the window slack left after pool + rule-(b) seats this round) so
-# never-checked debt can never again compound past one round's window.
-# Each r14 entry was verified at sf0.001 AND sf0.01 --vanilla --exact when
-# it landed; the FULL registry also holds a committed full-local-gate pass
-# this round (VERIFY_FULL_r14.log, 0 failures).
-NEXT_ROUND_POOL: tuple[str, ...] = (
-    # r14: Kaplan-Meier retention survival (censoring-aware; spans fold by
-    # MIN/MAX — the two-monoid ledger twin)
-    "ts_kaplan_meier",
-    "stream_kaplan_meier",
-    # r14: Yule's K vocabulary richness (batch + unigram-postings ledger twin)
-    "text_yule_k",
-    "stream_yule_k",
-    # r14: local clustering coefficients (per-node transitivity — the
-    # triangle census at node grain; batch, nation-grain node set)
-    "graph_clustering_coeff",
-    # r14: Spearman rank-correlation matrix (batch — ranks are corpus-global
-    # order statistics, not a streamable fold)
-    "feat_spearman_matrix",
-    # r14: Mahalanobis joint-outlier screen (batch + dims/moment ledger twin
-    # re-judged under the final covariance)
-    "feat_mahalanobis_screen",
-    "stream_mahalanobis_screen",
-    # r14: Horvitz-Thompson total estimation under the PPS design (batch —
-    # the estimator readout of sample_pps_systematic's deterministic design)
-    "sample_horvitz_thompson",
-    # r14: Theil inequality index with the exact between/within group
-    # decomposition (batch + a three-fact SUM ledger twin)
-    "ops_theil_decomposition",
-    "stream_theil_decomposition",
-    # r14: isotonic calibration by PAV's minimax identity on the score-decile
-    # grain (batch — the IRLS probability-axis family, like the calibration
-    # and Brier reports)
-    "feat_isotonic_calibration",
-)
+# r15: all 12 r14 entries are seated in the r15 window above (VERDICT r14
+# #1), draining the pool to EMPTY; test_rotation_pool_is_bounded caps this
+# tuple at 14 (window slack) so never-checked debt can never compound past
+# one round's window. Any r15 new-query wave queues here (each entry
+# verified at sf0.001 AND sf0.01 --vanilla --exact when it lands).
+NEXT_ROUND_POOL: tuple[str, ...] = ()
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):

@@ -123,3 +123,23 @@ def test_max_monoid_compact_then_append(spark, tmp_path):
     assert fold(path) == fold(plain)
     # dtype preserved: MAX of bigint stays bigint in the compacted generation
     assert dict(spark.read.parquet(path).dtypes)["v"] == "bigint"
+
+
+def test_compaction_width_clamped_to_max_files(spark, tmp_path):
+    """r14 ADVICE #3: with live-key cardinality above the session's shuffle
+    width, the compacted generation must still land AT OR BELOW the caller's
+    max_files — otherwise a small-max_files caller stays past threshold after
+    every compaction and re-folds the whole ledger on every batch (unbounded
+    write amplification). Steady state: once compaction fires, the next
+    cadence check on an unchanged pile is a no-op."""
+    path = str(tmp_path / "wide")
+    # 500 distinct keys >> any sane shard width, so pre-clamp this wrote one
+    # file per non-empty hash partition (up to 32) and never got under 2.
+    _append(spark, path, [(i, i) for i in range(500)], n_shards=4)
+    assert maybe_compact_ledger(spark, path, ["k"], ["v"], max_files=2) is True
+    assert _files(path) <= 2
+    # unchanged pile at/below threshold: the cadence loop is quiescent
+    assert maybe_compact_ledger(spark, path, ["k"], ["v"], max_files=2) is False
+    # and the fold is still exact over all 500 live keys
+    folded = fold_ledger(spark.read.parquet(path), ["k"], ["v"]).collect()
+    assert sorted((r["k"], r["v"]) for r in folded) == [(i, i) for i in range(500)]
