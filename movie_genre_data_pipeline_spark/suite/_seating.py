@@ -21,6 +21,19 @@ The fingerprint of a query is a sha256 over:
   before this was source-based;
 - the query's oracle SQL.
 
+Pieces are keyed by their CONTENT (sha256 of the source text), not by the
+defining module path — r15: the VERDICT r14 #6 split of the two 5.8k-line
+suite modules into per-family submodules is a pure text move, and a
+fingerprint keyed on `module.qualname` would have flipped every moved (and
+transitively every helper-sharing) query without any behavioral change,
+forcing a blanket amnesty that hides nothing. Content keys make "same set of
+reachable source texts + same oracle" the invariant: a verbatim move cannot
+flip a fingerprint, while editing one character of any reachable function,
+constant, or oracle still does. (The one-time rebaseline for the key-scheme
+change itself was `update_seating.py --all`, immediately followed by a
+committed before/after live-fingerprint diff proving the split preserved
+every query's content set.)
+
 Name resolution is by bare name across ALL package modules (suite style is
 function-local imports, which never appear in __globals__), which is
 deliberately OVER-inclusive: a name collision can only pull in extra source
@@ -131,13 +144,17 @@ def query_fingerprint(fn, oracle: str | None) -> str:
             continue
         seen.add(key)
         try:
-            pieces[key] = inspect.getsource(f)
+            src = inspect.getsource(f)
         except OSError:  # pragma: no cover
             continue
+        # content-keyed (move-invariant): see module doc
+        pieces["fn:" + hashlib.sha256(src.encode()).hexdigest()] = src
         for n in sorted(_code_names(f.__code__)):
             for mod, payload in name_map.get(n, []):
                 if payload.startswith("const:"):
-                    pieces[f"{mod}:{n}"] = payload
+                    pieces[
+                        "c:" + hashlib.sha256(payload.encode()).hexdigest()
+                    ] = payload
                 else:
                     g = importlib.import_module(mod)
                     cand = getattr(g, n, None)
