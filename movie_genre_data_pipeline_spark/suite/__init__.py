@@ -824,9 +824,13 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         relational,
         relational_extra,
+        sampling_audit_queries,
+        sampling_eval_queries,
         sampling_queries,
         similarity_queries,
         sketch_queries,
+        streaming_eval_queries,
+        streaming_ledger_queries,
         streaming_queries,
         text_queries,
         timeseries_queries,
@@ -841,7 +845,12 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         entity_queries,
         mining_queries,
+        # r15 (VERDICT r14 #6): sampling_queries' r11+ waves moved verbatim
+        # into two per-family submodules, registered immediately after the
+        # parent so the registry's declaration order is unchanged.
         sampling_queries,
+        sampling_eval_queries,
+        sampling_audit_queries,
         curation_queries,
         format_queries,
         graph_queries,
@@ -849,7 +858,10 @@ def all_queries() -> dict[str, QuerySpec]:
         sketch_queries,
         timeseries_queries,
         similarity_queries,
+        # r15: same split for streaming_queries' r7+ waves.
         streaming_queries,
+        streaming_ledger_queries,
+        streaming_eval_queries,
         multimodal_queries,
         cdc_queries,
     ):

@@ -229,7 +229,12 @@ def _norm(v):
 
 @pytest.mark.parametrize("name", FOLDS)
 def test_ledger_fold_is_split_invariant(spark, name):
-    fn = SQ.QUERIES[name].fn
+    # r15 split: stream queries live across three modules now; resolve via
+    # the registry. SOURCE_SPLIT stays a streaming_queries global (every
+    # moved twin still reads it through the parent's _source_split helper).
+    from movie_genre_data_pipeline_spark.suite import all_queries
+
+    fn = all_queries()[name].fn
     results = []
     for split in (1, 3, 7):
         SQ.SOURCE_SPLIT = split
