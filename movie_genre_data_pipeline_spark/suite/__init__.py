@@ -678,11 +678,38 @@ _R9_WINDOW: tuple[str, ...] = (
 # the union of all CORRECTNESS_r0N.json keys minus the current window), so
 # the r8 "comment says 23, truth is 24" drift class is now test-enforced.
 # r15: all 12 r14 entries are seated in the r15 window above (VERDICT r14
-# #1), draining the pool to EMPTY; test_rotation_pool_is_bounded caps this
+# #1), draining the standing pool; test_rotation_pool_is_bounded caps this
 # tuple at 14 (window slack) so never-checked debt can never compound past
-# one round's window. Any r15 new-query wave queues here (each entry
-# verified at sf0.001 AND sf0.01 --vanilla --exact when it lands).
-NEXT_ROUND_POOL: tuple[str, ...] = ()
+# one round's window. ONE 12-query r15 wave queues below (7 batch +
+# 5 streaming twins); each entry was verified at sf0.001 AND sf0.01
+# --vanilla --exact when it landed, and the full registry holds a committed
+# full-local-gate pass this round (VERIFY_FULL_r15.log).
+NEXT_ROUND_POOL: tuple[str, ...] = (
+    # r15: CUPED variance-reduced A/B readout (customer-grain pre/post
+    # cents ledger; pooled theta + adjusted means are readout decisions)
+    "ab_cuped_adjustment",
+    "stream_cuped_adjustment",
+    # r15: Cohen's kappa rater agreement (4-cell confusion SUM ledger)
+    "feat_cohens_kappa",
+    "stream_cohens_kappa",
+    # r15: Benford first-digit screen (9-digit SUM ledger; expected shares
+    # are Python-precomputed micro literals baked into both sides)
+    "ops_benford_screen",
+    "stream_benford_screen",
+    # r15: Ljung-Box portmanteau whiteness test (the ACF ladder's hourly
+    # ledger; Q from quantized r_micro values, exact per-lag BIGINT terms)
+    "ts_ljung_box",
+    "stream_ljung_box",
+    # r15: per-language Wilson score intervals ((n, s) SUM ledger)
+    "sample_wilson_ci",
+    "stream_wilson_ci",
+    # r15: first-order partial correlation from the decimal-first exact
+    # moments (batch - one moment row, O(1) readout)
+    "feat_partial_corr",
+    # r15: Lorenz concentration deciles via ranged_ntile (batch - the
+    # curve behind ops_gini_concentration's scalar)
+    "ops_lorenz_deciles",
+)
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver
 # greens; they now sit just past the window under the full local gate):
@@ -816,6 +843,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_queries,
         dedup_queries,
         entity_queries,
+        experiment_queries,
         format_queries,
         mining_queries,
         graph_queries,
@@ -830,6 +858,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         sketch_queries,
         streaming_eval_queries,
+        streaming_experiment_queries,
         streaming_ledger_queries,
         streaming_queries,
         text_queries,
@@ -851,6 +880,9 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling_queries,
         sampling_eval_queries,
         sampling_audit_queries,
+        # r15 wave: experimentation & audit statistics (CUPED, kappa,
+        # Benford, Wilson, partial corr, Lorenz)
+        experiment_queries,
         curation_queries,
         format_queries,
         graph_queries,
@@ -862,6 +894,8 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_queries,
         streaming_ledger_queries,
         streaming_eval_queries,
+        # r15 wave: the five experimentation/audit streaming twins
+        streaming_experiment_queries,
         multimodal_queries,
         cdc_queries,
     ):

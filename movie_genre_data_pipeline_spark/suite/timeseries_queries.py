@@ -1516,3 +1516,144 @@ FROM cum ORDER BY dur_h
 """
 
 QUERIES["ts_kaplan_meier"] = QuerySpec(q_ts_kaplan_meier, Q_KM_ORACLE)
+
+
+# -- Ljung-Box portmanteau whiteness test (r15) --------------------------------------------
+# The decision the ACF ladder feeds: is the hourly series white noise, or
+# is there autocorrelation worth modeling AT ALL? Q = n(n+2) Σ_k r_k²/(n−k)
+# over the first m consecutive lags (Ljung & Box 1978) — compare to
+# χ²(m) offline; this query publishes the exact statistic. r_k reuses the
+# ACF machinery VERBATIM (dense zero-filled spine, exact DECIMAL(38,0)
+# moments, the _ACF_R_MICRO fragment), and Q resolves from the QUANTIZED
+# r_micro values — 1e-6-granular inputs both engines share bit-for-bit, so
+# the per-lag terms are exact BIGINTs and the only double step is the final
+# n(n+2)·S scaling through one shared fragment. Scale shape: identical to
+# the ACF — ONE fact scan to the calendar-sized hourly grain; the 12 lag
+# joins and the term fold run on ≤ |hours| rows, broadcast-sized forever.
+LJUNG_LAGS = list(range(1, 13))
+
+_LJUNG_TERM_Q = (
+    "CASE WHEN n_hours > lag_hours THEN"
+    " CAST(FLOOR(CAST(r_micro AS DOUBLE) * CAST(r_micro AS DOUBLE)"
+    " * CAST(1000000 AS DOUBLE)"
+    " / (CAST(n_hours AS DOUBLE) - CAST(lag_hours AS DOUBLE))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_LJUNG_Q_MICRO = (
+    "CAST(FLOOR(CAST(n_hours AS DOUBLE)"
+    " * (CAST(n_hours AS DOUBLE) + CAST(2 AS DOUBLE))"
+    " * CAST(s_terms AS DOUBLE) / CAST(1000000000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def ljung_box_from_counts(counts: DataFrame) -> DataFrame:
+    """The Ljung-Box readout over additive (hour_id, cnt) facts, however
+    accumulated: densify, pair per consecutive lag, fold the five exact
+    moments per lag, resolve each r_micro (the ACF fragment), square into
+    exact per-lag BIGINT terms, and scale by n(n+2) once."""
+    counts = counts.localCheckpoint(eager=False)
+    spine = (
+        counts.agg(
+            F.min("hour_id").alias("min_h"), F.max("hour_id").alias("max_h")
+        )
+        .selectExpr("explode(sequence(min_h, max_h)) AS hour_id")
+    )
+    dense = spine.join(F.broadcast(counts), "hour_id", "left").select(
+        "hour_id", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)
+    nrow = dense.agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"))
+    lags = counts.sparkSession.createDataFrame(
+        [(lag,) for lag in LJUNG_LAGS], "lag_hours bigint"
+    )
+    d1 = dense.select(F.col("hour_id").alias("h1"), F.col("cnt").alias("x"))
+    d2 = dense.select(F.col("hour_id").alias("h2"), F.col("cnt").alias("y"))
+    pairs = (
+        d1.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(d2),
+            F.col("h2") == F.col("h1") + F.col("lag_hours"),
+        )
+    )
+    sums = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    terms = (
+        sums.selectExpr("lag_hours", f"{_ACF_R_MICRO} AS r_micro")
+        .crossJoin(F.broadcast(nrow))
+        .selectExpr("n_hours", f"{_LJUNG_TERM_Q} AS term_q")
+    )
+    return (
+        terms.groupBy("n_hours")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_lags"),
+            F.sum("term_q").cast("bigint").alias("s_terms"),
+        )
+        .selectExpr("n_hours", "m_lags", f"{_LJUNG_Q_MICRO} AS q_micro")
+    )
+
+
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ljung_box_from_counts(hourly_event_counts(ev))
+
+
+_LJUNG_LAG_VALUES = ", ".join(f"({lag})" for lag in LJUNG_LAGS)
+
+Q_TS_LJUNG_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+           - CASE WHEN CAST(epoch_us(ts) AS BIGINT) % 3600000000 < 0
+                  THEN 1 ELSE 0 END AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_id) AS min_h, MAX(hour_id) AS max_h FROM counts),
+spine AS (
+  SELECT UNNEST(generate_series(min_h, max_h)) AS hour_id FROM bounds
+),
+dense AS (
+  SELECT s.hour_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c ON c.hour_id = s.hour_id
+),
+nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours FROM dense),
+lags(lag_hours) AS (VALUES {_LJUNG_LAG_VALUES}),
+pairs AS (
+  SELECT l.lag_hours, d1.cnt AS x, d2.cnt AS y
+  FROM dense d1
+  CROSS JOIN lags l
+  JOIN dense d2 ON d2.hour_id = d1.hour_id + l.lag_hours
+),
+sums AS (
+  SELECT lag_hours,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pairs GROUP BY 1
+),
+rmic AS (
+  SELECT CAST(lag_hours AS BIGINT) AS lag_hours, {_ACF_R_MICRO} AS r_micro
+  FROM sums
+),
+terms AS (
+  SELECT n_hours, {_LJUNG_TERM_Q} AS term_q FROM rmic CROSS JOIN nrow
+),
+folded AS (
+  SELECT n_hours,
+         CAST(COUNT(*) AS BIGINT) AS m_lags,
+         CAST(SUM(term_q) AS BIGINT) AS s_terms
+  FROM terms GROUP BY 1
+)
+SELECT n_hours, m_lags, {_LJUNG_Q_MICRO} AS q_micro FROM folded
+"""
+
+QUERIES["ts_ljung_box"] = QuerySpec(q_ts_ljung_box, Q_TS_LJUNG_ORACLE)

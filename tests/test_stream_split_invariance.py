@@ -218,6 +218,23 @@ FOLDS = [
     # (n, Σx, Σx·lnx-micro — the per-doc ln is an arrival decision; T_g,
     # between terms, and shares are readout re-derivations)
     "stream_theil_decomposition",
+    # r15: the CUPED readout over the customer-grain (pre, post) cents
+    # ledger (SUM fold; arms, the pooled theta, and both means are readout
+    # re-derivations — theta legitimately sharpens as units land)
+    "stream_cuped_adjustment",
+    # r15: the kappa readout over the 4-cell confusion ledger (SUM fold;
+    # po/pe/kappa are readout decisions)
+    "stream_cohens_kappa",
+    # r15: the Benford deviation readout over the 9-digit ledger (SUM fold;
+    # observed shares re-derive against the baked-in expected literals)
+    "stream_benford_screen",
+    # r15: the Ljung-Box Q over the hourly count ledger (the ACF twin's
+    # fold; the dense spine, every r_k, and the n(n+2) scaling are readout
+    # decisions)
+    "stream_ljung_box",
+    # r15: the Wilson bounds over the per-language (n, s) ledger (SUM fold;
+    # the interval re-derives — it legitimately tightens as volume lands)
+    "stream_wilson_ci",
 ]
 
 
