@@ -144,6 +144,16 @@ SCALE_QUERIES = [
     "media_byte_histogram",
     "text_readability_ari",
     "graph_harmonic_centrality",
+    # r15 (VERDICT r14 #4): the r14 wave's scale-marketed paths — the
+    # Kaplan-Meier spans fold + ranged-ranking prefix sums (user-grain MIN/
+    # MAX facts, duration-grain readout — linear in users), the Theil
+    # decomposition (|sources|-grain three-fact fold — the flattest shape,
+    # like the Gram family), and isotonic calibration (score-decile-grain
+    # PAV via a few-hundred-combination join — grain-bounded like the χ²
+    # grid, must read ~flat)
+    "ts_kaplan_meier",
+    "ops_theil_decomposition",
+    "feat_isotonic_calibration",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
