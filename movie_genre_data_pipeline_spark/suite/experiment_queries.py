@@ -135,7 +135,10 @@ def cuped_report_from_units(units: DataFrame) -> DataFrame:
     armed = units.selectExpr(
         f"{_CUPED_ARM} AS arm", "pre_cents", "post_cents"
     )
-    per_arm = armed.groupBy("arm").agg(
+    # per_arm (2 rows) feeds BOTH the pooled-global fold and the output
+    # join; pin it (the ACF fan-out precedent) or the whole orders scan
+    # replays once per consumer — 2 corpus scans for a 2-row readout.
+    per_arm_raw = armed.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pre_cents").cast("decimal(38,0)").alias("sx"),
         F.sum("post_cents").cast("decimal(38,0)").alias("sy"),
@@ -146,6 +149,7 @@ def cuped_report_from_units(units: DataFrame) -> DataFrame:
             "SUM(CAST(pre_cents AS DECIMAL(38,0)) * post_cents)"
         ).alias("sxy"),
     )
+    per_arm = per_arm_raw.localCheckpoint(eager=False)
     glob = per_arm.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("sx").cast("decimal(38,0)").alias("sxt"),
@@ -386,7 +390,10 @@ def benford_digits_from_orders(orders: DataFrame) -> DataFrame:
 def benford_report_from_digits(digits: DataFrame) -> DataFrame:
     """The Benford deviation readout over (digit, cnt) facts, however
     accumulated: observed micro-share vs the baked-in expected micro-share
-    per digit, all-integer."""
+    per digit, all-integer. The 9-row digit table feeds both the total fold
+    and the output join — pinned (the ACF fan-out precedent) so the fact
+    scan behind it runs once, not once per consumer."""
+    digits = digits.localCheckpoint(eager=False)
     totals = digits.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     return (
         digits.crossJoin(F.broadcast(totals))
@@ -665,10 +672,13 @@ def q_ops_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("bigint").alias("cents"))
     )
     tiled = ranged_ntile(per_cust, ["cents", "c"], LORENZ_TILES, "decile")
+    # the 10-row decile table feeds three consumers (both sides of the
+    # cumulative self-join + the total fold) — pin it so the ranked
+    # customer scan behind it runs once, not once per consumer
     deciles = tiled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
         F.sum("cents").cast("bigint").alias("decile_cents"),
-    )
+    ).localCheckpoint(eager=False)
     # ten rows: the cumulative fold is a broadcast self-join, not a window
     cum = (
         deciles.alias("a")
