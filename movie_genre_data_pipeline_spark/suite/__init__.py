@@ -680,10 +680,11 @@ _R9_WINDOW: tuple[str, ...] = (
 # r15: all 12 r14 entries are seated in the r15 window above (VERDICT r14
 # #1), draining the standing pool; test_rotation_pool_is_bounded caps this
 # tuple at 14 (window slack) so never-checked debt can never compound past
-# one round's window. ONE 12-query r15 wave queues below (7 batch +
-# 5 streaming twins); each entry was verified at sf0.001 AND sf0.01
-# --vanilla --exact when it landed, and the full registry holds a committed
-# full-local-gate pass this round (VERIFY_FULL_r15.log).
+# one round's window. ONE 14-query r15 wave queues below (8 batch +
+# 6 streaming twins — exactly the cap, the round's velocity ceiling); each
+# entry was verified at sf0.001 AND sf0.01 --vanilla --exact when it
+# landed, and the full registry holds a committed full-local-gate pass
+# this round (VERIFY_FULL_r15.log).
 NEXT_ROUND_POOL: tuple[str, ...] = (
     # r15: CUPED variance-reduced A/B readout (customer-grain pre/post
     # cents ledger; pooled theta + adjusted means are readout decisions)
@@ -709,6 +710,12 @@ NEXT_ROUND_POOL: tuple[str, ...] = (
     # r15: Lorenz concentration deciles via ranged_ntile (batch - the
     # curve behind ops_gini_concentration's scalar)
     "ops_lorenz_deciles",
+    # r15: IPF raking of the training mix to uniform lang/source margins
+    # (grid-sized fixed point, every half-step quantized - the PageRank
+    # trajectory discipline; batch + cell-ledger twin whose whole IPF
+    # re-derives at readout)
+    "sample_raking_ipf",
+    "stream_raking_ipf",
 )
 
 # The r1–r6 window (kept for the rotation ledger — these 50 all hold driver

@@ -730,3 +730,142 @@ FROM cum CROSS JOIN tot
 """
 
 QUERIES["ops_lorenz_deciles"] = QuerySpec(q_ops_lorenz_deciles, Q_LORENZ_ORACLE)
+
+
+# -- iterative proportional fitting (raking) of the training mix (r15) -----------------------
+# The mix rebalancer (Deming & Stephan 1940): per-(lang, source) cell
+# weights such that the weighted corpus hits UNIFORM language margins and
+# uniform source margins simultaneously — the standard answer to "train on
+# this corpus as if languages and sources were balanced" without dropping a
+# single document. Three full IPF rounds (row-scale, column-scale), each
+# half-step's weight QUANTIZED to micro through the shared FLOOR(x+0.5)
+# spell — the PageRank/k-core fixed-point-trajectory discipline: both
+# engines replay the identical integer trajectory, so convergence noise
+# can't flip the hash. Scale shape: ONE corpus scan map-side-combines to
+# the |langs|x|sources| grid; every iteration is a grid-sized fold + a
+# broadcast join — dimension-bounded forever, and the grid is
+# localCheckpoint-pinned so the half-step fan-out never replays upstream.
+IPF_ROUNDS = 3
+
+_IPF_TARGET_L = (
+    "CAST(FLOOR(CAST(nn AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(ll AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_IPF_TARGET_S = (
+    "CAST(FLOOR(CAST(nn AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    " / CAST(ss AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def ipf_step_sql(target_col: str) -> str:
+    """One IPF half-step over columns (w, cl, {target_col}): rescale the
+    cell weight by target/current for the axis whose fold produced `cl`,
+    quantized half-up to micro. Shared verbatim by the Spark selectExpr and
+    the oracle CTEs."""
+    return (
+        "CASE WHEN cl > 0 THEN"
+        " CAST(FLOOR(CAST(w AS DOUBLE)"
+        f" * CAST({target_col} AS DOUBLE) / CAST(cl AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        " ELSE w END"
+    )
+
+
+def raking_cells_from_documents(docs: DataFrame) -> DataFrame:
+    """(lang, source, n) — the margin grid from ONE documents scan (the
+    streaming twin's SUM ledger fact)."""
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def raking_report_from_cells(cells: DataFrame) -> DataFrame:
+    """The IPF readout over (lang, source, n) facts, however accumulated:
+    bake the uniform row/column targets onto the grid, then run IPF_ROUNDS
+    full rounds of row- and column-scaling with every half-step quantized
+    (shared fragments). Each half-step is a grid-sized aggregate + a
+    broadcast join; the grid is pinned per step so the fan-out (the fold
+    consumes it AND the join consumes it) replays nothing upstream."""
+    cells = cells.localCheckpoint(eager=False)
+    tgt = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.countDistinct("lang").cast("bigint").alias("ll"),
+        F.countDistinct("source").cast("bigint").alias("ss"),
+    ).selectExpr(
+        f"{_IPF_TARGET_L} AS tl",
+        f"{_IPF_TARGET_S} AS ts",
+    )
+    grid = cells.crossJoin(F.broadcast(tgt)).selectExpr(
+        "lang", "source", "n", "CAST(1000000 AS BIGINT) AS w", "tl", "ts"
+    ).localCheckpoint(eager=False)
+    for _ in range(IPF_ROUNDS):
+        for axis, target in (("lang", "tl"), ("source", "ts")):
+            tot = grid.groupBy(axis).agg(
+                F.expr("SUM(CAST(n AS DECIMAL(38,0)) * w)").alias("cl")
+            )
+            grid = (
+                grid.join(F.broadcast(tot), axis)
+                .selectExpr(
+                    "lang",
+                    "source",
+                    "n",
+                    f"{ipf_step_sql(target)} AS w",
+                    "tl",
+                    "ts",
+                )
+                .localCheckpoint(eager=False)
+            )
+    return grid.selectExpr("lang", "source", "n AS n_docs", "w AS w_micro")
+
+
+def q_sample_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return raking_report_from_cells(raking_cells_from_documents(d))
+
+
+def _raking_oracle() -> str:
+    steps = []
+    prev = "g0"
+    idx = 0
+    for _ in range(IPF_ROUNDS):
+        for axis, target in (("lang", "tl"), ("source", "ts")):
+            idx += 1
+            steps.append(
+                f"t{idx} AS (\n"
+                f"  SELECT {axis},"
+                f" CAST(SUM(CAST(n AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))"
+                f" AS cl\n"
+                f"  FROM {prev} GROUP BY 1\n"
+                f"),\n"
+                f"g{idx} AS (\n"
+                f"  SELECT g.lang, g.source, g.n,"
+                f" {ipf_step_sql(target)} AS w, g.tl, g.ts\n"
+                f"  FROM {prev} g JOIN t{idx} USING ({axis})\n"
+                f")"
+            )
+            prev = f"g{idx}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tgt0 AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS ll,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS ss
+  FROM cells
+),
+tgt AS (
+  SELECT {_IPF_TARGET_L} AS tl, {_IPF_TARGET_S} AS ts FROM tgt0
+),
+g0 AS (
+  SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w, tl, ts
+  FROM cells CROSS JOIN tgt
+),
+{chain}
+SELECT lang, source, n AS n_docs, w AS w_micro FROM {prev}
+"""
+
+
+QUERIES["sample_raking_ipf"] = QuerySpec(q_sample_raking_ipf, _raking_oracle())

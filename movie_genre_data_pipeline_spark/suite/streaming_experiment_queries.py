@@ -317,3 +317,60 @@ def _stream_wilson_oracle() -> str:
 
 
 QUERIES["stream_wilson_ci"] = QuerySpec(q_stream_wilson_ci, _stream_wilson_oracle())
+
+
+def q_stream_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained raking weights (r15): a document's
+    (lang, source) cell is an ARRIVAL decision, the grid counts SUM-fold,
+    and the ENTIRE IPF trajectory — targets, every half-step fold, every
+    quantized rescale — re-derives at READOUT (the fixed point depends on
+    the final margins, so re-running it is the only exact streaming form;
+    the CUSUM precedent). Shares the batch oracle verbatim;
+    split-invariance gated."""
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.experiment_queries import (
+        raking_cells_from_documents,
+        raking_report_from_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_raking_")
+    src, led = f"{base}/src", f"{base}/cells"
+    d = load(spark, sf_dir, "documents")
+    d.select("lang", "source").repartition(_split(4)).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        raking_cells_from_documents(batch_df).write.mode("append").parquet(led)
+
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    cells = (
+        spark.read.parquet(led)
+        .groupBy("lang", "source")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    return raking_report_from_cells(cells)
+
+
+def _stream_raking_oracle() -> str:
+    from movie_genre_data_pipeline_spark.suite.experiment_queries import (
+        _raking_oracle,
+    )
+
+    return _raking_oracle()
+
+
+QUERIES["stream_raking_ipf"] = QuerySpec(q_stream_raking_ipf, _stream_raking_oracle())

@@ -204,3 +204,53 @@ def test_lorenz_curve_laws(spark):
     assert incs == sorted(incs)  # sorted-by-revenue deciles => convex curve
     total = sum(incs)
     assert rows[-1]["cum_share_micro"] == 1_000_000 and total > 0
+
+
+def test_raking_matches_pure_python_trajectory(spark):
+    """Replay the ENTIRE quantized IPF trajectory in pure python from the
+    same cells and compare weight-for-weight (the PageRank trajectory
+    discipline), then pin the convergence laws: the LAST-scaled axis
+    (sources) hits its uniform target to quantization, and language margins
+    land within 1% relative of theirs after three rounds."""
+    import math as _m
+
+    from movie_genre_data_pipeline_spark.suite import load
+    from movie_genre_data_pipeline_spark.suite.experiment_queries import (
+        IPF_ROUNDS,
+        raking_cells_from_documents,
+        raking_report_from_cells,
+    )
+
+    cells_df = raking_cells_from_documents(load(spark, SF_DIR, "documents"))
+    cells = {(r["lang"], r["source"]): r["n"] for r in cells_df.collect()}
+    nn = sum(cells.values())
+    langs = {k[0] for k in cells}
+    sources = {k[1] for k in cells}
+    tl = _m.floor(nn * 1e6 / len(langs) + 0.5)
+    ts = _m.floor(nn * 1e6 / len(sources) + 0.5)
+    w = {k: 1_000_000 for k in cells}
+    for _ in range(IPF_ROUNDS):
+        for axis_idx, target in ((0, tl), (1, ts)):
+            tot: dict[str, int] = {}
+            for k, n in cells.items():
+                tot[k[axis_idx]] = tot.get(k[axis_idx], 0) + n * w[k]
+            for k in w:
+                cl = tot[k[axis_idx]]
+                if cl > 0:
+                    w[k] = _m.floor(w[k] * target / cl + 0.5)
+
+    got = {
+        (r["lang"], r["source"]): r["w_micro"]
+        for r in raking_report_from_cells(cells_df).collect()
+    }
+    assert got == w  # bit-identical trajectory
+
+    # sources were scaled last: their weighted margins sit on target up to
+    # the per-cell half-micro quantization
+    for s in sources:
+        m = sum(cells[k] * w[k] for k in cells if k[1] == s)
+        assert abs(m - ts) <= sum(cells[k] for k in cells if k[1] == s)
+    # languages were scaled one half-step earlier: within 1% after 3 rounds
+    for lg in langs:
+        m = sum(cells[k] * w[k] for k in cells if k[0] == lg)
+        assert abs(m - tl) <= 0.01 * tl

@@ -235,6 +235,11 @@ FOLDS = [
     # r15: the Wilson bounds over the per-language (n, s) ledger (SUM fold;
     # the interval re-derives — it legitimately tightens as volume lands)
     "stream_wilson_ci",
+    # r15: the raking weights over the (lang, source) cell ledger (SUM
+    # fold; the ENTIRE IPF trajectory — targets, folds, quantized rescales
+    # — re-derives at readout, since the fixed point depends on the final
+    # margins)
+    "stream_raking_ipf",
 ]
 
 
