@@ -154,6 +154,15 @@ SCALE_QUERIES = [
     "ts_kaplan_meier",
     "ops_theil_decomposition",
     "feat_isotonic_calibration",
+    # r15 wave: the CUPED customer-grain moment fold (must read ~linear in
+    # customers), the Ljung-Box calendar-grain ladder (the ACF's flat
+    # shape), the Lorenz ranged-ntile deciles (linear in customers like the
+    # Gini sibling), and the IPF raking grid fixed point (flattest: the
+    # grid is |langs|x|sources| regardless of n)
+    "ab_cuped_adjustment",
+    "ts_ljung_box",
+    "ops_lorenz_deciles",
+    "sample_raking_ipf",
 ]
 
 # per-table (id columns to offset, text columns to word-suffix)
