@@ -620,3 +620,39 @@ def test_reachability_runs_native_recursion(spark):
     plan = _plan(spark, "graph_reachability")
     assert "UnionLoop" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_r15_fanout_readouts_scan_once(spark):
+    """The r15 wave's fan-out pinning regression (the ACF precedent): a
+    dimension-sized aggregate that feeds multiple consumers (global fold +
+    output join) must be localCheckpoint-pinned, so the corpus scan behind
+    it appears ZERO times in the readout plan (it ran once, inside the
+    checkpoint) instead of once per consumer."""
+    for name in ("ab_cuped_adjustment", "ops_benford_screen", "ops_lorenz_deciles"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 0, (name, plan)
+
+
+def test_raking_iterations_stay_grid_sized(spark):
+    """The IPF readout must be a pure projection over the PINNED grid
+    fixed point (every half-step's fold + broadcast join ran inside its own
+    checkpoint segment): no parquet scan, no sort-merge join, and the plan
+    input is the checkpointed grid RDD — so nothing in the readout can ever
+    shuffle wider than the |langs|x|sources| grid."""
+    plan = _plan(spark, "sample_raking_ipf")
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_wilson_and_kappa_prune_columns(spark):
+    """The per-stratum CI and the confusion census must read exactly the
+    columns they price: (lang, n_chars) and (text, n_chars) respectively —
+    a scan reading all five documents columns is the class of regression
+    pruning exists to catch."""
+    plan = _plan(spark, "sample_wilson_ci")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" in read and "n_chars" in read and "text" not in read, read
+    plan = _plan(spark, "feat_cohens_kappa")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "n_chars" in read and "lang" not in read, read
