@@ -1,0 +1,339 @@
+"""Property-based tests (hypothesis) for the r14 wave's algebraic laws —
+random tiny inputs through the REAL report helpers, asserting each
+statistic's defining symmetry (the r15 discipline extended backward: the
+fixture-anchored law tests prove the number is right ONCE; these sweep the
+invariance that makes it the right FORMULA)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+FAST = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+H_US = 3_600_000_000
+
+
+@FAST
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    delta_us=st.integers(0, 10**12),
+)
+def test_kaplan_meier_time_shift_invariance(spark, spans, delta_us):
+    """KM is built from durations and the censoring gap — both differences —
+    so translating every span by the same delta (even a non-hour-aligned
+    one) must leave the report bit-identical; and on ANY span set the
+    survival curve is nonincreasing with n_risk > n_deaths at every step."""
+    from movie_genre_data_pipeline_spark.suite.timeseries_queries import (
+        km_report_from_spans,
+    )
+
+    def report(shift):
+        df = spark.createDataFrame(
+            [
+                (i, f * H_US + shift, (f + d) * H_US + shift)
+                for i, (f, d) in enumerate(spans)
+            ],
+            "u bigint, f_us bigint, l_us bigint",
+        )
+        return [tuple(r) for r in km_report_from_spans(df).collect()]
+
+    base = report(0)
+    assert base == report(delta_us)
+    prev = 10**18
+    for r in base:
+        dur_h, n_risk, n_deaths = r[0], r[1], r[2]
+        surv = r[-1]
+        assert n_risk > n_deaths >= 1
+        assert n_risk <= len(spans)
+        assert surv <= prev, "survival must be nonincreasing"
+        prev = surv
+
+
+@FAST
+@given(
+    tfs=st.lists(st.integers(1, 100), min_size=2, max_size=15),
+)
+def test_yule_k_hapax_zero_and_concentration_monotone(spark, tfs):
+    """A corpus of hapaxes has K = 0 exactly, and merging any two types
+    into one (same token mass, more concentrated) strictly increases K —
+    the monotonicity that makes K a repetition measure."""
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        yule_report_from_postings,
+    )
+
+    def k_of(tf_list):
+        df = spark.createDataFrame(
+            [("en", f"t{i}", tf) for i, tf in enumerate(tf_list)],
+            "lang string, term string, tf bigint",
+        )
+        return yule_report_from_postings(df).collect()[0]
+
+    hapax = k_of([1] * len(tfs))
+    assert hapax["yule_k_micro"] == 0
+
+    split = k_of(tfs)
+    merged = k_of([tfs[0] + tfs[1]] + tfs[2:])
+    assert merged["n_tokens"] == split["n_tokens"]
+    assert merged["n_types"] == split["n_types"] - 1
+    assert merged["yule_k_micro"] > split["yule_k_micro"]
+
+
+@FAST
+@given(
+    facts=st.lists(
+        st.tuples(
+            st.integers(1, 50),  # n_g
+            st.integers(1, 10**6),  # x_g (clamped >= n_g below)
+            st.integers(0, 10**10),  # l_g (opaque to the invariance)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_theil_report_is_replication_invariant(spark, facts):
+    """Theil terms are functions of shares and within-group means only, so
+    doubling every group's additive facts (n_g, x_g, l_g) — two identical
+    copies of the corpus — must leave x_share, T_g, and the between term
+    bit-identical (the population-size independence axiom)."""
+    from movie_genre_data_pipeline_spark.suite.relational_extra import (
+        theil_report_from_facts,
+    )
+
+    rows = [(f"s{i}", n, max(x, n), l) for i, (n, x, l) in enumerate(facts)]
+
+    def report(scale):
+        df = spark.createDataFrame(
+            [(s, n * scale, x * scale, l * scale) for s, n, x, l in rows],
+            "source string, n_g bigint, x_g bigint, l_g bigint",
+        )
+        return {
+            r["source"]: (
+                r["x_share_micro"],
+                r["theil_within_micro"],
+                r["between_term_micro"],
+            )
+            for r in theil_report_from_facts(df).collect()
+        }
+
+    assert report(1) == report(2)
+
+
+@FAST
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 2000)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_theil_decomposition_identity_on_random_corpora(spark, docs):
+    """T_total = Σ_g (X_g/X)·T_g + T_between on ANY corpus: the pooled
+    single-group within term must equal the grouped report's weighted
+    within plus between, up to the per-group micro quantizations."""
+    from movie_genre_data_pipeline_spark.suite.relational_extra import (
+        theil_facts,
+        theil_report_from_facts,
+    )
+
+    df = spark.createDataFrame(docs, "source string, n_chars bigint")
+    grouped = theil_report_from_facts(theil_facts(df)).collect()
+    pooled = theil_report_from_facts(
+        theil_facts(df.selectExpr("'all' AS source", "n_chars"))
+    ).collect()[0]
+
+    t_total = pooled["theil_within_micro"]
+    within = sum(
+        r["x_share_micro"] * r["theil_within_micro"] / 1e6 for r in grouped
+    )
+    between = sum(r["between_term_micro"] for r in grouped)
+    slack = 10 + 5 * len(grouped)
+    assert abs(t_total - (within + between)) <= slack
+
+
+@FAST
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mahalanobis_report_is_duplication_invariant(spark, pts):
+    """Duplicating every point doubles all raw moments exactly, leaving
+    means, covariances, and every per-row d² bit-identical — bins and
+    max_d2 unchanged, n_rows exactly doubled. (A fixed non-collinear
+    tripod keeps the covariance nonsingular on any draw.)"""
+    from movie_genre_data_pipeline_spark.suite.sampling_audit_queries import (
+        maha_moments,
+        maha_report_from_parts,
+    )
+
+    base = pts + [(0, 0), (5000, 0), (0, 5000)]
+
+    def report(copies):
+        df = spark.createDataFrame(base * copies, "x1 bigint, x2 bigint")
+        return {
+            r["d2_bin"]: (r["n_rows"], r["max_d2_micro"])
+            for r in maha_report_from_parts(df, maha_moments(df)).collect()
+        }
+
+    one, two = report(1), report(2)
+    assert set(one) == set(two)
+    for b in one:
+        assert two[b] == (2 * one[b][0], one[b][1])
+
+
+@FAST
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-500, 500),
+            st.integers(-500, 500),
+            st.integers(-500, 500),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_spearman_is_monotone_transform_invariant(spark, rows):
+    """Spearman's rho depends on the data only through ranks, so any
+    strictly increasing transform of any column (x³ on qty, 2x+7 on
+    price_c) must leave the whole matrix bit-identical."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        corr_matrix_micro,
+    )
+    from movie_genre_data_pipeline_spark.suite.sampling_audit_queries import (
+        SPEARMAN_COLS,
+        _spearman_ranked,
+    )
+
+    base = rows + [(-501, -501, -501), (501, 501, 501)]
+
+    def matrix(rws):
+        df = spark.createDataFrame(
+            rws, "qty bigint, price_c bigint, disc_c bigint"
+        )
+        return sorted(
+            tuple(r)
+            for r in corr_matrix_micro(
+                _spearman_ranked(df), SPEARMAN_COLS
+            ).collect()
+        )
+
+    transformed = [(q**3, 2 * p + 7, d) for q, p, d in base]
+    assert matrix(base) == matrix(transformed)
+
+
+@FAST
+@given(
+    bins=st.lists(
+        st.tuples(
+            st.integers(0, 10),
+            st.integers(1, 1000),
+            st.integers(0, 1000),
+        ),
+        min_size=1,
+        max_size=11,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, bins):
+    """On ANY bin histogram the PAV minimax fit is nondecreasing in the
+    bin order and preserves the weighted mean (Σ n_i·f_i = Σ y_i up to
+    the per-bin half-micro quantization) — the two identities that define
+    isotonic regression."""
+    from movie_genre_data_pipeline_spark.suite.sampling_audit_queries import (
+        isotonic_from_bins,
+    )
+
+    rows = [(b, n, min(s, n)) for b, n, s in bins]
+    df = spark.createDataFrame(rows, "bin bigint, n_rows bigint, sum_y bigint")
+    got = isotonic_from_bins(df).collect()
+    assert [r["bin"] for r in got] == sorted(b for b, _, _ in rows)
+    for r in got:
+        assert 0 <= r["iso_micro"] <= 1_000_000
+    for a, b in zip(got, got[1:]):
+        assert a["iso_micro"] <= b["iso_micro"]
+
+    n_tot = sum(n for _, n, _ in rows)
+    y_tot = sum(s for _, _, s in rows)
+    fit_mass = sum(r["n_rows"] * r["iso_micro"] for r in got)
+    assert abs(fit_mass - 1_000_000 * y_tot) <= n_tot
+
+
+@FAST
+@given(
+    rates=st.lists(
+        st.tuples(st.integers(1, 100), st.integers(0, 100)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_isotonic_is_identity_on_monotone_input(spark, rates):
+    """When observed rates are already nondecreasing, PAV must not pool:
+    the fit equals the raw rate bin-for-bin (within 1 micro — the two
+    publish spells divide in a different order)."""
+    from movie_genre_data_pipeline_spark.suite.sampling_audit_queries import (
+        isotonic_from_bins,
+    )
+
+    ordered = sorted(
+        ((min(s, n) / n, n, min(s, n)) for n, s in rates)
+    )
+    rows = [(i, n, s) for i, (_, n, s) in enumerate(ordered)]
+    df = spark.createDataFrame(rows, "bin bigint, n_rows bigint, sum_y bigint")
+    for r in isotonic_from_bins(df).collect():
+        assert abs(r["iso_micro"] - r["obs_rate_micro"]) <= 1
+
+
+@FAST
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_local_triangle_counts_match_brute_force(spark, edges):
+    """Degree and per-node triangle membership recomputed by the reference
+    triple loop on random small multigraphs (self-loops and duplicate
+    edges included — orient_edges must canonicalize them away)."""
+    from movie_genre_data_pipeline_spark.functions.graph import (
+        local_triangle_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_tri"])
+        for r in local_triangle_counts(df, "src", "dst").collect()
+    }
+
+    simple = {
+        (f"n{min(a, b)}", f"n{max(a, b)}") for a, b in edges if a != b
+    }
+    adj: dict[str, set[str]] = {}
+    for lo, hi in simple:
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    assert set(got) == set(adj)
+    for v, nbrs in adj.items():
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and (min(x, y), max(x, y)) in simple
+        )
+        assert got[v] == (len(nbrs), tri)
