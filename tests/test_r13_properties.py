@@ -347,3 +347,67 @@ def test_neyman_allocation_conserves_budget_and_zero_variance_is_unfunded(
     for i, xs in enumerate(groups):
         if len(xs) > 1 and len(set(xs)) == 1:
             assert got[f"g{i}"]["w_micro"] == 0
+
+
+@FAST
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(-10**5, 10**5)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda r: any(y for y, _ in r))
+)
+def test_lift_gains_monotone_invariance_and_endpoint(spark, rows):
+    """The gains table is a rank statistic (affine score transform leaves
+    it bit-identical), cumulative gains are nondecreasing, and the last
+    tile always closes at exactly 100% of rows and positives."""
+    from movie_genre_data_pipeline_spark.suite.sampling_audit_queries import (
+        lift_gains_from_labeled,
+    )
+
+    def table(rws):
+        df = spark.createDataFrame(
+            [(i, y, s) for i, (y, s) in enumerate(rws)],
+            "doc_id bigint, y boolean, s bigint",
+        )
+        return sorted(
+            (tuple(r) for r in lift_gains_from_labeled(df).collect())
+        )
+
+    base = table(rows)
+    assert base == table([(y, 5 * s - 2) for y, s in rows])
+
+    t_rows = len(rows)
+    t_pos = sum(1 for y, _ in rows if y)
+    last = base[-1]
+    gains = [r[5] for r in base]
+    assert gains == sorted(gains), "cumulative gain must be nondecreasing"
+    assert last[3] == t_rows and last[4] == t_pos
+    assert last[5] == 1_000_000
+
+
+@FAST
+@given(
+    sizes=st.lists(
+        st.tuples(st.sampled_from(["en", "de", "fr"]), st.integers(1, 10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pps_systematic_points_are_conserved(spark, sizes):
+    """The systematic PPS grid telescopes: however the corpus is sized or
+    ordered, the per-language point counts must sum to exactly
+    PPS_POINTS, and no language can select more docs than it holds."""
+    from movie_genre_data_pipeline_spark.suite.sampling_audit_queries import (
+        PPS_POINTS,
+        pps_report_from_sizes,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lang, sz) for i, (lang, sz) in enumerate(sizes)],
+        "doc_id bigint, lang string, sz bigint",
+    )
+    got = pps_report_from_sizes(df).collect()
+    assert sum(r["n_points"] for r in got) == PPS_POINTS
+    for r in got:
+        assert 0 <= r["n_sel_docs"] <= min(r["n_docs"], r["n_points"])
