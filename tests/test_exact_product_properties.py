@@ -1,0 +1,95 @@
+"""Property sweep for the hybrid exact-product spell (r15: corr products
+try_multiply-first with a per-row DECIMAL(38,0) fallback) — random int64
+pairs straddling the BIGINT overflow boundary must sum identically under
+the hybrid and under the pure decimal-first form, proving the fast path
+never changes the answer it was bought to speed up."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+FAST = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# magnitudes on both sides of sqrt(2^63) ~ 3.04e9: small*small stays BIGINT,
+# big*big overflows into the decimal fallback, mixed rows exercise both
+# paths inside ONE aggregate
+VAL = st.one_of(
+    st.integers(-1000, 1000),
+    st.integers(2 * 10**9, 4 * 10**9),
+    st.integers(-4 * 10**9, -2 * 10**9),
+    st.integers(3_000_000_000, 3_100_000_000),
+)
+
+
+@FAST
+@given(
+    pairs=st.lists(st.tuples(VAL, VAL), min_size=1, max_size=40),
+)
+def test_hybrid_product_sum_equals_decimal_first(spark, pairs):
+    """SUM(coalesce(try_multiply(a,b)::dec, a::dec*b)) == SUM(a::dec*b)
+    exactly, and the python big-int ground truth, on any mix of in-range
+    and overflowing products."""
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = df.agg(
+        F.sum(
+            F.coalesce(
+                F.expr(
+                    "try_multiply(CAST(a AS BIGINT), CAST(b AS BIGINT))"
+                ).cast("decimal(38,0)"),
+                (
+                    F.col("a").cast("bigint").cast("decimal(38,0)")
+                    * F.col("b").cast("bigint")
+                ).cast("decimal(38,0)"),
+            )
+        ).alias("hybrid"),
+        F.sum(
+            (
+                F.col("a").cast("bigint").cast("decimal(38,0)")
+                * F.col("b").cast("bigint")
+            ).cast("decimal(38,0)")
+        ).alias("pure"),
+    ).collect()[0]
+    truth = sum(a * b for a, b in pairs)
+    assert int(got["hybrid"]) == int(got["pure"]) == truth
+
+
+@FAST
+@given(
+    rows=st.lists(
+        st.tuples(VAL, VAL, VAL),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_corr_matrix_is_exact_at_overflowing_magnitudes(spark, rows):
+    """corr_matrix_micro at magnitudes whose products overflow BIGINT must
+    equal the same matrix computed after dividing every column by a common
+    factor that brings products back in range (Pearson is scale-invariant,
+    and both runs quantize from exact moments). Two anchor rows keep every
+    column varying — zero variance is outside the helper's documented
+    domain (the correlation is undefined and ANSI surfaces the 0/0)."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        corr_matrix_micro,
+    )
+
+    rows = rows + [(0, 0, 0), (1, 2, 3)]
+    big = [(a * 1000, b * 1000, c * 1000) for a, b, c in rows]
+
+    def matrix(data):
+        df = spark.createDataFrame(data, "x bigint, y bigint, z bigint")
+        return sorted(
+            tuple(r) for r in corr_matrix_micro(df, ("x", "y", "z")).collect()
+        )
+
+    for (an, bn, rn), (ab, bb, rb) in zip(matrix(rows), matrix(big)):
+        assert (an, bn) == (ab, bb)
+        if rn is not None and rb is not None:
+            assert abs(rn - rb) <= 1
+        else:
+            assert rn == rb
