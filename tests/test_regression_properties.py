@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) for the closed-form OLS stack and the
+token packer — random tiny inputs through the REAL helpers: exact linear
+data must be recovered bit-exactly (the Cramer solve over exact integer
+Grams has nothing to drift), a perfect fit must score a perfect R², and
+bin packing must conserve every token it shards."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+FAST = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# three anchor points span the design, so the Gram is always invertible
+ANCHORS = [(0, 0), (1, 0), (0, 1)]
+POINTS = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(0, 100)),
+    min_size=0,
+    max_size=22,
+)
+
+
+@FAST
+@given(
+    pts=POINTS,
+    b0=st.integers(-20, 20),
+    b1=st.integers(1, 20),
+    b2=st.integers(-20, 20),
+)
+def test_ols_recovers_exact_linear_data_bit_exactly(spark, pts, b0, b1, b2):
+    """y = b0 + b1*x1 + b2*x2 with integer coefficients: the Cramer solve
+    over the exact integer Gram returns exactly b*1e6 — no tolerance —
+    and the goodness-of-fit is a perfect R^2 = 1 at RMSE 0."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_fit_micro,
+        ols_fit_quality,
+    )
+
+    rows = [
+        (x1, x2, b0 + b1 * x1 + b2 * x2) for x1, x2 in ANCHORS + pts
+    ]
+    df = spark.createDataFrame(rows, "x1 bigint, x2 bigint, y bigint")
+    fit = ols_fit_micro(df, "x1", "x2", "y").collect()[0]
+    assert fit["beta0_micro"] == b0 * 1_000_000
+    assert fit["beta1_micro"] == b1 * 1_000_000
+    assert fit["beta2_micro"] == b2 * 1_000_000
+
+    q = ols_fit_quality(df, "x1", "x2", "y").collect()[0]
+    assert q["r2_micro"] == 1_000_000
+    assert q["rmse_cents"] == 0
+
+
+@FAST
+@given(
+    pts=POINTS,
+    ys=st.lists(st.integers(-10**4, 10**4), min_size=3, max_size=25),
+)
+def test_ols_grouped_fit_equals_ungrouped_per_group(spark, pts, ys):
+    """Two groups holding identical data must fit identical coefficients,
+    and each must equal the ungrouped fit on that data — the grouped
+    Cramer path is the same arithmetic, shuffled by key."""
+    from movie_genre_data_pipeline_spark.functions.regression import (
+        ols_fit_micro,
+    )
+
+    base = ANCHORS + pts
+    rows = [
+        (x1, x2, ys[i % len(ys)]) for i, (x1, x2) in enumerate(base)
+    ]
+    flat = spark.createDataFrame(rows, "x1 bigint, x2 bigint, y bigint")
+    both = spark.createDataFrame(
+        [(g, x1, x2, y) for g in ("a", "b") for x1, x2, y in rows],
+        "g string, x1 bigint, x2 bigint, y bigint",
+    )
+    single = tuple(ols_fit_micro(flat, "x1", "x2", "y").collect()[0])
+    grouped = {
+        r["g"]: (r["n_rows"], r["beta0_micro"], r["beta1_micro"], r["beta2_micro"])
+        for r in ols_fit_micro(both, "x1", "x2", "y", ("g",)).collect()
+    }
+    assert grouped["a"] == grouped["b"] == single
+
+
+@FAST
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.integers(1, 900)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pack_efficiency_conserves_tokens(spark, docs):
+    """The packer audit must account for every input token, keep min <=
+    max, and never report an overfull chunk when chunk sums stay within
+    budget + the largest document (the packer's documented spill bound)."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _TOKEN_BUDGET,
+        pack_efficiency_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(lang, i, n) for i, (lang, n) in enumerate(docs)],
+        "lang string, doc_id bigint, n_tokens bigint",
+    )
+    got = {r["lang"]: r for r in pack_efficiency_from_counts(df).collect()}
+    totals: dict[str, int] = {}
+    maxes: dict[str, int] = {}
+    for lang, n in docs:
+        totals[lang] = totals.get(lang, 0) + n
+        maxes[lang] = max(maxes.get(lang, 0), n)
+    assert set(got) == set(totals)
+    for lang, r in got.items():
+        assert r["total_tokens"] == totals[lang]
+        assert 1 <= r["min_chunk"] <= r["max_chunk"]
+        assert r["max_chunk"] < _TOKEN_BUDGET + maxes[lang]
+        assert 0 <= r["n_overfull"] <= r["n_chunks"]
+
+
+@FAST
+@given(
+    jumbo=st.lists(
+        st.integers(2001, 10**5),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pack_every_jumbo_doc_gets_its_own_chunk(spark, jumbo):
+    """When every document alone exceeds the budget, the prefix jumps past
+    a full budget per doc, so the packer must emit exactly one chunk per
+    document — the degenerate regime a long-context corpus hits."""
+    from movie_genre_data_pipeline_spark.suite.sampling_queries import (
+        _TOKEN_BUDGET,
+        pack_efficiency_from_counts,
+    )
+
+    assert all(n > _TOKEN_BUDGET for n in jumbo)
+    df = spark.createDataFrame(
+        [("en", i, n) for i, n in enumerate(jumbo)],
+        "lang string, doc_id bigint, n_tokens bigint",
+    )
+    r = pack_efficiency_from_counts(df).collect()[0]
+    assert r["n_chunks"] == len(jumbo)
+    assert r["n_overfull"] == len(jumbo)
+    assert r["min_chunk"] == min(jumbo) and r["max_chunk"] == max(jumbo)
