@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the graph and PQ function stacks —
+random tiny inputs through the REAL helpers: vertex-transitive graphs must
+rank every node identically (the fixed-point trajectory is symmetric), the
+local PQ trainer must be bit-identical to the distributed one (the
+collect-then-train FAISS protocol rests on that contract), and centroid-
+composed vectors must encode and score losslessly."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+FAST = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@FAST
+@given(n=st.integers(2, 6), iters=st.integers(1, 4))
+def test_pagerank_is_uniform_on_vertex_transitive_graphs(spark, n, iters):
+    """On a complete digraph and on a directed cycle every node is
+    structurally identical, so the exact fixed-point trajectory must give
+    every node the SAME rank_fp at every iteration count — bit-equal, no
+    tolerance."""
+    from movie_genre_data_pipeline_spark.functions.graph import (
+        pagerank_fixed_point,
+    )
+
+    complete = [
+        (f"n{i}", f"n{j}") for i in range(n) for j in range(n) if i != j
+    ]
+    cycle = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+    for edges in (complete, cycle):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        ranks = pagerank_fixed_point(df, iterations=iters).collect()
+        assert len(ranks) == n
+        fps = {r["rank_fp"] for r in ranks}
+        assert len(fps) == 1, f"non-uniform ranks on symmetric graph: {fps}"
+
+
+@FAST
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-20, 20), min_size=4, max_size=4),
+        min_size=4,
+        max_size=16,
+    ),
+    k=st.integers(2, 3),
+    iters=st.integers(1, 3),
+)
+def test_pq_local_training_is_bit_identical_to_distributed(
+    spark, vecs, k, iters
+):
+    """pq_train_local over collected rows must reproduce pq_train_exact's
+    codebooks bit-for-bit on the same sample — the contract that lets the
+    corpus-scale path train on a driver-side sample (the FAISS protocol)
+    without a correctness cliff."""
+    from movie_genre_data_pipeline_spark.functions.pq import (
+        pq_train_exact,
+        pq_train_local,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vid bigint, vq array<double>")
+    dist = pq_train_exact(df, dim=4, m=2, k=k, iterations=iters)
+    loc = pq_train_local(rows, dim=4, m=2, k=k, iterations=iters)
+    assert dist == loc
+
+
+@FAST
+@given(
+    books=st.lists(
+        st.lists(
+            st.lists(st.integers(-50, 50), min_size=2, max_size=2),
+            min_size=4,
+            max_size=4,
+            unique_by=lambda c: tuple(c),
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+    picks=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_pq_encode_recovers_centroid_composed_vectors(spark, books, picks):
+    """A vector assembled from one centroid per subspace must encode back
+    to exactly those centroid indices (ties broken low never fire: the
+    distance to the chosen centroid is exactly 0 and codebook centroids
+    are distinct), and its ADC distance to its own code is exactly 0."""
+    from movie_genre_data_pipeline_spark.functions.pq import (
+        pq_adc_scores,
+        pq_encode,
+    )
+
+    codebooks = [
+        [[float(x) for x in c] for c in book] for book in books
+    ]
+    rows = [
+        (i, codebooks[0][a] + codebooks[1][b]) for i, (a, b) in enumerate(picks)
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, vq array<double>")
+    codes = pq_encode(df, codebooks)
+    got = {r["vid"]: list(r["codes"]) for r in codes.collect()}
+    assert got == {i: [a, b] for i, (a, b) in enumerate(picks)}
+
+    self_adc = pq_adc_scores(df, codes, codebooks).filter(
+        F.col("q_vid") == F.col("neighbor")
+    )
+    for r in self_adc.collect():
+        assert r["adc"] == 0.0
