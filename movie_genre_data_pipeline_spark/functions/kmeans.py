@@ -302,7 +302,10 @@ def kmeans_exact_cells(
 
 
 def probe_cells(
-    quantized: DataFrame, centroids: list[list[float]], nprobe: int
+    quantized: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vid, cluster): each vector paired with its `nprobe` NEAREST centroid
     cells — the IVF multi-probe expansion (FAISS's nprobe knob). nprobe=1 is
@@ -310,7 +313,9 @@ def probe_cells(
     recall, and because the probed sets are supersets, recall is MONOTONE in
     nprobe (pinned by tests). Pure projection + explode: distances to the k
     centroid literals, lexicographic (dist, cluster) sort for deterministic
-    ties, slice nprobe, explode — no join, no shuffle."""
+    ties, slice nprobe, explode — no join, no shuffle. `keep_cols` carries
+    input columns (e.g. the vector itself) through the explode, so callers
+    that need them don't pay a join back to the source frame."""
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1)).cast("array<int>")
@@ -323,8 +328,8 @@ def probe_cells(
     )
     probed = F.slice(F.array_sort(pairs), 1, nprobe)
     return with_centroid_matrix(quantized, centroids).select(
-        "vid", F.explode(probed).alias("__p")
-    ).select("vid", F.col("__p.c").alias("cluster"))
+        "vid", *keep_cols, F.explode(probed).alias("__p")
+    ).select("vid", *keep_cols, F.col("__p.c").alias("cluster"))
 
 
 def two_level_index(

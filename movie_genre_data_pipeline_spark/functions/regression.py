@@ -312,11 +312,15 @@ def logreg_irls_micro(
     agrees in sign with the label after that iteration's update.
 
     Scale shape: per iteration ONE map-side-combined aggregate (d²+d numbers
-    leave the executors — the ols_gram shape) plus one accuracy aggregate;
-    the solve runs engine-side on the one-row Gram and only the d+1 updated
-    micro-betas are collected to drive the next plan (bounded driver state,
-    the kcenter-coreset discipline). The feature frame is cached across
-    iterations; a cluster deployment would checkpoint it instead."""
+    leave the executors — the ols_gram shape). r15: the accuracy of step
+    t−1's betas and step t's weighted Gram both depend only on beta_{t-1},
+    so they FUSE into that same aggregate — iters+1 driver round-trip jobs
+    total instead of 2·iters (the final betas' accuracy is the one aggregate
+    with no Gram consumer). The solve runs engine-side on the one-row Gram
+    and only the d+1 updated micro-betas are collected to drive the next
+    plan (bounded driver state, the kcenter-coreset discipline). The feature
+    frame is cached across iterations; a cluster deployment would checkpoint
+    it instead."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     feats = df.select(
@@ -327,20 +331,36 @@ def logreg_irls_micro(
     beta = (0, 0, 0)
     rows = []
     dec = "decimal(38,0)"
-    for t in range(1, iters + 1):
-        scored = feats.select(
+
+    def scored_for(b: tuple[int, int, int]) -> DataFrame:
+        return feats.select(
             "x1",
             "x2",
             "y",
             (
-                F.lit(beta[0])
-                + F.lit(beta[1]) * F.col("x1")
-                + F.lit(beta[2]) * F.col("x2")
+                F.lit(b[0]) + F.lit(b[1]) * F.col("x1") + F.lit(b[2]) * F.col("x2")
             ).alias("z_micro"),
         ).withColumn("mu_micro", F.expr(SIGMOID_MICRO_SQL))
+
+    # accuracy of the CURRENT betas, over the same scored frame the next
+    # Gram derives from: sign(z) agreement with the label
+    acc_cols = [
+        F.sum(
+            F.when((F.col("z_micro") > 0) == (F.col("y") == 1), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    ]
+    for t in range(1, iters + 1):
+        scored = scored_for(beta)
         wr = scored.select(
             "x1",
             "x2",
+            "y",
+            "z_micro",
             F.expr(LOGREG_W_SQL).alias("w"),
             F.expr(LOGREG_R_SQL).alias("r"),
         )
@@ -354,6 +374,7 @@ def logreg_irls_micro(
             F.sum((F.col("w") * F.col("x2") * F.col("x2")).cast(dec)).alias("s22i"),
             F.sum((F.col("x1") * F.col("r")).cast(dec)).alias("s1yi"),
             F.sum((F.col("x2") * F.col("r")).cast(dec)).alias("s2yi"),
+            *acc_cols,
         )
         d = g.select(
             F.col("ni").cast("double").alias("n"),
@@ -365,37 +386,37 @@ def logreg_irls_micro(
             F.col("s22i").cast("double").alias("s22"),
             F.col("s1yi").cast("double").alias("s1y"),
             F.col("s2yi").cast("double").alias("s2y"),
+            "n_correct",
+            "n_rows",
         )
-        delta = d.select(
+        step = d.select(
             F.expr(DELTA_MICRO12_SQL["d0"]).alias("d0"),
             F.expr(DELTA_MICRO12_SQL["d1"]).alias("d1"),
             F.expr(DELTA_MICRO12_SQL["d2"]).alias("d2"),
+            "n_correct",
+            "n_rows",
         ).collect()[0]
-        beta = (
-            beta[0] + int(delta["d0"]),
-            beta[1] + int(delta["d1"]),
-            beta[2] + int(delta["d2"]),
-        )
-        acc = feats.agg(
-            F.sum(
-                F.when(
-                    (
-                        F.lit(beta[0])
-                        + F.lit(beta[1]) * F.col("x1")
-                        + F.lit(beta[2]) * F.col("x2")
-                        > 0
-                    )
-                    == (F.col("y") == 1),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
+        if t > 1:
+            # step's accuracy columns measure beta_{t-1} — the row for t-1
+            rows.append(
+                (
+                    t - 1,
+                    beta[0],
+                    beta[1],
+                    beta[2],
+                    int(step["n_correct"]),
+                    int(step["n_rows"]),
+                )
             )
-            .cast("bigint")
-            .alias("n_correct"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        ).collect()[0]
-        rows.append(
-            (t, beta[0], beta[1], beta[2], int(acc["n_correct"]), int(acc["n_rows"]))
+        beta = (
+            beta[0] + int(step["d0"]),
+            beta[1] + int(step["d1"]),
+            beta[2] + int(step["d2"]),
         )
+    acc = scored_for(beta).agg(*acc_cols).collect()[0]
+    rows.append(
+        (iters, beta[0], beta[1], beta[2], int(acc["n_correct"]), int(acc["n_rows"]))
+    )
     feats.unpersist()
     return df.sparkSession.createDataFrame(
         rows,

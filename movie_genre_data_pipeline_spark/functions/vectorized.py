@@ -175,6 +175,76 @@ def panel_range_count(
     )
 
 
+def pq_encode_assign_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    group_iterations: int = 2,
+    residual: bool = False,
+) -> DataFrame:
+    """(vid, cluster, codes): the fused numpy twin of
+    ``assign_cells_two_level_np`` + ``pq.pq_encode`` — ONE corpus scan emits
+    both the coarse-cell assignment and the PQ codes, where the separate
+    frames previously met in an n ⨝ n vid equi-join (two full shuffles of
+    corpus-sized rows at scale, the exact "decide with small rows" smell the
+    join existed to avoid). With ``residual=True`` the codes quantize
+    r = x − c(x) against the row's assigned cell centroid (FAISS IndexIVFPQ)
+    — the subtraction is one elementwise IEEE float64 op per component,
+    bit-identical to the ``zip_with(a-b)`` recenter it replaces.
+
+    Bit-exactness: cluster follows the two-level argmin rule of
+    ``assign_cells_two_level_np`` (same helper, same folds); each subspace
+    code is the first-minimum index over the codebook's squared distances,
+    accumulated in index order — ``np.argmin`` keeps the first minimum,
+    matching ``array_position(dists, array_min(dists)) - 1`` with ties to
+    the lower code."""
+    from movie_genre_data_pipeline_spark.functions.kmeans import two_level_index
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    gc, gids, gcvs = two_level_index(centroids, group_iterations)
+    GC = np.array(gc, dtype=np.float64)
+    GIDS = [np.array(ids, dtype=np.int64) for ids in gids]
+    GCVS = [np.array(cvs, dtype=np.float64) for cvs in gcvs]
+    BOOKS = [np.array(book, dtype=np.float64) for book in codebooks]
+    CENTS = np.array(centroids, dtype=np.float64)
+    vid_field = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            gp = np.argmin(sqdist_index_fold(V, GC), axis=1)
+            cluster = np.empty(len(V), dtype=np.int64)
+            for gi in range(len(GIDS)):
+                mask = gp == gi
+                if not mask.any():
+                    continue
+                sub = np.argmin(sqdist_index_fold(V[mask], GCVS[gi]), axis=1)
+                cluster[mask] = GIDS[gi][sub]
+            E = V - CENTS[cluster] if residual else V
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                D = sqdist_index_fold(E[:, j * dsub : (j + 1) * dsub], BOOKS[j])
+                codes[:, j] = np.argmin(D, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(),
+                    "cluster": cluster.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(gen, schema=f"vid {vid_field}, cluster int, codes array<int>")
+
+
 def assign_cells_two_level_np(
     df: DataFrame,
     id_col: str,

@@ -652,7 +652,12 @@ def _collect_train(q: DataFrame) -> list[tuple[int, list[float]]]:
     ]
 
 
-def _pq_recall_tail(q: DataFrame, qs: DataFrame, adc: DataFrame) -> DataFrame:
+def _pq_recall_tail(
+    q: DataFrame,
+    qs: DataFrame,
+    adc: DataFrame,
+    panel: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
     """Shared recall@1 measurement: pick each panel query's ADC-best neighbor,
     compare its exact L2 against the true (exact, over raw quantized vectors)
     nearest-neighbor distance. Baseline cost is |panel|·n, never n² — and
@@ -663,25 +668,30 @@ def _pq_recall_tail(q: DataFrame, qs: DataFrame, adc: DataFrame) -> DataFrame:
     Integral quantized inputs make the kernel's minima bit-identical to the
     oracle's MIN(d) (see the module docstring); only the chosen neighbors'
     Q-row distance projection keeps the expression fold."""
-    from pyspark.sql import Window
-
     from movie_genre_data_pipeline_spark.functions.vectorized import (
         panel_min_sqdist,
     )
 
-    w = Window.partitionBy("vid").orderBy(F.col("adc").asc(), F.col("neighbor").asc())
+    # per-query ADC argmin with (adc, neighbor) lexicographic tie-break: a
+    # partial-aggregated min(struct) — candidates collapse map-side, where
+    # the previous row_number window shuffled and sorted the full candidate
+    # set (same first-row-by-(adc asc, neighbor asc) choice either way)
     chosen = (
-        adc.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "neighbor")
+        adc.groupBy("vid")
+        .agg(F.min(F.struct(F.col("adc"), F.col("neighbor"))).alias("__m"))
+        .select("vid", F.col("__m.neighbor").alias("neighbor"))
     )
     # the kernel's panel derives from the PASSED qs (not a re-derived
     # lowest-vid limit): exact_best and d_chosen must always measure the
-    # same query set, whatever the caller chose (r9 review)
-    panel = [
-        (r["vid"], list(r["vq"]))
-        for r in q.join(qs, "vid").select("vid", "vq").orderBy("vid").collect()
-    ]
+    # same query set, whatever the caller chose (r9 review). Callers that
+    # already hold the panel rows (the lowest-vid training collect is a
+    # superset of the lowest-vid query panel) pass them in and skip the
+    # collect job.
+    if panel is None:
+        panel = [
+            (r["vid"], list(r["vq"]))
+            for r in q.join(qs, "vid").select("vid", "vq").orderBy("vid").collect()
+        ]
     a = q.join(qs, "vid").select(F.col("vid"), F.col("vq").alias("va"))
     b = q.select(F.col("vid").alias("neighbor"), F.col("vq").alias("vb"))
     exact_best = panel_min_sqdist(q, panel)
@@ -714,10 +724,12 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = quantize_vectors(e, "vec_id", "embedding").cache()
     qs = _pq_query_panel(q)
-    books = pq_train_local(_collect_train(q), DIM, PQ_M, PQ_K, PQ_ITERS)
+    train_rows = _collect_train(q)
+    books = pq_train_local(train_rows, DIM, PQ_M, PQ_K, PQ_ITERS)
     codes = pq_encode(q, books)
     adc = pq_adc_scores(q.join(qs, "vid"), codes, books)
-    return _pq_recall_tail(q, qs, adc)
+    # panel = the PQ_NQ-lowest-vid prefix of the sorted training collect
+    return _pq_recall_tail(q, qs, adc, panel=train_rows[:PQ_NQ])
 
 
 def _pq_sqd(v: str, c: str, d: int) -> str:
@@ -912,11 +924,10 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from movie_genre_data_pipeline_spark.functions.pq import (
         pq_adc_scores,
-        pq_encode,
         pq_train_local,
     )
     from movie_genre_data_pipeline_spark.functions.vectorized import (
-        assign_cells_two_level_np,
+        pq_encode_assign_np,
     )
 
     _pq_tune(spark)
@@ -931,16 +942,19 @@ def q_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: corpus assignment is TWO-LEVEL (group-first) — the flat argmin over
     # nlist=⌈√n⌉ cells was the last n^1.5 term (SCALE.md §12). r9: the
     # assignment runs as the numpy kernel twin (bit-identical rule; the
-    # interpreted-lambda form cost 2.2 s of the 4×-tier wall — verdict r8 #3)
-    cells = assign_cells_two_level_np(
-        q, "vid", "vq", cents, IVF_GROUP_ITERS
-    ).select("vid", "cluster")
+    # interpreted-lambda form cost 2.2 s of the 4×-tier wall — verdict r8 #3).
+    # r15: assignment and PQ encoding FUSE into one scan — the previous
+    # encode-frame ⨝ cells-frame vid equi-join shuffled the corpus twice to
+    # reunite two projections of the same row (guide §2.4)
+    codes = pq_encode_assign_np(q, "vid", "vq", books, cents, IVF_GROUP_ITERS)
     qs = _pq_query_panel(q)
-    codes = pq_encode(q, books).join(cells, "vid")
-    # multi-probe query frame: one (vid, probed cluster, vq) row per probe
-    qprobe = probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE).join(q, "vid")
+    # multi-probe query frame: one (vid, probed cluster, vq) row per probe —
+    # vq rides through the explode (no join back to the corpus)
+    qprobe = probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE, keep_cols=("vq",))
     adc = pq_adc_scores(qprobe, codes, books, join_cols=("cluster",))
-    return _pq_recall_tail(q, qs, adc)
+    # the query panel is the PQ_NQ-lowest-vid prefix of the (sorted) training
+    # collect — reuse those rows instead of a second panel-collect job
+    return _pq_recall_tail(q, qs, adc, panel=train_rows[:PQ_NQ])
 
 
 def _pq_ivfadc_oracle() -> str:
@@ -984,11 +998,10 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from movie_genre_data_pipeline_spark.functions.pq import (
         pq_adc_scores,
-        pq_encode,
         pq_train_local,
     )
     from movie_genre_data_pipeline_spark.functions.vectorized import (
-        assign_cells_two_level_np,
+        pq_encode_assign_np,
     )
 
     _pq_tune(spark)
@@ -997,12 +1010,6 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _ivf_nlist(q.count())
     train_rows = _collect_train(q)
     cents = kmeans_fit_exact_local(train_rows, k, IVF_ITERS)
-    # r8: two-level corpus assignment (see q_pq_ivfadc); the codebook sample
-    # below re-centers under the SAME rule so codes and cells agree. r9:
-    # numpy-kernel twin, bit-identical (see q_pq_ivfadc)
-    cells = assign_cells_two_level_np(
-        q, "vid", "vq", cents, IVF_GROUP_ITERS
-    ).select("vid", "cluster")
     qs = _pq_query_panel(q)
 
     def recenter(df: DataFrame) -> DataFrame:
@@ -1030,15 +1037,23 @@ def q_pq_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         for vid, v in train_rows
     ]
     books = pq_train_local(tr_resid, DIM, PQ_M, PQ_K, PQ_ITERS)
-    resid = recenter(q.join(cells, "vid"))
-    codes = pq_encode(resid.select("vid", "vq"), books).join(cells, "vid")
+    # r8: two-level corpus assignment; the codebook sample above re-centers
+    # under the SAME rule so codes and cells agree. r9: numpy-kernel twin,
+    # bit-identical. r15: assign + recenter + encode FUSE into one scan
+    # (residual=True subtracts the assigned centroid before coding — the
+    # same elementwise IEEE subtraction as the zip_with recenter), replacing
+    # TWO corpus-sized vid equi-joins (cells⨝q, encode⨝cells) with zero
+    codes = pq_encode_assign_np(
+        q, "vid", "vq", books, cents, IVF_GROUP_ITERS, residual=True
+    )
     # per-probe query residuals: each panel query re-centered against EACH of
-    # its PQ_NPROBE probed cells (the FAISS IndexIVFPQ per-list ADC table)
+    # its PQ_NPROBE probed cells (the FAISS IndexIVFPQ per-list ADC table);
+    # vq rides through the probe explode (no join back to the corpus)
     qprobe = recenter(
-        probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE).join(q, "vid")
+        probe_cells(q.join(qs, "vid"), cents, PQ_NPROBE, keep_cols=("vq",))
     )
     adc = pq_adc_scores(qprobe, codes, books, join_cols=("cluster",))
-    return _pq_recall_tail(q, qs, adc)
+    return _pq_recall_tail(q, qs, adc, panel=train_rows[:PQ_NQ])
 
 
 def _pq_ivfadc_residual_oracle() -> str:
