@@ -86,31 +86,33 @@ def kmv_pair_estimates(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     g = group_col
-    groups = sketch.select(g).distinct()
-    pairs = (
-        groups.select(F.col(g).alias("ga"))
-        .crossJoin(groups.select(F.col(g).alias("gb")))
-        .filter(F.col("ga") < F.col("gb"))
+    # r15: fold each group's sketch into ONE sorted array row (≤ k hashes —
+    # bounded by construction), so the all-pairs combine is a broadcast
+    # self-join of |groups| rows doing array math, instead of the previous
+    # shape that referenced the sketch subtree three times (groups + both
+    # pair sides) and windowed the pairwise union — at sf0.1 that one query
+    # planned 32 Exchanges. Estimates are unchanged bit-for-bit: the k
+    # smallest distinct hashes of the union are a slice of the sorted
+    # array_union, k_common counts kept hashes present in BOTH sketches
+    # (== the max(in_a)·max(in_b) sum), h_k is the slice's last element,
+    # and the two divisions keep their exact operands.
+    per_group = sketch.groupBy(g).agg(
+        F.array_sort(F.collect_list("h48")).alias("hs")
     )
-    side_a = pairs.join(sketch.withColumnRenamed(g, "ga"), "ga").select(
-        "ga", "gb", "h48", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
-    )
-    side_b = pairs.join(sketch.withColumnRenamed(g, "gb"), "gb").select(
-        "ga", "gb", "h48", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
-    )
-    merged = (
-        side_a.unionByName(side_b)
-        .groupBy("ga", "gb", "h48")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    w = Window.partitionBy("ga", "gb").orderBy(F.col("h48").asc())
-    topk = merged.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
-    agg = topk.groupBy("ga", "gb").agg(
-        F.sum((F.col("in_a") * F.col("in_b"))).cast("bigint").alias("k_common"),
-        F.max("h48").alias("h_k"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    a = per_group.select(F.col(g).alias("ga"), F.col("hs").alias("ha"))
+    b = per_group.select(F.col(g).alias("gb"), F.col("hs").alias("hb"))
+    pairs = a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+    kept = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
+    agg = pairs.select(
+        "ga",
+        "gb",
+        F.size(
+            F.array_intersect(F.array_intersect(kept, F.col("ha")), F.col("hb"))
+        )
+        .cast("bigint")
+        .alias("k_common"),
+        F.element_at(kept, F.size(kept)).alias("h_k"),
+        F.size(kept).cast("bigint").alias("n_kept"),
     )
     union_est = F.when(
         F.col("n_kept") < k, F.col("n_kept").cast("double")

@@ -83,45 +83,69 @@ def brute_force_top_k(
                 f"(IVF cell) for the scale path, or allow_quadratic=True for an "
                 f"explicitly bounded exact/rerank pass."
             )
-    # Precompute each vector's norm ONCE (outside the join): cosine-per-pair
-    # would otherwise re-fold both norms for every pair — 3 array folds per pair
-    # instead of 1. The norm value is the identical fold either way, so scores
-    # stay bit-for-bit equal to the per-pair formulation (and the oracle).
+    # Pair scoring runs as a per-cell Arrow/numpy kernel (r15, guide §4.2):
+    # the join + interpreted zip_with/aggregate folds priced every pair at
+    # ~d lambda evaluations (sim_topk_ivf measured ~13M of them at sf0.1).
+    # The kernel accumulates each dot product and each norm in ascending
+    # index order — one elementwise float64 op at a time, the exact op
+    # sequence of the sequential folds it replaces (the vectorized.py
+    # bit-exactness contract) — then divides dot by the norm product with
+    # the same two IEEE ops, so the unrounded ratio is bit-identical and
+    # ROUND(.., 6) stays a Spark expression. Each DIRECTED pair (a, b),
+    # a != b, is emitted once; the symmetric value is the same elementwise
+    # product fold either way, exactly like the old mirror-explode.
+    import numpy as np
+    import pandas as pd
+
+    vid_type = df.schema[id_col].dataType.simpleString()
     base = df.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
-        *( [F.col(partition_col).alias("cell")] if partition_col else [] ),
-    ).withColumn("n", norm(F.col("v")))
-    a = base.alias("a")
-    b = base.alias("b")
-    # score each UNORDERED pair once (vid < neighbor) and mirror it: x*y == y*x
-    # elementwise and the fold order over i is unchanged, so the mirrored score
-    # is bit-identical — half the dot-product work of the naive vid != vid join.
-    cond = F.col("a.vid") < F.col("b.vid")
-    if partition_col:
-        joined = a.join(b, on=[F.col("a.cell") == F.col("b.cell"), cond])
-    else:
-        joined = a.join(b, on=cond)
-    # Mirror each unordered pair into both directions with ONE explode, not a
-    # self-union: union's two references to the scored frame make Catalyst
-    # re-derive the whole join (the dot products — the dominant cost — ran
-    # twice; plan audit showed the base scanned 4x).
-    half = joined.select(
-        F.col("a.vid").alias("va"),
-        F.col("b.vid").alias("vb"),
-        F.round(
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
-        ).alias("cos_sim"),
+        (F.col(partition_col) if partition_col else F.lit(0)).alias("cell"),
     )
-    scored = half.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("va").alias("vid"), F.col("vb").alias("neighbor")),
-                F.struct(F.col("vb").alias("vid"), F.col("va").alias("neighbor")),
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame(
+                {
+                    "vid": pdf["vid"].iloc[0:0],
+                    "neighbor": pdf["vid"].iloc[0:0],
+                    "cos_raw": np.empty(0, dtype=np.float64),
+                }
             )
-        ).alias("e"),
-        "cos_sim",
-    ).select("e.vid", "e.neighbor", "cos_sim")
+        V = np.array(list(pdf["v"]), dtype=np.float64)
+        d = V.shape[1]
+        vids = pdf["vid"].to_numpy()
+        sq = np.zeros(c, dtype=np.float64)
+        for i in range(d):
+            sq += V[:, i] * V[:, i]
+        nn = np.sqrt(sq)
+        outs = []
+        # block the row axis so per-task memory stays ~block·|cell| doubles
+        for lo in range(0, c, 1024):
+            hi = min(lo + 1024, c)
+            D = np.zeros((hi - lo, c), dtype=np.float64)
+            for i in range(d):
+                D += V[lo:hi, i, None] * V[None, :, i]
+            R = D / (nn[lo:hi, None] * nn[None, :])
+            rows, cols = np.nonzero(
+                np.arange(lo, hi)[:, None] != np.arange(c)[None, :]
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vid": vids[rows + lo],
+                        "neighbor": vids[cols],
+                        "cos_raw": R[rows, cols],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    scored = base.groupBy("cell").applyInPandas(
+        score_cell, schema=f"vid {vid_type}, neighbor {vid_type}, cos_raw double"
+    ).select("vid", "neighbor", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
     w = Window.partitionBy("vid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
     )

@@ -152,21 +152,26 @@ def apply_genre_revenue_delta(
             ).alias("d_rtn"),
         )
     )
+    # r15: state + delta merge as UNION → one hash re-aggregate instead of a
+    # full-outer join — integer sums are associative, so summing the two
+    # contribution rows per genre equals the coalesce-add over the joined
+    # row bit-for-bit (either side may be absent → one-row sum), and the
+    # plan drops the join's two sort+exchange legs (full outer cannot
+    # broadcast) for one |genres|-keyed exchange.
     s = state.select("genre_id", "genre_name", *STATE_COLS)
-    merged = s.join(delta, ["genre_id", "genre_name"], "full_outer")
-    z = F.lit(0)
-    return merged.select(
+    d = delta.select(
         "genre_id",
         "genre_name",
-        (F.coalesce("n_movies", z) + F.coalesce("d_n", z)).alias("n_movies"),
-        (F.coalesce("revenue_cents", z) + F.coalesce("d_rev", z)).alias(
-            "revenue_cents"
-        ),
-        (F.coalesce("budget_cents", z) + F.coalesce("d_bud", z)).alias(
-            "budget_cents"
-        ),
-        (F.coalesce("runtime_sum", z) + F.coalesce("d_rt", z)).alias("runtime_sum"),
-        (F.coalesce("runtime_n", z) + F.coalesce("d_rtn", z)).alias("runtime_n"),
+        F.col("d_n").alias("n_movies"),
+        F.col("d_rev").alias("revenue_cents"),
+        F.col("d_bud").alias("budget_cents"),
+        F.col("d_rt").alias("runtime_sum"),
+        F.col("d_rtn").alias("runtime_n"),
+    )
+    return (
+        s.unionByName(d)
+        .groupBy("genre_id", "genre_name")
+        .agg(*[F.sum(c).alias(c) for c in STATE_COLS])
     )
 
 
@@ -322,21 +327,23 @@ def apply_language_revenue_delta(
             ).alias("d_rtn"),
         )
     )
+    # r15: union + one hash re-aggregate in place of the full-outer join —
+    # see apply_genre_revenue_delta (integer sums make the two forms
+    # bit-identical; the join's sort+exchange legs disappear).
     s = state.select("language_id", "language", *STATE_COLS)
-    merged = s.join(delta, ["language_id", "language"], "full_outer")
-    z = F.lit(0)
-    return merged.select(
+    d = delta.select(
         "language_id",
         "language",
-        (F.coalesce("n_movies", z) + F.coalesce("d_n", z)).alias("n_movies"),
-        (F.coalesce("revenue_cents", z) + F.coalesce("d_rev", z)).alias(
-            "revenue_cents"
-        ),
-        (F.coalesce("budget_cents", z) + F.coalesce("d_bud", z)).alias(
-            "budget_cents"
-        ),
-        (F.coalesce("runtime_sum", z) + F.coalesce("d_rt", z)).alias("runtime_sum"),
-        (F.coalesce("runtime_n", z) + F.coalesce("d_rtn", z)).alias("runtime_n"),
+        F.col("d_n").alias("n_movies"),
+        F.col("d_rev").alias("revenue_cents"),
+        F.col("d_bud").alias("budget_cents"),
+        F.col("d_rt").alias("runtime_sum"),
+        F.col("d_rtn").alias("runtime_n"),
+    )
+    return (
+        s.unionByName(d)
+        .groupBy("language_id", "language")
+        .agg(*[F.sum(c).alias(c) for c in STATE_COLS])
     )
 
 

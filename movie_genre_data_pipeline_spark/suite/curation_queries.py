@@ -436,14 +436,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference — the unchecked plan re-scanned the corpus 14x. localCheckpoint
     # is the in-memory stand-in for the stage boundary a real pipeline writes
     # to storage (bronze→silver): each stage's lineage is computed exactly once.
-    kept = exact_dedup(kept, "doc_id", "text").localCheckpoint(eager=True)
+    kept = exact_dedup(kept, "doc_id", "text").localCheckpoint(eager=False)
     # 3. benchmark decontamination
     clean_ids = (
         decontaminate(kept, bench, "doc_id", "text", k=DECON_K, threshold=DECON_THRESHOLD)
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    kept = kept.join(clean_ids, "doc_id").localCheckpoint(eager=True)
+    kept = kept.join(clean_ids, "doc_id").localCheckpoint(eager=False)
     # 4. rebalance the language mixture
     kept = mixture_resample(
         kept, "doc_id", "lang", MIXTURE_WEIGHTS, PIPE_TARGET, salt="mixture"

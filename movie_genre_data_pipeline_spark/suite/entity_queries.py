@@ -350,11 +350,16 @@ def q_er_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         listings, catalog, "listing_id", "cat_key",
         "listing_text", "cat_name", SN_WINDOW,
     )
-    # cand feeds BOTH the scoring join and the published volume aggregate;
-    # without a barrier the three-pass blocking AND the sorted-neighborhood
-    # range shuffle run twice per action (same shape as er_purged_recall's
-    # pin below — VERDICT r10 #2)
-    cand = blocked.unionByName(sn).distinct().localCheckpoint(eager=False)
+    # r15: the published candidate volume and the best-match pick now come
+    # from ONE per-listing aggregate over the scored pairs (each cand row
+    # survives the two key joins exactly once, so SUM of per-listing counts
+    # IS |cand|; min(struct(lev, cat_name, cat_key)) is the same
+    # lexicographic (lev ASC, cat_name ASC, cat_key ASC) first row the
+    # row_number window picked). One consumer tree → the r10 double-compute
+    # barrier (localCheckpoint, ~1s of synchronous planning per call) and
+    # the window sort both disappear, and the pick partial-aggregates
+    # map-side instead of shuffling every candidate row.
+    cand = blocked.unionByName(sn).distinct()
     scored = score_pairs(
         cand.join(
             listings.select("listing_id", "listing_text", "true_name"),
@@ -363,33 +368,34 @@ def q_er_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "listing_text",
         "cat_name",
     ).withColumn("lev", F.col("lev").cast("bigint"))
-    best = best_match(
-        scored,
-        "listing_id",
-        [F.col("lev").asc(), F.col("cat_name").asc(), F.col("cat_key").asc()],
+    per_listing = scored.groupBy("listing_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_cand"),
+        F.min(F.struct("lev", "cat_name", "cat_key")).alias("__best"),
     )
     # TRUE recall: denominator is every input listing, not just the covered
     # ones — when the purge binds, a listing with zero surviving candidates
     # joins to NULL after the LEFT join and counts as a miss instead of
     # silently leaving the denominator.
     outcome = listings.select("listing_id", "true_name").join(
-        best.select("listing_id", "cat_name"), "listing_id", "left"
+        per_listing.select(
+            "listing_id", F.col("__best.cat_name").alias("cat_name"), "__n_cand"
+        ),
+        "listing_id",
+        "left",
     )
     correct = F.sum(
         F.when(F.col("cat_name") == F.col("true_name"), 1).otherwise(0)
     ).cast("bigint")
-    volume = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-    return (
-        outcome.agg(
-            F.count("*").cast("bigint").alias("n_listings"),
-            correct.alias("n_correct"),
-            F.round(
-                correct.cast("double") / F.count("*").cast("double"), 6
-            ).alias("recall"),
-        )
-        .crossJoin(F.broadcast(volume))
-        .select("n_candidates", "n_listings", "n_correct", "recall")
-    )
+    return outcome.agg(
+        F.sum(F.coalesce(F.col("__n_cand"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.count("*").cast("bigint").alias("n_listings"),
+        correct.alias("n_correct"),
+        F.round(
+            correct.cast("double") / F.count("*").cast("double"), 6
+        ).alias("recall"),
+    ).select("n_candidates", "n_listings", "n_correct", "recall")
 
 
 Q_ER_UNION_RECALL_ORACLE = f"""
@@ -516,9 +522,12 @@ def q_er_purged_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cat_key"), F.col("c_name").alias("cat_name")
     )
     catalog = catalog.select("*", *grams(catalog, "cat_name"))
-    # cand feeds BOTH the scoring join and the published volume aggregate;
-    # without a barrier the whole three-pass blocking (counts, purge,
-    # unions, distinct) runs twice (r10, the funnel lesson)
+    # r15: volume + best pick from ONE per-listing aggregate over the scored
+    # pairs (see q_er_union_recall) — the r10 double-compute barrier and the
+    # row_number window are gone; the blocking subtree has exactly one
+    # consumer. n_listings here stays the COVERED-listings count (this
+    # query's published law), so the final fold aggregates per_listing
+    # directly with no join back to the listings frame.
     cand = blocked_candidate_pairs(
         listings,
         catalog,
@@ -526,7 +535,7 @@ def q_er_purged_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cat_key",
         [("b1", "b1"), ("b2", "b2"), ("b3", "b3")],
         max_pair_volume=ER_PURGE_CAP,
-    ).localCheckpoint(eager=False)
+    )
     scored = score_pairs(
         cand.join(
             listings.select("listing_id", "listing_text", "true_name"),
@@ -535,26 +544,21 @@ def q_er_purged_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "listing_text",
         "cat_name",
     ).withColumn("lev", F.col("lev").cast("bigint"))
-    best = best_match(
-        scored,
-        "listing_id",
-        [F.col("lev").asc(), F.col("cat_name").asc(), F.col("cat_key").asc()],
+    per_listing = scored.groupBy("listing_id", "true_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_cand"),
+        F.min(F.struct("lev", "cat_name", "cat_key")).alias("__best"),
     )
     correct = F.sum(
-        F.when(F.col("cat_name") == F.col("true_name"), 1).otherwise(0)
+        F.when(F.col("__best.cat_name") == F.col("true_name"), 1).otherwise(0)
     ).cast("bigint")
-    volume = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-    return (
-        best.agg(
-            F.count("*").cast("bigint").alias("n_listings"),
-            correct.alias("n_correct"),
-            F.round(
-                correct.cast("double") / F.count("*").cast("double"), 6
-            ).alias("recall"),
-        )
-        .crossJoin(F.broadcast(volume))
-        .select("n_candidates", "n_listings", "n_correct", "recall")
-    )
+    return per_listing.agg(
+        F.sum("__n_cand").cast("bigint").alias("n_candidates"),
+        F.count("*").cast("bigint").alias("n_listings"),
+        correct.alias("n_correct"),
+        F.round(
+            correct.cast("double") / F.count("*").cast("double"), 6
+        ).alias("recall"),
+    ).select("n_candidates", "n_listings", "n_correct", "recall")
 
 
 Q_ER_PURGED_RECALL_ORACLE = f"""

@@ -209,17 +209,22 @@ def q_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch(vocab, "tok", ["lang"], k=KMV_K), "lang", k=KMV_K
     )
     counts = vocab.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # r15: the exact pairwise-overlap baseline as ONE groupBy(tok) lang-set
+    # fold + in-stage pair explode (per gram, every lang pair sharing it) —
+    # the previous vocab ⨝ vocab tok self-join shuffled the vocabulary
+    # twice and sort-merged it; this shuffles it once and the pair fan-out
+    # is bounded by |langs|² per gram. Counts are identical: a (ga < gb)
+    # pair is emitted exactly once per shared gram either way.
+    lang_sets = vocab.groupBy("tok").agg(F.collect_set("lang").alias("ls"))
     inter = (
-        vocab.alias("a")
-        .join(
-            vocab.alias("b"),
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.lang") < F.col("b.lang")),
-        )
-        .groupBy(F.col("a.lang").alias("ga"), F.col("b.lang").alias("gb"))
+        lang_sets.select(F.explode("ls").alias("ga"), "ls")
+        .select("ga", F.explode("ls").alias("gb"))
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter_exact"))
     )
     out = (
-        est.join(inter, ["ga", "gb"], "left")
+        est.join(F.broadcast(inter), ["ga", "gb"], "left")
         .join(F.broadcast(counts.withColumnRenamed("lang", "ga").withColumnRenamed("n", "na")), "ga")
         .join(F.broadcast(counts.withColumnRenamed("lang", "gb").withColumnRenamed("n", "nb")), "gb")
     )
