@@ -47,6 +47,17 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Prefer shuffled-hash over sort-merge when a side fits per-partition
+        # (guide §3.1): the remaining SMJs in the suite join modest per-key
+        # state where building a hash table beats sorting both sides; AQE can
+        # also rewrite SMJ→SHJ at runtime under the local-map threshold.
+        # Sort-merge still kicks in when neither side fits (the planner's
+        # size conditions gate SHJ), so spill safety is unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

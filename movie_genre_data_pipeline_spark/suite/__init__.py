@@ -49,32 +49,29 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # similarity / streaming / multimodal) so every operator family gets a
 # driver-verified row. Every name here MUST have a DuckDB oracle; rows-only
 # queries are pushed to the very end of the registry.
-# r15 ROTATION (VERDICT r14 next-round #1). Same two test-enforced rules:
+# r15-OPTIMIZATION ROTATION. Same two test-enforced rules:
 # (a) never-driver-checked queries here or in NEXT_ROUND_POOL
 #     (test_rotation_pool_matches_computed_debt) — ALL 12 r14
-#     NEXT_ROUND_POOL entries are seated below (Kaplan-Meier pair, Yule's K
-#     pair, clustering coefficient, Spearman matrix, Mahalanobis pair,
-#     Horvitz-Thompson, Theil pair, isotonic calibration — every one
-#     judge-verified exact at sf0.01 --exact in the r14 session, 0
-#     failures). Seating them drains the pool to empty: 390/390
-#     driver-green-ever once CORRECTNESS_r15 lands.
+#     NEXT_ROUND_POOL entries stay seated below (Kaplan-Meier pair, Yule's
+#     K pair, clustering coefficient, Spearman matrix, Mahalanobis pair,
+#     Horvitz-Thompson, Theil pair, isotonic calibration). The 14 r15-wave
+#     entries remain queued in NEXT_ROUND_POOL.
 # (b) fingerprint-stale queries must re-earn a driver record
-#     (test_changed_queries_are_reseated) — this round the two r14 ADVICE
-#     fixes flip ten: the decimal-first product in corr_matrix_micro
-#     (functions/regression.py) flips feat_corr_matrix and
-#     feat_spearman_matrix (the latter already seated under rule (a)),
-#     and the max_files clamp on compact_ledger's output width
-#     (streaming/ledger.py) flips stream_ledger_compact plus the eight
-#     DSIR-ledger GC consumers (stream AUC/PR-AUC/KS/bootstrap/by-segment/
-#     score-PSI/lift-gains readouts).
-# The remaining 29 slots refresh the STALEST standing records (computed
-# from the CORRECTNESS_r*.json history): media_features_full (r8) and
-# tpch_q10 (r7) keep the media_/tpch_ family floors (neither family
-# appears in the rule-(a)/(b) seats), and the 27 alphabetically-first of
-# the 33 r6 greens the r14 comment queued take the rest. The 6 remaining
-# r6 greens (stream_scd2_incremental, stream_watermarked_append,
-# text_hash_embeddings, text_token_runs, text_winnow_fingerprints,
-# ts_retention_cohorts) queue for r16.
+#     (test_changed_queries_are_reseated) — the OPTIMIZATION round's plan
+#     rewrites flip 31 queries (all value-identical, all re-verified exact
+#     vs the DuckDB oracle locally this round): the IRLS accuracy+Gram
+#     fusion (logreg family), the PQ assign+encode fused kernel + panel
+#     reuse + min(struct) argmin (sim_pq_*, sim_topk_*, sim_lsh_*,
+#     sim_kmeans_*, sim_range_search, sim_hard_negatives,
+#     sim_ivf_recall_at_k), the numpy pair-scoring kernel in
+#     brute_force_top_k (sim_topk_ivf/bruteforce/hashed/kmeans_ivf),
+#     the single-aggregate ER recall pair, the union-fold gold IVM merge
+#     (batch + stream twins), the array-math KMV pair estimator, and the
+#     lazy stage barriers (corpus pipeline, scd2 incremental). All 28 not
+#     already seated under (a) take slots here.
+# Family floors: dedup_minhash_lsh (dedup_), media_features_full (media_),
+# tpch_q10 (tpch_); text_/stream_/sim_ covered by (a)/(b) seats.
+# The remaining slots keep the headline standing re-checks rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- (a): the 12 r14 NEXT_ROUND_POOL entries, seated in pool order ---
     "ts_kaplan_meier",
@@ -89,52 +86,47 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ops_theil_decomposition",
     "stream_theil_decomposition",
     "feat_isotonic_calibration",
-    # --- (b): fingerprint-stale — the corr_matrix_micro decimal-first
-    #     product (r14 ADVICE #2; values identical where BIGINT never
-    #     wrapped, so the r15 driver record proves the rewrite) ---
-    "feat_corr_matrix",
-    # --- (b): fingerprint-stale — compact_ledger's max_files width clamp
-    #     (r14 ADVICE #3; compaction stays exact by the fold monoid, the
-    #     clamp only bounds the compacted generation's shard count) ---
-    "stream_ledger_compact",
-    "stream_auc_report",
-    "stream_pr_auc_report",
-    "stream_ks_report",
-    "stream_auc_bootstrap_ci",
-    "stream_auc_by_segment",
-    "stream_score_psi",
-    "stream_lift_gains",
-    # --- family floors: stalest media_ (r8) and tpch_ (r7) records ---
+    # --- (b): fingerprint-stale from the r15 optimization rewrites ---
+    "curate_classifier_distill",
+    "curate_corpus_pipeline",
+    "er_purged_recall",
+    "er_union_recall",
+    "feat_brier_decomposition",
+    "feat_calibration_report",
+    "feat_conformal_threshold",
+    "feat_logreg_recovery",
+    "gold_genre_revenue_ivm",
+    "gold_language_revenue_ivm",
+    "merge_scd2_incremental",
+    "sim_hard_negatives",
+    "sim_ivf_recall_at_k",
+    "sim_kmeans_recall",
+    "sim_kmeans_recall_nprobe",
+    "sim_lsh_recall",
+    "sim_lsh_top1",
+    "sim_pq_ivfadc",
+    "sim_pq_ivfadc_residual",
+    "sim_pq_recall",
+    "sim_range_search",
+    "sim_topk_bruteforce",
+    "sim_topk_hashed",
+    "sim_topk_ivf",
+    "sim_topk_kmeans_ivf",
+    "sim_topk_projected",
+    "sim_topk_rerank",
+    "sketch_kmv_vocab_overlap",
+    "stream_gold_ivm",
+    "stream_gold_language_ivm",
+    # --- family floors: dedup_, media_, tpch_ ---
+    "dedup_minhash_lsh",
     "media_features_full",
     "tpch_q10",
-    # --- stalest-record refresh: the 27 alphabetically-first r6 greens ---
-    "dedup_winnow",
-    "dq_drift_report",
-    "dq_schema_tests",
+    # --- standing re-checks: headline hot paths touched by config only ---
     "flagship_revenue_by_flag_status",
     "gold_genre_revenue",
-    "graph_pagerank_trade",
-    "graph_triangle_count",
     "merge_scd2",
-    "merge_scd2_pit_join",
     "mine_brand_pairs",
-    "ops_dataset_fingerprint",
-    "ops_purge_cascade",
-    "pysource_bulk_scan",
-    "pysource_jsonl_commit",
-    "pysource_stream",
-    "pysource_stream_sink",
-    "pysource_synthetic_events",
-    "sample_temperature_mixture",
-    "schema_evolution",
-    "sim_kmeans_recall",
-    "sim_topk_hashed",
     "skew_salted_join",
-    "stream_cms_heavy",
-    "stream_dq_drift",
-    "stream_histogram_quantiles",
-    "stream_hll_distinct",
-    "stream_kmv_distinct",
 )
 
 # The r14 window, kept for the rotation ledger (all 50 hold r14 driver

@@ -452,7 +452,7 @@ def q_merge_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental pass doesn't re-derive it per reference (untouched + touched)
     history = scd2_apply(
         base, ups.filter(F.col("eff_from") < split), ["c_custkey"], ["tier"], "eff_from"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     hist2 = scd2_apply_incremental(
         history, ups.filter(F.col("eff_from") >= split), ["c_custkey"], ["tier"], "eff_from"
     )
