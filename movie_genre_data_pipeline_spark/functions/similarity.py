@@ -50,7 +50,101 @@ def _as_double(col: str | Column) -> Column:
 # Above this many rows, an unpartitioned brute-force pass is a cross join the
 # cluster cannot absorb (O(n²·d)); callers must either supply `partition_col`
 # (the IVF shape) or opt in explicitly for a known-bounded rerank stage.
+# The unpartitioned path runs the r15 numpy kernel in ONE task (cell = lit(0))
+# — guard-bounded, and since r16 the kernel's memory is flat in the cell size:
+# the (block × c) score matrix is capped (~64 MB), the V matrix at the guard
+# ceiling is c·d doubles (~51 MB at d=64), and the EMITTED frame is bounded by
+# c·(k + rounding ties) rows, not c² (see _make_score_cell). Compute is still
+# O(c²·d) on that one task — the price the explicit allow_quadratic opt-in
+# buys, same as the pre-r15 streamed self-join paid across the cluster.
 QUADRATIC_GUARD_ROWS = 100_000
+
+
+def _make_score_cell(k: int):
+    """Per-cell pair-scoring kernel for `brute_force_top_k` (module-level so
+    tests can drive it directly on pandas frames). Emits, per query row, ONLY
+    the candidates that can still reach the final rounded top-k:
+
+    - cosines accumulate in ascending index order — one elementwise float64
+      op at a time, the exact op sequence of the sequential zip_with/aggregate
+      folds the kernel replaced (vectorized.py bit-exactness contract), then
+      one division by the norm product: the raw ratio is bit-identical and
+      ROUND(.., 6) stays a Spark expression downstream.
+    - cut safety (vs Spark ROUND semantics): ROUND(x, 6) is HALF_UP on the
+      shortest-decimal form of x, so |round(x) − x| <= 5e-7 + ulp. Keeping
+      every candidate with raw >= kth_raw − 2e-6 (kth_raw = the row's k-th
+      largest raw cosine) means any dropped y has
+      round(y) <= y + 5e-7 + ulp < kth_raw − 5e-7 − ulp <= round(t) for each
+      of the k kept top-raw candidates t — strictly below k rounded scores,
+      so y can never enter the rounded top-k under any (cos desc, id asc)
+      tie-break, and every threshold tie IS kept. The downstream window sees
+      every contender it saw before the cut, with identical values.
+    - rows containing a non-finite score (zero-norm vector -> 0/0) fall back
+      to emitting all their candidates: NaN crosses the Arrow boundary as
+      NULL (sorts last in the desc window), exactly the r15 behaviour.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame(
+                {
+                    "vid": pdf["vid"].iloc[0:0],
+                    "neighbor": pdf["vid"].iloc[0:0],
+                    "cos_raw": np.empty(0, dtype=np.float64),
+                }
+            )
+        V = np.array(list(pdf["v"]), dtype=np.float64)
+        d = V.shape[1]
+        vids = pdf["vid"].to_numpy()
+        sq = np.zeros(c, dtype=np.float64)
+        for i in range(d):
+            sq += V[:, i] * V[:, i]
+        nn = np.sqrt(sq)
+        outs = []
+        # block the row axis so per-task transient memory stays bounded:
+        # the (block × c) score matrix is capped at ~64 MB however large the
+        # cell is (the guard-gated quadratic path admits up to
+        # QUADRATIC_GUARD_ROWS rows in ONE group when unpartitioned)
+        block = max(1, min(1024, 8_000_000 // c))
+        col_idx = np.arange(c)[None, :]
+        for lo in range(0, c, block):
+            hi = min(lo + block, c)
+            D = np.zeros((hi - lo, c), dtype=np.float64)
+            for i in range(d):
+                D += V[lo:hi, i, None] * V[None, :, i]
+            R = D / (nn[lo:hi, None] * nn[None, :])
+            valid = np.arange(lo, hi)[:, None] != col_idx  # exclude self
+            if c - 1 > k:
+                rv = np.where(valid, R, -np.inf)
+                finite = np.isfinite(R) | ~valid
+                # k-th largest per row (ascending index c-k; the single
+                # -inf self entry never lands there while c-1 >= k+1)
+                thr = np.partition(rv, c - k, axis=1)[:, c - k]
+                keep = valid & (R >= thr[:, None] - 2e-6)
+                # rows with non-finite scores (zero-norm vectors -> ±inf/NaN
+                # whose ordering the threshold cut can't reason about) fall
+                # back to emitting every candidate, exactly as before
+                bad = ~finite.all(axis=1)
+                if bad.any():
+                    keep[bad] = valid[bad]
+            else:
+                keep = valid
+            rows, cols = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vid": vids[rows + lo],
+                        "neighbor": vids[cols],
+                        "cos_raw": R[rows, cols],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return score_cell
 
 
 def brute_force_top_k(
@@ -94,55 +188,35 @@ def brute_force_top_k(
     # ROUND(.., 6) stays a Spark expression. Each DIRECTED pair (a, b),
     # a != b, is emitted once; the symmetric value is the same elementwise
     # product fold either way, exactly like the old mirror-explode.
-    import numpy as np
-    import pandas as pd
-
+    #
+    # r16 (ADVICE r15): the kernel no longer EMITS all c·(c−1) directed
+    # pairs — per query row it keeps only candidates that can still reach
+    # the final rounded top-k, so per-cell output is bounded by
+    # c·(k + rounding ties) instead of c², and a single giant/unpartitioned
+    # cell can no longer materialize ~c² rows in one pandas frame.
+    # Safety of the cut (proved against Spark's ROUND semantics):
+    # ROUND(x, 6) is HALF_UP on the shortest-decimal form of x, so
+    # |round(x) − x| <= 5e-7 + ulp. Keep every candidate with
+    # raw >= kth_raw − 2e-6 (kth_raw = the row's k-th largest raw cosine).
+    # Any dropped y has raw < kth_raw − 2e-6, hence
+    # round(y) <= y + 5e-7 + ulp < kth_raw − 5e-7 − ulp <= round(t) for each
+    # of the k kept top-raw candidates t — STRICTLY below k rounded scores,
+    # so y can never enter the rounded top-k under any (cos desc, id asc)
+    # tie-break. Ties at the threshold are all kept, so the downstream
+    # window sees every contender it saw before, with identical values.
     vid_type = df.schema[id_col].dataType.simpleString()
     base = df.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
         (F.col(partition_col) if partition_col else F.lit(0)).alias("cell"),
     )
+    if partition_col is not None:
+        # NULL cells produce NO pairs — the pre-r15 equi-join semantics
+        # (NULL == NULL is false). The r15 groupBy silently pooled NULL-cell
+        # rows into one group; pin the join behaviour instead (ADVICE r15).
+        base = base.filter(F.col("cell").isNotNull())
 
-    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        c = len(pdf)
-        if c < 2:
-            return pd.DataFrame(
-                {
-                    "vid": pdf["vid"].iloc[0:0],
-                    "neighbor": pdf["vid"].iloc[0:0],
-                    "cos_raw": np.empty(0, dtype=np.float64),
-                }
-            )
-        V = np.array(list(pdf["v"]), dtype=np.float64)
-        d = V.shape[1]
-        vids = pdf["vid"].to_numpy()
-        sq = np.zeros(c, dtype=np.float64)
-        for i in range(d):
-            sq += V[:, i] * V[:, i]
-        nn = np.sqrt(sq)
-        outs = []
-        # block the row axis so per-task memory stays ~block·|cell| doubles
-        for lo in range(0, c, 1024):
-            hi = min(lo + 1024, c)
-            D = np.zeros((hi - lo, c), dtype=np.float64)
-            for i in range(d):
-                D += V[lo:hi, i, None] * V[None, :, i]
-            R = D / (nn[lo:hi, None] * nn[None, :])
-            rows, cols = np.nonzero(
-                np.arange(lo, hi)[:, None] != np.arange(c)[None, :]
-            )
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "vid": vids[rows + lo],
-                        "neighbor": vids[cols],
-                        "cos_raw": R[rows, cols],
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
-
+    score_cell = _make_score_cell(k)
     scored = base.groupBy("cell").applyInPandas(
         score_cell, schema=f"vid {vid_type}, neighbor {vid_type}, cos_raw double"
     ).select("vid", "neighbor", F.round(F.col("cos_raw"), 6).alias("cos_sim"))

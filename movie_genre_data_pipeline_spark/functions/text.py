@@ -578,7 +578,13 @@ def _bpe_loop(df, text_col: str, n_merges: int, apply_all: bool):
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
             "s"
         ),
-    ).cache()
+        # localCheckpoint, not cache() (r16, VERDICT r15 #6): the initial
+        # symbol table is re-read by every merge round INSIDE one plan (reuse
+        # we want), but a cache() entry is keyed on the canonicalized plan and
+        # would also satisfy the NEXT invocation's identical subtree — making
+        # repeated runs non-independent. Checkpoint blocks are private to this
+        # lineage and released by the ContextCleaner (graph.py precedent).
+    ).localCheckpoint(eager=False)
     empty_pairs = F.expr("cast(array() as array<struct<x:string,y:string>>)")
     empty_syms = F.expr("cast(array() as array<string>)")
     rules = []

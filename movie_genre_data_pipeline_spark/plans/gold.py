@@ -171,7 +171,14 @@ def apply_genre_revenue_delta(
     return (
         s.unionByName(d)
         .groupBy("genre_id", "genre_name")
-        .agg(*[F.sum(c).alias(c) for c in STATE_COLS])
+        # NULL edge (r15 ADVICE): when a column is NULL on the ONLY
+        # contributing side (delta-only key with an all-NULL measure, or a
+        # state row whose runtime_sum is NULL from all-NULL runtimes),
+        # SUM over the union would publish NULL where the old
+        # full_outer+coalesce merge published 0 — coalesce the aggregate
+        # back to 0 so the union form keeps the join form's semantics on
+        # every input, not just the fixtures.
+        .agg(*[F.coalesce(F.sum(c), F.lit(0).cast("bigint")).alias(c) for c in STATE_COLS])
     )
 
 
@@ -343,7 +350,14 @@ def apply_language_revenue_delta(
     return (
         s.unionByName(d)
         .groupBy("language_id", "language")
-        .agg(*[F.sum(c).alias(c) for c in STATE_COLS])
+        # NULL edge (r15 ADVICE): when a column is NULL on the ONLY
+        # contributing side (delta-only key with an all-NULL measure, or a
+        # state row whose runtime_sum is NULL from all-NULL runtimes),
+        # SUM over the union would publish NULL where the old
+        # full_outer+coalesce merge published 0 — coalesce the aggregate
+        # back to 0 so the union form keeps the join form's semantics on
+        # every input, not just the fixtures.
+        .agg(*[F.coalesce(F.sum(c), F.lit(0).cast("bigint")).alias(c) for c in STATE_COLS])
     )
 
 

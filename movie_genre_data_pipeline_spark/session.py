@@ -51,9 +51,18 @@ def build_session(
         # (guide §3.1): the remaining SMJs in the suite join modest per-key
         # state where building a hash table beats sorting both sides; AQE can
         # also rewrite SMJ→SHJ at runtime under the local-map threshold.
-        # Sort-merge still kicks in when neither side fits (the planner's
-        # size conditions gate SHJ), so spill safety is unchanged.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Caveat (r15 ADVICE): SHJ build sides cannot spill and the planner's
+        # size gate works from ESTIMATES — a badly misestimated build side at
+        # scale trades sort-merge's spill safety for an executor OOM. The
+        # r16 k=16 replica-tier A/B (SCALE_BENCH.json) validates the current
+        # default on the SHJ-carrying paths; if a deployment hits a
+        # misestimate, flip SPARK_GRAFT_PREFER_SMJ=true (restores the Spark
+        # default planner-wide) or shrink SPARK_GRAFT_SHJ_LOCALMAP — no code
+        # change needed.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),

@@ -908,12 +908,21 @@ _BM25_SCORE = (
 )
 
 
-def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
+def bm25_from_counts(
+    tf: DataFrame, dl: DataFrame, dl_in_tf: bool = False
+) -> DataFrame:
     """The count-table form of the BM25 ranker (shared by the batch query and
     its streaming ledger twin): `tf` is (doc_id, term, tf) postings for the
     query's terms and `dl` is (doc_id, dl) document lengths — both additive
     FACTS, so per-micro-batch partials fold by SUM. df, corpus stats, and
-    the exact-micro scoring all derive here."""
+    the exact-micro scoring all derive here.
+
+    `dl_in_tf=True` (r16): the postings already CARRY each doc's length (the
+    batch query attaches dl before the explode — dl is functionally dependent
+    on doc_id, so grouping by (doc_id, dl, term) yields the same tf), which
+    drops the postings⨝lengths join: `dl` is then only scanned for the corpus
+    stats. The streaming twin keeps the join form — its ledgers are separate
+    tables by construction."""
     from pyspark.sql import Window
 
     # document frequency as a COUNT window over tf (one row per (doc, term),
@@ -926,11 +935,13 @@ def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total"),
     )
-    scored = (
+    with_dl = (
         tf.withColumn("df", dfw.cast("bigint"))
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .selectExpr("doc_id", "term", f"{_BM25_SCORE} AS s_micro")
+        if dl_in_tf
+        else tf.withColumn("df", dfw.cast("bigint")).join(dl, "doc_id")
+    )
+    scored = with_dl.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id", "term", f"{_BM25_SCORE} AS s_micro"
     )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),

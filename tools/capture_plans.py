@@ -1,6 +1,6 @@
 """Capture .explain("formatted") for the bench HEADLINE queries.
 
-Writes plans/r15/<query>_<tag>.txt (tag = before/after, argv[1]) plus a one-line
+Writes plans/$SPARK_GRAFT_PLANS_ROUND (default r16)/<query>_<tag>.txt (tag = before/after, argv[1]) plus a one-line
 summary per query (Exchange count, python-eval nodes, join strategies) to
 stdout, so plan-shape regressions/improvements are visible at a glance.
 
@@ -28,7 +28,7 @@ def main() -> None:
 
     spark = build_session(app_name="mgdp-plan-capture")
     specs = all_queries()
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r15"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     names = [n for n in HEADLINE if n in specs and (not only or n in only)]
