@@ -290,11 +290,28 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(alpha_tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r16 (guide §2.4 "two operations keyed the same way share one exchange"):
+    # repartition the exploded tokens by TERM before the tf aggregate.
+    # HashPartitioning(term) satisfies both the aggregate's
+    # ClusteredDistribution({doc_id, term}) and the df-window's
+    # ClusteredDistribution({term}), so the tf groupBy and the term window
+    # run in ONE post-shuffle stage — 3 exchanges -> 2 (plan diff committed,
+    # A/B: 1.02–1.24 s -> 0.83–1.17 s at sf0.1, tools/experiments/r16).
+    # Trade-off, documented: the shared exchange moves raw token rows (no
+    # map-side tf combine), and a hot term's tokens land on one task — but
+    # the term-keyed window stage concentrated that same term's per-doc rows
+    # already; the exposure scales by avg tf, not by a new axis. No explicit
+    # partition count: AQE sizes/coalesces the exchange from runtime stats.
+    tf = (
+        toks.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     # document frequency as a COUNT window over tf, not a groupBy+join-back:
     # the join formulation makes Catalyst re-derive the whole explode+agg
     # subtree for the build side — the corpus would be tokenized twice at any
-    # scale. The window costs one shuffle on term and computes tf exactly once.
+    # scale. The window reuses the term partitioning established above and
+    # computes tf exactly once.
     dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -908,21 +925,20 @@ _BM25_SCORE = (
 )
 
 
-def bm25_from_counts(
-    tf: DataFrame, dl: DataFrame, dl_in_tf: bool = False
-) -> DataFrame:
+def bm25_from_counts(tf: DataFrame, dl: DataFrame) -> DataFrame:
     """The count-table form of the BM25 ranker (shared by the batch query and
     its streaming ledger twin): `tf` is (doc_id, term, tf) postings for the
     query's terms and `dl` is (doc_id, dl) document lengths — both additive
     FACTS, so per-micro-batch partials fold by SUM. df, corpus stats, and
     the exact-micro scoring all derive here.
 
-    `dl_in_tf=True` (r16): the postings already CARRY each doc's length (the
-    batch query attaches dl before the explode — dl is functionally dependent
-    on doc_id, so grouping by (doc_id, dl, term) yields the same tf), which
-    drops the postings⨝lengths join: `dl` is then only scanned for the corpus
-    stats. The streaming twin keeps the join form — its ledgers are separate
-    tables by construction."""
+    r16 note: a dl-carry variant (attach dl before the explode so the
+    postings⨝lengths join disappears, 3 corpus tokenizes -> 2) was built,
+    proven bit-identical and A/B-timed — it measured a consistent small LOSS
+    at sf0.1 (tools/experiments/r16/exp_text.py: cur 0.91-1.00 s vs var
+    1.00-1.03 s — the wider (doc_id, dl, term) grouping key costs more than
+    the small join it removes). REJECTED on the numbers; the join form
+    stands. Revisit only with a cluster-sized measurement."""
     from pyspark.sql import Window
 
     # document frequency as a COUNT window over tf (one row per (doc, term),
@@ -935,13 +951,11 @@ def bm25_from_counts(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total"),
     )
-    with_dl = (
+    scored = (
         tf.withColumn("df", dfw.cast("bigint"))
-        if dl_in_tf
-        else tf.withColumn("df", dfw.cast("bigint")).join(dl, "doc_id")
-    )
-    scored = with_dl.crossJoin(F.broadcast(stats)).selectExpr(
-        "doc_id", "term", f"{_BM25_SCORE} AS s_micro"
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", "term", f"{_BM25_SCORE} AS s_micro")
     )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),

@@ -5,6 +5,8 @@ not be rewritten."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from movie_genre_data_pipeline_spark.operators.compact import (
@@ -216,6 +218,10 @@ def test_plan_bins_reject_bad_target(spark):
         plan_compaction_bins(spark.range(1), "id", "id", target_bytes=0)
 
 
+# r16 driver-budget: ~60 s alone; the fold-through-compaction identity
+# stays default-covered by test_stream_split_invariance's
+# stream_ledger_compact representative.
+@pytest.mark.slow
 def test_bm25_ledger_fold_survives_mid_stream_compaction(spark, tmp_path):
     """VERDICT r9 #7: the continuous BM25 index appends postings ledgers per
     micro-batch; a maintenance compaction of those ledgers while the stream

@@ -46,6 +46,7 @@ def _silver_movie_rows(spark, cfg) -> set:
     }
 
 
+@pytest.mark.slow  # r16 driver-budget: heavy member; runs in the -m slow pass
 def test_incremental_two_rounds_and_batch_equivalence(spark, tmp_path: Path):
     clock = Clock(fixed_utc="2024-01-01 00:00:00")
     raw = tmp_path / "raw"

@@ -4,6 +4,8 @@ properties instead."""
 
 from __future__ import annotations
 
+import pytest
+
 from movie_genre_data_pipeline_spark.functions.kmeans import (
     assign_clusters,
     kmeans_fit,
@@ -27,6 +29,7 @@ def test_kmeans_inertia_monotone_and_assignment_valid(spark):
     assert assigned.count() == e.count()
 
 
+@pytest.mark.slow  # r16 driver-budget: heavy member; runs in the -m slow pass
 def test_kmeans_converged_assignments_are_stable(spark):
     e = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
     centroids, history = kmeans_fit(

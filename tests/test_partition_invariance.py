@@ -70,6 +70,27 @@ def _run(spark, name: str, partitions: int):
     return sorted(tuple(_norm(v) for v in r) for r in rows)
 
 
-@pytest.mark.parametrize("name", NAMES)
+# Driver-budget split (r16, VERDICT r15 #1): the full 21-query sweep cost
+# ~150 s of the run that blew the driver's pytest wall clock. The DEFAULT run
+# keeps one representative per ARITHMETIC CLASS this gate hunts (the axis a
+# partial-aggregate-count bug would vary along); the rest run in `-m slow`.
+_DEFAULT_REPS = {
+    "tpch_q1",  # float sum/avg fold over the fact table
+    "feat_corr_matrix",  # decimal(38,0) product-moment Gram
+    "sim_random_projection",  # integral-double distance folds
+    "dq_mad_outliers",  # rank/quantile (median-of-medians) arithmetic
+    "text_bigram_surprisal",  # integer micro-nat log-domain sums
+    "dedup_duplicate_spans",  # window + island-merge arithmetic
+}
+assert _DEFAULT_REPS <= set(NAMES)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _DEFAULT_REPS else pytest.param(n, marks=pytest.mark.slow)
+        for n in NAMES
+    ],
+)
 def test_result_is_partition_count_invariant(spark, name):
     assert _run(spark, name, 7) == _run(spark, name, 31), name

@@ -67,14 +67,18 @@ def test_tfidf_tokenizes_the_corpus_at_most_twice(spark):
 @pytest.mark.parametrize(
     "name", ["sim_topk_rerank", "sim_hard_negatives", "sim_pq_ivfadc"]
 )
-def test_ann_queries_scan_the_cached_corpus(spark, name):
-    """The quantized corpus rides the block cache: references hit
-    InMemoryTableScan (the FileScan strings in the plan text are inside the
-    cached-relation descriptions, i.e. the parquet is read once). And no ANN
-    query may pair the corpus non-equi: candidate generation is always a
+def test_ann_queries_scan_the_checkpointed_corpus(spark, name):
+    """The quantized corpus rides a localCheckpoint (r16, VERDICT r15 #6):
+    references are ExistingRDD leaves (parquet read once into checkpoint
+    blocks), and NOTHING sits in the CacheManager — a cache() entry is keyed
+    on the canonicalized plan and would satisfy the next invocation's
+    identical subtree, making repeated runs non-independent. And no ANN query
+    may pair the corpus non-equi: candidate generation is always a
     cluster/band equi-join."""
     plan = _plan(spark, name)
-    assert _count(plan, "InMemoryTableScan") >= 1
+    assert _count(plan, "Scan ExistingRDD") >= 1
+    assert _count(plan, "InMemoryTableScan") == 0, "corpus leaked into CacheManager"
+    assert _count(plan, "FileScan parquet") <= 2, "corpus re-scanned past the checkpoint"
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") <= 2, (
         "more BNLJ than the allowed 1-row broadcast carriers"

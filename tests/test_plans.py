@@ -6,6 +6,8 @@ changes, not just hold the day they were checked. explain() needs analysis only
 from __future__ import annotations
 
 import io
+
+import pytest
 from contextlib import redirect_stdout
 
 from movie_genre_data_pipeline_spark.suite import all_queries
@@ -88,6 +90,7 @@ def test_tpch_q17_copartitioned_self_join(spark):
     assert plan.count("EqualTo(p_brand,Brand#23)") == 2, plan
 
 
+@pytest.mark.slow  # r16 driver-budget: heavy member; runs in the -m slow pass
 def test_partition_pruning_on_p_ingestdate(spark, tmp_path):
     """The medallion p_* partition convention must actually prune: a filtered
     scan of a date-partitioned table reads only matching partitions."""

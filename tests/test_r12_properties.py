@@ -9,11 +9,18 @@ from __future__ import annotations
 
 import math
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Example budget (r16, VERDICT r15 #1): the sweeps' aggregate runtime
+# blew the driver's pytest wall-clock budget at max_examples=6-8. The
+# DEFAULT run keeps every law executing but at 1 example (a smoke of
+# the sweep); the round-close slow pass re-runs the full sweep with
+# MGDP_HYPO_EXAMPLES restored (committed log).
 FAST = settings(
-    max_examples=6,
+    max_examples=int(os.environ.get("MGDP_HYPO_EXAMPLES", "1")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

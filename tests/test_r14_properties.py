@@ -6,13 +6,22 @@ invariance that makes it the right FORMULA)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
+
+import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Example budget (r16, VERDICT r15 #1): the sweeps' aggregate runtime
+# blew the driver's pytest wall-clock budget at max_examples=6-8. The
+# DEFAULT run keeps every law executing but at 1 example (a smoke of
+# the sweep); the round-close slow pass re-runs the full sweep with
+# MGDP_HYPO_EXAMPLES restored (committed log).
 FAST = settings(
-    max_examples=6,
+    max_examples=int(os.environ.get("MGDP_HYPO_EXAMPLES", "1")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -29,6 +38,7 @@ H_US = 3_600_000_000
     ),
     delta_us=st.integers(0, 10**12),
 )
+@pytest.mark.slow  # r16 driver-budget: heavy member; runs in the -m slow pass
 def test_kaplan_meier_time_shift_invariance(spark, spans, delta_us):
     """KM is built from durations and the censoring gap — both differences —
     so translating every span by the same delta (even a non-hour-aligned
@@ -206,6 +216,7 @@ def test_mahalanobis_report_is_duplication_invariant(spark, pts):
         max_size=25,
     )
 )
+@pytest.mark.slow  # r16 driver-budget: heavy member; runs in the -m slow pass
 def test_spearman_is_monotone_transform_invariant(spark, rows):
     """Spearman's rho depends on the data only through ranks, so any
     strictly increasing transform of any column (x³ on qty, 2x+7 on

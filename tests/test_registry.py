@@ -4,6 +4,8 @@ entries of ``queries()``, so declaration order is load-bearing (VERDICT r01 #1).
 No SparkSession needed — these pin pure-Python registry invariants.
 """
 
+import pytest
+
 from movie_genre_data_pipeline_spark.suite import (
     DRIVER_WINDOW,
     NEXT_ROUND_POOL,
@@ -180,6 +182,7 @@ def test_bench_headline_set_is_pinned_to_detail():
     )
 
 
+@pytest.mark.slow  # r16 driver-budget: heavy member; runs in the -m slow pass
 def test_fingerprints_ignore_runtime_module_state():
     """The full r10 pytest run flipped all 231 unseated fingerprints because
     shipping's _zip_path/_shipped cache (set the first time any query runs)

@@ -3,6 +3,7 @@ dominate single-table recall (its candidate set is a superset by construction)."
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from movie_genre_data_pipeline_spark.functions.similarity import (
@@ -74,6 +75,7 @@ def test_nprobe_recall_monotone(spark):
     assert multi["recall_at_1"] >= one["recall_at_1"]
 
 
+@pytest.mark.slow  # r16 driver-budget: heavy member; runs in the -m slow pass
 def test_recall_at_10_nprobe_monotone(spark):
     """recall@10 extends the monotonicity law past k=1 (VERDICT r10 #6): under
     the shared (cos DESC, id ASC) total order, any candidate that displaces an

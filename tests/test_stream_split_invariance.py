@@ -249,7 +249,30 @@ def _norm(v):
     return tuple(v)
 
 
-@pytest.mark.parametrize("name", FOLDS)
+# Driver-budget split (r16, VERDICT r15 #1): the full 70-member sweep is what
+# blew the driver's pytest wall clock (~665 s of the 44.5-min r15 run). The
+# DEFAULT run keeps ONE representative per fold/monoid KIND — the axis along
+# which split invariance could actually break — and the remaining members run
+# in the `-m slow` pass (committed green at round close).
+_DEFAULT_REPS = {
+    "stream_ols_normal_eq",  # Gram/moment SUM ledger
+    "stream_cdc_join_ivm",  # retire-reinsert keyed join-view IVM
+    "stream_heaps_vocab_growth",  # MIN fold (first occurrence per type)
+    "stream_freshness_sla",  # per-type MAX ledger
+    "stream_phash_dedup",  # union fold (ids unique across batches)
+    "stream_priority_sample",  # mergeable top-(k+1) selection + SUM strata
+    "stream_ledger_compact",  # fold(compact(prefix) ∪ suffix) identity
+}
+assert _DEFAULT_REPS <= set(FOLDS)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _DEFAULT_REPS else pytest.param(n, marks=pytest.mark.slow)
+        for n in FOLDS
+    ],
+)
 def test_ledger_fold_is_split_invariant(spark, name):
     # r15 split: stream queries live across three modules now; resolve via
     # the registry. SOURCE_SPLIT stays a streaming_queries global (every

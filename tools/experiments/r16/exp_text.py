@@ -66,6 +66,13 @@ def tfidf_variant(spark, sf_dir):
 
 
 def bm25_variant(spark, sf_dir):
+    # self-contained dl-carry variant (REJECTED on the measured numbers; kept
+    # here verbatim so the verdict stays reproducible without a library knob)
+    from movie_genre_data_pipeline_spark.suite.text_queries import (
+        _BM25_SCORE,
+        BM25_TOPK,
+    )
+
     d = load(spark, sf_dir, "documents")
     docs = d.select("doc_id", alpha_tokens("text").alias("__a"))
     dl = docs.select("doc_id", F.size("__a").cast("bigint").alias("dl"))
@@ -79,7 +86,32 @@ def bm25_variant(spark, sf_dir):
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    return bm25_from_counts(tf, dl, dl_in_tf=True)
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total"),
+    )
+    scored = (
+        tf.withColumn("df", dfw.cast("bigint"))
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", "term", f"{_BM25_SCORE} AS s_micro")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("s_micro").cast("bigint").alias("score_micro"),
+    )
+    top = agg.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOPK
+    )
+    w = Window.partitionBy(
+        F.nullif(F.col("doc_id"), F.lit(-1)) * F.lit(0)
+    ).orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "doc_id",
+        "n_terms",
+        "score_micro",
+    )
 
 
 def rows_of(df):
