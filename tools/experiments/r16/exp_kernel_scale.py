@@ -41,7 +41,9 @@ li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
 specs = all_queries()
 out = {}
-for name in ["sim_topk_ivf", "sim_topk_bruteforce"]:
+names = (sys.argv[1].split(",") if len(sys.argv) > 1
+         else ["sim_topk_ivf", "sim_topk_bruteforce"])
+for name in names:
     base_runs, scaled_runs = [], []
     for _ in range(int(os.environ.get("MGDP_PROBE_SAMPLES", "3"))):
         for dirs, runs in ((BASE, base_runs), (SCALED, scaled_runs)):
